@@ -1,0 +1,152 @@
+"""Next-day sales/profit forecasting over the daily summary.
+
+The reference fits a Prophet model per series (reference src/time_series.py:
+7-67) on a ~10-point daily series collected to the driver, with a quirk: the
+fit uses synthetic dates ending *today* (src/time_series.py:21) while output
+dates are business dates (src/data_processor.py:573-575). Its CI checks only
+that the forecast file exists (.gitlab-ci.yml:98, excluded from value diff at
+:177-178), so forecast *values* are unconstrained.
+
+This engine keeps the same shape — collect the (legitimately tiny, one row
+per business day) summary, fit per-series, emit (date, forecasted_sales,
+forecasted_profit) — with a pluggable model:
+
+- ``prophet`` when the library is importable (parity with the reference,
+  including the synthetic-date quirk),
+- otherwise a deterministic OLS linear trend + day-of-week seasonal fallback
+  (pure numpy, no extra deps; fully reproducible, unlike Prophet-fit-on-
+  today's-dates which changes with the run date).
+
+Scale note: the input is one row per day — collect() here is O(days), not
+O(data). For thousands of independent series (per-store, per-SKU), the same
+fallback model is closed-form and vectorizable per group: fit it inside
+``applyInPandas`` keyed by series id instead of on the driver.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import FORECAST_OUT
+
+try:  # optional dependency; reference parity path
+    from prophet import Prophet  # type: ignore
+
+    _HAVE_PROPHET = True
+except Exception:  # pragma: no cover - prophet not installed here
+    _HAVE_PROPHET = False
+
+
+class UnivariateForecaster:
+    """fit(values) / predict(horizon) / get_metrics() — the reference's
+    forecaster interface (src/time_series.py:16-67)."""
+
+    def __init__(self) -> None:
+        self._values: np.ndarray | None = None
+        self._fitted: np.ndarray | None = None
+        self._model = None
+
+    def fit(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype="float64")
+        self._values = values
+        if _HAVE_PROPHET:
+            import pandas as pd
+
+            ds = pd.date_range(end=pd.Timestamp.today(), periods=len(values))
+            self._model = Prophet()
+            self._model.fit(pd.DataFrame({"ds": ds, "y": values}))
+            self._ds = ds
+            self._fitted = self._model.predict(pd.DataFrame({"ds": ds}))[
+                "yhat"
+            ].to_numpy()
+        else:
+            self._fit_ols_seasonal(values)
+
+    def _fit_ols_seasonal(self, values: np.ndarray) -> None:
+        """Closed-form OLS on [1, t] plus mean-centered day-of-week offsets.
+
+        Deterministic, dependency-free stand-in for Prophet's trend+weekly
+        seasonality on short daily series.
+        """
+        n = len(values)
+        t = np.arange(n, dtype="float64")
+        x = np.column_stack([np.ones(n), t])
+        coef, *_ = np.linalg.lstsq(x, values, rcond=None)
+        trend = x @ coef
+        resid = values - trend
+        dow = np.arange(n) % 7
+        seasonal = np.zeros(7)
+        if n >= 14:  # need 2 full weeks to estimate weekly effects
+            for d in range(7):
+                mask = dow == d
+                if mask.any():
+                    seasonal[d] = resid[mask].mean()
+            seasonal -= seasonal.mean()
+        self._coef = coef
+        self._seasonal = seasonal
+        self._fitted = trend + seasonal[dow]
+
+    def predict(self, horizon: int) -> np.ndarray:
+        if self._values is None:
+            raise ValueError("fit() before predict()")
+        if _HAVE_PROPHET:
+            import pandas as pd
+
+            future = pd.date_range(
+                start=self._ds[-1] + pd.Timedelta(days=1), periods=horizon
+            )
+            return self._model.predict(pd.DataFrame({"ds": future}))[
+                "yhat"
+            ].to_numpy()
+        n = len(self._values)
+        t = np.arange(n, n + horizon, dtype="float64")
+        trend = self._coef[0] + self._coef[1] * t
+        return trend + self._seasonal[np.arange(n, n + horizon) % 7]
+
+    def get_metrics(self) -> dict:
+        """In-sample MAE/MSE (reference src/time_series.py:45-67)."""
+        if self._fitted is None:
+            raise ValueError("fit() before get_metrics()")
+        err = self._values - self._fitted
+        return {
+            "mae": float(np.mean(np.abs(err))),
+            "mse": float(np.mean(err**2)),
+            "model_type": "prophet" if _HAVE_PROPHET else "ols_seasonal",
+        }
+
+
+def forecast_sales_and_profits(
+    spark: SparkSession, daily_summary: DataFrame, forecast_days: int = 1
+) -> DataFrame:
+    """daily_summary -> (date, forecasted_sales, forecasted_profit) rows.
+
+    Output dates are business dates: last summary date + 1..horizon
+    (reference src/data_processor.py:573-575).
+    """
+    rows = (
+        daily_summary.select("date", "total_sales", "total_profit")
+        .orderBy("date")
+        .collect()  # O(business days): legitimately tiny
+    )
+    dates = [r["date"] for r in rows]
+    sales = np.array([float(r["total_sales"]) for r in rows])
+    profit = np.array([float(r["total_profit"]) for r in rows])
+
+    sales_model, profit_model = UnivariateForecaster(), UnivariateForecaster()
+    sales_model.fit(sales)
+    profit_model.fit(profit)
+
+    out = [
+        (
+            dates[-1] + dt.timedelta(days=i + 1),
+            float(s),
+            float(p),
+        )
+        for i, (s, p) in enumerate(
+            zip(sales_model.predict(forecast_days), profit_model.predict(forecast_days))
+        )
+    ]
+    return spark.createDataFrame(out, schema=FORECAST_OUT)

@@ -1,0 +1,8 @@
+from .retail import (  # noqa: F401
+    build_daily_summary,
+    build_order_line_items,
+    build_orders,
+    build_products_updated,
+    explode_transactions,
+    run_retail_pipeline,
+)

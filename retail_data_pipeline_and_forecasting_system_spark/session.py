@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference creates its session with connector jars and a 12g driver
+(reference: src/main.py:13-26) — a symptom of its collect()-to-driver design.
+This engine needs no large driver: all data paths stay distributed, so the
+session here only pins the configs that matter for plan quality at scale
+(AQE, shuffle partition sizing, Arrow for the pandas-UDF kernels).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "retail_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession tuned for this engine.
+
+    Defaults are sized for local testing but every knob is the one you would
+    set on a real cluster:
+
+    - AQE on: runtime partition coalescing + skew-join splitting means the
+      static ``shuffle_partitions`` only needs to be an upper bound.
+    - Arrow on: the greedy-depletion kernel and multimodal UDFs move data
+      executor<->Python in Arrow batches, not pickled rows.
+    - UTC session timezone: timestamp semantics independent of host tz.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,48 @@
+"""Sinks: contract single-file CSV + scale-path partitioned Parquet.
+
+The single-file CSV trick (coalesce(1) -> rename part file) reproduces the
+reference's output contract (src/data_processor.py:61-90). It is inherently
+serial and exists ONLY for that contract; every other materialization goes
+through ``write_partitioned_parquet``, which is the path you'd use at scale.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def write_single_csv(df: DataFrame, output_dir: str, filename: str) -> str:
+    """Write ``df`` as exactly one headered CSV file at output_dir/filename.
+
+    Serial by construction (one partition); only for small, contractually
+    single-file outputs (the four golden CSVs are <30k rows each).
+    """
+    os.makedirs(output_dir, exist_ok=True)
+    full_path = os.path.join(output_dir, filename)
+    temp_dir = os.path.join(output_dir, f"_tmp_{filename.replace('.', '_')}")
+
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(temp_dir)
+
+    part = glob.glob(os.path.join(temp_dir, "part-*.csv"))[0]
+    shutil.move(part, full_path)
+    shutil.rmtree(temp_dir)
+    return full_path
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Scale-path sink: date/key-partitioned parquet so downstream scans get
+    partition pruning for free (replaces the reference's per-task parquet
+    handoff, src/candy_store_dag.py:102-113, which wrote unpartitioned)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
