@@ -1,0 +1,74 @@
+"""Shared column-expression builders.
+
+Everything here is a composition of built-in ``pyspark.sql.functions`` —
+JVM-side, whole-stage-codegen friendly, no Python UDFs. Hashing uses md5
+(hex string) because it is bit-identical across engines, which lets every
+operator built on it have an exact DuckDB SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (documents use single-space separators)."""
+    return F.split(text, " ")
+
+
+def explode_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per (doc, position, token)."""
+    return df.select(
+        id_col, F.posexplode(tokens(text_col)).alias("pos", "token")
+    )
+
+
+def word_shingles(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct k-word shingles per document.
+
+    Built with window ``lead`` over token position — identical semantics in
+    any SQL engine, no array-slice dialect differences. Output: (id, shingle)
+    distinct.
+    """
+    toks = explode_tokens(df, id_col, text_col)
+    w = W.partitionBy(id_col).orderBy("pos")
+    shingle = F.concat_ws(
+        " ", *([F.col("token")] + [F.lead("token", i).over(w) for i in range(1, k)])
+    )
+    last = F.lead("token", k - 1).over(w)
+    return (
+        toks.select(F.col(id_col), shingle.alias("shingle"), last.alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .select(id_col, "shingle")
+        .distinct()
+    )
+
+
+def minhash_signature(shingled: DataFrame, num_hashes: int, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc minhash signature: mh_i = min(md5(i || ':' || shingle)).
+
+    The "permutations" are salted md5s; min over hex strings is a valid
+    min-wise hash and is portable (lexicographic min of identical strings).
+    Output: (id, mh_0..mh_{n-1}).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def nibble_value(hex_col_name: str, pos: int) -> Column:
+    """The pos-th (1-based) hex char of column ``hex_col_name`` -> 0..15.
+
+    Expressed as ``instr`` over the hex alphabet — a function that exists
+    with identical semantics in Spark SQL and DuckDB, keeping md5-bit
+    operators exactly oracle-matchable.
+    """
+    return F.expr(
+        f"instr('0123456789abcdef', substring({hex_col_name}, {pos}, 1)) - 1"
+    )

@@ -1,0 +1,131 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure column expressions over one token explode — no Python in the data
+path, so these run at parquet-scan speed and every one has an exact SQL
+oracle. At 100 TB each is a single scan + one hash-aggregate keyed on doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import explode_tokens, word_shingles
+
+# Tiny per-language stopword lists for the ratio heuristic. (Real corpora
+# would use larger lists or char-n-gram models; the mechanics — token-set
+# membership ratios aggregated per doc — are identical.)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "pour", "que", "dans"],
+    "es": ["el", "la", "de", "y", "un", "una", "es", "para", "que", "en"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "zu", "den", "mit", "von"],
+}
+
+
+def language_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc stopword-hit ratio per language + argmax prediction.
+
+    Output: (id, n_tokens, <lang>_ratio..., pred_lang). Ties resolve to the
+    lexicographically first language (deterministic).
+    """
+    toks = explode_tokens(df, id_col, text_col)
+    aggs = [F.count(F.lit(1)).alias("n_tokens")]
+    for lang, words in sorted(STOPWORDS.items()):
+        aggs.append(
+            F.sum(F.when(F.col("token").isin(words), 1).otherwise(0)).alias(
+                f"{lang}_hits"
+            )
+        )
+    scored = toks.groupBy(id_col).agg(*aggs)
+    for lang in STOPWORDS:
+        scored = scored.withColumn(
+            f"{lang}_ratio", F.col(f"{lang}_hits") / F.col("n_tokens")
+        )
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"{lang}_ratio") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # first lang wins ties
+        pred = F.when(F.col(f"{lang}_ratio") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.select(
+        id_col,
+        "n_tokens",
+        *[F.col(f"{lang}_ratio") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Length / token-shape / repetition quality signals per document.
+
+    Output: (id, n_chars, n_tokens, avg_token_len, uniq_token_ratio,
+    alpha_ratio). All ratios are exact int/int divisions -> stable doubles.
+    """
+    toks = explode_tokens(df, id_col, text_col).withColumn(
+        "tok_len", F.length("token")
+    )
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("tok_len").alias("sum_tok_len"),
+        F.countDistinct("token").alias("n_uniq"),
+        F.sum(
+            F.when(F.col("token").rlike("^[a-zA-Z]+$"), 1).otherwise(0)
+        ).alias("n_alpha"),
+    )
+    return (
+        df.select(id_col, F.length(text_col).alias("n_chars"))
+        .join(per_doc, on=id_col)
+        .select(
+            id_col,
+            "n_chars",
+            "n_tokens",
+            (F.col("sum_tok_len") / F.col("n_tokens")).alias("avg_token_len"),
+            (F.col("n_uniq") / F.col("n_tokens")).alias("uniq_token_ratio"),
+            (F.col("n_alpha") / F.col("n_tokens")).alias("alpha_ratio"),
+        )
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (regex pieces).
+
+    The "BPE-ish" count splits alpha runs / digit runs / other — a cheap,
+    deterministic proxy for tokenizer budgeting. Output: (id, ws_tokens,
+    subword_tokens, chars_per_subword).
+    """
+    ws = F.size(F.split(F.col(text_col), " "))
+    pieces = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0
+        )
+    )
+    return df.select(
+        id_col,
+        ws.alias("ws_tokens"),
+        pieces.alias("subword_tokens"),
+        (F.length(text_col) / pieces).alias("chars_per_subword"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content fingerprint: min-wise digest over k-word shingles
+    (winnowing-lite — the min-md5 shingle is a stable representative that
+    collides exactly for near-identical shingle sets).
+
+    Output: (id, fingerprint, n_shingles).
+    """
+    sh = word_shingles(df, k=k, id_col=id_col, text_col=text_col)
+    return sh.groupBy(id_col).agg(
+        F.min(F.md5("shingle")).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )

@@ -1,0 +1,1181 @@
+"""Query registry: every SURVEY.md §2 operator (plus the large-scale
+data-pipeline extensions) as a (Spark callable, DuckDB oracle SQL) pair over
+the driver's TPC-H-ish corpus.
+
+Cross-engine exactness rules (every query here hash-matches its oracle):
+
+1. **Money through decimal.** Spark rounds doubles via their shortest
+   decimal string (BigDecimal.valueOf) while DuckDB rounds the binary
+   value — `round(2.675, 2)` can differ. So monetary doubles are cast to
+   DECIMAL(18,2) *first* (both engines recover the intended 2-dp value
+   exactly), all arithmetic stays decimal (exact, order-independent sums),
+   and only the final result is cast back to double (nearest-double of the
+   same exact decimal == identical bits).
+2. **Vector math in sequential double folds.** `F.aggregate` over
+   `zip_with` is a left fold; the oracle mirrors it with DuckDB
+   `list_reduce(list_transform(list_zip(...)))` — same order, same IEEE
+   ops, bit-identical results.
+3. **Hashes are md5 hex strings** (portable); min-wise/bucket logic uses
+   lexicographic string order, identical everywhere.
+4. **Every computed column is aliased identically** in the Spark plan and
+   the SQL so the driver's column-sorted value hash lines up.
+
+Each entry's `ref` cites the reference behavior it generalizes
+(SURVEY.md §2 ids); `scale` notes the 100 TB plan shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..operators import textstats as TX
+from ..operators.depletion import greedy_inventory_depletion
+
+# ---------------------------------------------------------------- helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read the raw int64 nanos and truncate to micros
+        # (exactly what DuckDB's TIMESTAMP does, keeping oracles aligned).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec(col: str | F.Column, scale: int = 2) -> F.Column:
+    """Monetary double -> exact decimal (rule 1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+#: DuckDB fragment: sequential-fold dot product of two DOUBLE-cast lists
+#: (mirrors similarity.dot exactly — rule 2).
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x,y) -> x+y)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # None -> non-SQL-expressible, rows-only check
+    ref: str  # SURVEY.md §2 ids / reference file:line this generalizes
+    scale: str = ""  # one-line 100TB plan note
+    bench: bool = False  # include in bench.py headline set
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def q(name: str, **kw):
+    def reg(fn):
+        QUERIES[name] = Query(fn=fn, **kw)
+        return fn
+
+    return reg
+
+
+# ------------------------------------------------------- scans/projections
+
+
+@q(
+    "s1_scan_projection",
+    sql="""
+    SELECT l_orderkey, l_partkey, CAST(l_quantity AS INT) AS qty
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    """,
+    ref="S1/S2 scans + P5 pruning (data_processor.py:179-222,283)",
+    scale="filter+projection reach the parquet scan (PushedFilters/ReadSchema)",
+)
+def s1_scan_projection(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") < "1996-01-01")
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.col("l_quantity").cast("int").alias("qty"),
+        )
+    )
+
+
+@q(
+    "p1_filter_null",
+    sql="""
+    SELECT l_returnflag AS flag, count(*) AS n
+    FROM (SELECT nullif(l_returnflag, 'N') AS l_returnflag FROM lineitem)
+    WHERE l_returnflag IS NOT NULL GROUP BY 1
+    """,
+    ref="P1 null-qty filter (data_processor.py:278)",
+)
+def p1_filter_null(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .select(F.nullif(F.col("l_returnflag"), F.lit("N")).alias("l_returnflag"))
+        .filter(F.col("l_returnflag").isNotNull())
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "p2_filter_compare",
+    sql="""
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty
+    FROM lineitem WHERE l_quantity > 45
+    """,
+    ref="P2 comparison filter (main.py:108)",
+)
+def p2_filter_compare(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("int").alias("qty"),
+        )
+    )
+
+
+@q(
+    "p7_derived_date",
+    sql="""
+    SELECT CAST(o_orderdate AS DATE) AS order_date, count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    ref="P7 to_date derivation (data_processor.py:399-401)",
+)
+def p7_derived_date(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "p8_arith_column",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    """,
+    ref="P8 arithmetic derived column (data_processor.py:413-414)",
+)
+def p8_arith_column(spark, sf):
+    return _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# ------------------------------------------------------------------ joins
+
+
+@q(
+    "j1_join_inner_broadcast",
+    sql="""
+    SELECT p_brand,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    ref="J1 lines x products inner join (data_processor.py:282-286)",
+    scale="dim side broadcast() — fact side never shuffles for the join",
+    bench=True,
+)
+def j1_join_inner_broadcast(spark, sf):
+    li, part = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "j2_join_left",
+    sql="""
+    SELECT p_partkey, count(l_orderkey) AS n_lines,
+      coalesce(SUM(CAST(l_quantity AS INT)), 0) AS sum_qty
+    FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+    GROUP BY p_partkey
+    """,
+    ref="J2 left join for cost attach (data_processor.py:409-413)",
+)
+def j2_join_left(spark, sf):
+    li, part = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left")
+        .groupBy("p_partkey")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.coalesce(F.sum(F.col("l_quantity").cast("int")), F.lit(0)).alias(
+                "sum_qty"
+            ),
+        )
+    )
+
+
+@q(
+    "j3_join_semi",
+    sql="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+    ref="J-class extension: semi join (SURVEY §2.3 'no semi/anti' gap)",
+)
+def j3_join_semi(spark, sf):
+    cust, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "j4_join_anti",
+    sql="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    ref="J-class extension: anti join",
+)
+def j4_join_anti(spark, sf):
+    cust, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "j5_join_multiway",
+    sql="""
+    SELECT r_name, n_name, count(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    ref="J-class: chained dim joins (star-schema path)",
+    scale="both dims broadcast; single fact pass",
+)
+def j5_join_multiway(spark, sf):
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# ----------------------------------------------------------- aggregations
+
+
+@q(
+    "q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+      SUM(CAST(l_quantity AS INT)) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))
+            * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS INT)) AS DOUBLE)
+           / count(*) AS DOUBLE) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS DOUBLE) AS avg_price,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    ref="A1/A2-class flagship (TPC-H Q1 shape; data_processor.py:337-344)",
+    scale="partial+final hash agg, 6-group output; one fact pass",
+    bench=True,
+)
+def q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    qty = F.col("l_quantity").cast("int")
+    price = dec("l_extendedprice")
+    disc_price = F.round(price * (F.lit(1) - dec("l_discount")), 2).cast(
+        "decimal(18,2)"
+    )
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "a1_orders_rollup",
+    sql="""
+    SELECT l_orderkey AS order_id, o_custkey AS customer_id,
+      CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)))
+           AS DOUBLE) AS total_amount,
+      count(*) AS num_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_orderkey, o_custkey
+    """,
+    ref="A1 orders rollup (data_processor.py:337-344)",
+    bench=True,
+)
+def a1_orders_rollup(spark, sf):
+    li, orders = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    line_total = F.round(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2
+    ).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("customer_id"),
+        )
+        .agg(
+            F.sum(line_total).cast("double").alias("total_amount"),
+            F.count(F.lit(1)).alias("num_items"),
+        )
+    )
+
+
+@q(
+    "a2_daily_summary",
+    sql="""
+    SELECT CAST(o_orderdate AS DATE) AS date,
+      count(DISTINCT o_orderkey) AS num_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+    FROM orders GROUP BY 1
+    """,
+    ref="A2 daily summary w/ countDistinct (data_processor.py:403-406)",
+    bench=True,
+)
+def a2_daily_summary(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("date"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("num_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_sales"),
+        )
+    )
+
+
+@q(
+    "a3_global_agg",
+    sql="""
+    SELECT count(*) AS n_lines,
+      SUM(CAST(l_quantity AS INT)) AS total_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    """,
+    ref="A3/A4 global scalar agg — distributed, not collect()+lit "
+    "(fixes data_processor.py:418-424)",
+)
+def a3_global_agg(spark, sf):
+    return _t(spark, sf, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("int")).alias("total_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("total_price"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@q(
+    "a5_inventory_depletion",
+    sql="""
+    WITH RECURSIVE demand AS (
+      SELECT l_partkey AS product_id, CAST(l_quantity AS INT) AS qty,
+             l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ), stock AS (
+      SELECT p_partkey AS product_id, p_size * 20 AS stock FROM part
+    ), walk AS (
+      SELECT d.product_id, d.rn, d.l_orderkey, d.l_linenumber,
+             CASE WHEN d.qty <= s.stock THEN d.qty ELSE 0 END AS quantity,
+             s.stock - CASE WHEN d.qty <= s.stock THEN d.qty ELSE 0 END AS remaining
+      FROM demand d JOIN stock s USING (product_id) WHERE d.rn = 1
+      UNION ALL
+      SELECT d.product_id, d.rn, d.l_orderkey, d.l_linenumber,
+             CASE WHEN d.qty <= w.remaining THEN d.qty ELSE 0 END,
+             w.remaining - CASE WHEN d.qty <= w.remaining THEN d.qty ELSE 0 END
+      FROM walk w JOIN demand d ON d.product_id = w.product_id AND d.rn = w.rn + 1
+    )
+    SELECT l_orderkey, product_id AS l_partkey, l_linenumber, quantity
+    FROM walk
+    """,
+    ref="A5 greedy inventory fold (data_processor.py:288-331) — the one "
+    "custom operator; Spark side is the applyInPandas kernel",
+    scale="sequential per product, parallel across products; see "
+    "operators/depletion.py scale notes",
+    bench=True,
+)
+def a5_inventory_depletion(spark, sf):
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_shipdate"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_quantity").cast("int").alias("qty"),
+    )
+    stock = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("product_id"),
+        (F.col("p_size") * 20).alias("stock"),
+    )
+    out = greedy_inventory_depletion(
+        li, stock, order_cols=("l_shipdate", "l_orderkey", "l_linenumber")
+    )
+    return out.select(
+        "l_orderkey", F.col("product_id").alias("l_partkey"), "l_linenumber", "quantity"
+    )
+
+
+# ------------------------------------------------------- sorts / set ops
+
+
+@q(
+    "t1_topk",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    ref="T1-T5 sorts + limit extension (SURVEY §2.6 'no limit' gap)",
+    scale="TakeOrderedAndProject — no global sort materialization",
+)
+def t1_topk(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "u1_union",
+    sql="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000
+    """,
+    ref="U1 union accumulation (data_processor.py:368-386)",
+)
+def u1_union(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.union(b).distinct()
+
+
+@q(
+    "u2_intersect",
+    sql="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    ref="set-op extension (SURVEY §2.7 'no intersect/except' gap)",
+)
+def u2_intersect(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    a = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.intersect(b)
+
+
+@q(
+    "u3_except",
+    sql="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    ref="set-op extension",
+)
+def u3_except(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    b = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.select("c_custkey").exceptAll(b).distinct()
+
+
+# ----------------------------------------------------- scalar fn / explode
+
+
+@q(
+    "f_scalar_pack",
+    sql="""
+    SELECT o_orderkey,
+      strftime(o_orderdate, '%Y-%m') AS order_month,
+      CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+      CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 0.1, 2) AS DOUBLE) AS fee,
+      CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      upper(o_orderpriority) AS priority_uc
+    FROM orders
+    """,
+    ref="F1/F2/F5/F8/F9 scalar functions (SURVEY §2.8)",
+)
+def f_scalar_pack(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.round(dec("o_totalprice") * F.lit(0.1).cast("decimal(18,1)"), 2)
+        .cast("double")
+        .alias("fee"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.upper("o_orderpriority").alias("priority_uc"),
+    )
+
+
+@q(
+    "f7_explode_tokens",
+    sql="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+    ref="F7 explode generator (data_processor.py:230)",
+)
+def f7_explode_tokens(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ----------------------------------------------------------- window fns
+
+
+@q(
+    "w1_running_sum",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+        AS running_spend
+    FROM orders
+    """,
+    ref="window extension (SURVEY §2.5: none in reference)",
+    scale="one shuffle on the partition key; decimal running sum is exact",
+)
+def w1_running_sum(spark, sf):
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@q(
+    "w2_rank_topn",
+    sql="""
+    SELECT * FROM (
+      SELECT n_name, c_custkey, c_acctbal,
+        ROW_NUMBER() OVER (PARTITION BY n_name
+                           ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rk <= 3
+    """,
+    ref="window extension: per-group top-n",
+)
+def w2_rank_topn(spark, sf):
+    cust, nation = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    w = W.partitionBy("n_name").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@q(
+    "w3_lag_delta",
+    sql="""
+    SELECT user_id, event_id,
+      value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        AS value_delta
+    FROM events
+    """,
+    ref="window extension: lag/delta over event stream",
+)
+def w3_lag_delta(spark, sf):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    )
+
+
+# -------------------------------------------------------------- events
+
+
+@q(
+    "e1_json_extract",
+    sql="""
+    SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    ref="JSON path extraction (reference parses JSON at ingest only)",
+)
+def e1_json_extract(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.get_json_object("props", "$.k").cast("int")
+            ).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "e2_sessionize",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id)) > 1800
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+    ref="streaming-surface batch twin: gap sessionization (SURVEY §2.9); "
+    "the Structured Streaming rendition lives in streaming/",
+)
+def e2_sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = flagged.select(
+        "user_id", F.sum("new_session").over(w2).alias("session_id")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ------------------------------------------------------------ dedup ops
+
+
+@q(
+    "d1_dedup_exact",
+    sql="""
+    SELECT md5(text) AS content_key, min(doc_id) AS keep_id,
+      count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    ref="LLM-ops: exact dedup (hash-groupBy); BASELINE north star",
+    scale="one shuffle on content digest",
+    bench=True,
+)
+def d1_dedup_exact(spark, sf):
+    return D.dedup_exact(_t(spark, sf, "documents"))
+
+
+# Shared SQL fragments for the shingle-based oracles. Tokenize -> number by
+# position -> 3-word shingles via window lead (identical semantics to
+# functions.word_shingles).
+_SQL_SHINGLES = """
+  WITH toks AS (
+    SELECT doc_id, t.token, t.pos FROM (
+      SELECT doc_id,
+        unnest(string_split(text, ' ')) AS token,
+        generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ) t(doc_id, token, pos)
+  ), led AS (
+    SELECT doc_id,
+      token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w
+        AS shingle,
+      lead(token, 2) OVER w AS last_tok
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ), shingles AS (
+    SELECT DISTINCT doc_id, shingle FROM led WHERE last_tok IS NOT NULL
+  )
+"""
+
+_SQL_JACCARD_PAIRS = (
+    _SQL_SHINGLES
+    + """
+  , sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+  ), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  )
+  SELECT doc_a, doc_b,
+    CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common)
+      AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common)
+        >= {thr}
+"""
+)
+
+
+@q(
+    "d2_jaccard_pairs",
+    sql=_SQL_JACCARD_PAIRS.format(thr="0.35"),
+    ref="LLM-ops: n-gram Jaccard near-dup via inverted shingle index",
+    scale="join cost Σ docs-per-shingle², not n²; shingle is the shuffle key",
+)
+def d2_jaccard_pairs(spark, sf):
+    return D.jaccard_pairs(_t(spark, sf, "documents"), k=3, threshold=0.35)
+
+
+def _sql_minhash(num_hashes: int, bands: int, thr: str) -> str:
+    rows = num_hashes // bands
+    mh_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return (
+        _SQL_SHINGLES
+        + f"""
+  , sig AS (
+    SELECT doc_id, {mh_cols} FROM shingles GROUP BY doc_id
+  ), buckets AS ({band_rows})
+  , candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b USING (band, bucket)
+    WHERE a.doc_id < b.doc_id
+  ), sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+  ), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ), verified AS (
+    SELECT doc_a, doc_b,
+      CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common)
+        AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common)
+          >= {thr}
+  )
+  SELECT v.doc_a, v.doc_b, v.jaccard
+  FROM candidates c JOIN verified v
+    ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+"""
+    )
+
+
+@q(
+    "d3_minhash_lsh",
+    sql=_sql_minhash(8, 4, "0.35"),
+    ref="LLM-ops: MinHash+LSH near-dup (shingle->minhash->band->bucket join)",
+    scale="candidate generation is a groupBy on band bucket — sub-quadratic",
+    bench=True,
+)
+def d3_minhash_lsh(spark, sf):
+    return D.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=8, bands=4, threshold=0.35, k=3
+    )
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    sums = ", ".join(
+        "SUM(CASE WHEN CAST(floor(((instr('0123456789abcdef', "
+        f"substring(h, {1 + j // 4}, 1)) - 1) / {2 ** (3 - j % 4)})) AS INT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << (bits - 1 - j)} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+  WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ), hashed AS (
+    SELECT doc_id, md5(token) AS h FROM toks
+  ), bitsums AS (
+    SELECT doc_id, {sums} FROM hashed GROUP BY doc_id
+  )
+  SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM bitsums
+"""
+
+
+@q(
+    "d4_simhash",
+    sql=_sql_simhash(16),
+    ref="LLM-ops: SimHash document fingerprint (md5-bit majority)",
+)
+def d4_simhash(spark, sf):
+    return D.simhash(_t(spark, sf, "documents"), bits=16)
+
+
+@q(
+    "d5_simhash_pairs",
+    sql=f"""
+  WITH sims AS ({_sql_simhash(16)})
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    ref="LLM-ops: SimHash near-dup pairs (Hamming <= 3)",
+)
+def d5_simhash_pairs(spark, sf):
+    return D.simhash_pairs(_t(spark, sf, "documents"), bits=16, max_hamming=3)
+
+
+@q(
+    "d6_embedding_neardup",
+    sql=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.label = b.label
+    WHERE a.vec_id < b.vec_id
+      AND {_sql_cosine('a.embedding', 'b.embedding')} >= 0.8
+    """,
+    ref="LLM-ops: embedding-cosine near-dup with label blocking",
+    scale="block-equi-join (Σ block²), not n² cross join",
+)
+def d6_embedding_neardup(spark, sf):
+    return SIM.cosine_pairs_blocked(
+        _t(spark, sf, "embeddings"), threshold=0.8, block_col="label"
+    )
+
+
+# ------------------------------------------------------ similarity search
+
+
+def _query_vec(spark, sf) -> list[float]:
+    row = (
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0).head()
+    )
+    return [float(v) for v in row["embedding"]]
+
+
+@q(
+    "n1_ann_bruteforce",
+    sql=f"""
+    SELECT e.vec_id, {_sql_cosine('e.embedding', 'q.embedding')} AS cos_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id != 0
+    ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    """,
+    ref="LLM-ops: exact cosine top-k (ANN baseline)",
+    scale="one pass + TakeOrdered; query vector constant-folded",
+    bench=True,
+)
+def n1_ann_bruteforce(spark, sf):
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    return SIM.cosine_topk(emb, _query_vec(spark, sf), k=10)
+
+
+@q(
+    "n2_ann_lsh_bucket",
+    sql=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+        {' + '.join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+                    for i in range(8))} AS bucket
+      FROM embeddings
+    )
+    SELECT e.vec_id, {_sql_cosine('e.embedding', 'q.embedding')} AS cos_sim
+    FROM bucketed e,
+         (SELECT embedding, bucket FROM bucketed WHERE vec_id = 0) q
+    WHERE e.bucket = q.bucket AND e.vec_id != 0
+    ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    """,
+    ref="LLM-ops: LSH-bucketed ANN (sign projection, single probe)",
+    scale="bucket id doubles as partition key at 100 TB",
+)
+def n2_ann_lsh_bucket(spark, sf):
+    # exclude the query vector BEFORE the top-k (the oracle does the same)
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    return SIM.lsh_bucket_topk(emb, _query_vec(spark, sf), k=10, n_bits=8)
+
+
+# ---------------------------------------------------------- text analysis
+
+
+def _sql_langid() -> str:
+    from ..operators.textstats import STOPWORDS
+
+    hit_cols = ", ".join(
+        f"SUM(CASE WHEN token IN ({', '.join(repr(w) for w in words)}) "
+        f"THEN 1 ELSE 0 END) AS {lang}_hits"
+        for lang, words in sorted(STOPWORDS.items())
+    )
+    langs = sorted(STOPWORDS)
+    ratios = ", ".join(
+        f"CAST({lang}_hits AS DOUBLE) / n_tokens AS {lang}_ratio" for lang in langs
+    )
+    best = f"greatest({', '.join(f'{lang}_ratio' for lang in langs)})"
+    pred = "CASE "
+    for lang in langs:
+        pred += f"WHEN {lang}_ratio = {best} THEN '{lang}' "
+    pred += "ELSE 'und' END"
+    pred = f"CASE WHEN {best} > 0 THEN ({pred}) ELSE 'und' END"
+    return f"""
+  WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ), hits AS (
+    SELECT doc_id, count(*) AS n_tokens, {hit_cols} FROM toks GROUP BY doc_id
+  ), ratios AS (
+    SELECT doc_id, n_tokens, {ratios} FROM hits
+  )
+  SELECT doc_id, n_tokens, {', '.join(f'{lang}_ratio' for lang in langs)},
+    {pred} AS pred_lang
+  FROM ratios
+"""
+
+
+@q(
+    "x1_language_scores",
+    sql=_sql_langid(),
+    ref="LLM-ops: language-ID heuristic (stopword ratios + argmax)",
+)
+def x1_language_scores(spark, sf):
+    return TX.language_scores(_t(spark, sf, "documents"))
+
+
+@q(
+    "x2_quality_scores",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens, SUM(length(token)) AS sum_tok_len,
+        count(DISTINCT token) AS n_uniq,
+        SUM(CASE WHEN regexp_matches(token, '^[a-zA-Z]+$') THEN 1 ELSE 0 END)
+          AS n_alpha
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id, length(d.text) AS n_chars, p.n_tokens,
+      CAST(p.sum_tok_len AS DOUBLE) / p.n_tokens AS avg_token_len,
+      CAST(p.n_uniq AS DOUBLE) / p.n_tokens AS uniq_token_ratio,
+      CAST(p.n_alpha AS DOUBLE) / p.n_tokens AS alpha_ratio
+    FROM documents d JOIN per_doc p USING (doc_id)
+    """,
+    ref="LLM-ops: quality scoring (length/shape/repetition signals)",
+)
+def x2_quality_scores(spark, sf):
+    return TX.quality_scores(_t(spark, sf, "documents"))
+
+
+@q(
+    "x3_token_counts",
+    sql="""
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS ws_tokens,
+      len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        AS subword_tokens,
+      CAST(length(text) AS DOUBLE)
+        / len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        AS chars_per_subword
+    FROM documents
+    """,
+    ref="LLM-ops: token counting (whitespace + BPE-ish regex pieces)",
+)
+def x3_token_counts(spark, sf):
+    return TX.token_counts(_t(spark, sf, "documents"))
+
+
+@q(
+    "x4_fingerprints",
+    sql=_SQL_SHINGLES
+    + """
+    SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles
+    FROM shingles GROUP BY doc_id
+    """,
+    ref="LLM-ops: document fingerprint (min-wise shingle digest)",
+)
+def x4_fingerprints(spark, sf):
+    return TX.fingerprints(_t(spark, sf, "documents"), k=3)
+
+
+# ------------------------------------------------------------ multimodal
+
+
+@q(
+    "m1_multimodal_decode",
+    sql="""
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      md5(text) AS content_md5,
+      CAST(16 + (octet_length(encode(text)) % 617) AS INT) AS width,
+      CAST(16 + ((octet_length(encode(text)) * 31) % 469) AS INT) AS height
+    FROM documents
+    """,
+    ref="LLM-ops: multimodal binary plumbing — Arrow mapInPandas decode "
+    "stub (operators/multimodal.py); payload = utf-8 bytes as media stand-in",
+    scale="decode is partition-local mapInPandas: no shuffle, batches stream "
+    "through the codec; real decoder replaces _decode_batch only",
+)
+def m1_multimodal_decode(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return MM.decode_media(MM.attach_binary_payload(docs))
+
+
+# ------------------------------------------------------------- forecast
+
+
+@q(
+    "m2_forecast_linear",
+    sql="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders GROUP BY 1
+    ), sums AS (
+      SELECT count(*) AS n, SUM(x) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        SUM(x * x) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        MAX(x) AS max_x
+      FROM daily
+    )
+    SELECT
+      CAST(max_x + 1 AS BIGINT) AS next_x,
+      CAST((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) AS DOUBLE)
+        AS slope,
+      CAST((sy - ((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+           / n AS DOUBLE) AS intercept,
+      CAST((sy - ((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+           / n
+           + ((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx))
+             * (max_x + 1) AS DOUBLE) AS forecast
+    FROM sums
+    """,
+    ref="M1-M3 forecasting surface: closed-form OLS trend on the daily "
+    "series (time_series.py:7-67); Prophet/seasonal model in forecast/",
+    scale="aggregates are distributed; only the 5-number summary leaves the "
+    "executors",
+)
+def m2_forecast_linear(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("x")
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("y"))
+    )
+    sums = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.max("x").alias("max_x"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return sums.select(
+        (F.col("max_x") + 1).cast("bigint").alias("next_x"),
+        slope.cast("double").alias("slope"),
+        intercept.cast("double").alias("intercept"),
+        (intercept + slope * (F.col("max_x") + 1)).cast("double").alias("forecast"),
+    )

