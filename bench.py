@@ -26,8 +26,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_session("bench")
 
-    # warm-up: JVM + parquet footer caches, not measured
+    # warm-up: JVM codegen + OS page cache for the input files, not measured
+    # (timings then reflect engine work, not first-touch disk I/O)
     spark.range(1000).count()
+    for t in ("lineitem", "orders", "part", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     names = [n for n, s in QUERIES.items() if s.bench]
     timings: dict[str, float] = {}

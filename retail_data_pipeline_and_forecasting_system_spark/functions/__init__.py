@@ -30,20 +30,16 @@ def word_shingles(
 ) -> DataFrame:
     """Distinct k-word shingles per document.
 
-    Built with window ``lead`` over token position — identical semantics in
-    any SQL engine, no array-slice dialect differences. Output: (id, shingle)
-    distinct.
+    Built entirely with array expressions (split -> transform/slice ->
+    explode) — shingling happens inside the row, so there is NO shuffle
+    before the final distinct. Output: (id, shingle) distinct.
     """
-    toks = explode_tokens(df, id_col, text_col)
-    w = W.partitionBy(id_col).orderBy("pos")
-    shingle = F.concat_ws(
-        " ", *([F.col("token")] + [F.lead("token", i).over(w) for i in range(1, k)])
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k})))"
     )
-    last = F.lead("token", k - 1).over(w)
     return (
-        toks.select(F.col(id_col), shingle.alias("shingle"), last.alias("__last"))
-        .filter(F.col("__last").isNotNull())
-        .select(id_col, "shingle")
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .distinct()
     )
 

@@ -130,11 +130,29 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    verified = jaccard_pairs(
-        df, k=k, threshold=threshold, id_col=id_col, text_col=text_col
+    # Candidate-driven exact-Jaccard verification: intersections are counted
+    # only for colliding pairs (join candidates -> a's shingles -> match b's),
+    # never for the full co-shingle pair space.
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sh_a, on="doc_a")
+        .join(sh_b, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return candidates.join(verified, on=["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
