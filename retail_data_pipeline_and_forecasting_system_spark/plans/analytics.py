@@ -1179,3 +1179,113 @@ def m2_forecast_linear(spark, sf):
         intercept.cast("double").alias("intercept"),
         (intercept + slope * (F.col("max_x") + 1)).cast("double").alias("forecast"),
     )
+
+
+# --------------------------------------------- grouping/pivot extensions
+
+
+@q(
+    "g1_rollup",
+    sql="""
+    SELECT r_name, n_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    ref="grouping-sets extension (SURVEY §2.4: none in reference)",
+)
+def g1_rollup(spark, sf):
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@q(
+    "g2_pivot",
+    sql="""
+    SELECT l_linestatus,
+      SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS INT) END) AS A,
+      SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS INT) END) AS N,
+      SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS INT) END) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    ref="pivot extension (SURVEY §2.4: none in reference)",
+)
+def g2_pivot(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("int")))
+    )
+
+
+@q(
+    "g3_asof_join",
+    sql="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN event_type = 'purchase' THEN value END AS pvalue
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), carried AS (
+      SELECT user_id, ts, event_id, event_type,
+        last_value(pvalue IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS last_purchase_value
+      FROM tagged
+    )
+    SELECT event_id, user_id, last_purchase_value
+    FROM carried WHERE event_type = 'click'
+    """,
+    ref="as-of join (custom operator class (a): composition of built-ins — "
+    "union + ignore-nulls window carry; SURVEY §2.3 'no as-of' gap)",
+    scale="one shuffle on user_id; no range-join explosion",
+)
+def g3_asof_join(spark, sf):
+    ev = _t(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pvalue"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last("pvalue", ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+    return carried.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "last_purchase_value"
+    )
+
+
+@q(
+    "a4_approx_distinct",
+    sql=None,  # HLL sketch values are engine-specific -> driver rows-only check
+    ref="approximate aggregation (scale path for A2's exact countDistinct; "
+    "sketch-based, single-pass, mergeable)",
+    scale="HLL avoids the two-phase expand of exact distinct at 100 TB",
+)
+def a4_approx_distinct(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+    )

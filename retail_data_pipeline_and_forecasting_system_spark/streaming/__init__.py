@@ -1,0 +1,5 @@
+from .inventory_stream import (  # noqa: F401
+    read_transaction_stream,
+    run_available_now,
+    streaming_depletion,
+)
