@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the optimizations we rely on at scale
+must actually appear in the plan — a correct-but-unpushed scan or a
+sort-merge join against a dim table is a perf bug even when results match.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+    QUERIES,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _plan(spark, name: str) -> str:
+    return _explain(QUERIES[name].fn(spark, SF))
+
+
+def test_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "s1_scan_projection")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+
+
+def test_columns_pruned_at_scan(spark):
+    plan = _plan(spark, "s1_scan_projection")
+    # scan must read only the 4 referenced columns, not all 11
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_dim_join_is_broadcast(spark):
+    plan = _plan(spark, "j1_join_inner_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_dims_broadcast(spark):
+    plan = _plan(spark, "j5_join_multiway")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_is_two_phase(spark):
+    # partial (map-side) + final hash aggregation
+    plan = _plan(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "t1_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_retail_depletion_join_is_broadcast(spark):
+    """The pipeline's products joins must broadcast (36-row dim)."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.retail import (
+        run_retail_pipeline,
+    )
+    from retail_data_pipeline_and_forecasting_system_spark.sources import (
+        read_products_csv,
+        read_transactions_json,
+    )
+
+    products = read_products_csv(
+        spark, "/root/reference/data/dataset_15/products.csv"
+    )
+    raw = read_transactions_json(
+        spark, "/root/reference/data/dataset_15/transactions_20240201.json"
+    )
+    outs = run_retail_pipeline(raw, products)
+    plan = _explain(outs["orders"])
+    assert "BroadcastHashJoin" in plan
