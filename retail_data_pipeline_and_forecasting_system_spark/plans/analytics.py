@@ -267,14 +267,16 @@ def j3_join_semi(spark, sf):
     "j4_join_anti",
     sql="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
     """,
-    ref="J-class extension: anti join",
+    ref="J-class extension: anti join (customers with no large order)",
 )
 def j4_join_anti(spark, sf):
     cust, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000)
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        big, cust.c_custkey == big.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -934,14 +936,15 @@ def d5_simhash_pairs(spark, sf):
       {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.label = b.label
     WHERE a.vec_id < b.vec_id
-      AND {_sql_cosine('a.embedding', 'b.embedding')} >= 0.8
+      AND {_sql_cosine('a.embedding', 'b.embedding')} >= 0.3
     """,
-    ref="LLM-ops: embedding-cosine near-dup with label blocking",
+    ref="LLM-ops: embedding-cosine near-dup with label blocking "
+    "(threshold tuned to the synthetic corpus: max within-label cos ~0.47)",
     scale="block-equi-join (Σ block²), not n² cross join",
 )
 def d6_embedding_neardup(spark, sf):
     return SIM.cosine_pairs_blocked(
-        _t(spark, sf, "embeddings"), threshold=0.8, block_col="label"
+        _t(spark, sf, "embeddings"), threshold=0.3, block_col="label"
     )
 
 

@@ -1,0 +1,124 @@
+"""Behavioral unit tests for the LLM-data operators and forecaster on
+constructed inputs with known ground truth (the oracle-parity tests prove
+cross-engine agreement; these prove the operators find what they should)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from retail_data_pipeline_and_forecasting_system_spark.forecast import (
+    UnivariateForecaster,
+)
+from retail_data_pipeline_and_forecasting_system_spark.operators import dedup as D
+from retail_data_pipeline_and_forecasting_system_spark.operators import (
+    similarity as SIM,
+)
+from retail_data_pipeline_and_forecasting_system_spark.operators import (
+    textstats as TX,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    far = "completely different words appear within this other document here now"
+    dup = base
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, dup)], "doc_id long, text string"
+    )
+
+
+def test_dedup_exact_finds_duplicate(docs):
+    out = {r["keep_id"]: r["n_copies"] for r in D.dedup_exact(docs).collect()}
+    assert out[1] == 2  # doc 4 == doc 1, lowest id kept
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_jaccard_pairs_ranks_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, k=3, threshold=0.2).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # identical
+    assert 0.5 < pairs[(1, 2)] < 1.0  # one word changed
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    assert (1, 4) in pairs  # identical always collides
+    assert (1, 2) in pairs  # near-dup collides in some band
+    assert (1, 3) not in pairs
+
+
+def test_simhash_distance_orders_similarity(docs):
+    sims = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, bits=16).collect()}
+    assert sims[1] == sims[4]
+    ham = lambda a, b: bin(sims[a] ^ sims[b]).count("1")
+    assert ham(1, 2) < ham(1, 3)
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = SIM.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), [1.0, 0.0, 0.0], k=2
+    ).collect()
+    assert [r["vec_id"] for r in got] == [1, 2]
+    assert got[0]["cos_sim"] == pytest.approx(0.9 / np.sqrt(0.82), rel=1e-6)
+
+
+def test_language_scores_pred(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog is in it"),
+            (2, "der hund ist ein tier und das ist gut mit der zeit"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in TX.language_scores(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_forecaster_deterministic_and_seasonal():
+    # linear trend + weekly pattern, 4 weeks of data
+    t = np.arange(28, dtype=float)
+    weekly = np.tile([0, 5, -3, 2, 0, -4, 1], 4)
+    y = 100 + 2 * t + weekly
+    m = UnivariateForecaster()
+    m.fit(y)
+    pred = m.predict(7)
+    # next week continues trend + weekly offsets (small OLS bias allowed:
+    # the weekly pattern is not orthogonal to the trend within a week)
+    expect = 100 + 2 * np.arange(28, 35) + weekly[:7]
+    assert np.allclose(pred, expect, atol=1.0)
+    # the *shape* of the weekly pattern must be recovered exactly
+    assert np.allclose(np.diff(pred), np.diff(expect), atol=1e-6)
+    metrics = m.get_metrics()
+    assert metrics["mae"] < 1.0
+    assert metrics["model_type"] == "ols_seasonal"
+    # refitting produces identical results (determinism)
+    m2 = UnivariateForecaster()
+    m2.fit(y)
+    assert np.allclose(m2.predict(7), pred)
+
+
+def test_forecaster_short_series_no_seasonality():
+    y = np.array([10.0, 12.0, 14.0, 16.0])
+    m = UnivariateForecaster()
+    m.fit(y)
+    assert m.predict(1)[0] == pytest.approx(18.0, abs=1e-9)
