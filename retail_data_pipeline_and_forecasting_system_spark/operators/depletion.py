@@ -69,6 +69,7 @@ def greedy_inventory_depletion(
     stock_col: str = "stock",
     order_cols: tuple[str, ...] = ("timestamp", "transaction_id", "line_pos"),
     num_buckets: int = 128,
+    reset_col: str | None = None,
 ) -> DataFrame:
     """Apply greedy depletion to demand ``lines`` against initial ``products``
     stock.
@@ -83,6 +84,10 @@ def greedy_inventory_depletion(
         per-group pandas/Arrow overhead is amortized (one group per product
         would pay ~0.2 ms × millions of products), while state stays strictly
         per-product inside the kernel. Size it ≈ a few × total cores.
+    reset_col : optional column name; when set, stock resets to the initial
+        value at every distinct value of this column (the reference's
+        RELOAD_INVENTORY_DAILY mode, src/data_processor.py:53-59: pass the
+        batch-date column). The fold key becomes (product, reset value).
 
     Returns the input rows plus a ``quantity`` column (fulfilled qty, 0 when
     cancelled). Null-qty lines must be filtered by the caller (reference
@@ -102,28 +107,29 @@ def greedy_inventory_depletion(
         + [T.StructField("quantity", T.IntegerType(), True)]
     )
     out_cols = [f.name for f in out_schema.fields]
-    sort_cols = ["product_id", *order_cols]
+    key_cols = ["product_id"] + ([reset_col] if reset_col else [])
+    sort_cols = [*key_cols, *order_cols]
 
     def deplete(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one pass over the bucket: rows sorted by (product, time); per-
-        # product remaining stock lives in a dict, so a bucket of thousands
-        # of products costs one sort + one linear walk.
+        # one pass over the bucket: rows sorted by (fold key, time); per-key
+        # remaining stock lives in a dict, so a bucket of thousands of
+        # products costs one sort + one linear walk.
         pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         remaining: dict = {}
         out = []
-        pids = pdf["product_id"].tolist()
+        keys = list(zip(*(pdf[c].tolist() for c in key_cols)))
         qtys = pdf[qty_col].tolist()
         stocks = pdf["__stock"].tolist()
-        for pid, qty, stock in zip(pids, qtys, stocks):
-            rem = remaining.get(pid)
+        for key, qty, stock in zip(keys, qtys, stocks):
+            rem = remaining.get(key)
             if rem is None:
                 rem = int(stock)
             if qty is not None and 0 <= qty <= rem:
                 out.append(qty)
-                remaining[pid] = rem - qty
+                remaining[key] = rem - qty
             else:
                 out.append(0)
-                remaining[pid] = rem
+                remaining[key] = rem
         pdf["quantity"] = out
         return pdf[out_cols]
 

@@ -61,6 +61,22 @@ def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def read_binary_files(spark, path_glob: str) -> DataFrame:
+    """Real media ingestion path: Spark's ``binaryFile`` source — one row
+    per file with (path, modificationTime, length, content binary). Feed
+    the result to :func:`decode_media` after renaming ``content`` to
+    ``payload`` and deriving an id. At scale, cap partition size via
+    ``spark.sql.files.maxPartitionBytes`` so large payloads don't blow up
+    task memory."""
+    df = spark.read.format("binaryFile").load(path_glob)
+    return df.select(
+        F.abs(F.hash("path")).cast("long").alias("doc_id"),
+        F.col("path"),
+        F.col("length").cast("int").alias("n_bytes_meta"),
+        F.col("content").alias("payload"),
+    )
+
+
 def attach_binary_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

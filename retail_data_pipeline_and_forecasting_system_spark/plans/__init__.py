@@ -4,5 +4,6 @@ from .retail import (  # noqa: F401
     build_orders,
     build_products_updated,
     explode_transactions,
+    processing_metrics,
     run_retail_pipeline,
 )

@@ -76,19 +76,31 @@ ORDER_COLS = {
 
 
 def process_lines(
-    lines: DataFrame, products: DataFrame, process_order: str = "arrival"
+    lines: DataFrame,
+    products: DataFrame,
+    process_order: str = "arrival",
+    reload_inventory_daily: bool = False,
 ) -> DataFrame:
     """Null-filter, deplete inventory, and price every line.
 
     Output grain: one row per non-null-qty line with fulfilled ``quantity``
     (0 if cancelled), ``unit_price`` and 2-dp ``line_total`` (cancelled lines
     price to 0.00, reference src/data_processor.py:308).
+
+    ``reload_inventory_daily`` mirrors the reference's
+    RELOAD_INVENTORY_DAILY flag (src/data_processor.py:53-59): stock resets
+    to the initial value at each business day instead of carrying over.
     """
     order_cols = ORDER_COLS[process_order]
     demand = lines.withColumn("batch_date", F.to_date("timestamp")).filter(
         F.col("qty").isNotNull()
     )
-    filled = greedy_inventory_depletion(demand, products, order_cols=order_cols)
+    filled = greedy_inventory_depletion(
+        demand,
+        products,
+        order_cols=order_cols,
+        reset_col="batch_date" if reload_inventory_daily else None,
+    )
     priced = filled.join(
         F.broadcast(products.select("product_id", "sales_price")),
         on="product_id",
@@ -191,19 +203,40 @@ def build_products_updated(processed: DataFrame, products: DataFrame) -> DataFra
     )
 
 
+def processing_metrics(processed: DataFrame) -> dict[str, int]:
+    """Run-level counters the reference prints (main.py:99-113,
+    data_processor.py:92-96): cancelled lines, fulfilled lines/units."""
+    row = processed.agg(
+        F.sum(F.when(F.col("quantity") == 0, 1).otherwise(0)).alias("cancelled"),
+        F.sum(F.when(F.col("quantity") > 0, 1).otherwise(0)).alias("fulfilled"),
+        F.sum("quantity").alias("units_fulfilled"),
+    ).collect()[0]
+    return {
+        "cancelled_lines": int(row["cancelled"] or 0),
+        "fulfilled_lines": int(row["fulfilled"] or 0),
+        "units_fulfilled": int(row["units_fulfilled"] or 0),
+    }
+
+
 def run_retail_pipeline(
     raw_transactions: DataFrame,
     products: DataFrame,
     process_order: str = "arrival",
+    reload_inventory_daily: bool = False,
 ) -> dict[str, DataFrame]:
     """Full pipeline: raw docs + products -> the four output DataFrames.
 
     ``process_order`` selects the depletion order (see ORDER_COLS): "arrival"
     for golden parity with the reference, "timestamp" for content-based
-    determinism.
+    determinism. ``reload_inventory_daily`` mirrors the reference flag.
     """
     lines = explode_transactions(raw_transactions)
-    processed = process_lines(lines, products, process_order=process_order)
+    processed = process_lines(
+        lines,
+        products,
+        process_order=process_order,
+        reload_inventory_daily=reload_inventory_daily,
+    )
     # The depletion output feeds three downstream aggregates; persist it so
     # the Arrow kernel runs once, not three times.
     processed = processed.persist()

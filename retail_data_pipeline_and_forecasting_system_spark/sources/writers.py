@@ -33,6 +33,35 @@ def write_single_csv(df: DataFrame, output_dir: str, filename: str) -> str:
     return full_path
 
 
+def write_table_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    mode: str = "overwrite",
+    driver: str = "com.mysql.cj.jdbc.Driver",
+    batch_size: int = 10_000,
+) -> None:
+    """JDBC sink — the distributed replacement for the reference's
+    driver-side csv.reader + executemany loader (src/data_processor.py:98-139).
+    Each partition opens its own connection and writes batched inserts;
+    ``mode="overwrite"`` reproduces the TRUNCATE-then-load contract.
+    (Requires the JDBC driver jar on the classpath; not exercised in this
+    container — no database service available.)"""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("driver", driver)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+        .save()
+    )
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,
