@@ -227,7 +227,7 @@ def j1_join_inner_broadcast(spark, sf):
     "j2_join_left",
     sql="""
     SELECT p_partkey, count(l_orderkey) AS n_lines,
-      coalesce(SUM(CAST(l_quantity AS INT)), 0) AS sum_qty
+      CAST(coalesce(SUM(CAST(l_quantity AS INT)), 0) AS BIGINT) AS sum_qty
     FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
     GROUP BY p_partkey
     """,
@@ -315,7 +315,7 @@ def j5_join_multiway(spark, sf):
     "q1_pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-      SUM(CAST(l_quantity AS INT)) AS sum_qty,
+      CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
             * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))
@@ -409,7 +409,7 @@ def a2_daily_summary(spark, sf):
     "a3_global_agg",
     sql="""
     SELECT count(*) AS n_lines,
-      SUM(CAST(l_quantity AS INT)) AS total_qty,
+      CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
       count(DISTINCT l_partkey) AS n_parts
     FROM lineitem
@@ -678,7 +678,7 @@ def w3_lag_delta(spark, sf):
 @q(
     "e1_json_extract",
     sql="""
-    SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+    SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
       count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -1214,9 +1214,9 @@ def g1_rollup(spark, sf):
     "g2_pivot",
     sql="""
     SELECT l_linestatus,
-      SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS INT) END) AS A,
-      SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS INT) END) AS N,
-      SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS INT) END) AS R
+      CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS INT) END) AS BIGINT) AS A,
+      CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS INT) END) AS BIGINT) AS N,
+      CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS INT) END) AS BIGINT) AS R
     FROM lineitem GROUP BY l_linestatus
     """,
     ref="pivot extension (SURVEY §2.4: none in reference)",
@@ -1291,4 +1291,156 @@ def a4_approx_distinct(spark, sf):
     return li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
         F.countDistinct("l_partkey").alias("n_parts_exact"),
+    )
+
+
+# ------------------------------------------------- scalar/function breadth
+
+
+@q(
+    "f_string_pack",
+    sql="""
+    SELECT c_custkey,
+      upper(c_name) AS name_uc,
+      lower(c_mktsegment) AS seg_lc,
+      substring(c_name, 1, 8) AS name_prefix,
+      length(c_name) AS name_len,
+      concat(c_name, '#', c_mktsegment) AS tagged,
+      replace(c_name, 'Customer', 'Cust') AS renamed,
+      CASE WHEN c_name LIKE '%001%' THEN 1 ELSE 0 END AS has_001,
+      ltrim(rtrim(concat(' ', c_name, ' '))) AS trimmed
+    FROM customer
+    """,
+    ref="scalar string-function breadth (F-class; reference uses none — "
+    "SURVEY §2.8 gap)",
+)
+def f_string_pack(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_uc"),
+        F.lower("c_mktsegment").alias("seg_lc"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias(
+            "tagged"
+        ),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("renamed"),
+        F.when(F.col("c_name").like("%001%"), 1).otherwise(0).alias("has_001"),
+        F.ltrim(F.rtrim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" ")))).alias(
+            "trimmed"
+        ),
+    )
+
+
+@q(
+    "f_conditional_pack",
+    sql="""
+    SELECT o_orderkey,
+      CASE WHEN o_totalprice > 300000 THEN 'big'
+           WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS size_class,
+      coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+      greatest(CAST(o_totalprice AS DECIMAL(18,2)), 150000.00)
+        = CAST(o_totalprice AS DECIMAL(18,2)) AS above_floor,
+      least(o_custkey, 100) AS capped_key
+    FROM orders
+    """,
+    ref="conditional expressions (when/coalesce/nullif/greatest/least; "
+    "`when` imported-but-unused in reference, data_processor.py:11)",
+)
+def f_conditional_pack(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_norm"),
+        (
+            F.greatest(dec("o_totalprice"), F.lit(150000.00).cast("decimal(18,2)"))
+            == dec("o_totalprice")
+        ).alias("above_floor"),
+        F.least(F.col("o_custkey"), F.lit(100)).alias("capped_key"),
+    )
+
+
+@q(
+    "a6_histogram",
+    sql="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+      count(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
+    FROM orders GROUP BY 1
+    """,
+    ref="distribution/histogram aggregation (fixed-width bucketing)",
+)
+def a6_histogram(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("bucket_total"),
+        )
+    )
+
+
+@q(
+    "x5_tfidf",
+    sql="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), df_ AS (
+      SELECT token, count(*) AS doc_freq FROM toks GROUP BY token
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, token, count(*) AS term_freq FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      ) GROUP BY doc_id, token
+    )
+    SELECT tf.doc_id, tf.token, tf.term_freq, df_.doc_freq,
+      round(tf.term_freq * ln(CAST(n.n_docs AS DOUBLE) / df_.doc_freq), 6)
+        AS tfidf
+    FROM tf JOIN df_ USING (token) CROSS JOIN n
+    WHERE df_.doc_freq <= 50
+    """,
+    ref="LLM-ops: TF-IDF term weighting (pure DataFrame twin of "
+    "HashingTF/IDF, exact-oracle-able because no murmur hashing)",
+    scale="two hash aggs + broadcast of the doc count; df table is the "
+    "shuffle key",
+)
+def x5_tfidf(spark, sf):
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("term_freq")
+    )
+    df_ = (
+        toks.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") <= 50)
+    )
+    n_docs = docs.count()
+    return (
+        tf.join(df_, on="token")
+        .select(
+            "doc_id",
+            "token",
+            "term_freq",
+            "doc_freq",
+            F.round(
+                F.col("term_freq")
+                * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+                6,
+            ).alias("tfidf"),
+        )
     )

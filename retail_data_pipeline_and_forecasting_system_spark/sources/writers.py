@@ -33,6 +33,28 @@ def write_single_csv(df: DataFrame, output_dir: str, filename: str) -> str:
     return full_path
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) managed table.
+
+    Two tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle (and without the sort, if sorted) — the 100 TB recipe
+    for repeated fact⋈fact joins on a stable key: pay the partitioning once
+    at write time, never at query time. Verified by plan in
+    tests/test_bucketing.py.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
 def write_table_jdbc(
     df: DataFrame,
     url: str,
