@@ -19,7 +19,7 @@ Scale paths:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -122,4 +122,64 @@ def cosine_pairs_blocked(
         .withColumn("cos_sim", cosine("emb_a", "emb_b"))
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def l2sq(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold squared-L2 distance in double precision.
+
+    Same determinism contract as ``dot``: zip, per-element (x-y)^2 in
+    doubles, left-to-right fold — bit-identical to the DuckDB
+    ``list_reduce(list_transform(list_zip(...)))`` twin.
+    """
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    n_centroids: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors, single probe.
+
+    The coarse quantizer uses the first ``n_centroids`` vectors by id as
+    centroids (deterministic stand-in for k-means — the *plan shape* is the
+    point: at 100 TB the cell id becomes a partition key, so a query scans
+    one cell, not the corpus). Every vector is assigned to its nearest
+    centroid by squared-L2 (ties → lowest centroid id); the query probes
+    only its own cell and ranks by exact cosine.
+
+    All distance math is the sequential double fold, so a SQL engine
+    running the same assignment reproduces results bit-for-bit. Output:
+    (vec_id, cos_sim) — the query row itself is excluded.
+    """
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    by_dist = W.partitionBy(id_col).orderBy("dist", "cent_id")
+    assigned = (
+        embeddings.join(F.broadcast(cents))
+        .withColumn("dist", l2sq(vec_col, "cent_vec"))
+        .withColumn("rn", F.row_number().over(by_dist))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cent_id")
+    )
+    qrow = assigned.filter(F.col(id_col) == query_id).select(
+        F.col("cent_id").alias("q_cell"), F.col(vec_col).alias("q_vec")
+    )
+    return (
+        assigned.join(F.broadcast(qrow), on=F.col("cent_id") == F.col("q_cell"))
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
     )

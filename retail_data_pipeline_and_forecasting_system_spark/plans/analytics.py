@@ -1444,3 +1444,294 @@ def x5_tfidf(spark, sf):
             ).alias("tfidf"),
         )
     )
+
+
+# --------------------------------------------- window/stat/date/array packs
+
+
+@q(
+    "w4_window_pack",
+    sql="""
+    SELECT o_orderkey, o_orderstatus,
+      ntile(4) OVER w AS quartile,
+      percent_rank() OVER w AS pr,
+      cume_dist() OVER w AS cd,
+      first_value(o_orderkey) OVER w AS first_key,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS mv_sum3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+    """,
+    ref="window-function breadth (SURVEY §2.5: reference has none; "
+    "ntile/percent_rank/cume_dist/first_value/moving frame)",
+    scale="one shuffle on o_orderstatus; frames are streaming within sorted "
+    "partitions — no buffering beyond the 3-row frame",
+)
+def w4_window_pack(spark, sf):
+    w = W.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    w3 = w.rowsBetween(-2, 0)
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.sum(dec("o_totalprice")).over(w3).cast("double").alias("mv_sum3"),
+    )
+
+
+@q(
+    "a7_stats_pack",
+    sql="""
+    SELECT l_returnflag,
+      round(stddev_samp(l_quantity), 4) AS sd_qty,
+      round(var_samp(l_quantity), 4) AS var_qty,
+      round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+      round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    ref="statistical aggregates (stddev/variance/correlation/covariance; "
+    "SURVEY §2.4 breadth beyond sum/count)",
+    scale="single hash agg, algebraic moments merge map-side; rounded to "
+    "4dp to absorb summation-order float noise across engines",
+)
+def a7_stats_pack(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(
+                F.covar_samp("l_quantity", "l_extendedprice"), 4
+            ).alias("covar_qp"),
+        )
+    )
+
+
+@q(
+    "a8_percentiles",
+    sql="""
+    SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.25) AS p25,
+      quantile_cont(l_quantity, 0.50) AS p50,
+      quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    ref="exact percentiles (linear interpolation; complements "
+    "a4_approx_distinct's sketch path)",
+    scale="exact percentile sorts per group — at 100 TB switch to "
+    "approx_percentile (t-digest) unless the contract demands exactness",
+)
+def a8_percentiles(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("p25"),
+            F.percentile("l_quantity", 0.50).alias("p50"),
+            F.percentile("l_quantity", 0.75).alias("p75"),
+        )
+    )
+
+
+@q(
+    "f_date_pack",
+    sql="""
+    SELECT event_id,
+      CAST(year(ts) AS INT) AS y,
+      CAST(month(ts) AS INT) AS m,
+      CAST(day(ts) AS INT) AS d,
+      CAST(hour(ts) AS INT) AS h,
+      date_trunc('month', ts) AS month_start,
+      CAST(dayofweek(ts) + 1 AS INT) AS dow,
+      last_day(ts) AS month_end,
+      CAST(ts AS DATE) + 7 AS plus_week,
+      CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)
+        AS days_since_ny
+    FROM events WHERE event_type = 'purchase'
+    """,
+    ref="date/time scalar breadth (F1/F8/F9 generalized; DuckDB dow is "
+    "0=Sunday vs Spark 1=Sunday — aligned in the oracle)",
+)
+def f_date_pack(spark, sf):
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.date_trunc("month", "ts").alias("month_start"),
+        F.dayofweek("ts").alias("dow"),
+        F.last_day("ts").alias("month_end"),
+        F.date_add(F.col("ts").cast("date"), 7).alias("plus_week"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .alias("days_since_ny"),
+    )
+
+
+@q(
+    "f_array_pack",
+    sql=f"""
+    SELECT vec_id,
+      CAST(len(embedding) AS INT) AS dim,
+      sqrt({_sql_dot('embedding', 'embedding')}) AS l2_norm,
+      CAST(embedding[1] AS DOUBLE) AS head,
+      list_reduce(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)),
+                  (x, y) -> x + y) AS sum_first8
+    FROM embeddings
+    """,
+    ref="array-function breadth over embedding columns (size/element/slice/"
+    "fold; the column toolkit behind all vector ops)",
+)
+def f_array_pack(spark, sf):
+    emb = F.col("embedding")
+    return _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.sqrt(SIM.dot(emb, emb)).alias("l2_norm"),
+        emb[0].cast("double").alias("head"),
+        F.aggregate(
+            F.transform(F.slice(emb, 1, 8), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("sum_first8"),
+    )
+
+
+@q(
+    "g4_cube",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+        AS gid,
+      CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+      count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    ref="cube grouping sets (SURVEY §2.4: none in reference; pairs with "
+    "g1_rollup)",
+    scale="Expand multiplies rows 4x pre-shuffle; at 100 TB prefer "
+    "grouping-sets pruned to the sets actually consumed",
+)
+def g4_cube(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.sum(F.col("l_quantity").cast("int")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "j6_range_join",
+    sql="""
+    SELECT p.event_id, p.user_id, count(c.event_id) AS n_clicks_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+    ref="bounded range join (clicks within 1h before each purchase; "
+    "SURVEY §2.3 'no theta/range joins' gap)",
+    scale="equi-key on user_id keeps it a hash join with a residual range "
+    "predicate — never a cartesian; skewed users handled by AQE",
+)
+def j6_range_join(spark, sf):
+    ev = _t(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_event"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        on=(
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts"))
+        ),
+        how="left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("c_event").alias("n_clicks_1h")
+    )
+
+
+@q(
+    "x6_train_split",
+    sql="""
+    SELECT doc_id,
+      CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+             THEN 'train'
+           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+             THEN 'val'
+           ELSE 'test' END AS split
+    FROM documents
+    """,
+    ref="LLM-ops: deterministic content-hash train/val/test split "
+    "(~75/12.5/12.5 by first md5 nibble) — reproducible across engines, "
+    "runs, and cluster sizes",
+    scale="pure map-side column expression: no shuffle, no RNG state, "
+    "stable under repartitioning — the only safe split at 100 TB",
+)
+def x6_train_split(spark, sf):
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(nib < "c", "train")
+        .when(nib < "e", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@q(
+    "n3_ann_ivf",
+    sql=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id < 16
+    ), assigned AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+          row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_reduce(list_transform(
+                list_zip(e.embedding, c.cent_vec),
+                p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                   * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                (x, y) -> x + y) ASC, c.cent_id ASC
+          ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT cent_id AS q_cell, embedding AS q_vec
+      FROM assigned WHERE vec_id = 0
+    )
+    SELECT a.vec_id, {_sql_cosine('a.embedding', 'q.q_vec')} AS cos_sim
+    FROM assigned a JOIN q ON a.cent_id = q.q_cell
+    WHERE a.vec_id != 0
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+    """,
+    ref="LLM-ops: IVF coarse-quantized ANN, single probe (scale path "
+    "beyond n2's sign-LSH; cell id = partition key at 100 TB)",
+    scale="centroid table broadcast both for assignment and probe; query "
+    "touches one cell, not the corpus",
+)
+def n3_ann_ivf(spark, sf):
+    return SIM.ivf_topk(
+        _t(spark, sf, "embeddings"), query_id=0, n_centroids=16, k=10
+    )
