@@ -108,3 +108,121 @@ def decode_media_real(df: DataFrame) -> DataFrame:  # pragma: no cover
         "No media codec available in this environment; use decode_media() "
         "(deterministic stub) or replace _decode_batch with a real decoder."
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("rs_width", T.IntegerType(), True),
+        T.StructField("rs_height", T.IntegerType(), True),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("dim_idx", T.IntegerType(), False),
+        T.StructField("feat", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize to ``target`` on the long edge (stub codec).
+
+    Same plumbing contract as :func:`decode_media`: partition-local
+    mapInPandas, no shuffle; a real implementation replaces the dimension
+    math with PIL's ``thumbnail``. Scale factor and floor are plain IEEE
+    double ops so the SQL oracle reproduces them bit-for-bit.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            n_bytes = batch["payload"].map(len)
+            width, height = _fake_dims(n_bytes)
+            long_edge = np.maximum(width, height).astype("float64")
+            scale = float(target) / long_edge
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "width": width.astype("int32"),
+                    "height": height.astype("int32"),
+                    "rs_width": np.floor(width * scale).astype("int32"),
+                    "rs_height": np.floor(height * scale).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
+    """Evenly-spaced frame sampling from a (stub) video payload.
+
+    One input row fans out to ``1 + n_bytes % max_frames`` frame rows —
+    mapInPandas is a generator over batches, so the fan-out never
+    materializes a whole group (unlike explode-after-collect designs).
+    The stub treats 1 payload byte = 1 ms of video; a real sampler would
+    call ffmpeg per batch with the same (doc_id, frame_idx, ts_ms) shape.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "ts_ms": [],
+                "frame_md5": [],
+            }
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                n_bytes = len(payload)
+                n_frames = 1 + (n_bytes % max_frames)
+                step = n_bytes // n_frames
+                for i in range(n_frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * step)
+                    out["frame_md5"].append(
+                        hashlib.md5(bytes(payload) + f":{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def extract_features(df: DataFrame, dims: int = 8) -> DataFrame:
+    """Per-payload feature vector (stub encoder), exploded to
+    (doc_id, dim_idx, feat) rows.
+
+    The stub derives dimension i from the i-th md5 nibble of the payload —
+    deterministic and oracle-able. A real encoder (CLIP, wav2vec) replaces
+    the nibble math and widens ``feat`` to float; the exploded long-format
+    output is deliberate: it joins/aggregates without array-equality
+    headaches and writes to columnar storage efficiently.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {"doc_id": [], "dim_idx": [], "feat": []}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                hx = hashlib.md5(bytes(payload)).hexdigest()
+                for i in range(1, dims + 1):
+                    out["doc_id"].append(doc_id)
+                    out["dim_idx"].append(i)
+                    out["feat"].append(int(hx[i - 1], 16))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)

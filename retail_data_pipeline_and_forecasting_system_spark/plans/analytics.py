@@ -1735,3 +1735,80 @@ def n3_ann_ivf(spark, sf):
     return SIM.ivf_topk(
         _t(spark, sf, "embeddings"), query_id=0, n_centroids=16, k=10
     )
+
+
+# ------------------------------------------------- multimodal breadth
+
+
+@q(
+    "m3_media_resize",
+    sql="""
+    WITH dims AS (
+      SELECT doc_id,
+        CAST(16 + (octet_length(encode(text)) % 617) AS INT) AS width,
+        CAST(16 + ((octet_length(encode(text)) * 31) % 469) AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+      CAST(floor(width * (224.0 / greatest(width, height))) AS INT)
+        AS rs_width,
+      CAST(floor(height * (224.0 / greatest(width, height))) AS INT)
+        AS rs_height
+    FROM dims
+    """,
+    ref="LLM-ops: multimodal resize plumbing (aspect-preserving, stub "
+    "codec; operators/multimodal.py resize_media)",
+    scale="partition-local mapInPandas, no shuffle; real codec = PIL "
+    "thumbnail in _decode-style batch slot",
+)
+def m3_media_resize(spark, sf):
+    return MM.resize_media(MM.attach_binary_payload(_t(spark, sf, "documents")))
+
+
+@q(
+    "m4_frame_sample",
+    sql="""
+    WITH v AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
+        1 + (octet_length(encode(text)) % 4) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx,
+      CAST(unnest(range(0, n_frames)) * (n_bytes // n_frames) AS BIGINT)
+        AS ts_ms,
+      md5(text || ':' || CAST(unnest(range(0, n_frames)) AS VARCHAR))
+        AS frame_md5
+    FROM v
+    """,
+    ref="LLM-ops: video frame sampling plumbing (1 row -> n frame rows "
+    "inside streaming Arrow batches; operators/multimodal.py sample_frames)",
+    scale="fan-out happens inside mapInPandas batches — no group "
+    "materialization, no shuffle; frames inherit input partitioning",
+)
+def m4_frame_sample(spark, sf):
+    return MM.sample_frames(
+        MM.attach_binary_payload(_t(spark, sf, "documents")), max_frames=4
+    )
+
+
+@q(
+    "m5_media_features",
+    sql="""
+    SELECT doc_id,
+      CAST(unnest(range(1, 9)) AS INT) AS dim_idx,
+      CAST(instr('0123456789abcdef',
+                 substring(md5(text), CAST(unnest(range(1, 9)) AS INT), 1)) - 1
+           AS INT) AS feat
+    FROM documents
+    """,
+    ref="LLM-ops: media feature extraction plumbing (per-payload encoder "
+    "stub -> long-format features; operators/multimodal.py "
+    "extract_features)",
+    scale="encoder is the CPU/GPU hot loop — mapInPandas streams Arrow "
+    "batches through it with zero shuffle; long format avoids array cols",
+)
+def m5_media_features(spark, sf):
+    return MM.extract_features(
+        MM.attach_binary_payload(_t(spark, sf, "documents")), dims=8
+    )
