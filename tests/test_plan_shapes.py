@@ -83,3 +83,34 @@ def test_retail_depletion_join_is_broadcast(spark):
     outs = run_retail_pipeline(raw, products)
     plan = _explain(outs["orders"])
     assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_hash_not_cartesian(spark):
+    plan = _plan(spark, "j6_range_join")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashJoin" in plan  # equi on user_id, range as residual condition
+
+
+def test_window_pack_single_shuffle(spark):
+    # all five window exprs share one (partition, order) spec -> exactly one
+    # exchange + one sort feeds every frame
+    import re
+
+    plan = _plan(spark, "w4_window_pack")
+    # count physical-operator detail headers, not string mentions (each
+    # operator appears once in the tree and once in the detail section)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+
+
+def test_train_split_is_shuffle_free(spark):
+    plan = _plan(spark, "x6_train_split")
+    assert "Exchange" not in plan  # pure map-side column expression
+
+
+def test_multimodal_stages_are_shuffle_free(spark):
+    for name in ("m1_multimodal_decode", "m3_media_resize",
+                 "m4_frame_sample", "m5_media_features"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} must not shuffle"
+        assert "MapInPandas" in plan, f"{name} must be Arrow mapInPandas"
