@@ -1,3 +1,7 @@
+from .aggregates import (  # noqa: F401
+    streaming_daily_summary,
+    streaming_dedup,
+)
 from .inventory_stream import (  # noqa: F401
     read_transaction_stream,
     run_available_now,

@@ -1,0 +1,62 @@
+"""Streaming windowed aggregation + streaming dedup.
+
+Capability extensions over the reference's batch-only loop (SURVEY §2.9):
+the reference corpus has no late or duplicate data, so these are the
+operators a real deployment adds the moment either appears.
+
+- ``streaming_daily_summary``: tumbling event-time windows with a
+  watermark. State is bounded: windows older than the watermark are
+  finalized and dropped; late rows inside the allowance still land in
+  their window.
+- ``streaming_dedup``: exact first-wins dedup on a key, with the
+  watermark bounding how long each key is remembered — the streaming twin
+  of ``dedup_exact`` (at 100 TB you cannot remember every key forever;
+  the watermark IS the retention contract).
+
+Both are pure built-in compositions — no Python in the hot path; state
+lives in the HDFS/RocksDB state store, partitioned by key, so a
+1000-executor cluster shards it for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_daily_summary(
+    lines: DataFrame,
+    ts_col: str = "timestamp",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Units sold per event-time day over a (possibly late) line stream.
+
+    Output: (date, units, n_lines). In append mode a day's row emits once
+    its window falls behind the watermark; complete/update modes emit
+    running values.
+    """
+    return (
+        lines.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 day").alias("w"))
+        .agg(
+            F.sum("qty").alias("units"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("date"), "units", "n_lines"
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "timestamp",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """First occurrence per key wins; duplicates within the watermark
+    horizon are dropped, and key-memory is reclaimed as the watermark
+    advances (``dropDuplicatesWithinWatermark`` semantics)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

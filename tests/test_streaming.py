@@ -74,3 +74,80 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert len(streamed) == len(batch) == 27652
     diffs = {k for k in batch if streamed.get(k) != batch[k]}
     assert not diffs, f"{len(diffs)} mismatching lines, e.g. {sorted(diffs)[:5]}"
+
+
+def test_streaming_daily_summary_matches_batch(spark, tmp_path):
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        read_transaction_stream,
+        streaming_daily_summary,
+    )
+
+    in_dir = tmp_path / "agg_in"
+    in_dir.mkdir()
+    for f in sorted(DATASET.glob("transactions_*.json")):
+        shutil.copy(f, in_dir / f.name)
+
+    lines = read_transaction_stream(spark, str(in_dir / "*.json"))
+    q = (
+        streaming_daily_summary(lines)
+        .writeStream.format("memory")
+        .queryName("daily_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["date"].isoformat(): (r["units"], r["n_lines"])
+        for r in spark.sql("SELECT * FROM daily_mem").collect()
+    }
+
+    batch = (
+        explode_transactions(read_transactions_json(spark, str(in_dir / "*.json")))
+        .filter(F.col("qty").isNotNull())
+        .groupBy(F.to_date("timestamp").alias("date"))
+        .agg(F.sum("qty").alias("units"), F.count(F.lit(1)).alias("n_lines"))
+    )
+    want = {
+        r["date"].isoformat(): (r["units"], r["n_lines"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == 10  # one window per business day
+
+
+def test_streaming_dedup_drops_replayed_file(spark, tmp_path):
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        read_transaction_stream,
+        streaming_dedup,
+    )
+
+    in_dir = tmp_path / "dedup_in"
+    in_dir.mkdir()
+    src = sorted(DATASET.glob("transactions_*.json"))[0]
+    # the same day's data arrives twice (a replayed ingest)
+    shutil.copy(src, in_dir / "a.json")
+    shutil.copy(src, in_dir / "b.json")
+
+    lines = read_transaction_stream(spark, str(in_dir / "*.json"))
+    deduped = streaming_dedup(
+        lines, keys=["transaction_id", "line_pos"], watermark="2 days"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_dedup = spark.sql("SELECT count(*) AS n FROM dedup_mem").head()["n"]
+
+    one_file = (
+        explode_transactions(
+            read_transactions_json(spark, str(in_dir / "a.json"))
+        )
+        .filter(F.col("qty").isNotNull())
+        .count()
+    )
+    assert n_dedup == one_file  # duplicates from the replay are gone
