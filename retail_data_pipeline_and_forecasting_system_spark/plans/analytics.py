@@ -1414,6 +1414,7 @@ def a6_histogram(spark, sf):
     "HashingTF/IDF, exact-oracle-able because no murmur hashing)",
     scale="two hash aggs + broadcast of the doc count; df table is the "
     "shuffle key",
+    bench=True,
 )
 def x5_tfidf(spark, sf):
     docs = _t(spark, sf, "documents")
@@ -1468,6 +1469,7 @@ def x5_tfidf(spark, sf):
     "ntile/percent_rank/cume_dist/first_value/moving frame)",
     scale="one shuffle on o_orderstatus; frames are streaming within sorted "
     "partitions — no buffering beyond the 3-row frame",
+    bench=True,
 )
 def w4_window_pack(spark, sf):
     w = W.partitionBy("o_orderstatus").orderBy("o_orderkey")
@@ -1645,6 +1647,7 @@ def g4_cube(spark, sf):
     "SURVEY §2.3 'no theta/range joins' gap)",
     scale="equi-key on user_id keeps it a hash join with a residual range "
     "predicate — never a cartesian; skewed users handled by AQE",
+    bench=True,
 )
 def j6_range_join(spark, sf):
     ev = _t(spark, sf, "events")
@@ -1811,4 +1814,33 @@ def m4_frame_sample(spark, sf):
 def m5_media_features(spark, sf):
     return MM.extract_features(
         MM.attach_binary_payload(_t(spark, sf, "documents")), dims=8
+    )
+
+
+@q(
+    "g5_unpivot",
+    sql="""
+    SELECT p_partkey, metric, CAST(val AS DOUBLE) AS val FROM (
+      SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS retailprice,
+             CAST(p_size AS DOUBLE) AS size_ FROM part
+    ) UNPIVOT (val FOR metric IN (retailprice, size_))
+    """,
+    ref="unpivot/melt — wide-to-long reshaping (inverse of g2_pivot; "
+    "SURVEY §2.4: none in reference)",
+    scale="pure row-local Expand: no shuffle, output = rows x n_metrics",
+)
+def g5_unpivot(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size_"),
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["retailprice", "size_"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
     )
