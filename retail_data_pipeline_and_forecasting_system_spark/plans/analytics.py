@@ -1844,3 +1844,57 @@ def g5_unpivot(spark, sf):
             valueColumnName="val",
         )
     )
+
+
+@q(
+    "a9_having",
+    sql="""
+    SELECT l_orderkey,
+      CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS INT)) > 250
+    """,
+    ref="aggregate-filter (HAVING) — TPC-H Q18 shape (SURVEY §2.4 breadth)",
+    scale="filter applies post-agg on the reduced side; partial aggs still "
+    "combine map-side",
+)
+def a9_having(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("int")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+
+
+@q(
+    "sq1_above_segment_avg",
+    sql="""
+    SELECT o.o_orderkey,
+      CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) > (
+      SELECT avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+      FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+      WHERE c2.c_mktsegment = c.c_mktsegment
+    )
+    """,
+    ref="correlated scalar subquery (orders above their market segment's "
+    "average) — decorrelated to a window/join plan in Spark",
+    scale="expressed as one grouped-avg + broadcast join back: the "
+    "decorrelated plan scans orders twice but never nested-loops",
+)
+def sq1_above_segment_avg(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    priced = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_mktsegment", dec("o_totalprice").alias("price")
+    )
+    seg_avg = priced.groupBy("c_mktsegment").agg(
+        F.avg("price").alias("seg_avg")
+    )
+    return (
+        priced.join(F.broadcast(seg_avg), on="c_mktsegment")
+        .filter(F.col("price") > F.col("seg_avg"))
+        .select("o_orderkey", F.col("price").cast("double").alias("price"))
+    )
