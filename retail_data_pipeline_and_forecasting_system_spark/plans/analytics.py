@@ -1898,3 +1898,151 @@ def sq1_above_segment_avg(spark, sf):
         .filter(F.col("price") > F.col("seg_avg"))
         .select("o_orderkey", F.col("price").cast("double").alias("price"))
     )
+
+
+# ------------------------------------------------- composite TPC-H shapes
+
+
+@q(
+    "q3_shipping_priority",
+    sql="""
+    SELECT l_orderkey,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        AS revenue,
+      o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) > DATE '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    ref="TPC-H Q3 shape: selective dim filter -> 3-way join -> agg -> "
+    "top-k (composite of J1/A1/T1 families)",
+    scale="customer filter broadcast; top-10 via per-partition heaps "
+    "(TakeOrderedAndProject), never a global sort",
+    bench=True,
+)
+def q3_shipping_priority(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate").cast("date") < "1997-01-01"
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > "1997-01-01"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "q5_local_supplier_volume",
+    sql="""
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    GROUP BY n_name
+    """,
+    ref="TPC-H Q5 shape: 6-way snowflake join with same-nation predicate "
+    "(composite of J5 multiway family)",
+    scale="region/nation/supplier/customer all broadcast; only "
+    "lineitem joins orders by shuffle on orderkey",
+)
+def q5_local_supplier_volume(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= "1996-01-01")
+        & (F.col("o_orderdate").cast("date") < "1998-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@q(
+    "a10_profile",
+    sql="""
+    SELECT 'l_quantity' AS col, count(*) AS n,
+      CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+      CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+      CAST(min(l_quantity) AS DOUBLE) AS min_v,
+      CAST(max(l_quantity) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+      CAST(count(*) - count(l_discount) AS BIGINT),
+      CAST(count(DISTINCT l_discount) AS BIGINT),
+      CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*),
+      CAST(count(*) - count(l_tax) AS BIGINT),
+      CAST(count(DISTINCT l_tax) AS BIGINT),
+      CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE)
+    FROM lineitem
+    """,
+    ref="data-profiling / quality-validation op (per-column null count, "
+    "cardinality, range) — the pre-training-data sanity pass",
+    scale="one scan, all columns profiled in a single multi-agg; at 100 TB "
+    "swap exact distinct for approx_count_distinct per column",
+)
+def a10_profile(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    rows = []
+    for colname in ("l_quantity", "l_discount", "l_tax"):
+        rows.append(
+            li.agg(
+                F.lit(colname).alias("col"),
+                F.count(F.lit(1)).alias("n"),
+                (F.count(F.lit(1)) - F.count(colname)).alias("n_null"),
+                F.countDistinct(colname).alias("n_distinct"),
+                F.min(colname).cast("double").alias("min_v"),
+                F.max(colname).cast("double").alias("max_v"),
+            )
+        )
+    out = rows[0]
+    for other in rows[1:]:
+        out = out.unionByName(other)
+    return out

@@ -114,3 +114,21 @@ def test_multimodal_stages_are_shuffle_free(spark):
         plan = _plan(spark, name)
         assert "Exchange" not in plan, f"{name} must not shuffle"
         assert "MapInPandas" in plan, f"{name} must be Arrow mapInPandas"
+
+
+def test_q3_topk_uses_partial_heaps(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # never a global sort for top-k
+
+
+def test_q5_only_shuffles_fact_sides(spark):
+    import re
+
+    plan = _plan(spark, "q5_local_supplier_volume")
+    # every dim broadcasts (at tiny SF the filtered orders side does too —
+    # the fact side then joins with NO shuffle at all); never a cartesian
+    n_bhj = len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M))
+    assert n_bhj >= 4, f"expected >=4 broadcast joins, plan:\n{plan[:2000]}"
+    assert "CartesianProduct" not in plan
+    # the date-range predicate must reach the orders parquet scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
