@@ -2046,3 +2046,65 @@ def a10_profile(spark, sf):
     for other in rows[1:]:
         out = out.unionByName(other)
     return out
+
+
+def _sql_curation(thr: str = "0.5") -> str:
+    pairs = _SQL_JACCARD_PAIRS.format(thr=thr)
+    lang = _sql_langid()
+    return f"""
+    WITH uniq AS (
+      SELECT doc_id, count(*) AS n_toks, count(DISTINCT token) AS n_uniq
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents) GROUP BY doc_id
+    ), dup AS (
+      SELECT DISTINCT doc_b AS doc_id FROM ({pairs})
+    )
+    SELECT l.doc_id, l.pred_lang, l.n_tokens,
+      CAST(u.n_uniq AS DOUBLE) / u.n_toks AS uniq_token_ratio,
+      (dup.doc_id IS NOT NULL) AS is_near_dup,
+      (l.pred_lang = 'en' AND l.n_tokens >= 20
+       AND CAST(u.n_uniq AS DOUBLE) / u.n_toks >= 0.30
+       AND dup.doc_id IS NULL) AS keep
+    FROM ({lang}) l
+    JOIN uniq u ON u.doc_id = l.doc_id
+    LEFT JOIN dup ON dup.doc_id = l.doc_id
+    """
+
+
+@q(
+    "x7_corpus_curation",
+    sql=_sql_curation("0.5"),
+    ref="LLM-ops flagship composite: the curation decision pipeline — "
+    "language-ID + quality thresholds + near-dup drop (keep the lowest id "
+    "of each Jaccard>=0.5 pair) folded into one keep/drop verdict per doc",
+    scale="each signal is one shuffle on doc_id/shingle; the verdict join "
+    "is doc_id-aligned so AQE coalesces it; at 100 TB run signals once, "
+    "persist, and re-run only the (cheap) verdict when thresholds change",
+)
+def x7_corpus_curation(spark, sf):
+    docs = _t(spark, sf, "documents")
+    lang = TX.language_scores(docs).select("doc_id", "n_tokens", "pred_lang")
+    uniq = TX.quality_scores(docs).select("doc_id", "uniq_token_ratio")
+    dup = (
+        D.jaccard_pairs(docs, k=3, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        lang.join(uniq, on="doc_id")
+        .join(dup, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "n_tokens",
+            "uniq_token_ratio",
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_near_dup"),
+            (
+                (F.col("pred_lang") == "en")
+                & (F.col("n_tokens") >= 20)
+                & (F.col("uniq_token_ratio") >= 0.30)
+                & F.coalesce(~F.col("__dup"), F.lit(True))
+            ).alias("keep"),
+        )
+    )
