@@ -60,3 +60,34 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Gap-based session aggregation over a live event stream.
+
+    ``session_window`` merges events of a user whose gaps are < ``gap``
+    into one growing window — the streaming twin of the batch
+    lag/cumsum sessionization (plans.analytics e2_sessionize). A session
+    emits once the watermark passes its close.
+
+    Output: (user_id, session_start, session_end, n_events).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(ts_col, gap).alias("w"), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -151,3 +151,55 @@ def test_streaming_dedup_drops_replayed_file(spark, tmp_path):
         .count()
     )
     assert n_dedup == one_file  # duplicates from the replay are gone
+
+
+def test_streaming_sessionize_matches_batch_gap_sessions(spark, tmp_path):
+    """session_window sessions == batch lag/cumsum sessions per user."""
+    from retail_data_pipeline_and_forecasting_system_spark.streaming.aggregates import (
+        streaming_sessionize,
+    )
+
+    # events table via a file stream (parquet source, single batch)
+    src = "/root/testdata/sf0.001/events.parquet"
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+    shutil.copy(
+        sorted(Path(src).glob("*") if Path(src).is_dir() else [Path(src)])[0],
+        ev_dir / "events.parquet",
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = (
+        spark.read.parquet(str(ev_dir / "events.parquet")).schema
+    )
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .parquet(str(ev_dir))
+        .withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")),
+        )
+    )
+    q = (
+        streaming_sessionize(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"],): r["n"]
+        for r in spark.sql(
+            "SELECT user_id, count(*) AS n FROM sess_mem GROUP BY user_id"
+        ).collect()
+    }
+
+    # batch twin: count 30-min-gap sessions per user
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    batch = QUERIES["e2_sessionize"].fn(spark, "/root/testdata/sf0.001")
+    want = {(r["user_id"],): r["n_sessions"] for r in batch.collect()}
+    assert got == want
