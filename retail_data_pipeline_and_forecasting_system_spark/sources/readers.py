@@ -95,3 +95,40 @@ def read_table_jdbc(
             .option("upperBound", str(upper_bound or 1_000_000))
         )
     return reader.load()
+
+
+def read_json_robust(
+    spark: SparkSession,
+    path_or_glob: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+):
+    """PERMISSIVE JSON read that quarantines malformed rows instead of
+    failing the job — at 100 TB some records WILL be broken, and a
+    fail-fast read loses the other 99.999%.
+
+    Returns (good_rows, corrupt_rows): good rows with the declared schema,
+    corrupt rows as (raw_text) for a quarantine sink. The split is one
+    scan — both frames share the cached permissive read.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    full_schema = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path_or_glob)
+    )
+    # Spark refuses queries that reference ONLY the corrupt column over a
+    # raw json scan (the parser would never run); caching the parsed frame
+    # is the documented pattern and also makes the two-way split one scan.
+    df = df.cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    corrupt = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, corrupt

@@ -97,3 +97,13 @@ def write_partitioned_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar ORC sink (parquet's sibling; same pushdown/pruning story)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC scan — filter pushdown and column pruning work as with parquet."""
+    return spark.read.orc(path)

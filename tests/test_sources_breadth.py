@@ -1,0 +1,45 @@
+"""Source/sink breadth: ORC round-trip with pushdown, robust JSON split."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from retail_data_pipeline_and_forecasting_system_spark.sources.readers import (
+    read_json_robust,
+)
+from retail_data_pipeline_and_forecasting_system_spark.sources.writers import (
+    read_orc,
+    write_orc,
+)
+
+
+def test_orc_roundtrip_preserves_data_and_pushes_filters(spark, tmp_path):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    assert back.schema == li.schema
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("l_orderkey") == 7).select("l_partkey").explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,7)]" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
+
+
+def test_robust_json_quarantines_corrupt_rows(spark, tmp_path):
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.json").write_text('{"a": 1}\n{"a": 2\n{"a": 3}\nnot json at all\n')
+    schema = T.StructType([T.StructField("a", T.IntegerType(), True)])
+    good, corrupt = read_json_robust(spark, str(p), schema)
+    assert sorted(r["a"] for r in good.collect()) == [1, 3]
+    raws = [r["raw"] for r in corrupt.collect()]
+    assert len(raws) == 2 and '{"a": 2' in raws
