@@ -1408,7 +1408,7 @@ def a6_histogram(spark, sf):
       round(tf.term_freq * ln(CAST(n.n_docs AS DOUBLE) / df_.doc_freq), 6)
         AS tfidf
     FROM tf JOIN df_ USING (token) CROSS JOIN n
-    WHERE df_.doc_freq <= 50
+    WHERE df_.doc_freq * 10 <= n.n_docs
     """,
     ref="LLM-ops: TF-IDF term weighting (pure DataFrame twin of "
     "HashingTF/IDF, exact-oracle-able because no murmur hashing)",
@@ -1418,6 +1418,7 @@ def a6_histogram(spark, sf):
 )
 def x5_tfidf(spark, sf):
     docs = _t(spark, sf, "documents")
+    n_docs = docs.count()
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
@@ -1428,9 +1429,10 @@ def x5_tfidf(spark, sf):
         toks.distinct()
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
-        .filter(F.col("doc_freq") <= 50)
+        # rare-term cut is RELATIVE (10% of corpus) so the query stays
+        # non-vacuous at every scale factor
+        .filter(F.col("doc_freq") * 10 <= F.lit(n_docs))
     )
-    n_docs = docs.count()
     return (
         tf.join(df_, on="token")
         .select(
