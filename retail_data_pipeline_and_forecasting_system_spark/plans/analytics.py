@@ -2110,3 +2110,25 @@ def x7_corpus_curation(spark, sf):
             ).alias("keep"),
         )
     )
+
+
+@q(
+    "c1_cross_join",
+    sql="""
+    SELECT r_name, n_name,
+      (n_regionkey = r_regionkey) AS in_region
+    FROM region CROSS JOIN nation
+    """,
+    ref="explicit cartesian product (tiny x tiny only; SURVEY §2.3 "
+    "completeness — every other join in the engine is keyed)",
+    scale="cross joins are only ever dim x dim (25 x 5 here); a fact-side "
+    "cartesian is a plan bug the tests reject (see test_plan_shapes)",
+)
+def c1_cross_join(spark, sf):
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("in_region"),
+    )
