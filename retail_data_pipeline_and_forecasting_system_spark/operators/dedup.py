@@ -105,7 +105,12 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = word_shingles(df, k=k, id_col=id_col, text_col=text_col)
-    sig = minhash_signature(sh, num_hashes, id_col=id_col)
+    # signature from NON-distinct shingles: min-wise hashing is duplicate-
+    # invariant, so skipping the dedup shuffle changes nothing but time
+    raw_sh = word_shingles(
+        df, k=k, id_col=id_col, text_col=text_col, distinct=False
+    )
+    sig = minhash_signature(raw_sh, num_hashes, id_col=id_col)
 
     # band buckets: one row per (doc, band, bucket-hash)
     band_cols = []
