@@ -146,10 +146,11 @@ def ivf_topk(
     query_id: int,
     n_centroids: int = 16,
     k: int = 10,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate nearest neighbors, single probe.
+    """IVF (inverted-file) approximate nearest neighbors.
 
     The coarse quantizer uses the first ``n_centroids`` vectors by id as
     centroids (deterministic stand-in for k-means — the *plan shape* is the
@@ -173,8 +174,21 @@ def ivf_topk(
         .filter(F.col("rn") == 1)
         .select(id_col, vec_col, "cent_id")
     )
-    qrow = assigned.filter(F.col(id_col) == query_id).select(
-        F.col("cent_id").alias("q_cell"), F.col(vec_col).alias("q_vec")
+    # multi-probe: the query searches its n_probe nearest cells (recall
+    # lever — probe=1 is fastest, probe=n_centroids degenerates to brute
+    # force); the probed cells come from the same ranked distance join
+    qvec = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    qrow = (
+        qvec.join(F.broadcast(cents))
+        .withColumn("dist", l2sq("q_vec", "cent_vec"))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.orderBy("dist", "cent_id")),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("cent_id").alias("q_cell"), "q_vec")
     )
     return (
         assigned.join(F.broadcast(qrow), on=F.col("cent_id") == F.col("q_cell"))

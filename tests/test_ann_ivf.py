@@ -54,3 +54,26 @@ def test_train_split_is_deterministic_and_covering(spark):
     frac_train = sum(1 for s in a.values() if s == "train") / n
     assert 0.55 <= frac_train <= 0.90  # ~12/16 by md5 nibble
     assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_ivf_multiprobe_recall_is_monotone(spark):
+    """More probes -> candidate set grows -> recall vs brute force never
+    drops; full probe == brute force exactly."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    brute = [
+        r["vec_id"]
+        for r in cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10).collect()
+    ]
+    last_recall = -1.0
+    for probe in (1, 4, 16):
+        got = [
+            r["vec_id"]
+            for r in ivf_topk(
+                emb, query_id=0, n_centroids=16, k=10, n_probe=probe
+            ).collect()
+        ]
+        recall = len(set(got) & set(brute)) / 10
+        assert recall >= last_recall
+        last_recall = recall
+    assert last_recall == 1.0  # probing every cell == exact
