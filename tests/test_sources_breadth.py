@@ -43,3 +43,30 @@ def test_robust_json_quarantines_corrupt_rows(spark, tmp_path):
     assert sorted(r["a"] for r in good.collect()) == [1, 3]
     raws = [r["raw"] for r in corrupt.collect()]
     assert len(raws) == 2 and '{"a": 2' in raws
+
+
+def test_partitioned_parquet_scan_prunes_partitions(spark, tmp_path):
+    """A date filter over partitionBy('d') parquet must become a partition
+    filter — the scan lists one directory, not all of them."""
+    from retail_data_pipeline_and_forecasting_system_spark.sources.writers import (
+        write_partitioned_parquet,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    df = orders.withColumn("d", F.to_date("o_orderdate"))
+    path = str(tmp_path / "orders_by_day")
+    write_partitioned_parquet(df, path, partition_by=["d"])
+
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("d") == "1996-03-04")
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "1996-03-04" in plan
+    # pruned read touches exactly the one day's rows
+    want = df.filter(F.col("d") == "1996-03-04").count()
+    assert one_day.count() == want > 0
