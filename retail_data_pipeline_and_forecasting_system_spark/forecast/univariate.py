@@ -150,3 +150,62 @@ def forecast_sales_and_profits(
         )
     ]
     return spark.createDataFrame(out, schema=FORECAST_OUT)
+
+
+def forecast_many(
+    series: DataFrame,
+    horizon: int = 1,
+    key_col: str = "series_id",
+    date_col: str = "date",
+    value_col: str = "value",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Grouped per-series forecasting — the scale path for thousands of
+    independent series (per-store, per-SKU, per-metric).
+
+    Same model as the driver path (closed-form OLS trend + day-of-week
+    seasonality, or Prophet when importable), fitted *inside*
+    ``applyInPandas``: series are hash-bucketed so one Arrow batch carries
+    many small series, state never leaves executors, and adding executors
+    scales linearly in #series. Output: (series_id, date, forecast) with
+    ``horizon`` rows per series.
+    """
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType(), False),
+            T.StructField(date_col, T.DateType(), False),
+            T.StructField("forecast", T.DoubleType(), True),
+        ]
+    )
+
+    def fit_bucket(pdf):
+        import pandas as _pd
+
+        rows = []
+        for key, grp in pdf.groupby(key_col, sort=True):
+            grp = grp.sort_values(date_col)
+            model = UnivariateForecaster()
+            model.fit(grp[value_col].to_numpy(dtype="float64"))
+            preds = model.predict(horizon)
+            last = grp[date_col].iloc[-1]
+            for i, yhat in enumerate(preds, start=1):
+                rows.append(
+                    (str(key), last + _dt.timedelta(days=i), float(yhat))
+                )
+        return _pd.DataFrame(rows, columns=[key_col, date_col, "forecast"])
+
+    bucketed = series.withColumn(
+        "__bucket", F.pmod(F.hash(key_col), F.lit(num_buckets))
+    )
+    return (
+        bucketed.groupBy("__bucket")
+        .applyInPandas(
+            lambda pdf: fit_bucket(pdf.drop(columns="__bucket")),
+            schema=out_schema,
+        )
+    )
