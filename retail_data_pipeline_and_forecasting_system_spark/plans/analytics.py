@@ -2132,3 +2132,37 @@ def c1_cross_join(spark, sf):
         "n_name",
         (F.col("n_regionkey") == F.col("r_regionkey")).alias("in_region"),
     )
+
+
+@q(
+    "w5_share_of_total",
+    sql="""
+    WITH tot AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS total FROM orders
+    ), seg AS (
+      SELECT o_orderpriority,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS seg_rev
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, seg_rev,
+      seg_rev / tot.total AS share
+    FROM seg CROSS JOIN tot
+    """,
+    ref="ratio-to-report / share-of-total (window-function textbook case, "
+    "done the scale-correct way)",
+    scale="an unpartitioned window (sum OVER ()) funnels ALL rows through "
+    "one task; grouped agg + broadcast of the 1-row total keeps every "
+    "stage parallel — same result, no single-reducer cliff",
+)
+def w5_share_of_total(spark, sf):
+    o = _t(spark, sf, "orders")
+    seg = o.groupBy("o_orderpriority").agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("seg_rev")
+    )
+    tot = o.agg(F.sum(dec("o_totalprice")).cast("double").alias("total"))
+    return seg.join(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "seg_rev",
+        (F.col("seg_rev") / F.col("total")).alias("share"),
+    )
