@@ -46,6 +46,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read the raw int64 nanos and truncate to micros
         # (exactly what DuckDB's TIMESTAMP does, keeping oracles aligned).
+        # timestamp_micros() yields a session-tz LOCAL timestamp, so field
+        # extraction (hour/day/dow) is only oracle-stable under UTC — pin
+        # it here so the queries are deterministic on ANY caller's session
+        # (the driver harness builds its own).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         return df.withColumn(

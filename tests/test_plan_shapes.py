@@ -132,3 +132,21 @@ def test_q5_only_shuffles_fact_sides(spark):
     assert "CartesianProduct" not in plan
     # the date-range predicate must reach the orders parquet scan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_event_queries_pin_utc_for_any_caller_session(spark):
+    """The driver harness builds its own session (arbitrary timezone);
+    timestamp field extraction must not depend on it."""
+    baseline = {
+        (r["event_id"],): (r["h"], r["dow"], r["days_since_ny"])
+        for r in QUERIES["f_date_pack"].fn(spark, SF).collect()
+    }
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        hostile = {
+            (r["event_id"],): (r["h"], r["dow"], r["days_since_ny"])
+            for r in QUERIES["f_date_pack"].fn(spark, SF).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert hostile == baseline
