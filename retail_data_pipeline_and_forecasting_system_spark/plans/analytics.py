@@ -2171,3 +2171,35 @@ def w5_share_of_total(spark, sf):
         "seg_rev",
         (F.col("seg_rev") / F.col("total")).alias("share"),
     )
+
+
+@q(
+    "a11_collect_agg",
+    sql="""
+    SELECT l_orderkey,
+      string_agg(DISTINCT CAST(l_partkey AS VARCHAR), ','
+                 ORDER BY CAST(l_partkey AS VARCHAR)) AS parts,
+      CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem
+    WHERE l_orderkey < 200
+    GROUP BY l_orderkey
+    """,
+    ref="collection aggregation (collect_set/array_agg) — grouped "
+    "list-building; emitted as a sorted joined string because array "
+    "element ORDER is engine-nondeterministic (SURVEY §2.4 breadth)",
+    scale="collect_* materializes whole groups on the reducer: bound group "
+    "size (here: parts per order) or aggregate a sketch instead",
+)
+def a11_collect_agg(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set(F.col("l_partkey").cast("string"))),
+                ",",
+            ).alias("parts"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
