@@ -2203,3 +2203,35 @@ def a11_collect_agg(spark, sf):
             F.countDistinct("l_partkey").alias("n_parts"),
         )
     )
+
+
+@q(
+    "e3_tumbling_window",
+    sql="""
+    SELECT date_trunc('day', ts) AS win_start,
+      date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
+      count(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    ref="tumbling event-time windows in BATCH via F.window (same operator "
+    "the streaming daily summary uses behind a watermark — one API, both "
+    "modes)",
+    scale="window assignment is a row-local expression; the agg shuffles "
+    "on the window start exactly like any date groupBy",
+)
+def e3_tumbling_window(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 4)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )
