@@ -60,6 +60,31 @@ def word_shingles(
     return out.distinct() if distinct else out
 
 
+def char_shingles(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+) -> DataFrame:
+    """Distinct k-character shingles per document.
+
+    The character-level twin of :func:`word_shingles` for text without
+    whitespace segmentation (CJK, code, URLs). Row-local substring
+    positions — no shuffle before the optional distinct.
+    """
+    out = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {k - 1},"
+                f" 0)), i -> substring({text_col}, i, {k}))"
+            )
+        ).alias("shingle"),
+    )
+    return out.distinct() if distinct else out
+
+
 def minhash_signature(shingled: DataFrame, num_hashes: int, id_col: str = "doc_id") -> DataFrame:
     """Per-doc minhash signature: mh_i = min(md5(i || ':' || shingle)).
 

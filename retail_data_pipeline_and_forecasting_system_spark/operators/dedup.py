@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import explode_tokens, minhash_signature, nibble_value, word_shingles
+from ..functions import (
+    char_shingles,
+    explode_tokens,
+    minhash_signature,
+    nibble_value,
+    word_shingles,
+)
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -58,6 +64,27 @@ def jaccard_pairs(
     inverted shingle index. Output: (doc_a, doc_b, jaccard).
     """
     sh = word_shingles(df, k=k, id_col=id_col, text_col=text_col)
+    return _jaccard_from_shingles(sh, threshold, id_col)
+
+
+def char_jaccard_pairs(
+    df: DataFrame,
+    k: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-k-gram Jaccard pairs — the dedup path for text that has
+    no whitespace segmentation (CJK, code, URLs). Same inverted-index
+    construction as :func:`jaccard_pairs`, character shingles instead of
+    word shingles."""
+    sh = char_shingles(df, k=k, id_col=id_col, text_col=text_col)
+    return _jaccard_from_shingles(sh, threshold, id_col)
+
+
+def _jaccard_from_shingles(
+    sh: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")

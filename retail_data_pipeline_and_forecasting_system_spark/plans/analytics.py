@@ -2235,3 +2235,36 @@ def e3_tumbling_window(spark, sf):
             "total_value",
         )
     )
+
+
+@q(
+    "d7_char_jaccard",
+    sql="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+        substring(text, CAST(i AS INT), 5) AS shingle
+      FROM documents,
+        LATERAL unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+      CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+    FROM inter JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
+    """,
+    ref="LLM-ops: character-5-gram Jaccard near-dup — the dedup path for "
+    "unsegmented text (CJK/code/URLs); word-level twin is d2",
+    scale="same inverted-index join as d2 (cost Σ docs-per-shingle², "
+    "never n²); char shingles inflate rows ~5x vs words — at 100 TB "
+    "prefer MinHash over char shingles (d3 pipeline, char source)",
+)
+def d7_char_jaccard(spark, sf):
+    return D.char_jaccard_pairs(
+        _t(spark, sf, "documents"), k=5, threshold=0.5
+    )
