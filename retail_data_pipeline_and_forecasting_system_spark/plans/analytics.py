@@ -2268,3 +2268,35 @@ def d7_char_jaccard(spark, sf):
     return D.char_jaccard_pairs(
         _t(spark, sf, "documents"), k=5, threshold=0.5
     )
+
+
+@q(
+    "d8_dup_clusters",
+    sql=f"""
+    WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS.format(thr="0.35")}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id,
+      least(u, min(v)) AS cluster_id,
+      (u = least(u, min(v))) AS is_canonical
+    FROM reach GROUP BY u
+    """,
+    ref="LLM-ops: transitive near-dup clusters (connected components over "
+    "d2's pair edges; keep exactly one canonical doc per cluster) — "
+    "operators/graph.py min-label propagation",
+    scale="iterations = component diameter (short for dup chains); each "
+    "round two shuffles over the EDGE list only — cost follows the dup "
+    "subgraph, not the corpus; driver sees one scalar per round",
+)
+def d8_dup_clusters(spark, sf):
+    from ..operators.graph import dup_clusters
+
+    pairs = D.jaccard_pairs(_t(spark, sf, "documents"), k=3, threshold=0.35)
+    return dup_clusters(pairs)
