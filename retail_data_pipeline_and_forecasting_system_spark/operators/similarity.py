@@ -197,3 +197,84 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column.
+
+    Init = first ``k`` vectors by id (no RNG → rerun-identical); each
+    iteration assigns points to their nearest centroid (squared-L2 fold,
+    ties → lowest centroid id) and recomputes centroids as per-dimension
+    means via posexplode + groupBy — all data stays distributed; only the
+    k x dim centroid matrix (a few KB) passes through the driver between
+    iterations, which is the irreducible model state of Lloyd's algorithm.
+
+    Returns the final centroids as (cent_id, cent_vec). Feed to
+    :func:`ivf_topk` via ``centroids=`` for a learned coarse quantizer.
+    """
+    spark = embeddings.sparkSession
+    cents_rows = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in cents_rows]
+
+    for _ in range(n_iter):
+        cents_df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(centroids)],
+            f"cent_id INT, cent_vec ARRAY<DOUBLE>",
+        )
+        by_dist = W.partitionBy(id_col).orderBy("dist", "cent_id")
+        assigned = (
+            embeddings.join(F.broadcast(cents_df))
+            .withColumn("dist", l2sq(vec_col, "cent_vec"))
+            .withColumn("rn", F.row_number().over(by_dist))
+            .filter(F.col("rn") == 1)
+            .select(id_col, vec_col, "cent_id")
+        )
+        means = (
+            assigned.select(
+                "cent_id", F.posexplode(vec_col).alias("pos", "val")
+            )
+            .groupBy("cent_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty cells keep old
+        per_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            per_cell.setdefault(r["cent_id"], {})[r["pos"]] = r["mean"]
+        for cid, dims in per_cell.items():
+            for pos, mean in dims.items():
+                new_centroids[cid][pos] = mean
+        centroids = new_centroids
+
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(centroids)],
+        "cent_id INT, cent_vec ARRAY<DOUBLE>",
+    )
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: (id, vec, cent_id, dist)."""
+    by_dist = W.partitionBy(id_col).orderBy("dist", "cent_id")
+    return (
+        embeddings.join(F.broadcast(centroids))
+        .withColumn("dist", l2sq(vec_col, "cent_vec"))
+        .withColumn("rn", F.row_number().over(by_dist))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cent_id", "dist")
+    )

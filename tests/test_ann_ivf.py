@@ -77,3 +77,23 @@ def test_ivf_multiprobe_recall_is_monotone(spark):
         assert recall >= last_recall
         last_recall = recall
     assert last_recall == 1.0  # probing every cell == exact
+
+
+def test_kmeans_sse_monotone_and_deterministic(spark):
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        assign_cells,
+        kmeans_lloyd,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def sse(n_iter):
+        cents = kmeans_lloyd(emb, k=8, n_iter=n_iter)
+        return assign_cells(emb, cents).agg(F.sum("dist")).head()[0]
+
+    s0, s2, s4 = sse(0), sse(2), sse(4)
+    assert s2 <= s0 and s4 <= s2  # Lloyd never increases SSE
+    assert s2 < s0  # and actually improves from the naive init
+    # rerun-identical (no RNG anywhere)
+    again = sse(4)
+    assert again == s4
