@@ -149,6 +149,7 @@ def ivf_topk(
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
@@ -163,9 +164,14 @@ def ivf_topk(
     running the same assignment reproduces results bit-for-bit. Output:
     (vec_id, cos_sim) — the query row itself is excluded.
     """
-    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-    )
+    if centroids is None:
+        # first-n-by-id stand-in quantizer (oracle-able); pass the output
+        # of kmeans_lloyd for a learned one
+        cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    else:
+        cents = centroids.select("cent_id", "cent_vec")
     by_dist = W.partitionBy(id_col).orderBy("dist", "cent_id")
     assigned = (
         embeddings.join(F.broadcast(cents))

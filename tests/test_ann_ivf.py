@@ -97,3 +97,21 @@ def test_kmeans_sse_monotone_and_deterministic(spark):
     # rerun-identical (no RNG anywhere)
     again = sse(4)
     assert again == s4
+
+
+def test_ivf_with_learned_centroids(spark):
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = kmeans_lloyd(emb, k=8, n_iter=2)
+    got = ivf_topk(emb, query_id=0, k=10, n_probe=2, centroids=cents).collect()
+    assert len(got) == 10
+    assert all(r["vec_id"] != 0 for r in got)
+    # scores are true cosines regardless of quantizer
+    qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    brute = {r["vec_id"]: r["cos_sim"] for r in cosine_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=500).collect()}
+    for r in got:
+        assert abs(r["cos_sim"] - brute[r["vec_id"]]) < 1e-12
