@@ -2300,3 +2300,84 @@ def d8_dup_clusters(spark, sf):
 
     pairs = D.jaccard_pairs(_t(spark, sf, "documents"), k=3, threshold=0.35)
     return dup_clusters(pairs)
+
+
+@q(
+    "w6_rolling_7day",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+        count(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT d, n,
+      CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+      SUM(rev) OVER w AS rev_7d
+    FROM daily
+    WINDOW w AS (ORDER BY d
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+    ref="RANGE-frame window: rolling 7-calendar-day totals over the daily "
+    "series (value-based frame, correct across date gaps — a rows-frame "
+    "is wrong when days are missing)",
+    scale="the window runs on the already-aggregated daily table (one row "
+    "per day) — the expensive agg shuffles once, the frame is O(days)",
+)
+def w6_rolling_7day(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("rev"),
+        )
+    )
+    w = W.orderBy(F.col("d").cast("timestamp").cast("long")).rangeBetween(
+        -6 * 86400, 0
+    )
+    return daily.select(
+        "d",
+        "n",
+        F.sum("n").over(w).alias("n_7d"),
+        F.sum("rev").over(w).alias("rev_7d"),
+    )
+
+
+@q(
+    "x8_edit_distance",
+    sql=f"""
+    WITH pairs AS ({_SQL_JACCARD_PAIRS.format(thr="0.35")})
+    SELECT p.doc_a, p.doc_b,
+      CAST(levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80))
+           AS INT) AS edit80
+    FROM pairs p
+    JOIN documents a ON a.doc_id = p.doc_a
+    JOIN documents b ON b.doc_id = p.doc_b
+    """,
+    ref="string edit distance (Levenshtein) over near-dup candidate pairs "
+    "— the precision filter after a recall-oriented candidate stage",
+    scale="levenshtein is O(len^2) per pair: ONLY ever run it on the "
+    "candidate set (here: Jaccard pairs), never the cross product; "
+    "prefix-truncate to bound worst-case cost",
+)
+def x8_edit_distance(spark, sf):
+    docs = _t(spark, sf, "documents")
+    pairs = D.jaccard_pairs(docs, k=3, threshold=0.35)
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, 80).alias("text_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 80).alias("text_b"),
+    )
+    return (
+        pairs.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").alias("edit80"),
+        )
+    )
