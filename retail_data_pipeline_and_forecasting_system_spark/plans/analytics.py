@@ -2381,3 +2381,46 @@ def x8_edit_distance(spark, sf):
             F.levenshtein("text_a", "text_b").alias("edit80"),
         )
     )
+
+
+@q(
+    "e4_sliding_window",
+    sql="""
+    WITH starts AS (
+      SELECT event_id, value,
+        CAST(to_timestamp(CAST(floor(epoch(ts) / 43200) * 43200 AS BIGINT))
+             AS TIMESTAMP) AS aligned,
+      FROM events
+    ), assigned AS (
+      SELECT event_id, value, aligned AS win_start FROM starts
+      UNION ALL
+      SELECT event_id, value, aligned - INTERVAL 12 HOUR FROM starts
+    )
+    SELECT win_start,
+      win_start + INTERVAL 1 DAY AS win_end,
+      count(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM assigned GROUP BY 1
+    """,
+    ref="sliding event-time windows (1-day window, 12-hour slide): each "
+    "event contributes to size/slide = 2 overlapping windows — the batch "
+    "twin of streaming sliding aggregations",
+    scale="window assignment is a row-local 2x expand before ONE hash agg "
+    "on win_start; state in the streaming rendition is bounded by "
+    "watermark x (size/slide) live windows",
+)
+def e4_sliding_window(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 4)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )
