@@ -46,6 +46,34 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # the reference's own workload: dataset_15 end-to-end (explode ->
+    # depletion -> orders/lines/summary/inventory), the apples-to-apples
+    # number against BASELINE.md's 10-day/10k-txn scale — the reference
+    # runs this same dataset through driver-side collect() loops
+    ds = Path("/root/reference/data/dataset_15")
+    if ds.exists():
+        from retail_data_pipeline_and_forecasting_system_spark.plans.retail import (
+            run_retail_pipeline,
+        )
+        from retail_data_pipeline_and_forecasting_system_spark.sources import (
+            read_products_csv,
+            read_transactions_json,
+        )
+
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            products = read_products_csv(spark, str(ds / "products.csv"))
+            raw = read_transactions_json(spark, str(ds / "transactions_*.json"))
+            outs = run_retail_pipeline(raw, products)
+            for out in outs.values():
+                out.count()
+            best = min(best, time.perf_counter() - t0)
+        timings["retail_pipeline_dataset15"] = round(best, 4)
+        print(
+            f"# retail_pipeline_dataset15: {best:.3f}s", file=sys.stderr
+        )
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
