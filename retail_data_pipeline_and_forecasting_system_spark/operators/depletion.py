@@ -110,26 +110,63 @@ def greedy_inventory_depletion(
     key_cols = ["product_id"] + ([reset_col] if reset_col else [])
     sort_cols = [*key_cols, *order_cols]
 
+    def _greedy_segment(stock: int, q) -> "pd.Series":
+        """Vectorized greedy-with-skip over ONE key's time-ordered demands.
+
+        Accept a cumsum-prefix until the first violating line, cancel it,
+        resume with the remaining stock. Each numpy pass retires one
+        cancellation, so cost is O(rows + rows x cancels-with-stock-left)
+        — and once stock hits zero every later line cancels in one step.
+        Bit-identical to the reference's per-row fold (property-tested
+        against the Python oracle)."""
+        import numpy as np
+
+        n = len(q)
+        out = np.zeros(n, dtype="int64")
+        qa = q  # already int64 with null -> -1 (cancel) applied by caller
+        start, rem = 0, int(stock)
+        while start < n:
+            if rem == 0:
+                # only qty==0 lines can still "fulfill" (with 0) — output
+                # is 0 either way, so everything remaining is settled
+                break
+            seg = qa[start:]
+            bad = (seg < 0) | (np.cumsum(np.maximum(seg, 0)) > rem)
+            viol = np.nonzero(bad)[0]
+            if len(viol) == 0:
+                out[start:] = np.maximum(seg, 0)
+                break
+            v = int(viol[0])
+            if v > 0:
+                out[start : start + v] = seg[:v]
+                rem -= int(seg[:v].sum())
+            start += v + 1  # the violating line is cancelled (output 0)
+        return out
+
     def deplete(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one pass over the bucket: rows sorted by (fold key, time); per-key
-        # remaining stock lives in a dict, so a bucket of thousands of
-        # products costs one sort + one linear walk.
+        # rows sorted by (fold key, time); per-key segments are located by
+        # the sort and each is folded with the vectorized kernel — Python
+        # iterates once per product (+ once per cancellation), not per row.
         pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-        remaining: dict = {}
-        out = []
-        keys = list(zip(*(pdf[c].tolist() for c in key_cols)))
-        qtys = pdf[qty_col].tolist()
-        stocks = pdf["__stock"].tolist()
-        for key, qty, stock in zip(keys, qtys, stocks):
-            rem = remaining.get(key)
-            if rem is None:
-                rem = int(stock)
-            if qty is not None and 0 <= qty <= rem:
-                out.append(qty)
-                remaining[key] = rem - qty
-            else:
-                out.append(0)
-                remaining[key] = rem
+        import numpy as np
+
+        out = np.zeros(len(pdf), dtype="int64")
+        if len(pdf):
+            key_frame = pdf[key_cols].astype(object)
+            # segment boundaries of the sorted key columns
+            change = np.zeros(len(pdf), dtype=bool)
+            change[0] = True
+            for c in key_cols:
+                vals = key_frame[c].to_numpy()
+                change[1:] |= vals[1:] != vals[:-1]
+            bounds = np.nonzero(change)[0].tolist() + [len(pdf)]
+            qty_raw = pdf[qty_col]
+            qty_np = np.where(
+                pd.isna(qty_raw), -1, qty_raw.fillna(-1)
+            ).astype("int64")  # null -> -1 -> cancel
+            stock_all = pdf["__stock"].to_numpy()
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                out[lo:hi] = _greedy_segment(int(stock_all[lo]), qty_np[lo:hi])
         pdf["quantity"] = out
         return pdf[out_cols]
 
