@@ -2424,3 +2424,39 @@ def e4_sliding_window(spark, sf):
             "total_value",
         )
     )
+
+
+@q(
+    "u4_intersect_all",
+    sql="""
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 25
+    INTERSECT ALL
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount > 0.05
+    """,
+    ref="INTERSECT ALL — bag semantics (each row kept min(m, n) times; "
+    "the distinct variant is u2)",
+    scale="plans as a count-matching join on the group key — one shuffle "
+    "each side, no row explosion",
+)
+def u4_intersect_all(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_returnflag", "l_linestatus")
+    return a.intersectAll(b)
+
+
+@q(
+    "u5_except_all",
+    sql="""
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 25
+    EXCEPT ALL
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount > 0.05
+    """,
+    ref="EXCEPT ALL — bag difference (each row kept max(m - n, 0) times; "
+    "the distinct variant is u3)",
+)
+def u5_except_all(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_returnflag", "l_linestatus")
+    return a.exceptAll(b)
