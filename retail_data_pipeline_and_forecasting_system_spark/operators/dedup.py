@@ -71,14 +71,29 @@ def char_jaccard_pairs(
     df: DataFrame,
     k: int = 5,
     threshold: float = 0.5,
+    max_df: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Character-k-gram Jaccard pairs — the dedup path for text that has
-    no whitespace segmentation (CJK, code, URLs). Same inverted-index
-    construction as :func:`jaccard_pairs`, character shingles instead of
-    word shingles."""
+    no whitespace segmentation (CJK, code, URLs).
+
+    Char k-grams are far less selective than word shingles, so the
+    inverted index MUST drop common shingles or the pair join explodes
+    (Σ docs-per-shingle² with hot shingles in hundreds of docs — measured
+    OOM at sf0.1 without the cap). ``max_df`` keeps only shingles
+    appearing in ≤ that many documents; Jaccard is then computed over the
+    rare-shingle sets on both the intersection and the sizes, a
+    consistent (and near-dup-faithful) definition — true near-dups share
+    plenty of rare shingles."""
     sh = char_shingles(df, k=k, id_col=id_col, text_col=text_col)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("shingle")
+    )
+    sh = sh.join(rare, on="shingle")
     return _jaccard_from_shingles(sh, threshold, id_col)
 
 

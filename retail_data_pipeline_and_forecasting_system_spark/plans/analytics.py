@@ -2240,11 +2240,15 @@ def e3_tumbling_window(spark, sf):
 @q(
     "d7_char_jaccard",
     sql="""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT DISTINCT doc_id,
         substring(text, CAST(i AS INT), 5) AS shingle
       FROM documents,
         LATERAL unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS t(i)
+    ), rare AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20
+    ), sh AS (
+      SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
@@ -2258,15 +2262,17 @@ def e3_tumbling_window(spark, sf):
     JOIN sizes nb ON nb.doc_id = doc_b
     WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
     """,
-    ref="LLM-ops: character-5-gram Jaccard near-dup — the dedup path for "
-    "unsegmented text (CJK/code/URLs); word-level twin is d2",
-    scale="same inverted-index join as d2 (cost Σ docs-per-shingle², "
-    "never n²); char shingles inflate rows ~5x vs words — at 100 TB "
-    "prefer MinHash over char shingles (d3 pipeline, char source)",
+    ref="LLM-ops: character-5-gram Jaccard near-dup over the rare-shingle "
+    "index (doc-freq <= 20) — the dedup path for unsegmented text "
+    "(CJK/code/URLs); word-level twin is d2",
+    scale="char shingles are unselective, so the index drops common "
+    "shingles (df cap) BEFORE the pair join — without it the join is "
+    "Σ docs-per-shingle² with hot shingles in hundreds of docs "
+    "(measured OOM at sf0.1); with it, cost tracks rare-shingle mass",
 )
 def d7_char_jaccard(spark, sf):
     return D.char_jaccard_pairs(
-        _t(spark, sf, "documents"), k=5, threshold=0.5
+        _t(spark, sf, "documents"), k=5, threshold=0.5, max_df=20
     )
 
 
