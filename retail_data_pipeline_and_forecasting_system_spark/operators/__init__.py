@@ -1,1 +1,3 @@
 from .depletion import greedy_inventory_depletion  # noqa: F401
+from .graph import connected_components, dup_clusters  # noqa: F401
+from .skew import replicated_skew_join, salted_agg  # noqa: F401

@@ -1,7 +1,15 @@
 from .readers import (  # noqa: F401
     read_customers_csv,
+    read_json_robust,
     read_products_csv,
     read_table_jdbc,
     read_transactions_json,
 )
-from .writers import write_single_csv, write_partitioned_parquet  # noqa: F401
+from .writers import (  # noqa: F401
+    read_orc,
+    write_bucketed_table,
+    write_orc,
+    write_partitioned_parquet,
+    write_single_csv,
+    write_table_jdbc,
+)
