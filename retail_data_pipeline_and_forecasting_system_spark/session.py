@@ -34,10 +34,16 @@ def get_session(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # In local mode the driver JVM heap IS the executors' memory: pyspark's
+    # 1g default starves 32 concurrent tasks (GC-locker OOMs on wide
+    # explodes). This is task-working-memory sizing, NOT collect() head-
+    # room — no data path in this engine collects to the driver.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
