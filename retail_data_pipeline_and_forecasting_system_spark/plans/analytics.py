@@ -2466,3 +2466,310 @@ def u5_except_all(spark, sf):
     a = li.filter(F.col("l_quantity") > 25).select("l_returnflag", "l_linestatus")
     b = li.filter(F.col("l_discount") > 0.05).select("l_returnflag", "l_linestatus")
     return a.exceptAll(b)
+
+
+# --------------------------------------- round-1 widening batch 2
+
+
+@q(
+    "q4_order_priority",
+    sql="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    ref="TPC-H Q4 shape: correlated EXISTS over the fact (SURVEY §2.3 gap; "
+    "reference has only equi-joins, data_processor.py:282-286)",
+    scale="EXISTS plans as a shuffled LEFT SEMI on l_orderkey — one pass "
+    "over lineitem, no row duplication; the date filter prunes orders "
+    "partitions before the shuffle",
+)
+def q4_order_priority(spark, sf):
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@q(
+    "q10_returned_items",
+    sql="""
+    WITH rev AS (
+      SELECT c_custkey, c_name, n_name,
+        CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)))
+             AS DOUBLE) AS revenue
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+    )
+    SELECT * FROM rev ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    ref="TPC-H Q10 shape: returned-item revenue by customer — the "
+    "multi-join + agg + top-k composite the reference's daily summary "
+    "(data_processor.py:390-435) scales up to",
+    scale="nation broadcasts; customer-orders co-shuffle on custkey then "
+    "lineitem joins on orderkey; top-20 is a TakeOrdered (no full sort)",
+    bench=True,
+)
+def q10_returned_items(spark, sf):
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc_price = F.round(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2
+    ).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+@q(
+    "gs1_grouping_sets",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+        AS gid,
+      CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+      count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+    """,
+    ref="explicit GROUPING SETS (SURVEY §2.4 gap; pairs with g1 rollup / "
+    "g4 cube but prunes to exactly the sets consumed)",
+    scale="Spark expands to one Expand + single hash agg — cheaper than "
+    "cube when only k of 2^n sets are needed",
+)
+def gs1_grouping_sets(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.sum(F.col("l_quantity").cast("int")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "w7_lead_nth",
+    sql="""
+    SELECT event_id,
+      lead(value, 1) OVER w AS next_value,
+      nth_value(value, 2) OVER w2 AS second_value,
+      last_value(value) OVER w2 AS final_value
+    FROM events
+    WINDOW
+      w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    ref="window navigation pack: lead / nth_value / last_value "
+    "(complements w3 lag; SURVEY §2.5 — reference has no windows)",
+    scale="single shuffle on user_id serves all three frames; ties broken "
+    "by event_id so results are deterministic under parallel sort",
+)
+def w7_lead_nth(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.nth_value("value", 2).over(w2).alias("second_value"),
+        F.last("value").over(w2).alias("final_value"),
+    )
+
+
+@q(
+    "na1_null_impute",
+    sql="""
+    WITH means AS (
+      SELECT event_type,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+          AS type_mean
+      FROM events WHERE value >= 1 GROUP BY event_type
+    )
+    SELECT event_id,
+      CASE WHEN value >= 1 THEN value ELSE type_mean END AS value_imputed
+    FROM events JOIN means USING (event_type)
+    """,
+    ref="missing-value imputation with per-group mean — the data-cleaning "
+    "twin of the reference's null-qty filter (data_processor.py:278, "
+    "which drops instead of imputing)",
+    scale="per-type means are a tiny grouped agg broadcast back onto the "
+    "fact — no window over the full table; mean derived from an exact "
+    "decimal sum so both engines divide identical doubles",
+)
+def na1_null_impute(spark, sf):
+    ev = _t(spark, sf, "events")
+    present = F.col("value") >= 1
+    means = (
+        ev.filter(present)
+        .groupBy("event_type")
+        .agg(
+            (F.sum(dec("value", 4)).cast("double") / F.count(F.lit(1))).alias(
+                "type_mean"
+            )
+        )
+    )
+    return (
+        ev.join(F.broadcast(means), "event_type")
+        .select(
+            "event_id",
+            F.when(present, F.col("value"))
+            .otherwise(F.col("type_mean"))
+            .alias("value_imputed"),
+        )
+    )
+
+
+@q(
+    "a12_argmax",
+    sql="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_name,
+        row_number() OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal DESC, c_custkey DESC) AS rn_max,
+        row_number() OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal ASC, c_custkey ASC) AS rn_min
+      FROM customer
+    )
+    SELECT c_mktsegment,
+      MAX(CASE WHEN rn_max = 1 THEN c_name END) AS top_customer,
+      MAX(CASE WHEN rn_min = 1 THEN c_name END) AS bottom_customer
+    FROM ranked GROUP BY c_mktsegment
+    """,
+    ref="argmax/argmin aggregates (max_by/min_by) — 'which customer' not "
+    "'what value' (SURVEY §2.4 gap)",
+    scale="max_by folds map-side (partial agg carries one candidate per "
+    "group) — no window, no per-group sort; ties broken on c_custkey via "
+    "struct ordering",
+)
+def a12_argmax(spark, sf):
+    cust = _t(spark, sf, "customer")
+    ordkey = F.struct("c_acctbal", "c_custkey")
+    return cust.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", ordkey).alias("top_customer"),
+        F.min_by("c_name", ordkey).alias("bottom_customer"),
+    )
+
+
+@q(
+    "e5_retention_cohort",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d FROM events
+    ), first AS (
+      SELECT user_id, MIN(d) AS cohort_d FROM daily GROUP BY user_id
+    )
+    SELECT cohort_d,
+      CAST(date_diff('day', cohort_d, d) AS BIGINT) AS day_offset,
+      CAST(COUNT(DISTINCT daily.user_id) AS BIGINT) AS active_users
+    FROM daily JOIN first USING (user_id)
+    GROUP BY cohort_d, day_offset
+    """,
+    ref="cohort retention: users bucketed by first-seen day, activity "
+    "counted by day offset — the canonical event-log analysis the "
+    "reference's daily_summary (data_processor.py:390-435) points toward",
+    scale="both aggs shuffle on user_id (first-seen reusable as a "
+    "materialized dim); COUNT DISTINCT partial-aggregates per cohort cell",
+)
+def e5_retention_cohort(spark, sf):
+    daily = _t(spark, sf, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = daily.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        daily.join(first, "user_id")
+        .groupBy(
+            "cohort_d",
+            F.datediff("d", "cohort_d").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@q(
+    "j7_funnel",
+    sql="""
+    SELECT a.user_id, count(*) AS n_conversions
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY a.user_id
+    """,
+    ref="event funnel: view -> purchase within 1 hour, per user — "
+    "self-join conversion analysis (SURVEY §2.3: no self/range joins in "
+    "reference)",
+    scale="self-join keyed on user_id: both sides pre-filtered by type "
+    "(tiny fractions of the log) BEFORE the shuffle, so the range "
+    "predicate only fans out within a user's own events",
+)
+def j7_funnel(spark, sf):
+    ev = _t(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("view_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"), F.col("ts").alias("buy_ts")
+    )
+    return (
+        views.join(
+            buys,
+            (views.u == buys.user_id)
+            & (F.col("buy_ts") > F.col("view_ts"))
+            & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
+
+
+@q(
+    "smp1_stratified_sample",
+    sql="""
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN lang = 'en' THEN '40' ELSE '1a' END
+    """,
+    ref="stratified deterministic sampling: per-stratum rates (25% en / "
+    "~10% other) via content hash — sampleBy() semantics made "
+    "reproducible across engines and reruns (pairs with x6 global split)",
+    scale="pure row-local predicate — pushes to the scan, no shuffle, no "
+    "seed state; rates are exact in expectation at any corpus size",
+)
+def smp1_stratified_sample(spark, sf):
+    docs = _t(spark, sf, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thr = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("1a"))
+    return docs.filter(nib < thr).select("doc_id", "lang")
