@@ -150,3 +150,44 @@ def test_event_queries_pin_utc_for_any_caller_session(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert hostile == baseline
+
+
+def test_q4_exists_plans_as_semi_join(spark):
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan  # EXISTS never duplicates orders rows
+    # the orderdate range prunes the orders scan before any join
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q10_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    # returnflag filter reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_grouping_sets_single_expand_single_agg_shuffle(spark):
+    import re
+
+    plan = _plan(spark, "gs1_grouping_sets")
+    assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_impute_means_broadcast_back(spark):
+    # per-type means must come back as a broadcast, not a fact-side shuffle
+    plan = _plan(spark, "na1_null_impute")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    plan = _plan(spark, "smp1_stratified_sample")
+    assert "Exchange" not in plan  # pure row-local hash predicate
+
+
+def test_window_navigation_single_shuffle(spark):
+    import re
+
+    plan = _plan(spark, "w7_lead_nth")
+    # lead + nth_value + last_value all ride ONE user_id exchange
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
