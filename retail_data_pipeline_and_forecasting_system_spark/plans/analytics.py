@@ -53,9 +53,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # `ts div 1000` is exact long division; float paths (ts/1000 →
+        # double) lose microseconds above 2^53 ns (~any modern epoch).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -2773,3 +2773,129 @@ def smp1_stratified_sample(spark, sf):
     nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     thr = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("1a"))
     return docs.filter(nib < thr).select("doc_id", "lang")
+
+
+# ------------------------------------------------ SCD / merge operators
+
+
+@q(
+    "ops1_merge_upsert",
+    sql="""
+    WITH spend AS (
+      SELECT o_custkey AS k,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey
+    ), src AS (
+      SELECT k, spend FROM spend
+      UNION ALL
+      SELECT k + 10000000, spend FROM spend WHERE k % 17 = 0
+    )
+    SELECT COALESCE(t.c_custkey, s.k) AS c_custkey,
+      COALESCE(t.c_name, 'NEW') AS c_name,
+      CASE WHEN s.k IS NULL THEN t.c_acctbal ELSE s.spend END AS c_acctbal,
+      CASE WHEN t.c_custkey IS NULL THEN 'insert'
+           WHEN s.k IS NULL THEN 'keep' ELSE 'update' END AS action
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.k
+    """,
+    ref="MERGE / SCD1 upsert — the general form of the reference's "
+    "in-place stock mutation (data_processor.py:346-355); "
+    "operators/scd.py merge_upsert",
+    scale="one full-outer shuffle on the key; for small change sets pass "
+    "broadcast_source=True and the target never shuffles at all",
+)
+def ops1_merge_upsert(spark, sf):
+    from ..operators.scd import merge_upsert
+
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    spend = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("spend"))
+    )
+    src = spend.unionAll(
+        spend.filter(F.col("k") % 17 == 0).select(
+            (F.col("k") + 10000000).alias("k"), "spend"
+        )
+    )
+    return merge_upsert(
+        cust,
+        src.withColumnRenamed("k", "c_custkey"),
+        key="c_custkey",
+        update_cols={"c_acctbal": "spend"},
+        insert_defaults={"c_name": F.lit("NEW")},
+        action_col="action",
+    )
+
+
+@q(
+    "ops2_scd2_intervals",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+      lead(valid_from) OVER w AS valid_to,
+      CAST(CASE WHEN lead(valid_from) OVER w IS NULL THEN 1 ELSE 0 END
+           AS BIGINT) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+    ref="SCD2 interval reconstruction: collapse an event log into "
+    "validity ranges per entity (operators/scd.py scd2_intervals) — the "
+    "historical-dimension twin of ops1",
+    scale="both windows share ONE user_id shuffle; run-length collapse "
+    "happens before the second window so lead() sees only change rows",
+)
+def ops2_scd2_intervals(spark, sf):
+    from ..operators.scd import scd2_intervals
+
+    return scd2_intervals(
+        _t(spark, sf, "events"),
+        entity="user_id",
+        state="event_type",
+        ts="ts",
+        seq="event_id",
+    )
+
+
+@q(
+    "q18_big_orders",
+    sql="""
+    WITH big AS (
+      SELECT l_orderkey,
+        CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS INT)) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    ref="TPC-H Q18 shape: large-volume orders via HAVING on a grouped "
+    "fact, then enriched through orders+customer (SURVEY §2.4/§2.3 "
+    "composite)",
+    scale="the HAVING prunes ~99.8% of orders BEFORE any join (per-order "
+    "qty distribution is scale-invariant, so the threshold never goes "
+    "vacuous); the surviving slice broadcasts",
+)
+def q18_big_orders(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("int")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")
+    )

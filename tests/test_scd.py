@@ -1,0 +1,79 @@
+"""Semantics of operators/scd.py on tiny hand-checkable frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from retail_data_pipeline_and_forecasting_system_spark.operators.scd import (
+    merge_upsert,
+    scd2_intervals,
+)
+
+
+def test_merge_upsert_matched_unmatched_insert(spark):
+    target = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        "id long, name string, bal double",
+    )
+    source = spark.createDataFrame(
+        [(2, 99.0), (4, 44.0)], "id long, new_bal double"
+    )
+    out = merge_upsert(
+        target,
+        source,
+        key="id",
+        update_cols={"bal": "new_bal"},
+        insert_defaults={"name": F.lit("NEW")},
+        action_col="action",
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["bal"] == 10.0 and rows[1]["action"] == "keep"
+    assert rows[2]["bal"] == 99.0 and rows[2]["action"] == "update"
+    assert rows[3]["action"] == "keep"
+    assert rows[4]["bal"] == 44.0 and rows[4]["name"] == "NEW"
+    assert rows[4]["action"] == "insert"
+    assert out.count() == 4
+
+
+def test_merge_upsert_broadcast_source_same_result(spark):
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, bal double"
+    )
+    source = spark.createDataFrame([(2, 99.0)], "id long, new_bal double")
+    plain = merge_upsert(target, source, "id", {"bal": "new_bal"})
+    bcast = merge_upsert(
+        target, source, "id", {"bal": "new_bal"}, broadcast_source=True
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bcast.collect())
+    )
+
+
+def test_scd2_collapses_runs_and_closes_intervals(spark):
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    df = spark.createDataFrame(
+        [
+            (1, "view", ts(0), 100),
+            (1, "view", ts(1), 101),  # same run — collapsed
+            (1, "buy", ts(2), 102),
+            (1, "view", ts(3), 103),  # state may recur in a new run
+            (2, "view", ts(0), 200),
+        ],
+        "user long, state string, ts timestamp, eid long",
+    )
+    out = scd2_intervals(df, "user", "state", "ts", "eid").collect()
+    u1 = sorted(
+        [r for r in out if r["user"] == 1], key=lambda r: r["valid_from"]
+    )
+    assert [r["state"] for r in u1] == ["view", "buy", "view"]
+    assert u1[0]["valid_to"] == ts(2) and u1[0]["is_current"] == 0
+    assert u1[1]["valid_to"] == ts(3)
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"] == 1
+    (u2,) = [r for r in out if r["user"] == 2]
+    assert u2["is_current"] == 1 and u2["valid_to"] is None
