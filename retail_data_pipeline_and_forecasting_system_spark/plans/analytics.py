@@ -2899,3 +2899,133 @@ def q18_big_orders(spark, sf):
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")
     )
+
+
+@q(
+    "q12_priority_lines",
+    sql="""
+    SELECT l_linestatus,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY l_linestatus
+    """,
+    ref="TPC-H Q12 shape: conditional counts split by a dimension "
+    "attribute after a fact-fact join (SURVEY §2.4 A-class composite)",
+    scale="orders⋈lineitem co-shuffles on the order key; the CASE counts "
+    "fold map-side so the final exchange carries 2 longs per group",
+)
+def q12_priority_lines(spark, sf):
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q14_promo_revenue",
+    sql="""
+    WITH j AS (
+      SELECT p_type,
+        CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))
+          AS disc_price
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-02-01'
+    )
+    SELECT
+      100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_price
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(SUM(disc_price) AS DOUBLE) AS promo_pct,
+      CAST(SUM(disc_price) AS DOUBLE) AS total_revenue
+    FROM j
+    """,
+    ref="TPC-H Q14 shape: conditional-share-of-revenue over a "
+    "fact⋈dim month slice (promo effect)",
+    scale="the one-month shipdate range prunes the lineitem scan; part "
+    "broadcasts; both sums are exact decimals so the final double "
+    "division is bit-stable",
+)
+def q14_promo_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    part = _t(spark, sf, "part")
+    disc_price = F.round(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2
+    ).cast("decimal(18,2)")
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_pct"),
+            F.sum(disc_price).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@q(
+    "q19_disjunctive_join",
+    sql="""
+    SELECT CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)))
+           AS DOUBLE) AS revenue,
+      count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    ref="TPC-H Q19 shape: disjunctive multi-attribute predicate bundles "
+    "over an equi-join (the OR-of-ANDs pattern that defeats naive "
+    "pushdown)",
+    scale="the equi-key stays the join key — the OR bundle is a "
+    "post-join filter, never a cartesian; brand/size legs prune the "
+    "broadcast part side",
+)
+def q19_disjunctive_join(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    qty = F.col("l_quantity")
+    leg = lambda b, s0, s1, q0, q1: (
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s0, s1)
+        & (qty >= q0)
+        & (qty <= q1)
+    )
+    disc_price = F.round(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2
+    ).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            leg("Brand#1", 1, 15, 1, 20)
+            | leg("Brand#2", 10, 30, 10, 30)
+            | leg("Brand#3", 20, 50, 20, 40)
+        )
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -1,5 +1,6 @@
 from .aggregates import (  # noqa: F401
     streaming_daily_summary,
+    streaming_enrich_static,
     streaming_dedup,
 )
 from .inventory_stream import (  # noqa: F401

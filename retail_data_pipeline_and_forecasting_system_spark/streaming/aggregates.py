@@ -91,3 +91,22 @@ def streaming_sessionize(
             "n_events",
         )
     )
+
+
+def streaming_enrich_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment (the streaming twin of J1,
+    reference src/data_processor.py:282-286).
+
+    A static DataFrame joined to a stream is re-resolved per micro-batch,
+    so a dimension that lives in a table (products, customers) can change
+    between batches without restarting the query. Spark plans the static
+    side as a broadcast when small — no stream-side shuffle, no state:
+    this join holds NOTHING in the state store, unlike stream-stream
+    joins which must buffer both sides within the watermark.
+    """
+    return stream.join(F.broadcast(dim), on=key, how=how)

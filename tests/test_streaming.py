@@ -203,3 +203,53 @@ def test_streaming_sessionize_matches_batch_gap_sessions(spark, tmp_path):
     batch = QUERIES["e2_sessionize"].fn(spark, "/root/testdata/sf0.001")
     want = {(r["user_id"],): r["n_sessions"] for r in batch.collect()}
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        read_transaction_stream,
+        streaming_enrich_static,
+    )
+
+    in_dir = tmp_path / "enrich_in"
+    in_dir.mkdir()
+    for f in sorted(DATASET.glob("transactions_*.json")):
+        shutil.copy(f, in_dir / f.name)
+    products = read_products_csv(spark, str(DATASET / "products.csv")).select(
+        "product_id", "sales_price"
+    )
+
+    lines = read_transaction_stream(spark, str(in_dir / "*.json")).filter(
+        F.col("qty").isNotNull()
+    )
+    q = (
+        streaming_enrich_static(lines, products, key="product_id")
+        .writeStream.format("memory")
+        .queryName("enrich_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        """SELECT product_id, count(*) AS n,
+           CAST(SUM(CAST(sales_price AS DECIMAL(18,2)) * qty) AS DOUBLE) AS rev
+           FROM enrich_mem GROUP BY product_id"""
+    ).collect()
+
+    batch = (
+        explode_transactions(read_transactions_json(spark, str(in_dir / "*.json")))
+        .filter(F.col("qty").isNotNull())
+        .join(products, "product_id")
+        .groupBy("product_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("sales_price").cast("decimal(18,2)") * F.col("qty"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .collect()
+    )
+    as_map = lambda rows: {r["product_id"]: (r["n"], r["rev"]) for r in rows}
+    assert as_map(got) == as_map(batch)
+    assert len(got) == 36  # every product enriched
