@@ -86,17 +86,32 @@ def char_shingles(
 
 
 def minhash_signature(shingled: DataFrame, num_hashes: int, id_col: str = "doc_id") -> DataFrame:
-    """Per-doc minhash signature: mh_i = min(md5(i || ':' || shingle)).
+    """Per-doc minhash signature from sliced salted md5s.
 
-    The "permutations" are salted md5s; min over hex strings is a valid
-    min-wise hash and is portable (lexicographic min of identical strings).
-    Output: (id, mh_0..mh_{n-1}).
+    Hash i is the 8-hex-char (32-bit) slice ``i % 4`` of
+    ``md5(str(i // 4) || ':' || shingle)`` — one md5 yields four
+    independent min-wise hashes, so k hashes cost ceil(k/4) md5
+    evaluations per shingle instead of k (md5 dominates; slicing is
+    free). The md5s are materialized in a projection BEFORE the groupBy
+    so each is computed exactly once regardless of aggregate-side CSE.
+    Min over fixed-length hex strings is lexicographic == numeric, and
+    portable across engines. Output: (id, mh_0..mh_{n-1}).
     """
+    groups = (num_hashes + 3) // 4
+    pre = shingled.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle"))).alias(f"_h{g}")
+            for g in range(groups)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        F.min(F.substring(F.col(f"_h{i // 4}"), (i % 4) * 8 + 1, 8)).alias(
+            f"mh_{i}"
+        )
         for i in range(num_hashes)
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return pre.groupBy(id_col).agg(*aggs)
 
 
 def nibble_value(hex_col_name: str, pos: int) -> Column:

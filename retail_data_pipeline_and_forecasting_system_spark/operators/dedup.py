@@ -8,7 +8,7 @@ ops (JVM-side, shuffle-aware) so they scale to billions of documents:
                  shingle join only pairs docs that SHARE a shingle, so cost
                  is Σ (docs-per-shingle)², not n² — the standard inverted-
                  index trick.
-- MinHash+LSH  : shingle -> k salted-md5 minhashes -> band buckets ->
+- MinHash+LSH  : shingle -> k sliced salted-md5 minhashes -> band buckets ->
                  candidates share a bucket -> verify exact Jaccard. Sub-
                  quadratic: candidate generation is a groupBy on band bucket.
 - SimHash      : per-token md5 bits -> weighted bit-majority -> b-bit
@@ -136,7 +136,8 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
-    Pipeline: shingle -> minhash signature (num_hashes salted md5 mins) ->
+    Pipeline: shingle -> minhash signature (num_hashes 32-bit slices of
+    ceil(n/4) salted md5s) ->
     band buckets (md5 of the band's rows) -> candidates = pairs sharing any
     bucket -> exact-Jaccard verification >= threshold.
 

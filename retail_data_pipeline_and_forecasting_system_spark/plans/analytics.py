@@ -831,8 +831,12 @@ def d2_jaccard_pairs(spark, sf):
 
 def _sql_minhash(num_hashes: int, bands: int, thr: str) -> str:
     rows = num_hashes // bands
+    # hash i = 8-hex-char slice (i % 4) of md5((i // 4) || ':' || shingle)
+    # — mirrors functions.minhash_signature's sliced-md5 scheme exactly
     mh_cols = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
+        f"min(substring(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8))"
+        f" AS mh_{i}"
+        for i in range(num_hashes)
     )
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
