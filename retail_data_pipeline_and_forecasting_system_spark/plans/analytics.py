@@ -3033,3 +3033,122 @@ def q19_disjunctive_join(spark, sf):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@q(
+    "q15_top_supplier",
+    sql="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+        CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)))
+             AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    ref="TPC-H Q15 shape: top supplier by quarterly revenue — grouped agg "
+    "reused twice (once as a scalar max, once as the join input)",
+    scale="rev is computed once and reused; the scalar max broadcasts as "
+    "a 1-row side — no second pass over lineitem; exact-decimal sums "
+    "make the double equality bit-stable",
+)
+def q15_top_supplier(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    disc_price = F.round(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2
+    ).cast("decimal(18,2)")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price).cast("double").alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max"))
+    supp = _t(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top._max, "left_semi")
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "q16_supplier_count",
+    sql="""
+    SELECT p_brand, p_type, p_size,
+      CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    ref="TPC-H Q16 shape: distinct-supplier counts per part attribute "
+    "cell after an excluding dim filter (lineitem stands in for "
+    "partsupp as the part-supplier association)",
+    scale="the brand/size predicates prune the broadcast part side to a "
+    "sliver before the fact join; COUNT DISTINCT partial-aggregates on "
+    "(cell, suppkey) before the final exchange",
+)
+def q16_supplier_count(spark, sf):
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q22_idle_customers",
+    sql="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS v
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > v
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+    ref="TPC-H Q22 shape: above-average-balance customers with no RECENT "
+    "order — scalar subquery + NOT EXISTS anti join + grouped agg "
+    "composite (recency predicate keeps the slice ~9% at every SF)",
+    scale="the scalar average broadcasts as a 1-row side; the anti join "
+    "shuffles only custkeys projected from orders; exact-decimal sum "
+    "keeps the mean comparison bit-stable",
+)
+def q22_idle_customers(spark, sf):
+    cust = _t(spark, sf, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    recent = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
