@@ -77,3 +77,58 @@ def test_scd2_collapses_runs_and_closes_intervals(spark):
     assert u1[2]["valid_to"] is None and u1[2]["is_current"] == 1
     (u2,) = [r for r in out if r["user"] == 2]
     assert u2["is_current"] == 1 and u2["valid_to"] is None
+
+
+# ---- property: scd2_intervals == a driver-side reference fold ----------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _py_scd2(rows):
+    """Pure-python oracle: collapse (user, state, ts, eid) runs."""
+    out = []
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r[0], r[2], r[3])):
+        by_user.setdefault(r[0], []).append(r)
+    for user, evs in by_user.items():
+        runs = []
+        for u, state, ts, eid in evs:
+            if not runs or runs[-1][0] != state:
+                runs.append([state, ts])
+        for i, (state, vf) in enumerate(runs):
+            vt = runs[i + 1][1] if i + 1 < len(runs) else None
+            out.append((user, state, vf, vt, 1 if vt is None else 0))
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),  # user
+            st.sampled_from(["a", "b", "c"]),  # state
+            st.integers(0, 50),  # minutes
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_scd2_matches_python_oracle(spark, raw):
+    rows = [
+        (u, s, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), i)
+        for i, (u, s, m) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows, "user long, state string, ts timestamp, eid long"
+    )
+    got = sorted(
+        (
+            r["user"],
+            r["state"],
+            r["valid_from"],
+            r["valid_to"],
+            r["is_current"],
+        )
+        for r in scd2_intervals(df, "user", "state", "ts", "eid").collect()
+    )
+    assert got == _py_scd2(rows)
