@@ -3152,3 +3152,114 @@ def q22_idle_customers(spark, sf):
             F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@q(
+    "smp2_per_group_sample",
+    sql="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+    ref="deterministic fixed-k sample per group — reservoir-sampling "
+    "semantics without RNG state (pairs with smp1's fixed-rate strata)",
+    scale="one shuffle on the stratum key; the md5 order is a uniform "
+    "permutation, so rank<=k is an unbiased k-sample of every group at "
+    "any size, reproducible across runs/engines/cluster layouts",
+)
+def smp2_per_group_sample(spark, sf):
+    docs = _t(spark, sf, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@q(
+    "skw1_hot_keys",
+    sql="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events FROM counts
+    WHERE n_events >= 1.2 * (SELECT CAST(SUM(n_events) AS DOUBLE)
+                             / count(*) FROM counts)
+    """,
+    ref="heavy-hitter / hot-key detection: keys carrying >=1.2x the mean "
+    "load — the diagnostic pre-pass for operators/skew.py salting "
+    "decisions",
+    scale="the mean is a 1-row broadcast over the already-aggregated key "
+    "counts (O(keys), not O(rows)); threshold is relative to the mean so "
+    "it never goes vacuous as the corpus grows",
+)
+def skw1_hot_keys(spark, sf):
+    counts = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    mean = counts.agg(
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    return (
+        counts.join(F.broadcast(mean))
+        .filter(F.col("n_events") >= 1.2 * F.col("_mean"))
+        .select("user_id", "n_events")
+    )
+
+
+@q(
+    "x9_keywords",
+    sql="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), df_ AS (
+      SELECT token, count(*) AS doc_freq FROM toks GROUP BY token
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, token, count(*) AS term_freq FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      ) GROUP BY doc_id, token
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+        round(tf.term_freq * ln(CAST(n.n_docs AS DOUBLE) / df_.doc_freq), 6)
+          AS tfidf
+      FROM tf JOIN df_ USING (token) CROSS JOIN n
+      WHERE df_.doc_freq * 10 <= n.n_docs
+    )
+    SELECT doc_id, token, tfidf FROM (
+      SELECT doc_id, token, tfidf,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    ref="keyword extraction: top-3 TF-IDF terms per document (x5 composed "
+    "with a per-doc rank — the curation signal feeding x7)",
+    scale="rank rides a doc_id shuffle of the already-sparse tfidf table "
+    "(rare terms only); ties broken on token so top-k is deterministic",
+)
+def x9_keywords(spark, sf):
+    scored = QUERIES["x5_tfidf"].fn(spark, sf)
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.select(
+            "doc_id", "token", "tfidf", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
