@@ -191,3 +191,21 @@ def test_window_navigation_single_shuffle(spark):
     plan = _plan(spark, "w7_lead_nth")
     # lead + nth_value + last_value all ride ONE user_id exchange
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_timestamp_outputs_stable_under_hostile_session_tz(spark):
+    """Queries that EMIT timestamps (not just derive from them) must be
+    session-timezone independent: q18 passes through o_orderdate (NTZ
+    parquet), ops2/e5 derive from the UTC-pinned events loader."""
+    names = ["q18_big_orders", "ops2_scd2_intervals", "e5_retention_cohort"]
+    base = {}
+    for n in names:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        base[n] = sorted(map(tuple, QUERIES[n].fn(spark, SF).collect()))
+    try:
+        for n in names:
+            spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+            hostile = sorted(map(tuple, QUERIES[n].fn(spark, SF).collect()))
+            assert hostile == base[n], n
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
