@@ -3263,3 +3263,38 @@ def x9_keywords(spark, sf):
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "tfidf")
     )
+
+
+@q(
+    "e6_inter_event_gaps",
+    sql="""
+    WITH gaps AS (
+      SELECT user_id,
+        epoch_us(ts) - lag(epoch_us(ts))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+      CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+      CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+    ref="inter-event-time profile per user (lag diff -> grouped stats) — "
+    "the dwell/arrival-rate signal behind e2's session gap threshold",
+    scale="the window and the aggregate share ONE user_id shuffle; gaps "
+    "are exact integer microseconds, so sums are order-independent",
+)
+def e6_inter_event_gaps(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        ev.select("user_id", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").alias("total_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
