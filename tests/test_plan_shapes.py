@@ -209,3 +209,18 @@ def test_timestamp_outputs_stable_under_hostile_session_tz(spark):
             assert hostile == base[n], n
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_no_query_plans_cartesian_or_rowwise_python(spark):
+    """Global plan lint over the ENTIRE registry: no accidental cartesian
+    products (c1 is an intentional dim×dim cross join) and no
+    row-at-a-time Python UDFs (BatchEvalPython) anywhere — Python enters
+    plans only as Arrow stages (MapInPandas/FlatMapGroupsInPandas)."""
+    offenders = []
+    for name in QUERIES:
+        plan = _plan(spark, name)
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "row-wise python"))
+        if "CartesianProduct" in plan and name != "c1_cross_join":
+            offenders.append((name, "cartesian"))
+    assert not offenders, offenders
