@@ -3298,3 +3298,37 @@ def e6_inter_event_gaps(spark, sf):
             F.max("gap_us").alias("max_gap_us"),
         )
     )
+
+
+@q(
+    "e7_variant_extract",
+    sql="""
+    SELECT event_type,
+      CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+        AS min_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+        AS max_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+        AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    ref="semi-structured props via Spark 4 VariantType: parse_json ONCE "
+    "into the binary variant encoding, then cheap typed variant_get "
+    "extractions (e1 is the string-path twin: get_json_object re-parses "
+    "the string per expression)",
+    scale="variant parses each props value once regardless of how many "
+    "fields are extracted; at 100 TB pair with variant shredding so hot "
+    "fields become pruned parquet subcolumns",
+)
+def e7_variant_extract(spark, sf):
+    ev = _t(spark, sf, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("_k").cast("bigint").alias("min_k"),
+            F.max("_k").cast("bigint").alias("max_k"),
+            F.sum("_k").alias("sum_k"),
+        )
+    )

@@ -1,6 +1,7 @@
 from .readers import (  # noqa: F401
     read_customers_csv,
     read_json_robust,
+    read_parquet_evolving,
     read_products_csv,
     read_table_jdbc,
     read_transactions_json,

@@ -132,3 +132,21 @@ def read_json_robust(
         F.col(corrupt_col).alias("raw")
     )
     return good, corrupt
+
+
+def read_parquet_evolving(spark: SparkSession, path_or_glob: str) -> DataFrame:
+    """Parquet scan across files whose schemas EVOLVED (columns added over
+    time): ``mergeSchema`` unions the per-file schemas; files missing a
+    column yield nulls for it.
+
+    The reference's per-day Mongo collections (src/data_processor.py:
+    195-222) rely on per-collection schema inference — this is the
+    governed replacement: additive evolution reads seamlessly, and the
+    merged schema is explicit in the returned DataFrame.
+
+    Scale note: schema merging reads footers only (a driver-side listing
+    + parallel footer fetch), not data; steady-state readers should pin
+    the current schema instead and rely on parquet's by-name column
+    resolution, paying the merge pass only when discovering drift.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path_or_glob)

@@ -70,3 +70,22 @@ def test_partitioned_parquet_scan_prunes_partitions(spark, tmp_path):
     # pruned read touches exactly the one day's rows
     want = df.filter(F.col("d") == "1996-03-04").count()
     assert one_day.count() == want > 0
+
+
+def test_evolving_schema_parquet_merges_columns(spark, tmp_path):
+    from retail_data_pipeline_and_forecasting_system_spark.sources import (
+        read_parquet_evolving,
+    )
+
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    new = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    old.write.parquet(str(tmp_path / "evo" / "d=2024-01-01"))
+    new.write.parquet(str(tmp_path / "evo" / "d=2024-01-02"))
+
+    got = read_parquet_evolving(spark, str(tmp_path / "evo"))
+    assert set(got.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["score"] is None  # old file: added column nulls
+    assert rows[2]["score"] == 9.5
