@@ -284,3 +284,39 @@ def assign_cells(
         .filter(F.col("rn") == 1)
         .select(id_col, vec_col, "cent_id", "dist")
     )
+
+
+def kmeans_mllib(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib KMeans as the IVF coarse quantizer — the library twin of
+    :func:`kmeans_lloyd` (same (cent_id, cent_vec) contract, feed to
+    :func:`ivf_topk` via ``centroids=``).
+
+    MLlib's implementation adds k-means|| initialization and runs its
+    Lloyd iterations on the JVM over Vector columns — preferable at real
+    scale; the hand-rolled Lloyd stays the fully-deterministic,
+    oracle-matchable path.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = KMeans(k=k, maxIter=n_iter, seed=seed).fit(feat)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cent_id INT, cent_vec ARRAY<DOUBLE>",
+    )

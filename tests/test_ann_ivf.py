@@ -115,3 +115,28 @@ def test_ivf_with_learned_centroids(spark):
         emb.filter(F.col("vec_id") != 0), qvec, k=500).collect()}
     for r in got:
         assert abs(r["cos_sim"] - brute[r["vec_id"]]) < 1e-12
+
+
+def test_mllib_centroids_drive_ivf(spark):
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        kmeans_mllib,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_mllib(emb, k=8, n_iter=10)
+    assert cents.count() == 8
+    dim = len(emb.first()["embedding"])
+    assert all(len(r["cent_vec"]) == dim for r in cents.collect())
+
+    ivf = ivf_topk(emb, query_id=0, k=10, n_probe=2, centroids=cents).collect()
+    assert len(ivf) == 10
+    assert all(r["vec_id"] != 0 for r in ivf)
+    # learned cells should keep meaningful recall vs brute force
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    brute = {
+        r["vec_id"]
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") != 0), list(qvec), k=10
+        ).collect()
+    }
+    assert len(brute & {r["vec_id"] for r in ivf}) >= 1
