@@ -5,8 +5,10 @@ from .readers import (  # noqa: F401
     read_products_csv,
     read_table_jdbc,
     read_transactions_json,
+    with_lineage,
 )
 from .writers import (  # noqa: F401
+    compact_partition,
     read_orc,
     write_bucketed_table,
     write_orc,

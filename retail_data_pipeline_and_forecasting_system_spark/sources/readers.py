@@ -150,3 +150,23 @@ def read_parquet_evolving(spark: SparkSession, path_or_glob: str) -> DataFrame:
     resolution, paying the merge pass only when discovering drift.
     """
     return spark.read.option("mergeSchema", "true").parquet(path_or_glob)
+
+
+def with_lineage(df: DataFrame) -> DataFrame:
+    """Attach file-level provenance to every row of a file-source scan:
+    ``_source_file`` (full path) and ``_source_mtime``.
+
+    Uses the hidden ``_metadata`` struct Spark maintains for file
+    sources — zero I/O cost (values come from the file index, not data),
+    and the column survives into downstream joins/aggregations, which is
+    what makes per-source audits (row counts per delivered file,
+    quarantine-by-origin, reprocessing a bad delivery) expressible as
+    plain grouped queries.
+    """
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("_source_file"),
+        F.col("_metadata.file_modification_time").alias("_source_mtime"),
+    )

