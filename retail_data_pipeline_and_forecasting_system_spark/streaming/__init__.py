@@ -1,6 +1,7 @@
 from .aggregates import (  # noqa: F401
     streaming_daily_summary,
     streaming_enrich_static,
+    streaming_funnel_join,
     streaming_dedup,
 )
 from .inventory_stream import (  # noqa: F401

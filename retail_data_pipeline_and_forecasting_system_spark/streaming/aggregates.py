@@ -110,3 +110,40 @@ def streaming_enrich_static(
     joins which must buffer both sides within the watermark.
     """
     return stream.join(F.broadcast(dim), on=key, how=how)
+
+
+def streaming_funnel_join(
+    events: DataFrame,
+    first_type: str = "view",
+    then_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream self-join: `first_type` events matched to
+    `then_type` events of the same user within `within` — the streaming
+    twin of the batch funnel (registry `j7_funnel`).
+
+    Both sides carry a watermark and the join condition bounds buy_ts to
+    (view_ts, view_ts + within], so Spark can expire buffered rows once
+    the watermark passes view_ts + within: state is O(events inside the
+    watermark window), never the full log. Emits one row per conversion
+    pair in append mode.
+    """
+    views = (
+        events.filter(F.col("event_type") == first_type)
+        .select(
+            F.col("user_id").alias("u"), F.col("ts").alias("view_ts")
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    buys = (
+        events.filter(F.col("event_type") == then_type)
+        .select("user_id", F.col("ts").alias("buy_ts"))
+        .withWatermark("buy_ts", watermark)
+    )
+    return views.join(
+        buys,
+        (views.u == buys.user_id)
+        & (F.col("buy_ts") > F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("user_id", "view_ts", "buy_ts")

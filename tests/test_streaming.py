@@ -316,3 +316,43 @@ def test_restart_from_checkpoint_resumes_state_and_skips_processed(
     assert 0 < n_first < 27652
     diffs = {k for k in batch if streamed.get(k) != batch[k]}
     assert not diffs, f"{len(diffs)} mismatching lines, e.g. {sorted(diffs)[:5]}"
+
+
+def test_stream_stream_funnel_matches_batch(spark, tmp_path):
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+        _t,
+    )
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        streaming_funnel_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # stage the (micro-)event log as a file stream source
+    ev_dir = str(tmp_path / "ev_stream")
+    _t(spark, sf, "events").write.parquet(ev_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(ev_dir).schema
+    ).parquet(ev_dir)
+
+    q = (
+        streaming_funnel_join(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["n_conversions"])
+        for r in spark.sql(
+            "SELECT user_id, count(*) AS n_conversions FROM funnel_mem "
+            "GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["n_conversions"])
+        for r in QUERIES["j7_funnel"].fn(spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
