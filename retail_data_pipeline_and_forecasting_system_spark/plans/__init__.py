@@ -7,3 +7,4 @@ from .retail import (  # noqa: F401
     processing_metrics,
     run_retail_pipeline,
 )
+from .incremental import refresh_daily_summary, summarize_slice  # noqa: F401
