@@ -48,6 +48,11 @@ def merge_upsert(
     ``update_cols`` take ``insert_defaults`` (else null).
     ``action_col`` optionally names an output column tagging each row
     ``update`` / ``keep`` / ``insert``.
+
+    Contract: ``source`` must be unique on ``key`` (SQL MERGE raises on
+    multiple matches; here a duplicate source key would fan out the
+    matched target row). Aggregate the change feed first —
+    ``plans/incremental.py`` shows the pattern.
     """
     insert_defaults = dict(insert_defaults or {})
     src = F.broadcast(source) if broadcast_source else source
