@@ -723,6 +723,7 @@ def e1_json_extract(spark, sf):
     """,
     ref="streaming-surface batch twin: gap sessionization (SURVEY §2.9); "
     "the Structured Streaming rendition lives in streaming/",
+    bench=True,
 )
 def e2_sessionize(spark, sf):
     ev = _t(spark, sf, "events")
@@ -1744,6 +1745,7 @@ def x6_train_split(spark, sf):
     "beyond n2's sign-LSH; cell id = partition key at 100 TB)",
     scale="centroid table broadcast both for assignment and probe; query "
     "touches one cell, not the corpus",
+    bench=True,
 )
 def n3_ann_ivf(spark, sf):
     return SIM.ivf_topk(
@@ -2091,6 +2093,7 @@ def _sql_curation(thr: str = "0.5") -> str:
     scale="each signal is one shuffle on doc_id/shingle; the verdict join "
     "is doc_id-aligned so AQE coalesces it; at 100 TB run signals once, "
     "persist, and re-run only the (cheap) verdict when thresholds change",
+    bench=True,
 )
 def x7_corpus_curation(spark, sf):
     docs = _t(spark, sf, "documents")
