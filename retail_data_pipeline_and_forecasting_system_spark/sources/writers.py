@@ -124,6 +124,12 @@ def compact_partition(
     reader never sees a half-compacted directory. Returns the resulting
     file count. ``max_records_per_file`` bounds file size instead when
     row width varies (maps to Spark's ``maxRecordsPerFile``).
+
+    Point ``path`` at a LEAF directory: for a ``partitionBy`` layout,
+    compact each partition dir independently (reading the root would
+    inline the partition columns and flatten the layout). The rename
+    swap assumes a posix-rename filesystem (local/HDFS); object stores
+    need a manifest-commit instead.
     """
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact_tmp"
