@@ -320,3 +320,33 @@ def kmeans_mllib(
         ],
         "cent_id INT, cent_vec ARRAY<DOUBLE>",
     )
+
+
+def reduce_dims_pca(
+    embeddings: DataFrame,
+    out_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """MLlib PCA projection of an embedding column to ``out_dims``.
+
+    Returns (model, projected) where projected has the same
+    (id, vec) contract with ``vec_col`` replaced by the reduced
+    ``array<double>`` — drop-in input for :func:`cosine_topk` /
+    :func:`ivf_topk` when the original dimensionality makes brute-force
+    scoring or centroid learning too expensive. Training is distributed
+    (covariance accumulates tree-aggregated on executors); the fitted
+    k×d rotation broadcasts for projection.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = embeddings.select(
+        id_col,
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_fv"),
+    )
+    model = PCA(k=out_dims, inputCol="_fv", outputCol="_pv").fit(feat)
+    projected = model.transform(feat).select(
+        id_col, vector_to_array("_pv").alias(vec_col)
+    )
+    return model, projected

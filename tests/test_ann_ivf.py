@@ -140,3 +140,22 @@ def test_mllib_centroids_drive_ivf(spark):
         ).collect()
     }
     assert len(brute & {r["vec_id"] for r in ivf}) >= 1
+
+
+def test_pca_projection_feeds_ann(spark):
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        reduce_dims_pca,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    model, low = reduce_dims_pca(emb, out_dims=8)
+    assert len(low.first()["embedding"]) == 8 < dim
+    assert low.count() == emb.count()
+    # leading components carry most variance, and the projection remains
+    # a valid ANN input
+    ev = model.explainedVariance.toArray()
+    assert ev[0] >= ev[-1] >= 0
+    qvec = low.filter(F.col("vec_id") == 0).head()["embedding"]
+    top = cosine_topk(low.filter(F.col("vec_id") != 0), list(qvec), k=5)
+    assert top.count() == 5
