@@ -16,3 +16,4 @@ from .writers import (  # noqa: F401
     write_single_csv,
     write_table_jdbc,
 )
+from .synthetic_source import SyntheticEventsDataSource  # noqa: F401
