@@ -3335,3 +3335,38 @@ def e7_variant_extract(spark, sf):
             F.sum("_k").alias("sum_k"),
         )
     )
+
+
+@q(
+    "x10_chunk_documents",
+    sql="""
+    SELECT doc_id, CAST(pos AS BIGINT) AS chunk_start,
+      substring(text, pos, 200) AS chunk
+    FROM documents,
+      unnest(range(1, greatest(length(text), 1) + 1, 150)) AS t(pos)
+    """,
+    ref="LLM-ingest chunking: overlapping fixed-width windows (200 chars, "
+    "stride 150) per document — the context-window splitter every "
+    "training-data pipeline runs before tokenization",
+    scale="pure row-local expansion (sequence + substring explode, all "
+    "JVM-side) — no shuffle, no Python; output size is a predictable "
+    "len/stride multiple of the input, so maxPartitionBytes sizing "
+    "still holds downstream",
+)
+def x10_chunk_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("text"), F.lit(1)),
+                F.lit(150),
+            )
+        ).alias("_pos"),
+    ).select(
+        "doc_id",
+        F.col("_pos").cast("bigint").alias("chunk_start"),
+        F.expr("substring(text, _pos, 200)").alias("chunk"),
+    )
