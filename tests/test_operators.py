@@ -122,3 +122,30 @@ def test_forecaster_short_series_no_seasonality():
     m = UnivariateForecaster()
     m.fit(y)
     assert m.predict(1)[0] == pytest.approx(18.0, abs=1e-9)
+
+
+def test_chunker_edge_cases_match_python(spark):
+    """x10's chunk expansion vs a literal python oracle, incl. texts
+    shorter than one window and exactly at stride boundaries."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+    import tempfile, os
+
+    texts = ["", "a", "x" * 150, "y" * 151, "z" * 200, "w" * 350, "v" * 500]
+    rows = [(i, t, "en", "t", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = sorted(
+            (r["doc_id"], r["chunk_start"], r["chunk"])
+            for r in QUERIES["x10_chunk_documents"].fn(spark, d).collect()
+        )
+    want = sorted(
+        (i, pos, t[pos - 1 : pos - 1 + 200])
+        for i, t in enumerate(texts)
+        for pos in range(1, max(len(t), 1) + 1, 150)
+    )
+    assert got == want

@@ -132,3 +132,36 @@ def test_scd2_matches_python_oracle(spark, raw):
         for r in scd2_intervals(df, "user", "state", "ts", "eid").collect()
     )
     assert got == _py_scd2(rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(  # target: unique ids with balances
+        st.integers(0, 8), min_size=1, max_size=6, unique=True
+    ),
+    st.lists(  # source: unique ids with deltas
+        st.integers(0, 12), min_size=0, max_size=6, unique=True
+    ),
+)
+def test_merge_upsert_matches_python_oracle(spark, t_ids, s_ids):
+    target = spark.createDataFrame(
+        [(i, float(i * 10)) for i in t_ids], "id long, bal double"
+    )
+    source = spark.createDataFrame(
+        [(i, float(i * 100)) for i in s_ids], "id long, nb double"
+    ) if s_ids else spark.createDataFrame([], "id long, nb double")
+    got = sorted(
+        (r["id"], r["bal"], r["a"])
+        for r in merge_upsert(
+            target, source, "id", {"bal": "nb"}, action_col="a"
+        ).collect()
+    )
+    want = sorted(
+        [
+            (i, float(i * 100) if i in s_ids else float(i * 10),
+             "update" if i in s_ids else "keep")
+            for i in t_ids
+        ]
+        + [(i, float(i * 100), "insert") for i in s_ids if i not in t_ids]
+    )
+    assert got == want
