@@ -44,6 +44,12 @@ def word_shingles(
     projection first: referencing ``split(text)`` inside the transform
     lambda would re-split the text once per shingle position (O(words²)
     per doc — measured 2.4x slower). Output: (id, shingle) distinct.
+
+    Docs with fewer than k words produce ZERO shingles: the range is
+    guarded with a CASE, because Spark's ``sequence(1, 0)`` is the
+    DESCENDING array [1, 0] (not empty) and ``slice(arr, 0, k)`` then
+    raises INVALID_PARAMETER_VALUE.START. The guard also matches the
+    DuckDB oracle, whose ``range(1, n+1)`` is empty for n <= 0.
     """
     out = (
         df.select(F.col(id_col), tokens(text_col).alias("__words"))
@@ -51,8 +57,10 @@ def word_shingles(
             F.col(id_col),
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(__words) - {k - 1}, 0)),"
+                    f"case when size(__words) >= {k} then"
+                    f" transform(sequence(1, size(__words) - {k - 1}),"
                     f" i -> concat_ws(' ', slice(__words, i, {k})))"
+                    f" else array() end"
                 )
             ).alias("shingle"),
         )
@@ -72,13 +80,21 @@ def char_shingles(
     The character-level twin of :func:`word_shingles` for text without
     whitespace segmentation (CJK, code, URLs). Row-local substring
     positions — no shuffle before the optional distinct.
+
+    Texts shorter than k chars produce ZERO shingles (CASE guard):
+    unguarded, Spark's ``sequence(1, 0)`` is the descending [1, 0] and
+    ``substring(text, 0, k)`` silently emits a bogus truncated shingle,
+    diverging from the DuckDB oracle's empty range and inflating Jaccard
+    for short texts.
     """
     out = df.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(length({text_col}) - {k - 1},"
-                f" 0)), i -> substring({text_col}, i, {k}))"
+                f"case when length({text_col}) >= {k} then"
+                f" transform(sequence(1, length({text_col}) - {k - 1}),"
+                f" i -> substring({text_col}, i, {k}))"
+                f" else array() end"
             )
         ).alias("shingle"),
     )

@@ -57,6 +57,46 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (1, 3) not in pairs
 
 
+def test_shingles_short_docs_yield_zero_shingles(spark):
+    # Regression: unguarded sequence(1, 0) is the DESCENDING [1, 0] in
+    # Spark; word path crashed (slice start 0), char path silently emitted
+    # a bogus truncated shingle. Short docs must produce zero shingles,
+    # matching the DuckDB oracle's empty range.
+    from retail_data_pipeline_and_forecasting_system_spark.functions import (
+        char_shingles,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "a b"), (4, "a b c"), (5, "ab")],
+        "doc_id long, text string",
+    )
+    words = word_shingles(df, k=3).collect()
+    assert {r["doc_id"] for r in words} == {4}
+    assert [r["shingle"] for r in words] == ["a b c"]
+    chars = sorted(
+        (r["doc_id"], r["shingle"]) for r in char_shingles(df, k=5).collect()
+    )
+    assert chars == [(4, "a b c")]
+
+
+def test_dedup_pairs_tolerate_short_docs(spark):
+    # End-to-end: a corpus containing sub-k docs must not crash the pair
+    # generators, and short docs simply never pair.
+    df = spark.createDataFrame(
+        [
+            (1, "x"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "the quick brown fox jumps over the lazy cat today"),
+        ],
+        "doc_id long, text string",
+    )
+    jp = {(r["doc_a"], r["doc_b"]) for r in D.jaccard_pairs(df, k=3, threshold=0.2).collect()}
+    assert jp == {(2, 3)}
+    mh = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(df, threshold=0.2).collect()}
+    assert mh == {(2, 3)}
+
+
 def test_simhash_distance_orders_similarity(docs):
     sims = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, bits=16).collect()}
     assert sims[1] == sims[4]
