@@ -68,6 +68,35 @@ def word_shingles(
     return out.distinct() if distinct else out
 
 
+def word_shingle_sets(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc DISTINCT k-word shingle set as one array column.
+
+    The row-local twin of :func:`word_shingles`: no explode, no shuffle —
+    the whole set is built inside the row with array expressions. Used for
+    candidate verification (join tiny candidate pairs to per-doc sets,
+    then ``array_intersect`` per pair) where exploding the corpus again
+    would cost a full shuffle. Sub-k docs get an empty set, matching the
+    exploded variant. Output: (id, shingle_set array<string>).
+    """
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__words"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"array_distinct(case when size(__words) >= {k} then"
+                f" transform(sequence(1, size(__words) - {k - 1}),"
+                f" i -> concat_ws(' ', slice(__words, i, {k})))"
+                f" else array() end)"
+            ).alias("shingle_set"),
+        )
+    )
+
+
 def char_shingles(
     df: DataFrame,
     k: int = 5,

@@ -33,6 +33,7 @@ from ..functions import (
     explode_tokens,
     minhash_signature,
     nibble_value,
+    word_shingle_sets,
     word_shingles,
 )
 
@@ -133,6 +134,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_buckets: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -147,9 +149,13 @@ def minhash_lsh_pairs(
     is infeasible.
     """
     rows_per_band = num_hashes // bands
-    sh = word_shingles(df, k=k, id_col=id_col, text_col=text_col)
     # signature from NON-distinct shingles: min-wise hashing is duplicate-
-    # invariant, so skipping the dedup shuffle changes nothing but time
+    # invariant, so skipping the dedup shuffle changes nothing but time.
+    # This is the ONLY shingle explode in the whole pipeline — candidate
+    # verification below re-derives shingles row-locally as arrays for
+    # candidate docs only, instead of re-exploding the corpus three more
+    # times (the round-1 design re-shingled for sh_a, sh_b and sizes; at
+    # sf0.1 that made d3 the slowest bench query).
     raw_sh = word_shingles(
         df, k=k, id_col=id_col, text_col=text_col, distinct=False
     )
@@ -168,6 +174,17 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         id_col, F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if cache_buckets:
+        # The candidate step self-joins the bucket frame; without a persist
+        # Spark evaluates the whole shingle -> md5 -> signature pipeline
+        # once PER SIDE (md5 over every shingle dominates d3's cost).
+        # The cached frame is tiny — (id, band, bucket-hash) × bands rows
+        # per doc, independent of document length — so MEMORY_AND_DISK is
+        # bounded; callers composing many pipelines in one session can
+        # reclaim it with spark.catalog.clearCache().
+        from pyspark import StorageLevel
+
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
 
     ca = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     cb = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
@@ -178,26 +195,31 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Candidate-driven exact-Jaccard verification: intersections are counted
-    # only for colliding pairs (join candidates -> a's shingles -> match b's),
-    # never for the full co-shingle pair space.
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        candidates.join(sh_a, on="doc_a")
-        .join(sh_b, on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Candidate-driven exact-Jaccard verification, row-local: join the
+    # (tiny) candidate pairs to each doc's DISTINCT shingle set — built
+    # inside the row with array expressions, no explode, no shuffle on
+    # shingles — then intersect the two arrays per pair. Verification cost
+    # is proportional to |candidates|, and the documents scan is one
+    # row-local map per side (Catalyst broadcasts the candidate side).
+    sets = word_shingle_sets(df, k=k, id_col=id_col, text_col=text_col)
+    set_a = sets.select(
+        F.col(id_col).alias("doc_a"), F.col("shingle_set").alias("__set_a")
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    set_b = sets.select(
+        F.col(id_col).alias("doc_b"), F.col("shingle_set").alias("__set_b")
+    )
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        candidates.join(set_a, "doc_a")
+        .join(set_b, "doc_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("__set_a", "__set_b"))
+        )
         .withColumn(
             "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            F.col("n_common")
+            / (
+                F.size("__set_a") + F.size("__set_b") - F.col("n_common")
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -244,18 +266,64 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Self-join is blocked on the high byte of the simhash (docs differing in
-    the top bits can't be near-dups only when the distance budget is spent
-    there — for small corpora we keep the exact full join; at scale swap the
-    block key for the standard multi-segment pigeonhole blocks: any pair
-    within distance d shares at least one of d+1 segments).
+    Pigeonhole segment blocking (lossless): the b-bit fingerprint is split
+    into ``max_hamming + 1`` segments; any pair within Hamming distance d
+    differs in at most d segments, so it MUST agree exactly on at least one
+    of the d+1 — an equi-join on (segment-idx, segment-value) therefore
+    generates every qualifying pair without ever comparing non-colliding
+    fingerprints. Candidates are then verified with an exact ``bit_count``
+    of the XOR. This replaces the round-1 exhaustive ``doc_a < doc_b``
+    theta self-join (a broadcast nested-loop over all n² pairs): the plan
+    is now one explode (d+1 rows/doc) + one hash equi-join partitioned on
+    segment value — the 100 TB shape. The DuckDB oracle deliberately stays
+    the exhaustive pair join, so the driver's hash-match PROVES the
+    blocking loses no pair.
     """
     s = simhash(df, bits=bits, id_col=id_col, text_col=text_col)
-    a = s.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"))
-    b = s.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"))
+    n_seg = max_hamming + 1
+    widths = [
+        bits // n_seg + (1 if i < bits % n_seg else 0) for i in range(n_seg)
+    ]
+    seg_structs = []
+    shift = bits
+    for i, w in enumerate(widths):
+        shift -= w
+        seg_structs.append(
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftrightunsigned(F.col("simhash"), shift)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("segval"),
+            )
+        )
+    segs = s.select(
+        id_col, "simhash", F.explode(F.array(*seg_structs)).alias("ss")
+    ).select(
+        id_col,
+        "simhash",
+        F.col("ss.seg").alias("seg"),
+        F.col("ss.segval").alias("segval"),
+    )
+    a = segs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "seg",
+        "segval",
+    )
+    b = segs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "seg",
+        "segval",
+    )
+    candidates = (
+        a.join(b, on=["seg", "segval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
+        candidates.withColumn(
             "hamming",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
         )

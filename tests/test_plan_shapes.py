@@ -211,6 +211,31 @@ def test_timestamp_outputs_stable_under_hostile_session_tz(spark):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def test_simhash_pairs_blocked_not_nested_loop(spark):
+    # Pigeonhole segment blocking: candidates come from a hash equi-join on
+    # (segment, value) — never a nested-loop/cartesian over all doc pairs.
+    plan = _plan(spark, "d5_simhash_pairs")
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_minhash_verification_has_no_shingle_rejoin(spark):
+    # d3 verification is row-local array_intersect over per-doc shingle
+    # sets: the corpus is exploded exactly once into the persisted bucket
+    # frame (one Generate for shingles + one for band structs, shared by
+    # both self-join sides via the InMemoryRelation) — no third/fourth
+    # re-explode in the verification stage. clearCache first: a
+    # MATERIALIZED InMemoryRelation prints its AQE final AND initial
+    # plans, double-counting the very nodes under test.
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan(spark, "d3_minhash_lsh")
+    n_gen = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
+    assert n_gen <= 2, f"expected <=2 explodes (shingles + bands), got {n_gen}"
+
+
 def test_no_query_plans_cartesian_or_rowwise_python(spark):
     """Global plan lint over the ENTIRE registry: no accidental cartesian
     products (c1 is an intentional dim×dim cross join) and no
