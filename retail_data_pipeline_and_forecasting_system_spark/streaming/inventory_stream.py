@@ -83,7 +83,14 @@ def streaming_depletion(
     ``applyInPandasWithState`` keyed by product: group state holds the
     remaining stock across micro-batches (the reference's cross-day
     carryover). Within a micro-batch rows are processed in
-    (timestamp, transaction_id, line_pos) order.
+    (timestamp, transaction_id, line_pos) order — across ALL Arrow
+    chunks: Spark delivers one group as an iterator of chunks (default
+    ~10k rows each), so the chunks are concatenated and sorted ONCE
+    before the fold. Sorting each chunk independently would silently
+    break the documented batch/stream parity the moment a product
+    exceeds one chunk in a micro-batch. Memory is bounded by a group's
+    rows per micro-batch (same as the batch kernel's per-group frame);
+    the carried state itself stays O(1) per product.
     """
 
     def fold(
@@ -96,7 +103,9 @@ def streaming_depletion(
             (remaining,) = state.get
         else:
             remaining = int(initial_stock.get(product_id, 0))
-        for pdf in batches:
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(
                 ["timestamp", "transaction_id", "line_pos"], kind="mergesort"
             ).reset_index(drop=True)

@@ -76,6 +76,60 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert not diffs, f"{len(diffs)} mismatching lines, e.g. {sorted(diffs)[:5]}"
 
 
+def test_streaming_matches_batch_when_groups_span_arrow_chunks(
+    spark, tmp_path
+):
+    """Regression: Spark hands applyInPandasWithState one group as MULTIPLE
+    Arrow chunks (default ~10k rows). The fold must concat + sort the whole
+    group before folding — sorting each chunk independently silently breaks
+    batch/stream parity. Force multi-chunk delivery with a tiny Arrow batch
+    size (each product has ~80 lines/day -> ~6 chunks at 16 rows)."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    day = sorted(DATASET.glob("transactions_*.json"))[0]
+    shutil.copy(day, in_dir / day.name)
+
+    products = read_products_csv(spark, str(DATASET / "products.csv"))
+    stock = {
+        r["product_id"]: r["stock"]
+        for r in products.select("product_id", "stock").collect()
+    }
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        run_available_now(spark, str(in_dir / "*.json"), stock, ckpt, out_dir)
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+    streamed = (
+        spark.read.parquet(out_dir)
+        .select("transaction_id", "product_id", "line_pos", "quantity")
+        .toPandas()
+        .set_index(["transaction_id", "product_id", "line_pos"])["quantity"]
+        .to_dict()
+    )
+    raw = read_transactions_json(spark, str(in_dir / "*.json"))
+    batch = (
+        process_lines(
+            explode_transactions(raw), products, process_order="timestamp"
+        )
+        .select("transaction_id", "product_id", "line_pos", "quantity")
+        .toPandas()
+        .set_index(["transaction_id", "product_id", "line_pos"])["quantity"]
+        .to_dict()
+    )
+    assert len(streamed) == len(batch) > 0
+    diffs = {k for k in batch if streamed.get(k) != batch[k]}
+    assert not diffs, f"{len(diffs)} mismatching lines, e.g. {sorted(diffs)[:5]}"
+
+
 def test_streaming_daily_summary_matches_batch(spark, tmp_path):
     from retail_data_pipeline_and_forecasting_system_spark.streaming import (
         read_transaction_stream,
