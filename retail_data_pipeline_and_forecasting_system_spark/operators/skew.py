@@ -70,8 +70,18 @@ def replicated_skew_join(
     Rows of ``left`` with ``on`` in ``hot_keys`` get a random salt in
     [0, n_salts); the matching ``right`` rows are replicated once per salt.
     Non-hot keys join normally (salt 0 on both sides). Result is identical
-    to ``left.join(right, on, how)``.
+    to ``left.join(right, on, how)`` for ``how`` in {'inner', 'left',
+    'left_semi'} ONLY — under right/full outer an unmatched hot-key right
+    row exists once per salt and would be emitted ``n_salts`` times, so
+    those modes are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi"}
+    if how not in allowed:
+        raise ValueError(
+            f"replicated_skew_join supports how in {sorted(allowed)}; "
+            f"got {how!r} (right/full outer would duplicate unmatched "
+            f"hot-key right rows once per salt)"
+        )
     hot = F.col(on).isin(hot_keys)
     l_salted = left.withColumn(
         "__salt",

@@ -229,6 +229,11 @@ def run_retail_pipeline(
     ``process_order`` selects the depletion order (see ORDER_COLS): "arrival"
     for golden parity with the reference, "timestamp" for content-based
     determinism. ``reload_inventory_daily`` mirrors the reference flag.
+
+    The depletion output is persisted (it feeds three downstream
+    aggregates); call :func:`release_retail_pipeline` with the returned
+    dict when done so library callers composing many pipelines in one
+    session don't accrete cache.
     """
     lines = explode_transactions(raw_transactions)
     processed = process_lines(
@@ -256,4 +261,19 @@ def run_retail_pipeline(
         "order_line_items": line_items,
         "daily_summary": daily,
         "products_updated": products_updated,
+        # private: the persisted depletion frame, so the cache can be
+        # released after the outputs are consumed (release_retail_pipeline)
+        "_processed": processed,
     }
+
+
+def release_retail_pipeline(outputs: dict[str, DataFrame]) -> None:
+    """Unpersist the pipeline's cached depletion frame.
+
+    Call after the four output frames have been written/consumed; reusing
+    them afterwards still works (Spark recomputes), it just re-runs the
+    depletion kernel.
+    """
+    cached = outputs.get("_processed")
+    if cached is not None:
+        cached.unpersist()

@@ -120,10 +120,15 @@ def compact_partition(
     per-day appends accrete tiny files whose open/footer overhead
     eventually dominates scans).
 
-    Writes to a sibling temp dir then atomically swaps, so a concurrent
-    reader never sees a half-compacted directory. Returns the resulting
-    file count. ``max_records_per_file`` bounds file size instead when
-    row width varies (maps to Spark's ``maxRecordsPerFile``).
+    Writes to a sibling temp dir then swaps via two renames. The swap is
+    NEAR-atomic, not atomic: a concurrent reader can hit a brief window
+    between the two renames where ``path`` is absent, and a crash inside
+    the window leaves the data stranded in ``._compact_old`` (recovered —
+    see below — on the next invocation). True atomicity needs a
+    versioned-directory + manifest/symlink flip, or a table format
+    (Delta/Iceberg) whose commit IS a manifest swap. Returns the
+    resulting file count. ``max_records_per_file`` bounds file size
+    instead when row width varies (maps to Spark's ``maxRecordsPerFile``).
 
     Point ``path`` at a LEAF directory: for a ``partitionBy`` layout,
     compact each partition dir independently (reading the root would
@@ -131,13 +136,23 @@ def compact_partition(
     swap assumes a posix-rename filesystem (local/HDFS); object stores
     need a manifest-commit instead.
     """
-    df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # recover from a previous crashed run: a stale tmp is garbage (never
+    # swapped in); a stale old with NO live path is the crash window
+    # between the two renames — roll it back before proceeding
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    df = spark.read.parquet(path)
     writer = df.repartition(target_files).write.mode("overwrite")
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
