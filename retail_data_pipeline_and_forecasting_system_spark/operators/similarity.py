@@ -166,22 +166,31 @@ def centroid_dist_structs(
     Struct comparison is lexicographic (dist, then cent_id), reproducing
     the ties → lowest-centroid rule exactly.
 
-    Shape matters: the centroids enter as ONE literal k×dim matrix and a
-    ``transform`` lambda computes the k distances — a constant-size
-    expression tree. Building k independent fold expressions instead
-    (k × (zip_with + aggregate) nodes) costs seconds of analyzer/
-    optimizer time per query at k=16 and grows with k; fully unrolled
-    arithmetic (k·dim nodes) is ~6x worse again.
+    Shape matters twice. (1) The centroids enter as ONE literal k×dim
+    matrix and a ``transform`` lambda computes the k distances — a
+    constant-size expression tree (k independent fold expressions, or
+    worse, k·dim unrolled arithmetic, cost seconds of analyzer time and
+    grow with k). (2) The whole expression is emitted as a SINGLE SQL
+    string parsed JVM-side: composing it with Column operations costs
+    ~1 s of py4j round-trips at k=16/dim=64 (every lambda/struct/lit is
+    a driver⇄JVM call), which dominated the query. ``repr(float)`` +
+    ``D`` suffix round-trips every double bit-exactly, so results are
+    identical to the Column-built form (verified) and the DuckDB oracle
+    is unchanged.
     """
-    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    mat = F.array(*[F.lit([float(x) for x in vec]) for _, vec in cent_list])
-    ids = F.lit([int(cid) for cid, _ in cent_list])
-    return F.transform(
-        mat,
-        lambda c, i: F.struct(
-            l2sq(col, c).alias("dist"),
-            F.element_at(ids, i + F.lit(1)).alias("cent_id"),
-        ),
+    name = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
+    d = lambda x: repr(float(x)) + "D"
+    mat = "array(" + ",".join(
+        "array(" + ",".join(d(x) for x in vec) + ")" for _, vec in cent_list
+    ) + ")"
+    ids = "array(" + ",".join(str(int(c)) for c, _ in cent_list) + ")"
+    return F.expr(
+        f"transform({mat}, (c, i) -> struct("
+        f"aggregate(zip_with(`{name}`, c, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS dist, "
+        f"element_at({ids}, i + 1) AS cent_id))"
     )
 
 
