@@ -406,3 +406,116 @@ def reduce_dims_pca(
         id_col, vector_to_array("_pv").alias(vec_col)
     )
     return model, projected
+
+
+def lcg_hyperplanes(n_bits: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes as small signed integers.
+
+    A fixed LCG (glibc constants) drives the coefficients, so the SAME
+    literal matrix is embedded in both the Spark expression and the SQL
+    oracle — no RNG state, rerun-identical everywhere. Integer
+    coefficients (cast to double inside the dot product) sidestep any
+    decimal-literal parsing differences between engines.
+    """
+    out, state = [], 1
+    for _ in range(n_bits):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(((state >> 16) % 2039) - 1019)
+        out.append(row)
+    return out
+
+
+def hyperplane_signature(
+    vec_col: str, planes: list[list[int]]
+) -> Column:
+    """Random-hyperplane (SimHash-for-vectors) signature as one BIGINT.
+
+    Bit i is ``dot(vec, h_i) >= 0`` — the classic rotation-sensitive LSH
+    for cosine similarity: P(bit match) = 1 - angle/pi, so near-parallel
+    vectors agree on almost every bit. The whole signature is ONE
+    JVM-parsed SQL expression (see centroid_dist_structs for why the
+    string form matters); each dot product is the sequential double fold
+    the DuckDB oracle mirrors bit-for-bit.
+    """
+    terms = []
+    for i, row in enumerate(planes):
+        arr = "array(" + ",".join(str(int(c)) for c in row) + ")"
+        dot_sql = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        terms.append(
+            f"(CASE WHEN {dot_sql} >= 0.0D THEN {1 << i}L ELSE 0L END)"
+        )
+    return F.expr(" + ".join(terms))
+
+
+def hyperplane_lsh_pairs(
+    embeddings: DataFrame,
+    n_bits: int = 32,
+    n_bands: int = 4,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by random-hyperplane LSH banding + exact-cosine verify.
+
+    The rotation-invariant twin of the label blocking in
+    :func:`cosine_pairs_blocked`: candidates are pairs agreeing exactly on
+    at least one band of ``n_bits / n_bands`` signature bits, then every
+    candidate is verified with the exact cosine fold. Output:
+    (vec_a, vec_b, cos_sim).
+
+    Scale: the band value is a partition key — one explode (n_bands
+    rows/vector) + one hash equi-join, never an all-pairs comparison.
+    Candidate volume tunes EXPONENTIALLY with band width: for
+    near-orthogonal noise P(band match) ~ 0.5^width per band, while true
+    near-dups (angle -> 0) survive at ~1, so widening bands prunes noise
+    without losing recall. At 100 TB you'd raise n_bits/width, not the
+    verify budget.
+    """
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    planes = lcg_hyperplanes(n_bits, dim)
+    sig = embeddings.select(
+        id_col,
+        vec_col,
+        hyperplane_signature(vec_col, planes).alias("sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bval"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        id_col, F.explode(band_structs).alias("bs")
+    ).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval")
+    )
+    a = bands.select(F.col(id_col).alias("vec_a"), "band", "bval")
+    b = bands.select(F.col(id_col).alias("vec_b"), "band", "bval")
+    cand = (
+        a.join(b, on=["band", "bval"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = sig.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__ea"))
+    eb = sig.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_sim", cosine("__ea", "__eb"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

@@ -129,3 +129,43 @@ def fingerprints(
         F.min(F.md5("shingle")).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style word-repetition quality signals per document.
+
+    Two signals over the whitespace token stream (the corpus has no line
+    structure, so word level is the meaningful granularity here; the same
+    two-stage shape computes line/paragraph fractions when a separator
+    exists):
+
+    - ``dup_word_frac``: fraction of tokens that are repeats of an
+      earlier token, ``(n_words - n_distinct) / n_words`` — high values
+      flag boilerplate/keyword-stuffing documents.
+    - ``top_word_share``: the most frequent token's share of all tokens —
+      high values flag degenerate repetition ("buy buy buy ...").
+
+    Output: (id, n_words, dup_word_frac, top_word_share).
+
+    Scale: one explode feeding a two-stage aggregation — the
+    (doc, token) count partial-aggregates map-side, and the per-doc
+    rollup re-uses the same doc-keyed partitioning, so the whole signal
+    costs one shuffle keyed on (doc, token) regardless of corpus size.
+    """
+    toks = explode_tokens(df, id_col, text_col)
+    per_token = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n_words = F.sum("cnt")
+    return per_token.groupBy(id_col).agg(
+        n_words.alias("n_words"),
+        (
+            (n_words - F.count(F.lit(1))).cast("double")
+            / n_words.cast("double")
+        ).alias("dup_word_frac"),
+        (F.max("cnt").cast("double") / n_words.cast("double")).alias(
+            "top_word_share"
+        ),
+    )

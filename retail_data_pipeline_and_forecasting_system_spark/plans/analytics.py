@@ -4053,6 +4053,162 @@ def q21_waiting_supplier(spark, sf):
     )
 
 
+# ------------------------------------------- LLM-pipeline breadth, round 2
+
+
+@q(
+    "x11_repetition_signals",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), c AS (
+      SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+      CAST(SUM(cnt) AS BIGINT) AS n_words,
+      CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+        AS dup_word_frac,
+      CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_word_share
+    FROM c GROUP BY doc_id
+    """,
+    ref="LLM-ops: Gopher-style repetition quality signals (duplicate-word "
+    "fraction + top-word share) — the repetition leg of the keep/drop "
+    "curation rules (pairs with x2's length/punct signals)",
+    scale="one explode + two-stage agg: (doc, token) counts partial-"
+    "aggregate map-side, the per-doc rollup reuses the doc-keyed "
+    "partitioning — one shuffle total at any corpus size",
+)
+def x11_repetition_signals(spark, sf):
+    return TX.repetition_signals(_t(spark, sf, "documents"))
+
+
+def _d9_sql() -> str:
+    planes = SIM.lcg_hyperplanes(32, 64)
+    dots = []
+    for i, row in enumerate(planes):
+        arr = "[" + ",".join(str(c) for c in row) + "]"
+        dot = (
+            f"list_reduce(list_transform(list_zip(embedding, {arr}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            f"(x, y) -> x + y)"
+        )
+        dots.append(f"(CASE WHEN {dot} >= 0.0 THEN {1 << i} ELSE 0 END)")
+    sig = " + ".join(dots)
+    cos = _sql_cosine("sa.embedding", "sb.embedding")
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {sig} AS sig FROM embeddings
+    ), bands AS (
+      SELECT vec_id, t.band AS band, (sig >> (t.band * 8)) & 255 AS bval
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) t
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, {cos} AS cos_sim
+    FROM cand
+    JOIN sig sa ON sa.vec_id = vec_a
+    JOIN sig sb ON sb.vec_id = vec_b
+    WHERE {cos} >= 0.25
+    """
+
+
+@q(
+    "d9_hyperplane_lsh",
+    sql=_d9_sql(),
+    ref="LLM-ops: random-hyperplane (cosine) LSH near-dup pairs — the "
+    "rotation-invariant twin of d6's label blocking and n2's axis-sign "
+    "buckets; hyperplanes are LCG-derived literals shared verbatim with "
+    "the oracle",
+    scale="band value is a partition key: one explode (4 rows/vector) + "
+    "one hash equi-join, never all-pairs; candidate volume tunes "
+    "EXPONENTIALLY with band width (0.5^width per band for orthogonal "
+    "noise, ~1 for true near-dups), so 100 TB raises n_bits, not the "
+    "verify budget",
+)
+def d9_hyperplane_lsh(spark, sf):
+    return SIM.hyperplane_lsh_pairs(
+        _t(spark, sf, "embeddings"), n_bits=32, n_bands=4, threshold=0.25
+    )
+
+
+def _a13_sql() -> str:
+    from ..operators.sketch import _position_expr
+
+    pos = _position_expr(3, 1024, ctor="list_value")
+    return f"""
+    WITH build AS (
+      SELECT md5(CAST(p_partkey AS VARCHAR)) AS __h FROM part WHERE p_size = 1
+    ), bits AS (
+      SELECT DISTINCT unnest({pos}) AS bit FROM build
+    ), flt AS (
+      SELECT list_sort(list(bit)) AS bloom_bits FROM bits
+    ), ph AS (
+      SELECT l_partkey, md5(CAST(l_partkey AS VARCHAR)) AS __h
+      FROM (SELECT DISTINCT l_partkey FROM lineitem)
+    ), verdicts AS (
+      SELECT l_partkey,
+        list_has_all(bloom_bits, {pos}) AS flagged,
+        l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1) AS actual
+      FROM ph, flt
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probed,
+      CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_actual,
+      CAST(SUM(CASE WHEN flagged AND NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_false_pos
+    FROM verdicts
+    """
+
+
+@q(
+    "a13_bloom_membership",
+    sql=_a13_sql(),
+    ref="approximate membership: md5-derived Bloom filter built over a "
+    "dimension slice's keys, probed by the fact side — the sketch twin "
+    "of j3/j4 semi/anti joins (the reference prunes with driver-side "
+    "Python sets; this is the distributed bounded-memory rendition). "
+    "Unlike Spark's native bloom_filter_agg, the bit layout is pure md5 "
+    "arithmetic, so the ORACLE BUILDS THE IDENTICAL FILTER — every "
+    "membership verdict, including which keys false-positive, is "
+    "hash-checked cross-engine",
+    scale="the filter is one shuffle-free aggregate into <=m bits, then "
+    "a broadcast: non-member fact rows drop BEFORE any join shuffle "
+    "(semi-join reduction); fp rate (1-e^(-kn/m))^k only wastes shuffle "
+    "rows, never correctness",
+)
+def a13_bloom_membership(spark, sf):
+    from ..operators.sketch import bloom_build, bloom_member
+
+    tgt = _t(spark, sf, "part").filter(F.col("p_size") == 1)
+    flt = bloom_build(tgt, "p_partkey", m_bits=1024, n_hashes=3)
+    probe = _t(spark, sf, "lineitem").select("l_partkey").distinct()
+    ph = probe.select(
+        "l_partkey",
+        F.md5(F.col("l_partkey").cast("string")).alias("__h"),
+    )
+    actual = tgt.select(F.col("p_partkey").alias("l_partkey")).withColumn(
+        "__act", F.lit(True)
+    )
+    verdicts = (
+        ph.join(F.broadcast(flt))
+        .withColumn(
+            "flagged", bloom_member("__h", "bloom_bits", m_bits=1024, n_hashes=3)
+        )
+        .join(F.broadcast(actual), "l_partkey", "left")
+        .withColumn("actual", F.coalesce(F.col("__act"), F.lit(False)))
+    )
+    return verdicts.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("flagged"), 1).otherwise(0)).alias("n_flagged"),
+        F.sum(F.when(F.col("actual"), 1).otherwise(0)).alias("n_actual"),
+        F.sum(
+            F.when(F.col("flagged") & ~F.col("actual"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so

@@ -189,3 +189,60 @@ def test_chunker_edge_cases_match_python(spark):
         for pos in range(1, max(len(t), 1) + 1, 150)
     )
     assert got == want
+
+
+def test_repetition_signals_known_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w"), (3, "q q q q")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.repetition_signals(df).collect()}
+    assert out[1]["n_words"] == 4
+    assert out[1]["dup_word_frac"] == pytest.approx(0.5)  # 2 of 4 repeat
+    assert out[1]["top_word_share"] == pytest.approx(0.75)
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["top_word_share"] == pytest.approx(0.25)
+    assert out[3]["dup_word_frac"] == pytest.approx(0.75)
+    assert out[3]["top_word_share"] == 1.0
+
+
+def test_hyperplane_lsh_finds_planted_neardup(spark):
+    # a vector, a tiny perturbation of it, and orthogonal noise: the
+    # perturbed pair must collide in a band and survive the verify
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    near = base + 0.01 * rng.randn(64)
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])]
+    for i in range(2, 12):
+        rows.append((i, [float(x) for x in rng.randn(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in SIM.hyperplane_lsh_pairs(emb, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    from retail_data_pipeline_and_forecasting_system_spark.operators.sketch import (
+        bloom_build,
+        bloom_member,
+    )
+
+    keys = spark.createDataFrame(
+        [(k,) for k in range(0, 400, 7)], "k long"
+    )
+    flt = bloom_build(keys, "k", m_bits=256, n_hashes=3)
+    probe = spark.createDataFrame([(k,) for k in range(400)], "k long")
+    verdicts = (
+        probe.select("k", F.md5(F.col("k").cast("string")).alias("__h"))
+        .join(F.broadcast(flt))
+        .withColumn("hit", bloom_member("__h", "bloom_bits", m_bits=256, n_hashes=3))
+        .collect()
+    )
+    members = {r["k"] for r in verdicts if r["hit"]}
+    # every built key MUST be reported present (no false negatives)...
+    assert set(range(0, 400, 7)) <= members
+    # ...and a 256-bit filter over 58 keys is far from saturated, so at
+    # least some non-members must be rejected (sanity, not exact-rate)
+    assert len(members) < 400
