@@ -179,6 +179,9 @@ def centroid_dist_structs(
     is unchanged.
     """
     name = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
+    # plain column names get quoted; anything else (e.g. a slice(...)
+    # fragment from pq_encode) is embedded as raw SQL
+    name = f"`{name}`" if name.isidentifier() else name
     d = lambda x: repr(float(x)) + "D"
     mat = "array(" + ",".join(
         "array(" + ",".join(d(x) for x in vec) + ")" for _, vec in cent_list
@@ -186,7 +189,7 @@ def centroid_dist_structs(
     ids = "array(" + ",".join(str(int(c)) for c, _ in cent_list) + ")"
     return F.expr(
         f"transform({mat}, (c, i) -> struct("
-        f"aggregate(zip_with(`{name}`, c, (x, y) -> "
+        f"aggregate(zip_with({name}, c, (x, y) -> "
         f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
         f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS dist, "
@@ -518,4 +521,112 @@ def hyperplane_lsh_pairs(
         .withColumn("cos_sim", cosine("__ea", "__eb"))
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace PQ codebooks from the first ``ksub`` vectors by id.
+
+    Deterministic stand-in quantizer (same convention as ivf_topk's
+    coarse quantizer — swap in per-subspace k-means for a learned one):
+    codebook ``s`` holds the s-th dim/m-wide slice of each of the first
+    ksub vectors. Only m * ksub * dim/m floats cross the driver — the
+    model state.
+    """
+    width = dim // m
+    rows = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in embeddings.filter(F.col(id_col) < ksub).collect()
+    )
+    return [
+        [(cid, vec[s * width : (s + 1) * width]) for cid, vec in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: (id, code array<int>), map-only.
+
+    Each subspace's nearest-centroid id is the same literal-matrix argmin
+    as IVF assignment (see centroid_dist_structs), applied to the
+    subspace SLICE of the vector — m small argmins instead of one big
+    one, zero shuffle, zero joins. The m-byte code replaces the
+    dim * 4-byte vector: at 100 TB this is the difference between an
+    index that fits in cluster memory and one that doesn't (64 dims x
+    4 B -> 4 B per vector at m=4).
+    """
+    m = len(codebooks)
+    width = len(codebooks[0][0][1])
+    code_cols = []
+    for s in range(m):
+        sub = f"slice(`{vec_col}`, {s * width + 1}, {width})"
+        nearest = F.array_min(centroid_dist_structs(sub, codebooks[s]))
+        code_cols.append(nearest.getField("cent_id"))
+    return embeddings.select(id_col, F.array(*code_cols).alias("code"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC).
+
+    The query stays EXACT (its raw subvectors); every corpus vector is
+    its m-byte code. Approximate distance = sum over subspaces of the
+    precomputed (query-subvector -> centroid) distance table entry for
+    the row's code — m array lookups + m-1 adds per row, no vector math
+    in the scan at all. The distance table (m x ksub doubles) is built
+    driver-side with the same sequential fold the engines use, so every
+    value is bit-identical to the SQL oracle's join-derived table.
+
+    Output: (vec_id, approx_l2) — the k nearest by coded distance, ties
+    to lowest id. Exact re-ranking of this shortlist (cosine on the raw
+    vectors of k' > k survivors) is composition with cosine_topk.
+    """
+    width = dim // m
+    books = pq_codebooks(embeddings, m, ksub, id_col, vec_col, dim)
+    qrow = embeddings.filter(F.col(id_col) == query_id).head()
+    qvec = [float(x) for x in qrow[vec_col]]
+    # driver-side table: Python float ops are the same IEEE doubles,
+    # summed left-to-right exactly like the engine fold
+    dtable = []
+    for s in range(m):
+        qs = qvec[s * width : (s + 1) * width]
+        row = []
+        for _, cent in books[s]:
+            acc = 0.0
+            for x, y in zip(qs, cent):
+                acc = acc + (x - y) * (x - y)
+            row.append(acc)
+        dtable.append(row)
+    coded = pq_encode(embeddings, books, id_col, vec_col)
+    d = lambda x: repr(float(x)) + "D"
+    lookups = [
+        f"element_at(array({','.join(d(v) for v in dtable[s])}), code[{s}] + 1)"
+        for s in range(m)
+    ]
+    approx = F.expr(" + ".join(lookups))
+    return (
+        coded.filter(F.col(id_col) != query_id)
+        .select(id_col, approx.alias("approx_l2"))
+        .orderBy("approx_l2", F.col(id_col))
+        .limit(k)
     )

@@ -4209,6 +4209,61 @@ def a13_bloom_membership(spark, sf):
     )
 
 
+def _n4_sql(m: int = 4, ksub: int = 8, dim: int = 64, query_id: int = 0) -> str:
+    width = dim // m
+    sub_l2 = (
+        "list_reduce(list_transform("
+        "list_zip(e.embedding[s.sub*{w}+1 : s.sub*{w}+{w}], "
+        "cb.embedding[s.sub*{w}+1 : s.sub*{w}+{w}]), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    ).format(w=width)
+    subs = ", ".join(str(s) for s in range(m))
+    return f"""
+    WITH spans AS (
+      SELECT unnest([{subs}]) AS sub
+    ), cb AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {ksub}
+    ), dists AS (
+      SELECT e.vec_id, s.sub, cb.cid, {sub_l2} AS dval
+      FROM embeddings e, spans s, cb
+    ), best AS (
+      SELECT vec_id, sub, min(dval) AS md FROM dists GROUP BY vec_id, sub
+    ), codes AS (
+      SELECT d.vec_id, d.sub, min(d.cid) AS cid
+      FROM dists d JOIN best b
+        ON d.vec_id = b.vec_id AND d.sub = b.sub AND d.dval = b.md
+      GROUP BY d.vec_id, d.sub
+    ), qd AS (
+      SELECT sub, cid, dval FROM dists WHERE vec_id = {query_id}
+    )
+    SELECT c.vec_id,
+      list_reduce(list(qd.dval ORDER BY c.sub), (x, y) -> x + y) AS approx_l2
+    FROM codes c JOIN qd ON qd.sub = c.sub AND qd.cid = c.cid
+    WHERE c.vec_id != {query_id}
+    GROUP BY c.vec_id
+    ORDER BY approx_l2, c.vec_id LIMIT 10
+    """
+
+
+@q(
+    "n4_ann_pq",
+    sql=_n4_sql(),
+    ref="LLM-ops: product-quantization ANN (asymmetric distance) — the "
+    "memory-scale path beside n1 brute force, n2 LSH buckets and n3 IVF "
+    "cells; codebook = per-subspace slices of the first-8 vectors (same "
+    "deterministic stand-in convention as n3's coarse quantizer)",
+    scale="the corpus is read as m-byte codes (64x4 B -> 4 B/vector at "
+    "m=4): encode is m map-only literal-matrix argmins (no shuffle), "
+    "query cost is m array lookups + m-1 adds per row from a driver-"
+    "built m x ksub distance table; at 100 TB compose with IVF cells "
+    "(IVF-PQ) so a probe scans one cell's codes from memory",
+)
+def n4_ann_pq(spark, sf):
+    return SIM.pq_topk(_t(spark, sf, "embeddings"), query_id=0)
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so

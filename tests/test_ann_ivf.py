@@ -188,3 +188,42 @@ def test_pca_projection_feeds_ann(spark):
     qvec = low.filter(F.col("vec_id") == 0).head()["embedding"]
     top = cosine_topk(low.filter(F.col("vec_id") != 0), list(qvec), k=5)
     assert top.count() == 5
+
+
+def test_pq_topk_approximates_bruteforce_l2(spark):
+    """PQ with the stand-in codebook is a coarse quantizer, but on the
+    synthetic corpus its ADC top-10 must overlap the exact L2 top-10
+    (the query itself is excluded from both) and encode must be total:
+    every vector gets an m-code with entries in [0, ksub)."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = pq_codebooks(emb)
+    codes = pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    assert all(
+        len(r["code"]) == 4 and all(0 <= c < 8 for c in r["code"])
+        for r in codes
+    )
+    # exact L2 top-10 via the same fold
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        l2sq,
+    )
+
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    exact = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", l2sq("embedding", q).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    approx = {r["vec_id"] for r in pq_topk(emb, query_id=0).collect()}
+    assert len(exact & approx) >= 1
