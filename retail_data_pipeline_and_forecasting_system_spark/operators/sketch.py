@@ -91,3 +91,59 @@ def bloom_member(
     return F.forall(
         F.expr(pos), lambda p: F.array_contains(bits, p)
     )
+
+
+def cms_build(
+    keys: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Count-Min sketch over a key column: (lane, pos, cnt) counter cells.
+
+    Each input row increments one counter per lane (depth md5-derived
+    hash lanes, ``pos = lane_hash(key) % width``); the estimate for a
+    key is the MIN of its depth counters — an overestimate bounded by
+    collision mass, never an undercount. Built with one posexplode +
+    one aggregate: at most ``depth * width`` cells come out regardless
+    of input size, so the sketch always broadcasts.
+
+    At 100 TB this answers per-key frequency questions (heavy hitters,
+    skew detection for salting decisions) in one pass with fixed memory,
+    where an exact groupBy on a high-cardinality key would shuffle the
+    corpus. Same portability contract as the Bloom/HLL sketches: pure
+    md5 nibble arithmetic, so a SQL engine builds the identical sketch.
+    """
+    pos = _position_expr(depth, width)
+    return (
+        keys.select(F.md5(F.col(key_col).cast("string")).alias("__h"))
+        .select(F.posexplode(F.expr(pos)).alias("lane", "pos"))
+        .groupBy("lane", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    probe: DataFrame,
+    cms: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Per-key Count-Min estimates: input rows + ``est_count``.
+
+    The probe side explodes its depth positions and joins the (tiny,
+    broadcast) sketch; the min over lanes is the estimate. Keys absent
+    from the sketch estimate as the collision mass at their cells (>= 0),
+    never null — the classic CMS contract.
+    """
+    pos = _position_expr(depth, width)
+    exploded = probe.select(
+        "*", F.md5(F.col(key_col).cast("string")).alias("__h")
+    ).select("*", F.posexplode(F.expr(pos)).alias("lane", "pos"))
+    others = [c for c in probe.columns]
+    return (
+        exploded.join(F.broadcast(cms), ["lane", "pos"], "left")
+        .groupBy(*others)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

@@ -4264,6 +4264,66 @@ def n4_ann_pq(spark, sf):
     return SIM.pq_topk(_t(spark, sf, "embeddings"), query_id=0)
 
 
+def _a14_sql(width: int = 2048, depth: int = 3) -> str:
+    from ..operators.sketch import _position_expr
+
+    pos = _position_expr(depth, width, ctor="list_value")
+    lanes = " UNION ALL ".join(
+        f"SELECT {i} AS lane, ({pos})[{i + 1}] AS pos FROM h"
+        for i in range(depth)
+    )
+    return f"""
+    WITH h AS (
+      SELECT md5(CAST(l_partkey AS VARCHAR)) AS __h FROM lineitem
+    ), cms AS (
+      SELECT lane, pos, count(*) AS cnt FROM ({lanes}) GROUP BY lane, pos
+    ), top AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_count
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY exact_count DESC, l_partkey LIMIT 10
+    ), th AS (
+      SELECT l_partkey, exact_count,
+        md5(CAST(l_partkey AS VARCHAR)) AS __h
+      FROM top
+    ), probe AS (
+      SELECT l_partkey, exact_count, t.lane AS lane, ({pos})[t.lane + 1] AS pos
+      FROM th, (SELECT unnest([0, 1, 2]) AS lane) t
+    )
+    SELECT p.l_partkey, p.exact_count,
+      CAST(MIN(COALESCE(cms.cnt, 0)) AS BIGINT) AS est_count
+    FROM probe p LEFT JOIN cms ON cms.lane = p.lane AND cms.pos = p.pos
+    GROUP BY p.l_partkey, p.exact_count
+    """
+
+
+@q(
+    "a14_count_min",
+    sql=_a14_sql(),
+    ref="approximate per-key frequency: md5-derived Count-Min sketch, "
+    "probed for the top-10 exact heavy hitters — completes the portable "
+    "sketch family (a4 HLL distinct, a13 Bloom membership, d3 MinHash "
+    "sets, d4 SimHash content). The oracle builds the identical "
+    "depth x width counter matrix, so every estimate INCLUDING "
+    "collision overcounts is hash-checked cross-engine",
+    scale="the sketch is one posexplode + one agg into <= depth*width "
+    "cells at ANY input size — it always broadcasts; per-key frequency "
+    "questions (heavy hitters, skew-salting decisions as in skw1) stop "
+    "requiring an exact high-cardinality groupBy shuffle",
+)
+def a14_count_min(spark, sf):
+    from ..operators.sketch import cms_build, cms_estimate
+
+    li = _t(spark, sf, "lineitem")
+    cms = cms_build(li, "l_partkey", width=2048, depth=3)
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "l_partkey")
+        .limit(10)
+    )
+    return cms_estimate(top, cms, "l_partkey", width=2048, depth=3)
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so

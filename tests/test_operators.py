@@ -246,3 +246,28 @@ def test_bloom_filter_has_no_false_negatives(spark):
     # ...and a 256-bit filter over 58 keys is far from saturated, so at
     # least some non-members must be rejected (sanity, not exact-rate)
     assert len(members) < 400
+
+
+def test_count_min_never_underestimates(spark):
+    from retail_data_pipeline_and_forecasting_system_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    # width=4 forces heavy collisions: estimates may exceed but must
+    # NEVER undercount the true frequency (the CMS contract)
+    rows = [(k,) for k in range(20) for _ in range(k + 1)]
+    keys = spark.createDataFrame(rows, "k long")
+    cms = cms_build(keys, "k", width=4, depth=3)
+    exact = keys.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    est = {
+        r["k"]: (r["est_count"], r["exact"])
+        for r in cms_estimate(exact, cms, "k", width=4, depth=3).collect()
+    }
+    assert len(est) == 20
+    assert all(e >= x for e, x in est.values())
+    # total cell mass per lane equals the input size
+    per_lane = {r["lane"]: 0 for r in cms.collect()}
+    for r in cms.collect():
+        per_lane[r["lane"]] += r["cnt"]
+    assert set(per_lane.values()) == {len(rows)}
