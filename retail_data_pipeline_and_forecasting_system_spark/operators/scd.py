@@ -122,3 +122,28 @@ def scd2_intervals(
         .cast("bigint")
         .alias(current_flag),
     )
+
+
+def propagate_deletes(
+    dim: DataFrame,
+    tombstones: DataFrame,
+    on: str,
+    tombstone_key: str | None = None,
+    broadcast_tombstones: bool = True,
+) -> DataFrame:
+    """Right-to-be-forgotten / tombstone propagation: drop every dim row
+    whose key appears in the tombstone set.
+
+    The third leg of dimension maintenance beside :func:`merge_upsert`
+    (SCD1 update/insert) and :func:`scd2_intervals` (history): MERGE
+    WHEN MATCHED THEN DELETE, as one anti join. Tombstone sets are tiny
+    relative to the dimension (broadcast by default), so the dim is
+    never shuffled — at 100 TB the delete pass is a single map-side
+    scan per partition, and idempotent: re-applying the same tombstones
+    is a no-op, which is what a replayed changelog needs.
+    """
+    tk = tombstone_key or on
+    keys = tombstones.select(F.col(tk).alias(on)).distinct()
+    if broadcast_tombstones:
+        keys = F.broadcast(keys)
+    return dim.join(keys, on=on, how="left_anti")

@@ -4324,6 +4324,47 @@ def a14_count_min(spark, sf):
     return cms_estimate(top, cms, "l_partkey", width=2048, depth=3)
 
 
+@q(
+    "ops3_delete_propagation",
+    sql="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), tomb AS (
+      SELECT user_id FROM ranked WHERE rn = 1 AND event_type = 'error'
+    )
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM tomb WHERE user_id = c_custkey)
+    """,
+    ref="dimension maintenance leg 3 (operators/scd.py propagate_deletes): "
+    "MERGE WHEN MATCHED THEN DELETE — right-to-be-forgotten tombstones "
+    "(here: users whose most recent event is a terminal error) anti-"
+    "joined out of the customer dimension; completes ops1 (SCD1 "
+    "upsert) + ops2 (SCD2 history)",
+    scale="tombstone derivation shares ONE user_id window shuffle; the "
+    "delete itself broadcasts the (tiny) tombstone set, so the "
+    "dimension is scanned map-side only and the pass is idempotent "
+    "under changelog replay",
+)
+def ops3_delete_propagation(spark, sf):
+    from ..operators.scd import propagate_deletes
+
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    tomb = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") == 1) & (F.col("event_type") == "error"))
+        .select("user_id")
+    )
+    cust = _t(spark, sf, "customer")
+    return propagate_deletes(
+        cust, tomb, on="c_custkey", tombstone_key="user_id"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so

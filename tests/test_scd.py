@@ -165,3 +165,19 @@ def test_merge_upsert_matches_python_oracle(spark, t_ids, s_ids):
         + [(i, float(i * 100), "insert") for i in s_ids if i not in t_ids]
     )
     assert got == want
+
+
+def test_propagate_deletes_idempotent_and_exact(spark):
+    from retail_data_pipeline_and_forecasting_system_spark.operators.scd import (
+        propagate_deletes,
+    )
+
+    dim = spark.createDataFrame(
+        [(i, f"row_{i}") for i in range(10)], "id long, v string"
+    )
+    tomb = spark.createDataFrame([(3,), (7,), (7,), (99,)], "key long")
+    once = propagate_deletes(dim, tomb, on="id", tombstone_key="key")
+    assert sorted(r["id"] for r in once.collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+    # idempotent: re-applying the same tombstones changes nothing
+    twice = propagate_deletes(once, tomb, on="id", tombstone_key="key")
+    assert sorted(r["id"] for r in twice.collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
