@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from retail_data_pipeline_and_forecasting_system_spark.operators.skew import (
@@ -63,3 +65,48 @@ def test_replicated_skew_join_equals_plain(spark):
         for r in skewed.filter(F.col("l_partkey") == hot[0]).collect()
     )
     assert a == b
+
+
+def test_replicated_skew_join_rejects_outer_modes(spark):
+    left = spark.createDataFrame([(1, "x")], "k long, v string")
+    right = spark.createDataFrame([(1, "y")], "k long, w string")
+    with pytest.raises(ValueError, match="right/full outer"):
+        replicated_skew_join(left, right, on="k", hot_keys=[1], how="full")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """With skew thresholds lowered, AQE's OptimizeSkewedJoin must mark the
+    hot partition as skewed (plan shows 'skew=true') — the runtime re-plan
+    we rely on at 100 TB when static salting isn't wired in."""
+    import io
+    import contextlib
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # key 0 carries 50x the rows of every other key
+        left = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id % 4 = 0 THEN 0 ELSE id END AS k", "id AS payload"
+        )
+        right = spark.range(0, 500).selectExpr("id AS k", "id * 2 AS w")
+        joined = left.join(right, "k")
+        joined.collect()  # materialize THIS plan so AQE finalizes it
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
