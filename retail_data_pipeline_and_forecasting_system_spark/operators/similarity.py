@@ -630,3 +630,90 @@ def pq_topk(
         .orderBy("approx_l2", F.col(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    n_centroids: int = 16,
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ: the production ANN architecture — coarse cells to prune,
+    PQ codes to compress, ADC to rank.
+
+    Composition of :func:`ivf_topk`'s map-only cell assignment and
+    :func:`pq_topk`'s asymmetric distance, with one further collapse:
+    the query's probe cells AND its subspace distance table are both
+    derived driver-side from the collected model state (k x dim
+    centroids + m x ksub codebooks — a few KB), using the same
+    sequential double fold the engines run, so the corpus pass is
+    scan -> map (cell + code + table lookup) -> filter(cell IN probe)
+    -> TakeOrdered: ZERO joins, ZERO shuffles, and the filter sits on a
+    column that at 100 TB is the partition key, so probing reads
+    n_probe/n_centroids of the data and each survivor costs m array
+    lookups, not a dim-wide fold.
+
+    Output: (vec_id, approx_l2) — k nearest by coded distance among the
+    probed cells, ties to lowest id.
+    """
+    width = dim // m
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    cent_list = _collect_centroids(cents)
+    books = pq_codebooks(embeddings, m, ksub, id_col, vec_col, dim)
+    qvec = [
+        float(x)
+        for x in embeddings.filter(F.col(id_col) == query_id).head()[vec_col]
+    ]
+
+    def _l2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    probe_cells = [
+        cid
+        for _, cid in sorted(
+            (_l2(qvec, cv), cid) for cid, cv in cent_list
+        )[:n_probe]
+    ]
+    dtable = [
+        [_l2(qvec[s * width : (s + 1) * width], cent) for _, cent in books[s]]
+        for s in range(m)
+    ]
+    nearest = F.array_min(centroid_dist_structs(vec_col, cent_list))
+    code_cols = []
+    for s in range(m):
+        sub = f"slice(`{vec_col}`, {s * width + 1}, {width})"
+        code_cols.append(
+            F.array_min(centroid_dist_structs(sub, books[s])).getField(
+                "cent_id"
+            )
+        )
+    coded = embeddings.select(
+        id_col,
+        nearest.getField("cent_id").alias("cell"),
+        F.array(*code_cols).alias("code"),
+    )
+    d = lambda x: repr(float(x)) + "D"
+    lookups = [
+        f"element_at(array({','.join(d(v) for v in dtable[s])}), code[{s}] + 1)"
+        for s in range(m)
+    ]
+    approx = F.expr(" + ".join(lookups))
+    return (
+        coded.filter(
+            F.col("cell").isin(probe_cells) & (F.col(id_col) != query_id)
+        )
+        .select(id_col, approx.alias("approx_l2"))
+        .orderBy("approx_l2", F.col(id_col))
+        .limit(k)
+    )

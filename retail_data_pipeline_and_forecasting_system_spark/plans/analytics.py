@@ -4365,6 +4365,93 @@ def ops3_delete_propagation(spark, sf):
     ).select("c_custkey", "c_name", "c_acctbal")
 
 
+def _n5_sql(
+    n_centroids: int = 16,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+    n_probe: int = 2,
+    query_id: int = 0,
+) -> str:
+    width = dim // m
+    l2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    )
+    sub = "[s.sub*{w}+1 : s.sub*{w}+{w}]".format(w=width)
+    subs = ", ".join(str(s) for s in range(m))
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id < {n_centroids}
+    ), assigned AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT e.vec_id, c.cent_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY {l2.format(a='e.embedding', b='c.cent_vec')} ASC,
+                     c.cent_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), qv AS (
+      SELECT embedding AS q_vec FROM embeddings WHERE vec_id = {query_id}
+    ), probe AS (
+      SELECT cent_id AS cell FROM (
+        SELECT c.cent_id,
+          row_number() OVER (
+            ORDER BY {l2.format(a='q.q_vec', b='c.cent_vec')} ASC,
+                     c.cent_id ASC) AS rn
+        FROM cents c CROSS JOIN qv q
+      ) WHERE rn <= {n_probe}
+    ), spans AS (
+      SELECT unnest([{subs}]) AS sub
+    ), cb AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {ksub}
+    ), dists AS (
+      SELECT e.vec_id, s.sub, cb.cid,
+        {l2.format(a='e.embedding' + sub, b='cb.embedding' + sub)} AS dval
+      FROM embeddings e, spans s, cb
+    ), best AS (
+      SELECT vec_id, sub, min(dval) AS md FROM dists GROUP BY vec_id, sub
+    ), codes AS (
+      SELECT d.vec_id, d.sub, min(d.cid) AS cid
+      FROM dists d JOIN best b
+        ON d.vec_id = b.vec_id AND d.sub = b.sub AND d.dval = b.md
+      GROUP BY d.vec_id, d.sub
+    ), qd AS (
+      SELECT s.sub, cb.cid,
+        {l2.format(a='q.q_vec' + sub, b='cb.embedding' + sub)} AS dval
+      FROM qv q, spans s, cb
+    )
+    SELECT c.vec_id,
+      list_reduce(list(qd.dval ORDER BY c.sub), (x, y) -> x + y) AS approx_l2
+    FROM codes c
+    JOIN assigned a ON a.vec_id = c.vec_id
+    JOIN probe p ON a.cell = p.cell
+    JOIN qd ON qd.sub = c.sub AND qd.cid = c.cid
+    WHERE c.vec_id != {query_id}
+    GROUP BY c.vec_id
+    ORDER BY approx_l2, c.vec_id LIMIT 10
+    """
+
+
+@q(
+    "n5_ann_ivfpq",
+    sql=_n5_sql(),
+    ref="LLM-ops: IVF-PQ — the production ANN architecture (coarse cells "
+    "prune the scan, PQ codes compress it, ADC ranks it); composition "
+    "of n3's cell assignment and n4's asymmetric distance",
+    scale="the corpus pass is scan -> map(cell+code+lookup) -> "
+    "filter(cell IN probe) -> TakeOrdered: zero joins, zero shuffles; "
+    "probe cells and the m x ksub distance table derive driver-side "
+    "from KB-scale model state; at 100 TB cell is the partition key, "
+    "so a probe reads n_probe/n_centroids of the data as m-byte codes",
+)
+def n5_ann_ivfpq(spark, sf):
+    return SIM.ivfpq_topk(_t(spark, sf, "embeddings"), query_id=0)
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so

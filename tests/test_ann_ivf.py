@@ -227,3 +227,48 @@ def test_pq_topk_approximates_bruteforce_l2(spark):
     }
     approx = {r["vec_id"] for r in pq_topk(emb, query_id=0).collect()}
     assert len(exact & approx) >= 1
+
+
+def test_ivfpq_plan_is_pure_scan_map_topk(spark):
+    """IVF-PQ's corpus pass must be scan -> map -> filter -> TakeOrdered:
+    probe cells and the ADC table are driver-derived model state, so the
+    plan may contain NO join, NO exchange, NO window."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ivfpq_topk(emb, query_id=0).explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan and "Exchange" not in plan and "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_results_within_probed_cells_and_overlap_ivf(spark):
+    from pyspark.sql import functions as F
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        _collect_centroids,
+        centroid_dist_structs,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = ivfpq_topk(emb, query_id=0, n_probe=2).collect()
+    assert 1 <= len(got) <= 10
+    # every hit's assigned cell must be one of the query's 2 probe cells
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    cl = _collect_centroids(cents)
+    nearest = F.array_min(centroid_dist_structs("embedding", cl))
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", nearest.getField("cent_id").alias("cell")
+        ).collect()
+    }
+    hit_cells = {cells[r["vec_id"]] for r in got}
+    assert len(hit_cells) <= 2
