@@ -4452,6 +4452,71 @@ def n5_ann_ivfpq(spark, sf):
     return SIM.ivfpq_topk(_t(spark, sf, "embeddings"), query_id=0)
 
 
+def _x12_sql() -> str:
+    cur = _sql_curation("0.5")
+    return f"""
+    WITH cur AS ({cur}
+    ), rep AS (
+      SELECT md5(text) AS content_key, min(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text)
+    ), survivors AS (
+      SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM documents d
+      JOIN rep r ON md5(d.text) = r.content_key AND d.doc_id = r.keep_id
+    )
+    SELECT s.doc_id, s.lang, s.n_chars,
+      CASE WHEN substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 1) < 'c'
+             THEN 'train'
+           WHEN substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 1) < 'e'
+             THEN 'val'
+           ELSE 'test' END AS split
+    FROM survivors s JOIN cur c ON c.doc_id = s.doc_id
+    WHERE c.keep
+    """
+
+
+@q(
+    "x12_corpus_materialize",
+    sql=_x12_sql(),
+    ref="LLM-ops: the END of the curation pipeline — materialize the "
+    "training corpus rows that survive exact dedup (lowest id per "
+    "content hash) AND the x7 keep verdict (language + quality + "
+    "near-dup), tagged with the x6 content-hash split; what actually "
+    "ships to the tokenizer",
+    scale="exact dedup is one hash-agg shuffle on md5(text); the keep "
+    "verdict joins are doc_id-aligned (AQE coalesces); the split tag is "
+    "map-side — so materialization adds ONE shuffle on top of the "
+    "signal passes, and the output is write-partitionable by split",
+)
+def x12_corpus_materialize(spark, sf):
+    docs = _t(spark, sf, "documents")
+    rep = D.dedup_exact(docs).select("content_key", "keep_id")
+    survivors = docs.join(
+        rep,
+        (F.md5(F.col("text")) == F.col("content_key"))
+        & (F.col("doc_id") == F.col("keep_id")),
+    ).select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+    keeps = (
+        QUERIES["x7_corpus_curation"]
+        .fn(spark, sf)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        survivors.join(keeps, on="doc_id", how="left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.when(nib < "c", "train")
+            .when(nib < "e", "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
