@@ -9,3 +9,4 @@ from .inventory_stream import (  # noqa: F401
     run_available_now,
     streaming_depletion,
 )
+from .sinks import idempotent_parquet_sink  # noqa: F401

@@ -1,0 +1,60 @@
+"""Exactly-once streaming sinks via foreachBatch.
+
+Structured Streaming's file sinks are append-only and its checkpoint
+guarantees at-least-once delivery to arbitrary sinks: after a crash
+between "sink write" and "checkpoint commit", the next run REPLAYS the
+last micro-batch. A sink that appends blindly duplicates that batch.
+
+``idempotent_parquet_sink`` makes the replay harmless the standard way:
+every micro-batch writes to its own ``batch_id=<epoch>`` partition with
+dynamic partition overwrite, so a replayed epoch OVERWRITES its own
+(possibly partial) output instead of appending beside it. Write +
+re-write converge to the same bytes — effectively exactly-once at the
+file level, the same idea table formats implement with manifest commits.
+
+The reference appends per-day CSVs with no replay story
+(src/data_processor.py single-shot batch); this is what its output
+contract needs to survive a mid-batch crash when run continuously.
+
+At 100 TB: the sink adds no shuffle (partitionBy on a literal column),
+each epoch directory is independently compactable (see
+sources/writers.compact_partition), and downstream batch readers just
+read the root — Spark merges the batch_id partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def idempotent_parquet_sink(
+    out_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function writing each epoch to its own overwritten
+    partition. Use:
+
+    ``stream.writeStream.foreachBatch(idempotent_parquet_sink(d))...``
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            if old is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", old
+                )
+
+    return write

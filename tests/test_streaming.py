@@ -410,3 +410,46 @@ def test_stream_stream_funnel_matches_batch(spark, tmp_path):
         for r in QUERIES["j7_funnel"].fn(spark, sf).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
+    """Simulate the crash-replay an at-least-once checkpoint produces: run
+    the same stream TWICE against the same output dir with a FRESH
+    checkpoint (so every epoch replays). The per-epoch dynamic partition
+    overwrite must converge to the same rows, not append duplicates."""
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        idempotent_parquet_sink,
+        read_transaction_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for day in sorted(DATASET.glob("transactions_*.json"))[:2]:
+        shutil.copy(day, in_dir / day.name)
+    out_dir = str(tmp_path / "out")
+
+    def run(ckpt: str) -> None:
+        lines = read_transaction_stream(spark, str(in_dir / "*.json")).select(
+            "transaction_id", "product_id", "line_pos", "qty"
+        )
+        (
+            lines.writeStream.foreachBatch(idempotent_parquet_sink(out_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run(str(tmp_path / "ckpt1"))
+    # materialize eagerly: the replay below rewrites the same files
+    a = {
+        tuple(r)
+        for r in spark.read.parquet(out_dir).drop("batch_id").collect()
+    }
+    assert len(a) > 0
+    # replay everything: fresh checkpoint, same sink dir
+    run(str(tmp_path / "ckpt2"))
+    second = spark.read.parquet(out_dir)
+    b = {tuple(r) for r in second.drop("batch_id").collect()}
+    assert second.count() == len(a)
+    assert a == b
