@@ -1,0 +1,98 @@
+"""Greedy sequence packing — fixed-token-budget training-batch assembly.
+
+A training-data pipeline's last mile: pack whole documents, in a stable
+order, into sequences of at most ``capacity`` tokens (no document is
+split; a document longer than the capacity occupies a sequence alone).
+The greedy rule is the standard streaming packer: walk the group's docs
+in order, keep appending while the running fill stays within capacity,
+else close the sequence and start the next one.
+
+Like the inventory fold (operators/depletion.py, reference
+src/data_processor.py:288-331 pattern), the fold is sequential *within*
+a pack group but independent *across* groups, so it maps onto one
+hash-bucketed ``applyInPandas`` pass: each Arrow batch carries many
+groups, state is O(1) per group, and a 1000-executor cluster packs
+thousands of sources concurrently. Token counting stays JVM-side
+(``size(split(text))``) so only (id, group, n_tokens) rows — never the
+text — cross into Python.
+
+Scale notes
+-----------
+- Parallelism = number of distinct pack groups (sources/domains). For a
+  single giant group, pre-split its doc range into epochs and chain the
+  last sequence's fill into the next epoch (same staged-fold mitigation
+  as depletion's hot-product note).
+- The kernel is O(rows) with one Python pass per group; rows are just
+  three scalars wide, so a 10M-doc group folds in seconds and memory is
+  bounded by the group's (id, tokens) pairs, not its text.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pack_oracle(tokens: list[int], capacity: int) -> list[int]:
+    """Pure-Python greedy packer; the property-test oracle."""
+    out, seq, fill = [], 0, 0
+    for i, n in enumerate(tokens):
+        if i > 0 and fill + n > capacity:
+            seq, fill = seq + 1, 0
+        fill += n
+        out.append(seq)
+    return out
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 256,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Assign every document a ``seq_id`` (0-based per ``group_col``) such
+    that each sequence's total whitespace-token count is <= ``capacity``
+    (except single over-long docs). Order within a group is ``id_col``
+    ascending — deterministic at any parallelism.
+
+    Returns (id_col, group_col, n_tokens int, seq_id int).
+    """
+    slim = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(F.split(F.col(text_col), " ")).cast("int").alias("n_tokens"),
+    ).withColumn("__bucket", F.pmod(F.hash(group_col), F.lit(num_buckets)))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, slim.schema[id_col].dataType, True),
+            T.StructField(group_col, slim.schema[group_col].dataType, True),
+            T.StructField("n_tokens", T.IntegerType(), True),
+            T.StructField("seq_id", T.IntegerType(), True),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([group_col, id_col], kind="mergesort")
+        seq_ids = []
+        cur_group, seq, fill = None, 0, 0
+        for g, n in zip(pdf[group_col].values, pdf["n_tokens"].values):
+            n = int(n)
+            if g != cur_group:
+                cur_group, seq, fill = g, 0, 0
+            elif fill + n > capacity:
+                seq, fill = seq + 1, 0
+            fill += n
+            seq_ids.append(seq)
+        pdf = pdf[[id_col, group_col, "n_tokens"]].copy()
+        pdf["seq_id"] = pd.array(seq_ids, dtype="int32")
+        return pdf
+
+    return (
+        slim.groupBy("__bucket")
+        .applyInPandas(kernel, schema=out_schema)
+    )

@@ -169,3 +169,56 @@ def repetition_signals(
             "top_word_share"
         ),
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval overlap detection: flag training documents that share any
+    k-word shingle with the held-out evaluation set.
+
+    The standard benchmark-decontamination pass (n-gram collision between
+    the training corpus and eval prompts). Returns only CONTAMINATED train
+    docs: (id, n_hits, n_shingles, contamination) where ``n_hits`` counts
+    the doc's distinct shingles that also occur anywhere in the eval set
+    and ``contamination`` = n_hits / n_shingles.
+
+    Scale: the eval set is tiny relative to the corpus (benchmarks are
+    KBs, the corpus is TBs), so its distinct-shingle set is broadcast and
+    the train side never shuffles for the probe — contamination testing
+    is a map-side semi-probe followed by one doc-keyed aggregation. The
+    per-doc shingle set is built row-locally (word_shingle_sets: no
+    pre-join explode shuffle), and carrying ``n_shingles`` as a grouping
+    key makes the final rollup a single aggregation.
+    """
+    from ..functions import word_shingle_sets
+
+    tr = word_shingle_sets(train, k=k, id_col=id_col, text_col=text_col)
+    tr_exploded = tr.select(
+        F.col(id_col),
+        F.size("shingle_set").cast("bigint").alias("n_shingles"),
+        F.explode("shingle_set").alias("shingle"),
+    )
+    ev = (
+        word_shingles(eval_docs, k=k, id_col=id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        tr_exploded.join(F.broadcast(ev), on="shingle")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            id_col,
+            "n_hits",
+            "n_shingles",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination"),
+        )
+    )

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import multimodal as MM
+from ..operators import packing as PK
 from ..operators import similarity as SIM
 from ..operators import textstats as TX
 from ..operators.depletion import greedy_inventory_depletion
@@ -4515,6 +4516,172 @@ def x12_corpus_materialize(spark, sf):
             .alias("split"),
         )
     )
+
+
+# ------------------------------------------- curation pipeline last mile
+
+
+@q(
+    "x13_decontaminate",
+    sql=_SQL_SHINGLES
+    + """
+    , splits AS (
+      SELECT doc_id,
+        CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+             THEN 'train'
+             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+             THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    ), te AS (
+      SELECT DISTINCT shingle FROM shingles JOIN splits USING (doc_id)
+      WHERE split = 'test'
+    ), tr AS (
+      SELECT s.doc_id, s.shingle FROM shingles s JOIN splits USING (doc_id)
+      WHERE split = 'train'
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_hits FROM tr JOIN te USING (shingle)
+      GROUP BY doc_id
+    )
+    SELECT h.doc_id, h.n_hits, z.n_shingles,
+      CAST(h.n_hits AS DOUBLE) / z.n_shingles AS contamination
+    FROM hits h JOIN sizes z USING (doc_id)
+    """,
+    ref="LLM-ops: benchmark decontamination — n-gram collision between "
+    "the x6 train split and the held-out test split (the standard "
+    "eval-leakage pass run before any training corpus ships)",
+    scale="eval shingle set is KBs vs a TB corpus -> broadcast; the "
+    "train side is a map-side probe + one doc-keyed agg, no "
+    "corpus-sized shuffle (shingle sets built row-locally)",
+)
+def x13_decontaminate(spark, sf):
+    docs = _t(spark, sf, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    labeled = docs.withColumn(
+        "split",
+        F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test"),
+    )
+    return TX.decontaminate(
+        labeled.filter(F.col("split") == "train"),
+        labeled.filter(F.col("split") == "test"),
+        k=3,
+    )
+
+
+@q(
+    "x14_pii_mask",
+    sql="""
+    SELECT c_custkey,
+      regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+      md5(c_name) AS pseudonym,
+      CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acct_band,
+      c_mktsegment
+    FROM customer
+    """,
+    ref="LLM-ops: PII pseudonymization before a dimension feeds a "
+    "training corpus — regex digit redaction, stable md5 pseudonym "
+    "(joinable without re-identification), numeric generalization "
+    "(k-anonymity-style banding); generalizes the reference's "
+    "customer-dimension handling (data_processor.py customer load)",
+    scale="pure row-local column expressions — map-only, codegen'd, "
+    "no shuffle at any corpus size",
+)
+def x14_pii_mask(spark, sf):
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked_name"),
+        F.md5(F.col("c_name")).alias("pseudonym"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("bigint")
+        .alias("acct_band"),
+        "c_mktsegment",
+    )
+
+
+@q(
+    "smp3_mixture_weights",
+    sql="""
+    WITH per_src AS (
+      SELECT source, count(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        count(*) AS n_sources
+      FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+      CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens) AS weight
+    FROM per_src, tot
+    """,
+    ref="LLM-ops: data-mixture balancing — per-source sampling weight "
+    "that equalizes token share across sources (weight = uniform "
+    "target share / actual share), the knob every pretraining mix "
+    "tunes before sampling",
+    scale="one partial-aggregated groupBy to ~#sources rows, then a "
+    "1-row broadcast of the totals — corpus is scanned once",
+)
+def smp3_mixture_weights(spark, sf):
+    docs = _t(spark, sf, "documents")
+    per_src = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).alias("__toks")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__toks").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("__total"),
+        F.count(F.lit(1)).alias("__n_src"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("__total").cast("double")
+            / (F.col("__n_src") * F.col("n_tokens"))
+        ).alias("weight"),
+    )
+
+
+@q(
+    "x15_sequence_pack",
+    sql="""
+    WITH RECURSIVE sized AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), walk AS (
+      SELECT doc_id, source, n_tokens, rn,
+        0 AS seq_id, n_tokens AS fill
+      FROM sized WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.source, d.n_tokens, d.rn,
+        CASE WHEN w.fill + d.n_tokens <= 256 THEN w.seq_id
+             ELSE w.seq_id + 1 END,
+        CASE WHEN w.fill + d.n_tokens <= 256 THEN w.fill + d.n_tokens
+             ELSE d.n_tokens END
+      FROM walk w JOIN sized d ON d.source = w.source AND d.rn = w.rn + 1
+    )
+    SELECT doc_id, source, n_tokens, CAST(seq_id AS INT) AS seq_id
+    FROM walk
+    """,
+    ref="LLM-ops: greedy whole-document sequence packing into a fixed "
+    "token budget — training-batch assembly, the curation pipeline's "
+    "last mile after x12 materialization (same stateful-fold family "
+    "as A5; operators/packing.py)",
+    scale="sequential per source, parallel across sources via one "
+    "hash-bucketed applyInPandas; only (id, group, n_tokens) scalars "
+    "cross into Python, never text",
+)
+def x15_sequence_pack(spark, sf):
+    return PK.pack_sequences(_t(spark, sf, "documents"), capacity=256)
 
 
 # --------------------------------------------------------- registry order
