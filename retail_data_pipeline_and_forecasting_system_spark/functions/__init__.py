@@ -169,3 +169,28 @@ def nibble_value(hex_col_name: str, pos: int) -> Column:
     return F.expr(
         f"instr('0123456789abcdef', substring({hex_col_name}, {pos}, 1)) - 1"
     )
+
+
+def sql_md5_fraction(hex_col_name: str, nibbles: int = 6) -> str:
+    """SQL fragment mapping an md5 hex column's leading ``nibbles`` chars
+    to a uniform double in [0, 1).
+
+    Returns a STRING of portable SQL (``instr`` over the hex alphabet —
+    identical semantics in Spark SQL and DuckDB), so the engine uses it
+    via ``F.expr`` and the oracle embeds the very same text: both sides
+    compute bit-identical draws. This is the deterministic substitute
+    for ``rand()`` everywhere sampling must be reproducible and
+    oracle-checkable (seeded by whatever was hashed into the column).
+    """
+    terms = [
+        f"(instr('0123456789abcdef', substring({hex_col_name}, {i + 1}, 1))"
+        f" - 1) * {16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    ]
+    # CAST, not a decimal literal: Spark SQL parses `16777216.0` as
+    # DECIMAL(9,1) (decimal division would round the draw to 10 places)
+    # while DuckDB parses it as DOUBLE — CAST(x AS DOUBLE) is identical
+    # in both.
+    return (
+        f"(({' + '.join(terms)}) / CAST({16 ** nibbles} AS DOUBLE))"
+    )

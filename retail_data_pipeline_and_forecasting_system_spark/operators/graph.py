@@ -97,3 +97,66 @@ def dup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("doc_id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    The standard iterative join-aggregate formulation: each round every
+    vertex distributes rank/out_degree along its out-edges, then
+    ``rank' = (1-d)/N + d * Σ incoming``. The iteration count is FIXED
+    (unrolled into one static plan — no data ever reaches the driver,
+    not even a convergence scalar), which is what makes the computation
+    exactly mirrorable as chained SQL CTEs for the oracle. Node set =
+    vertices with at least one edge, so every node has out-degree >= 1
+    and no dangling-mass redistribution is needed.
+
+    At 100 TB: each iteration is one (src-keyed join) + one (dst-keyed
+    aggregate) shuffle over the edge list. The edge frame is reused
+    across iterations — persist it (or pre-bucket by src) so the scan
+    and the src-partitioning are paid once; ranks are node-sized
+    (≪ edges) and co-shuffle cheaply. Unrolling also lets AQE size every
+    stage from real runtime stats.
+
+    Returns (node, rank double) — rank rounded to 12 decimals, keeping
+    the cross-engine float drift (different summation orders at ~1e-17)
+    below the emitted precision.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    edges_deg = e.join(deg, "src")
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges_deg.join(
+                r.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("__c"))
+        )
+        r = (
+            nodes.join(
+                contrib.select(F.col("dst").alias("node"), "__c"),
+                "node",
+                "left",
+            )
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return r.select("node", F.round("rank", 12).alias("rank"))

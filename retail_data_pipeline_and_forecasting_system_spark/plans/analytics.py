@@ -4684,6 +4684,147 @@ def x15_sequence_pack(spark, sf):
     return PK.pack_sequences(_t(spark, sf, "documents"), capacity=256)
 
 
+def _pr_sql(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Unrolled-iteration PageRank oracle: r0 -> c1/r1 -> ... -> r{n}."""
+    parts = [
+        """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM deg),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT e.dst, SUM(r.rank / d.deg) AS c
+      FROM edges e JOIN deg d ON d.src = e.src
+      JOIN r{i - 1} r ON r.node = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT nd.node, {1.0 - damping} / nn.n
+        + {damping} * COALESCE(c{i}.c, 0.0) AS rank
+      FROM nodes nd LEFT JOIN c{i} ON c{i}.dst = nd.node, nn
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS l_partkey, round(rank, 12) AS pagerank FROM r{n_iter}"""
+    )
+    return "".join(parts)
+
+
+@q(
+    "pr1_copurchase_pagerank",
+    sql=_pr_sql(3, 0.85),
+    ref="LLM-ops/graph: fixed-iteration PageRank over the part "
+    "co-purchase graph (lineitem self-join on orderkey) — the iterative "
+    "join-agg family beyond d8's connected components; ranks products "
+    "by basket centrality (the reference's top-selling report "
+    "generalized from counts to graph influence)",
+    scale="each unrolled iteration = one src-join + one dst-agg shuffle "
+    "over edges; persist/bucket the edge frame so its scan and "
+    "src-partitioning are paid once; no driver-side state at all",
+)
+def pr1_copurchase_pagerank(spark, sf):
+    lp = (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+        .join(
+            lp.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
+            ),
+            "o",
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).union(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    from ..operators.graph import pagerank
+
+    return pagerank(edges, n_iter=3, damping=0.85).select(
+        F.col("node").alias("l_partkey"), F.col("rank").alias("pagerank")
+    )
+
+
+_SQL_U_DRAW = None  # built below; shared verbatim with the Spark plan
+
+
+def _smp4_sql() -> str:
+    from ..functions import sql_md5_fraction
+
+    u = sql_md5_fraction("__h", 6)
+    return f"""
+    WITH per_src AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        count(*) AS n_sources
+      FROM per_src
+    ), w AS (
+      SELECT source,
+        CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens) AS weight
+      FROM per_src, tot
+    ), h AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS __h
+      FROM documents
+    )
+    SELECT h.doc_id, h.source, {u} AS u_draw
+    FROM h JOIN w USING (source)
+    WHERE {u} < least(1.0, 0.5 * weight)
+    """
+
+
+@q(
+    "smp4_weighted_sample",
+    sql=_smp4_sql(),
+    ref="LLM-ops: mixture REBALANCING sampler — deterministic Bernoulli "
+    "draw per doc (md5-fraction in [0,1), the reproducible rand()) "
+    "against smp3's per-source weight, so over-represented sources are "
+    "downsampled toward the uniform token target; completes "
+    "smp3 weights -> actual sampled corpus",
+    scale="weights are ~#sources rows -> broadcast; the draw is a "
+    "row-local hash, so sampling is a map-side filter with no shuffle "
+    "and no RNG state, reproducible at any parallelism",
+)
+def smp4_weighted_sample(spark, sf):
+    from ..functions import sql_md5_fraction
+
+    docs = _t(spark, sf, "documents")
+    w = QUERIES["smp3_mixture_weights"].fn(spark, sf).select("source", "weight")
+    h = docs.select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    )
+    u = F.expr(sql_md5_fraction("__h", 6))
+    return (
+        h.join(F.broadcast(w), "source")
+        .withColumn("u_draw", u)
+        .filter(F.col("u_draw") < F.least(F.lit(1.0), 0.5 * F.col("weight")))
+        .select("doc_id", "source", "u_draw")
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
