@@ -249,3 +249,34 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         if "CartesianProduct" in plan and name != "c1_cross_join":
             offenders.append((name, "cartesian"))
     assert not offenders, offenders
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    # the eval-set probe must be a broadcast join (the corpus side never
+    # shuffles for it) — one Exchange total, for the final doc rollup
+    plan = _plan(spark, "x13_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_mask_is_map_only(spark):
+    plan = _plan(spark, "x14_pii_mask")
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_weighted_sample_fact_side_never_shuffles(spark):
+    # weights (~#sources rows) broadcast onto the doc scan; the only
+    # Exchanges allowed are inside the tiny weight-aggregation subtree
+    plan = _plan(spark, "smp4_weighted_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_pack_single_arrow_stage(spark):
+    # formatted explain prints each node twice (tree line + detail
+    # header), so one physical occurrence == count 2
+    plan = _plan(spark, "x15_sequence_pack")
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    # exactly one shuffle: the bucket repartition feeding the kernel
+    assert plan.count("Exchange") == 2
