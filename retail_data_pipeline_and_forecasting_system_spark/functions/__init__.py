@@ -194,3 +194,21 @@ def sql_md5_fraction(hex_col_name: str, nibbles: int = 6) -> str:
     return (
         f"(({' + '.join(terms)}) / CAST({16 ** nibbles} AS DOUBLE))"
     )
+
+
+def sql_zorder(qa: str, qb: str, bits: int = 16) -> str:
+    """SQL fragment interleaving the low ``bits`` bits of two quantized
+    non-negative BIGINT columns into a Morton (Z-order) value.
+
+    Bit i of ``qa`` lands at position 2i, bit i of ``qb`` at 2i+1 — the
+    standard Z-curve, so sorting by the result clusters rows that are
+    close in BOTH dimensions. Pure ``& << >> |`` integer operators,
+    which parse with identical semantics in Spark SQL and DuckDB, so the
+    engine (via ``F.expr``) and the oracle embed the very same text and
+    produce bit-identical values.
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({qa} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qb} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"

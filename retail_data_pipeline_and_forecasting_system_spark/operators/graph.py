@@ -99,6 +99,71 @@ def dup_clusters(
     )
 
 
+def triangle_counts(
+    pairs: DataFrame,
+    a_col: str = "pa",
+    b_col: str = "pb",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list.
+
+    Input: DISTINCT undirected edges as (a, b) pairs with a < b (one row
+    per edge). Output: (node, tri_cnt) for every node in >= 1 triangle.
+
+    Uses the classic degree orientation: each undirected edge is directed
+    from its lower-degree endpoint to its higher-degree endpoint (ties by
+    node id), turning the graph into a DAG whose max out-degree is
+    O(sqrt(|E|)). Wedges are then pairs of out-neighbors of a common
+    vertex, and a wedge (u -> v, u -> w) closes into a triangle iff the
+    oriented edge v -> w exists — one equi-join, no OR-condition, and
+    each triangle is produced exactly once.
+
+    At 100 TB: the wedge count is Σ out_deg(u)² ≤ |E|^1.5 instead of
+    Σ deg(u)² (which a hub node makes quadratic). Both joins are
+    equi-joins keyed on a vertex id, so AQE/skew-salting applies; the
+    degree frame is node-sized and broadcast.
+    """
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge low-degree -> high-degree (ties by id)
+    ab = (
+        e.join(F.broadcast(deg.withColumnsRenamed({"node": "a", "deg": "da"})), "a")
+        .join(F.broadcast(deg.withColumnsRenamed({"node": "b", "deg": "db"})), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    ori = ab.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    # ori is scanned three times (wedge left/right + closure probe); the
+    # edge-orientation join must not run three times. Eager local
+    # checkpoint materializes it once and truncates the lineage — same
+    # idiom as connected_components above.
+    ori = ori.localCheckpoint()
+    # wedges (u -> v, u -> w), v != w, both (v,w) and (w,v) — exactly one
+    # of the two closes (the one matching the v->w orientation)
+    wedges = ori.join(
+        ori.select(F.col("u"), F.col("v").alias("w")), "u"
+    ).filter(F.col("v") != F.col("w"))
+    tris = wedges.join(
+        ori.select(F.col("u").alias("v"), F.col("v").alias("w")), ["v", "w"]
+    ).select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("w").alias("z"))
+    members = (
+        tris.select(F.col("x").alias("node"))
+        .union(tris.select(F.col("y").alias("node")))
+        .union(tris.select(F.col("z").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tri_cnt")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,

@@ -4825,6 +4825,351 @@ def smp4_weighted_sample(spark, sf):
     )
 
 
+# ------------------------------------------- IR ranking / LM quality / layout
+
+_BM25_TERMS = ("spark", "window", "merge")
+
+#: BM25 scoring expression over per-doc (tf_i, dl) and corpus (n_docs,
+#: df_i, avgdl) columns. ONE string, passed verbatim to Spark's F.expr
+#: AND embedded in the DuckDB oracle — identical arithmetic order makes
+#: the doubles bit-identical before the final round.
+_BM25_SCORE = " + ".join(
+    f"ln(1 + (CAST(n_docs AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5))"
+    f" * (tf{i} * 2.2) / (tf{i} + 1.2 * (0.25 + 0.75 * (dl / avgdl)))"
+    for i in (1, 2, 3)
+)
+
+
+def _bm25_sql() -> str:
+    t1, t2, t3 = _BM25_TERMS
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+        CAST(SUM(CASE WHEN token = '{t1}' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+        CAST(SUM(CASE WHEN token = '{t2}' THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+        CAST(SUM(CASE WHEN token = '{t3}' THEN 1 ELSE 0 END) AS BIGINT) AS tf3
+      FROM toks GROUP BY doc_id
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+        CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3,
+        CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM per_doc
+    )
+    SELECT doc_id, dl, round({_BM25_SCORE}, 6) AS bm25
+    FROM per_doc, st
+    WHERE tf1 + tf2 + tf3 > 0
+    """
+
+
+@q(
+    "x16_bm25",
+    sql=_bm25_sql(),
+    ref="LLM-ops/IR: BM25 (k1=1.2, b=0.75) keyword relevance over the "
+    "corpus — the retrieval twin of x5's TF-IDF weighting; exact-oracle "
+    "because query terms are conditional aggregates, not a hashed "
+    "vocabulary",
+    scale="one tokenize+hash-agg over the corpus; corpus stats are a "
+    "1-row broadcast; per-doc score is row-local arithmetic — no second "
+    "shuffle. Fixed query-term set means no vocabulary join at all",
+)
+def x16_bm25(spark, sf):
+    per_doc = (
+        _t(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dl"),
+            *[
+                F.sum(F.when(F.col("token") == t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"tf{i}")
+                for i, t in enumerate(_BM25_TERMS, start=1)
+            ],
+        )
+    )
+    st = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in (1, 2, 3)
+        ],
+        F.expr("CAST(SUM(dl) AS DOUBLE) / count(*)").alias("avgdl"),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(st))
+        .filter(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        .select(
+            "doc_id",
+            "dl",
+            F.expr(f"round({_BM25_SCORE}, 6)").alias("bm25"),
+        )
+    )
+
+
+@q(
+    "x17_unigram_lm",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, token
+    ), vocab AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS t_total,
+        CAST(count(*) AS BIGINT) AS v_size
+      FROM vocab
+    ), probs AS (
+      SELECT token, ln((c + 1) / CAST(t_total + v_size AS DOUBLE)) AS ln_p
+      FROM vocab, tot
+    ), g AS (
+      SELECT doc_id, list(tf * ln_p ORDER BY token) AS arr,
+        CAST(SUM(tf) AS BIGINT) AS n_tok
+      FROM tf JOIN probs USING (token) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok,
+      round(list_reduce(arr, (x, y) -> x + y) / n_tok, 6) AS avg_logprob
+    FROM g
+    """,
+    ref="LLM-ops: add-one-smoothed unigram LM trained on the corpus "
+    "itself, scoring each doc by mean token log-probability — the "
+    "perplexity-style quality signal (gibberish/outlier docs score low); "
+    "completes x2's surface heuristics with a statistical signal",
+    scale="two hash-aggs (per-doc-term, vocab) + a broadcast of the "
+    "vocab probs; per-doc fold is row-local. Deterministic across "
+    "engines: token-sorted sequential fold, not float SUM()",
+)
+def x17_unigram_lm(spark, sf):
+    toks = (
+        _t(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = vocab.agg(
+        F.sum("c").cast("bigint").alias("t_total"),
+        F.count(F.lit(1)).cast("bigint").alias("v_size"),
+    )
+    probs = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.expr("ln((c + 1) / CAST(t_total + v_size AS DOUBLE))").alias("ln_p"),
+    )
+    g = (
+        tf.join(F.broadcast(probs), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("token"), (F.col("tf") * F.col("ln_p")).alias("v")
+                    )
+                )
+            ).alias("__arr"),
+            F.sum("tf").cast("bigint").alias("n_tok"),
+        )
+    )
+    return g.select(
+        "doc_id",
+        "n_tok",
+        F.round(
+            F.aggregate(
+                F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x["v"]
+            )
+            / F.col("n_tok"),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+@q(
+    "x18_boilerplate_ngrams",
+    sql=_SQL_SHINGLES
+    + """
+    SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq,
+      round(count(*) / CAST(n.n_docs AS DOUBLE), 6) AS share
+    FROM shingles, (SELECT count(*) AS n_docs FROM documents) n
+    GROUP BY shingle, n.n_docs HAVING count(*) >= 3
+    """,
+    ref="LLM-ops: cross-document repeated n-gram mining (boilerplate / "
+    "template detection) — the corpus-level complement of x11's "
+    "within-doc repetition signals; flags 3-gram spans shared by >= 3 "
+    "docs for strip-lists before training",
+    scale="one shingle explode + one hash-agg keyed on the shingle; the "
+    "absolute >= 3 floor is the operator's semantics (boilerplate is "
+    "absolute-frequency, not corpus-relative) — at 100 TB raise the "
+    "floor, the plan is unchanged",
+)
+def x18_boilerplate_ngrams(spark, sf):
+    from ..functions import word_shingles
+
+    docs = _t(spark, sf, "documents")
+    n_docs = docs.count()
+    return (
+        word_shingles(docs, k=3)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 3)
+        .select(
+            "shingle",
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.lit(float(n_docs)), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+@q(
+    "pr2_copurchase_triangles",
+    sql="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+      ) GROUP BY node
+    ),
+    ori AS (
+      SELECT
+        CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+             THEN pa ELSE pb END AS u,
+        CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+             THEN pb ELSE pa END AS v
+      FROM pairs
+      JOIN deg da ON da.node = pa
+      JOIN deg db ON db.node = pb
+    ),
+    tris AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM ori e1
+      JOIN ori e2 ON e2.u = e1.u AND e1.v <> e2.v
+      JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT node AS l_partkey, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+      SELECT x AS node FROM tris UNION ALL SELECT y FROM tris
+      UNION ALL SELECT z FROM tris
+    ) GROUP BY node
+    """,
+    ref="LLM-ops/graph: per-node triangle counts over the part "
+    "co-purchase graph (degree-oriented wedge closure) — local "
+    "clustering structure beyond pr1's global centrality; the classic "
+    "community-density signal",
+    scale="degree orientation bounds wedges at Σ out_deg² ≤ |E|^1.5 "
+    "(hub-proof); both joins are vertex-keyed equi-joins (AQE/salting "
+    "applies); degree frame is node-sized and broadcast",
+)
+def pr2_copurchase_triangles(spark, sf):
+    lp = (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+        .join(
+            lp.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
+            ),
+            "o",
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    from ..operators.graph import triangle_counts
+
+    return triangle_counts(pairs).select(
+        F.col("node").alias("l_partkey"), "tri_cnt"
+    )
+
+
+def _z1_sql() -> str:
+    from ..functions import sql_zorder
+
+    z = sql_zorder("__qa", "__qb", 16)
+    return f"""
+    WITH st AS (
+      SELECT CAST(min(l_partkey) AS BIGINT) AS mna,
+             CAST(max(l_partkey) AS BIGINT) AS mxa,
+             CAST(min(l_suppkey) AS BIGINT) AS mnb,
+             CAST(max(l_suppkey) AS BIGINT) AS mxb
+      FROM lineitem
+    ), qz AS (
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        CAST(((l_partkey - mna) * 65536) // (mxa - mna + 1) AS BIGINT)
+          AS __qa,
+        CAST(((l_suppkey - mnb) * 65536) // (mxb - mnb + 1) AS BIGINT)
+          AS __qb
+      FROM lineitem, st
+    )
+    SELECT l_orderkey, l_linenumber, CAST({z} AS BIGINT) AS zval,
+      CAST(({z}) >> 24 AS BIGINT) AS zbucket
+    FROM qz
+    """
+
+
+@q(
+    "z1_zorder_key",
+    sql=_z1_sql(),
+    ref="data-layout: Morton (Z-order) clustering key over "
+    "(l_partkey, l_suppkey) — the multi-dimensional data-skipping "
+    "layout (Delta OPTIMIZE ZORDER / Hudi space-curve analogue); "
+    "sources/writers.py write_zordered sorts+writes by this value so "
+    "per-file parquet min/max bounds are tight on BOTH columns",
+    scale="quantization bounds are a 1-row broadcast; the z-value is "
+    "row-local integer bit math (codegen'd, no shuffle); the layout "
+    "write itself is one range-exchange on zval per ingest batch",
+)
+def z1_zorder_key(spark, sf):
+    from ..functions import sql_zorder
+
+    li = _t(spark, sf, "lineitem")
+    st = li.agg(
+        F.min("l_partkey").cast("bigint").alias("mna"),
+        F.max("l_partkey").cast("bigint").alias("mxa"),
+        F.min("l_suppkey").cast("bigint").alias("mnb"),
+        F.max("l_suppkey").cast("bigint").alias("mxb"),
+    )
+    z = sql_zorder("__qa", "__qb", 16)
+    return (
+        li.crossJoin(F.broadcast(st))
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+            F.expr(
+                "CAST(((l_partkey - mna) * 65536) DIV (mxa - mna + 1)"
+                " AS BIGINT)"
+            ).alias("__qa"),
+            F.expr(
+                "CAST(((l_suppkey - mnb) * 65536) DIV (mxb - mnb + 1)"
+                " AS BIGINT)"
+            ).alias("__qb"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(f"CAST({z} AS BIGINT)").alias("zval"),
+            F.expr(f"CAST(({z}) >> 24 AS BIGINT)").alias("zbucket"),
+        )
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so

@@ -13,6 +13,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_single_csv(df: DataFrame, output_dir: str, filename: str) -> str:
@@ -97,6 +98,57 @@ def write_partitioned_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered parquet sink for 2-D data skipping.
+
+    Quantizes the two cluster columns to ``bits``-bit ranks over their
+    data min/max, interleaves the bits into a Z-value, then range-
+    partitions AND sorts by it before writing. Each output file then
+    covers a small contiguous square of the (col_a, col_b) space, so its
+    parquet column statistics give NARROW min/max bounds on BOTH columns
+    — a reader filtering on either (or both) skips most files/row-groups,
+    which a single-column sort can only provide for its leading column.
+
+    At 100 TB this is the layout step you run once per ingest batch: one
+    range-exchange shuffle, no extra passes, and every later selective
+    scan pays only for the files whose bounding box intersects the
+    predicate. The Z-value itself never needs to be stored — it is
+    dropped after the sort.
+    """
+    a, b = cols
+    from ..functions import sql_zorder
+
+    mn = df.agg(
+        F.min(a).alias("__mna"), F.max(a).alias("__mxa"),
+        F.min(b).alias("__mnb"), F.max(b).alias("__mxb"),
+    )
+    scale = 1 << bits
+    q = df.crossJoin(F.broadcast(mn)).select(
+        "*",
+        F.expr(
+            f"CAST((({a} - __mna) * {scale}) DIV (__mxa - __mna + 1) AS BIGINT)"
+        ).alias("__qa"),
+        F.expr(
+            f"CAST((({b} - __mnb) * {scale}) DIV (__mxb - __mnb + 1) AS BIGINT)"
+        ).alias("__qb"),
+    ).withColumn("__z", F.expr(sql_zorder("__qa", "__qb", bits)))
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        q.repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__mna", "__mxa", "__mnb", "__mxb", "__qa", "__qb", "__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:

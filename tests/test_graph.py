@@ -71,3 +71,54 @@ def test_real_neardup_pairs_cluster(spark):
     for cid, members in by_cluster.items():
         assert sum(m["is_canonical"] for m in members) == 1
         assert min(m["doc_id"] for m in members) == cid
+
+
+def _brute_triangles(edges):
+    """Count triangles per node by brute force over the edge set."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    cnt = defaultdict(int)
+    nodes = sorted(adj)
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            cnt[a] += 1
+            cnt[b] += 1
+            cnt[c] += 1
+    return dict(cnt)
+
+
+def test_triangle_counts_match_bruteforce_on_random_graph(spark):
+    from retail_data_pipeline_and_forecasting_system_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    rng = random.Random(11)
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(40), rng.randrange(40)) for _ in range(200)
+            )
+            if a != b
+        }
+    )
+    pairs = spark.createDataFrame(edges, ["pa", "pb"])
+    got = {
+        r["node"]: r["tri_cnt"] for r in triangle_counts(pairs).collect()
+    }
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_counts_empty_and_triangle_free(spark):
+    from retail_data_pipeline_and_forecasting_system_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # a path graph has zero triangles -> empty result
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["pa", "pb"])
+    assert triangle_counts(pairs).count() == 0

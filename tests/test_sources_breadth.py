@@ -148,3 +148,35 @@ def test_python_datasource_generator_is_deterministic_and_parallel(spark):
     assert half == [t for t in a if t[0] < 1000]
     types = {r["event_type"] for r in df.collect()}
     assert types <= {"view", "click", "purchase", "signup", "error"}
+
+
+def test_zorder_layout_tightens_per_file_bounds(spark, tmp_path):
+    """write_zordered gives each file a small bounding box in BOTH
+    cluster dimensions (the data-skipping property), vs a naive write
+    whose files span ~the full range of the non-leading column."""
+    from retail_data_pipeline_and_forecasting_system_spark.sources.writers import (
+        write_zordered,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    naive, zord = str(tmp_path / "naive"), str(tmp_path / "zord")
+    li.repartition(8).write.parquet(naive)
+    write_zordered(li, zord, ("l_partkey", "l_suppkey"), num_files=8)
+
+    def mean_box_area(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("l_partkey") - F.min("l_partkey")).alias("sa"),
+                (F.max("l_suppkey") - F.min("l_suppkey")).alias("sb"),
+            )
+        )
+        rows = per_file.collect()
+        return sum(r["sa"] * r["sb"] for r in rows) / len(rows)
+
+    back = spark.read.parquet(zord)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
+    # z-ordered files cover small squares; naive files cover ~everything
+    assert mean_box_area(zord) < 0.5 * mean_box_area(naive)
