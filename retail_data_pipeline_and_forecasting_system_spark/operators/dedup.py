@@ -330,3 +330,48 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directed shingle-containment pairs: |A ∩ B| / |A| >= threshold.
+
+    The asymmetric complement of :func:`jaccard_pairs`: a short document
+    quoted inside a long one has HIGH containment but LOW Jaccard (the
+    union is dominated by the long doc), so symmetric dedup misses
+    sub/superset duplication — quotes, excerpts, copies-with-additions.
+    Output is DIRECTED: (doc_a, doc_b, containment) means doc_a's
+    shingle set is >= threshold contained in doc_b's; both directions
+    are emitted when both clear the threshold.
+
+    Same inverted shingle index as Jaccard (cost Σ docs-per-shingle²,
+    never n²); the unordered intersection is computed once and fanned
+    out into the two directed rows row-locally.
+    """
+    sh = word_shingles(df, k=k, id_col=id_col, text_col=text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    both = inter.join(na, "doc_a").join(nb, "doc_b")
+    fwd = both.select(
+        "doc_a", "doc_b", (F.col("n_common") / F.col("n_a")).alias("containment")
+    )
+    rev = both.select(
+        F.col("doc_b").alias("doc_a"),
+        F.col("doc_a").alias("doc_b"),
+        (F.col("n_common") / F.col("n_b")).alias("containment"),
+    )
+    return fwd.union(rev).filter(F.col("containment") >= threshold)

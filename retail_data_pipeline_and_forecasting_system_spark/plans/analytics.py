@@ -5170,6 +5170,204 @@ def z1_zorder_key(spark, sf):
     )
 
 
+@q(
+    "d10_containment_pairs",
+    sql=_SQL_SHINGLES
+    + """
+  , sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+  ), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+  ), both_ AS (
+    SELECT doc_a, doc_b, n_common, na.n_shingles AS n_a, nb.n_shingles AS n_b
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+  ), directed AS (
+    SELECT doc_a, doc_b, n_common / CAST(n_a AS DOUBLE) AS containment
+    FROM both_
+    UNION ALL
+    SELECT doc_b, doc_a, n_common / CAST(n_b AS DOUBLE) FROM both_
+  )
+  SELECT doc_a, doc_b, containment FROM directed WHERE containment >= 0.6
+    """,
+    ref="LLM-ops: directed shingle containment |A∩B|/|A| — catches "
+    "sub/superset duplication (quotes, excerpts, copy-with-additions) "
+    "that symmetric Jaccard (d2) misses because the union is dominated "
+    "by the longer doc",
+    scale="same inverted shingle index as d2 (Σ docs-per-shingle², "
+    "never n²); the unordered intersection is computed once and fanned "
+    "into both directions row-locally",
+)
+def d10_containment_pairs(spark, sf):
+    return D.containment_pairs(_t(spark, sf, "documents"), k=3, threshold=0.6)
+
+
+@q(
+    "smp5_temperature_mixture",
+    sql="""
+    WITH per_src AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per_src
+    ), sh AS (
+      SELECT source, n_tokens,
+        CAST(n_tokens AS DOUBLE) / total_tokens AS share,
+        pow(CAST(n_tokens AS DOUBLE) / total_tokens, 0.3) AS powed
+      FROM per_src, tot
+    ), z AS (
+      SELECT CAST(list_reduce(list(powed ORDER BY source), (x, y) -> x + y)
+        AS DOUBLE) AS norm
+      FROM sh
+    )
+    SELECT source, n_tokens, round(share, 6) AS share,
+      round(powed / norm, 6) AS temp_weight,
+      round((powed / norm) / share, 6) AS boost
+    FROM sh, z
+    """,
+    ref="LLM-ops: temperature-scaled mixture sampling (q_i ∝ p_i^α, "
+    "α=0.3) — the standard multilingual/multi-source rebalancing rule "
+    "(mT5/XLM-R): low-resource sources are upsampled, high-resource "
+    "downsampled, smoothly between uniform (α=0) and natural (α=1); "
+    "complements smp3's hard equal-share weights",
+    scale="corpus scanned once into ~#sources rows; normalization is a "
+    "source-sorted sequential fold over that tiny frame (deterministic "
+    "cross-engine), then a 1-row broadcast",
+)
+def smp5_temperature_mixture(spark, sf):
+    per_src = (
+        _t(spark, sf, "documents")
+        .select("source", F.size(F.split("text", " ")).alias("__toks"))
+        .groupBy("source")
+        .agg(F.sum("__toks").cast("bigint").alias("n_tokens"))
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+    sh = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr("CAST(n_tokens AS DOUBLE) / total_tokens").alias("share"),
+        F.expr("pow(CAST(n_tokens AS DOUBLE) / total_tokens, 0.3)").alias(
+            "powed"
+        ),
+    )
+    z = sh.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("source"), F.col("powed")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["powed"],
+        ).alias("norm")
+    )
+    return sh.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round(F.col("powed") / F.col("norm"), 6).alias("temp_weight"),
+        F.round((F.col("powed") / F.col("norm")) / F.col("share"), 6).alias(
+            "boost"
+        ),
+    )
+
+
+@q(
+    "x19_bigram_lm",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, t.token, t.pos FROM (
+        SELECT doc_id,
+          unnest(string_split(text, ' ')) AS token,
+          generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ) t(doc_id, token, pos)
+    ), bi AS (
+      SELECT doc_id, pos, w1, w2 FROM (
+        SELECT doc_id, pos, token AS w1,
+          lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+      ) WHERE w2 IS NOT NULL
+    ), bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY w1, w2
+    ), uc AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY w1
+    ), vs AS (
+      SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM toks
+    ), probs AS (
+      SELECT w1, w2, ln((c2 + 1) / CAST(c1 + v AS DOUBLE)) AS lp
+      FROM bc JOIN uc USING (w1), vs
+    ), j AS (
+      SELECT doc_id, pos, lp FROM bi JOIN probs USING (w1, w2)
+    ), g AS (
+      SELECT doc_id, list(lp ORDER BY pos) AS arr,
+        CAST(count(*) AS BIGINT) AS n_bigrams
+      FROM j GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+      round(list_reduce(arr, (x, y) -> x + y) / n_bigrams, 6) AS avg_logprob
+    FROM g
+    """,
+    ref="LLM-ops: add-one-smoothed bigram LM mean log-prob — the "
+    "sequence-aware upgrade of x17's unigram score (scrambled or "
+    "unnatural token order scores low even when the vocabulary looks "
+    "fine); p(w_t|w_{t-1}) = (c(w_{t-1}w_t)+1)/(c(w_{t-1})+V)",
+    scale="bigrams from one doc-keyed window (single shuffle), two "
+    "hash-aggs for the model counts (vocab²-bounded, tiny), probs "
+    "broadcast back; per-doc fold is position-sorted and row-local — "
+    "bit-identical cross-engine",
+)
+def x19_bigram_lm(spark, sf):
+    from ..functions import explode_tokens
+
+    t = explode_tokens(_t(spark, sf, "documents"))
+    wnd = W.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        t.select(
+            "doc_id",
+            "pos",
+            F.col("token").alias("w1"),
+            F.lead("token", 1).over(wnd).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    uc = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    vs = t.agg(F.countDistinct("token").cast("bigint").alias("v"))
+    probs = (
+        bc.join(uc, "w1")
+        .crossJoin(F.broadcast(vs))
+        .select(
+            "w1",
+            "w2",
+            F.expr("ln((c2 + 1) / CAST(c1 + v AS DOUBLE))").alias("lp"),
+        )
+    )
+    g = (
+        bi.join(F.broadcast(probs), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pos"), F.col("lp")))
+            ).alias("__arr"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        )
+    )
+    return g.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.aggregate(
+                F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x["lp"]
+            )
+            / F.col("n_bigrams"),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so

@@ -271,3 +271,65 @@ def test_count_min_never_underestimates(spark):
     for r in cms.collect():
         per_lane[r["lane"]] += r["cnt"]
     assert set(per_lane.values()) == {len(rows)}
+
+
+def test_containment_catches_quote_that_jaccard_misses(spark):
+    """A short doc quoted inside a long one: containment ~1.0 for the
+    short->long direction, while Jaccard stays below any dedup cut."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"tok{i} mid{i} end{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], ["doc_id", "text"]
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(docs, k=3, threshold=0.6).collect()
+    }
+    # every shingle of the short doc appears in the long doc
+    assert cont[(1, 2)] == 1.0
+    # the reverse direction is far below threshold -> absent
+    assert (2, 1) not in cont
+    # symmetric Jaccard misses this pair entirely at the same cut
+    assert jaccard_pairs(docs, k=3, threshold=0.6).count() == 0
+
+
+def test_temperature_mixture_upsamples_small_sources(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["smp5_temperature_mixture"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total_w = sum(r["temp_weight"] for r in rows)
+    assert abs(total_w - 1.0) < 1e-4  # normalized distribution
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    largest = max(rows, key=lambda r: r["n_tokens"])
+    # alpha<1 compresses the range: small sources boosted, large damped
+    assert smallest["boost"] > 1.0 > largest["boost"]
+    assert smallest["temp_weight"] < largest["temp_weight"]  # order kept
+
+
+def test_bigram_lm_prefers_natural_order(spark):
+    """Repetitive natural-order docs outscore a scrambled doc with the
+    SAME unigram distribution — the signal x17 (unigram) cannot see."""
+    import __spark_entry__ as e
+    import tempfile, os
+
+    base = "the cat sat on the mat " * 10
+    scrambled = "the the cat mat sat the on cat the sat mat on " * 5
+    docs = [(i, base.strip(), "en", "src0", len(base)) for i in range(9)]
+    docs.append((9, scrambled.strip(), "en", "src0", len(scrambled)))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            r["doc_id"]: r["avg_logprob"]
+            for r in e.queries()["x19_bigram_lm"](spark, d).collect()
+        }
+    natural, odd = rows[0], rows[9]
+    assert natural > odd
