@@ -197,6 +197,16 @@ def centroid_dist_structs(
     )
 
 
+def _l2_py(a: list[float], b: list[float]) -> float:
+    """Driver-side squared-L2 as the SAME sequential IEEE-double fold the
+    engine expressions run — model math (probe selection, PQ distance
+    tables) computed in Python is bit-identical to the SQL oracles."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -206,6 +216,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    model: tuple[list[tuple[int, list[float]]], list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
@@ -215,45 +226,64 @@ def ivf_topk(
     one cell, not the corpus). Every vector is assigned to its nearest
     centroid by squared-L2 (ties → lowest centroid id) in a MAP-ONLY
     argmin over literal centroids (no join, no window, no shuffle — see
-    :func:`centroid_dist_structs`); the query probes its ``n_probe``
-    nearest cells and ranks by exact cosine.
+    :func:`centroid_dist_structs`); the query's ``n_probe`` nearest cells
+    are chosen DRIVER-SIDE from the collected model state (k×dim flops —
+    it is model math, not a data pass), and ranking is exact cosine
+    against the literal query vector. The whole corpus pass is therefore
+    scan → map (cell argmin) → filter(cell IN probe) → TakeOrdered: zero
+    joins, zero shuffles, zero broadcasts — the same collapsed shape as
+    :func:`ivfpq_topk`. (The previous design broadcast-joined a q-cells
+    frame, costing two extra Spark jobs per query.)
+
+    ``model``: optional pre-collected ``(cent_list, qvec)`` — an ANN
+    service collects the quantizer once and serves many queries; pass it
+    to skip the two tiny driver jobs on repeat calls.
 
     All distance math is the sequential double fold, so a SQL engine
     running the same assignment reproduces results bit-for-bit. Output:
     (vec_id, cos_sim) — the query row itself is excluded.
     """
-    if centroids is None:
-        # first-n-by-id stand-in quantizer (oracle-able); pass the output
-        # of kmeans_lloyd/kmeans_mllib for a learned one
-        centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-        )
-    cent_list = _collect_centroids(centroids)
-    nearest = F.array_min(centroid_dist_structs(vec_col, cent_list))
-    assigned = embeddings.select(
-        id_col, vec_col, nearest.getField("cent_id").alias("cent_id")
-    )
+    if model is not None:
+        cent_list, qvec = model
+    else:
+        if centroids is None:
+            # first-n-by-id stand-in quantizer (oracle-able); pass the
+            # output of kmeans_lloyd/kmeans_mllib for a learned one
+            centroids = embeddings.filter(
+                F.col(id_col) < n_centroids
+            ).select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("cent_vec"),
+            )
+        cent_list = _collect_centroids(centroids)
+        qvec = [
+            float(x)
+            for x in embeddings.filter(F.col(id_col) == query_id).head()[
+                vec_col
+            ]
+        ]
     # multi-probe: the query searches its n_probe nearest cells (recall
     # lever — probe=1 is fastest, probe=n_centroids degenerates to brute
-    # force); the probe ranking is the same struct array, sorted + sliced
-    qcells = (
-        embeddings.filter(F.col(id_col) == query_id)
-        .select(
-            F.col(vec_col).alias("q_vec"),
-            F.explode(
-                F.slice(
-                    F.array_sort(centroid_dist_structs(vec_col, cent_list)),
-                    1,
-                    n_probe,
-                )
-            ).alias("__probe"),
-        )
-        .select(F.col("__probe.cent_id").alias("q_cell"), "q_vec")
+    # force); ties → lowest centroid id, exactly the engine's struct order
+    probe_cells = [
+        cid
+        for _, cid in sorted(
+            (_l2_py(qvec, cv), cid) for cid, cv in cent_list
+        )[:n_probe]
+    ]
+    nearest = F.array_min(centroid_dist_structs(vec_col, cent_list))
+    q_lit = F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for x in qvec) + ")"
     )
     return (
-        assigned.join(F.broadcast(qcells), on=F.col("cent_id") == F.col("q_cell"))
-        .filter(F.col(id_col) != query_id)
-        .select(id_col, cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"))
+        embeddings.select(
+            id_col, vec_col, nearest.getField("cent_id").alias("cent_id")
+        )
+        .filter(
+            F.col("cent_id").isin(probe_cells)
+            & (F.col(id_col) != query_id)
+        )
+        .select(id_col, cosine(F.col(vec_col), q_lit).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
@@ -673,20 +703,17 @@ def ivfpq_topk(
         for x in embeddings.filter(F.col(id_col) == query_id).head()[vec_col]
     ]
 
-    def _l2(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + (x - y) * (x - y)
-        return acc
-
     probe_cells = [
         cid
         for _, cid in sorted(
-            (_l2(qvec, cv), cid) for cid, cv in cent_list
+            (_l2_py(qvec, cv), cid) for cid, cv in cent_list
         )[:n_probe]
     ]
     dtable = [
-        [_l2(qvec[s * width : (s + 1) * width], cent) for _, cent in books[s]]
+        [
+            _l2_py(qvec[s * width : (s + 1) * width], cent)
+            for _, cent in books[s]
+        ]
         for s in range(m)
     ]
     nearest = F.array_min(centroid_dist_structs(vec_col, cent_list))

@@ -34,10 +34,12 @@ def test_ivf_results_come_from_query_cell_and_overlap_bruteforce(spark):
 
 
 def test_ivf_assignment_is_map_only(spark):
-    """Nearest-centroid assignment must be a map-only argmin: the only
-    join in the plan is the final broadcast of the (tiny) probe-cell rows,
-    and NO Exchange may sit between the corpus scan and the assignment
-    (the round-1 design shuffled the k-times-expanded corpus on vec_id)."""
+    """The whole IVF query must be a single map-only pass: scan → argmin
+    cell assignment → filter(probe cells) → TakeOrdered. No join of any
+    kind (probe cells are driver-side model math), no Window, and NO
+    Exchange anywhere (the round-1 design shuffled the k-times-expanded
+    corpus on vec_id; the round-2a design still broadcast-joined a
+    probe-cell frame)."""
     import re
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -45,10 +47,9 @@ def test_ivf_assignment_is_map_only(spark):
     with contextlib.redirect_stdout(buf):
         ivf_topk(emb, query_id=0).explain("formatted")
     plan = buf.getvalue()
-    assert "BroadcastHashJoin" in plan  # probe-cell join broadcasts
+    assert "Join" not in plan  # zero joins: probe is driver-side
     assert "Window" not in plan  # no row_number ranking anywhere
-    # no shuffle at all before the top-k: every Exchange in the plan is a
-    # broadcast (probe side), never a hash/range repartition of the corpus
+    # no shuffle at all before the top-k
     assert not re.search(r"^\(\d+\) Exchange", plan, re.M), plan[:1500]
 
 

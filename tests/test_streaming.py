@@ -222,16 +222,17 @@ def test_streaming_sessionize_matches_batch_gap_sessions(spark, tmp_path):
         ev_dir / "events.parquet",
     )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = (
-        spark.read.parquet(str(ev_dir / "events.parquet")).schema
-    )
+    batch_df = spark.read.parquet(str(ev_dir / "events.parquet"))
+    # ts is int64-nanos in some testdata generations, TIMESTAMP(MICROS)
+    # in others — normalize exactly like plans.analytics._t
+    if dict(batch_df.dtypes)["ts"] == "bigint":
+        ts_norm = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    else:
+        ts_norm = F.col("ts").cast("timestamp")
     stream = (
-        spark.readStream.schema(batch_schema)
+        spark.readStream.schema(batch_df.schema)
         .parquet(str(ev_dir))
-        .withColumn(
-            "ts",
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")),
-        )
+        .withColumn("ts", ts_norm)
     )
     q = (
         streaming_sessionize(stream, gap="30 minutes")
