@@ -25,7 +25,7 @@ the join and AQE skew splitting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import (
@@ -126,6 +126,49 @@ def _jaccard_from_shingles(
     )
 
 
+def _band_buckets(
+    df: DataFrame,
+    num_hashes: int,
+    bands: int,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH band buckets: one row per (doc, band, bucket-hash).
+
+    Signature from NON-distinct shingles: min-wise hashing is duplicate-
+    invariant, so skipping the dedup shuffle changes nothing but time.
+    This is the ONLY shingle explode in the pipelines built on it —
+    candidate verification re-derives shingles row-locally as arrays for
+    candidate docs only, instead of re-exploding the corpus (the round-1
+    design re-shingled three more times; at sf0.1 that made d3 the
+    slowest bench query).
+    """
+    rows_per_band = num_hashes // bands
+    raw_sh = word_shingles(
+        df, k=k, id_col=id_col, text_col=text_col, distinct=False
+    )
+    sig = minhash_signature(raw_sh, num_hashes, id_col=id_col)
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
+            )
+        )
+    return sig.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 8,
@@ -148,32 +191,9 @@ def minhash_lsh_pairs(
     (tiny) candidate set — this is the 100 TB path where all-pairs Jaccard
     is infeasible.
     """
-    rows_per_band = num_hashes // bands
-    # signature from NON-distinct shingles: min-wise hashing is duplicate-
-    # invariant, so skipping the dedup shuffle changes nothing but time.
-    # This is the ONLY shingle explode in the whole pipeline — candidate
-    # verification below re-derives shingles row-locally as arrays for
-    # candidate docs only, instead of re-exploding the corpus three more
-    # times (the round-1 design re-shingled for sh_a, sh_b and sizes; at
-    # sf0.1 that made d3 the slowest bench query).
-    raw_sh = word_shingles(
-        df, k=k, id_col=id_col, text_col=text_col, distinct=False
+    buckets = _band_buckets(
+        df, num_hashes, bands, k=k, id_col=id_col, text_col=text_col
     )
-    sig = minhash_signature(raw_sh, num_hashes, id_col=id_col)
-
-    # band buckets: one row per (doc, band, bucket-hash)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
-            )
-        )
-    buckets = sig.select(
-        id_col, F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if cache_buckets:
         # The candidate step self-joins the bucket frame; without a persist
         # Spark evaluates the whole shingle -> md5 -> signature pipeline
@@ -329,6 +349,107 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def incremental_dedup(
+    df: DataFrame,
+    new_pred: Column,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup an arriving batch AGAINST an existing corpus — the production
+    ingestion shape: a new partition lands and must be checked against
+    everything already accepted, without ever re-comparing the corpus to
+    itself.
+
+    ``new_pred`` is a row predicate marking the new batch (a
+    ``batch_date`` partition in practice). Verdict per new document:
+
+    - ``exact``  — byte-identical text exists in the corpus (md5 key);
+    - ``near``   — shares an LSH band bucket with a corpus doc AND exact
+                   shingle Jaccard >= ``threshold``;
+    - ``unique`` — neither.
+
+    Output: (doc_id, status, match_id) where match_id is the LOWEST
+    matching corpus doc id (exact match wins over near), NULL for unique.
+
+    Scale: candidates come only from new x corpus bucket collisions —
+    the corpus x corpus quadrant is never generated (the batch side of
+    the bucket join is tiny, so AQE broadcasts it); at 100 TB the corpus
+    signatures and content keys are incrementally maintained tables, so
+    each ingest computes signatures for the BATCH only and joins against
+    the stored index. The exact-key join groups the corpus by content
+    key (one hash-agg reused across ingests when materialized).
+    """
+    flagged = df.select(
+        F.col(id_col), F.col(text_col), new_pred.alias("__new")
+    )
+    new_docs = flagged.filter(F.col("__new"))
+    corpus = flagged.filter(~F.col("__new"))
+
+    # exact: content-key equi join, corpus pre-grouped to its min id
+    new_keys = new_docs.select(
+        F.col(id_col).alias("new_id"), F.md5(text_col).alias("__ck")
+    )
+    corpus_keys = corpus.groupBy(F.md5(text_col).alias("__ck")).agg(
+        F.min(id_col).alias("exact_id")
+    )
+    exact = new_keys.join(corpus_keys, "__ck").select("new_id", "exact_id")
+
+    # near: banded buckets over the full frame (one explode), candidates
+    # restricted to the new x corpus quadrant
+    buckets = _band_buckets(
+        df, num_hashes, bands, k=k, id_col=id_col, text_col=text_col
+    )
+    flags = flagged.select(id_col, "__new")
+    tagged = buckets.join(flags, id_col)
+    nb = tagged.filter(F.col("__new")).select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    )
+    cb = tagged.filter(~F.col("__new")).select(
+        F.col(id_col).alias("corp_id"), "band", "bucket"
+    )
+    cand = nb.join(cb, ["band", "bucket"]).select("new_id", "corp_id").distinct()
+
+    # verify candidates with exact Jaccard, row-local shingle sets
+    sets = word_shingle_sets(df, k=k, id_col=id_col, text_col=text_col)
+    set_n = sets.select(
+        F.col(id_col).alias("new_id"), F.col("shingle_set").alias("__sn")
+    )
+    set_c = sets.select(
+        F.col(id_col).alias("corp_id"), F.col("shingle_set").alias("__sc")
+    )
+    near = (
+        cand.join(set_n, "new_id")
+        .join(set_c, "corp_id")
+        .withColumn("__nc", F.size(F.array_intersect("__sn", "__sc")))
+        .withColumn(
+            "__j",
+            F.col("__nc")
+            / (F.size("__sn") + F.size("__sc") - F.col("__nc")),
+        )
+        .filter(F.col("__j") >= threshold)
+        .groupBy("new_id")
+        .agg(F.min("corp_id").alias("near_id"))
+    )
+
+    return (
+        new_docs.select(F.col(id_col).alias("new_id"))
+        .join(exact, "new_id", "left")
+        .join(near, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+            .when(F.col("near_id").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.coalesce("exact_id", "near_id").alias("match_id"),
+        )
     )
 
 

@@ -57,6 +57,36 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (1, 3) not in pairs
 
 
+def test_incremental_dedup_verdicts(spark):
+    """New-batch-vs-corpus dedup: exact beats near, near needs bucket
+    collision + Jaccard, unique matches nothing; corpus x corpus pairs
+    are never reported."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    far = "completely different words appear within this other document here now"
+    df = spark.createDataFrame(
+        [
+            (1, base),  # corpus
+            (2, far),  # corpus
+            (3, base),  # corpus: exact dup of 1 (must NOT be reported)
+            (10, base),  # new: exact dup of 1 and 3 -> lowest corpus id 1
+            (11, near),  # new: near-dup of 1
+            (12, "nothing like any corpus text at all in here friend"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in D.incremental_dedup(
+            df, new_pred=F.col("doc_id") >= 10, threshold=0.2
+        ).collect()
+    }
+    assert out[10] == ("exact", 1)
+    assert out[11] == ("near", 1)
+    assert out[12] == ("unique", None)
+    assert set(out) == {10, 11, 12}  # corpus docs never in the output
+
+
 def test_shingles_short_docs_yield_zero_shingles(spark):
     # Regression: unguarded sequence(1, 0) is the DESCENDING [1, 0] in
     # Spark; word path crashed (slice start 0), char path silently emitted
