@@ -40,10 +40,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         spec = QUERIES[name]
-        # best of 2: the first run pays whole-stage-codegen compilation for
-        # the query's expression tree; the repeat measures the engine
+        # best of 3: the first run pays whole-stage-codegen compilation for
+        # the query's expression tree; the repeats measure the engine (two
+        # of them, because single-repeat timings on a 32-thread local JVM
+        # showed ±40% GC/scheduling noise between whole bench invocations)
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
@@ -66,7 +68,7 @@ def main() -> None:
         )
 
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             products = read_products_csv(spark, str(ds / "products.csv"))
             raw = read_transactions_json(spark, str(ds / "transactions_*.json"))

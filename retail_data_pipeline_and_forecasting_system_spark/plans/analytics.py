@@ -5393,6 +5393,60 @@ def x19_bigram_lm(spark, sf):
     )
 
 
+# -------------------------------------- sampled quantile estimation (a16)
+
+from ..functions import sql_md5_fraction  # noqa: E402
+
+
+@q(
+    "a16_sampled_quantiles",
+    sql=f"""
+    WITH keyed AS (
+      SELECT l_returnflag, l_extendedprice,
+        md5(CAST(l_orderkey AS VARCHAR) || ':'
+            || CAST(l_linenumber AS VARCHAR)) AS __h
+      FROM lineitem
+    ), sampled AS (
+      SELECT l_returnflag, l_extendedprice FROM keyed
+      WHERE {{draw}} < 0.125
+    )
+    SELECT l_returnflag,
+      count(*) AS n_sampled,
+      quantile_cont(l_extendedprice, 0.50) AS p50_est,
+      quantile_cont(l_extendedprice, 0.95) AS p95_est
+    FROM sampled GROUP BY l_returnflag
+    """.format(draw=sql_md5_fraction("__h", 6)),
+    ref="sampled quantile estimation — the scale path for a8's exact "
+    "percentiles: exact quantiles over a deterministic 1-in-8 md5 sample "
+    "bound the full sort to the sample (uniform sampling preserves "
+    "quantiles to O(1/sqrt(n)); the md5 draw makes the sample — and so "
+    "the estimate — bit-identical cross-engine, unlike rand() or a "
+    "t-digest)",
+    scale="sample predicate is row-local and pushes into the scan pass; "
+    "per-group sort cost drops by the sampling factor — tune the rate to "
+    "the quantile-error budget; at 100 TB sample first, sort 12.5%",
+)
+def a16_sampled_quantiles(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    keyed = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("__h"),
+    )
+    sampled = keyed.filter(F.expr(sql_md5_fraction("__h", 6)) < 0.125)
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.percentile("l_extendedprice", 0.50).alias("p50_est"),
+        F.percentile("l_extendedprice", 0.95).alias("p95_est"),
+    )
+
+
 # ------------------------------------------- sketch mergeability (a15)
 
 
@@ -5588,7 +5642,8 @@ _DRIVER_SAMPLE = [
     # e4_sliding_window, e6_inter_event_gaps, e7_variant_extract,
     # x8_edit_distance, x9_keywords, x10_chunk_documents, na1_null_impute,
     # smp1_stratified_sample, smp2_per_group_sample, skw1_hot_keys,
-    # a15_hll_merge, d11_incremental_dedup (new in round 2)
+    # a15_hll_merge, d11_incremental_dedup, a16_sampled_quantiles
+    # (last three new in round 2)
 ]
 
 

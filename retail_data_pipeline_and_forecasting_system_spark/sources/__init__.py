@@ -17,3 +17,10 @@ from .writers import (  # noqa: F401
     write_table_jdbc,
 )
 from .synthetic_source import SyntheticEventsDataSource  # noqa: F401
+from .versioned import (  # noqa: F401
+    current_version,
+    list_versions,
+    read_version,
+    vacuum_versions,
+    write_version,
+)

@@ -180,3 +180,67 @@ def test_zorder_layout_tightens_per_file_bounds(spark, tmp_path):
     assert sorted(back.columns) == sorted(li.columns)
     # z-ordered files cover small squares; naive files cover ~everything
     assert mean_box_area(zord) < 0.5 * mean_box_area(naive)
+
+
+def test_versioned_table_snapshot_isolation(spark, tmp_path):
+    """Time travel + snapshot pinning: a reader resolved before a commit
+    keeps its exact snapshot; version numbers never get reused."""
+    from retail_data_pipeline_and_forecasting_system_spark.sources import (
+        current_version,
+        list_versions,
+        read_version,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "corpus")
+    v1 = write_version(spark.range(0, 100).withColumnRenamed("id", "doc"), tdir)
+    assert (v1, current_version(tdir)) == (1, 1)
+
+    pinned = read_version(spark, tdir)  # resolves _latest ONCE -> v1
+    v2 = write_version(spark.range(0, 250).withColumnRenamed("id", "doc"), tdir)
+    assert (v2, current_version(tdir)) == (2, 2)
+
+    # the pre-commit reader still sees v1 even though latest moved on
+    assert pinned.count() == 100
+    assert read_version(spark, tdir).count() == 250
+    assert read_version(spark, tdir, version=1).count() == 100
+    assert list_versions(tdir) == [1, 2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, tdir, version=99)
+
+
+def test_versioned_table_crash_recovery_and_vacuum(spark, tmp_path):
+    """A stranded staging dir is invisible to readers, never reuses a
+    version number, and vacuum clears it while keeping current."""
+    import os
+
+    from retail_data_pipeline_and_forecasting_system_spark.sources import (
+        current_version,
+        list_versions,
+        read_version,
+        vacuum_versions,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "corpus")
+    write_version(spark.range(10).withColumnRenamed("id", "doc"), tdir)
+    write_version(spark.range(20).withColumnRenamed("id", "doc"), tdir)
+
+    # simulate a crashed writer: staging dir exists, _latest untouched
+    os.makedirs(os.path.join(tdir, "_staging_v=3"))
+    assert current_version(tdir) == 2
+    assert list_versions(tdir) == [1, 2]
+    assert read_version(spark, tdir).count() == 20
+
+    # next commit skips past the orphan (no version reuse)
+    v = write_version(spark.range(30).withColumnRenamed("id", "doc"), tdir)
+    assert v == 4 and read_version(spark, tdir).count() == 30
+
+    dropped = vacuum_versions(tdir, keep=1)
+    assert dropped == [1, 2]
+    assert list_versions(tdir) == [4]
+    assert not any(n.startswith("_staging") for n in os.listdir(tdir))
+    assert read_version(spark, tdir).count() == 30
