@@ -147,3 +147,67 @@ def propagate_deletes(
     if broadcast_tombstones:
         keys = F.broadcast(keys)
     return dim.join(keys, on=on, how="left_anti")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC extraction from two dimension snapshots: which rows were
+    ``added`` / ``removed`` / ``changed`` between ``old`` and ``new``.
+
+    The fourth leg of dimension maintenance: when a source system can't
+    emit a change feed, the feed is DERIVED by diffing consecutive
+    snapshots — this operator is that derivation. Output: key columns +
+    ``change_type`` (added | removed | changed); unchanged rows are
+    dropped (a change feed carries changes only).
+
+    Column comparison is null-safe per column (``IS DISTINCT FROM``
+    semantics via ``eqNullSafe``), so NULL -> value, value -> NULL and
+    NULL -> NULL all classify correctly — a hash-compare shortcut would
+    need the same care around NULL encoding.
+
+    Scale: ONE full-outer shuffle join on the key. Two snapshots of the
+    same table land with the same partitioner, so when both are
+    bucketed by key (sources/writers.write_bucketed_table) the diff is
+    shuffle-free; AQE handles the skewed-key case otherwise.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, on=cond, how="full_outer")
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = ne if changed is None else changed | ne
+    out_keys = [
+        F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k)
+        for k in keys
+    ]
+    return (
+        joined.select(
+            *out_keys,
+            F.when(F.col("__in_old").isNull(), F.lit("added"))
+            .when(F.col("__in_new").isNull(), F.lit("removed"))
+            .when(changed, F.lit("changed"))
+            .otherwise(F.lit(None))
+            .alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -662,6 +662,59 @@ def pq_topk(
     )
 
 
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    m: int = 4,
+    ksub: int = 8,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage retrieval: PQ-ADC shortlist, then EXACT cosine rerank —
+    the standard serving pattern (compressed index prunes, raw vectors
+    refine) that recovers most of the recall PQ quantization loses while
+    touching only ``shortlist`` raw vectors.
+
+    Stage 1 is :func:`pq_topk` (m-byte codes, table-lookup distances)
+    over-fetching ``shortlist`` > ``k`` candidates; stage 2 joins the
+    (tiny, broadcast) shortlist back to the raw vectors and ranks by
+    exact cosine against the literal query vector. Output:
+    (vec_id, cos_sim), ties to lowest id.
+
+    Scale: stage 2 is a broadcast semi join — the corpus scan prunes to
+    shortlist rows (at 100 TB the raw-vector fetch is a point lookup on
+    a key-partitioned store; here the broadcast join expresses the same
+    access path). No shuffle anywhere: stage 1 is map + TakeOrdered,
+    stage 2 map + broadcast-join + TakeOrdered.
+    """
+    short = pq_topk(
+        embeddings,
+        query_id,
+        m=m,
+        ksub=ksub,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    ).select(id_col)
+    qvec = [
+        float(x)
+        for x in embeddings.filter(F.col(id_col) == query_id).head()[vec_col]
+    ]
+    q_lit = F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for x in qvec) + ")"
+    )
+    return (
+        embeddings.join(F.broadcast(short), id_col)
+        .select(id_col, cosine(F.col(vec_col), q_lit).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     query_id: int,

@@ -4235,7 +4235,13 @@ def a13_bloom_membership(spark, sf):
     )
 
 
-def _n4_sql(m: int = 4, ksub: int = 8, dim: int = 64, query_id: int = 0) -> str:
+def _n4_sql(
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+    query_id: int = 0,
+    k: int = 10,
+) -> str:
     width = dim // m
     sub_l2 = (
         "list_reduce(list_transform("
@@ -4269,7 +4275,7 @@ def _n4_sql(m: int = 4, ksub: int = 8, dim: int = 64, query_id: int = 0) -> str:
     FROM codes c JOIN qd ON qd.sub = c.sub AND qd.cid = c.cid
     WHERE c.vec_id != {query_id}
     GROUP BY c.vec_id
-    ORDER BY approx_l2, c.vec_id LIMIT 10
+    ORDER BY approx_l2, c.vec_id LIMIT {k}
     """
 
 
@@ -5393,6 +5399,91 @@ def x19_bigram_lm(spark, sf):
     )
 
 
+# ------------------------------------- two-stage ANN serving (n6)
+
+
+@q(
+    "n6_ann_rerank",
+    sql=f"""
+    SELECT s.vec_id, {_sql_cosine("e.embedding", "q.q_vec")} AS cos_sim
+    FROM ( {{shortlist_sql}} ) s
+    JOIN embeddings e ON e.vec_id = s.vec_id
+    CROSS JOIN (
+      SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0
+    ) q
+    ORDER BY cos_sim DESC, s.vec_id LIMIT 10
+    """.format(shortlist_sql=_n4_sql(4, 8, 64, 0, k=50)),
+    ref="LLM-ops: two-stage ANN serving — PQ-ADC shortlist (n4) "
+    "over-fetches 50, exact cosine reranks to top-10 (recovers recall "
+    "lost to quantization while touching only 50 raw vectors; "
+    "operators/similarity.py pq_rerank_topk)",
+    scale="stage 1 map+TakeOrdered over m-byte codes; stage 2 broadcast "
+    "semi join fetches shortlist raw vectors (point lookups on a "
+    "key-partitioned store at 100 TB) — no shuffle in either stage",
+)
+def n6_ann_rerank(spark, sf):
+    return SIM.pq_rerank_topk(
+        _t(spark, sf, "embeddings"),
+        query_id=0,
+        m=4,
+        ksub=8,
+        shortlist=50,
+        k=10,
+    )
+
+
+# -------------------------------------------- snapshot CDC diff (ops4)
+
+
+@q(
+    "ops4_snapshot_diff",
+    sql="""
+    WITH snap_old AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey % 19 <> 0
+    ), snap_new AS (
+      SELECT c_custkey, c_name,
+        CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+             ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 23 <> 0
+    )
+    SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+      CASE WHEN o.c_custkey IS NULL THEN 'added'
+           WHEN n.c_custkey IS NULL THEN 'removed'
+           WHEN (o.c_name IS DISTINCT FROM n.c_name)
+             OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal) THEN 'changed'
+      END AS change_type
+    FROM snap_old o FULL OUTER JOIN snap_new n ON o.c_custkey = n.c_custkey
+    WHERE (o.c_custkey IS NULL) OR (n.c_custkey IS NULL)
+       OR (o.c_name IS DISTINCT FROM n.c_name)
+       OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+    """,
+    ref="CDC extraction by snapshot diff (operators/scd.py snapshot_diff) "
+    "— the fourth dimension-maintenance leg beside ops1 upsert / ops2 "
+    "history / ops3 deletes; %19/%23/%7 slices of customer stand in for "
+    "consecutive snapshots with adds, removes and balance updates",
+    scale="one full-outer shuffle join on the key; bucketed snapshots "
+    "diff shuffle-free; null-safe per-column compare (eqNullSafe)",
+)
+def ops4_snapshot_diff(spark, sf):
+    from ..operators.scd import snapshot_diff
+
+    c = _t(spark, sf, "customer")
+    old = c.filter(F.col("c_custkey") % 19 != 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    new = c.filter(F.col("c_custkey") % 23 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    return snapshot_diff(old, new, key="c_custkey")
+
+
 # -------------------------------------- sampled quantile estimation (a16)
 
 from ..functions import sql_md5_fraction  # noqa: E402
@@ -5642,8 +5733,8 @@ _DRIVER_SAMPLE = [
     # e4_sliding_window, e6_inter_event_gaps, e7_variant_extract,
     # x8_edit_distance, x9_keywords, x10_chunk_documents, na1_null_impute,
     # smp1_stratified_sample, smp2_per_group_sample, skw1_hot_keys,
-    # a15_hll_merge, d11_incremental_dedup, a16_sampled_quantiles
-    # (last three new in round 2)
+    # a15_hll_merge, d11_incremental_dedup, a16_sampled_quantiles,
+    # ops4_snapshot_diff, n6_ann_rerank (last five new in round 2)
 ]
 
 

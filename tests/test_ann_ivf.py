@@ -273,3 +273,31 @@ def test_ivfpq_results_within_probed_cells_and_overlap_ivf(spark):
     }
     hit_cells = {cells[r["vec_id"]] for r in got}
     assert len(hit_cells) <= 2
+
+
+def test_pq_rerank_improves_on_raw_pq(spark):
+    """Two-stage rerank recall@10 vs brute force is at least the raw PQ
+    top-10 recall, and its scores are exact cosines in descending order."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        cosine_topk,
+        pq_rerank_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    truth = [
+        r["vec_id"]
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") != 0), qvec, k=10
+        ).collect()
+    ]
+    raw = [r["vec_id"] for r in pq_topk(emb, query_id=0, k=10).collect()]
+    rr = pq_rerank_topk(emb, query_id=0, shortlist=50, k=10).collect()
+    reranked = [r["vec_id"] for r in rr]
+    sims = [r["cos_sim"] for r in rr]
+    assert sims == sorted(sims, reverse=True)
+    recall_raw = len(set(truth) & set(raw)) / 10
+    recall_rr = len(set(truth) & set(reranked)) / 10
+    assert recall_rr >= recall_raw
+    assert recall_rr >= 0.5

@@ -181,3 +181,31 @@ def test_propagate_deletes_idempotent_and_exact(spark):
     # idempotent: re-applying the same tombstones changes nothing
     twice = propagate_deletes(once, tomb, on="id", tombstone_key="key")
     assert sorted(r["id"] for r in twice.collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+def test_snapshot_diff_classifies_nullsafe(spark):
+    """added/removed/changed classification is null-safe: NULL->value,
+    value->NULL and NULL->NULL attribute transitions all classify
+    correctly; unchanged rows never appear."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.scd import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),     # unchanged -> dropped
+            (2, None, 20.0),    # NULL -> NULL on name: unchanged
+            (3, "c", 30.0),     # NULL -> value: changed
+            (5, "e", 50.0),     # added
+        ],                       # 4 removed
+        "k long, name string, bal double",
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, key="k").collect()
+    }
+    assert out == {3: "changed", 4: "removed", 5: "added"}
