@@ -5399,6 +5399,83 @@ def x19_bigram_lm(spark, sf):
     )
 
 
+# ----------------------------------- running distinct users (w8)
+
+
+@q(
+    "w8_running_distinct",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT day, count(*) AS n_new_users FROM firsts GROUP BY day
+    )
+    SELECT day, n_new_users,
+      CAST(SUM(n_new_users) OVER (ORDER BY day) AS BIGINT) AS n_cum_users
+    FROM daily
+    """,
+    ref="cumulative DISTINCT users per day — count-distinct is not "
+    "window-able directly, so the standard first-seen reduction applies: "
+    "a user counts only on their first day, then a running sum "
+    "(window-family completion beside w1-w7)",
+    scale="two key shuffles (user-min, then day-agg); the window runs "
+    "over one row per DAY, not per event — at 100 TB the cumulative pass "
+    "is thousands of rows regardless of corpus size",
+)
+def w8_running_distinct(spark, sf):
+    ev = _t(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = firsts.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("bigint").alias("n_cum_users"),
+    )
+
+
+# ----------------------------------- per-source dup-rate rollup (x20)
+
+
+@q(
+    "x20_dup_rate_by_source",
+    sql="""
+    WITH keys AS (
+      SELECT source, md5(text) AS ck FROM documents
+    ), per AS (
+      SELECT source, ck, count(*) AS n FROM keys GROUP BY source, ck
+    )
+    SELECT source,
+      CAST(SUM(n) AS BIGINT) AS n_docs,
+      CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs,
+      CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n) AS dup_rate
+    FROM per GROUP BY source
+    """,
+    ref="LLM-ops: within-source exact-duplicate rate — the curation "
+    "dashboard metric that decides which sources need aggressive dedup "
+    "(composite of d1's content keying + a source rollup)",
+    scale="one hash-agg on (source, content-key) with map-side partial "
+    "aggregation, then a tiny per-source rollup — no joins, no windows",
+)
+def x20_dup_rate_by_source(spark, sf):
+    d = _t(spark, sf, "documents")
+    per = d.groupBy(
+        "source", F.md5(F.col("text")).alias("ck")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_dup_docs"),
+        (
+            (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n")
+        ).alias("dup_rate"),
+    )
+
+
 # ------------------------------------- two-stage ANN serving (n6)
 
 
@@ -5734,7 +5811,8 @@ _DRIVER_SAMPLE = [
     # x8_edit_distance, x9_keywords, x10_chunk_documents, na1_null_impute,
     # smp1_stratified_sample, smp2_per_group_sample, skw1_hot_keys,
     # a15_hll_merge, d11_incremental_dedup, a16_sampled_quantiles,
-    # ops4_snapshot_diff, n6_ann_rerank (last five new in round 2)
+    # ops4_snapshot_diff, n6_ann_rerank, w8_running_distinct,
+    # x20_dup_rate_by_source (last seven new in round 2)
 ]
 
 
