@@ -58,3 +58,72 @@ def idempotent_parquet_sink(
                 )
 
     return write
+
+
+def idempotent_jdbc_sink(
+    url: str,
+    table: str,
+    user: str = "",
+    password: str = "",
+    driver: str | None = None,
+    batch_col: str = "batch_id",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function delivering each epoch to a JDBC table
+    exactly-once-under-replay: DELETE the epoch's rows, then append them
+    tagged with the epoch id.
+
+    The transactional-store twin of :func:`idempotent_parquet_sink`:
+    Structured Streaming replays the last uncommitted micro-batch after
+    a crash, so a blind append duplicates it — the epoch-keyed
+    delete-then-insert converges instead (replaying epoch n first wipes
+    whatever partial slice of epoch n landed). The DELETE runs on the
+    driver over one JDBC statement (it touches one epoch's keys); the
+    INSERT is Spark's distributed JDBC writer, one connection per
+    partition.
+
+    The delete+insert pair is not atomic; a reader polling mid-replay
+    can briefly see the epoch missing. Stores with MERGE support would
+    collapse the pair into one statement — same idempotence, no window.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        if driver:
+            jvm.java.lang.Class.forName(driver)
+        conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
+        try:
+            # Spark's JDBC writer QUOTES column names at CREATE TABLE, so
+            # the epoch column is case-sensitive — quote it with the
+            # store's own identifier quote (portable: Derby/Postgres `"`,
+            # MySQL backtick)
+            qt = conn.getMetaData().getIdentifierQuoteString()
+            stmt = conn.createStatement()
+            try:
+                stmt.executeUpdate(
+                    f"DELETE FROM {table} "
+                    f"WHERE {qt}{batch_col}{qt} = {int(batch_id)}"
+                )
+            except Exception:
+                pass  # first epoch: table does not exist yet
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+        writer = (
+            batch_df.withColumn(batch_col, F.lit(int(batch_id)))
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("user", user)
+            .option("password", password)
+            .mode("append")
+        )
+        if driver:
+            writer = writer.option("driver", driver)
+        writer.save()
+
+    return write
