@@ -5399,6 +5399,111 @@ def x19_bigram_lm(spark, sf):
     )
 
 
+# ----------------------------------- outlier winsorization (na2)
+
+
+@q(
+    "na2_outlier_clip",
+    sql="""
+    WITH bounds AS (
+      SELECT event_type,
+        quantile_cont(value, 0.05) AS lo,
+        quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id,
+      CASE WHEN value < lo THEN lo
+           WHEN value > hi THEN hi
+           ELSE value END AS value_clipped,
+      CAST(value < lo OR value > hi AS BOOLEAN) AS was_clipped
+    FROM events JOIN bounds USING (event_type)
+    """,
+    ref="outlier winsorization at per-group p5/p95 — the cleaning step "
+    "beside na1's imputation: metrics pipelines clip rather than drop so "
+    "row counts (and joins) stay stable",
+    scale="per-type bounds are a tiny grouped agg broadcast back onto "
+    "the fact (no window over the full table); at 100 TB compute bounds "
+    "on the a16-style md5 sample to skip the exact per-group sort",
+)
+def na2_outlier_clip(spark, sf):
+    ev = _t(spark, sf, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("value_clipped"),
+        (
+            (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+        ).alias("was_clipped"),
+    )
+
+
+# ----------------------------------- Bloom semi-join reduction (j8)
+
+
+@q(
+    "j8_bloom_semi_join",
+    sql="""
+    SELECT p_brand,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 1
+    GROUP BY p_brand
+    """,
+    ref="semi-join reduction: a Bloom filter built from the selective "
+    "build side pre-filters the fact scan BEFORE the exact join — the "
+    "oracle is the PLAIN join, so the driver's hash-match proves the "
+    "Bloom pass is lossless (false positives removed by the exact join, "
+    "no false negatives by construction; operators/sketch.py)",
+    scale="at 100 TB the KB-sized bit array ships to every scan task and "
+    "discards ~ (1 - sel - fpr) of the fact map-side, cutting the join's "
+    "shuffle/broadcast-probe volume by the build side's selectivity — "
+    "the hand-rolled, oracle-checkable twin of Spark's runtime bloom "
+    "filter join (spark.sql.optimizer.runtime.bloomFilter)",
+)
+def j8_bloom_semi_join(spark, sf):
+    from ..operators.sketch import bloom_build, bloom_member
+
+    part_small = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_size") == 1)
+        .select("p_partkey", "p_brand")
+    )
+    blm = bloom_build(
+        part_small.select("p_partkey"), "p_partkey", m_bits=4096, n_hashes=3
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey",
+        (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+            "__rev"
+        ),
+    )
+    pre = (
+        li.withColumn("__h", F.md5(F.col("l_partkey").cast("string")))
+        .join(F.broadcast(blm))
+        .filter(bloom_member("__h", "bloom_bits", m_bits=4096, n_hashes=3))
+    )
+    return (
+        pre.join(
+            F.broadcast(part_small),
+            pre["l_partkey"] == part_small["p_partkey"],
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum("__rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
 # ----------------------------------- running distinct users (w8)
 
 
@@ -5812,7 +5917,8 @@ _DRIVER_SAMPLE = [
     # smp1_stratified_sample, smp2_per_group_sample, skw1_hot_keys,
     # a15_hll_merge, d11_incremental_dedup, a16_sampled_quantiles,
     # ops4_snapshot_diff, n6_ann_rerank, w8_running_distinct,
-    # x20_dup_rate_by_source (last seven new in round 2)
+    # x20_dup_rate_by_source, j8_bloom_semi_join, na2_outlier_clip
+    # (last nine new in round 2)
 ]
 
 

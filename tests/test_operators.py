@@ -363,3 +363,28 @@ def test_bigram_lm_prefers_natural_order(spark):
         }
     natural, odd = rows[0], rows[9]
     assert natural > odd
+
+
+def test_bloom_prefilter_is_selective_and_lossless(spark):
+    """The Bloom pre-filter pass discards most fact rows map-side (rate
+    bounded by build selectivity + fpr) and never drops a true match."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.sketch import (
+        bloom_build,
+        bloom_member,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    part = spark.read.parquet(f"{sfd}/part.parquet").filter(
+        F.col("p_size") == 1
+    )
+    li = spark.read.parquet(f"{sfd}/lineitem.parquet")
+    blm = bloom_build(part.select("p_partkey"), "p_partkey")
+    pre = (
+        li.withColumn("__h", F.md5(F.col("l_partkey").cast("string")))
+        .join(F.broadcast(blm))
+        .filter(bloom_member("__h", "bloom_bits"))
+    )
+    n_all, n_pre = li.count(), pre.count()
+    n_true = li.join(part, li["l_partkey"] == part["p_partkey"]).count()
+    assert n_true <= n_pre <= n_all  # no false negatives
+    assert n_pre < 0.2 * n_all  # genuinely selective at ~2% build side
