@@ -295,6 +295,7 @@ def kmeans_lloyd(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_mean: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over an embedding column.
 
@@ -310,6 +311,15 @@ def kmeans_lloyd(
 
     Returns the final centroids as (cent_id, cent_vec). Feed to
     :func:`ivf_topk` via ``centroids=`` for a learned coarse quantizer.
+
+    ``exact_mean=True`` computes each per-dimension mean as an exact
+    DECIMAL(28,10) sum divided once as a double. A plain double ``avg``
+    sums in partition order, so reruns at different parallelism can
+    differ in the last ulp and cascade through later iterations;
+    decimal sums are order-independent, making the whole iterative fit
+    BIT-IDENTICAL across partitionings AND across engines — the
+    property the k1 registry oracle checks. (Default stays the cheaper
+    double avg for callers that only need a quantizer.)
     """
     spark = embeddings.sparkSession
     cents_rows = (
@@ -319,6 +329,18 @@ def kmeans_lloyd(
         .collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in cents_rows]
+
+    if exact_mean:
+        # float -> DOUBLE -> decimal: the double hop is exact in every
+        # engine; a direct float->decimal cast is engine-defined
+        mean_expr = (
+            F.sum(
+                F.col("val").cast("double").cast("decimal(28,10)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean")
+    else:
+        mean_expr = F.avg(F.col("val").cast("double")).alias("mean")
 
     for _ in range(n_iter):
         nearest = F.array_min(
@@ -332,7 +354,7 @@ def kmeans_lloyd(
                 "cent_id", F.posexplode(vec_col).alias("pos", "val")
             )
             .groupBy("cent_id", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .agg(mean_expr)
             .collect()
         )
         new_centroids = [list(c) for c in centroids]  # empty cells keep old

@@ -5399,6 +5399,104 @@ def x19_bigram_lm(spark, sf):
     )
 
 
+# ------------------------------- oracle-checked iterative ML (k1)
+
+
+def _k1_sql(k: int = 4, n_iter: int = 2) -> str:
+    """Unrolled Lloyd k-means as pure SQL: one (assignment, exact-mean,
+    rebuild) CTE trio per iteration. Means are DECIMAL sums divided once
+    as doubles — order-independent, so the SQL fit is bit-identical to
+    the engine's distributed fit at any parallelism."""
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+            f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+            f"(x, y) -> x + y)"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""c0 AS (
+      SELECT CAST(vec_id AS INT) AS cid,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM e WHERE vec_id < {k})""",
+        """vals AS (
+      SELECT vec_id, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM e)""",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"c{i - 1}"
+        parts.append(f"""a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY {l2("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+        FROM e CROSS JOIN {prev} c
+      ) WHERE rn = 1)""")
+        parts.append(f"""m{i} AS (
+      SELECT a.cid, t.pos,
+        CAST(SUM(CAST(CAST(t.val AS DOUBLE) AS DECIMAL(28,10)))
+             AS DOUBLE) / COUNT(*) AS mean
+      FROM a{i} a JOIN vals t ON t.vec_id = a.vec_id
+      GROUP BY a.cid, t.pos)""")
+        parts.append(f"""c{i} AS (
+      SELECT {prev}.cid, coalesce(m.cvec, {prev}.cvec) AS cvec
+      FROM {prev} LEFT JOIN (
+        SELECT cid, list(mean ORDER BY pos) AS cvec
+        FROM m{i} GROUP BY cid
+      ) m USING (cid))""")
+    parts.append(f"""af AS (
+      SELECT vec_id, cid, dval FROM (
+        SELECT e.vec_id, c.cid,
+          {l2("e.embedding", "c.cvec")} AS dval,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY {l2("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+        FROM e CROSS JOIN c{n_iter} c
+      ) WHERE rn = 1)""")
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT CAST(cid AS INT) AS cent_id,
+      CAST(COUNT(*) AS BIGINT) AS n_members,
+      CAST(SUM(CAST(dval AS DECIMAL(30,12))) AS DOUBLE) AS sse
+    FROM af GROUP BY cid
+    """
+    )
+
+
+@q(
+    "k1_kmeans_cells",
+    sql=_k1_sql(4, 2),
+    ref="iterative distributed ML with an EXACT cross-engine oracle: "
+    "2-iteration Lloyd k-means (k=4, first-k init, decimal-sum means) — "
+    "the engine iterates map-only literal-matrix assignments with only "
+    "k x dim model state crossing the driver per iteration "
+    "(operators/similarity.py kmeans_lloyd(exact_mean=True)); the "
+    "oracle unrolls the same fit as pure SQL CTEs. The hash-match "
+    "proves a DISTRIBUTED iterative fit is bit-reproducible: "
+    "order-independent decimal means make the fixpoint identical at "
+    "any parallelism",
+    scale="per iteration: one map-only assignment pass + one "
+    "(cid, pos)-keyed partial agg (k x dim cells out); the final cell "
+    "profile is the same assignment pass + a k-row agg — no windows, "
+    "no joins engine-side; SSE summed in decimal so the metric is "
+    "partition-order-proof",
+)
+def k1_kmeans_cells(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    cents = SIM.kmeans_lloyd(emb, k=4, n_iter=2, exact_mean=True)
+    assigned = SIM.assign_cells(emb, cents)
+    return assigned.groupBy("cent_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.col("dist").cast("decimal(30,12)"))
+        .cast("double")
+        .alias("sse"),
+    )
+
+
 # ----------------------------------- outlier winsorization (na2)
 
 
@@ -5917,8 +6015,8 @@ _DRIVER_SAMPLE = [
     # smp1_stratified_sample, smp2_per_group_sample, skw1_hot_keys,
     # a15_hll_merge, d11_incremental_dedup, a16_sampled_quantiles,
     # ops4_snapshot_diff, n6_ann_rerank, w8_running_distinct,
-    # x20_dup_rate_by_source, j8_bloom_semi_join, na2_outlier_clip
-    # (last nine new in round 2)
+    # x20_dup_rate_by_source, j8_bloom_semi_join, na2_outlier_clip,
+    # k1_kmeans_cells (last ten new in round 2)
 ]
 
 
