@@ -280,3 +280,37 @@ def test_sequence_pack_single_arrow_stage(spark):
     assert plan.count("FlatMapGroupsInPandas") == 2
     # exactly one shuffle: the bucket repartition feeding the kernel
     assert plan.count("Exchange") == 2
+
+
+def test_rerank_stages_have_no_shuffle(spark):
+    # n6: stage-1 PQ shortlist is map + TakeOrdered; stage-2 rerank is a
+    # broadcast semi join over the shortlist — no hash/range Exchange of
+    # the corpus anywhere, no sort-merge join, no window
+    import re
+
+    plan = _plan(spark, "n6_ann_rerank")
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+
+
+def test_bloom_prefilter_is_mapside(spark):
+    # j8: the bloom membership test must run as a Filter fed by a
+    # broadcast (the one-row bits frame), BEFORE the exact part join —
+    # the fact is never hash-shuffled
+    import re
+
+    plan = _plan(spark, "j8_bloom_semi_join")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # 1-row bits frame
+    assert "BroadcastHashJoin" in plan  # the exact dim join
+    assert not re.search(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+
+
+def test_kmeans_cells_assignment_is_map_only(spark):
+    # k1's FINAL assignment pass (what the query plans — the iterations
+    # are separate jobs): no joins, no windows; the only shuffle is the
+    # k-row cell aggregation
+    plan = _plan(spark, "k1_kmeans_cells")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 4  # one hash agg exchange (x2 print)
