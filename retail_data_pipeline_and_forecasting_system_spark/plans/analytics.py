@@ -5399,6 +5399,44 @@ def x19_bigram_lm(spark, sf):
     )
 
 
+# ------------------------------- schema-drift union (u6)
+
+
+@q(
+    "u6_union_schema_drift",
+    sql="""
+    SELECT doc_id, gen, coalesce(lang, 'unknown') AS lang_resolved
+    FROM (
+      SELECT doc_id, 'v1' AS gen, NULL AS lang
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL BY NAME
+      SELECT doc_id, lang, 'v2' AS gen
+      FROM documents WHERE doc_id % 3 <> 0
+    )
+    """,
+    ref="schema-drift union: a v1 batch (no lang column) unions with a "
+    "v2 batch (lang added) by COLUMN NAME with missing columns "
+    "null-filled — the ingestion reality when a corpus schema evolves "
+    "mid-crawl (positional UNION would silently misalign; "
+    "unionByName(allowMissingColumns=True) == UNION ALL BY NAME)",
+    scale="pure map-side: unions concatenate partitions without any "
+    "exchange; the null-fill is a literal projection",
+)
+def u6_union_schema_drift(spark, sf):
+    d = _t(spark, sf, "documents")
+    v1 = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.lit("v1").alias("gen")
+    )
+    v2 = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "lang", F.lit("v2").alias("gen")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "doc_id",
+        "gen",
+        F.coalesce("lang", F.lit("unknown")).alias("lang_resolved"),
+    )
+
+
 # ------------------------------- oracle-checked iterative ML (k1)
 
 
@@ -6016,7 +6054,7 @@ _DRIVER_SAMPLE = [
     # a15_hll_merge, d11_incremental_dedup, a16_sampled_quantiles,
     # ops4_snapshot_diff, n6_ann_rerank, w8_running_distinct,
     # x20_dup_rate_by_source, j8_bloom_semi_join, na2_outlier_clip,
-    # k1_kmeans_cells (last ten new in round 2)
+    # k1_kmeans_cells, u6_union_schema_drift (last 11 new in round 2)
 ]
 
 
