@@ -5399,6 +5399,106 @@ def x19_bigram_lm(spark, sf):
     )
 
 
+# --------------------- multivariate OLS via Cramer's rule (m6)
+
+# The determinant formulas are ONE shared text, evaluated by both
+# engines over identically-named one-row moment columns: IEEE double
+# arithmetic is deterministic for a fixed expression tree, and neither
+# engine reassociates floating-point — so sharing the literal
+# expression text makes the solve bit-identical.
+_M6 = {
+    "det": (
+        "(n * (sxx * sww - sxw * sxw) - sx * (sx * sww - sxw * sw)"
+        " + sw * (sx * sxw - sxx * sw))"
+    ),
+    "det0": (
+        "(sy * (sxx * sww - sxw * sxw) - sx * (sxy * sww - sxw * swy)"
+        " + sw * (sxy * sxw - sxx * swy))"
+    ),
+    "det1": (
+        "(n * (sxy * sww - sxw * swy) - sy * (sx * sww - sxw * sw)"
+        " + sw * (sx * swy - sxy * sw))"
+    ),
+    "det2": (
+        "(n * (sxx * swy - sxy * sxw) - sx * (sx * swy - sxy * sw)"
+        " + sy * (sx * sxw - sxx * sw))"
+    ),
+}
+
+_M6_SELECT = (
+    f"CAST(n AS BIGINT) AS n_days, "
+    f"CAST({_M6['det0']} / {_M6['det']} AS DOUBLE) AS intercept, "
+    f"CAST({_M6['det1']} / {_M6['det']} AS DOUBLE) AS trend, "
+    f"CAST({_M6['det2']} / {_M6['det']} AS DOUBLE) AS weekend_lift"
+)
+
+
+@q(
+    "m6_multivariate_ols",
+    sql=f"""
+    WITH daily AS (
+      SELECT
+        date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders GROUP BY 1
+    ), feat AS (
+      SELECT x, CASE WHEN x % 7 IN (0, 6) THEN 1 ELSE 0 END AS w, y
+      FROM daily
+    ), m AS (
+      SELECT
+        CAST(count(*) AS DOUBLE) AS n,
+        CAST(SUM(x) AS DOUBLE) AS sx,
+        CAST(SUM(w) AS DOUBLE) AS sw,
+        CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        CAST(SUM(x * w) AS DOUBLE) AS sxw,
+        CAST(SUM(w * w) AS DOUBLE) AS sww,
+        CAST(SUM(y) AS DOUBLE) AS sy,
+        CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        CAST(SUM(w * y) AS DOUBLE) AS swy
+      FROM feat
+    )
+    SELECT {_M6_SELECT} FROM m
+    """,
+    ref="multivariate closed-form regression (y ~ 1 + trend + weekend): "
+    "normal equations from DISTRIBUTED moment sums (exact int/decimal, "
+    "cast once), solved by Cramer's rule whose determinant expressions "
+    "are the SAME literal text in engine and oracle — the pooled twin "
+    "of m2's simple OLS and the oracle-checkable counterpart of "
+    "forecast/mllib_model.py's WLS fit. Weekend via x%7 (1995-01-01 is "
+    "a Sunday) — pure arithmetic, no engine-specific calendar fns",
+    scale="one day-grain agg + one 9-number moment reduction; only the "
+    "3x3 system leaves the executors — model size is independent of "
+    "data size, the defining property of closed-form distributed fits",
+)
+def m6_multivariate_ols(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("x")
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("y"))
+    )
+    feat = daily.select(
+        "x",
+        F.when((F.col("x") % 7).isin(0, 6), 1).otherwise(0).alias("w"),
+        "y",
+    )
+    m = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("w").cast("double").alias("sw"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("w")).cast("double").alias("sxw"),
+        F.sum(F.col("w") * F.col("w")).cast("double").alias("sww"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("w") * F.col("y")).cast("double").alias("swy"),
+    )
+    return m.selectExpr(*_M6_SELECT.split(", "))
+
+
 # ------------------------------- schema-drift union (u6)
 
 
@@ -6054,7 +6154,8 @@ _DRIVER_SAMPLE = [
     # a15_hll_merge, d11_incremental_dedup, a16_sampled_quantiles,
     # ops4_snapshot_diff, n6_ann_rerank, w8_running_distinct,
     # x20_dup_rate_by_source, j8_bloom_semi_join, na2_outlier_clip,
-    # k1_kmeans_cells, u6_union_schema_drift (last 11 new in round 2)
+    # k1_kmeans_cells, u6_union_schema_drift, m6_multivariate_ols
+    # (last 12 new in round 2)
 ]
 
 
