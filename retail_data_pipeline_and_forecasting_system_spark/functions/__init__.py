@@ -159,6 +159,57 @@ def minhash_signature(shingled: DataFrame, num_hashes: int, id_col: str = "doc_i
     return pre.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signature_local(
+    df: DataFrame,
+    num_hashes: int,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Row-local minhash signatures: same values as
+    :func:`minhash_signature` over exploded shingles, ZERO shuffle.
+
+    The shingle set is built inside the row (:func:`word_shingle_sets`),
+    each salted md5 family is materialized once per row as an array, and
+    every ``mh_i`` is an ``array_min`` over a substring transform —
+    lexicographic min over fixed-width hex == the grouped ``F.min``.
+    The explode+groupBy formulation shuffles one row per (doc, shingle)
+    just to re-group by doc; this computes the identical signature in
+    the scan stage, which is both the fast local path (measured ~40%
+    off d3) and the 100 TB shape: signatures are embarrassingly
+    map-side, only the (doc, band, bucket) rows ever shuffle.
+
+    Docs with zero shingles (< k words) are dropped, matching the
+    exploded variant where they simply have no rows. Output:
+    (id, mh_0..mh_{n-1}).
+    """
+    groups = (num_hashes + 3) // 4
+    sets = word_shingle_sets(
+        df, k=k, id_col=id_col, text_col=text_col
+    ).filter(F.size("shingle_set") > 0)
+    pre = sets.select(
+        F.col(id_col),
+        *[
+            F.expr(
+                f"transform(shingle_set, s -> md5(concat('{g}:', s)))"
+            ).alias(f"_hs{g}")
+            for g in range(groups)
+        ],
+    )
+    return pre.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.expr(
+                    f"transform(_hs{i // 4}, "
+                    f"h -> substring(h, {(i % 4) * 8 + 1}, 8))"
+                )
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+
+
 def nibble_value(hex_col_name: str, pos: int) -> Column:
     """The pos-th (1-based) hex char of column ``hex_col_name`` -> 0..15.
 

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..functions import (
     char_shingles,
     explode_tokens,
-    minhash_signature,
+    minhash_signature_local,
     nibble_value,
     word_shingle_sets,
     word_shingles,
@@ -136,19 +136,18 @@ def _band_buckets(
 ) -> DataFrame:
     """LSH band buckets: one row per (doc, band, bucket-hash).
 
-    Signature from NON-distinct shingles: min-wise hashing is duplicate-
-    invariant, so skipping the dedup shuffle changes nothing but time.
-    This is the ONLY shingle explode in the pipelines built on it —
-    candidate verification re-derives shingles row-locally as arrays for
-    candidate docs only, instead of re-exploding the corpus (the round-1
-    design re-shingled three more times; at sf0.1 that made d3 the
-    slowest bench query).
+    Signatures are computed ROW-LOCALLY (:func:`minhash_signature_local`)
+    — the whole shingle → salted-md5 → min pipeline happens inside the
+    scan stage with zero shuffle; nothing explodes except the final
+    bands column (``bands`` rows/doc). Round-1 exploded shingles and
+    re-grouped by doc (a full (doc, shingle)-grain shuffle) and
+    re-shingled the corpus three more times for verification; both are
+    gone.
     """
     rows_per_band = num_hashes // bands
-    raw_sh = word_shingles(
-        df, k=k, id_col=id_col, text_col=text_col, distinct=False
+    sig = minhash_signature_local(
+        df, num_hashes, k=k, id_col=id_col, text_col=text_col
     )
-    sig = minhash_signature(raw_sh, num_hashes, id_col=id_col)
     band_cols = []
     for b in range(bands):
         parts = [
