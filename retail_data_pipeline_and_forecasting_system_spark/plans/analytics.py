@@ -5399,6 +5399,69 @@ def x19_bigram_lm(spark, sf):
     )
 
 
+# ------------------------------------ dedup yield rollup (d12)
+
+
+@q(
+    "d12_dedup_yield",
+    sql=f"""
+    WITH RECURSIVE pairs AS ({{pairs}}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    )
+    SELECT
+      (SELECT count(*) FROM documents) AS n_docs,
+      (SELECT count(*) FROM clusters) AS n_clustered_docs,
+      (SELECT count(DISTINCT cluster_id) FROM clusters) AS n_clusters,
+      (SELECT count(*) FROM clusters WHERE doc_id <> cluster_id)
+        AS n_to_drop,
+      CAST((SELECT count(*) FROM documents)
+           - (SELECT count(*) FROM clusters WHERE doc_id <> cluster_id)
+           AS DOUBLE) / (SELECT count(*) FROM documents) AS yield_frac
+    """.format(pairs=_SQL_JACCARD_PAIRS.format(thr="0.35")),
+    ref="LLM-ops: dedup YIELD — the headline number of a dedup pass "
+    "(what fraction of the corpus survives keeping one canonical doc "
+    "per transitive near-dup cluster); composite of d2 pairs + d8 "
+    "connected components",
+    scale="all the work is d8's edge-list propagation; the yield rollup "
+    "itself is two scalar aggs over (tiny) cluster assignments",
+)
+def d12_dedup_yield(spark, sf):
+    from ..operators.graph import dup_clusters
+
+    docs = _t(spark, sf, "documents")
+    pairs = D.jaccard_pairs(docs, k=3, threshold=0.35)
+    cl = dup_clusters(pairs)
+    stats = cl.agg(
+        F.count(F.lit(1)).alias("n_clustered_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("cluster_id"), 1).otherwise(0)
+        ).alias("n_to_drop"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return tot.crossJoin(F.broadcast(stats)).select(
+        "n_docs",
+        "n_clustered_docs",
+        "n_clusters",
+        "n_to_drop",
+        (
+            (F.col("n_docs") - F.col("n_to_drop")).cast("double")
+            / F.col("n_docs")
+        ).alias("yield_frac"),
+    )
+
+
 # --------------------- multivariate OLS via Cramer's rule (m6)
 
 # The determinant formulas are ONE shared text, evaluated by both
@@ -6154,8 +6217,8 @@ _DRIVER_SAMPLE = [
     # a15_hll_merge, d11_incremental_dedup, a16_sampled_quantiles,
     # ops4_snapshot_diff, n6_ann_rerank, w8_running_distinct,
     # x20_dup_rate_by_source, j8_bloom_semi_join, na2_outlier_clip,
-    # k1_kmeans_cells, u6_union_schema_drift, m6_multivariate_ols
-    # (last 12 new in round 2)
+    # k1_kmeans_cells, u6_union_schema_drift, m6_multivariate_ols,
+    # d12_dedup_yield (last 13 new in round 2)
 ]
 
 
