@@ -214,34 +214,49 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Candidate-driven exact-Jaccard verification, row-local: join the
-    # (tiny) candidate pairs to each doc's DISTINCT shingle set — built
-    # inside the row with array expressions, no explode, no shuffle on
-    # shingles — then intersect the two arrays per pair. Verification cost
-    # is proportional to |candidates|, and the documents scan is one
-    # row-local map per side (Catalyst broadcasts the candidate side).
+    return _verify_candidates(
+        candidates, df, k, threshold, id_col, text_col, "doc_a", "doc_b"
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+def _verify_candidates(
+    cand: DataFrame,
+    df: DataFrame,
+    k: int,
+    threshold: float,
+    id_col: str,
+    text_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Candidate-driven exact-Jaccard verification, row-local: join the
+    (tiny) candidate pairs to each doc's DISTINCT shingle set — built
+    inside the row with array expressions, no explode, no shuffle on
+    shingles — then intersect the two arrays per pair. Verification cost
+    is proportional to |candidates|, and the documents scan is one
+    row-local map per side (Catalyst broadcasts the candidate side).
+    Returns ``cand``'s columns plus ``jaccard``, filtered to
+    ``jaccard >= threshold``."""
     sets = word_shingle_sets(df, k=k, id_col=id_col, text_col=text_col)
     set_a = sets.select(
-        F.col(id_col).alias("doc_a"), F.col("shingle_set").alias("__set_a")
+        F.col(id_col).alias(a_col), F.col("shingle_set").alias("__set_a")
     )
     set_b = sets.select(
-        F.col(id_col).alias("doc_b"), F.col("shingle_set").alias("__set_b")
+        F.col(id_col).alias(b_col), F.col("shingle_set").alias("__set_b")
     )
     return (
-        candidates.join(set_a, "doc_a")
-        .join(set_b, "doc_b")
+        cand.join(set_a, a_col)
+        .join(set_b, b_col)
         .withColumn(
-            "n_common", F.size(F.array_intersect("__set_a", "__set_b"))
+            "__nc", F.size(F.array_intersect("__set_a", "__set_b"))
         )
         .withColumn(
             "jaccard",
-            F.col("n_common")
-            / (
-                F.size("__set_a") + F.size("__set_b") - F.col("n_common")
-            ),
+            F.col("__nc")
+            / (F.size("__set_a") + F.size("__set_b") - F.col("__nc")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .drop("__set_a", "__set_b", "__nc")
     )
 
 
@@ -400,13 +415,20 @@ def incremental_dedup(
     )
     exact = new_keys.join(corpus_keys, "__ck").select("new_id", "exact_id")
 
-    # near: banded buckets over the full frame (one explode), candidates
-    # restricted to the new x corpus quadrant
+    # near: banded buckets over the full frame (one signature pass),
+    # candidates restricted to the new x corpus quadrant. The bucket
+    # frame feeds BOTH sides of the candidate join — persist it so the
+    # shingle -> md5 -> signature pipeline runs once, not per side
+    # (same rationale as minhash_lsh_pairs' cache_buckets).
+    from pyspark import StorageLevel
+
     buckets = _band_buckets(
         df, num_hashes, bands, k=k, id_col=id_col, text_col=text_col
     )
     flags = flagged.select(id_col, "__new")
-    tagged = buckets.join(flags, id_col)
+    tagged = buckets.join(flags, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     nb = tagged.filter(F.col("__new")).select(
         F.col(id_col).alias("new_id"), "band", "bucket"
     )
@@ -415,24 +437,11 @@ def incremental_dedup(
     )
     cand = nb.join(cb, ["band", "bucket"]).select("new_id", "corp_id").distinct()
 
-    # verify candidates with exact Jaccard, row-local shingle sets
-    sets = word_shingle_sets(df, k=k, id_col=id_col, text_col=text_col)
-    set_n = sets.select(
-        F.col(id_col).alias("new_id"), F.col("shingle_set").alias("__sn")
-    )
-    set_c = sets.select(
-        F.col(id_col).alias("corp_id"), F.col("shingle_set").alias("__sc")
-    )
+    # verify candidates with exact Jaccard over row-local shingle sets
     near = (
-        cand.join(set_n, "new_id")
-        .join(set_c, "corp_id")
-        .withColumn("__nc", F.size(F.array_intersect("__sn", "__sc")))
-        .withColumn(
-            "__j",
-            F.col("__nc")
-            / (F.size("__sn") + F.size("__sc") - F.col("__nc")),
+        _verify_candidates(
+            cand, df, k, threshold, id_col, text_col, "new_id", "corp_id"
         )
-        .filter(F.col("__j") >= threshold)
         .groupBy("new_id")
         .agg(F.min("corp_id").alias("near_id"))
     )

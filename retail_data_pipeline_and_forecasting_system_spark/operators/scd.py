@@ -192,10 +192,11 @@ def snapshot_diff(
         eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
         cond = eq if cond is None else cond & eq
     joined = o.join(n, on=cond, how="full_outer")
-    changed = None
+    # no compare columns (key covers every column) -> a pure membership
+    # diff: rows present on both sides are never "changed"
+    changed = F.lit(False)
     for c in compare_cols:
-        ne = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
-        changed = ne if changed is None else changed | ne
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
     out_keys = [
         F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k)
         for k in keys

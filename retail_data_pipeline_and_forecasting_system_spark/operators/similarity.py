@@ -256,12 +256,12 @@ def ivf_topk(
                 F.col(vec_col).alias("cent_vec"),
             )
         cent_list = _collect_centroids(centroids)
-        qvec = [
-            float(x)
-            for x in embeddings.filter(F.col(id_col) == query_id).head()[
-                vec_col
-            ]
-        ]
+        qrow = embeddings.filter(F.col(id_col) == query_id).head()
+        if qrow is None:
+            raise ValueError(
+                f"query_id {query_id!r} not found in {id_col}"
+            )
+        qvec = [float(x) for x in qrow[vec_col]]
     # multi-probe: the query searches its n_probe nearest cells (recall
     # lever — probe=1 is fastest, probe=n_centroids degenerates to brute
     # force); ties → lowest centroid id, exactly the engine's struct order
@@ -656,6 +656,8 @@ def pq_topk(
     width = dim // m
     books = pq_codebooks(embeddings, m, ksub, id_col, vec_col, dim)
     qrow = embeddings.filter(F.col(id_col) == query_id).head()
+    if qrow is None:
+        raise ValueError(f"query_id {query_id!r} not found in {id_col}")
     qvec = [float(x) for x in qrow[vec_col]]
     # driver-side table: Python float ops are the same IEEE doubles,
     # summed left-to-right exactly like the engine fold
@@ -722,10 +724,10 @@ def pq_rerank_topk(
         vec_col=vec_col,
         dim=dim,
     ).select(id_col)
-    qvec = [
-        float(x)
-        for x in embeddings.filter(F.col(id_col) == query_id).head()[vec_col]
-    ]
+    qrow = embeddings.filter(F.col(id_col) == query_id).head()
+    if qrow is None:
+        raise ValueError(f"query_id {query_id!r} not found in {id_col}")
+    qvec = [float(x) for x in qrow[vec_col]]
     q_lit = F.expr(
         "array(" + ",".join(repr(float(x)) + "D" for x in qvec) + ")"
     )
@@ -773,10 +775,10 @@ def ivfpq_topk(
     )
     cent_list = _collect_centroids(cents)
     books = pq_codebooks(embeddings, m, ksub, id_col, vec_col, dim)
-    qvec = [
-        float(x)
-        for x in embeddings.filter(F.col(id_col) == query_id).head()[vec_col]
-    ]
+    qrow = embeddings.filter(F.col(id_col) == query_id).head()
+    if qrow is None:
+        raise ValueError(f"query_id {query_id!r} not found in {id_col}")
+    qvec = [float(x) for x in qrow[vec_col]]
 
     probe_cells = [
         cid

@@ -5445,8 +5445,15 @@ def d12_dedup_yield(spark, sf):
     stats = cl.agg(
         F.count(F.lit(1)).alias("n_clustered_docs"),
         F.countDistinct("cluster_id").alias("n_clusters"),
-        F.sum(
-            F.when(F.col("doc_id") != F.col("cluster_id"), 1).otherwise(0)
+        # coalesce: SUM over an empty cluster frame (zero dup pairs) is
+        # NULL, but the oracle's scalar COUNT subquery is 0
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("doc_id") != F.col("cluster_id"), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_to_drop"),
     )
     tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -5505,7 +5512,10 @@ _M6_SELECT = (
         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
       FROM orders GROUP BY 1
     ), feat AS (
-      SELECT x, CASE WHEN x % 7 IN (0, 6) THEN 1 ELSE 0 END AS w, y
+      -- ((x%7)+7)%7: both engines return sign-of-dividend remainders,
+      -- so a plain x%7 would mislabel pre-epoch Saturdays (x%7 = -1)
+      SELECT x, CASE WHEN ((x % 7) + 7) % 7 IN (0, 6) THEN 1 ELSE 0 END
+        AS w, y
       FROM daily
     ), m AS (
       SELECT
@@ -5527,8 +5537,9 @@ _M6_SELECT = (
     "cast once), solved by Cramer's rule whose determinant expressions "
     "are the SAME literal text in engine and oracle — the pooled twin "
     "of m2's simple OLS and the oracle-checkable counterpart of "
-    "forecast/mllib_model.py's WLS fit. Weekend via x%7 (1995-01-01 is "
-    "a Sunday) — pure arithmetic, no engine-specific calendar fns",
+    "forecast/mllib_model.py's WLS fit. Weekend via non-negative "
+    "((x%7)+7)%7 off the 1995-01-01 Sunday epoch — pure arithmetic, no "
+    "engine-specific calendar fns, sign-safe for pre-epoch dates",
     scale="one day-grain agg + one 9-number moment reduction; only the "
     "3x3 system leaves the executors — model size is independent of "
     "data size, the defining property of closed-form distributed fits",
@@ -5545,7 +5556,10 @@ def m6_multivariate_ols(spark, sf):
     )
     feat = daily.select(
         "x",
-        F.when((F.col("x") % 7).isin(0, 6), 1).otherwise(0).alias("w"),
+        F.when(((F.col("x") % 7) + 7) % 7 == 0, 1)
+        .when(((F.col("x") % 7) + 7) % 7 == 6, 1)
+        .otherwise(0)
+        .alias("w"),
         "y",
     )
     m = feat.agg(

@@ -130,13 +130,28 @@ def read_version(
 
 def vacuum_versions(table_dir: str, keep: int = 2) -> list[int]:
     """Retire all but the newest ``keep`` committed versions; returns the
-    removed version numbers. Also clears orphaned staging dirs. The
-    current version is always kept (``keep`` is clamped to >= 1)."""
+    removed version numbers. Also clears orphaned staging dirs.
+
+    The version ``_latest`` points to is ALWAYS kept, even when a
+    crashed writer left a higher-numbered ``v=<n>`` dir that never got
+    its manifest flip — the newest-N window is taken over committed
+    dirs but the current version is explicitly excluded from the drop
+    set, so a reader resolving ``_latest`` can never lose its table.
+
+    Runs under the same single-writer contract as :func:`write_version`
+    (one maintenance actor at a time): clearing staging dirs while a
+    writer is mid-stage would delete the data out from under it.
+    """
     import shutil
 
     keep = max(1, keep)
     versions = list_versions(table_dir)
-    drop = versions[:-keep] if len(versions) > keep else []
+    current = current_version(table_dir)
+    drop = [
+        n
+        for n in (versions[:-keep] if len(versions) > keep else [])
+        if n != current
+    ]
     for n in drop:
         shutil.rmtree(os.path.join(table_dir, f"v={n}"))
     if os.path.isdir(table_dir):

@@ -95,21 +95,36 @@ def idempotent_jdbc_sink(
             jvm.java.lang.Class.forName(driver)
         conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
         try:
-            # Spark's JDBC writer QUOTES column names at CREATE TABLE, so
-            # the epoch column is case-sensitive — quote it with the
-            # store's own identifier quote (portable: Derby/Postgres `"`,
-            # MySQL backtick)
-            qt = conn.getMetaData().getIdentifierQuoteString()
-            stmt = conn.createStatement()
+            md = conn.getMetaData()
+            # first epoch: the table does not exist yet (Spark's writer
+            # will create it) — checked explicitly via metadata so that a
+            # REAL delete failure (lock timeout, dropped connection,
+            # revoked grant) still raises: swallowing it would let the
+            # append run and duplicate the replayed epoch, the exact
+            # failure this sink exists to prevent
+            rs = md.getTables(None, None, None, None)
+            exists = False
             try:
-                stmt.executeUpdate(
-                    f"DELETE FROM {table} "
-                    f"WHERE {qt}{batch_col}{qt} = {int(batch_id)}"
-                )
-            except Exception:
-                pass  # first epoch: table does not exist yet
+                while rs.next():
+                    if rs.getString("TABLE_NAME").lower() == table.lower():
+                        exists = True
+                        break
             finally:
-                stmt.close()
+                rs.close()
+            if exists:
+                # Spark's JDBC writer QUOTES column names at CREATE
+                # TABLE, so the epoch column is case-sensitive — quote
+                # it with the store's own identifier quote (portable:
+                # Derby/Postgres `"`, MySQL backtick)
+                qt = md.getIdentifierQuoteString()
+                stmt = conn.createStatement()
+                try:
+                    stmt.executeUpdate(
+                        f"DELETE FROM {table} "
+                        f"WHERE {qt}{batch_col}{qt} = {int(batch_id)}"
+                    )
+                finally:
+                    stmt.close()
         finally:
             conn.close()
 

@@ -244,3 +244,29 @@ def test_versioned_table_crash_recovery_and_vacuum(spark, tmp_path):
     assert list_versions(tdir) == [4]
     assert not any(n.startswith("_staging") for n in os.listdir(tdir))
     assert read_version(spark, tdir).count() == 30
+
+
+def test_vacuum_never_drops_the_version_latest_points_to(spark, tmp_path):
+    """Crash between the v-dir rename and the manifest flip leaves a
+    committed-looking dir NEWER than _latest; vacuum's newest-N window
+    must still keep the version _latest resolves to."""
+    import os
+    import shutil as sh
+
+    from retail_data_pipeline_and_forecasting_system_spark.sources import (
+        current_version,
+        read_version,
+        vacuum_versions,
+        write_version,
+    )
+
+    tdir = str(tmp_path / "corpus")
+    write_version(spark.range(10).withColumnRenamed("id", "doc"), tdir)
+    write_version(spark.range(20).withColumnRenamed("id", "doc"), tdir)
+    # simulate the crash: v=3 exists on disk but _latest still says 2
+    sh.copytree(os.path.join(tdir, "v=2"), os.path.join(tdir, "v=3"))
+    assert current_version(tdir) == 2
+
+    dropped = vacuum_versions(tdir, keep=1)
+    assert 2 not in dropped  # the current version survived
+    assert read_version(spark, tdir).count() == 20

@@ -315,7 +315,9 @@ def test_streaming_sessionize_matches_batch_gap_sessions(spark, tmp_path):
     # ts is int64-nanos in some testdata generations, TIMESTAMP(MICROS)
     # in others — normalize exactly like plans.analytics._t
     if dict(batch_df.dtypes)["ts"] == "bigint":
-        ts_norm = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        # `ts div 1000` exactly like _t: float division of epoch nanos
+        # loses microseconds above 2^53
+        ts_norm = F.timestamp_micros(F.expr("ts div 1000"))
     else:
         ts_norm = F.col("ts").cast("timestamp")
     stream = (
