@@ -5399,6 +5399,55 @@ def x19_bigram_lm(spark, sf):
     )
 
 
+# ------------------------------- bipartite HITS authorities (pr3)
+
+
+@q(
+    "pr3_hits_authorities",
+    sql="""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT c, CAST(1 AS BIGINT) AS hub FROM e),
+    a1 AS (SELECT p, SUM(hub) AS auth FROM e JOIN h0 USING (c) GROUP BY p),
+    h1 AS (SELECT c, SUM(auth) AS hub FROM e JOIN a1 USING (p) GROUP BY c),
+    a2 AS (SELECT p, SUM(hub) AS auth FROM e JOIN h1 USING (c) GROUP BY p),
+    tot AS (SELECT SUM(auth) AS t FROM a2)
+    SELECT p AS l_partkey, auth,
+      CAST(auth AS DOUBLE) / t AS auth_share
+    FROM a2, tot
+    ORDER BY auth DESC, l_partkey LIMIT 100
+    """,
+    ref="LLM-ops/graph: fixed-iteration HITS on the bipartite "
+    "customer->part purchase graph (hubs = broad buyers, authorities = "
+    "parts bought by influential buyers) — integer path-count "
+    "formulation, so the iteration has NO floating point and the "
+    "unrolled oracle matches exactly with zero rounding "
+    "(operators/graph.py hits_bipartite; completes the graph family "
+    "beside pr1 PageRank, pr2 triangles, d8 components)",
+    scale="each update = one edge join + one key agg, two shuffles per "
+    "round over the edge list; hub/auth vectors are node-sized; "
+    "normalization deferred to one exact-integer division at the end",
+)
+def pr3_hits_authorities(spark, sf):
+    from ..operators.graph import hits_bipartite
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        hits_bipartite(edges, n_iter=2)
+        .select(
+            F.col("node").alias("l_partkey"), "auth", "auth_share"
+        )
+        .orderBy(F.desc("auth"), "l_partkey")
+        .limit(100)
+    )
+
+
 # ------------------------------------ dedup yield rollup (d12)
 
 
@@ -6232,7 +6281,7 @@ _DRIVER_SAMPLE = [
     # ops4_snapshot_diff, n6_ann_rerank, w8_running_distinct,
     # x20_dup_rate_by_source, j8_bloom_semi_join, na2_outlier_clip,
     # k1_kmeans_cells, u6_union_schema_drift, m6_multivariate_ols,
-    # d12_dedup_yield (last 13 new in round 2)
+    # d12_dedup_yield, pr3_hits_authorities (last 14 new in round 2)
 ]
 
 
