@@ -5399,6 +5399,57 @@ def x19_bigram_lm(spark, sf):
     )
 
 
+# --------------------------- contamination rate by source (x21)
+
+
+def _x21_sql() -> str:
+    return f"""
+    SELECT d.source,
+      CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+      CAST(SUM(CASE WHEN x.contamination >= 0.1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_flagged,
+      CAST(SUM(CASE WHEN x.contamination >= 0.1 THEN 1 ELSE 0 END)
+           AS DOUBLE) / COUNT(*) AS flag_rate
+    FROM documents d
+    LEFT JOIN ( {QUERIES["x13_decontaminate"].sql} ) x
+      ON x.doc_id = d.doc_id
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'c'
+    GROUP BY d.source
+    """
+
+
+@q(
+    "x21_contamination_by_source",
+    sql=_x21_sql(),
+    ref="LLM-ops: decontamination rollup — per-source eval-leakage rate "
+    "(fraction of train docs with >= 10% test-shingle overlap), the "
+    "go/no-go dashboard line a corpus release gates on; composite of "
+    "x13 per-doc contamination + the source dimension",
+    scale="x13's broadcast-probe plan does the work; the rollup is a "
+    "counts-only source agg (exact ints, one final division)",
+)
+def x21_contamination_by_source(spark, sf):
+    x13 = QUERIES["x13_decontaminate"].fn(spark, sf)
+    docs = _t(spark, sf, "documents")
+    train = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c"
+    ).select("doc_id", "source")
+    flagged_n = F.sum(
+        F.when(F.col("contamination") >= 0.1, 1).otherwise(0)
+    )
+    return (
+        train.join(x13, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+            flagged_n.cast("bigint").alias("n_flagged"),
+            (flagged_n.cast("double") / F.count(F.lit(1))).alias(
+                "flag_rate"
+            ),
+        )
+    )
+
+
 # ------------------------------- bipartite HITS authorities (pr3)
 
 
@@ -6281,7 +6332,8 @@ _DRIVER_SAMPLE = [
     # ops4_snapshot_diff, n6_ann_rerank, w8_running_distinct,
     # x20_dup_rate_by_source, j8_bloom_semi_join, na2_outlier_clip,
     # k1_kmeans_cells, u6_union_schema_drift, m6_multivariate_ols,
-    # d12_dedup_yield, pr3_hits_authorities (last 14 new in round 2)
+    # d12_dedup_yield, pr3_hits_authorities, x21_contamination_by_source
+    # (last 15 new in round 2)
 ]
 
 
