@@ -5399,6 +5399,164 @@ def x19_bigram_lm(spark, sf):
     )
 
 
+# ------------------------------ class-balanced downsample (smp6)
+
+
+@q(
+    "smp6_balanced_classes",
+    sql="""
+    WITH sized AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY 1
+    ), mn AS (
+      SELECT MIN(n) AS m FROM sized
+    ), ranked AS (
+      SELECT event_id, event_type,
+        row_number() OVER (
+          PARTITION BY event_type
+          ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+        ) AS rnk
+      FROM events
+    )
+    SELECT event_id, event_type FROM ranked, mn WHERE rnk <= m
+    """,
+    ref="LLM-ops: class-balanced downsampling — every event type kept "
+    "at exactly the minority-class count, membership decided by a "
+    "deterministic md5 draw (rerun- and engine-stable, unlike rand(); "
+    "the classifier-training prep step beside smp1/smp2's rate and "
+    "fixed-k samplers)",
+    scale="class sizes are a tiny agg; the rank is one window shuffle "
+    "partitioned by class — for heavily skewed majority classes "
+    "pre-filter with an approximate md5-fraction cut (smp1) so the "
+    "window never sorts the full majority class",
+)
+def smp6_balanced_classes(spark, sf):
+    ev = _t(spark, sf, "events")
+    mn = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("m")
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    ranked = ev.select(
+        "event_id", "event_type", F.row_number().over(w).alias("rnk")
+    )
+    return ranked.crossJoin(F.broadcast(mn)).filter(
+        F.col("rnk") <= F.col("m")
+    ).select("event_id", "event_type")
+
+
+# ------------------------------ vocabulary coverage (x22)
+
+
+@q(
+    "x22_vocab_coverage",
+    sql="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tc AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ), ranked AS (
+      SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+      FROM tc
+    ), tot AS (
+      SELECT SUM(n) AS t, COUNT(*) AS vocab FROM tc
+    )
+    SELECT
+      CAST(vocab AS BIGINT) AS vocab_size,
+      CAST(t AS BIGINT) AS total_tokens,
+      CAST((SELECT SUM(n) FROM ranked WHERE rnk <= 100) AS BIGINT)
+        AS top100_tokens,
+      CAST((SELECT SUM(n) FROM ranked WHERE rnk <= 100) AS DOUBLE) / t
+        AS top100_coverage
+    FROM tot
+    """,
+    ref="LLM-ops: vocabulary coverage — what fraction of corpus token "
+    "occurrences the top-100 terms absorb (the Zipf-head measurement "
+    "behind tokenizer/vocab sizing and stopword policy; complements "
+    "x3 token counts and x18 boilerplate mining)",
+    scale="one token hash-agg over the corpus (map-side partials), then "
+    "ranking runs over the VOCABULARY (thousands of rows), never the "
+    "corpus — exact integer sums, one final division",
+)
+def x22_vocab_coverage(spark, sf):
+    d = _t(spark, sf, "documents")
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = tc.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("n"), "tok"))
+    )
+    top = ranked.filter(F.col("rnk") <= 100).agg(
+        F.sum("n").alias("top100_tokens")
+    )
+    tot = tc.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("n").alias("total_tokens"),
+    )
+    return tot.crossJoin(F.broadcast(top)).select(
+        F.col("vocab_size").cast("bigint"),
+        F.col("total_tokens").cast("bigint"),
+        F.col("top100_tokens").cast("bigint"),
+        (
+            F.col("top100_tokens").cast("double") / F.col("total_tokens")
+        ).alias("top100_coverage"),
+    )
+
+
+# ------------------------------ Markov event transitions (e8)
+
+
+@q(
+    "e8_markov_transitions",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+        lead(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+        ) AS to_type
+      FROM events
+    ), t AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT from_type, SUM(n) AS tn FROM t GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type,
+      CAST(t.n AS BIGINT) AS n_transitions,
+      CAST(t.n AS DOUBLE) / tot.tn AS p
+    FROM t JOIN tot USING (from_type)
+    """,
+    ref="first-order Markov transition matrix over per-user event "
+    "sequences (lead window, tie-proof (ts, event_id) order) — the "
+    "behavioral-sequence profile feeding next-event prediction and "
+    "anomaly scoring; event-family completion beside e2 sessionize / "
+    "j7 funnel",
+    scale="one user-keyed window shuffle over the log, then aggregates "
+    "on the (tiny) type x type matrix; probabilities are exact-integer "
+    "counts with one division, so the matrix is bit-stable at any "
+    "parallelism",
+)
+def e8_markov_transitions(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("tn"))
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        (F.col("n").cast("double") / F.col("tn")).alias("p"),
+    )
+
+
 # --------------------------- contamination rate by source (x21)
 
 
@@ -6332,8 +6490,9 @@ _DRIVER_SAMPLE = [
     # ops4_snapshot_diff, n6_ann_rerank, w8_running_distinct,
     # x20_dup_rate_by_source, j8_bloom_semi_join, na2_outlier_clip,
     # k1_kmeans_cells, u6_union_schema_drift, m6_multivariate_ols,
-    # d12_dedup_yield, pr3_hits_authorities, x21_contamination_by_source
-    # (last 15 new in round 2)
+    # d12_dedup_yield, pr3_hits_authorities, x21_contamination_by_source,
+    # e8_markov_transitions, x22_vocab_coverage, smp6_balanced_classes
+    # (last 18 new in round 2)
 ]
 
 
