@@ -5399,6 +5399,101 @@ def x19_bigram_lm(spark, sf):
     )
 
 
+# ------------------------------ source distribution drift (x23)
+
+#: shared KL term text — identical FP expression tree in both engines
+_X23_TERM = (
+    "((cs + 1) / CAST(ts + v AS DOUBLE))"
+    " * ln(((cs + 1) / CAST(ts + v AS DOUBLE))"
+    " / ((cg + 1) / CAST(t + v AS DOUBLE)))"
+)
+
+
+@q(
+    "x23_source_drift",
+    sql=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), sc AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS cs0
+      FROM toks GROUP BY 1, 2
+    ), vocab AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cg FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cg) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+      FROM vocab
+    ), stot AS (
+      SELECT source, CAST(SUM(cs0) AS BIGINT) AS ts FROM sc GROUP BY 1
+    ), grid AS (
+      SELECT st.source, vb.token, COALESCE(sc.cs0, 0) AS cs,
+        vb.cg, st.ts, tot.t, tot.v
+      FROM stot st
+      CROSS JOIN vocab vb
+      CROSS JOIN tot
+      LEFT JOIN sc ON sc.source = st.source AND sc.token = vb.token
+    ), terms AS (
+      SELECT source, token, {_X23_TERM} AS term FROM grid
+    ), g AS (
+      SELECT source, list(term ORDER BY token) AS arr
+      FROM terms GROUP BY source
+    )
+    SELECT source, round(list_reduce(arr, (x, y) -> x + y), 6) AS kl_div
+    FROM g
+    """,
+    ref="LLM-ops: distribution drift per source — add-one-smoothed "
+    "KL(source unigram dist || corpus dist) over the global vocabulary: "
+    "the shift detector that flags a crawl source whose language "
+    "changed (spam influx, template rot) before it poisons the mixture; "
+    "statistical complement to x20's dup-rate and x21's contamination "
+    "dashboards",
+    scale="two token hash-aggs + a (sources x vocab) grid that is "
+    "vocab-sized per source (never corpus-sized); token-sorted "
+    "sequential fold (not float SUM) keeps the KL bit-identical "
+    "cross-engine, same trick as x17",
+)
+def x23_source_drift(spark, sf):
+    toks = _t(spark, sf, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    sc = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cs0")
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cg")
+    )
+    tot = vocab.agg(
+        F.sum("cg").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    stot = sc.groupBy("source").agg(
+        F.sum("cs0").cast("bigint").alias("ts")
+    )
+    grid = (
+        stot.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(tot))
+        .join(sc, ["source", "token"], "left")
+        .withColumn("cs", F.coalesce("cs0", F.lit(0)))
+    )
+    terms = grid.select(
+        "source", "token", F.expr(_X23_TERM).alias("term")
+    )
+    g = terms.groupBy("source").agg(
+        F.sort_array(
+            F.collect_list(F.struct("token", "term"))
+        ).alias("__arr")
+    )
+    return g.select(
+        "source",
+        F.round(
+            F.aggregate(
+                F.col("__arr"), F.lit(0.0), lambda acc, x: acc + x["term"]
+            ),
+            6,
+        ).alias("kl_div"),
+    )
+
+
 # ------------------------------ class-balanced downsample (smp6)
 
 
@@ -6491,8 +6586,8 @@ _DRIVER_SAMPLE = [
     # x20_dup_rate_by_source, j8_bloom_semi_join, na2_outlier_clip,
     # k1_kmeans_cells, u6_union_schema_drift, m6_multivariate_ols,
     # d12_dedup_yield, pr3_hits_authorities, x21_contamination_by_source,
-    # e8_markov_transitions, x22_vocab_coverage, smp6_balanced_classes
-    # (last 18 new in round 2)
+    # e8_markov_transitions, x22_vocab_coverage, smp6_balanced_classes,
+    # x23_source_drift (last 19 new in round 2)
 ]
 
 
