@@ -375,6 +375,7 @@ def incremental_dedup(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_buckets: bool = True,
 ) -> DataFrame:
     """Dedup an arriving batch AGAINST an existing corpus — the production
     ingestion shape: a new partition lands and must be checked against
@@ -419,16 +420,20 @@ def incremental_dedup(
     # candidates restricted to the new x corpus quadrant. The bucket
     # frame feeds BOTH sides of the candidate join — persist it so the
     # shingle -> md5 -> signature pipeline runs once, not per side
-    # (same rationale as minhash_lsh_pairs' cache_buckets).
-    from pyspark import StorageLevel
-
+    # (same rationale and escape hatch as minhash_lsh_pairs'
+    # cache_buckets: the cached frame is (id, band, bucket) tiny, and a
+    # long-running ingestion service calling this per batch should
+    # either pass cache_buckets=False or reclaim with
+    # spark.catalog.clearCache() between ingests).
     buckets = _band_buckets(
         df, num_hashes, bands, k=k, id_col=id_col, text_col=text_col
     )
     flags = flagged.select(id_col, "__new")
-    tagged = buckets.join(flags, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    tagged = buckets.join(flags, id_col)
+    if cache_buckets:
+        from pyspark import StorageLevel
+
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     nb = tagged.filter(F.col("__new")).select(
         F.col(id_col).alias("new_id"), "band", "bucket"
     )

@@ -256,6 +256,8 @@ def hits_bipartite(
     two-shuffle round as :func:`pagerank`; the hub/auth vectors are
     node-sized and co-shuffle cheaply.
     """
+    if n_iter < 1:
+        raise ValueError("hits_bipartite needs n_iter >= 1")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()

@@ -145,8 +145,17 @@ def vacuum_versions(table_dir: str, keep: int = 2) -> list[int]:
     import shutil
 
     keep = max(1, keep)
-    versions = list_versions(table_dir)
     current = current_version(table_dir)
+    # retention window over COMMITTED history only: a crash-stranded
+    # v-dir NEWER than _latest (rename happened, manifest flip didn't)
+    # must not occupy a keep slot — it would silently shorten the grace
+    # period for genuinely committed old versions. Such orphans are
+    # left untouched (write_version already skips past their numbers).
+    versions = [
+        n
+        for n in list_versions(table_dir)
+        if current is None or n <= current
+    ]
     drop = [
         n
         for n in (versions[:-keep] if len(versions) > keep else [])

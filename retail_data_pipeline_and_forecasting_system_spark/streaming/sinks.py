@@ -101,14 +101,26 @@ def idempotent_jdbc_sink(
             # REAL delete failure (lock timeout, dropped connection,
             # revoked grant) still raises: swallowing it would let the
             # append run and duplicate the replayed epoch, the exact
-            # failure this sink exists to prevent
+            # failure this sink exists to prevent. Handles
+            # schema-qualified names ("app.events"): the bare TABLE_NAME
+            # is compared against the last segment and TABLE_SCHEM
+            # against the qualifier, both case-insensitively (JDBC
+            # metadata returns store-folded identifiers).
+            t_parts = table.split(".")
+            t_name = t_parts[-1].lower()
+            t_schema = t_parts[-2].lower() if len(t_parts) > 1 else None
             rs = md.getTables(None, None, None, None)
             exists = False
             try:
                 while rs.next():
-                    if rs.getString("TABLE_NAME").lower() == table.lower():
-                        exists = True
-                        break
+                    if rs.getString("TABLE_NAME").lower() != t_name:
+                        continue
+                    if t_schema is not None:
+                        row_schema = rs.getString("TABLE_SCHEM")
+                        if (row_schema or "").lower() != t_schema:
+                            continue
+                    exists = True
+                    break
             finally:
                 rs.close()
             if exists:

@@ -268,5 +268,7 @@ def test_vacuum_never_drops_the_version_latest_points_to(spark, tmp_path):
     assert current_version(tdir) == 2
 
     dropped = vacuum_versions(tdir, keep=1)
-    assert 2 not in dropped  # the current version survived
+    assert dropped == [1]  # current kept; orphan not counted in window
     assert read_version(spark, tdir).count() == 20
+    # the uncommitted orphan is left alone (write_version skips past it)
+    assert os.path.isdir(os.path.join(tdir, "v=3"))
