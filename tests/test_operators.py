@@ -388,3 +388,60 @@ def test_bloom_prefilter_is_selective_and_lossless(spark):
     n_true = li.join(part, li["l_partkey"] == part["p_partkey"]).count()
     assert n_true <= n_pre <= n_all  # no false negatives
     assert n_pre < 0.2 * n_all  # genuinely selective at ~2% build side
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def test_incremental_dedup_soundness_properties(spark):
+    """Property test (hypothesis) for incremental_dedup verdicts against
+    a pure-Python checker: exact verdicts are truly byte-equal with the
+    LOWEST matching corpus id; near verdicts have true shingle Jaccard
+    >= threshold and no byte-equal corpus twin; unique verdicts have no
+    byte-equal twin. (Near-miss recall is probabilistic by design —
+    LSH — so 'unique despite high Jaccard' is NOT asserted.)"""
+    from hypothesis import given, settings, strategies as st
+
+    doc_strategy = st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10).map(
+            " ".join
+        ),
+        min_size=4,
+        max_size=10,
+    )
+
+    def shingles(text, k=3):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        } if len(toks) >= k else set()
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts=doc_strategy, n_corpus=st.integers(2, 5))
+    def run(texts, n_corpus):
+        n_corpus = min(n_corpus, len(texts) - 1)
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["status"], r["match_id"])
+            for r in D.incremental_dedup(
+                df, new_pred=F.col("doc_id") >= n_corpus, threshold=0.5
+            ).collect()
+        }
+        corpus = dict(rows[:n_corpus])
+        for doc_id, text in rows[n_corpus:]:
+            status, match = out[doc_id]
+            exact_ids = [i for i, t in corpus.items() if t == text]
+            if status == "exact":
+                assert exact_ids and match == min(exact_ids)
+            elif status == "near":
+                assert not exact_ids  # exact would have won
+                a, b = shingles(text), shingles(corpus[match])
+                assert a and b
+                j = len(a & b) / len(a | b)
+                assert j >= 0.5
+            else:
+                assert status == "unique" and match is None
+                assert not exact_ids
+
+    run()
