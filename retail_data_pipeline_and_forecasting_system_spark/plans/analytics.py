@@ -5718,7 +5718,7 @@ def x21_contamination_by_source(spark, sf):
     h1 AS (SELECT c, SUM(auth) AS hub FROM e JOIN a1 USING (p) GROUP BY c),
     a2 AS (SELECT p, SUM(hub) AS auth FROM e JOIN h1 USING (c) GROUP BY p),
     tot AS (SELECT SUM(auth) AS t FROM a2)
-    SELECT p AS l_partkey, auth,
+    SELECT p AS l_partkey, CAST(auth AS BIGINT) AS auth,
       CAST(auth AS DOUBLE) / t AS auth_share
     FROM a2, tot
     ORDER BY auth DESC, l_partkey LIMIT 100
