@@ -60,6 +60,15 @@ def _compare(mine: pd.DataFrame, want: pd.DataFrame, name: str) -> None:
     )
     for c in mine.columns:
         a, b = mine[c], want[c]
+        # dtype-FAMILY mismatch is a driver failure even when values
+        # agree: the driver compares sorted astype(str) frames, so an
+        # int64 engine column vs a float64 oracle column ("53689" vs
+        # "53689.0") hash-mismatches. The classic cause is DuckDB's
+        # SUM(BIGINT) -> HUGEINT -> pandas float64 — cast the oracle's
+        # aggregate outputs explicitly (caught live on pr3).
+        assert pd.api.types.is_float_dtype(a) == pd.api.types.is_float_dtype(
+            b
+        ), f"{name}.{c}: dtype family mismatch {a.dtype} vs {b.dtype}"
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             af, bf = a.astype(float).values, b.astype(float).values
             both_nan = np.isnan(af) & np.isnan(bf)
