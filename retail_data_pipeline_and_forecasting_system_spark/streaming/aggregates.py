@@ -147,3 +147,79 @@ def streaming_funnel_join(
         & (F.col("buy_ts") > F.col("view_ts"))
         & (F.col("buy_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
     ).select("user_id", "view_ts", "buy_ts")
+
+
+def streaming_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Per-user event-TRANSITION extraction on a stream — the stateful
+    streaming twin of the batch ``e8_markov_transitions`` lead-window:
+    windows don't exist in streaming, so the "previous event" becomes
+    per-user group state carried across micro-batches
+    (``applyInPandasWithState`` keyed by user, state = last event type).
+
+    Within a micro-batch a user's rows are concatenated across Arrow
+    chunks and sorted once by (ts, seq) — same cross-chunk contract as
+    ``streaming_depletion``; across micro-batches the carried state
+    stitches the boundary transition, so replaying a day-partitioned
+    log yields exactly the batch lead-window's transitions (asserted in
+    tests). Output rows: (user, from_type, to_type).
+
+    State is ONE small string per user — at 100 TB it shards by user
+    across the state store and never grows with history; downstream the
+    (from, to) counts/probabilities are a plain streaming aggregation.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("from_type", T.StringType(), True),
+            T.StructField("to_type", T.StringType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("last_type", T.StringType(), True)]
+    )
+
+    def extract(key, batches, state: GroupState):
+        (user,) = key
+        last = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            pdf = pdf.sort_values(
+                [ts_col, seq_col], kind="mergesort"
+            ).reset_index(drop=True)
+            types = pdf[type_col].tolist()
+            rows = []
+            for t in types:
+                if last is not None:
+                    rows.append((int(user), last, t))
+                last = t
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["user_id", "from_type", "to_type"]
+                )
+        state.update((last,))
+
+    return (
+        events.groupBy(user_col)
+        .applyInPandasWithState(
+            extract,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -545,3 +545,72 @@ def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
     b = {tuple(r) for r in second.drop("batch_id").collect()}
     assert second.count() == len(a)
     assert a == b
+
+
+def test_streaming_transitions_match_batch_markov(spark, tmp_path):
+    """Per-user transition extraction with cross-micro-batch state: a
+    3-slice time-ordered replay of the events table yields exactly the
+    batch e8 lead-window's transition counts — the boundary transition
+    between slices comes from carried state."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+        _t,
+    )
+    from retail_data_pipeline_and_forecasting_system_spark.streaming.aggregates import (
+        streaming_transitions,
+    )
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    # 3 time slices with ascending mtimes -> 3 micro-batches in order
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    bounds = ev.selectExpr(
+        "percentile(cast(ts as long), array(0.33, 0.66)) AS b"
+    ).head()["b"]
+    slices = [
+        ev.filter(F.col("ts").cast("long") <= bounds[0]),
+        ev.filter(
+            (F.col("ts").cast("long") > bounds[0])
+            & (F.col("ts").cast("long") <= bounds[1])
+        ),
+        ev.filter(F.col("ts").cast("long") > bounds[1]),
+    ]
+    for i, sl in enumerate(slices):
+        p = in_dir / f"slice_{i}.parquet"
+        sl.coalesce(1).write.mode("overwrite").parquet(str(p))
+        ts = time.time() - 100 + i
+        os.utime(p, (ts, ts))
+        for f in Path(p).glob("*"):
+            os.utime(f, (ts, ts))
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(in_dir / "*.parquet"))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        streaming_transitions(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in spark.read.parquet(out_dir)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in QUERIES["e8_markov_transitions"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want
