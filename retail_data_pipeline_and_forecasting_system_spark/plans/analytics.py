@@ -5600,6 +5600,78 @@ def x22_vocab_coverage(spark, sf):
     )
 
 
+# -------------------------- keep-best canonical selection (d13)
+
+
+@q(
+    "d13_canonical_selection",
+    sql=f"""
+    WITH RECURSIVE pairs AS ({{pairs}}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    joined AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars
+      FROM clusters c JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, n_chars,
+        row_number() OVER (
+          PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+        ) AS rn
+      FROM joined
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+      FROM clusters GROUP BY cluster_id
+    )
+    SELECT r.cluster_id, r.doc_id AS canonical_id,
+      CAST(r.n_chars AS BIGINT) AS canonical_chars, s.n_members
+    FROM ranked r JOIN sizes s USING (cluster_id)
+    WHERE r.rn = 1
+    """.format(pairs=_SQL_JACCARD_PAIRS.format(thr="0.35")),
+    ref="LLM-ops: keep-BEST canonical selection per near-dup cluster — "
+    "production dedup keeps the longest/highest-quality member (the "
+    "superset doc subsumes its fragments), not the lowest id; d8 "
+    "answers WHICH docs cluster, this answers which one to KEEP",
+    scale="the ranking window runs over cluster members (dup subgraph "
+    "only, never the corpus); swap n_chars for any x2/x17 quality "
+    "signal without changing the plan shape",
+)
+def d13_canonical_selection(spark, sf):
+    from ..operators.graph import dup_clusters
+
+    docs = _t(spark, sf, "documents")
+    pairs = D.jaccard_pairs(docs, k=3, threshold=0.35)
+    clusters = dup_clusters(pairs).select("doc_id", "cluster_id")
+    joined = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_id"),
+            F.col("n_chars").cast("bigint").alias("canonical_chars"),
+            "n_members",
+        )
+    )
+
+
 # ------------------------------ Markov event transitions (e8)
 
 
@@ -6587,7 +6659,7 @@ _DRIVER_SAMPLE = [
     # k1_kmeans_cells, u6_union_schema_drift, m6_multivariate_ols,
     # d12_dedup_yield, pr3_hits_authorities, x21_contamination_by_source,
     # e8_markov_transitions, x22_vocab_coverage, smp6_balanced_classes,
-    # x23_source_drift (last 19 new in round 2)
+    # x23_source_drift, d13_canonical_selection (last 20 new in round 2)
 ]
 
 
