@@ -5600,6 +5600,119 @@ def x22_vocab_coverage(spark, sf):
     )
 
 
+# ------------------------------ forecast backtesting (m7)
+
+
+@q(
+    "m7_forecast_backtest",
+    sql="""
+    WITH daily AS (
+      SELECT
+        date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders GROUP BY 1
+    ), bounds AS (
+      SELECT CAST(floor(0.8 * max(x)) AS BIGINT) AS cutoff FROM daily
+    ), train AS (
+      SELECT x, y FROM daily, bounds WHERE x <= cutoff
+    ), sums AS (
+      SELECT count(*) AS n, SUM(x) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        SUM(x * x) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM train
+    ), params AS (
+      SELECT
+        (n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+        (sy - ((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx))
+             * sx) / n AS intercept
+      FROM sums
+    ), test AS (
+      SELECT x, y FROM daily, bounds WHERE x > cutoff
+    ), errs AS (
+      SELECT CAST(ABS(CAST(y AS DOUBLE) - (intercept + slope * x))
+                  AS DECIMAL(28,10)) AS aerr
+      FROM test, params
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM train) AS n_train,
+      (SELECT CAST(count(*) AS BIGINT) FROM test) AS n_test,
+      (SELECT CAST(slope AS DOUBLE) FROM params) AS slope,
+      (SELECT CAST(intercept AS DOUBLE) FROM params) AS intercept,
+      CAST(CAST(SUM(aerr) AS DOUBLE) / count(*) AS DOUBLE) AS test_mae
+    FROM errs
+    """,
+    ref="forecast BACKTESTING — fit m2's closed-form OLS on the first "
+    "80% of days, score MAE on the held-out 20% (generalizes the "
+    "reference's in-sample MAE/MSE, src/time_series.py + M3, to the "
+    "temporal holdout a real forecast eval needs: never test on the "
+    "past of your training window)",
+    scale="train moments and test errors are each one distributed agg; "
+    "per-day |error| casts to decimal before summing so the MAE is "
+    "partition-order-proof; only 5 scalars leave the executors",
+)
+def m7_forecast_backtest(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("x")
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("y"))
+    )
+    bounds = daily.agg(
+        F.floor(0.8 * F.max("x")).cast("bigint").alias("cutoff")
+    )
+    with_b = daily.crossJoin(F.broadcast(bounds))
+    train = with_b.filter(F.col("x") <= F.col("cutoff"))
+    test = with_b.filter(F.col("x") > F.col("cutoff"))
+    sums = train.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    params = sums.select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+    )
+    errs = test.crossJoin(F.broadcast(params)).select(
+        F.abs(
+            F.col("y").cast("double")
+            - (F.col("intercept") + F.col("slope") * F.col("x"))
+        )
+        .cast("decimal(28,10)")
+        .alias("aerr"),
+        "slope",
+        "intercept",
+    )
+    counts = train.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train")
+    ).crossJoin(
+        test.agg(F.count(F.lit(1)).cast("bigint").alias("n_test"))
+    )
+    mae = errs.agg(
+        F.first("slope").alias("slope"),
+        F.first("intercept").alias("intercept"),
+        (F.sum("aerr").cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("test_mae"),
+    )
+    return counts.crossJoin(mae).select(
+        "n_train",
+        "n_test",
+        F.col("slope").cast("double"),
+        F.col("intercept").cast("double"),
+        "test_mae",
+    )
+
+
 # ------------------------------ salted aggregation proof (skw2)
 
 
@@ -6711,8 +6824,8 @@ _DRIVER_SAMPLE = [
     # k1_kmeans_cells, u6_union_schema_drift, m6_multivariate_ols,
     # d12_dedup_yield, pr3_hits_authorities, x21_contamination_by_source,
     # e8_markov_transitions, x22_vocab_coverage, smp6_balanced_classes,
-    # x23_source_drift, d13_canonical_selection, skw2_salted_agg
-    # (last 21 new in round 2)
+    # x23_source_drift, d13_canonical_selection, skw2_salted_agg,
+    # m7_forecast_backtest (last 22 new in round 2)
 ]
 
 
