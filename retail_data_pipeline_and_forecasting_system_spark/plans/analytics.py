@@ -5600,6 +5600,64 @@ def x22_vocab_coverage(spark, sf):
     )
 
 
+# --------------------------- multiset (bag) set operations (u7)
+
+
+@q(
+    "u7_bag_setops",
+    sql="""
+    WITH a AS (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ), b AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), ex AS (
+      SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b
+    ), inter AS (
+      SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b
+    )
+    SELECT o_custkey,
+      CAST(SUM(CASE WHEN tag = 'ex' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_except_all,
+      CAST(SUM(CASE WHEN tag = 'in' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_intersect_all
+    FROM (
+      SELECT o_custkey, 'ex' AS tag FROM ex
+      UNION ALL
+      SELECT o_custkey, 'in' AS tag FROM inter
+    ) GROUP BY o_custkey
+    """,
+    ref="MULTISET set operations (EXCEPT ALL / INTERSECT ALL) — "
+    "duplicate-preserving bag semantics the distinct-based u2/u3 can't "
+    "express: per customer, how many 'F' orders exceed / pair with "
+    "their urgent orders (multiplicity is the answer, so DISTINCT "
+    "variants are wrong here); completes SURVEY §2.7",
+    scale="Spark plans exceptAll/intersectAll as a tagged count "
+    "aggregate + generator (sum of signed multiplicities) — one "
+    "shuffle per operand pair, no join explosion; output aggregated "
+    "per key so multiplicities compare exactly",
+)
+def u7_bag_setops(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    ex = a.exceptAll(b).withColumn("tag", F.lit("ex"))
+    inter = a.intersectAll(b).withColumn("tag", F.lit("in"))
+    return (
+        ex.unionByName(inter)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("tag") == "ex", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_except_all"),
+            F.sum(F.when(F.col("tag") == "in", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_intersect_all"),
+        )
+    )
+
+
 # ------------------------------ forecast backtesting (m7)
 
 
@@ -6825,7 +6883,7 @@ _DRIVER_SAMPLE = [
     # d12_dedup_yield, pr3_hits_authorities, x21_contamination_by_source,
     # e8_markov_transitions, x22_vocab_coverage, smp6_balanced_classes,
     # x23_source_drift, d13_canonical_selection, skw2_salted_agg,
-    # m7_forecast_backtest (last 22 new in round 2)
+    # m7_forecast_backtest, u7_bag_setops (last 23 new in round 2)
 ]
 
 
