@@ -50,6 +50,12 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 64k-row Arrow batches: the depletion kernel streams 600k rows
+        # executor<->Python per sf0.1 run; the 10k default costs ~6x the
+        # per-batch overhead (measured 1.6 -> 1.4 s on a5). Group-spanning
+        # chunks are already handled (kernels concat+sort per group), so
+        # larger batches are purely fewer round trips.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.filterPushdown", "true")
         # push MIN/MAX/COUNT down to parquet footer statistics — profile
         # and emptiness checks never touch row data
