@@ -5600,6 +5600,50 @@ def x22_vocab_coverage(spark, sf):
     )
 
 
+# ----------------------------- grouping-id disambiguation (a17)
+
+
+@q(
+    "a17_grouping_id",
+    sql="""
+    SELECT r_name, n_name,
+      CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+      CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    ref="GROUPING()/grouping-id over a rollup — distinguishes a "
+    "subtotal row's NULL from a genuine NULL data value (the "
+    "reporting-correctness companion g1's plain rollup lacks: without "
+    "gid a consumer cannot tell 'all regions' from 'region unknown')",
+    scale="same Expand + single hash-agg as g1; gid is a literal tag "
+    "each Expand projection carries, zero extra cost",
+)
+def a17_grouping_id(spark, sf):
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    return (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .rollup("r_name", "n_name")
+        .agg(
+            (
+                F.grouping("r_name") * 2 + F.grouping("n_name")
+            )
+            .cast("bigint")
+            .alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        )
+    )
+
+
 # --------------------------- multiset (bag) set operations (u7)
 
 
@@ -6883,7 +6927,8 @@ _DRIVER_SAMPLE = [
     # d12_dedup_yield, pr3_hits_authorities, x21_contamination_by_source,
     # e8_markov_transitions, x22_vocab_coverage, smp6_balanced_classes,
     # x23_source_drift, d13_canonical_selection, skw2_salted_agg,
-    # m7_forecast_backtest, u7_bag_setops (last 23 new in round 2)
+    # m7_forecast_backtest, u7_bag_setops, a17_grouping_id
+    # (last 24 new in round 2)
 ]
 
 
