@@ -445,3 +445,25 @@ def test_incremental_dedup_soundness_properties(spark):
                 assert not exact_ids
 
     run()
+
+
+def test_grouping_id_separates_subtotals_from_null_data(spark):
+    """The a17 pattern on data with a GENUINE null group value: gid
+    distinguishes the subtotal row (gid has the bit set) from the row
+    aggregating real NULL values (gid 0)."""
+    df = spark.createDataFrame(
+        [("east", 1), (None, 2), ("east", 3), (None, 4)],
+        "region string, v int",
+    )
+    rows = {
+        (r["region"], r["gid"]): r["n"]
+        for r in df.rollup("region")
+        .agg(
+            F.grouping("region").cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .collect()
+    }
+    assert rows[("east", 0)] == 2   # real group
+    assert rows[(None, 0)] == 2     # GENUINE null region: gid 0
+    assert rows[(None, 1)] == 4     # grand total: same NULL, gid 1
