@@ -4,10 +4,11 @@ Five dedup strategies, all expressed as compositions of built-in DataFrame
 ops (JVM-side, shuffle-aware) so they scale to billions of documents:
 
 - exact        : hash-groupBy on content digest — one shuffle on md5(text).
-- ngram Jaccard: shingle explode -> self-join on shingle -> pair agg. The
-                 shingle join only pairs docs that SHARE a shingle, so cost
-                 is Σ (docs-per-shingle)², not n² — the standard inverted-
-                 index trick.
+- ngram Jaccard: shingle explode -> document-frequency cap -> self-join on
+                 shingle -> pair agg. The shingle join only pairs docs that
+                 SHARE a shingle, and the ``max_df`` cap bounds each key's
+                 fanout at max_df² pair rows, so cost is linear in rare-
+                 shingle mass — the inverted-index trick made hot-key-proof.
 - MinHash+LSH  : shingle -> k sliced salted-md5 minhashes -> band buckets ->
                  candidates share a bucket -> verify exact Jaccard. Sub-
                  quadratic: candidate generation is a groupBy on band bucket.
@@ -19,8 +20,9 @@ ops (JVM-side, shuffle-aware) so they scale to billions of documents:
 Hashing is md5-based so every operator has an exact cross-engine SQL oracle
 (see plans/analytics.py). At 100 TB the shuffles partition on shingle /
 bucket / digest respectively — all high-cardinality keys, no broadcast
-needed; skewed shingles (stopword runs) are bounded by the distinct() before
-the join and AQE skew splitting.
+needed; skewed shingles (stopword runs, boilerplate) are bounded by the
+``max_df`` document-frequency cap in the pair-join operators, the distinct()
+before the join, and AQE skew splitting.
 """
 
 from __future__ import annotations
@@ -58,13 +60,27 @@ def jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = 50,
 ) -> DataFrame:
     """All document pairs (a < b) with k-shingle Jaccard >= threshold.
 
     jaccard = |A ∩ B| / (|A| + |B| − |A ∩ B|), computed exactly from the
-    inverted shingle index. Output: (doc_a, doc_b, jaccard).
+    inverted shingle index over the RARE-shingle sets: shingles appearing
+    in more than ``max_df`` documents are dropped before the pair join
+    (both from the intersection and the set sizes — the same consistent
+    definition as :func:`char_jaccard_pairs`, where the cap was first
+    added after a measured OOM at sf0.1). Without the cap the inverted-
+    index self-join costs Σ docs-per-shingle²: ONE boilerplate shingle
+    shared by 10⁵ docs emits 10¹⁰ pair rows from a single join key. With
+    it, each shingle contributes at most ``max_df²`` pair rows, so the
+    join is linear in rare-shingle mass — the 100 TB bound. Word
+    3-shingles are selective (measured max df: 7 at sf0.01, 25 at sf0.1,
+    so 50 never binds at test scale), and true near-dups share plenty of
+    rare shingles, so the capped Jaccard is near-dup-faithful.
+    ``max_df=None`` disables the cap. Output: (doc_a, doc_b, jaccard).
     """
     sh = word_shingles(df, k=k, id_col=id_col, text_col=text_col)
+    sh = _rare_shingles(sh, max_df)
     return _jaccard_from_shingles(sh, threshold, id_col)
 
 
@@ -88,14 +104,27 @@ def char_jaccard_pairs(
     consistent (and near-dup-faithful) definition — true near-dups share
     plenty of rare shingles."""
     sh = char_shingles(df, k=k, id_col=id_col, text_col=text_col)
+    sh = _rare_shingles(sh, max_df)
+    return _jaccard_from_shingles(sh, threshold, id_col)
+
+
+def _rare_shingles(sh: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    The document-frequency count shuffles on the SAME key as the pair
+    join that follows, and caps that join's per-key fanout at
+    ``max_df²`` rows — Σ df² ≤ max_df · Σ df, i.e. linear instead of
+    quadratic in hot-key frequency. ``None`` disables the cap.
+    """
+    if max_df is None:
+        return sh
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= max_df)
         .select("shingle")
     )
-    sh = sh.join(rare, on="shingle")
-    return _jaccard_from_shingles(sh, threshold, id_col)
+    return sh.join(rare, on="shingle")
 
 
 def _jaccard_from_shingles(
@@ -375,12 +404,22 @@ def incremental_dedup(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    cache_buckets: bool = True,
+    cache_buckets: bool = False,
 ) -> DataFrame:
     """Dedup an arriving batch AGAINST an existing corpus — the production
     ingestion shape: a new partition lands and must be checked against
     everything already accepted, without ever re-comparing the corpus to
     itself.
+
+    ``cache_buckets`` defaults to ``False`` here (unlike
+    :func:`minhash_lsh_pairs`): the incremental path is what a
+    long-running ingestion service calls once per batch, and a persist
+    with no unpersist would accumulate a cached frame per ingest until
+    ``clearCache``. One-shot callers (the d11 registry query) pass
+    ``True`` to avoid evaluating the signature pipeline once per side of
+    the candidate join; services that want the caching should unpersist
+    after consuming the output (the streaming rendition in
+    ``streaming/dedup_stream.py`` does exactly that per epoch).
 
     ``new_pred`` is a row predicate marking the new batch (a
     ``batch_date`` partition in practice). Verdict per new document:
@@ -417,14 +456,10 @@ def incremental_dedup(
     exact = new_keys.join(corpus_keys, "__ck").select("new_id", "exact_id")
 
     # near: banded buckets over the full frame (one signature pass),
-    # candidates restricted to the new x corpus quadrant. The bucket
-    # frame feeds BOTH sides of the candidate join — persist it so the
-    # shingle -> md5 -> signature pipeline runs once, not per side
-    # (same rationale and escape hatch as minhash_lsh_pairs'
-    # cache_buckets: the cached frame is (id, band, bucket) tiny, and a
-    # long-running ingestion service calling this per batch should
-    # either pass cache_buckets=False or reclaim with
-    # spark.catalog.clearCache() between ingests).
+    # candidates restricted to the new x corpus quadrant. With
+    # cache_buckets=True the bucket frame (tiny: (id, band, bucket))
+    # is persisted so the shingle -> md5 -> signature pipeline runs
+    # once, not per side of the candidate join — opt-in, see docstring.
     buckets = _band_buckets(
         df, num_hashes, bands, k=k, id_col=id_col, text_col=text_col
     )
@@ -472,6 +507,7 @@ def containment_pairs(
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = 50,
 ) -> DataFrame:
     """Directed shingle-containment pairs: |A ∩ B| / |A| >= threshold.
 
@@ -483,11 +519,16 @@ def containment_pairs(
     shingle set is >= threshold contained in doc_b's; both directions
     are emitted when both clear the threshold.
 
-    Same inverted shingle index as Jaccard (cost Σ docs-per-shingle²,
-    never n²); the unordered intersection is computed once and fanned
-    out into the two directed rows row-locally.
+    Same rare-shingle inverted index as :func:`jaccard_pairs`:
+    ``max_df`` drops shingles in more than that many docs before the
+    pair join (consistently from intersection AND sizes), bounding the
+    per-key join fanout at ``max_df²`` — without it cost is
+    Σ docs-per-shingle², quadratic in hot-key frequency. The unordered
+    intersection is computed once and fanned out into the two directed
+    rows row-locally.
     """
     sh = word_shingles(df, k=k, id_col=id_col, text_col=text_col)
+    sh = _rare_shingles(sh, max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -27,7 +27,7 @@ Each entry's `ref` cites the reference behavior it generalizes
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Optional
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -89,7 +89,7 @@ def _sql_cosine(a: str, b: str) -> str:
 @dataclass
 class Query:
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: Optional[str]  # None -> non-SQL-expressible, rows-only check
+    sql: str  # DuckDB oracle — every registry entry ships one
     ref: str  # SURVEY.md §2 ids / reference file:line this generalizes
     scale: str = ""  # one-line 100TB plan note
     bench: bool = False  # include in bench.py headline set
@@ -810,14 +810,36 @@ _SQL_SHINGLES = """
   )
 """
 
-_SQL_JACCARD_PAIRS = (
-    _SQL_SHINGLES
-    + """
+# Document-frequency cap shared by every word-shingle pair oracle (d2, d8,
+# x7, x8, d12, d13, d10) — mirrors operators/dedup.py's default max_df so
+# engine and oracle drop the same hot shingles. 50 never binds at test
+# scale (measured max df: 7 at sf0.01, 25 at sf0.1) but bounds each join
+# key's fanout at 50² pair rows at 100 TB, where boilerplate shingles land
+# in thousands of docs; the capped-semantics parity when it DOES bind is
+# proven by tests/test_operators.py's synthetic hot-shingle corpus.
+_JACCARD_MAX_DF = 50
+
+# Rare-shingle CTE suffix: df-cap applied to BOTH the intersection and the
+# set sizes (the consistent capped-Jaccard definition d7 introduced).
+_SQL_RARE_SHINGLES = """
+  , rare AS (
+    SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= {max_df}
+  ), rsh AS (
+    SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)
+  )
+"""
+
+
+def _sql_jaccard_pairs(thr: str, max_df: int = _JACCARD_MAX_DF) -> str:
+    return (
+        _SQL_SHINGLES
+        + _SQL_RARE_SHINGLES.format(max_df=max_df)
+        + """
   , sizes AS (
-    SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+    SELECT doc_id, count(*) AS n_shingles FROM rsh GROUP BY doc_id
   ), inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-    FROM shingles a JOIN shingles b USING (shingle)
+    FROM rsh a JOIN rsh b USING (shingle)
     WHERE a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
   )
@@ -829,18 +851,24 @@ _SQL_JACCARD_PAIRS = (
   JOIN sizes nb ON nb.doc_id = doc_b
   WHERE CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common)
         >= {thr}
-"""
-)
+""".format(thr=thr)
+    )
 
 
 @q(
     "d2_jaccard_pairs",
-    sql=_SQL_JACCARD_PAIRS.format(thr="0.35"),
-    ref="LLM-ops: n-gram Jaccard near-dup via inverted shingle index",
-    scale="join cost Σ docs-per-shingle², not n²; shingle is the shuffle key",
+    sql=_sql_jaccard_pairs("0.35"),
+    ref="LLM-ops: n-gram Jaccard near-dup via inverted rare-shingle index "
+    "(doc-freq <= 50, mirrored in the oracle)",
+    scale="max_df caps each shingle key's pair fanout at 50² rows, so the "
+    "join is linear in rare-shingle mass, not Σ docs-per-shingle² "
+    "(one 10⁵-doc boilerplate shingle would otherwise emit 10¹⁰ pairs); "
+    "shingle is the shuffle key for both the df count and the pair join",
 )
 def d2_jaccard_pairs(spark, sf):
-    return D.jaccard_pairs(_t(spark, sf, "documents"), k=3, threshold=0.35)
+    return D.jaccard_pairs(
+        _t(spark, sf, "documents"), k=3, threshold=0.35, max_df=_JACCARD_MAX_DF
+    )
 
 
 def _sql_minhash(num_hashes: int, bands: int, thr: str) -> str:
@@ -2171,7 +2199,7 @@ def a10_profile(spark, sf):
 
 
 def _sql_curation(thr: str = "0.5") -> str:
-    pairs = _SQL_JACCARD_PAIRS.format(thr=thr)
+    pairs = _sql_jaccard_pairs(thr)
     lang = _sql_langid()
     return f"""
     WITH uniq AS (
@@ -2395,7 +2423,7 @@ def d7_char_jaccard(spark, sf):
 @q(
     "d8_dup_clusters",
     sql=f"""
-    WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS.format(thr="0.35")}),
+    WITH RECURSIVE pairs AS ({_sql_jaccard_pairs("0.35")}),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
@@ -2469,7 +2497,7 @@ def w6_rolling_7day(spark, sf):
 @q(
     "x8_edit_distance",
     sql=f"""
-    WITH pairs AS ({_SQL_JACCARD_PAIRS.format(thr="0.35")})
+    WITH pairs AS ({_sql_jaccard_pairs("0.35")})
     SELECT p.doc_a, p.doc_b,
       CAST(levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80))
            AS INT) AS edit80
@@ -5204,12 +5232,13 @@ def z1_zorder_key(spark, sf):
 @q(
     "d10_containment_pairs",
     sql=_SQL_SHINGLES
+    + _SQL_RARE_SHINGLES.format(max_df=_JACCARD_MAX_DF)
     + """
   , sizes AS (
-    SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+    SELECT doc_id, count(*) AS n_shingles FROM rsh GROUP BY doc_id
   ), inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-    FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+    FROM rsh a JOIN rsh b ON a.shingle = b.shingle
     WHERE a.doc_id < b.doc_id GROUP BY 1, 2
   ), both_ AS (
     SELECT doc_a, doc_b, n_common, na.n_shingles AS n_a, nb.n_shingles AS n_b
@@ -5228,12 +5257,15 @@ def z1_zorder_key(spark, sf):
     "sub/superset duplication (quotes, excerpts, copy-with-additions) "
     "that symmetric Jaccard (d2) misses because the union is dominated "
     "by the longer doc",
-    scale="same inverted shingle index as d2 (Σ docs-per-shingle², "
-    "never n²); the unordered intersection is computed once and fanned "
-    "into both directions row-locally",
+    scale="same rare-shingle inverted index as d2 (max_df=50 caps each "
+    "key's pair fanout at 50² rows — never Σ docs-per-shingle²); the "
+    "unordered intersection is computed once and fanned into both "
+    "directions row-locally",
 )
 def d10_containment_pairs(spark, sf):
-    return D.containment_pairs(_t(spark, sf, "documents"), k=3, threshold=0.6)
+    return D.containment_pairs(
+        _t(spark, sf, "documents"), k=3, threshold=0.6, max_df=_JACCARD_MAX_DF
+    )
 
 
 @q(
@@ -5791,22 +5823,22 @@ def m7_forecast_backtest(spark, sf):
         )
         .cast("decimal(28,10)")
         .alias("aerr"),
-        "slope",
-        "intercept",
     )
     counts = train.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_train")
     ).crossJoin(
         test.agg(F.count(F.lit(1)).cast("bigint").alias("n_test"))
     )
+    # slope/intercept come from the 1-row params frame, NOT F.first over
+    # errs: with a degenerate corpus whose test split is empty, an agg
+    # over errs would return NULL params while the oracle's scalar
+    # subqueries still emit the fitted values.
     mae = errs.agg(
-        F.first("slope").alias("slope"),
-        F.first("intercept").alias("intercept"),
         (F.sum("aerr").cast("double") / F.count(F.lit(1)))
         .cast("double")
         .alias("test_mae"),
     )
-    return counts.crossJoin(mae).select(
+    return counts.crossJoin(mae).crossJoin(params).select(
         "n_train",
         "n_test",
         F.col("slope").cast("double"),
@@ -5906,7 +5938,7 @@ def skw2_salted_agg(spark, sf):
       CAST(r.n_chars AS BIGINT) AS canonical_chars, s.n_members
     FROM ranked r JOIN sizes s USING (cluster_id)
     WHERE r.rn = 1
-    """.format(pairs=_SQL_JACCARD_PAIRS.format(thr="0.35")),
+    """.format(pairs=_sql_jaccard_pairs("0.35")),
     ref="LLM-ops: keep-BEST canonical selection per near-dup cluster — "
     "production dedup keeps the longest/highest-quality member (the "
     "superset doc subsumes its fragments), not the lowest id; d8 "
@@ -6120,7 +6152,7 @@ def pr3_hits_authorities(spark, sf):
       CAST((SELECT count(*) FROM documents)
            - (SELECT count(*) FROM clusters WHERE doc_id <> cluster_id)
            AS DOUBLE) / (SELECT count(*) FROM documents) AS yield_frac
-    """.format(pairs=_SQL_JACCARD_PAIRS.format(thr="0.35")),
+    """.format(pairs=_sql_jaccard_pairs("0.35")),
     ref="LLM-ops: dedup YIELD — the headline number of a dedup pass "
     "(what fraction of the corpus survives keeping one canonical doc "
     "per transitive near-dup cluster); composite of d2 pairs + d8 "
@@ -6187,12 +6219,17 @@ _M6 = {
     ),
 }
 
-_M6_SELECT = (
-    f"CAST(n AS BIGINT) AS n_days, "
-    f"CAST({_M6['det0']} / {_M6['det']} AS DOUBLE) AS intercept, "
-    f"CAST({_M6['det1']} / {_M6['det']} AS DOUBLE) AS trend, "
-    f"CAST({_M6['det2']} / {_M6['det']} AS DOUBLE) AS weekend_lift"
-)
+# Kept as a LIST of fragments: the Spark side selectExpr's them one by one
+# and the oracle joins them — splitting a joined string back apart would
+# silently mis-split if a future edit introduced ', ' inside a determinant
+# expression (e.g. a two-arg function).
+_M6_SELECT_EXPRS = [
+    "CAST(n AS BIGINT) AS n_days",
+    f"CAST({_M6['det0']} / {_M6['det']} AS DOUBLE) AS intercept",
+    f"CAST({_M6['det1']} / {_M6['det']} AS DOUBLE) AS trend",
+    f"CAST({_M6['det2']} / {_M6['det']} AS DOUBLE) AS weekend_lift",
+]
+_M6_SELECT = ", ".join(_M6_SELECT_EXPRS)
 
 
 @q(
@@ -6265,7 +6302,7 @@ def m6_multivariate_ols(spark, sf):
         F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
         F.sum(F.col("w") * F.col("y")).cast("double").alias("swy"),
     )
-    return m.selectExpr(*_M6_SELECT.split(", "))
+    return m.selectExpr(*_M6_SELECT_EXPRS)
 
 
 # ------------------------------- schema-drift union (u6)
@@ -6876,6 +6913,9 @@ def d11_incremental_dedup(spark, sf):
         bands=4,
         threshold=0.5,
         k=3,
+        # one-shot query: persist the double-consumed bucket frame for
+        # the session (the service default is False — see the operator)
+        cache_buckets=True,
     )
 
 
@@ -6883,52 +6923,51 @@ def d11_incremental_dedup(spark, sf):
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
 # registration order decides which entries get a driver-verified row each
-# round. The sample below = every §2-core reference operator + every query
-# whose implementation changed this round (must re-verify green) + the
-# highest-value families that had no driver row in round 1 (the TPC-H
-# composites, SCD ops, event analytics, text curation, cleaning/sampling).
-# Rotated back (still covered by tests/test_oracle_parity.py every run):
-# redundant variant packs (f_string/f_conditional/f_date/f_array, u2-u5,
-# w1-w7, g-family, j3-j7, a6-a12, d1/d4/d6-d8, n1/n2, x1-x5, m1/m3-m5,
-# c1, sq1, gs1) — rotate them into the window in later rounds.
+# round. Round-3 window: the union of driver-green rows over r01+r02 is
+# 78/158, so this round's 50 = the one r02-green query whose semantics
+# changed this round (d2: max_df cap) + 49 drawn from the 80 entries that
+# have never had a driver row, hand-picked to include every OTHER query
+# whose implementation changed this round (d8/x8/d10/d12/d13 share d2's
+# capped shingle index; m6/m7 got the ADVICE fixes; d11's caching default
+# changed). x7 also consumes the capped index but its output is provably
+# unchanged at sf<=0.1 (cap never binds below df 50) and it stays r02-green;
+# local parity re-proves it every run. The 31 never-sampled entries left
+# for round 4 are listed at the end.
 _DRIVER_SAMPLE = [
-    # §2-core reference operators (never rotate out)
-    "s1_scan_projection", "p1_filter_null", "p2_filter_compare",
-    "p7_derived_date", "p8_arith_column", "j1_join_inner_broadcast",
-    "j2_join_left", "q1_pricing_summary", "a1_orders_rollup",
-    "a2_daily_summary", "a3_global_agg", "a5_inventory_depletion",
-    "t1_topk", "u1_union", "f_scalar_pack", "f7_explode_tokens",
-    "m2_forecast_linear",
-    # changed this round -> need a fresh driver-green row
-    "a4_approx_distinct", "e2_sessionize", "d2_jaccard_pairs",
-    "d3_minhash_lsh", "d5_simhash_pairs", "n3_ann_ivf",
-    # round-1 driver-unchecked: TPC-H composites
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
-    "q10_returned_items", "q12_priority_lines", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_count", "q18_big_orders",
-    "q19_disjunctive_join", "q22_idle_customers",
-    # new this round: the remaining TPC-H shapes (q2..q21)
-    "q2_min_cost_supplier", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q11_important_stock",
-    "q13_customer_distribution", "q17_small_qty_revenue",
-    "q20_excess_suppliers", "q21_waiting_supplier",
-    # round-1 driver-unchecked: dimension maintenance + events + text
-    "ops1_merge_upsert", "ops2_scd2_intervals",
-    "e3_tumbling_window", "e5_retention_cohort",
-    "x6_train_split", "x7_corpus_curation",
-    # rotated to round 3 (local parity still covers them every run):
-    # e4_sliding_window, e6_inter_event_gaps, e7_variant_extract,
-    # x8_edit_distance, x9_keywords, x10_chunk_documents, na1_null_impute,
-    # smp1_stratified_sample, smp2_per_group_sample, skw1_hot_keys,
-    # a15_hll_merge, d11_incremental_dedup, a16_sampled_quantiles,
-    # ops4_snapshot_diff, n6_ann_rerank, w8_running_distinct,
-    # x20_dup_rate_by_source, j8_bloom_semi_join, na2_outlier_clip,
-    # k1_kmeans_cells, u6_union_schema_drift, m6_multivariate_ols,
-    # d12_dedup_yield, pr3_hits_authorities, x21_contamination_by_source,
-    # e8_markov_transitions, x22_vocab_coverage, smp6_balanced_classes,
-    # x23_source_drift, d13_canonical_selection, skw2_salted_agg,
-    # m7_forecast_backtest, u7_bag_setops, a17_grouping_id
-    # (last 24 new in round 2)
+    # changed this round (r02-green, must re-verify): hot-shingle df cap
+    "d2_jaccard_pairs",
+    # never-driver-verified, in registration order (r02 window rotated out)
+    "a8_percentiles", "f_date_pack", "f_array_pack", "g4_cube",
+    "j6_range_join", "m3_media_resize", "m4_frame_sample",
+    "m5_media_features", "g5_unpivot", "a9_having",
+    "sq1_above_segment_avg", "a10_profile", "c1_cross_join",
+    "w5_share_of_total", "a11_collect_agg", "d7_char_jaccard",
+    "d8_dup_clusters", "w6_rolling_7day", "x8_edit_distance",
+    "e4_sliding_window", "u4_intersect_all", "u5_except_all",
+    "gs1_grouping_sets", "w7_lead_nth", "na1_null_impute", "a12_argmax",
+    "j7_funnel", "smp1_stratified_sample", "smp2_per_group_sample",
+    "skw1_hot_keys", "x9_keywords", "e6_inter_event_gaps",
+    "e7_variant_extract", "x10_chunk_documents", "x11_repetition_signals",
+    "d9_hyperplane_lsh", "a13_bloom_membership", "n4_ann_pq",
+    "a14_count_min", "ops3_delete_propagation", "n5_ann_ivfpq",
+    "x12_corpus_materialize", "x13_decontaminate",
+    # never-driver-verified AND changed this round (pulled forward from
+    # later registration positions so the change gets a driver row now)
+    "d10_containment_pairs", "d12_dedup_yield", "d13_canonical_selection",
+    "m6_multivariate_ols", "m7_forecast_backtest", "d11_incremental_dedup",
+    # left for the round-4 window (local parity still covers them every
+    # run): x14_pii_mask, smp3_mixture_weights, x15_sequence_pack,
+    # pr1_copurchase_pagerank, smp4_weighted_sample, x16_bm25,
+    # x17_unigram_lm, x18_boilerplate_ngrams, pr2_copurchase_triangles,
+    # z1_zorder_key, smp5_temperature_mixture, x19_bigram_lm,
+    # x23_source_drift, smp6_balanced_classes, x22_vocab_coverage,
+    # a17_grouping_id, u7_bag_setops, skw2_salted_agg,
+    # e8_markov_transitions, x21_contamination_by_source,
+    # pr3_hits_authorities, u6_union_schema_drift, k1_kmeans_cells,
+    # na2_outlier_clip, j8_bloom_semi_join, w8_running_distinct,
+    # x20_dup_rate_by_source, n6_ann_rerank, ops4_snapshot_diff,
+    # a16_sampled_quantiles, a15_hll_merge (31 — plus anything newly
+    # registered this round, which lands after position 50 by default)
 ]
 
 

@@ -177,9 +177,13 @@ def streaming_transitions(
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # The key column keeps the caller's name and input type — a stream
+    # keyed by a string user id (or a renamed column) must not crash or
+    # come back mislabeled as a long "user_id".
+    user_field = events.schema[user_col]
     out_schema = T.StructType(
         [
-            T.StructField("user_id", T.LongType(), False),
+            T.StructField(user_col, user_field.dataType, False),
             T.StructField("from_type", T.StringType(), True),
             T.StructField("to_type", T.StringType(), True),
         ]
@@ -205,11 +209,11 @@ def streaming_transitions(
             rows = []
             for t in types:
                 if last is not None:
-                    rows.append((int(user), last, t))
+                    rows.append((user, last, t))
                 last = t
             if rows:
                 yield pd.DataFrame(
-                    rows, columns=["user_id", "from_type", "to_type"]
+                    rows, columns=[user_col, "from_type", "to_type"]
                 )
         state.update((last,))
 

@@ -101,38 +101,52 @@ def idempotent_jdbc_sink(
             # REAL delete failure (lock timeout, dropped connection,
             # revoked grant) still raises: swallowing it would let the
             # append run and duplicate the replayed epoch, the exact
-            # failure this sink exists to prevent. Handles
-            # schema-qualified names ("app.events"): the bare TABLE_NAME
-            # is compared against the last segment and TABLE_SCHEM
-            # against the qualifier, both case-insensitively (JDBC
-            # metadata returns store-folded identifiers).
-            t_parts = table.split(".")
-            t_name = t_parts[-1].lower()
-            t_schema = t_parts[-2].lower() if len(t_parts) > 1 else None
-            rs = md.getTables(None, None, None, None)
+            # failure this sink exists to prevent. The probe is SCOPED:
+            # name and schema are store-case-folded and passed into
+            # getTables as filters — an unqualified name resolves in the
+            # connection's CURRENT schema (where the writer's CREATE and
+            # the DELETE both resolve), so a same-named table in another
+            # schema can neither flip exists=True (breaking first-run
+            # bootstrap with a doomed DELETE) nor be deleted from.
+            # Supports plain or schema-qualified ("app.events") unquoted
+            # names, matching what Spark's dbtable option accepts.
+            if md.storesUpperCaseIdentifiers():
+                fold = str.upper
+            elif md.storesLowerCaseIdentifiers():
+                fold = str.lower
+            else:
+                fold = lambda s: s  # noqa: E731 — store keeps mixed case
+            t_parts = [fold(p) for p in table.split(".")]
+            t_name = t_parts[-1]
+            t_schema = t_parts[-2] if len(t_parts) > 1 else None
+            if t_schema is None:
+                try:
+                    t_schema = conn.getSchema()  # JDBC 4.1
+                except Exception:
+                    t_schema = None  # older driver: match any schema
+            rs = md.getTables(None, t_schema, t_name, None)
             exists = False
             try:
+                # getTables' patterns are LIKE patterns ('_' wildcards),
+                # so re-check the name exactly
                 while rs.next():
-                    if rs.getString("TABLE_NAME").lower() != t_name:
-                        continue
-                    if t_schema is not None:
-                        row_schema = rs.getString("TABLE_SCHEM")
-                        if (row_schema or "").lower() != t_schema:
-                            continue
-                    exists = True
-                    break
+                    if rs.getString("TABLE_NAME") == t_name:
+                        exists = True
+                        break
             finally:
                 rs.close()
             if exists:
                 # Spark's JDBC writer QUOTES column names at CREATE
                 # TABLE, so the epoch column is case-sensitive — quote
-                # it with the store's own identifier quote (portable:
-                # Derby/Postgres `"`, MySQL backtick)
+                # it (and the store-folded table identifier) with the
+                # store's own identifier quote (portable: Derby/Postgres
+                # `"`, MySQL backtick)
                 qt = md.getIdentifierQuoteString()
+                q_table = ".".join(f"{qt}{p}{qt}" for p in t_parts)
                 stmt = conn.createStatement()
                 try:
                     stmt.executeUpdate(
-                        f"DELETE FROM {table} "
+                        f"DELETE FROM {q_table} "
                         f"WHERE {qt}{batch_col}{qt} = {int(batch_id)}"
                     )
                 finally:

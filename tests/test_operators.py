@@ -328,6 +328,53 @@ def test_containment_catches_quote_that_jaccard_misses(spark):
     assert jaccard_pairs(docs, k=3, threshold=0.6).count() == 0
 
 
+def test_max_df_cap_binds_and_matches_oracle(spark):
+    """Hot-shingle document-frequency cap (d2/d10): a boilerplate shingle
+    shared by more docs than max_df is dropped from intersection AND sizes
+    on BOTH engines. The sf* parity runs never exercise the cap (max df 25
+    at sf0.1 < 50), so this synthetic corpus is the binding-case proof:
+    Spark's capped output must equal the capped DuckDB oracle exactly, and
+    pairs whose only overlap is the hot shingle must vanish."""
+    import duckdb
+    import pandas as pd
+
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        _sql_jaccard_pairs,
+    )
+
+    # "a b c" in 4 docs (df=4 > max_df=2 -> dropped); docs 5/6 identical
+    # with all-rare shingles (df=2 -> kept).
+    rows = [(i, f"a b c t{i} u{i}") for i in range(1, 5)]
+    rows += [(5, "p q r s t"), (6, "p q r s t")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, k=3, threshold=0.1, max_df=2).collect()
+    }
+    assert capped == {(5, 6): 1.0}  # hot-only pairs among 1..4 are gone
+    uncapped = D.jaccard_pairs(docs, k=3, threshold=0.1, max_df=None)
+    assert uncapped.count() == 7  # 6 hot-shingle pairs + (5, 6)
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = {
+        (a, b): j
+        for a, b, j in con.execute(
+            _sql_jaccard_pairs("0.1", max_df=2)
+        ).fetchall()
+    }
+    assert oracle == capped
+
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in D.containment_pairs(
+            docs, k=3, threshold=0.1, max_df=2
+        ).collect()
+    }
+    assert cont == {(5, 6): 1.0, (6, 5): 1.0}
+
+
 def test_temperature_mixture_upsamples_small_sources(spark):
     import __spark_entry__ as e
 

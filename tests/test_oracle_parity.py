@@ -85,9 +85,8 @@ def _compare(mine: pd.DataFrame, want: pd.DataFrame, name: str) -> None:
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     spec = QUERIES[name]
+    # every registry entry ships an oracle — no rows-only escape hatch
+    assert spec.sql is not None, f"{name}: registry entry without an oracle"
     mine = _normalize(spec.fn(spark, SF_DIR).toPandas())
-    if spec.sql is None:
-        assert len(mine) >= 0  # rows-only check (driver does the same)
-        return
     want = _normalize(duck.execute(spec.sql).df())
     _compare(mine, want, name)
