@@ -405,6 +405,7 @@ def incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     cache_buckets: bool = False,
+    cache_tracker: list | None = None,
 ) -> DataFrame:
     """Dedup an arriving batch AGAINST an existing corpus — the production
     ingestion shape: a new partition lands and must be checked against
@@ -417,8 +418,10 @@ def incremental_dedup(
     with no unpersist would accumulate a cached frame per ingest until
     ``clearCache``. One-shot callers (the d11 registry query) pass
     ``True`` to avoid evaluating the signature pipeline once per side of
-    the candidate join; services that want the caching should unpersist
-    after consuming the output (the streaming rendition in
+    the candidate join; a service that wants the caching passes ``True``
+    plus a ``cache_tracker`` list — every frame this call persists is
+    appended to it, so the caller can ``unpersist()`` each one after
+    consuming the output (the streaming rendition in
     ``streaming/dedup_stream.py`` does exactly that per epoch).
 
     ``new_pred`` is a row predicate marking the new batch (a
@@ -469,6 +472,8 @@ def incremental_dedup(
         from pyspark import StorageLevel
 
         tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_tracker is not None:
+            cache_tracker.append(tagged)
     nb = tagged.filter(F.col("__new")).select(
         F.col(id_col).alias("new_id"), "band", "bucket"
     )

@@ -6762,6 +6762,95 @@ def a16_sampled_quantiles(spark, sf):
     )
 
 
+# --------------------------------- mergeable histogram quantiles (a18)
+
+# Fixed-domain equi-width histogram sketch: 64 buckets over l_extendedprice's
+# TPC-H domain [900, 105000). Fixed literal bounds are what make the sketch
+# MERGEABLE across shards/partitions/time (merge = vector sum of counts —
+# associative, commutative, deterministic), unlike t-digest whose centroids
+# depend on input order. All three expressions are ONE literal SQL text
+# shared by engine and oracle, so the double arithmetic is bit-identical.
+_A18_BUCKET = (
+    "CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)"
+    " / 1626.5625), 0), 63) AS BIGINT)"
+)
+# interpolated quantile from the cumulative histogram: find the bucket
+# where the rank r = q*n falls, offset linearly within it
+_A18_EST = (
+    "CAST(max(CASE WHEN CAST(cum - cnt AS DOUBLE) < {r}"
+    " AND CAST(cum AS DOUBLE) >= {r}"
+    " THEN 900.0 + 1626.5625 * (CAST(bucket AS DOUBLE)"
+    " + ({r} - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))"
+    " END) AS DOUBLE)"
+)
+_A18_R50 = "0.5 * CAST(n AS DOUBLE)"
+_A18_R95 = "0.95 * CAST(n AS DOUBLE)"
+
+
+@q(
+    "a18_histogram_quantiles",
+    sql=f"""
+    WITH h AS (
+      SELECT l_returnflag AS grp, {_A18_BUCKET} AS bucket,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT grp, bucket, cnt,
+        SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+        SUM(cnt) OVER (PARTITION BY grp) AS n
+      FROM h
+    )
+    SELECT grp, CAST(max(n) AS BIGINT) AS n,
+      {_A18_EST.format(r=_A18_R50)} AS p50_est,
+      {_A18_EST.format(r=_A18_R95)} AS p95_est
+    FROM c GROUP BY grp
+    """,
+    ref="LLM-ops: mergeable quantile sketch — fixed-bucket histogram "
+    "counts per shard, merged by vector sum, quantiles interpolated from "
+    "the cumulative histogram. The sketch-path twin of a8's exact "
+    "percentiles and a16's sampled quantiles: a8 sorts everything, a16 "
+    "sorts a sample, a18 never sorts values at all (rank arithmetic over "
+    "64 counters). The ENGINE builds per-shard sketches (l_suppkey%8 "
+    "stands in for executor partitions) and merges them; the ORACLE "
+    "computes the single global histogram directly — the hash-match "
+    "PROVES the shard-merge is lossless, the same oracle pattern as d5's "
+    "pigeonhole blocking and skw2's salted agg",
+    scale="the 100 TB property is the merge: each executor reduces its "
+    "partition to 64 longs map-side, the shuffle moves "
+    "O(groups x buckets) rows regardless of data size, and sketches for "
+    "disjoint time windows sum into rollups without touching row data "
+    "(a15's HLL mergeability, for quantiles); max error is one bucket "
+    "width — widen B for tighter bounds, still O(B) state",
+)
+def a18_histogram_quantiles(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    h = li.select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_suppkey") % 8).alias("__shard"),
+        F.expr(_A18_BUCKET).alias("bucket"),
+    )
+    # per-shard sketch: what each executor would hold locally
+    shard = h.groupBy("grp", "__shard", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt_s")
+    )
+    # sketch merge: vector sum of bucket counters
+    merged = shard.groupBy("grp", "bucket").agg(
+        F.sum("cnt_s").cast("bigint").alias("cnt")
+    )
+    c = merged.select(
+        "grp",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(W.partitionBy("grp").orderBy("bucket")).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("grp")).alias("n"),
+    )
+    return c.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.expr(_A18_EST.format(r=_A18_R50)).alias("p50_est"),
+        F.expr(_A18_EST.format(r=_A18_R95)).alias("p95_est"),
+    )
+
+
 # ------------------------------------------- sketch mergeability (a15)
 
 

@@ -54,7 +54,9 @@ def get_session(
         # executor<->Python per sf0.1 run; the 10k default costs ~6x the
         # per-batch overhead (measured 1.6 -> 1.4 s on a5). Group-spanning
         # chunks are already handled (kernels concat+sort per group), so
-        # larger batches are purely fewer round trips.
+        # larger batches are purely fewer round trips. Confirmed optimal
+        # by a same-JVM A/B (cross-invocation noise excluded): a5 best-of-6
+        # = 1.08 s @64k vs 1.15 @32k / 1.19 @128k at sf0.1.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.filterPushdown", "true")
         # push MIN/MAX/COUNT down to parquet footer statistics — profile

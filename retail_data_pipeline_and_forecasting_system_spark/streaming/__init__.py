@@ -9,4 +9,8 @@ from .inventory_stream import (  # noqa: F401
     run_available_now,
     streaming_depletion,
 )
+from .dedup_stream import (  # noqa: F401
+    incremental_dedup_sink,
+    run_dedup_ingest,
+)
 from .sinks import idempotent_parquet_sink  # noqa: F401

@@ -307,6 +307,36 @@ def test_bloom_prefilter_is_mapside(spark):
     assert not re.search(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
 
 
+def test_jaccard_pairs_plan_caps_shingle_df(spark):
+    """d2's inverted-index self-join must be preceded by the max_df
+    rare-shingle aggregation (the hot-key bound) and must stay a hash
+    equi-join — never a nested loop over doc pairs."""
+    import re
+
+    plan = _plan(spark, "d2_jaccard_pairs")
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # the df-cap filter: an aggregate on shingle with the <= max_df bound
+    assert re.search(r"__df#\d+L? <= 50", plan), "max_df cap missing"
+
+
+def test_histogram_quantiles_never_sort_values(spark):
+    """a18's whole point: quantiles WITHOUT sorting values — rank
+    arithmetic over 64 bucket counters. The plan must contain no
+    value-domain Sort (only the window's tiny bucket sort) and exactly
+    the two sketch aggregations (shard + merge) plus the final pick."""
+    import re
+
+    plan = _plan(spark, "a18_histogram_quantiles")
+    assert "Join" not in plan
+    # sorts: only window ordering over (grp, bucket) — never l_extendedprice
+    for m in re.finditer(r"^\(\d+\) Sort\b.*\n((?:.+\n)*?)\n", plan, re.M):
+        assert "l_extendedprice" not in m.group(0)
+    # three HashAggregate pairs (partial+final): shard sketch, merge, pick
+    n_agg = len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M))
+    assert n_agg <= 6, f"unexpected extra aggregation stages: {n_agg}"
+
+
 def test_kmeans_cells_assignment_is_map_only(spark):
     # k1's FINAL assignment pass (what the query plans — the iterations
     # are separate jobs): no joins, no windows; the only shuffle is the
