@@ -107,11 +107,18 @@ def token_counts(
             F.col(text_col), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0
         )
     )
+    # nullif: empty/whitespace-only text has ZERO regex pieces, and under
+    # Spark 4's default ANSI mode 0/0 is a job-killing exception — one
+    # blank document in a 100 TB corpus must yield NULL, not a dead job
+    # (the whitespace-token denominators are safe: split('', ' ') is [''],
+    # so ws_tokens >= 1)
     return df.select(
         id_col,
         ws.alias("ws_tokens"),
         pieces.alias("subword_tokens"),
-        (F.length(text_col) / pieces).alias("chars_per_subword"),
+        (F.length(text_col) / F.nullif(pieces, F.lit(0))).alias(
+            "chars_per_subword"
+        ),
     )
 
 

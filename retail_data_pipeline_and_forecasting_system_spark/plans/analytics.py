@@ -1126,11 +1126,15 @@ def x2_quality_scores(spark, sf):
       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
         AS subword_tokens,
       CAST(length(text) AS DOUBLE)
-        / len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        / nullif(
+            len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')),
+            0)
         AS chars_per_subword
     FROM documents
     """,
-    ref="LLM-ops: token counting (whitespace + BPE-ish regex pieces)",
+    ref="LLM-ops: token counting (whitespace + BPE-ish regex pieces); "
+    "nullif-guarded ratio — blank docs yield NULL, not an ANSI "
+    "divide-by-zero job failure",
 )
 def x3_token_counts(spark, sf):
     return TX.token_counts(_t(spark, sf, "documents"))
@@ -1190,13 +1194,17 @@ def m1_multimodal_decode(spark, sf):
     )
     SELECT
       CAST(max_x + 1 AS BIGINT) AS next_x,
-      CAST((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) AS DOUBLE)
+      CAST((n * sxy - sx * sy)
+           / nullif(n * sxx - CAST(sx AS DOUBLE) * sx, 0.0) AS DOUBLE)
         AS slope,
-      CAST((sy - ((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
-           / n AS DOUBLE) AS intercept,
-      CAST((sy - ((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
-           / n
-           + ((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx))
+      CAST((sy - ((n * sxy - sx * sy)
+                  / nullif(n * sxx - CAST(sx AS DOUBLE) * sx, 0.0)) * sx)
+           / nullif(n, 0) AS DOUBLE) AS intercept,
+      CAST((sy - ((n * sxy - sx * sy)
+                  / nullif(n * sxx - CAST(sx AS DOUBLE) * sx, 0.0)) * sx)
+           / nullif(n, 0)
+           + ((n * sxy - sx * sy)
+              / nullif(n * sxx - CAST(sx AS DOUBLE) * sx, 0.0))
              * (max_x + 1) AS DOUBLE) AS forecast
     FROM sums
     """,
@@ -1223,10 +1231,16 @@ def m2_forecast_linear(spark, sf):
         F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
         F.max("x").alias("max_x"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    # nullif guards: a single-day corpus zeroes the OLS denominator and
+    # ANSI mode (Spark 4 default) makes that a job-killing exception
+    # instead of a NULL — both engines must agree on NULL instead
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"),
+        F.lit(0.0),
     )
-    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.nullif(
+        F.col("n"), F.lit(0)
+    )
     return sums.select(
         (F.col("max_x") + 1).cast("bigint").alias("next_x"),
         slope.cast("double").alias("slope"),
@@ -5755,9 +5769,11 @@ def u7_bag_setops(spark, sf):
       FROM train
     ), params AS (
       SELECT
-        (n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
-        (sy - ((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx))
-             * sx) / n AS intercept
+        (n * sxy - sx * sy)
+          / nullif(n * sxx - CAST(sx AS DOUBLE) * sx, 0.0) AS slope,
+        (sy - ((n * sxy - sx * sy)
+               / nullif(n * sxx - CAST(sx AS DOUBLE) * sx, 0.0))
+             * sx) / nullif(n, 0) AS intercept
       FROM sums
     ), test AS (
       SELECT x, y FROM daily, bounds WHERE x > cutoff
@@ -5806,15 +5822,19 @@ def m7_forecast_backtest(spark, sf):
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+    # nullif on the OLS denominator and on n: single-distinct-day or empty
+    # train splits must yield NULL params, not an ANSI divide-by-zero
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
         F.col("n") * F.col("sxx")
-        - F.col("sx").cast("double") * F.col("sx")
+        - F.col("sx").cast("double") * F.col("sx"),
+        F.lit(0.0),
     )
     params = sums.select(
         slope.alias("slope"),
-        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
-            "intercept"
-        ),
+        (
+            (F.col("sy") - slope * F.col("sx"))
+            / F.nullif(F.col("n"), F.lit(0))
+        ).alias("intercept"),
     )
     errs = test.crossJoin(F.broadcast(params)).select(
         F.abs(
@@ -6222,12 +6242,18 @@ _M6 = {
 # Kept as a LIST of fragments: the Spark side selectExpr's them one by one
 # and the oracle joins them — splitting a joined string back apart would
 # silently mis-split if a future edit introduced ', ' inside a determinant
-# expression (e.g. a two-arg function).
+# expression (e.g. a two-arg function). The determinant is nullif-guarded:
+# a degenerate corpus (constant regressor — e.g. a single day, or no
+# weekend rows) zeroes it, and Spark 4's ANSI mode turns that 0/0 into a
+# JOB-KILLING ArithmeticException rather than a NULL — one degenerate
+# group at 100 TB would fail the whole fit. nullif makes both engines
+# agree on NULL coefficients (proven in tests/test_edge_parity.py).
 _M6_SELECT_EXPRS = [
     "CAST(n AS BIGINT) AS n_days",
-    f"CAST({_M6['det0']} / {_M6['det']} AS DOUBLE) AS intercept",
-    f"CAST({_M6['det1']} / {_M6['det']} AS DOUBLE) AS trend",
-    f"CAST({_M6['det2']} / {_M6['det']} AS DOUBLE) AS weekend_lift",
+    f"CAST({_M6['det0']} / nullif({_M6['det']}, 0.0) AS DOUBLE) AS intercept",
+    f"CAST({_M6['det1']} / nullif({_M6['det']}, 0.0) AS DOUBLE) AS trend",
+    f"CAST({_M6['det2']} / nullif({_M6['det']}, 0.0) AS DOUBLE)"
+    " AS weekend_lift",
 ]
 _M6_SELECT = ", ".join(_M6_SELECT_EXPRS)
 

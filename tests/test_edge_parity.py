@@ -1,0 +1,142 @@
+"""Cross-engine parity on degenerate/edge inputs the sf* corpora never
+produce — each test materializes a hostile little table and runs a registry
+query's Spark plan AND its DuckDB oracle over it, mirroring the driver's
+compare. These are the cases where an engine/oracle disagreement would
+hide behind healthy test data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+
+from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+    QUERIES,
+)
+
+
+def _driver_compare(mine: pd.DataFrame, want: pd.DataFrame) -> None:
+    mine = mine[sorted(mine.columns)].sort_values(
+        sorted(mine.columns)
+    ).reset_index(drop=True)
+    want = want[sorted(want.columns)].sort_values(
+        sorted(want.columns)
+    ).reset_index(drop=True)
+    assert mine.shape == want.shape
+    assert (mine.astype(str).values == want.astype(str).values).all(), (
+        f"\nmine:\n{mine}\nwant:\n{want}"
+    )
+
+
+def test_m7_backtest_survives_empty_test_split(spark, tmp_path):
+    """All orders BEFORE the 1995-01-01 epoch: day indices are negative,
+    so cutoff = floor(0.8*max(x)) < max(x) fails and the TEST split is
+    empty while the train fit is perfectly well-defined. The fitted
+    slope/intercept must still come through (from the params frame); an
+    aggregate over the empty error frame would return NULLs and diverge
+    from the oracle's scalar subqueries — the exact regression this test
+    pins."""
+    rows = []
+    for d, price in [
+        (dt.datetime(1994, 12, 22), 100.0),
+        (dt.datetime(1994, 12, 22), 150.0),
+        (dt.datetime(1994, 12, 27), 300.0),
+        (dt.datetime(1994, 12, 27), 120.0),
+    ]:
+        rows.append((d, price))
+    pdf = pd.DataFrame(rows, columns=["o_orderdate", "o_totalprice"])
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    path = str(tmp_path / "orders.parquet")
+    pdf.to_parquet(path)
+
+    spec = QUERIES["m7_forecast_backtest"]
+    mine = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}'")
+    want = con.execute(spec.sql).df()
+
+    _driver_compare(mine, want)
+    row = mine.iloc[0]
+    assert row["n_train"] == 2 and row["n_test"] == 0
+    # the regression guard: params survive the empty test split
+    assert pd.notna(row["slope"]) and pd.notna(row["intercept"])
+    assert pd.isna(row["test_mae"])  # no held-out rows to score
+
+
+def test_m6_ols_single_day_degenerate(spark, tmp_path):
+    """One-day corpus: the normal-equation determinant is zero, so every
+    coefficient is a 0/0 — both engines must agree on the NULL outcome
+    rather than one producing NaN/inf and the other NULL."""
+    pdf = pd.DataFrame(
+        [(dt.datetime(1995, 1, 1), 100.0), (dt.datetime(1995, 1, 1), 50.0)],
+        columns=["o_orderdate", "o_totalprice"],
+    )
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    path = str(tmp_path / "orders.parquet")
+    pdf.to_parquet(path)
+
+    spec = QUERIES["m6_multivariate_ols"]
+    mine = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}'")
+    want = con.execute(spec.sql).df()
+    _driver_compare(mine, want)
+
+
+def test_x3_token_counts_blank_documents(spark, tmp_path):
+    """Empty / whitespace-only / punctuation-only documents: the BPE-ish
+    piece count is ZERO for blank text, and under Spark 4's default ANSI
+    mode an unguarded ratio is a job-killing DIVIDE_BY_ZERO — one blank
+    doc in a 100 TB corpus. Both engines must yield NULL instead, and
+    agree on every other count."""
+    pdf = pd.DataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, "normal words here"),
+            (4, "!!!"),
+        ],
+        columns=["doc_id", "text"],
+    )
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+
+    spec = QUERIES["x3_token_counts"]
+    mine = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = con.execute(spec.sql).df()
+    _driver_compare(mine, want)
+    by_id = mine.set_index("doc_id")
+    assert pd.isna(by_id.loc[1, "chars_per_subword"])
+    assert pd.isna(by_id.loc[2, "chars_per_subword"])
+    assert pd.notna(by_id.loc[3, "chars_per_subword"])
+    assert by_id.loc[4, "subword_tokens"] == 3  # one piece per '!'
+
+
+def test_a18_histogram_quantiles_sparse_groups(spark, tmp_path):
+    """Single-row and out-of-domain groups: a one-row group's quantile
+    must come from its only bucket; values beyond the fixed domain clamp
+    into the edge buckets identically in both engines."""
+    rows = [
+        ("A", 1, 950.0),
+        ("B", 1, 50.0),  # below domain -> bucket 0
+        ("B", 2, 999999.0),  # above domain -> bucket 63
+        ("B", 3, 50000.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["l_returnflag", "l_suppkey", "l_extendedprice"]
+    )
+    path = str(tmp_path / "lineitem.parquet")
+    pdf.to_parquet(path)
+
+    spec = QUERIES["a18_histogram_quantiles"]
+    mine = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{path}'")
+    want = con.execute(spec.sql).df()
+    _driver_compare(mine, want)
+    one = mine.set_index("grp").loc["A"]
+    assert one["n"] == 1 and pd.notna(one["p50_est"])
