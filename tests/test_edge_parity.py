@@ -85,6 +85,74 @@ def test_m6_ols_single_day_degenerate(spark, tmp_path):
     _driver_compare(mine, want)
 
 
+HOSTILE_DOCS = [
+    # (doc_id, text, lang, source) — the degenerate shapes a 100 TB crawl
+    # actually contains: blank, whitespace-only, punctuation-only, sub-k,
+    # byte-identical dups, pathological repetition, unicode
+    (1, "", "en", "web"),
+    (2, "   ", "en", "web"),
+    (3, "!!!", "en", "web"),
+    (4, "one", "en", "books"),
+    (5, "two words", "en", "books"),
+    (6, "the quick brown fox jumps over the lazy dog today", "en", "web"),
+    (7, "the quick brown fox jumps over the lazy dog today", "en", "web"),
+    (8, "the quick brown fox jumps over the lazy cat today", "en", "web"),
+    (9, "buy buy buy buy buy buy buy buy buy buy", "en", "spam"),
+    (10, "naïve café déjà vu — résumé 日本語 текст", "fr", "web"),
+]
+
+# document-table registry queries whose oracles reference only the
+# documents view — the hostile sweep runs each engine plan AND oracle
+# over the pathological corpus and applies the driver's compare
+HOSTILE_SWEEP = [
+    "x1_language_scores",
+    "x2_quality_scores",
+    "x3_token_counts",
+    "x4_fingerprints",
+    "x6_train_split",
+    "x9_keywords",
+    "x10_chunk_documents",
+    "x11_repetition_signals",
+    "x16_bm25",
+    "x17_unigram_lm",
+    "x22_vocab_coverage",
+    "d1_dedup_exact",
+    "d2_jaccard_pairs",
+    "d7_char_jaccard",
+    "d10_containment_pairs",
+    "smp4_weighted_sample",
+    "smp5_temperature_mixture",
+]
+
+
+def _hostile_documents(tmp_path) -> str:
+    pdf = pd.DataFrame(
+        HOSTILE_DOCS, columns=["doc_id", "text", "lang", "source"]
+    )
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+    return path
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("name", HOSTILE_SWEEP)
+def test_hostile_corpus_parity(spark, tmp_path, name):
+    """Every document-family query must survive the pathological corpus
+    (no ANSI crash, no silent engine/oracle divergence on the edges) —
+    blank docs, sub-shingle docs, exact dups, degenerate repetition,
+    unicode."""
+    path = _hostile_documents(tmp_path)
+    spec = QUERIES[name]
+    mine = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = con.execute(spec.sql).df()
+    _driver_compare(mine, want)
+
+
 def test_x3_token_counts_blank_documents(spark, tmp_path):
     """Empty / whitespace-only / punctuation-only documents: the BPE-ish
     piece count is ZERO for blank text, and under Spark 4's default ANSI

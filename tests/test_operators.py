@@ -375,6 +375,64 @@ def test_max_df_cap_binds_and_matches_oracle(spark):
     assert cont == {(5, 6): 1.0, (6, 5): 1.0}
 
 
+def _py_capped_jaccard(rows, k, max_df, thr):
+    """Brute-force capped-Jaccard ground truth in plain Python."""
+    sets = {
+        i: {
+            " ".join(ws[j : j + k])
+            for j in range(len(ws) - k + 1)
+        }
+        for i, t in rows
+        for ws in [t.split(" ")]
+    }
+    df = {}
+    for s in sets.values():
+        for sh in s:
+            df[sh] = df.get(sh, 0) + 1
+    rare = {i: {sh for sh in s if df[sh] <= max_df} for i, s in sets.items()}
+    out = {}
+    ids = sorted(rare)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(rare[a] & rare[b])
+            union = len(rare[a]) + len(rare[b]) - inter
+            if union and inter / union >= thr:
+                out[(a, b)] = inter / union
+    return out
+
+
+def test_capped_jaccard_matches_bruteforce_on_random_corpora(spark):
+    """Randomized cross-check of the distributed capped-Jaccard against a
+    brute-force Python oracle: small vocab forces heavy shingle sharing,
+    so the max_df cap binds on some shingles and not others."""
+    import random
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9))))
+            for i in range(14)
+        ]
+        want = _py_capped_jaccard(rows, k=3, max_df=3, thr=0.3)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.jaccard_pairs(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                k=3,
+                threshold=0.3,
+                max_df=3,
+            ).collect()
+        }
+        assert set(got) == set(want), f"seed {seed}: pair sets differ"
+        for pair in got:
+            assert got[pair] == pytest.approx(want[pair], rel=1e-12), (
+                seed,
+                pair,
+            )
+
+
 def test_temperature_mixture_upsamples_small_sources(spark):
     import __spark_entry__ as e
 
