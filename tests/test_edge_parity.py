@@ -153,6 +153,78 @@ def test_hostile_corpus_parity(spark, tmp_path, name):
     _driver_compare(mine, want)
 
 
+def _hostile_events(tmp_path) -> str:
+    """Pathological event log: exact-tie timestamps, single-event users,
+    events ON session-gap / window / funnel-horizon boundaries, NULL
+    value/props — the shapes where tie-breaking and boundary semantics
+    silently diverge between engines."""
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        # u1: five events at the SAME microsecond — ordering must come
+        # from the (ts, event_id) tiebreak everywhere
+        (101, base, 1, "view", 1.0, '{"p": 1}'),
+        (102, base, 1, "click", 2.0, '{"p": 2}'),
+        (103, base, 1, "purchase", 3.0, '{"p": 3}'),
+        (104, base, 1, "view", 4.0, '{"p": 4}'),
+        (105, base, 1, "click", None, None),
+        # u2: a single event
+        (201, base + dt.timedelta(minutes=5), 2, "view", 1.5, '{"p": 5}'),
+        # u3: consecutive events exactly 30:00 apart (the classic session
+        # gap), then 1s apart
+        (301, base, 3, "view", 1.0, '{"p": 6}'),
+        (302, base + dt.timedelta(minutes=30), 3, "click", 1.0, '{"p": 7}'),
+        (303, base + dt.timedelta(minutes=30, seconds=1), 3, "purchase",
+         9.0, '{"p": 8}'),
+        # u4: events ON the hour boundary (tumbling/sliding windows)
+        (401, dt.datetime(2024, 3, 1, 11, 0, 0), 4, "view", 2.0, '{"p": 9}'),
+        (402, dt.datetime(2024, 3, 1, 12, 0, 0), 4, "view", 2.0, '{"p":10}'),
+        # u5: view -> purchase exactly 1h apart (funnel horizon boundary)
+        (501, base, 5, "view", 1.0, '{"p":11}'),
+        (502, base + dt.timedelta(hours=1), 5, "purchase", 8.0, '{"p":12}'),
+        # u6: multi-day activity for the retention cohort
+        (601, dt.datetime(2024, 3, 1, 9, 0, 0), 6, "view", 1.0, '{"p":13}'),
+        (602, dt.datetime(2024, 3, 2, 9, 0, 0), 6, "view", 1.0, '{"p":14}'),
+        (603, dt.datetime(2024, 3, 4, 9, 0, 0), 6, "purchase", 5.0,
+         '{"p":15}'),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+    return path
+
+
+HOSTILE_EVENT_SWEEP = [
+    "e1_json_extract",
+    "e2_sessionize",
+    "e3_tumbling_window",
+    "e4_sliding_window",
+    "e5_retention_cohort",
+    "e6_inter_event_gaps",
+    "e8_markov_transitions",
+    # props carry key "p", so e7's $.k extraction is NULL on every row:
+    # the all-NULL aggregate paths must agree too
+    "e7_variant_extract",
+    "j7_funnel",
+    "w8_running_distinct",
+    "f_date_pack",
+]
+
+
+@pytest.mark.parametrize("name", HOSTILE_EVENT_SWEEP)
+def test_hostile_events_parity(spark, tmp_path, name):
+    path = _hostile_events(tmp_path)
+    spec = QUERIES[name]
+    mine = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    want = con.execute(spec.sql).df()
+    _driver_compare(mine, want)
+
+
 def test_x3_token_counts_blank_documents(spark, tmp_path):
     """Empty / whitespace-only / punctuation-only documents: the BPE-ish
     piece count is ZERO for blank text, and under Spark 4's default ANSI
