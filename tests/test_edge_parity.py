@@ -225,6 +225,51 @@ def test_hostile_events_parity(spark, tmp_path, name):
     _driver_compare(mine, want)
 
 
+EMPTY_SWEEP = [
+    "q1_pricing_summary",  # grouped agg -> zero rows
+    "q6_forecast_revenue",  # global scalar agg -> one all-NULL row
+    "a3_global_agg",
+    "a18_histogram_quantiles",
+    "t1_topk",
+    "w6_rolling_7day",
+    "d2_jaccard_pairs",
+    "x2_quality_scores",
+    "e2_sessionize",
+    "j1_join_inner_broadcast",
+    "m2_forecast_linear",  # OLS over nothing: nullif keeps it NULL
+]
+
+
+@pytest.mark.parametrize("name", EMPTY_SWEEP)
+def test_empty_tables_parity(spark, tmp_path, name):
+    """Zero-row inputs with the real schemas: grouped aggs must emit zero
+    rows, global aggs exactly one all-NULL/zero row, and no query may
+    crash — identically in both engines. (The day-one state of any new
+    deployment.)"""
+    import pyarrow.parquet as pq
+
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(
+            schema.empty_table(), str(tmp_path / f"{t}.parquet")
+        )
+    spec = QUERIES[name]
+    mine = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'"
+        )
+    want = con.execute(spec.sql).df()
+    _driver_compare(mine, want)
+
+
 def test_x3_token_counts_blank_documents(spark, tmp_path):
     """Empty / whitespace-only / punctuation-only documents: the BPE-ish
     piece count is ZERO for blank text, and under Spark 4's default ANSI

@@ -73,6 +73,46 @@ def test_dedup_ingest_gates_stream(spark, tmp_path):
     assert corpus == {1, 2, 5}
 
 
+def test_dedup_ingest_restart_processes_only_new_files(spark, tmp_path):
+    """Checkpoint restart: a second AvailableNow run with the same
+    checkpoint must process only files that arrived since — the already-
+    ingested epochs keep their batch ids and verdicts, and a new near-dup
+    of an accepted doc is caught against the restored corpus."""
+    _write_feed(tmp_path / "in")
+    corpus_dir = str(tmp_path / "corpus")
+    verdicts_dir = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    args = (str(tmp_path / "in" / "*.json"), corpus_dir, verdicts_dir, ckpt)
+    run_dedup_ingest(spark, *args, threshold=0.2)
+    first = {
+        r["doc_id"]: r["batch_id"]
+        for r in spark.read.parquet(verdicts_dir).collect()
+    }
+
+    # a fourth file lands: one exact dup of accepted doc 2, one fresh doc
+    p = tmp_path / "in" / "day_3.json"
+    p.write_text(
+        "\n".join(
+            json.dumps({"doc_id": d, "text": t})
+            for d, t in [(7, FAR), (8, "genuinely new final document text")]
+        )
+    )
+    os.utime(p, (time.time(), time.time()))
+    run_dedup_ingest(spark, *args, threshold=0.2)
+
+    after = {
+        r["doc_id"]: (r["status"], r["match_id"], r["batch_id"])
+        for r in spark.read.parquet(verdicts_dir).collect()
+    }
+    # old epochs untouched (same batch ids, no reprocessing)
+    for d, b in first.items():
+        assert after[d][2] == b
+    assert after[7] == ("exact", 2, 3)  # caught vs the RESTORED corpus
+    assert after[8][0] == "unique"
+    corpus = {r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()}
+    assert corpus == {1, 2, 5, 8}
+
+
 def test_dedup_ingest_replay_converges(spark, tmp_path):
     """Re-running an epoch's foreachBatch call (the crash-replay path)
     overwrites its own verdicts/corpus partitions and must not dedup the
