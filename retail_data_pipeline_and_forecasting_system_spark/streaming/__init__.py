@@ -3,6 +3,7 @@ from .aggregates import (  # noqa: F401
     streaming_enrich_static,
     streaming_funnel_join,
     streaming_dedup,
+    streaming_histogram_quantiles,
 )
 from .inventory_stream import (  # noqa: F401
     read_transaction_stream,

@@ -93,6 +93,86 @@ def streaming_sessionize(
     )
 
 
+def streaming_histogram_quantiles(
+    stream: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 64,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Windowed quantile monitoring via the mergeable histogram sketch —
+    the streaming twin of the batch ``a18_histogram_quantiles`` registry
+    query (p50/p95 latency- or price-style dashboards over event time).
+
+    The ONLY stateful operator is one windowed aggregation whose state per
+    window is the sketch itself: ``n_buckets`` conditional-sum counters
+    over a fixed [lo, hi) domain. Fixed literal bounds make the counters
+    mergeable, so partial aggregation, late-row updates within the
+    watermark, and window finalization are all just vector additions in
+    the state store — state is O(windows × buckets), independent of event
+    volume. Quantile extraction (cumulative scan + linear interpolation
+    inside the matched bucket, identical arithmetic to a18) happens in a
+    STATELESS higher-order-function projection after the agg, keeping the
+    plan a single legal streaming aggregation — a second grouped pass
+    over bucket rows would be a chained stateful operator.
+
+    Output: (window_start, window_end, n, p<q> per requested quantile).
+    """
+    width = (hi - lo) / n_buckets
+    bucket = F.expr(
+        f"CAST(least(greatest(floor((CAST({value_col} AS DOUBLE)"
+        f" - {lo!r}) / {width!r}), 0), {n_buckets - 1}) AS INT)"
+    )
+    hist_cols = [
+        F.sum(F.when(bucket == i, 1).otherwise(0)).alias(f"h_{i}")
+        for i in range(n_buckets)
+    ]
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(*hist_cols)
+    )
+    hist = F.array(
+        *[F.col(f"h_{i}").cast("double") for i in range(n_buckets)]
+    )
+    n = sum(F.col(f"h_{i}") for i in range(n_buckets))
+
+    def est(q: float) -> F.Column:
+        # fold over (bucket, count): first bucket whose cumulative count
+        # reaches rank q*n wins; interpolate within it. acc.est stays
+        # NULL until matched, so cum_before < rank is implied.
+        return F.expr(
+            f"CAST(aggregate("
+            f" zip_with(sequence(0, {n_buckets - 1}), __hist,"
+            f"          (b, c) -> named_struct('b', b, 'c', c)),"
+            f" named_struct('cum', CAST(0.0 AS DOUBLE),"
+            f"              'est', CAST(NULL AS DOUBLE)),"
+            f" (acc, x) -> named_struct("
+            f"   'cum', acc.cum + x.c,"
+            f"   'est', CASE WHEN acc.est IS NULL AND x.c > 0"
+            f"               AND acc.cum + x.c >= {q!r} * __n"
+            f"          THEN {lo!r} + {width!r} * (CAST(x.b AS DOUBLE)"
+            f"               + ({q!r} * __n - acc.cum) / x.c)"
+            f"          ELSE acc.est END),"
+            f" acc -> acc.est) AS DOUBLE)"
+        )
+
+    out = agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        n.cast("bigint").alias("n"),
+        hist.alias("__hist"),
+        n.cast("double").alias("__n"),
+    )
+    for q in quantiles:
+        out = out.withColumn(f"p{int(q * 100)}", est(q))
+    return out.drop("__hist", "__n")
+
+
 def streaming_enrich_static(
     stream: DataFrame,
     dim: DataFrame,

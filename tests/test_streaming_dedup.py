@@ -14,7 +14,7 @@ import json
 import os
 import time
 
-from pyspark.sql import functions as F
+import pytest
 
 from retail_data_pipeline_and_forecasting_system_spark.streaming import (
     incremental_dedup_sink,
@@ -71,6 +71,99 @@ def test_dedup_ingest_gates_stream(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
     }
     assert corpus == {1, 2, 5}
+
+
+def test_streaming_histogram_quantiles_matches_reference(spark, tmp_path):
+    """Windowed sketch quantiles on a stream: two micro-batches (the
+    second delivers late rows into the first hour's window, inside the
+    watermark) must produce per-window p50/p95 equal to a brute-force
+    Python implementation of the same fixed-bucket estimator, and equal
+    to the batch twin (same function over the static frame)."""
+    import pandas as pd
+
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        streaming_histogram_quantiles,
+    )
+
+    lo, hi, nb = 0.0, 100.0, 20
+    rows1 = [
+        (1, "2024-03-01T10:05:00", 7.3),
+        (2, "2024-03-01T10:15:00", 55.1),
+        (3, "2024-03-01T10:45:00", 98.6),
+        (4, "2024-03-01T11:10:00", 22.2),
+    ]
+    rows2 = [
+        (5, "2024-03-01T10:20:00", 41.9),  # late into the 10:00 window
+        (6, "2024-03-01T11:30:00", 63.4),
+        (7, "2024-03-01T12:01:00", 5.5),
+    ]
+    for i, rows in enumerate((rows1, rows2)):
+        p = tmp_path / f"ev_{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"event_id": e, "ts": ts, "value": v})
+                for e, ts, v in rows
+            )
+        )
+        t = time.time() - 100 + i
+        os.utime(p, (t, t))
+
+    schema = "event_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "ev_*.json"))
+    )
+    q = streaming_histogram_quantiles(
+        stream, "value", lo, hi, n_buckets=nb, quantiles=(0.5, 0.95),
+        window="1 hour",
+    )
+    (
+        q.writeStream.format("memory")
+        .queryName("shq")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        str(r["window_start"]): (r["n"], r["p50"], r["p95"])
+        for r in spark.sql("SELECT * FROM shq").collect()
+    }
+
+    def ref_est(vals, frac):
+        width = (hi - lo) / nb
+        hist = [0] * nb
+        for v in vals:
+            hist[min(max(int((v - lo) // width), 0), nb - 1)] += 1
+        rank, cum = frac * len(vals), 0
+        for b, c in enumerate(hist):
+            if c and cum + c >= rank:
+                return lo + width * (b + (rank - cum) / c)
+            cum += c
+
+    by_hour = {}
+    for _, ts, v in rows1 + rows2:
+        by_hour.setdefault(ts[:13], []).append(v)
+    assert len(got) == len(by_hour) == 3
+    for hour, vals in by_hour.items():
+        start = f"{hour.replace('T', ' ')}:00:00"
+        n, p50, p95 = got[start]
+        assert n == len(vals)
+        assert p50 == pytest.approx(ref_est(vals, 0.5), rel=1e-9)
+        assert p95 == pytest.approx(ref_est(vals, 0.95), rel=1e-9)
+
+    # batch twin: the same function over the static frame (the watermark
+    # is a no-op in batch) must produce identical rows
+    static = spark.read.schema(schema).json(str(tmp_path / "ev_*.json"))
+    batch = {
+        str(r["window_start"]): (r["n"], r["p50"], r["p95"])
+        for r in streaming_histogram_quantiles(
+            static, "value", lo, hi, n_buckets=nb, quantiles=(0.5, 0.95),
+            window="1 hour",
+        ).collect()
+    }
+    assert batch == got
 
 
 def test_dedup_ingest_restart_processes_only_new_files(spark, tmp_path):
