@@ -34,7 +34,11 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # nullif: a zero vector has norm 0, and Spark 4's ANSI mode turns the
+    # 0/0 into a job-killing exception — one null-ish embedding in a
+    # 100 TB corpus must score NULL (and so never reach a top-k), not
+    # fail the job; the DuckDB oracles carry the same guard
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def cosine_topk(

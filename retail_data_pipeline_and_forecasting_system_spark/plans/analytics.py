@@ -83,7 +83,12 @@ def _sql_dot(a: str, b: str) -> str:
 
 
 def _sql_cosine(a: str, b: str) -> str:
-    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+    # nullif mirrors operators/similarity.cosine: zero vectors score NULL
+    # in both engines instead of an ANSI divide-by-zero on the Spark side
+    return (
+        f"({_sql_dot(a, b)} / nullif("
+        f"sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}), 0.0))"
+    )
 
 
 @dataclass

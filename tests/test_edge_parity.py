@@ -270,6 +270,56 @@ def test_empty_tables_parity(spark, tmp_path, name):
     _driver_compare(mine, want)
 
 
+HOSTILE_EMBEDDING_SWEEP = [
+    "n1_ann_bruteforce",
+    "n2_ann_lsh_bucket",
+    "d6_embedding_neardup",
+    "d9_hyperplane_lsh",
+]
+
+
+@pytest.mark.parametrize("name", HOSTILE_EMBEDDING_SWEEP)
+def test_hostile_embeddings_parity(spark, tmp_path, name):
+    """A ZERO vector in the corpus (a dead/padded embedding — routine in
+    real exports) makes the cosine denominator 0: under ANSI that was a
+    job-killing exception; now it scores NULL identically in both
+    engines, never reaching a top-k or a near-dup pair."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(12):
+        v = rng.randn(8).astype("float32")
+        rows.append((i, [float(x) for x in v], int(i % 3)))
+    rows.append((12, [0.0] * 8, 0))  # the dead embedding
+    rows.append((13, [float(x) for x in rng.randn(8)], 1))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pdf["label"] = pdf["label"].astype("int32")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_pandas(
+        pdf,
+        schema=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ),
+        preserve_index=False,
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    pq.write_table(table, path)
+
+    spec = QUERIES[name]
+    mine = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    want = con.execute(spec.sql).df()
+    _driver_compare(mine, want)
+
+
 def test_x3_token_counts_blank_documents(spark, tmp_path):
     """Empty / whitespace-only / punctuation-only documents: the BPE-ish
     piece count is ZERO for blank text, and under Spark 4's default ANSI
