@@ -696,11 +696,18 @@ def w3_lag_delta(spark, sf):
 @q(
     "e1_json_extract",
     sql="""
-    SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+    SELECT event_type,
+      CAST(SUM(CASE WHEN props IS NOT NULL AND json_valid(props)
+               THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+               END) AS BIGINT) AS sum_k,
       count(*) AS n
     FROM events GROUP BY event_type
     """,
-    ref="JSON path extraction (reference parses JSON at ingest only)",
+    ref="JSON path extraction (reference parses JSON at ingest only); "
+    "try_cast + NULL-on-malformed so one bad payload degrades to NULL "
+    "instead of an ANSI cast exception failing the job (oracle mirrors "
+    "with json_valid + TRY_CAST — DuckDB's json_extract errors on "
+    "malformed input where get_json_object returns NULL)",
 )
 def e1_json_extract(spark, sf):
     return (
@@ -708,7 +715,7 @@ def e1_json_extract(spark, sf):
         .groupBy("event_type")
         .agg(
             F.sum(
-                F.get_json_object("props", "$.k").cast("int")
+                F.get_json_object("props", "$.k").try_cast("int")
             ).alias("sum_k"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -3463,25 +3470,30 @@ def e6_inter_event_gaps(spark, sf):
     "e7_variant_extract",
     sql="""
     SELECT event_type,
-      CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
-        AS min_k,
-      CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
-        AS max_k,
-      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
-        AS sum_k
+      CAST(MIN(CASE WHEN props IS NOT NULL AND json_valid(props)
+               THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+               END) AS BIGINT) AS min_k,
+      CAST(MAX(CASE WHEN props IS NOT NULL AND json_valid(props)
+               THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+               END) AS BIGINT) AS max_k,
+      CAST(SUM(CASE WHEN props IS NOT NULL AND json_valid(props)
+               THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+               END) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
-    ref="semi-structured props via Spark 4 VariantType: parse_json ONCE "
-    "into the binary variant encoding, then cheap typed variant_get "
-    "extractions (e1 is the string-path twin: get_json_object re-parses "
-    "the string per expression)",
+    ref="semi-structured props via Spark 4 VariantType: try_parse_json "
+    "ONCE into the binary variant encoding, then cheap typed "
+    "try_variant_get extractions (e1 is the string-path twin: "
+    "get_json_object re-parses the string per expression); try variants "
+    "so one malformed payload degrades to NULL instead of failing the "
+    "whole parse stage",
     scale="variant parses each props value once regardless of how many "
     "fields are extracted; at 100 TB pair with variant shredding so hot "
     "fields become pruned parquet subcolumns",
 )
 def e7_variant_extract(spark, sf):
     ev = _t(spark, sf, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
     return (
         ev.select("event_type", k.alias("_k"))
         .groupBy("event_type")

@@ -186,6 +186,14 @@ def _hostile_events(tmp_path) -> str:
         (602, dt.datetime(2024, 3, 2, 9, 0, 0), 6, "view", 1.0, '{"p":14}'),
         (603, dt.datetime(2024, 3, 4, 9, 0, 0), 6, "purchase", 5.0,
          '{"p":15}'),
+        # u7: hostile JSON payloads — malformed, non-numeric k, numeric k
+        # (e1/e7 must degrade to NULL per row, never throw)
+        (701, dt.datetime(2024, 3, 1, 13, 0, 0), 7, "view", 1.0,
+         "not json at all {"),
+        (702, dt.datetime(2024, 3, 1, 13, 1, 0), 7, "view", 1.0,
+         '{"k": "abc"}'),
+        (703, dt.datetime(2024, 3, 1, 13, 2, 0), 7, "view", 1.0,
+         '{"k": 41}'),
     ]
     pdf = pd.DataFrame(
         rows,
