@@ -38,19 +38,27 @@ def main() -> None:
 
     names = [n for n, s in QUERIES.items() if s.bench]
     timings: dict[str, float] = {}
-    for name in names:
-        spec = QUERIES[name]
-        # best of 3: the first run pays whole-stage-codegen compilation for
-        # the query's expression tree; the repeats measure the engine (two
-        # of them, because single-repeat timings on a 32-thread local JVM
-        # showed ±40% GC/scheduling noise between whole bench invocations)
-        best, n = float("inf"), 0
-        for _ in range(3):
+    rows: dict[str, int] = {}
+    # best of 3, ROUND-ROBIN across queries: the first pass pays
+    # whole-stage-codegen compilation, the repeats measure the engine.
+    # Repeats are interleaved (pass 1 of every query, then pass 2, ...)
+    # rather than back-to-back so a transient load spike on this shared
+    # 32-thread JVM degrades ONE rep of many queries — absorbed by the
+    # min() — instead of all reps of one query (measured ±40%
+    # between-invocation noise; back-to-back runs recorded a1 anywhere
+    # from 0.74 s to 1.48 s depending on background load).
+    best: dict[str, float] = {n: float("inf") for n in names}
+    for _ in range(3):
+        for name in names:
             t0 = time.perf_counter()
-            n = spec.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            rows[name] = QUERIES[name].fn(spark, sf_dir).count()
+            best[name] = min(best[name], time.perf_counter() - t0)
+    for name in names:
+        timings[name] = round(best[name], 4)
+        print(
+            f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)",
+            file=sys.stderr,
+        )
 
     # the reference's own workload: dataset_15 end-to-end (explode ->
     # depletion -> orders/lines/summary/inventory), the apples-to-apples
