@@ -122,7 +122,43 @@ HOSTILE_SWEEP = [
     "d10_containment_pairs",
     "smp4_weighted_sample",
     "smp5_temperature_mixture",
+    "x12_corpus_materialize",
+    "x13_decontaminate",
+    "x15_sequence_pack",
+    "x18_boilerplate_ngrams",
+    "x19_bigram_lm",
+    "x20_dup_rate_by_source",
+    "x21_contamination_by_source",
+    "x23_source_drift",
+    "smp1_stratified_sample",
+    "smp2_per_group_sample",
+    "smp3_mixture_weights",
+    "d3_minhash_lsh",
+    "d5_simhash_pairs",
+    "d8_dup_clusters",
+    "d11_incremental_dedup",
+    "d12_dedup_yield",
+    "d13_canonical_selection",
 ]
+
+
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _stage_tables(tmp_path, con) -> None:
+    """Symlink the real sf0.001 parquet for every table a hostile sweep
+    does NOT distort (queries may join beyond their headline table), and
+    register duckdb views over whatever ends up in tmp_path."""
+    import os as _os
+
+    for t in ALL_TABLES:
+        dst = tmp_path / f"{t}.parquet"
+        if not dst.exists():
+            _os.symlink(f"/root/testdata/sf0.001/{t}.parquet", dst)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{dst}'")
 
 
 def _hostile_documents(tmp_path) -> str:
@@ -143,12 +179,12 @@ def test_hostile_corpus_parity(spark, tmp_path, name):
     """Every document-family query must survive the pathological corpus
     (no ANSI crash, no silent engine/oracle divergence on the edges) —
     blank docs, sub-shingle docs, exact dups, degenerate repetition,
-    unicode."""
-    path = _hostile_documents(tmp_path)
+    unicode. Non-document tables stay the real sf0.001 data."""
+    _hostile_documents(tmp_path)
+    con = duckdb.connect()
+    _stage_tables(tmp_path, con)
     spec = QUERIES[name]
     mine = spec.fn(spark, str(tmp_path)).toPandas()
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
     want = con.execute(spec.sql).df()
     _driver_compare(mine, want)
 
@@ -219,16 +255,17 @@ HOSTILE_EVENT_SWEEP = [
     "j7_funnel",
     "w8_running_distinct",
     "f_date_pack",
+    "smp6_balanced_classes",  # class balancing over the hostile event mix
 ]
 
 
 @pytest.mark.parametrize("name", HOSTILE_EVENT_SWEEP)
 def test_hostile_events_parity(spark, tmp_path, name):
-    path = _hostile_events(tmp_path)
+    _hostile_events(tmp_path)
+    con = duckdb.connect()
+    _stage_tables(tmp_path, con)
     spec = QUERIES[name]
     mine = spec.fn(spark, str(tmp_path)).toPandas()
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
     want = con.execute(spec.sql).df()
     _driver_compare(mine, want)
 
@@ -283,6 +320,11 @@ HOSTILE_EMBEDDING_SWEEP = [
     "n2_ann_lsh_bucket",
     "d6_embedding_neardup",
     "d9_hyperplane_lsh",
+    "n3_ann_ivf",
+    "n4_ann_pq",
+    "n5_ann_ivfpq",
+    "n6_ann_rerank",
+    "k1_kmeans_cells",
 ]
 
 
@@ -295,12 +337,14 @@ def test_hostile_embeddings_parity(spark, tmp_path, name):
     import numpy as np
 
     rng = np.random.RandomState(5)
+    dim = 64  # the real table's dimension — PQ queries derive their
+    # subvector slicing from it, so the hostile corpus must match
     rows = []
     for i in range(12):
-        v = rng.randn(8).astype("float32")
+        v = rng.randn(dim).astype("float32")
         rows.append((i, [float(x) for x in v], int(i % 3)))
-    rows.append((12, [0.0] * 8, 0))  # the dead embedding
-    rows.append((13, [float(x) for x in rng.randn(8)], 1))
+    rows.append((12, [0.0] * dim, 0))  # the dead embedding
+    rows.append((13, [float(x) for x in rng.randn(dim)], 1))
     pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
     pdf["label"] = pdf["label"].astype("int32")
     import pyarrow as pa
@@ -320,10 +364,10 @@ def test_hostile_embeddings_parity(spark, tmp_path, name):
     path = str(tmp_path / "embeddings.parquet")
     pq.write_table(table, path)
 
+    con = duckdb.connect()
+    _stage_tables(tmp_path, con)
     spec = QUERIES[name]
     mine = spec.fn(spark, str(tmp_path)).toPandas()
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
     want = con.execute(spec.sql).df()
     _driver_compare(mine, want)
 
