@@ -7051,6 +7051,139 @@ def d11_incremental_dedup(spark, sf):
     )
 
 
+@q(
+    "j9_asof_join",
+    sql="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts,
+        ROW_NUMBER() OVER (PARTITION BY p.event_id
+                           ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.click_ts <= p.ts
+    )
+    SELECT event_id, user_id, ts, click_id, click_ts,
+      date_diff('microsecond', click_ts, ts) AS micros_since_click
+    FROM j WHERE rn = 1
+    """,
+    ref="as-of (temporal nearest) join: each purchase attributed to the "
+    "user's latest click at-or-before it — the time-series join Spark "
+    "lacks natively; generalizes the reference's timestamp-ordered "
+    "per-day walk (src/data_processor.py:258-300) to a distributed "
+    "temporal join (operators/asof.py)",
+    scale="union + hash-partition by user + per-partition sort + "
+    "carry-forward last(): ONE shuffle, zero join fanout. The oracle's "
+    "range-join formulation is Σ per-user |purchases|x|clicks| candidate "
+    "rows — quadratic, correct only at oracle scale; the engine shape is "
+    "the linear sort-merge pass you want at 100 TB",
+)
+def j9_asof_join(spark, sf):
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_tiebreak="click_id",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_id",
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias(
+            "micros_since_click"
+        ),
+    )
+
+
+@q(
+    "h1_hypertable_rollup",
+    sql="""
+    SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket_start,
+      event_type, count(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      min(value) AS min_value, max(value) AS max_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        AS avg_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day' AS resolution, date_trunc('day', ts) AS bucket_start,
+      event_type, count(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      min(value) AS min_value, max(value) AS max_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        AS avg_value
+    FROM events GROUP BY 2, 3
+    """,
+    ref="hypertable-style multi-resolution rollup (continuous aggregate): "
+    "hourly buckets from raw events, daily buckets by MERGING the hourly "
+    "partials (count/decimal-sum/min/max are algebraic) — the oracle "
+    "computes BOTH resolutions directly from raw rows, proving the "
+    "partial-merge is lossless",
+    scale="raw events are scanned ONCE (hourly agg); every coarser "
+    "resolution re-aggregates the partial table (|hours| rows, not "
+    "|events|) — at 100 TB the hourly table is a materialized view "
+    "maintained incrementally and day/month/year rollups never rescan "
+    "raw data. Exactness of the merge rests on decimal sums (rule 1)",
+)
+def h1_hypertable_rollup(spark, sf):
+    from pyspark import StorageLevel
+
+    ev = _t(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", 4)).alias("__sv"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    # persist the partial table: both union branches consume it, and the
+    # whole point is that raw events are scanned once (it is the
+    # materialized hypertable; O(buckets) rows, tiny)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("__sv").alias("__sv"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+    def _final(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            "bucket_start",
+            "event_type",
+            "n_events",
+            F.col("__sv").cast("double").alias("total_value"),
+            "min_value",
+            "max_value",
+            (F.col("__sv").cast("double") / F.col("n_events")).alias(
+                "avg_value"
+            ),
+        )
+
+    return _final(hourly, "hour").unionByName(_final(daily, "day"))
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
@@ -7098,8 +7231,10 @@ _DRIVER_SAMPLE = [
     # pr3_hits_authorities, u6_union_schema_drift, k1_kmeans_cells,
     # na2_outlier_clip, j8_bloom_semi_join, w8_running_distinct,
     # x20_dup_rate_by_source, n6_ann_rerank, ops4_snapshot_diff,
-    # a16_sampled_quantiles, a15_hll_merge (31 — plus anything newly
-    # registered this round, which lands after position 50 by default)
+    # a16_sampled_quantiles, a15_hll_merge, and this round's new
+    # registrations a18_histogram_quantiles, j9_asof_join,
+    # h1_hypertable_rollup (34 — new entries land after position 50 by
+    # default)
 ]
 
 
