@@ -1802,8 +1802,15 @@ def g4_cube(spark, sf):
     """,
     ref="bounded range join (clicks within 1h before each purchase; "
     "SURVEY §2.3 'no theta/range joins' gap)",
-    scale="equi-key on user_id keeps it a hash join with a residual range "
-    "predicate — never a cartesian; skewed users handled by AQE",
+    scale="interval bucketing: clicks keyed by their hour bucket, each "
+    "purchase exploded to the TWO buckets its 1h window can touch, "
+    "equi-join on (user, bucket) + residual range predicate. Candidates "
+    "are per-(user, hour) density — linear in history length — where a "
+    "plain user_id equi-join generates |purchases|x|clicks| per user "
+    "(quadratic in per-user history) before the range filter. Same trick "
+    "as Databricks' range-join bin optimization, expressed in plain "
+    "DataFrame ops; bucket width = window width so exactly 2 buckets "
+    "per probe",
     bench=True,
 )
 def j6_range_join(spark, sf):
@@ -1815,11 +1822,27 @@ def j6_range_join(spark, sf):
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("c_event"),
         F.col("ts").alias("c_ts"),
+        # `div` is exact integer division — a double path can misplace
+        # values sitting exactly on a bucket boundary
+        F.expr("unix_micros(ts) div 3600000000").alias("c_bucket"),
     )
-    joined = p.join(
+    # window length == bucket width, so [p_ts - 1h, p_ts) spans exactly
+    # the buckets floor(p)-1 and floor(p); each (purchase, click) pair
+    # can meet in only the click's own bucket — no dedup needed
+    p_b = p.withColumn(
+        "p_bucket",
+        F.explode(
+            F.array(
+                F.expr("unix_micros(p_ts) div 3600000000") - F.lit(1),
+                F.expr("unix_micros(p_ts) div 3600000000"),
+            )
+        ),
+    )
+    joined = p_b.join(
         c,
         on=(
             (F.col("user_id") == F.col("c_user"))
+            & (F.col("p_bucket") == F.col("c_bucket"))
             & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
             & (F.col("c_ts") < F.col("p_ts"))
         ),
@@ -2901,22 +2924,39 @@ def e5_retention_cohort(spark, sf):
     ref="event funnel: view -> purchase within 1 hour, per user — "
     "self-join conversion analysis (SURVEY §2.3: no self/range joins in "
     "reference)",
-    scale="self-join keyed on user_id: both sides pre-filtered by type "
-    "(tiny fractions of the log) BEFORE the shuffle, so the range "
-    "predicate only fans out within a user's own events",
+    scale="interval-bucketed self-join (same shape as j6): purchases "
+    "keyed by hour bucket, each view probes the two buckets its "
+    "(view_ts, view_ts+1h] window can touch, equi-join on (user, bucket) "
+    "+ residual range. Candidates are per-(user, hour) density — linear "
+    "in history — instead of per-user views x purchases",
 )
 def j7_funnel(spark, sf):
     ev = _t(spark, sf, "events")
     views = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("u"), F.col("ts").alias("view_ts")
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("view_ts"),
     )
     buys = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("user_id"), F.col("ts").alias("buy_ts")
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("buy_ts"),
+        F.expr("unix_micros(ts) div 3600000000").alias("b_bucket"),
+    )
+    # (view_ts, view_ts + 1h] spans exactly buckets floor(v), floor(v)+1;
+    # a (view, purchase) pair meets only in the purchase's own bucket
+    v_b = views.withColumn(
+        "v_bucket",
+        F.explode(
+            F.array(
+                F.expr("unix_micros(view_ts) div 3600000000"),
+                F.expr("unix_micros(view_ts) div 3600000000") + F.lit(1),
+            )
+        ),
     )
     return (
-        views.join(
+        v_b.join(
             buys,
-            (views.u == buys.user_id)
+            (v_b.u == buys.user_id)
+            & (F.col("v_bucket") == F.col("b_bucket"))
             & (F.col("buy_ts") > F.col("view_ts"))
             & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
         )

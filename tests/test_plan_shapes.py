@@ -86,9 +86,16 @@ def test_retail_depletion_join_is_broadcast(spark):
 
 
 def test_range_join_is_hash_not_cartesian(spark):
-    plan = _plan(spark, "j6_range_join")
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
-    assert "HashJoin" in plan  # equi on user_id, range as residual condition
+    for name in ("j6_range_join", "j7_funnel"):
+        plan = _plan(spark, name)
+        assert (
+            "CartesianProduct" not in plan
+            and "BroadcastNestedLoop" not in plan
+        ), name
+        # equi on (user, hour-bucket) — the interval-bucketed shape; the
+        # range predicate is only a residual condition
+        assert "HashJoin" in plan, name
+        assert "bucket" in plan, name
 
 
 def test_window_pack_single_shuffle(spark):
