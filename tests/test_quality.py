@@ -1,0 +1,87 @@
+"""check_expectations semantics: rule kinds, NULL handling, empty input."""
+
+from __future__ import annotations
+
+import pytest
+
+from retail_data_pipeline_and_forecasting_system_spark.operators import (
+    quality as Q,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, 1, 10.0, "A"),
+            (1, 2, None, "A"),     # null qty
+            (2, 1, 500.0, "N"),    # out of range
+            (2, 1, 20.0, "X"),     # dup key + bad flag
+            (9, 1, 30.0, "R"),     # orphan order key
+        ],
+        "okey long, line long, qty double, flag string",
+    )
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.createDataFrame([(1,), (2,), (3,)], "o_key long")
+
+
+def _report(df, rules):
+    return {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in Q.check_expectations(df, rules).collect()
+    }
+
+
+def test_all_rule_kinds(spark, frame, dim):
+    rep = _report(
+        frame,
+        [
+            Q.not_null("qty"),
+            Q.in_range("qty", 0, 100),
+            Q.accepted_values("flag", ["A", "N", "R"]),
+            Q.predicate("qty_max_1000", "qty IS NULL OR qty <= 1000"),
+            Q.unique(["okey", "line"]),
+            Q.foreign_key(["okey"], dim, ["o_key"]),
+        ],
+    )
+    assert rep["not_null(qty)"] == (1, False)
+    # NULL does not violate a range rule
+    assert rep["in_range(qty,0,100)"] == (1, False)
+    assert rep["accepted_values(flag)"] == (1, False)
+    assert rep["qty_max_1000"] == (0, True)
+    assert rep["unique(okey,line)"] == (1, False)
+    assert rep["foreign_key(okey)"] == (1, False)
+
+
+def test_empty_input_all_pass(spark, frame, dim):
+    empty = frame.limit(0)
+    rep = _report(
+        empty,
+        [
+            Q.not_null("qty"),
+            Q.in_range("qty", 0, 100),
+            Q.unique(["okey", "line"]),
+            Q.foreign_key(["okey"], dim, ["o_key"]),
+        ],
+    )
+    assert all(v == (0, True) for v in rep.values()), rep
+
+
+def test_predicate_null_condition_not_counted(spark, frame):
+    # qty > 0 is NULL for the null-qty row: NULL is not a violation
+    # (pair with not_null to forbid NULLs) — pinned, not accidental
+    rep = _report(frame, [Q.predicate("qty_positive", "qty > 0")])
+    assert rep["qty_positive"] == (0, True)
+
+
+def test_one_scan_for_rowwise_rules(spark, frame):
+    plan = Q.check_expectations(
+        frame,
+        [Q.not_null("qty"), Q.in_range("qty", 0, 100),
+         Q.accepted_values("flag", ["A"])],
+    )._jdf.queryExecution().executedPlan().toString()
+    # a single aggregate over one scan — rules are columns, not jobs
+    assert plan.count("Scan ExistingRDD") <= 1
