@@ -1810,7 +1810,10 @@ def g4_cube(spark, sf):
     "(quadratic in per-user history) before the range filter. Same trick "
     "as Databricks' range-join bin optimization, expressed in plain "
     "DataFrame ops; bucket width = window width so exactly 2 buckets "
-    "per probe",
+    "per probe. Measured cost of the shape at sf0.1: ~+0.1 s over the "
+    "bare equi-join (explode + wider key on a corpus too small to "
+    "expose the quadratic blow-up) — accepted: the hazard it removes "
+    "grows with the square of per-user history, the overhead doesn't",
     bench=True,
 )
 def j6_range_join(spark, sf):

@@ -253,6 +253,12 @@ HOSTILE_EVENT_SWEEP = [
     # the all-NULL aggregate paths must agree too
     "e7_variant_extract",
     "j7_funnel",
+    # j6/j9: u5's view->purchase exactly 1h apart sits ON the range
+    # boundary; u1's five same-microsecond events force the as-of
+    # inclusive-tie + greatest-event_id rules
+    "j6_range_join",
+    "j9_asof_join",
+    "h1_hypertable_rollup",  # u4's on-the-hour events sit ON bucket edges
     "w8_running_distinct",
     "f_date_pack",
     "smp6_balanced_classes",  # class balancing over the hostile event mix
@@ -282,6 +288,10 @@ EMPTY_SWEEP = [
     "e2_sessionize",
     "j1_join_inner_broadcast",
     "m2_forecast_linear",  # OLS over nothing: nullif keeps it NULL
+    "j6_range_join",
+    "j9_asof_join",
+    "h1_hypertable_rollup",
+    "dq1_expectations",  # zero rows -> every rule passes with 0, not NULL
 ]
 
 
