@@ -36,6 +36,8 @@ __all__ = [
     "unique",
     "foreign_key",
     "check_expectations",
+    "tag_violations",
+    "split_by_expectations",
 ]
 
 
@@ -169,3 +171,69 @@ def check_expectations(
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def tag_violations(
+    df: DataFrame, rules: list[Expectation], col: str = "violated"
+) -> DataFrame:
+    """Enforcement side of the gate: every row gains a comma-joined list
+    of the rules it violates ('' when clean).
+
+    Row-local rules are pure column expressions (no extra pass at all);
+    each foreign_key rule adds one left join against the DISTINCT
+    referenced keys with a match marker (broadcast when the dim is
+    small). `unique` rules are rejected here — "which duplicate is the
+    bad one" needs an ordering policy, which is canonical-selection's
+    job (see d13), not a row tag. The tag is a STRING, not an array, so
+    reports serialize identically everywhere (CSV sinks, cross-engine
+    oracles).
+    """
+    bad = [r for r in rules if r.kind == "unique"]
+    if bad:
+        raise ValueError(
+            f"unique rules cannot tag individual rows: {[r.name for r in bad]}"
+        )
+
+    fk_markers: list[Column] = []
+    for i, r in enumerate(rules):
+        if r.kind != "foreign_key":
+            continue
+        marker = f"__fk_{i}"
+        ref_keys = (
+            r.ref.select(
+                *[F.col(rc).alias(c) for c, rc in zip(r.keys, r.ref_keys)]
+            )
+            .distinct()
+            .withColumn(marker, F.lit(True))
+        )
+        df = df.join(ref_keys, on=r.keys, how="left")
+        fk_markers.append(
+            F.when(F.col(marker).isNull(), F.lit(r.name))
+        )
+
+    parts = [
+        F.when(r.violation, F.lit(r.name))
+        for r in rules
+        if r.kind == "rowwise"
+    ] + fk_markers
+    if not parts:
+        return df.withColumn(col, F.lit(""))
+    # ';'-joined: rule names themselves contain commas (range bounds)
+    tagged = df.withColumn(
+        col, F.array_join(F.array_compact(F.array(*parts)), ";")
+    )
+    return tagged.drop(*[c for c in tagged.columns if c.startswith("__fk_")])
+
+
+def split_by_expectations(
+    df: DataFrame, rules: list[Expectation], col: str = "violated"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): clean rows keep the input schema; quarantined
+    rows carry the `violated` rule list for triage/replay. The standard
+    ingest contract — bad rows are never silently dropped, they are
+    routed (generalizes the reference's silent NaN drop,
+    src/data_processor.py:320-335)."""
+    tagged = tag_violations(df, rules, col=col)
+    clean = tagged.filter(F.col(col) == "").drop(col)
+    quarantine = tagged.filter(F.col(col) != "")
+    return clean, quarantine

@@ -7297,6 +7297,52 @@ def dq1_expectations(spark, sf):
     )
 
 
+@q(
+    "dq2_quarantine",
+    sql="""
+    WITH tagged AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+        array_to_string(list_filter([
+          CASE WHEN l_discount IS NOT NULL
+               AND NOT (l_discount BETWEEN 0 AND 0.05)
+               THEN 'in_range(l_discount,0,0.05)' END,
+          CASE WHEN l_quantity IS NOT NULL
+               AND NOT (l_quantity BETWEEN 1 AND 45)
+               THEN 'in_range(l_quantity,1,45)' END,
+          CASE WHEN NOT (l_shipdate IS NOT NULL)
+               THEN 'ship_not_null' END
+        ], x -> x IS NOT NULL), ';') AS violated
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, violated
+    FROM tagged WHERE violated <> ''
+    """,
+    ref="quarantine routing (operators/quality.py split_by_expectations): "
+    "rows violating any rule are tagged with the ';'-joined rule list "
+    "and routed aside instead of silently dropped — the explicit, "
+    "replayable version of the reference's NaN drop "
+    "(src/data_processor.py:320-335). dq1 is the report; this is the "
+    "enforcement",
+    scale="row-local rules tag via pure column expressions in the same "
+    "scan that writes clean rows — zero extra passes, no shuffle; FK "
+    "tagging (not used here) adds one distinct-key left join per ref "
+    "table. Quarantine volume is the violation rate, not the corpus",
+)
+def dq2_quarantine(spark, sf):
+    from ..operators import quality as Q
+
+    li = _t(spark, sf, "lineitem")
+    _, bad = Q.split_by_expectations(
+        li,
+        [
+            Q.in_range("l_discount", 0, 0.05),
+            Q.in_range("l_quantity", 1, 45),
+            Q.predicate("ship_not_null", "l_shipdate IS NOT NULL"),
+        ],
+    )
+    return bad.select("l_orderkey", "l_linenumber", "l_partkey", "violated")
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
@@ -7346,8 +7392,8 @@ _DRIVER_SAMPLE = [
     # x20_dup_rate_by_source, n6_ann_rerank, ops4_snapshot_diff,
     # a16_sampled_quantiles, a15_hll_merge, and this round's new
     # registrations a18_histogram_quantiles, j9_asof_join,
-    # h1_hypertable_rollup, dq1_expectations (35 — new entries land after
-    # position 50 by default)
+    # h1_hypertable_rollup, dq1_expectations, dq2_quarantine (36 — new
+    # entries land after position 50 by default)
 ]
 
 

@@ -77,6 +77,49 @@ def test_predicate_null_condition_not_counted(spark, frame):
     assert rep["qty_positive"] == (0, True)
 
 
+def test_split_partitions_and_tags(spark, frame, dim):
+    clean, bad = Q.split_by_expectations(
+        frame,
+        [
+            Q.not_null("qty"),
+            Q.in_range("qty", 0, 100),
+            Q.foreign_key(["okey"], dim, ["o_key"]),
+        ],
+    )
+    assert clean.columns == frame.columns  # tag column removed
+    assert clean.count() + bad.count() == frame.count()
+    tags = {
+        (r["okey"], r["line"]): r["violated"] for r in bad.collect()
+    }
+    assert tags[(1, 2)] == "not_null(qty)"
+    assert tags[(2, 1)] in (
+        "in_range(qty,0,100)",  # the 500.0 row
+    )
+    assert tags[(9, 1)] == "foreign_key(okey)"
+    # the (2,1,20.0,'X') row is clean under these rules (flag not checked)
+    assert bad.count() == 3
+
+
+def test_multiple_violations_joined(spark, dim):
+    one = dim.sparkSession.createDataFrame(
+        [(9, 1, None, "A")], "okey long, line long, qty double, flag string"
+    )
+    tagged = Q.tag_violations(
+        one, [Q.not_null("qty"), Q.foreign_key(["okey"], dim, ["o_key"])]
+    )
+    assert tagged.first()["violated"] == "not_null(qty);foreign_key(okey)"
+
+
+def test_unique_rule_rejected_for_tagging(spark, frame):
+    with pytest.raises(ValueError, match="unique"):
+        Q.tag_violations(frame, [Q.unique(["okey", "line"])])
+
+
+def test_no_rules_all_clean(spark, frame):
+    clean, bad = Q.split_by_expectations(frame, [])
+    assert clean.count() == frame.count() and bad.count() == 0
+
+
 def test_one_scan_for_rowwise_rules(spark, frame):
     plan = Q.check_expectations(
         frame,
