@@ -14,4 +14,7 @@ from .dedup_stream import (  # noqa: F401
     incremental_dedup_sink,
     run_dedup_ingest,
 )
-from .sinks import idempotent_parquet_sink  # noqa: F401
+from .sinks import (  # noqa: F401
+    idempotent_parquet_sink,
+    quarantine_parquet_sink,
+)

@@ -60,6 +60,55 @@ def idempotent_parquet_sink(
     return write
 
 
+def quarantine_parquet_sink(
+    clean_dir: str,
+    quarantine_dir: str,
+    rules,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: route each micro-batch through the
+    data-quality gate (``operators.quality.split_by_expectations``) —
+    clean rows to ``clean_dir``, violating rows (tagged with their
+    ';'-joined rule list) to ``quarantine_dir``. Both sides are
+    epoch-partitioned with dynamic partition overwrite, so a replayed
+    epoch converges instead of duplicating — bad rows are never silently
+    dropped OR double-counted.
+
+    The streaming rendition of dq1/dq2: the reference drops NaN rows
+    inline (src/data_processor.py:320-335); a 24/7 ingest needs the
+    rejects routed somewhere replayable for triage and backfill.
+
+    Scale: the split is a pair of filters over the SAME tagged frame —
+    row-local rules are pure column expressions, so the gate adds no
+    shuffle and no extra pass beyond the two writes. ``rules`` must be
+    row-local or foreign_key (see ``tag_violations``).
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..operators.quality import split_by_expectations
+
+        spark = batch_df.sparkSession
+        clean, bad = split_by_expectations(batch_df, rules)
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for frame, target in ((clean, clean_dir), (bad, quarantine_dir)):
+                (
+                    frame.withColumn("batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(target)
+                )
+        finally:
+            if old is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", old
+                )
+
+    return write
+
+
 def idempotent_jdbc_sink(
     url: str,
     table: str,

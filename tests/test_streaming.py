@@ -547,6 +547,78 @@ def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
     assert a == b
 
 
+def test_streaming_quarantine_routes_and_converges(spark, tmp_path):
+    """The streaming data-quality gate: clean/quarantine routing must (a)
+    partition every arriving row exactly once, (b) equal the batch-mode
+    split over the same data, and (c) converge — not duplicate — when
+    every epoch replays against a fresh checkpoint."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators import (
+        quality as Q,
+    )
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        quarantine_parquet_sink,
+        read_transaction_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for day in sorted(DATASET.glob("transactions_*.json"))[:2]:
+        shutil.copy(day, in_dir / day.name)
+    clean_dir, bad_dir = str(tmp_path / "clean"), str(tmp_path / "bad")
+
+    # qty range chosen to actually reject rows in this dataset
+    rules = [
+        Q.not_null("qty"),
+        Q.in_range("qty", 1, 3),
+    ]
+
+    def run(ckpt: str) -> None:
+        lines = read_transaction_stream(spark, str(in_dir / "*.json")).select(
+            "transaction_id", "product_id", "line_pos", "qty"
+        )
+        (
+            lines.writeStream.foreachBatch(
+                quarantine_parquet_sink(clean_dir, bad_dir, rules)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run(str(tmp_path / "ckpt1"))
+    clean = spark.read.parquet(clean_dir).drop("batch_id")
+    bad = spark.read.parquet(bad_dir).drop("batch_id")
+    n_clean, n_bad = clean.count(), bad.count()
+    assert n_bad > 0, "rules must reject something for this test to bite"
+    assert "violated" in bad.columns and "violated" not in clean.columns
+
+    # equals the batch-mode split of the same files
+    batch = read_transactions_json(spark, str(in_dir / "*.json"))
+    from retail_data_pipeline_and_forecasting_system_spark.plans.retail import (
+        explode_transactions,
+    )
+
+    batch_lines = (
+        explode_transactions(batch)
+        .select("transaction_id", "product_id", "line_pos", "qty")
+        # read_transaction_stream drops cancelled (null-qty) lines at the
+        # source; mirror it so the splits compare over the same rows
+        .filter(F.col("qty").isNotNull())
+    )
+    b_clean, b_bad = Q.split_by_expectations(batch_lines, rules)
+    assert n_clean + n_bad == batch_lines.count()
+    assert n_clean == b_clean.count() and n_bad == b_bad.count()
+    assert {tuple(r) for r in bad.collect()} == {
+        tuple(r) for r in b_bad.collect()
+    }
+
+    # full replay with a fresh checkpoint: both sides converge
+    run(str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(clean_dir).count() == n_clean
+    assert spark.read.parquet(bad_dir).count() == n_bad
+
+
 def test_streaming_transitions_match_batch_markov(spark, tmp_path):
     """Per-user transition extraction with cross-micro-batch state: a
     3-slice time-ordered replay of the events table yields exactly the
