@@ -1,8 +1,15 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Each query is timed end-to-end
-(plan + execute + collect-to-count) after a session warm-up.
+"queries": {name: sec}, "sf": ...}. Each query is timed end-to-end with
+EVERY output column forced (see _run_full) after a session warm-up.
+
+Methodology note (round 3): earlier rounds timed `.count()`, which lets
+Catalyst prune unread aggregate columns and even eliminate outer joins —
+some queries were partially unmeasured (j6's join was optimized away
+entirely). Round-3+ numbers are therefore higher than r01/r02 for the
+agg-final queries and are the honest ones; cross-round comparisons must
+account for the change.
 """
 
 from __future__ import annotations
@@ -15,10 +22,34 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
 from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
     QUERIES,
 )
 from retail_data_pipeline_and_forecasting_system_spark.session import get_session
+
+
+def _run_full(df: DataFrame) -> int:
+    """Execute the query COMPLETELY and return its row count.
+
+    A bare ``.count()`` is not an honest benchmark: Catalyst prunes every
+    column the count doesn't need — aggregate value columns vanish from
+    the plan, and a left-join-then-group-on-left-keys query loses the
+    JOIN ITSELF (count-distinct-keys makes the outer join cardinality-
+    irrelevant, so EliminateOuterJoin removes it). Measured on j6's
+    shape with a hot key: 1.2 s under count() vs 209 s for the real
+    computation — count() was timing a plan without the join. Hashing
+    every output column into a max-reduce defeats all of it: every
+    column is consumed, so the full plan runs; the reduce itself adds
+    one cheap row-local hash + a 1-row aggregate.
+    """
+    n, _ = df.agg(
+        F.count(F.lit(1)),
+        F.max(F.xxhash64(*[F.col(c) for c in df.columns])),
+    ).collect()[0]
+    return n
 
 
 def main() -> None:
@@ -51,7 +82,7 @@ def main() -> None:
     for _ in range(3):
         for name in names:
             t0 = time.perf_counter()
-            rows[name] = QUERIES[name].fn(spark, sf_dir).count()
+            rows[name] = _run_full(QUERIES[name].fn(spark, sf_dir))
             best[name] = min(best[name], time.perf_counter() - t0)
     for name in names:
         timings[name] = round(best[name], 4)
@@ -83,7 +114,7 @@ def main() -> None:
             outs = run_retail_pipeline(raw, products)
             for name in ("orders", "order_line_items", "daily_summary",
                          "products_updated"):
-                outs[name].count()
+                _run_full(outs[name])
             best = min(best, time.perf_counter() - t0)
             release_retail_pipeline(outs)
         timings["retail_pipeline_dataset15"] = round(best, 4)
