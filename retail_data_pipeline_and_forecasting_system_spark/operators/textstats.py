@@ -59,6 +59,50 @@ def language_scores(
     )
 
 
+def curation_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fused language-ID + uniqueness signals in ONE tokenize pass.
+
+    Exactly the columns the curation verdict (x7) consumes — (id,
+    n_tokens, pred_lang, uniq_token_ratio) — built from a single
+    explode + a single per-doc aggregation. Running
+    :func:`language_scores` and :func:`quality_scores` separately costs
+    two full tokenize+shuffle passes to produce doc-aligned frames that
+    immediately join back on id; fusing them halves the heavy stage.
+    The expressions are shared with the standalone operators (same
+    STOPWORDS, same tokenizer), so the outputs are bit-identical to the
+    ones they replace.
+    """
+    toks = explode_tokens(df, id_col, text_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_uniq"),
+    ]
+    for lang, words in sorted(STOPWORDS.items()):
+        aggs.append(
+            F.sum(F.when(F.col("token").isin(words), 1).otherwise(0)).alias(
+                f"{lang}_hits"
+            )
+        )
+    scored = toks.groupBy(id_col).agg(*aggs)
+    langs = sorted(STOPWORDS)
+    ratios = {
+        lang: F.col(f"{lang}_hits") / F.col("n_tokens") for lang in langs
+    }
+    best = F.greatest(*ratios.values())
+    pred = F.lit("und")
+    for lang in reversed(langs):  # first lang wins ties
+        pred = F.when(ratios[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.select(
+        id_col,
+        "n_tokens",
+        pred.alias("pred_lang"),
+        (F.col("n_uniq") / F.col("n_tokens")).alias("uniq_token_ratio"),
+    )
+
+
 def quality_scores(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

