@@ -1572,17 +1572,21 @@ def a6_histogram(spark, sf):
     bench=True,
 )
 def x5_tfidf(spark, sf):
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf, "documents")
     n_docs = docs.count()
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
+    # tf's keys ARE the distinct (doc, token) pairs, so doc_freq comes
+    # from re-aggregating tf — no second explode+distinct pass over the
+    # corpus. tf is then double-consumed (df_ + the join): persist it.
     tf = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("term_freq")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     df_ = (
-        toks.distinct()
-        .groupBy("token")
+        tf.groupBy("token")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         # rare-term cut is RELATIVE (10% of corpus) so the query stays
         # non-vacuous at every scale factor
@@ -5839,8 +5843,11 @@ def u7_bag_setops(spark, sf):
     ), test AS (
       SELECT x, y FROM daily, bounds WHERE x > cutoff
     ), errs AS (
-      SELECT CAST(ABS(CAST(y AS DOUBLE) - (intercept + slope * x))
-                  AS DECIMAL(28,10)) AS aerr
+      -- round(,6) before the decimal cast: see m8's errs note (the raw
+      -- double->decimal cast rounds string-side in Spark, binary-side
+      -- in DuckDB; boundary values diverge)
+      SELECT CAST(round(ABS(CAST(y AS DOUBLE) - (intercept + slope * x)),
+                  6) AS DECIMAL(28,6)) AS aerr
       FROM test, params
     )
     SELECT
@@ -5898,11 +5905,14 @@ def m7_forecast_backtest(spark, sf):
         ).alias("intercept"),
     )
     errs = test.crossJoin(F.broadcast(params)).select(
-        F.abs(
-            F.col("y").cast("double")
-            - (F.col("intercept") + F.col("slope") * F.col("x"))
+        F.round(
+            F.abs(
+                F.col("y").cast("double")
+                - (F.col("intercept") + F.col("slope") * F.col("x"))
+            ),
+            6,
         )
-        .cast("decimal(28,10)")
+        .cast("decimal(28,6)")
         .alias("aerr"),
     )
     counts = train.agg(
@@ -7344,6 +7354,157 @@ def dq2_quarantine(spark, sf):
     return bad.select("l_orderkey", "l_linenumber", "l_partkey", "violated")
 
 
+@q(
+    "m8_rolling_backtest",
+    sql="""
+    WITH daily AS (
+      SELECT
+        date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders GROUP BY 1
+    ), mx AS (
+      SELECT max(x) AS max_x FROM daily
+    ), folds AS (
+      -- frac is forced to DOUBLE: DuckDB's 0.5 literal is DECIMAL, and
+      -- decimal-vs-IEEE products can floor() differently at boundaries
+      SELECT fold,
+        CAST(floor(CAST(frac AS DOUBLE) * max_x) AS BIGINT) AS cutoff,
+        CAST(floor((CAST(frac AS DOUBLE) + CAST(0.1 AS DOUBLE)) * max_x)
+             AS BIGINT) AS test_end
+      FROM (VALUES (1, 0.5), (2, 0.6), (3, 0.7), (4, 0.8))
+        AS f(fold, frac), mx
+    ), sums AS (
+      SELECT f.fold, f.cutoff, f.test_end,
+        count(*) AS n, SUM(d.x) AS sx, CAST(SUM(d.y) AS DOUBLE) AS sy,
+        SUM(d.x * d.x) AS sxx, CAST(SUM(d.x * d.y) AS DOUBLE) AS sxy
+      FROM folds f JOIN daily d ON d.x <= f.cutoff
+      GROUP BY 1, 2, 3
+    ), params AS (
+      SELECT fold, cutoff, test_end, n AS n_train,
+        (n * sxy - sx * sy)
+          / nullif(n * sxx - CAST(sx AS DOUBLE) * sx, 0.0) AS slope,
+        (sy - ((n * sxy - sx * sy)
+               / nullif(n * sxx - CAST(sx AS DOUBLE) * sx, 0.0))
+             * sx) / nullif(n, 0) AS intercept
+      FROM sums
+    ), errs AS (
+      -- Two boundary rules, both hit live while building this query:
+      -- (1) round the DOUBLE error to 6 dp before the decimal cast — a
+      -- raw double->decimal cast rounds the shortest-string in Spark
+      -- but the binary value in DuckDB, and boundary values diverge;
+      -- (2) the aerr scale is 6, NOT 10: SUM(DECIMAL(28,10)) here is a
+      -- scaled int128 > 2^53, and DuckDB's decimal->double conversion
+      -- ((double)int128 / 10^scale) is then 1 ulp off Spark's
+      -- correctly-rounded BigDecimal path. Scale 6 keeps the scaled
+      -- sum exactly double-representable, so both engines convert it
+      -- identically.
+      SELECT p.fold, p.cutoff, p.n_train, p.slope, p.intercept,
+        CAST(round(ABS(CAST(d.y AS DOUBLE) - (p.intercept + p.slope * d.x)),
+                   6) AS DECIMAL(28,6)) AS aerr
+      FROM params p JOIN daily d
+        ON d.x > p.cutoff AND d.x <= p.test_end
+    )
+    SELECT fold, cutoff, CAST(n_train AS BIGINT) AS n_train,
+      CAST(count(*) AS BIGINT) AS n_test,
+      CAST(slope AS DOUBLE) AS slope,
+      CAST(intercept AS DOUBLE) AS intercept,
+      CAST(CAST(SUM(aerr) AS DOUBLE) / count(*) AS DOUBLE) AS test_mae
+    FROM errs GROUP BY 1, 2, 3, 5, 6
+    """,
+    ref="rolling-origin forecast evaluation: m7's temporal holdout "
+    "repeated over 4 expanding train windows (50/60/70/80% of days), "
+    "each scored on the NEXT 10%-of-days horizon — the standard "
+    "time-series cross-validation a single holdout (m7) approximates",
+    scale="folds is a 4-row literal dim broadcast against the daily "
+    "frame; per-fold train moments and test errors are grouped "
+    "distributed aggs (4 groups). Daily rows are touched once per fold "
+    "— O(folds x days) work, with days already collapsed from the raw "
+    "fact by one hash agg. |error| sums in decimal: partition-order-"
+    "proof MAE (rule 1)",
+)
+def m8_rolling_backtest(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("x")
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("y"))
+    )
+    mx = daily.agg(F.max("x").alias("max_x"))
+    folds = (
+        spark.createDataFrame(
+            [(1, 0.5), (2, 0.6), (3, 0.7), (4, 0.8)], "fold int, frac double"
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "fold",
+            F.floor(F.col("frac") * F.col("max_x"))
+            .cast("bigint")
+            .alias("cutoff"),
+            F.floor((F.col("frac") + 0.1) * F.col("max_x"))
+            .cast("bigint")
+            .alias("test_end"),
+        )
+    )
+    train = daily.join(
+        F.broadcast(folds), on=F.col("x") <= F.col("cutoff")
+    )
+    sums = train.groupBy("fold", "cutoff", "test_end").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    # same ANSI guards as m7: degenerate folds yield NULL params
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx"),
+        F.lit(0.0),
+    )
+    params = sums.select(
+        "fold",
+        "cutoff",
+        "test_end",
+        F.col("n").alias("n_train"),
+        slope.alias("slope"),
+        (
+            (F.col("sy") - slope * F.col("sx"))
+            / F.nullif(F.col("n"), F.lit(0))
+        ).alias("intercept"),
+    )
+    errs = daily.join(
+        F.broadcast(params),
+        on=(F.col("x") > F.col("cutoff")) & (F.col("x") <= F.col("test_end")),
+    ).select(
+        "fold",
+        "cutoff",
+        "n_train",
+        "slope",
+        "intercept",
+        F.round(
+            F.abs(
+                F.col("y").cast("double")
+                - (F.col("intercept") + F.col("slope") * F.col("x"))
+            ),
+            6,
+        )
+        .cast("decimal(28,6)")
+        .alias("aerr"),
+    )
+    return errs.groupBy("fold", "cutoff", "n_train", "slope", "intercept").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        (F.sum("aerr").cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("test_mae"),
+    ).select(
+        "fold", "cutoff", "n_train", "n_test", "slope", "intercept",
+        "test_mae",
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
@@ -7393,8 +7554,9 @@ _DRIVER_SAMPLE = [
     # x20_dup_rate_by_source, n6_ann_rerank, ops4_snapshot_diff,
     # a16_sampled_quantiles, a15_hll_merge, and this round's new
     # registrations a18_histogram_quantiles, j9_asof_join,
-    # h1_hypertable_rollup, dq1_expectations, dq2_quarantine (36 — new
-    # entries land after position 50 by default)
+    # h1_hypertable_rollup, dq1_expectations, dq2_quarantine,
+    # m8_rolling_backtest (37 — new entries land after position 50 by
+    # default)
 ]
 
 
