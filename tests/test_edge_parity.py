@@ -65,6 +65,40 @@ def test_m7_backtest_survives_empty_test_split(spark, tmp_path):
     assert pd.isna(row["test_mae"])  # no held-out rows to score
 
 
+def test_m8_rolling_backtest_degenerate_corpora(spark, tmp_path):
+    """m8 on hostile order histories: (a) pre-epoch days (negative x,
+    some/all fold test windows empty — those folds must vanish from BOTH
+    engines identically, since the error join is inner); (b) a single
+    distinct day (zero OLS denominator -> NULL params -> NULL-keyed
+    groups must still line up)."""
+    cases = [
+        [  # (a) all orders before the 1995-01-01 epoch
+            (dt.datetime(1994, 12, 22), 100.0),
+            (dt.datetime(1994, 12, 22), 150.0),
+            (dt.datetime(1994, 12, 27), 300.0),
+            (dt.datetime(1994, 12, 28), 120.0),
+            (dt.datetime(1994, 12, 30), 200.0),
+        ],
+        [  # (b) one distinct day: n*sxx - sx^2 == 0
+            (dt.datetime(1995, 3, 1), 100.0),
+            (dt.datetime(1995, 3, 1), 250.0),
+        ],
+    ]
+    spec = QUERIES["m8_rolling_backtest"]
+    for i, rows in enumerate(cases):
+        sub = tmp_path / f"case{i}"
+        sub.mkdir()
+        pdf = pd.DataFrame(rows, columns=["o_orderdate", "o_totalprice"])
+        pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+        path = str(sub / "orders.parquet")
+        pdf.to_parquet(path)
+        mine = spec.fn(spark, str(sub)).toPandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}'")
+        want = con.execute(spec.sql).df()
+        _driver_compare(mine, want)
+
+
 def test_m6_ols_single_day_degenerate(spark, tmp_path):
     """One-day corpus: the normal-equation determinant is zero, so every
     coefficient is a 0/0 — both engines must agree on the NULL outcome
