@@ -131,6 +131,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # r01/r02 timed .count(), which Catalyst prunes (see
+                # _run_full) — totals are not comparable across that line
+                "meter": "full-evaluation",
             }
         )
     )
