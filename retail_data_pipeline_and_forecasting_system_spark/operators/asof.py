@@ -49,7 +49,9 @@ def asof_join(
     left_ts / right_ts : event-time columns. ``right_ts`` must not collide
         with a left column name (rename upstream if it does).
     right_tiebreak : right column that breaks equal-timestamp ties
-        (greatest wins) — REQUIRED so the result is deterministic.
+        (greatest wins backward, least forward) — REQUIRED, and must be
+        unique within (key, timestamp) for the result to be fully
+        deterministic (a unique row id qualifies).
     direction : ``'backward'`` (latest right at-or-before left) or
         ``'forward'`` (earliest right at-or-after left).
     strict : exclude equal timestamps (strictly before / strictly after).
