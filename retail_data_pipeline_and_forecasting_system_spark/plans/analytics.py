@@ -6502,7 +6502,10 @@ def _k1_sql(k: int = 4, n_iter: int = 2) -> str:
         + """
     SELECT CAST(cid AS INT) AS cent_id,
       CAST(COUNT(*) AS BIGINT) AS n_members,
-      CAST(SUM(CAST(dval AS DECIMAL(30,12))) AS DOUBLE) AS sse
+      -- round(,6) + scale 6 (not 12): the scaled decimal sum must stay
+      -- under 2^53 or DuckDB's decimal->double conversion lands 1 ulp
+      -- off Spark's (seen live at sf0.1); see m8's errs note
+      CAST(SUM(CAST(round(dval, 6) AS DECIMAL(30,6))) AS DOUBLE) AS sse
     FROM af GROUP BY cid
     """
     )
@@ -6532,7 +6535,7 @@ def k1_kmeans_cells(spark, sf):
     assigned = SIM.assign_cells(emb, cents)
     return assigned.groupBy("cent_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
-        F.sum(F.col("dist").cast("decimal(30,12)"))
+        F.sum(F.round(F.col("dist"), 6).cast("decimal(30,6)"))
         .cast("double")
         .alias("sse"),
     )
