@@ -19,6 +19,13 @@ Cross-engine exactness rules (every query here hash-matches its oracle):
    lexicographic string order, identical everywhere.
 4. **Every computed column is aliased identically** in the Spark plan and
    the SQL so the driver's column-sorted value hash lines up.
+5. **Decimal-to-double round trips stay under 2^53.** A decimal that will
+   be cast back to double must keep |value|·10^scale < 2^53 at target
+   scale: above that, DuckDB's decimal→double ((double)int128 / 10^scale)
+   can land 1 ulp off Spark's correctly-rounded BigDecimal conversion
+   (caught live at sf0.1 in m8/k1). Corollary: round() doubles to the
+   decimal's scale BEFORE the cast — a raw double→decimal cast rounds
+   the shortest-string in Spark but the binary value in DuckDB.
 
 Each entry's `ref` cites the reference behavior it generalizes
 (SURVEY.md §2 ids); `scale` notes the 100 TB plan shape.
