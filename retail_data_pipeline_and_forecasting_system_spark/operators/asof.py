@@ -59,6 +59,13 @@ def asof_join(
     Returns all left columns plus the matched right columns (NULL when no
     right row qualifies). Distributed shape: one hash partitioning on
     ``on``, one per-partition sort — no join, no candidate explosion.
+
+    NULL-timestamp policy (matches the SQL comparison semantics of the
+    j9 oracle, where ``r.ts <= l.ts`` is never true for NULL): a right
+    row with NULL ``right_ts`` never matches any left row and is dropped
+    before the union; a left row with NULL ``left_ts`` is preserved in
+    the output with NULL right payload (no right row is at-or-before /
+    at-or-after an unknown time).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
@@ -90,7 +97,7 @@ def asof_join(
         .alias("__r"),
         F.lit(None).cast(dict(right.dtypes)[right_tiebreak]).alias("__tb"),
     )
-    r_tagged = right.select(
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0 if right_first else 1).alias("__side"),
@@ -104,16 +111,25 @@ def asof_join(
 
     if direction == "backward":
         # carry the latest right row seen so far; greatest tiebreaker is
-        # sorted last among equal (__t, __side) so last() picks it
-        order: list[Column] = [F.col("__t"), F.col("__side"), F.col("__tb")]
+        # sorted last among equal (__t, __side) so last() picks it.
+        # NULL-ts left rows sort FIRST (explicitly) so nothing has been
+        # carried when they are evaluated -> NULL match, per the policy.
+        order: list[Column] = [
+            F.col("__t").asc_nulls_first(),
+            F.col("__side"),
+            F.col("__tb"),
+        ]
         frame = W.partitionBy("__k").orderBy(*order).rowsBetween(
             W.unboundedPreceding, W.currentRow
         )
     else:
         # forward = backward over reversed time; smallest tiebreaker wins
-        # among equal timestamps, so sort it descending (last() picks min)
+        # among equal timestamps, so sort it descending (last() picks min).
+        # desc_nulls_first keeps NULL-ts left rows ahead of every carried
+        # right row (plain desc would sort them LAST and hand them the
+        # final right row — the divergence flagged in round-3 ADVICE).
         order = [
-            F.col("__t").desc(),
+            F.col("__t").desc_nulls_first(),
             F.col("__side"),
             F.col("__tb").desc(),
         ]

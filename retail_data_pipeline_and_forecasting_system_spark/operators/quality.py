@@ -118,31 +118,45 @@ def check_expectations(
         # aggregation — one scan total, map-side combined
         # coalesce: sum over an EMPTY table is NULL, but zero rows means
         # zero violations (the empty-input sweep exercises this)
+        # positional __v{i} aliases + a typed explode(array(struct)) unpivot:
+        # rule names appear only as F.lit values, never interpolated into
+        # generated SQL text (a name containing a quote/backtick is safe)
         aggs = [
             F.coalesce(F.sum(r.violation.cast("long")), F.lit(0)).alias(
-                r.name
+                f"__v{i}"
             )
-            for r in rowwise
+            for i, r in enumerate(rowwise)
         ]
         wide = df.agg(*aggs)
-        # unpivot the 1-row wide frame to (rule, n_violations)
-        stacked = wide.selectExpr(
-            "stack({n}, {pairs}) AS (rule, n_violations)".format(
-                n=len(rowwise),
-                pairs=", ".join(
-                    f"'{r.name}', `{r.name}`" for r in rowwise
-                ),
-            )
-        )
+        stacked = wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r.name).alias("rule"),
+                            F.col(f"__v{i}").alias("n_violations"),
+                        )
+                        for i, r in enumerate(rowwise)
+                    ]
+                )
+            ).alias("__kv")
+        ).select("__kv.rule", "__kv.n_violations")
         reports.append(stacked)
 
     for r in rules:
         if r.kind == "unique":
+            # distinct over a STRUCT of the keys: struct grouping is
+            # NULL-safe, so a NULL-keyed row forms one distinct group —
+            # matching the DuckDB oracle's count(DISTINCT (a,b)). Bare
+            # countDistinct(a,b) would skip every NULL-containing tuple
+            # and count each such row as a violation.
             rep = df.agg(
                 F.lit(r.name).alias("rule"),
                 (
                     F.count(F.lit(1))
-                    - F.countDistinct(*[F.col(c) for c in r.keys])
+                    - F.countDistinct(
+                        F.struct(*[F.col(c) for c in r.keys])
+                    )
                 ).alias("n_violations"),
             )
             reports.append(rep)
@@ -195,10 +209,14 @@ def tag_violations(
         )
 
     fk_markers: list[Column] = []
+    marker_cols: list[str] = []
     for i, r in enumerate(rules):
         if r.kind != "foreign_key":
             continue
         marker = f"__fk_{i}"
+        while marker in df.columns:  # never shadow a user column
+            marker = "_" + marker
+        marker_cols.append(marker)
         ref_keys = (
             r.ref.select(
                 *[F.col(rc).alias(c) for c, rc in zip(r.keys, r.ref_keys)]
@@ -222,7 +240,9 @@ def tag_violations(
     tagged = df.withColumn(
         col, F.array_join(F.array_compact(F.array(*parts)), ";")
     )
-    return tagged.drop(*[c for c in tagged.columns if c.startswith("__fk_")])
+    # drop exactly the markers this call added — a pre-existing user
+    # column that happens to start with '__fk_' survives untouched
+    return tagged.drop(*marker_cols)
 
 
 def split_by_expectations(

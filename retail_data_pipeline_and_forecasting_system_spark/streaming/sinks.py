@@ -56,6 +56,11 @@ def idempotent_parquet_sink(
                 spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", old
                 )
+            else:
+                # conf was UNSET before this batch: unset it again rather
+                # than leaving the session pinned to 'dynamic', which would
+                # silently change overwrite semantics for unrelated writes
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
     return write
 
@@ -105,6 +110,11 @@ def quarantine_parquet_sink(
                 spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", old
                 )
+            else:
+                # conf was UNSET before this batch: unset it again rather
+                # than leaving the session pinned to 'dynamic', which would
+                # silently change overwrite semantics for unrelated writes
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
     return write
 

@@ -94,6 +94,38 @@ def test_forward_strict(spark, frames):
     assert out[100] == (None, None)
 
 
+def test_null_timestamps_never_match(spark, frames):
+    """Round-3 ADVICE: NULL-ts right rows must never match (SQL comparison
+    semantics — ``r.ts <= l.ts`` is never true for NULL), and NULL-ts left
+    rows must survive with NULL payload in BOTH directions."""
+    left, right = frames
+    left_n = left.unionByName(
+        spark.createDataFrame(
+            [(1, 400, None)], "k long, left_id long, ts timestamp"
+        )
+    )
+    right_n = right.unionByName(
+        spark.createDataFrame(
+            [(1, 990, None), (3, 991, None)],
+            "k long, rid long, rts timestamp",
+        )
+    )
+    for direction in ("backward", "forward"):
+        out = _rows(
+            asof_join(left_n, right_n, on="k", left_ts="ts", right_ts="rts",
+                      right_tiebreak="rid", direction=direction)
+        )
+        assert out[400] == (None, None), direction  # NULL left ts
+        assert out[300] == (None, None), direction  # NULL right ts no match
+        # non-NULL rows unaffected by the NULL injections
+        ref = _rows(
+            asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                      right_tiebreak="rid", direction=direction)
+        )
+        for lid in (100, 101, 200):
+            assert out[lid] == ref[lid], (direction, lid)
+
+
 def test_column_collision_rejected(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="collide"):

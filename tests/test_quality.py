@@ -56,6 +56,38 @@ def test_all_rule_kinds(spark, frame, dim):
     assert rep["foreign_key(okey)"] == (1, False)
 
 
+def test_unique_null_keys_match_sql_distinct(spark):
+    """Round-3 ADVICE: NULL-containing key tuples must count as distinct
+    groups (DuckDB's count(DISTINCT (a,b)) semantics), not as automatic
+    violations. Two identical NULL-keyed rows ARE one dup violation."""
+    df = spark.createDataFrame(
+        [(1, 1), (1, None), (1, None), (None, None), (2, 2)],
+        "a int, b int",
+    )
+    rep = _report(df, [Q.unique(["a", "b"])])
+    # 5 rows, distinct groups: (1,1) (1,NULL) (NULL,NULL) (2,2) -> 4
+    assert rep["unique(a,b)"] == (1, False)
+
+
+def test_rule_name_with_quotes_safe(spark, frame):
+    """Round-3 ADVICE: a rule name containing quotes/backticks must not
+    break the unpivot (previously string-interpolated into stack())."""
+    name = "q'ty `weird` \"name\""
+    rep = _report(frame, [Q.predicate(name, "qty IS NULL OR qty <= 1000")])
+    assert rep[name] == (0, True)
+
+
+def test_fk_prefix_user_column_survives(spark, frame, dim):
+    """Round-3 ADVICE: tag_violations must drop only its own markers, not
+    a pre-existing user column that happens to start with '__fk_'."""
+    df = frame.withColumn("__fk_0", frame["okey"] * 10)
+    tagged = Q.tag_violations(df, [Q.foreign_key(["okey"], dim, ["o_key"])])
+    assert "__fk_0" in tagged.columns
+    rows = {r["okey"]: r for r in tagged.collect()}
+    assert rows[9]["violated"] == "foreign_key(okey)"
+    assert rows[9]["__fk_0"] == 90
+
+
 def test_empty_input_all_pass(spark, frame, dim):
     empty = frame.limit(0)
     rep = _report(

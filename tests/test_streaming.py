@@ -618,6 +618,13 @@ def test_streaming_quarantine_routes_and_converges(spark, tmp_path):
     assert spark.read.parquet(clean_dir).count() == n_clean
     assert spark.read.parquet(bad_dir).count() == n_bad
 
+    # round-3 ADVICE: the sink must not leave the session pinned to
+    # 'dynamic' when partitionOverwriteMode was UNSET before the batch
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        is None
+    ), "sink leaked partitionOverwriteMode=dynamic into the session"
+
 
 def test_streaming_transitions_match_batch_markov(spark, tmp_path):
     """Per-user transition extraction with cross-micro-batch state: a
