@@ -51,19 +51,40 @@ def word_shingles(
     raises INVALID_PARAMETER_VALUE.START. The guard also matches the
     DuckDB oracle, whose ``range(1, n+1)`` is empty for n <= 0.
     """
-    out = (
-        df.select(F.col(id_col), tokens(text_col).alias("__words"))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    f"case when size(__words) >= {k} then"
-                    f" transform(sequence(1, size(__words) - {k - 1}),"
-                    f" i -> concat_ws(' ', slice(__words, i, {k})))"
-                    f" else array() end"
-                )
-            ).alias("shingle"),
-        )
+    return word_shingles_from_words(
+        df.select(F.col(id_col), tokens(text_col).alias("__words")),
+        k=k,
+        id_col=id_col,
+        words_col="__words",
+        distinct=distinct,
+    )
+
+
+def word_shingles_from_words(
+    words: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+    distinct: bool = True,
+) -> DataFrame:
+    """:func:`word_shingles` starting from a PRE-SPLIT token array.
+
+    Same output, same guards — but the corpus scan + split happens
+    upstream, so a caller that already tokenized (e.g. the fused curation
+    signal pass in x7) can persist ONE (id, words) frame and feed both
+    its token aggregation and the shingle index from it, instead of each
+    branch re-reading and re-splitting the corpus.
+    """
+    out = words.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"case when size({words_col}) >= {k} then"
+                f" transform(sequence(1, size({words_col}) - {k - 1}),"
+                f" i -> concat_ws(' ', slice({words_col}, i, {k})))"
+                f" else array() end"
+            )
+        ).alias("shingle"),
     )
     return out.distinct() if distinct else out
 

@@ -37,6 +37,7 @@ from ..functions import (
     nibble_value,
     word_shingle_sets,
     word_shingles,
+    word_shingles_from_words,
 )
 
 
@@ -80,6 +81,29 @@ def jaccard_pairs(
     ``max_df=None`` disables the cap. Output: (doc_a, doc_b, jaccard).
     """
     sh = word_shingles(df, k=k, id_col=id_col, text_col=text_col)
+    sh = _rare_shingles(sh, max_df)
+    return _jaccard_from_shingles(sh, threshold, id_col)
+
+
+def jaccard_pairs_from_words(
+    words: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    words_col: str = "words",
+    max_df: int | None = 50,
+) -> DataFrame:
+    """:func:`jaccard_pairs` starting from a PRE-SPLIT (id, words) frame.
+
+    Identical output (same shingling, same df cap, same exact Jaccard) —
+    the entry point for pipelines that already tokenized the corpus for
+    other signals (x7's fused curation pass persists one tokens frame
+    and feeds both the per-doc signal aggregation and this shingle index
+    from it), removing a full corpus re-scan + re-split.
+    """
+    sh = word_shingles_from_words(
+        words, k=k, id_col=id_col, words_col=words_col
+    )
     sh = _rare_shingles(sh, max_df)
     return _jaccard_from_shingles(sh, threshold, id_col)
 

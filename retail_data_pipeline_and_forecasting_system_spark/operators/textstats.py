@@ -75,6 +75,25 @@ def curation_signals(
     ones they replace.
     """
     toks = explode_tokens(df, id_col, text_col)
+    return _curation_from_tokens(toks, id_col)
+
+
+def curation_signals_from_words(
+    words: DataFrame, id_col: str = "doc_id", words_col: str = "words"
+) -> DataFrame:
+    """:func:`curation_signals` starting from a PRE-SPLIT token array.
+
+    Same output — explode(words) yields exactly the tokens that
+    explode_tokens produces from the raw text (split of an empty string
+    is [''], one empty token, in both paths). Lets x7 persist ONE
+    (id, words) frame and feed this aggregation AND the dup branch's
+    shingle index from it: one corpus scan instead of two.
+    """
+    toks = words.select(id_col, F.explode(words_col).alias("token"))
+    return _curation_from_tokens(toks, id_col)
+
+
+def _curation_from_tokens(toks: DataFrame, id_col: str) -> DataFrame:
     aggs = [
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("token").alias("n_uniq"),

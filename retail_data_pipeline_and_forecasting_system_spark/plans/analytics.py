@@ -2296,13 +2296,24 @@ def _sql_curation(thr: str = "0.5") -> str:
     bench=True,
 )
 def x7_corpus_curation(spark, sf):
+    from pyspark import StorageLevel
+
+    from ..functions import tokens
+
     docs = _t(spark, sf, "documents")
-    # one fused tokenize pass for lang + uniqueness (bit-identical to the
-    # standalone language_scores/quality_scores columns it replaces —
-    # measured: two passes cost ~1.4 s of the 2.6 s query at sf0.1)
-    sig = TX.curation_signals(docs)
+    # ONE corpus scan + split, persisted, feeds BOTH branches: the fused
+    # lang+uniqueness signal aggregation (bit-identical to the standalone
+    # language_scores/quality_scores columns it replaces — measured: two
+    # passes cost ~1.4 s of the 2.6 s query at sf0.1) and the dup
+    # branch's shingle index (previously its own re-scan + re-split).
+    # At 100 TB persist the words frame to disk-backed storage or a
+    # staging table instead; the plan shape is unchanged.
+    words = docs.select(
+        "doc_id", tokens("text").alias("words")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = TX.curation_signals_from_words(words)
     dup = (
-        D.jaccard_pairs(docs, k=3, threshold=0.5)
+        D.jaccard_pairs_from_words(words, k=3, threshold=0.5)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("__dup", F.lit(True))

@@ -47,6 +47,30 @@ def test_jaccard_pairs_ranks_near_dup(docs):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_from_words_variants_match_text_variants(docs):
+    """The pre-tokenized entry points (x7's shared-scan path) must be
+    bit-identical to the text-based ones they shortcut."""
+    from retail_data_pipeline_and_forecasting_system_spark.functions import (
+        tokens,
+    )
+    from retail_data_pipeline_and_forecasting_system_spark.operators import (
+        textstats as TX,
+    )
+
+    words = docs.select("doc_id", tokens("text").alias("words"))
+    a = sorted(map(tuple, D.jaccard_pairs(docs, k=3, threshold=0.2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            D.jaccard_pairs_from_words(words, k=3, threshold=0.2).collect(),
+        )
+    )
+    assert a == b
+    sa = sorted(map(tuple, TX.curation_signals(docs).collect()))
+    sb = sorted(map(tuple, TX.curation_signals_from_words(words).collect()))
+    assert sa == sb
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     pairs = {
         (r["doc_a"], r["doc_b"])
