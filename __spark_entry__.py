@@ -33,8 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twin for every SQL-expressible query (all of them — even the
-    greedy inventory fold has a recursive-CTE oracle)."""
-    return {
-        name: spec.sql for name, spec in QUERIES.items() if spec.sql is not None
-    }
+    """DuckDB twin for EVERY query — even the greedy inventory fold has a
+    recursive-CTE oracle. One entry per queries() entry, no exceptions
+    (asserted in tests/test_oracle_parity.py)."""
+    return {name: spec.sql for name, spec in QUERIES.items()}

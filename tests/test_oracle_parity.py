@@ -82,6 +82,15 @@ def _compare(mine: pd.DataFrame, want: pd.DataFrame, name: str) -> None:
             assert eq.all(), f"{name}.{c}: {int((~eq).sum())} value diffs"
 
 
+def test_driver_contract_exposes_oracle_for_every_query():
+    """oracle_sql() must cover queries() exactly — no rows-only fallback."""
+    import __spark_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert set(oracles) == set(qs) == set(QUERIES)
+    assert all(isinstance(s, str) and s.strip() for s in oracles.values())
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     spec = QUERIES[name]
