@@ -7530,54 +7530,38 @@ def m8_rolling_backtest(spark, sf):
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
 # registration order decides which entries get a driver-verified row each
-# round. Round-3 window: the union of driver-green rows over r01+r02 is
-# 78/158, so this round's 50 = the one r02-green query whose semantics
-# changed this round (d2: max_df cap) + 49 drawn from the 80 entries that
-# have never had a driver row, hand-picked to include every OTHER query
-# whose implementation changed this round (d8/x8/d10/d12/d13 share d2's
-# capped shingle index; m6/m7 got the ADVICE fixes; d11's caching default
-# changed). x7 also consumes the capped index but its output is provably
-# unchanged at sf<=0.1 (cap never binds below df 50) and it stays r02-green;
-# local parity re-proves it every run. The 31 never-sampled entries left
-# for round 4 are listed at the end.
+# round. Round-4 window: the 37 entries that have never had a driver row
+# (everything r03 left queued — after this round, cumulative driver-green
+# reaches 164/164) + 13 re-verification picks: the 8 queries whose
+# implementation changed this round outside the 37 (x7 shares one
+# tokenized pass between its signal and dup branches; word_shingles now
+# delegates to word_shingles_from_words, touching every word-shingle
+# consumer: d2/d8/x8/d10/d12/d13/d11 — x18 is already in the 37; the
+# quality/asof NULL-policy fixes cover dq1/dq2/j9, also in the 37) + 5
+# headline bench queries (a1/a5/q1/x5/d3) re-pinned under the round-4
+# code.
 _DRIVER_SAMPLE = [
-    # changed this round (r02-green, must re-verify): hot-shingle df cap
-    "d2_jaccard_pairs",
-    # never-driver-verified, in registration order (r02 window rotated out)
-    "a8_percentiles", "f_date_pack", "f_array_pack", "g4_cube",
-    "j6_range_join", "m3_media_resize", "m4_frame_sample",
-    "m5_media_features", "g5_unpivot", "a9_having",
-    "sq1_above_segment_avg", "a10_profile", "c1_cross_join",
-    "w5_share_of_total", "a11_collect_agg", "d7_char_jaccard",
-    "d8_dup_clusters", "w6_rolling_7day", "x8_edit_distance",
-    "e4_sliding_window", "u4_intersect_all", "u5_except_all",
-    "gs1_grouping_sets", "w7_lead_nth", "na1_null_impute", "a12_argmax",
-    "j7_funnel", "smp1_stratified_sample", "smp2_per_group_sample",
-    "skw1_hot_keys", "x9_keywords", "e6_inter_event_gaps",
-    "e7_variant_extract", "x10_chunk_documents", "x11_repetition_signals",
-    "d9_hyperplane_lsh", "a13_bloom_membership", "n4_ann_pq",
-    "a14_count_min", "ops3_delete_propagation", "n5_ann_ivfpq",
-    "x12_corpus_materialize", "x13_decontaminate",
-    # never-driver-verified AND changed this round (pulled forward from
-    # later registration positions so the change gets a driver row now)
-    "d10_containment_pairs", "d12_dedup_yield", "d13_canonical_selection",
-    "m6_multivariate_ols", "m7_forecast_backtest", "d11_incremental_dedup",
-    # left for the round-4 window (local parity still covers them every
-    # run): x14_pii_mask, smp3_mixture_weights, x15_sequence_pack,
-    # pr1_copurchase_pagerank, smp4_weighted_sample, x16_bm25,
-    # x17_unigram_lm, x18_boilerplate_ngrams, pr2_copurchase_triangles,
-    # z1_zorder_key, smp5_temperature_mixture, x19_bigram_lm,
-    # x23_source_drift, smp6_balanced_classes, x22_vocab_coverage,
-    # a17_grouping_id, u7_bag_setops, skw2_salted_agg,
-    # e8_markov_transitions, x21_contamination_by_source,
-    # pr3_hits_authorities, u6_union_schema_drift, k1_kmeans_cells,
-    # na2_outlier_clip, j8_bloom_semi_join, w8_running_distinct,
-    # x20_dup_rate_by_source, n6_ann_rerank, ops4_snapshot_diff,
-    # a16_sampled_quantiles, a15_hll_merge, and this round's new
-    # registrations a18_histogram_quantiles, j9_asof_join,
-    # h1_hypertable_rollup, dq1_expectations, dq2_quarantine,
-    # m8_rolling_backtest (37 — new entries land after position 50 by
-    # default)
+    # never-driver-verified (r01-r03 windows rotated past them)
+    "x14_pii_mask", "smp3_mixture_weights", "x15_sequence_pack",
+    "pr1_copurchase_pagerank", "smp4_weighted_sample", "x16_bm25",
+    "x17_unigram_lm", "x18_boilerplate_ngrams", "pr2_copurchase_triangles",
+    "z1_zorder_key", "smp5_temperature_mixture", "x19_bigram_lm",
+    "x23_source_drift", "smp6_balanced_classes", "x22_vocab_coverage",
+    "a17_grouping_id", "u7_bag_setops", "skw2_salted_agg",
+    "e8_markov_transitions", "x21_contamination_by_source",
+    "pr3_hits_authorities", "u6_union_schema_drift", "k1_kmeans_cells",
+    "na2_outlier_clip", "j8_bloom_semi_join", "w8_running_distinct",
+    "x20_dup_rate_by_source", "n6_ann_rerank", "ops4_snapshot_diff",
+    "a16_sampled_quantiles", "a15_hll_merge", "a18_histogram_quantiles",
+    "j9_asof_join", "h1_hypertable_rollup", "dq1_expectations",
+    "dq2_quarantine", "m8_rolling_backtest",
+    # changed this round, previously driver-green — re-verify the change
+    "x7_corpus_curation", "d2_jaccard_pairs", "d8_dup_clusters",
+    "x8_edit_distance", "d10_containment_pairs", "d11_incremental_dedup",
+    "d12_dedup_yield", "d13_canonical_selection",
+    # headline bench queries re-pinned under round-4 code
+    "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
+    "x5_tfidf", "d3_minhash_lsh",
 ]
 
 
