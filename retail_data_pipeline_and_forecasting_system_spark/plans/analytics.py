@@ -7544,6 +7544,117 @@ def m8_rolling_backtest(spark, sf):
     )
 
 
+@q(
+    "h2_gap_fill",
+    sql="""
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem WHERE l_suppkey <= 10 GROUP BY 1, 2
+    ), spans AS (
+      SELECT l_suppkey, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT s.l_suppkey, CAST(gs.g AS DATE) AS d
+      FROM spans s, LATERAL unnest(generate_series(
+        CAST(s.d0 AS TIMESTAMP), CAST(s.d1 AS TIMESTAMP),
+        INTERVAL 1 DAY)) AS gs(g)
+    )
+    SELECT sp.l_suppkey, sp.d,
+      (dl.rev IS NOT NULL) AS observed,
+      CAST(dl.rev AS DOUBLE) AS revenue,
+      CAST(last_value(dl.rev IGNORE NULLS) OVER (
+        PARTITION BY sp.l_suppkey ORDER BY sp.d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS revenue_ffill
+    FROM spine sp
+    LEFT JOIN daily dl ON dl.l_suppkey = sp.l_suppkey AND dl.d = sp.d
+    """,
+    ref="time-series gap fill: per-key calendar spine (min..max ship "
+    "date) + forward-filled daily revenue — the resample/pad operator "
+    "every forecasting pipeline needs upstream (the reference feeds "
+    "Prophet a dense daily frame, src/time_series.py:30-38; this is how "
+    "that densification is built when days are missing)",
+    scale="the spine is generated ROW-LOCALLY from each key's (min,max) "
+    "pair via sequence()+explode — no driver loop, no calendar dim "
+    "join; its size is keys x calendar days, independent of fact rows. "
+    "The fill join aligns on the daily agg's own (key, day) "
+    "partitioning and the forward fill is one window over the key — "
+    "two key-shuffles total at any scale",
+)
+def h2_gap_fill(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_suppkey") <= 10)
+    daily = li.groupBy(
+        "l_suppkey", F.to_date("l_shipdate").alias("d")
+    ).agg(F.sum(dec("l_extendedprice")).alias("__rev"))
+    spans = daily.groupBy("l_suppkey").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = spans.select(
+        "l_suppkey", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    filled = spine.join(daily, on=["l_suppkey", "d"], how="left")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return filled.select(
+        "l_suppkey",
+        "d",
+        F.col("__rev").isNotNull().alias("observed"),
+        F.col("__rev").cast("double").alias("revenue"),
+        F.last("__rev", ignorenulls=True)
+        .over(w)
+        .cast("double")
+        .alias("revenue_ffill"),
+    )
+
+
+@q(
+    "w9_rolling_median",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, d, total,
+      CASE WHEN row_number() OVER w >= 7 THEN
+        median(total) OVER (PARTITION BY o_orderpriority ORDER BY d
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      END AS med7
+    FROM daily
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d)
+    """,
+    ref="rolling 7-day median of daily revenue per priority — the "
+    "robust-trend twin of w6's rolling mean (medians shrug off the "
+    "order-value spikes that drag a mean)",
+    scale="an aggregate-as-window over a BOUNDED 7-row frame on the "
+    "(small) daily rollup, partitioned by key — state per task is 7 "
+    "values, never the series. The median is only emitted for FULL "
+    "7-row windows (odd count -> the exact middle element, bit-identical "
+    "across engines; partial even-size windows would interpolate, where "
+    "Spark's a+(b-a)*t and an engine's (a+b)/2 can differ by 1 ulp)",
+)
+def w9_rolling_median(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority", F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("total"))
+    )
+    wseq = W.partitionBy("o_orderpriority").orderBy("d")
+    w7 = wseq.rowsBetween(-6, 0)
+    return daily.select(
+        "o_orderpriority",
+        "d",
+        "total",
+        F.when(
+            F.row_number().over(wseq) >= 7,
+            F.expr("percentile(total, 0.5)").over(w7),
+        ).alias("med7"),
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
@@ -7558,7 +7669,9 @@ def m8_rolling_backtest(spark, sf):
 # quality/asof NULL-policy fixes cover dq1/dq2/j9, also in the 37) + 5
 # headline bench queries (a1/a5/q1/x5/q10 — a1 and q10 additionally
 # changed this round: agg-before-join rewrites) re-pinned under the
-# round-4 code.
+# round-4 code. This round's NEW registrations (h2_gap_fill,
+# w9_rolling_median) land after position 50 and queue for the round-5
+# window; local oracle parity covers them every run.
 _DRIVER_SAMPLE = [
     # never-driver-verified (r01-r03 windows rotated past them)
     "x14_pii_mask", "smp3_mixture_weights", "x15_sequence_pack",

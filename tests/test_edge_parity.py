@@ -473,6 +473,39 @@ def test_a18_histogram_quantiles_sparse_groups(spark, tmp_path):
     assert one["n"] == 1 and pd.notna(one["p50_est"])
 
 
+def test_h2_gap_fill_degenerate_series(spark, tmp_path):
+    """Gap fill on hostile series shapes: a single-observation key (spine
+    of exactly one day, ffill = itself), a two-point key with a long gap
+    (every padded day carries the earlier value), and a key filtered out
+    entirely. Engine and oracle must agree row-for-row."""
+    rows = [
+        (1, "1995-01-01 00:00:00", 10.0),   # single observation
+        (2, "1995-01-01 00:00:00", 5.0),    # two points, 9-day gap
+        (2, "1995-01-10 00:00:00", 7.0),
+        (2, "1995-01-10 00:00:00", 3.0),    # same-day second line: summed
+        (99, "1995-01-05 00:00:00", 1.0),   # filtered out (suppkey > 10)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["l_suppkey", "l_shipdate", "l_extendedprice"]
+    )
+    pdf["l_shipdate"] = pd.to_datetime(pdf["l_shipdate"])
+    path = str(tmp_path / "lineitem.parquet")
+    # micros, not pandas' nano default — Spark's vectorized reader rejects
+    # TIMESTAMP(NANOS) (only the events loader handles that encoding)
+    pdf.to_parquet(path, coerce_timestamps="us")
+
+    spec = QUERIES["h2_gap_fill"]
+    mine = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{path}'")
+    want = con.execute(spec.sql).df()
+    _driver_compare(mine, want)
+    assert len(mine) == 1 + 10  # key 1: one day; key 2: dense 10-day spine
+    k2 = mine[mine.l_suppkey == 2].sort_values("d")
+    assert k2["revenue_ffill"].tolist() == [5.0] * 9 + [10.0]
+    assert k2["observed"].tolist() == [True] + [False] * 8 + [True]
+
+
 def test_quality_fk_tagging_survives_hot_key(spark):
     """Round-3 VERDICT item 9: the quality gate's FK tag join
     (operators/quality.py tag_violations) must not explode on a hot FK
