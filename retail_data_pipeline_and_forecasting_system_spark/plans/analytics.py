@@ -7902,6 +7902,68 @@ def ops5_compaction_plan(spark, sf):
     )
 
 
+@q(
+    "h3_ewma",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1, 2
+    ), lists AS (
+      SELECT o_orderpriority, d, total,
+        list(total) OVER (PARTITION BY o_orderpriority ORDER BY d
+          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
+      FROM daily
+    )
+    SELECT o_orderpriority, d, total,
+      list_reduce(list_transform(xs, (x, i) -> x * pow(0.5, len(xs) - i)),
+                  (a, b) -> a + b)
+      / list_reduce(list_transform(xs, (x, i) -> pow(0.5, len(xs) - i)),
+                    (a, b) -> a + b) AS ewma10
+    FROM lists
+    """,
+    ref="time-series exponential smoothing: truncated EWMA (alpha=0.5, "
+    "10-sample horizon) of daily revenue per priority — the classic "
+    "trend/level signal next to w6's rolling mean and w9's rolling "
+    "median; the forecasting pipeline's cheapest denoiser upstream of "
+    "the m-family fits. alpha is DYADIC on purpose: 0.5^k and x*0.5^k "
+    "are exact in binary floating point, so the windowed fold is "
+    "bit-identical across engines (a 0.7-style alpha would put pow() "
+    "rounding in the hash path)",
+    scale="EWMA is a linear recurrence, which does NOT distribute as a "
+    "plain agg — the truncated form restores locality: each output "
+    "needs only its last 10 frame rows (weight below 0.5^9 ~ 0.2% is "
+    "dropped), so it runs as one bounded-frame window over the "
+    "(small) daily rollup, state = 10 doubles per task, no cross-"
+    "partition carry. For exact untruncated EWMA at scale you'd "
+    "switch to the segmented scan (Blelloch) over per-partition "
+    "(a^n, partial) pairs — not needed at any realistic horizon",
+)
+def h3_ewma(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority", F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("total"))
+    )
+    wf = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(-9, 0)
+    )
+    lists = daily.withColumn("xs", F.collect_list("total").over(wf))
+    num = F.expr(
+        "aggregate(transform(xs, (x, i) -> x * pow(0.5D, size(xs) - 1 - i)),"
+        " 0D, (a, b) -> a + b)"
+    )
+    den = F.expr(
+        "aggregate(transform(xs, (x, i) -> pow(0.5D, size(xs) - 1 - i)),"
+        " 0D, (a, b) -> a + b)"
+    )
+    return lists.select(
+        "o_orderpriority", "d", "total", (num / den).alias("ewma10")
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
