@@ -1021,8 +1021,12 @@ def d5_simhash_pairs(spark, sf):
     scale="block-equi-join (Σ block²), not n² cross join",
 )
 def d6_embedding_neardup(spark, sf):
+    # salt=8: ten ~equal label blocks alone cap the pair scoring at
+    # 10-way parallelism; sharding spreads it across all cores (pair
+    # set unchanged — see cosine_pairs_blocked)
     return SIM.cosine_pairs_blocked(
-        _t(spark, sf, "embeddings"), threshold=0.3, block_col="label"
+        _t(spark, sf, "embeddings"), threshold=0.3, block_col="label",
+        salt=8,
     )
 
 
@@ -7700,8 +7704,11 @@ def d14_semantic_dedup(spark, sf):
     emb = _t(spark, sf, "embeddings")
     cents = SIM.kmeans_lloyd(emb, k=4, n_iter=2, exact_mean=True)
     cells = SIM.assign_cells(emb, cents)
+    # salt=32: with k=4 the cells are few and big, so the unsalted block
+    # join would score every pair of a cell in ONE task (measured 16 s
+    # for 500k pairs at sf0.1); sharding spreads each cell 32 ways
     pairs = SIM.cosine_pairs_blocked(
-        cells, threshold=0.35, block_col="cent_id"
+        cells, threshold=0.35, block_col="cent_id", salt=32
     )
     dropped = (
         pairs.select(F.col("vec_b").alias("vec_id"))
