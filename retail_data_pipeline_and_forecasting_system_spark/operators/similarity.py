@@ -429,6 +429,113 @@ def assign_cells(
     )
 
 
+def incremental_semantic_dedup(
+    embeddings: DataFrame,
+    new_pred: Column,
+    centroids: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: int | None = None,
+) -> DataFrame:
+    """Semantic-dedup an arriving embedding batch AGAINST an accepted
+    corpus — the embedding-space twin of ``dedup.incremental_dedup``
+    (the 24/7 ingest shape) composed with d14's SemDeDup cells.
+
+    All vectors are cell-assigned in ONE map-only pass over the
+    ``centroids`` literals (in production the model fitted on the
+    accepted corpus, incrementally maintained); candidates are only
+    (new x corpus) and (new x earlier-new) collisions WITHIN a cell —
+    the corpus x corpus quadrant is never generated. Verdict per new
+    vector:
+
+    - ``dup_corpus`` — a same-cell corpus vector has cosine >=
+      ``threshold`` (corpus always wins: it was accepted first);
+    - ``dup_batch``  — no corpus match, but a smaller-id same-cell NEW
+      vector is above the threshold (the same one-pass
+      dominated-by-smaller-id policy as d14);
+    - ``unique``     — neither.
+
+    Output: (id, cent_id, status, match_id) with match_id the LOWEST
+    matching id of the winning class, NULL for unique.
+
+    ``salt`` shards the corpus side of the candidate join (and the
+    batch self-join) exactly as in :func:`cosine_pairs_blocked` — with
+    few cells the per-cell candidates otherwise score in one task.
+    Scale: per ingest the batch is cell-assigned map-only and joined
+    against the corpus cells pre-partitioned on (cell, shard); corpus
+    work is proportional to the COLLIDING cells only, and nothing ever
+    rescores corpus x corpus.
+    """
+    cells = assign_cells(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col
+    ).withColumn("__new", new_pred)
+
+    new_cells = cells.filter(F.col("__new"))
+    corpus_cells = cells.filter(~F.col("__new"))
+
+    n = new_cells.select(
+        F.col("cent_id").alias("__blk"),
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).alias("new_vec"),
+    )
+    c = corpus_cells.select(
+        F.col("cent_id").alias("__blk"),
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("corpus_vec"),
+    )
+    if salt is None:
+        cand = c.join(n, on="__blk")
+    else:
+        c = c.withColumn(
+            "__shard", F.pmod(F.xxhash64("corpus_id"), F.lit(salt))
+        ).repartition(4 * salt, F.col("__blk"), F.col("__shard"))
+        n = n.withColumn(
+            "__shard",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1))),
+        )
+        cand = c.join(n, on=["__blk", "__shard"])
+    corpus_match = (
+        cand.filter(cosine("new_vec", "corpus_vec") >= threshold)
+        .groupBy("new_id")
+        .agg(F.min("corpus_id").alias("corpus_match"))
+    )
+
+    batch_match = (
+        cosine_pairs_blocked(
+            new_cells,
+            threshold=threshold,
+            block_col="cent_id",
+            id_col=id_col,
+            vec_col=vec_col,
+            salt=salt,
+        )
+        .groupBy(F.col("vec_b").alias("new_id"))
+        .agg(F.min("vec_a").alias("batch_match"))
+    )
+
+    out = (
+        new_cells.select(
+            F.col(id_col), F.col("cent_id").cast("int").alias("cent_id")
+        )
+        .join(
+            corpus_match.withColumnRenamed("new_id", id_col), id_col, "left"
+        )
+        .join(
+            batch_match.withColumnRenamed("new_id", id_col), id_col, "left"
+        )
+    )
+    return out.select(
+        id_col,
+        "cent_id",
+        F.when(F.col("corpus_match").isNotNull(), F.lit("dup_corpus"))
+        .when(F.col("batch_match").isNotNull(), F.lit("dup_batch"))
+        .otherwise(F.lit("unique"))
+        .alias("status"),
+        F.coalesce("corpus_match", "batch_match").alias("match_id"),
+    )
+
+
 def kmeans_mllib(
     embeddings: DataFrame,
     k: int = 16,

@@ -6483,28 +6483,53 @@ def u6_union_schema_drift(spark, sf):
 # ------------------------------- oracle-checked iterative ML (k1)
 
 
-def _kmeans_af_ctes(k: int = 4, n_iter: int = 2) -> str:
+def _l2_list_sql(a: str, b: str) -> str:
+    """Squared-L2 between two DOUBLE[] lists (DuckDB), same fold order
+    as the engine's centroid_dist_structs expression."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _kmeans_af_ctes(
+    k: int = 4,
+    n_iter: int = 2,
+    source_where: str = "",
+    init_order_limit: bool = False,
+) -> str:
     """Unrolled Lloyd k-means as pure SQL CTEs: one (assignment,
     exact-mean, rebuild) trio per iteration, ending with ``af``
-    (vec_id, cid, dval) — the final nearest-centroid assignment. Means
-    are DECIMAL sums divided once as doubles — order-independent, so the
-    SQL fit is bit-identical to the engine's distributed fit at any
-    parallelism. Shared by k1 (cell profile) and d14 (SemDeDup cells)."""
+    (vec_id, cid, dval) — the final nearest-centroid assignment of the
+    fit set. Means are DECIMAL sums divided once as doubles —
+    order-independent, so the SQL fit is bit-identical to the engine's
+    distributed fit at any parallelism. Shared by k1 (cell profile),
+    d14 (SemDeDup cells) and d15 (corpus-fitted cells for incremental
+    ingest). ``source_where`` restricts the fit set;
+    ``init_order_limit`` switches the first-k init from the dense-id
+    predicate to an explicit ORDER BY/LIMIT (needed when the fit set's
+    ids are not 0..k-1 — both match kmeans_lloyd's first-k-by-id)."""
 
-    def l2(a: str, b: str) -> str:
-        return (
-            f"list_reduce(list_transform(list_zip({a}, {b}), "
-            f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
-            f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
-            f"(x, y) -> x + y)"
-        )
+    l2 = _l2_list_sql
 
-    parts = [
-        "WITH e AS (SELECT vec_id, embedding FROM embeddings)",
-        f"""c0 AS (
+    if init_order_limit:
+        # first k by id of the fit set, renumbered 0..k-1 to match the
+        # engine's enumerate(centroids)
+        c0 = f"""c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT {k}))"""
+    else:
+        c0 = f"""c0 AS (
       SELECT CAST(vec_id AS INT) AS cid,
              CAST(embedding AS DOUBLE[]) AS cvec
-      FROM e WHERE vec_id < {k})""",
+      FROM e WHERE vec_id < {k})"""
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings"
+        f"{source_where})",
+        c0,
         """vals AS (
       SELECT vec_id, unnest(embedding) AS val,
              generate_subscripts(embedding, 1) AS pos
@@ -7719,6 +7744,75 @@ def d14_semantic_dedup(spark, sf):
         "vec_id",
         F.col("cent_id").cast("int").alias("cent_id"),
         F.col("__dropped").isNull().alias("kept"),
+    )
+
+
+@q(
+    "d15_incremental_semantic",
+    sql=_kmeans_af_ctes(
+        4, 2, source_where=" WHERE vec_id % 5 <> 0", init_order_limit=True
+    )
+    + f""",
+    newv AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    afn AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {_l2_list_sql("v.embedding", "c.cvec")} ASC,
+                     c.cid ASC) AS rn
+        FROM newv v CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    corpus_match AS (
+      SELECT n.vec_id, min(c.vec_id) AS match_id
+      FROM afn n JOIN af c ON n.cid = c.cid
+      JOIN embeddings en ON en.vec_id = n.vec_id
+      JOIN embeddings ec ON ec.vec_id = c.vec_id
+      WHERE {_sql_cosine('en.embedding', 'ec.embedding')} >= 0.35
+      GROUP BY n.vec_id
+    ),
+    batch_match AS (
+      SELECT b.vec_id, min(a.vec_id) AS match_id
+      FROM afn a JOIN afn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {_sql_cosine('ea.embedding', 'eb.embedding')} >= 0.35
+      GROUP BY b.vec_id
+    )
+    SELECT n.vec_id, CAST(n.cid AS INT) AS cent_id,
+      CASE WHEN cm.match_id IS NOT NULL THEN 'dup_corpus'
+           WHEN bm.match_id IS NOT NULL THEN 'dup_batch'
+           ELSE 'unique' END AS status,
+      coalesce(cm.match_id, bm.match_id) AS match_id
+    FROM afn n
+    LEFT JOIN corpus_match cm ON cm.vec_id = n.vec_id
+    LEFT JOIN batch_match bm ON bm.vec_id = n.vec_id
+    """,
+    ref="LLM-ops: INCREMENTAL semantic dedup — the 24/7 embedding-ingest "
+    "shape (d11's new-batch-vs-corpus discipline composed with d14's "
+    "SemDeDup cells): the cell model is fitted on the ACCEPTED corpus "
+    "(vec_id % 5 <> 0 stands in; production maintains it incrementally), "
+    "every vector is cell-assigned map-only, and candidates are only "
+    "(new x corpus) and (new x earlier-new) collisions within a cell — "
+    "corpus x corpus is never rescored. Corpus matches outrank batch "
+    "matches; match_id is the lowest winning id",
+    scale="per ingest: batch assignment is map-only (k x dim literals); "
+    "the candidate join touches only colliding cells, salt-sharded "
+    "(salt=16) so few-big-cells still spread across the cluster; the "
+    "batch self-join is the (tiny) batch^2-within-cell. Work per epoch "
+    "is O(batch x colliding-cell corpus), independent of total corpus "
+    "history — the property that keeps a dedup service flat-cost as "
+    "the corpus grows into the billions",
+)
+def d15_incremental_semantic(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    new_pred = F.pmod(F.col("vec_id"), F.lit(5)) == 0
+    corpus = emb.filter(~new_pred)
+    cents = SIM.kmeans_lloyd(corpus, k=4, n_iter=2, exact_mean=True)
+    return SIM.incremental_semantic_dedup(
+        emb, new_pred, cents, threshold=0.35, salt=16
     )
 
 

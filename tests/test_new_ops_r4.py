@@ -124,6 +124,30 @@ def test_ewma_matches_numpy_reference(spark, sf_dir):
         assert out["ewma10"].iloc[i] == pytest.approx(want, rel=1e-12)
 
 
+def test_incremental_semantic_precedence(spark, tmp_path):
+    """A new vector near BOTH a corpus vector and a smaller-id new
+    vector must report dup_corpus with the lowest CORPUS match id —
+    corpus always outranks batch."""
+    rng = np.random.default_rng(11)
+    rows = [(i, 0, [1.0] * 16) for i in range(40)]  # identical clones
+    for i in range(40, 48):  # scattered, unique-ish
+        rows.append((i, 0, [float(x) for x in rng.normal(size=16)]))
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {
+        r.vec_id: r
+        for r in QUERIES["d15_incremental_semantic"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    # new ids are multiples of 5; clone news (0..35) all match corpus
+    for vid in range(0, 40, 5):
+        assert out[vid].status == "dup_corpus"
+        assert out[vid].match_id == 1  # lowest corpus clone id
+    assert out[45].status in ("unique", "dup_corpus")  # scattered
+
+
 def test_knn_join_k_larger_than_corpus(spark, tmp_path):
     """Queries with a corpus smaller than k emit one row per corpus
     vector (rnk never pads) — no error, no duplicate ranks."""
