@@ -467,9 +467,21 @@ def incremental_semantic_dedup(
     work is proportional to the COLLIDING cells only, and nothing ever
     rescores corpus x corpus.
     """
-    cells = assign_cells(
-        embeddings, centroids, id_col=id_col, vec_col=vec_col
-    ).withColumn("__new", new_pred)
+    # evaluate the predicate BEFORE the cell projection (it may reference
+    # columns the assignment drops, e.g. a batch_id), then cell-assign in
+    # the same map-only pass as assign_cells
+    flagged = embeddings.select(
+        F.col(id_col), F.col(vec_col), new_pred.alias("__new")
+    )
+    nearest = F.array_min(
+        centroid_dist_structs(vec_col, _collect_centroids(centroids))
+    )
+    cells = flagged.select(
+        id_col,
+        vec_col,
+        "__new",
+        nearest.getField("cent_id").alias("cent_id"),
+    )
 
     new_cells = cells.filter(F.col("__new"))
     corpus_cells = cells.filter(~F.col("__new"))

@@ -14,6 +14,10 @@ from .dedup_stream import (  # noqa: F401
     incremental_dedup_sink,
     run_dedup_ingest,
 )
+from .semantic_stream import (  # noqa: F401
+    incremental_semantic_sink,
+    run_semantic_ingest,
+)
 from .sinks import (  # noqa: F401
     idempotent_parquet_sink,
     quarantine_parquet_sink,

@@ -132,6 +132,11 @@ def incremental_dedup_sink(
                 spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", old
                 )
+            else:
+                # conf was UNSET before this epoch: unset it again rather
+                # than leaving the session pinned to 'dynamic' (same
+                # hygiene as sinks.idempotent_parquet_sink)
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
             for frame in tracker:
                 frame.unpersist()
 

@@ -1,0 +1,174 @@
+"""Streaming embedding ingestion with incremental SEMANTIC dedup.
+
+The vector-corpus twin of ``dedup_stream``: embeddings arrive on a
+stream, each micro-batch is cell-assigned against a k-means model and
+checked only against same-cell ACCEPTED vectors
+(``operators.similarity.incremental_semantic_dedup`` — the d15
+semantics), verdicts are recorded, and only ``unique`` vectors join the
+corpus. This is the ingestion loop behind a continuously-growing
+embedding store (RAG index, SemDeDup-curated training corpus).
+
+Layout mirrors ``dedup_stream`` exactly (epoch-partitioned for replay
+idempotence):
+
+- ``corpus_dir/batch_id=<n>/``   — accepted (unique) vectors of epoch n.
+- ``verdicts_dir/batch_id=<n>/`` — (vec_id, cent_id, status, match_id).
+
+Crash/replay: dynamic partition overwrite into the epoch's own
+partition + excluding the epoch's OWN partition from the corpus read —
+a replayed epoch overwrites its partial output and never dedups against
+its own half-written copy (see dedup_stream's module docstring for the
+full argument; the convergence proof is identical).
+
+Model lifecycle: the cell model is refitted per epoch on the accepted
+corpus (first epoch: on the batch itself — there is nothing else to fit
+on). Refitting per epoch is exact and keeps the example self-contained;
+a production service would maintain the model incrementally (mini-batch
+k-means) or refresh it on a slower cadence and version it beside the
+corpus — the verdict semantics do not depend on WHICH model assigned
+the cells, only that batch and corpus share one, which refit-per-epoch
+guarantees.
+
+Scale: per epoch the batch is cell-assigned map-only (k x dim literal
+matrix); candidates are only (new x corpus) and (new x earlier-new)
+same-cell collisions — corpus x corpus is already deduped by induction
+and never rescored, so epoch cost is O(batch x colliding-cell corpus)
+no matter how old the corpus grows. Salt-sharding keeps few-big-cells
+spread across the cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from ..operators.similarity import incremental_semantic_dedup, kmeans_lloyd
+
+
+def incremental_semantic_sink(
+    corpus_dir: str,
+    verdicts_dir: str,
+    k: int = 4,
+    n_iter: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: int | None = 16,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: gate each embedding micro-batch through
+    corpus-incremental semantic dedup, record verdicts, admit uniques.
+
+    Use::
+
+        stream.writeStream.foreachBatch(
+            incremental_semantic_sink(corpus_dir, verdicts_dir)
+        ).option("checkpointLocation", ckpt).start()
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, vec_col).withColumn(
+            "__new", F.lit(True)
+        )
+        try:
+            corpus = (
+                spark.read.parquet(corpus_dir)
+                # a replayed epoch must not dedup against its own
+                # partial output from the crashed attempt
+                .filter(F.col("batch_id") != int(batch_id))
+                .select(id_col, vec_col)
+                .withColumn("__new", F.lit(False))
+            )
+            has_corpus = corpus.head(1)
+        except AnalysisException:
+            corpus, has_corpus = None, []
+
+        if has_corpus:
+            full = corpus.unionByName(batch)
+            fit_set = corpus.select(id_col, vec_col)
+        else:
+            # first epoch: nothing accepted yet — fit on the batch and
+            # dedup it against itself (dup_batch/unique only)
+            full = batch
+            fit_set = batch.select(id_col, vec_col)
+
+        cents = kmeans_lloyd(
+            fit_set, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+            exact_mean=True,
+        )
+        verdicts = incremental_semantic_dedup(
+            full,
+            new_pred=F.col("__new"),
+            centroids=cents,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            salt=salt,
+        )
+
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # consumed twice (verdict write + unique-filter join)
+            verdicts = verdicts.persist()
+            (
+                verdicts.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(verdicts_dir)
+            )
+            accepted = batch.select(id_col, vec_col).join(
+                verdicts.filter(F.col("status") == "unique").select(id_col),
+                id_col,
+            )
+            (
+                accepted.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(corpus_dir)
+            )
+        finally:
+            if old is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", old
+                )
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            verdicts.unpersist()
+
+    return write
+
+
+def run_semantic_ingest(
+    spark,
+    input_glob: str,
+    corpus_dir: str,
+    verdicts_dir: str,
+    checkpoint_dir: str,
+    schema: str = "vec_id long, embedding array<double>",
+    max_files_per_trigger: int = 1,
+    **dedup_kwargs,
+) -> None:
+    """Drain a JSON-lines embedding feed through the semantic-dedup gate
+    with ``Trigger.AvailableNow`` (one epoch per file at
+    ``max_files_per_trigger=1``), blocking until caught up; a service
+    would ``start()`` without AvailableNow and run forever."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_glob)
+    )
+    (
+        stream.writeStream.foreachBatch(
+            incremental_semantic_sink(
+                corpus_dir, verdicts_dir, **dedup_kwargs
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

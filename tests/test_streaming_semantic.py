@@ -1,0 +1,142 @@
+"""Streaming embedding ingestion through the incremental SEMANTIC dedup
+gate (semantic_stream) — the vector twin of test_streaming_dedup.
+
+Replays a 3-file embedding feed one epoch per file and asserts the
+verdicts/accepted corpus follow the sequential semantics (each epoch
+cell-assigned and checked against everything previously accepted, plus
+earlier arrivals of its own epoch); then re-runs an epoch's foreachBatch
+directly to prove crash-replay convergence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+    incremental_semantic_sink,
+    run_semantic_ingest,
+)
+
+DIM = 16
+
+
+def _vec(axis: int, bump: float = 0.0, bump_axis: int = 1) -> list[float]:
+    v = [0.0] * DIM
+    v[axis] = 1.0
+    if bump:
+        v[bump_axis] = bump
+    return v
+
+
+A = _vec(0)
+NEAR_A = _vec(0, bump=0.2, bump_axis=3)  # cos ~0.98 to A
+B = _vec(1)
+C = _vec(2)
+NEAR_C = _vec(2, bump=0.1, bump_axis=4)  # cos ~0.995 to C
+D = _vec(5)
+
+
+def _write_feed(in_dir):
+    in_dir.mkdir()
+    epochs = [
+        [(1, A), (2, B)],
+        [(3, A), (4, NEAR_A), (5, C)],
+        [(6, NEAR_C), (7, D), (8, D)],
+    ]
+    for i, vecs in enumerate(epochs):
+        p = in_dir / f"epoch_{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"vec_id": v, "embedding": e}) for v, e in vecs
+            )
+        )
+        ts = time.time() - 1000 + i
+        os.utime(p, (ts, ts))
+
+
+def test_semantic_ingest_gates_stream(spark, tmp_path):
+    _write_feed(tmp_path / "in")
+    corpus_dir = str(tmp_path / "corpus")
+    verdicts_dir = str(tmp_path / "verdicts")
+    run_semantic_ingest(
+        spark,
+        str(tmp_path / "in" / "*.json"),
+        corpus_dir,
+        verdicts_dir,
+        str(tmp_path / "ckpt"),
+    )
+    verdicts = {
+        r["vec_id"]: (r["status"], r["match_id"], r["batch_id"])
+        for r in spark.read.parquet(verdicts_dir).collect()
+    }
+    # epoch 0: empty corpus, self-dedup only — A and B far apart
+    assert verdicts[1] == ("unique", None, 0)
+    assert verdicts[2] == ("unique", None, 0)
+    # epoch 1: clone and near-dup of accepted 1; C is fresh
+    assert verdicts[3] == ("dup_corpus", 1, 1)
+    assert verdicts[4] == ("dup_corpus", 1, 1)
+    assert verdicts[5] == ("unique", None, 1)
+    # epoch 2: near-dup of epoch-1-accepted 5; D arrives twice in one
+    # epoch — first is unique, the second is a batch dup of the first
+    assert verdicts[6] == ("dup_corpus", 5, 2)
+    assert verdicts[7] == ("unique", None, 2)
+    assert verdicts[8] == ("dup_batch", 7, 2)
+    corpus = {r["vec_id"] for r in spark.read.parquet(corpus_dir).collect()}
+    assert corpus == {1, 2, 5, 7}
+
+
+def test_semantic_ingest_replay_converges(spark, tmp_path):
+    """Re-running epoch 1's foreachBatch (crash replay) overwrites its
+    own partitions; the replayed vec 5 must NOT match its own accepted
+    copy (self-partition exclusion) and the store must be unchanged."""
+    _write_feed(tmp_path / "in")
+    corpus_dir = str(tmp_path / "corpus")
+    verdicts_dir = str(tmp_path / "verdicts")
+    run_semantic_ingest(
+        spark,
+        str(tmp_path / "in" / "*.json"),
+        corpus_dir,
+        verdicts_dir,
+        str(tmp_path / "ckpt"),
+    )
+    before_v = sorted(
+        tuple(r) for r in spark.read.parquet(verdicts_dir).collect()
+    )
+    before_c = sorted(
+        (r["vec_id"], r["batch_id"])
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    cached_before = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    conf_before = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", None
+    )
+
+    epoch1 = spark.createDataFrame(
+        [(3, A), (4, NEAR_A), (5, C)],
+        "vec_id long, embedding array<double>",
+    )
+    incremental_semantic_sink(corpus_dir, verdicts_dir)(epoch1, 1)
+
+    after_v = sorted(
+        tuple(r) for r in spark.read.parquet(verdicts_dir).collect()
+    )
+    after_c = sorted(
+        (r["vec_id"], r["batch_id"])
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    assert after_v == before_v
+    assert after_c == before_c
+    cached_after = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert cached_after <= cached_before, "epoch left persisted frames"
+    # the overwrite-mode conf did not leak out of the sink (restored to
+    # its prior value, including 'unset')
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        == conf_before
+    )
