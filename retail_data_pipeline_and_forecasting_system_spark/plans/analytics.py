@@ -8080,9 +8080,10 @@ def h3_ewma(spark, sf):
 # headline bench queries (a1/a5/q1/x5/q10 — a1 and q10 additionally
 # changed this round: agg-before-join rewrites) re-pinned under the
 # round-4 code. This round's NEW registrations (h2_gap_fill,
-# w9_rolling_median, d14_semantic_dedup, n7_knn_join, and later
-# additions) land after position 50 and queue for the round-5 window;
-# local oracle parity covers them every run.
+# w9_rolling_median, d14_semantic_dedup, d15_incremental_semantic,
+# n7_knn_join, x24_gopher_gate, ops5_compaction_plan, h3_ewma, and any
+# later additions) land after position 50 and queue for the round-5
+# window; local oracle parity covers them every run.
 _DRIVER_SAMPLE = [
     # never-driver-verified (r01-r03 windows rotated past them)
     "x14_pii_mask", "smp3_mixture_weights", "x15_sequence_pack",

@@ -52,7 +52,8 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
-NEW_QUERIES = ["d14_semantic_dedup", "n7_knn_join", "x24_gopher_gate",
+NEW_QUERIES = ["d14_semantic_dedup", "d15_incremental_semantic",
+               "n7_knn_join", "x24_gopher_gate",
                "ops5_compaction_plan", "h3_ewma"]
 
 
