@@ -351,3 +351,62 @@ def test_kmeans_cells_assignment_is_map_only(spark):
     plan = _plan(spark, "k1_kmeans_cells")
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Exchange") <= 4  # one hash agg exchange (x2 print)
+
+
+def test_gopher_gate_is_map_only(spark):
+    """x24: every rule is row-local — the whole gate is one codegen'd
+    scan stage, no Exchange anywhere."""
+    plan = _plan(spark, "x24_gopher_gate")
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_knn_join_broadcasts_queries_once(spark):
+    """n7: the query side broadcasts (BroadcastNestedLoopJoin over the
+    corpus scan); the only hash Exchange is the per-query top-k window."""
+    import re
+
+    plan = _plan(spark, "n7_knn_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    n_hash_ex = len(
+        re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+    )
+    assert n_hash_ex <= 1, f"extra shuffles: {n_hash_ex}"
+
+
+def test_compaction_plan_single_window_then_agg(spark):
+    """ops5 plans over the manifest: one window (running size per
+    source) feeding one hash aggregate — no joins."""
+    plan = _plan(spark, "ops5_compaction_plan")
+    assert "Join" not in plan
+    assert plan.count("(1) Scan parquet") == 1  # manifest scanned once
+
+
+def test_ewma_uses_bounded_frame(spark):
+    """h3: the fold runs over a ROWS 9-preceding frame on the daily
+    rollup — the plan must show the bounded window frame, not an
+    unbounded running state."""
+    plan = _plan(spark, "h3_ewma")
+    assert "specifiedwindowframe(RowFrame, -9, currentrow" in plan
+    assert "unboundedpreceding" not in plan
+
+
+def test_semantic_dedup_pair_join_is_salted(spark):
+    """d14: the pair join key must include the salt shard — a plain
+    cent_id-only join concentrates each cell in one task."""
+    plan = _plan(spark, "d14_semantic_dedup")
+    assert "__shard" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_semantic_never_pairs_corpus_with_corpus(spark):
+    """d15's corpus side appears ONLY as the build/probe of new-facing
+    joins; there is no corpus-corpus self-join. Structural proxy: every
+    join in the plan is an equi join on (__blk/__shard) or the id —
+    and the batch self-join's both sides carry the __new filter."""
+    plan = _plan(spark, "d15_incremental_semantic")
+    assert "CartesianProduct" not in plan
+    # the corpus filter NOT pmod(...)=0 and the batch filter pmod(...)=0
+    # both appear: the two quadrant guards survive into the plan
+    assert "pmod" in plan
