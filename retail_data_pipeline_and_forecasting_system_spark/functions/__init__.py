@@ -74,25 +74,19 @@ def word_shingles_from_words(
     signal pass in x7) can persist ONE (id, words) frame and feed both
     its token aggregation and the shingle index from it, instead of each
     branch re-reading and re-splitting the corpus.
-
-    The dedup is ROW-LOCAL (``array_distinct`` before the explode, not a
-    ``distinct()`` after): duplicate (id, shingle) rows can only come
-    from repeats WITHIN one document's array, so the per-row set dedup
-    is exactly equivalent to the global distinct — minus its full
-    (doc, shingle)-grain shuffle, which was the single largest exchange
-    in every shingle-index consumer (d2/d8/d10/d11/d12/d13/x7/x18).
     """
-    shingles = F.expr(
-        f"case when size({words_col}) >= {k} then"
-        f" transform(sequence(1, size({words_col}) - {k - 1}),"
-        f" i -> concat_ws(' ', slice({words_col}, i, {k})))"
-        f" else array() end"
+    out = words.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"case when size({words_col}) >= {k} then"
+                f" transform(sequence(1, size({words_col}) - {k - 1}),"
+                f" i -> concat_ws(' ', slice({words_col}, i, {k})))"
+                f" else array() end"
+            )
+        ).alias("shingle"),
     )
-    if distinct:
-        shingles = F.array_distinct(shingles)
-    return words.select(
-        F.col(id_col), F.explode(shingles).alias("shingle")
-    )
+    return out.distinct() if distinct else out
 
 
 def word_shingle_sets(
@@ -142,22 +136,19 @@ def char_shingles(
     ``substring(text, 0, k)`` silently emits a bogus truncated shingle,
     diverging from the DuckDB oracle's empty range and inflating Jaccard
     for short texts.
-
-    Dedup is row-local (``array_distinct`` before the explode) — see
-    :func:`word_shingles_from_words`: per-row set dedup is equivalent to
-    the global distinct without its (doc, shingle)-grain shuffle.
     """
-    shingles = F.expr(
-        f"case when length({text_col}) >= {k} then"
-        f" transform(sequence(1, length({text_col}) - {k - 1}),"
-        f" i -> substring({text_col}, i, {k}))"
-        f" else array() end"
+    out = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"case when length({text_col}) >= {k} then"
+                f" transform(sequence(1, length({text_col}) - {k - 1}),"
+                f" i -> substring({text_col}, i, {k}))"
+                f" else array() end"
+            )
+        ).alias("shingle"),
     )
-    if distinct:
-        shingles = F.array_distinct(shingles)
-    return df.select(
-        F.col(id_col), F.explode(shingles).alias("shingle")
-    )
+    return out.distinct() if distinct else out
 
 
 def minhash_signature(shingled: DataFrame, num_hashes: int, id_col: str = "doc_id") -> DataFrame:
