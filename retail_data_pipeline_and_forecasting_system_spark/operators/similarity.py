@@ -214,6 +214,13 @@ def centroid_dist_structs(
     # plain column names get quoted; anything else (e.g. a slice(...)
     # fragment from pq_encode) is embedded as raw SQL
     name = f"`{name}`" if name.isidentifier() else name
+    if not cent_list:
+        # empty model (day-one deployment, zero-row fit corpus): a typed
+        # empty struct array, so array_min yields NULL and every
+        # assignment column is NULL — an untyped array() fails analysis
+        return F.expr(
+            "CAST(array() AS array<struct<dist:double,cent_id:int>>)"
+        )
     d = lambda x: repr(float(x)) + "D"
     mat = "array(" + ",".join(
         "array(" + ",".join(d(x) for x in vec) + ")" for _, vec in cent_list

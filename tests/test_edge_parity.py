@@ -326,6 +326,13 @@ EMPTY_SWEEP = [
     "j9_asof_join",
     "h1_hypertable_rollup",
     "dq1_expectations",  # zero rows -> every rule passes with 0, not NULL
+    # round-4 ops (day-one deployment state)
+    "x24_gopher_gate",
+    "ops5_compaction_plan",
+    "h3_ewma",
+    "n7_knn_join",
+    "d14_semantic_dedup",  # k-means over an empty corpus must not crash
+    "d15_incremental_semantic",
 ]
 
 
@@ -369,6 +376,9 @@ HOSTILE_EMBEDDING_SWEEP = [
     "n5_ann_ivfpq",
     "n6_ann_rerank",
     "k1_kmeans_cells",
+    "d14_semantic_dedup",  # dead embedding scores NULL cosine in pairs
+    "d15_incremental_semantic",
+    "n7_knn_join",
 ]
 
 
