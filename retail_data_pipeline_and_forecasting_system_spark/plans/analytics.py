@@ -8065,6 +8065,47 @@ def h3_ewma(spark, sf):
     )
 
 
+@q(
+    "sq2_relational_division",
+    sql="""
+    WITH wanted AS (
+      SELECT count(DISTINCT o_orderpriority) AS n_all FROM orders
+    )
+    SELECT o_custkey,
+      CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+      CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders, wanted
+    GROUP BY o_custkey, wanted.n_all
+    HAVING count(DISTINCT o_orderpriority) = wanted.n_all
+    """,
+    ref="relational DIVISION (Codd's 'for all' operator): customers "
+    "whose orders span EVERY priority class — the counting formulation "
+    "(per-group distinct count == universe size) rather than the "
+    "textbook double-NOT-EXISTS, which decorrelates to exactly this "
+    "plan anyway. Completes the classic-operator checklist beside "
+    "semi/anti joins (j3/j4) and correlated subqueries (sq1/q4/q21)",
+    scale="one distinct-agg shuffle on the group key; the universe size "
+    "is a 1-row broadcast (w5's share-of-total pattern) — no correlated "
+    "per-row probe, no second scan of the fact at any scale",
+)
+def sq2_relational_division(spark, sf):
+    o = _t(spark, sf, "orders")
+    wanted = o.agg(
+        F.countDistinct("o_orderpriority").alias("n_all")
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").cast("bigint").alias(
+            "n_priorities"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    return (
+        per_cust.join(F.broadcast(wanted))
+        .filter(F.col("n_priorities") == F.col("n_all"))
+        .select("o_custkey", "n_priorities", "n_orders")
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
