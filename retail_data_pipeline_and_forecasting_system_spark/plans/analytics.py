@@ -8106,6 +8106,92 @@ def sq2_relational_division(spark, sf):
     )
 
 
+@q(
+    "m9_seasonal_decompose",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ), trended AS (
+      SELECT d, CAST(rev AS DOUBLE) AS y,
+        CASE WHEN count(*) OVER w7 = 7 THEN
+          CAST(sum(rev) OVER w7 AS DOUBLE) / 7
+        END AS trend
+      FROM daily
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), detrended AS (
+      SELECT d, y, trend,
+        CAST(dayofweek(d) AS INT) AS dow,
+        round(y - trend, 6) AS det
+      FROM trended
+    ), seasonal AS (
+      SELECT dow,
+        CAST(SUM(CAST(det AS DECIMAL(28,6))) AS DOUBLE) / COUNT(det)
+          AS s
+      FROM detrended WHERE det IS NOT NULL GROUP BY dow
+    )
+    SELECT t.d, t.y, t.trend, s.s AS seasonal,
+      t.y - t.trend - s.s AS resid
+    FROM detrended t LEFT JOIN seasonal s ON s.dow = t.dow
+    """,
+    ref="classical seasonal decomposition (STL-lite) of the daily "
+    "revenue series: centered 7-day moving-average trend (full windows "
+    "only), day-of-week seasonal = mean of the detrended values, "
+    "residual = y - trend - seasonal — the diagnostic the reference's "
+    "forecasting pipeline (src/time_series.py fits Prophet, itself a "
+    "trend+seasonality decomposition) would run to validate its model "
+    "choice. Cross-engine exactness: revenue and the trend numerator "
+    "are DECIMAL sums (order-independent), the detrended values are "
+    "rounded to 6 dp and decimal-summed for the seasonal means (the "
+    "m8/k1 rule). The engines label day-of-week differently (DuckDB "
+    "Sunday=0, Spark Sunday=1) but the label never leaves the plan — "
+    "only the (identical) partition of dates matters",
+    scale="the decomposition runs entirely on the (tiny) daily rollup: "
+    "one date-ordered window for the trend, a 7-row seasonal agg "
+    "broadcast back — the heavy lifting is the one fact-table "
+    "aggregation any daily metric already pays; at 100 TB nothing "
+    "downstream of the rollup grows at all",
+)
+def m9_seasonal_decompose(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+    )
+    w7 = W.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        F.col("rev").cast("double").alias("y"),
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.sum("rev").over(w7).cast("double") / 7,
+        ).alias("trend"),
+    )
+    detrended = trended.select(
+        "*",
+        F.dayofweek("d").alias("dow"),
+        F.round(F.col("y") - F.col("trend"), 6).alias("det"),
+    )
+    seasonal = (
+        detrended.filter(F.col("det").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (
+                F.sum(F.col("det").cast("decimal(28,6)")).cast("double")
+                / F.count("det")
+            ).alias("s")
+        )
+    )
+    return detrended.join(F.broadcast(seasonal), "dow", "left").select(
+        "d",
+        "y",
+        "trend",
+        F.col("s").alias("seasonal"),
+        (F.col("y") - F.col("trend") - F.col("s")).alias("resid"),
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so

@@ -148,6 +148,30 @@ def test_incremental_semantic_precedence(spark, tmp_path):
     assert out[45].status in ("unique", "dup_corpus")  # scattered
 
 
+def test_seasonal_decompose_identity_and_edges(spark, sf_dir):
+    """m9: trend exists exactly where a full centered 7-day window
+    exists (never on the first/last 3 dates); wherever trend exists,
+    y == trend + seasonal + resid to the last bit (resid is defined as
+    the closure); seasonal is constant per day-of-week."""
+    out = (
+        QUERIES["m9_seasonal_decompose"].fn(spark, sf_dir)
+        .orderBy("d")
+        .toPandas()
+    )
+    n = len(out)
+    assert out["trend"].isna().tolist() == [
+        i < 3 or i >= n - 3 for i in range(n)
+    ]
+    mid = out[out["trend"].notna()]
+    assert (
+        (mid["y"] - mid["trend"] - mid["seasonal"]) == mid["resid"]
+    ).all()
+    import pandas as pd
+
+    dows = pd.to_datetime(out["d"]).dt.dayofweek
+    assert out.groupby(dows)["seasonal"].nunique().le(1).all()
+
+
 def test_knn_join_k_larger_than_corpus(spark, tmp_path):
     """Queries with a corpus smaller than k emit one row per corpus
     vector (rnk never pads) — no error, no duplicate ranks."""
