@@ -172,6 +172,17 @@ def test_seasonal_decompose_identity_and_edges(spark, sf_dir):
     assert out.groupby(dows)["seasonal"].nunique().le(1).all()
 
 
+def test_nb_classifier_beats_chance_and_covers_corpus(spark, sf_dir):
+    """x25: one verdict per document; train accuracy must beat the
+    5-class chance baseline (the synthetic labels are weakly but
+    genuinely token-separable)."""
+    out = QUERIES["x25_nb_classifier"].fn(spark, sf_dir).toPandas()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(out) == n_docs
+    assert out["doc_id"].is_unique
+    assert out["correct"].mean() > 0.3  # chance = 0.2
+
+
 def test_knn_join_k_larger_than_corpus(spark, tmp_path):
     """Queries with a corpus smaller than k emit one row per corpus
     vector (rnk never pads) — no error, no duplicate ranks."""
