@@ -54,7 +54,9 @@ TABLES = [
 ]
 NEW_QUERIES = ["d14_semantic_dedup", "d15_incremental_semantic",
                "n7_knn_join", "x24_gopher_gate",
-               "ops5_compaction_plan", "h3_ewma"]
+               "ops5_compaction_plan", "h3_ewma",
+               "sq2_relational_division", "m9_seasonal_decompose",
+               "x25_nb_classifier"]
 
 
 def _triple_documents(spark, out: Path, deep: bool) -> None:
