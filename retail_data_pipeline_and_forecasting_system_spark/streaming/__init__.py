@@ -18,6 +18,10 @@ from .semantic_stream import (  # noqa: F401
     incremental_semantic_sink,
     run_semantic_ingest,
 )
+from .cdc_stream import (  # noqa: F401
+    cdc_apply_sink,
+    run_cdc_apply,
+)
 from .sinks import (  # noqa: F401
     idempotent_parquet_sink,
     quarantine_parquet_sink,

@@ -1,0 +1,130 @@
+"""Streaming CDC apply: a change feed maintains a versioned snapshot table.
+
+The third leg of the ingest-service trio (dedup_stream gates documents,
+semantic_stream gates embeddings; this one maintains DIMENSION state):
+a stream of ``upsert``/``delete`` change rows is applied per micro-batch
+to a :mod:`sources.versioned` snapshot table — the streaming MERGE shape
+lakehouse formats call "apply changes", built from two pieces this repo
+already trusts: ``operators.scd.merge_upsert`` (the batch MERGE) and the
+stage-then-flip versioned writer (atomic commit, time travel).
+
+Each epoch:
+
+1. collapse the batch to its LATEST change per key (``seq`` descending —
+   an upsert followed by a delete of the same key inside one epoch nets
+   to the delete, and vice versa);
+2. MERGE the upserts into the current snapshot (matched rows take the
+   new values, unmatched insert);
+3. anti-join the deletes out;
+4. commit the result as the table's next version.
+
+Every epoch is one committed version, so the table's version history IS
+the epoch history: ``read_version(spark, dir, v)`` time-travels to the
+state after any past epoch — the reproducibility contract a training
+run needs ("features as of dataset v17").
+
+Crash/replay: Structured Streaming re-runs the last uncommitted epoch.
+Re-applying a batch is CONVERGENT, not byte-idempotent: upserts of the
+same values and deletes of already-absent keys are no-ops, so the
+replayed epoch commits a new version whose CONTENT equals the crashed
+attempt's (the version counter advances — same contract as the
+epoch-keyed delete-then-insert JDBC sink, where replay converges rather
+than dedupes). A vacuum policy (``vacuum_versions``) bounds history.
+
+Scale: the merge is one full-outer shuffle of snapshot x batch on the
+key (batch side is epoch-sized — AQE broadcasts it); the snapshot
+rewrite is the versioned table's O(table) write, the honest cost of a
+format-free snapshot store — at lakehouse scale the same sink logic
+targets a MERGE-capable table format instead, and ``merge_upsert``'s
+plan is exactly what that MERGE executes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.scd import merge_upsert
+from ..sources.versioned import current_version, read_version, write_version
+
+
+def cdc_apply_sink(
+    table_dir: str,
+    key_col: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function applying a change feed to a versioned table.
+
+    Batch schema: ``key_col``, ``op_col`` ('upsert'|'delete'),
+    ``seq_col`` (monotone change-order within the feed), plus any
+    payload columns. The snapshot keeps key + payload + ``seq_col``
+    (the last applied change per key).
+
+    Use::
+
+        stream.writeStream.foreachBatch(
+            cdc_apply_sink(table_dir, "k")
+        ).option("checkpointLocation", ckpt).start()
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        payload = [
+            c for c in batch_df.columns if c not in (op_col,)
+        ]  # key, seq, values — what the snapshot stores
+        w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ups = latest.filter(F.col(op_col) == "upsert").select(payload)
+        dels = latest.filter(F.col(op_col) == "delete").select(key_col)
+
+        if current_version(table_dir) is None:
+            cur = spark.createDataFrame([], ups.schema)
+        else:
+            cur = read_version(spark, table_dir)
+
+        merged = merge_upsert(
+            cur,
+            ups,
+            key=key_col,
+            update_cols={c: c for c in payload if c != key_col},
+        )
+        out = merged.join(dels, key_col, "left_anti")
+        write_version(out, table_dir)
+
+    return apply
+
+
+def run_cdc_apply(
+    spark,
+    input_glob: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "k",
+    schema: str = "k long, op string, seq long, val string",
+    max_files_per_trigger: int = 1,
+    **sink_kwargs,
+) -> None:
+    """Drain a JSON-lines change feed into the versioned table with
+    ``Trigger.AvailableNow`` (one epoch per file at
+    ``max_files_per_trigger=1``), blocking until caught up."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(input_glob)
+    )
+    (
+        stream.writeStream.foreachBatch(
+            cdc_apply_sink(table_dir, key_col, **sink_kwargs)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,105 @@
+"""Streaming CDC apply onto a versioned snapshot table (cdc_stream).
+
+A 3-epoch change feed drives the sink; asserts the final snapshot, the
+per-epoch time-travel states, intra-epoch upsert+delete netting, and
+crash-replay convergence (re-applying an epoch commits a new version
+with IDENTICAL content)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from retail_data_pipeline_and_forecasting_system_spark.sources.versioned import (
+    current_version,
+    list_versions,
+    read_version,
+)
+from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+    cdc_apply_sink,
+    run_cdc_apply,
+)
+
+
+def _write_feed(in_dir):
+    in_dir.mkdir()
+    epochs = [
+        # epoch 0: two inserts
+        [
+            {"k": 1, "op": "upsert", "seq": 1, "val": "a"},
+            {"k": 2, "op": "upsert", "seq": 2, "val": "b"},
+        ],
+        # epoch 1: update 1, insert 3, delete 2; key 4 is upserted then
+        # deleted WITHIN the epoch (must net to absent)
+        [
+            {"k": 1, "op": "upsert", "seq": 3, "val": "a2"},
+            {"k": 3, "op": "upsert", "seq": 4, "val": "c"},
+            {"k": 2, "op": "delete", "seq": 5, "val": None},
+            {"k": 4, "op": "upsert", "seq": 6, "val": "ghost"},
+            {"k": 4, "op": "delete", "seq": 7, "val": None},
+        ],
+        # epoch 2: delete a never-present key (no-op), re-insert 2
+        [
+            {"k": 9, "op": "delete", "seq": 8, "val": None},
+            {"k": 2, "op": "upsert", "seq": 9, "val": "b2"},
+        ],
+    ]
+    for i, rows in enumerate(epochs):
+        p = in_dir / f"feed_{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        ts = time.time() - 1000 + i
+        os.utime(p, (ts, ts))
+
+
+def _snapshot(spark, table_dir, version=None):
+    return {
+        r["k"]: (r["val"], r["seq"])
+        for r in read_version(spark, table_dir, version).collect()
+    }
+
+
+def test_cdc_apply_maintains_versioned_snapshot(spark, tmp_path):
+    _write_feed(tmp_path / "in")
+    table = str(tmp_path / "table")
+    run_cdc_apply(
+        spark,
+        str(tmp_path / "in" / "*.json"),
+        table,
+        str(tmp_path / "ckpt"),
+    )
+    assert list_versions(table) == [1, 2, 3]
+    # time travel: one version per epoch
+    assert _snapshot(spark, table, 1) == {1: ("a", 1), 2: ("b", 2)}
+    assert _snapshot(spark, table, 2) == {1: ("a2", 3), 3: ("c", 4)}
+    assert _snapshot(spark, table) == {
+        1: ("a2", 3),
+        3: ("c", 4),
+        2: ("b2", 9),
+    }
+
+
+def test_cdc_replay_of_last_epoch_converges(spark, tmp_path):
+    """Crash replay re-runs only the LAST uncommitted epoch (Structured
+    Streaming's contract): re-applying the final batch against its own
+    committed output must produce a new version with IDENTICAL content
+    — same-value upserts and deletes of absent keys are no-ops."""
+    _write_feed(tmp_path / "in")
+    table = str(tmp_path / "table")
+    run_cdc_apply(
+        spark,
+        str(tmp_path / "in" / "*.json"),
+        table,
+        str(tmp_path / "ckpt"),
+    )
+    before = _snapshot(spark, table)
+    v_before = current_version(table)
+
+    epoch2 = spark.createDataFrame(
+        [(9, "delete", 8, None), (2, "upsert", 9, "b2")],
+        "k long, op string, seq long, val string",
+    )
+    cdc_apply_sink(table, "k")(epoch2, 2)
+
+    assert current_version(table) == v_before + 1
+    assert _snapshot(spark, table) == before
