@@ -79,6 +79,38 @@ def test_cdc_apply_maintains_versioned_snapshot(spark, tmp_path):
     }
 
 
+def test_cdc_random_feed_matches_dict_oracle(spark, tmp_path):
+    """Randomized feeds vs a sequential Python dict: after every epoch
+    the committed version must equal replaying the raw changes in seq
+    order into a dict (latest-wins upserts, deletes remove)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    table = str(tmp_path / "table")
+    sink = cdc_apply_sink(table, "k")
+    oracle: dict[int, tuple] = {}
+    seq = 0
+    for epoch in range(4):
+        rows = []
+        for _ in range(int(rng.integers(1, 12))):
+            k = int(rng.integers(0, 8))
+            seq += 1
+            if rng.random() < 0.3:
+                rows.append((k, "delete", seq, None))
+            else:
+                rows.append((k, "upsert", seq, f"v{seq}"))
+        batch = spark.createDataFrame(
+            rows, "k long, op string, seq long, val string"
+        )
+        sink(batch, epoch)
+        for k, op, s, v in rows:  # seq order == list order here
+            if op == "delete":
+                oracle.pop(k, None)
+            else:
+                oracle[k] = (v, s)
+        assert _snapshot(spark, table) == oracle, f"epoch {epoch}"
+
+
 def test_cdc_replay_of_last_epoch_converges(spark, tmp_path):
     """Crash replay re-runs only the LAST uncommitted epoch (Structured
     Streaming's contract): re-applying the final batch against its own
