@@ -8366,6 +8366,64 @@ def x25_nb_classifier(spark, sf):
     )
 
 
+@q(
+    "f_map_pack",
+    sql="""
+    WITH yearly AS (
+      SELECT o_orderpriority AS p,
+        CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS y,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1, 2
+    ), mp AS (
+      SELECT p,
+        map_from_entries(list(struct_pack(k := y, v := rev) ORDER BY y))
+          AS m
+      FROM yearly GROUP BY p
+    )
+    SELECT p, CAST(cardinality(m) AS INT) AS n_years,
+      element_at(m, 1995)[1] AS rev_1995,
+      array_to_string(map_keys(m), ',') AS years_csv,
+      map_values(m)[1] AS first_year_rev
+    FROM mp
+    """,
+    ref="MapType surface (the one Spark SQL type family the registry "
+    "had not exercised; the reference has no maps at all, SURVEY §1.2): "
+    "build a year->revenue map PER GROUP from an aggregation "
+    "(map_from_entries over an entry-sorted collect_list — sorting "
+    "before construction is what makes a map built from an unordered "
+    "agg deterministic), then probe it with element_at / map_keys / "
+    "map_values / cardinality. Maps never leave the query (scalar "
+    "projections only), keeping the driver hash comparable",
+    scale="two grouped aggs (year rollup, then per-key map build); the "
+    "map is model-sized (years per key), so collect_list here is "
+    "bounded by the calendar, not the fact table — the same bounded-"
+    "state argument as a11's collect over a capped group",
+)
+def f_map_pack(spark, sf):
+    yearly = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.year(F.to_date("o_orderdate")).cast("int").alias("y"),
+        )
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("rev"))
+    )
+    mp = yearly.groupBy("p").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("y", "rev")))
+        ).alias("m")
+    )
+    return mp.select(
+        "p",
+        F.size("m").cast("int").alias("n_years"),
+        F.element_at("m", F.lit(1995)).alias("rev_1995"),
+        F.array_join(
+            F.transform(F.map_keys("m"), lambda k: k.cast("string")), ","
+        ).alias("years_csv"),
+        F.element_at(F.map_values("m"), 1).alias("first_year_rev"),
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
