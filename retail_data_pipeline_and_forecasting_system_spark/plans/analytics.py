@@ -8438,11 +8438,16 @@ def f_map_pack(spark, sf):
 # quality/asof NULL-policy fixes cover dq1/dq2/j9, also in the 37) + 5
 # headline bench queries (a1/a5/q1/x5/q10 — a1 and q10 additionally
 # changed this round: agg-before-join rewrites) re-pinned under the
-# round-4 code. This round's NEW registrations (h2_gap_fill,
-# w9_rolling_median, d14_semantic_dedup, d15_incremental_semantic,
-# n7_knn_join, x24_gopher_gate, ops5_compaction_plan, h3_ewma, and any
-# later additions) land after position 50 and queue for the round-5
-# window; local oracle parity covers them every run.
+# round-4 code. This round's NEW registrations land after position 50
+# and queue for the ROUND-5 window — after CORRECTNESS_r04 lands green,
+# these 13 are the never-driver-verified set to rotate into the first
+# 50 (plus re-verification picks for whatever round 5 changes):
+# h2_gap_fill, w9_rolling_median, d14_semantic_dedup,
+# d15_incremental_semantic, n7_knn_join, x24_gopher_gate,
+# ops5_compaction_plan, h3_ewma, sq2_relational_division,
+# m9_seasonal_decompose, x25_nb_classifier, f_map_pack (and any other
+# entry registered below this comment). All are local-parity green at
+# sf0.001/0.01/0.1 under the exact-value check every run.
 _DRIVER_SAMPLE = [
     # never-driver-verified (r01-r03 windows rotated past them)
     "x14_pii_mask", "smp3_mixture_weights", "x15_sequence_pack",
