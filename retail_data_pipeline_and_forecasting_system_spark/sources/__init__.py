@@ -15,6 +15,7 @@ from .writers import (  # noqa: F401
     write_partitioned_parquet,
     write_single_csv,
     write_table_jdbc,
+    write_with_metrics,
 )
 from .synthetic_source import SyntheticEventsDataSource  # noqa: F401
 from .versioned import (  # noqa: F401

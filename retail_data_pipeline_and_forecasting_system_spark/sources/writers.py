@@ -12,7 +12,7 @@ import glob
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -209,3 +209,35 @@ def compact_partition(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "part-*.parquet")))
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, Column],
+    mode: str = "overwrite",
+) -> dict[str, object]:
+    """Write parquet while collecting pipeline metrics from the SAME
+    pass via ``Dataset.observe`` — no second scan.
+
+    ``metrics`` maps metric name -> aggregate Column (count, sum,
+    null-count, ...). The observation rides the write job: Spark
+    accumulates the aggregates on the executors as rows stream to the
+    files and delivers them to a query-execution listener when the
+    action finishes. The returned dict holds the observed values.
+
+    This is the production shape for write-audit counters (rows
+    written, revenue total, null-key count) at 100 TB: an explicit
+    ``df.agg(...)`` after the write would re-scan the whole output —
+    the observation is free.
+
+    Implementation note: ``Observation`` (pyspark.sql) wraps the
+    listener plumbing; ``observation.get`` blocks until the action's
+    metrics arrive, so this function is synchronous like the write.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    named = [c.alias(n) for n, c in metrics.items()]
+    df.observe(obs, named[0], *named[1:]).write.mode(mode).parquet(path)
+    return dict(obs.get)

@@ -272,3 +272,36 @@ def test_vacuum_never_drops_the_version_latest_points_to(spark, tmp_path):
     assert read_version(spark, tdir).count() == 20
     # the uncommitted orphan is left alone (write_version skips past it)
     assert os.path.isdir(os.path.join(tdir, "v=3"))
+
+
+def test_write_with_metrics_observes_the_write_pass(spark, tmp_path):
+    """Dataset.observe rides the write job: the returned metrics must
+    equal an independent aggregation of what landed on disk — computed
+    WITHOUT a second scan of the input."""
+    from pyspark.sql import functions as F
+
+    from retail_data_pipeline_and_forecasting_system_spark.sources import (
+        write_with_metrics,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id") * 2)
+        .alias("v"),
+    )
+    out = str(tmp_path / "observed")
+    got = write_with_metrics(
+        df,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.count(F.lit(1)) - F.count("v"),
+            "sum_id": F.sum("id"),
+        },
+    )
+    back = spark.read.parquet(out)
+    assert got["n_rows"] == back.count() == 1000
+    assert got["n_null_v"] == back.filter(F.col("v").isNull()).count() == 100
+    assert got["sum_id"] == 999 * 1000 // 2
