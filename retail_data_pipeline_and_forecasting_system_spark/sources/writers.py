@@ -237,6 +237,11 @@ def write_with_metrics(
     """
     from pyspark.sql import Observation
 
+    if not metrics:
+        raise ValueError(
+            "metrics must be non-empty — for an unobserved write use "
+            "df.write.parquet(path) directly"
+        )
     obs = Observation()
     named = [c.alias(n) for n, c in metrics.items()]
     df.observe(obs, named[0], *named[1:]).write.mode(mode).parquet(path)

@@ -71,11 +71,24 @@ def cdc_apply_sink(
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # no changes -> no new (identical) version committed
         spark = batch_df.sparkSession
         payload = [
             c for c in batch_df.columns if c not in (op_col,)
         ]  # key, seq, values — what the snapshot stores
-        w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc())
+        # seq is the collapse key; the contract says it is monotone per
+        # key, but nothing upstream enforces uniqueness, so break seq
+        # ties deterministically: delete-before-upsert ('delete' < 'upsert'
+        # ascending -> delete wins the tie, the conservative read of an
+        # ambiguous feed), then the payload columns so even two same-seq
+        # upserts collapse to a stable winner.
+        tiebreak = [F.col(op_col).asc()] + [
+            F.col(c).asc_nulls_first() for c in payload if c != key_col
+        ]
+        w = Window.partitionBy(key_col).orderBy(
+            F.col(seq_col).desc(), *tiebreak
+        )
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

@@ -29,12 +29,18 @@ corpus — the verdict semantics do not depend on WHICH model assigned
 the cells, only that batch and corpus share one, which refit-per-epoch
 guarantees.
 
-Scale: per epoch the batch is cell-assigned map-only (k x dim literal
-matrix); candidates are only (new x corpus) and (new x earlier-new)
-same-cell collisions — corpus x corpus is already deduped by induction
-and never rescored, so epoch cost is O(batch x colliding-cell corpus)
-no matter how old the corpus grows. Salt-sharding keeps few-big-cells
-spread across the cluster.
+Scale: the CANDIDATE JOIN is the part that stays flat — candidates are
+only (new x corpus) and (new x earlier-new) same-cell collisions;
+corpus x corpus is already deduped by induction and never rescored, so
+pair-scoring cost is O(batch x colliding-cell corpus) regardless of
+corpus age. The refit-per-epoch model lifecycle above is NOT flat: the
+k-means refit (n_iter full passes) and the corpus cell-assignment are
+each O(corpus) scans per epoch — acceptable for this self-contained
+example, but a long-lived service should switch to the incremental
+model maintenance already described (mini-batch k-means or a
+slower-cadence versioned refresh), which removes the only O(corpus)
+terms and leaves the flat candidate join. Salt-sharding keeps
+few-big-cells spread across the cluster.
 """
 
 from __future__ import annotations
@@ -51,7 +57,7 @@ from ..operators.similarity import incremental_semantic_dedup, kmeans_lloyd
 def incremental_semantic_sink(
     corpus_dir: str,
     verdicts_dir: str,
-    k: int = 4,
+    k: int | str = 4,  # "auto" -> k ~ sqrt(corpus) via similarity.auto_k
     n_iter: int = 2,
     threshold: float = 0.35,
     id_col: str = "vec_id",

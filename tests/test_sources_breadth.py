@@ -305,3 +305,17 @@ def test_write_with_metrics_observes_the_write_pass(spark, tmp_path):
     assert got["n_rows"] == back.count() == 1000
     assert got["n_null_v"] == back.filter(F.col("v").isNull()).count() == 100
     assert got["sum_id"] == 999 * 1000 // 2
+
+
+def test_write_with_metrics_rejects_empty_metrics(spark, tmp_path):
+    """An empty metrics dict is a caller bug (use a plain write) — the
+    error must be a clear ValueError, not a bare IndexError from
+    named[0]."""
+    import pytest
+
+    from retail_data_pipeline_and_forecasting_system_spark.sources import (
+        write_with_metrics,
+    )
+
+    with pytest.raises(ValueError, match="metrics must be non-empty"):
+        write_with_metrics(spark.range(3), str(tmp_path / "nope"), {})

@@ -111,6 +111,45 @@ def test_cdc_random_feed_matches_dict_oracle(spark, tmp_path):
         assert _snapshot(spark, table) == oracle, f"epoch {epoch}"
 
 
+def test_cdc_duplicate_seq_collapses_deterministically(spark, tmp_path):
+    """The contract says seq is monotone per key, but nothing enforces
+    uniqueness — a tie must collapse to a DETERMINISTIC winner:
+    delete-before-upsert ('delete' < 'upsert'), then payload order for
+    same-seq upserts. Apply the same ambiguous batch to two fresh
+    tables and assert identical (and specifically-predicted) state."""
+    rows = [
+        # key 1: upsert and delete share seq 5 -> delete wins (op asc)
+        (1, "upsert", 5, "alive"),
+        (1, "delete", 5, None),
+        # key 2: two upserts share seq 7 -> lowest payload wins (val asc)
+        (2, "upsert", 7, "zzz"),
+        (2, "upsert", 7, "aaa"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "k long, op string, seq long, val string"
+    )
+    states = []
+    for name in ("t_a", "t_b"):
+        table = str(tmp_path / name)
+        cdc_apply_sink(table, "k")(batch, 0)
+        states.append(_snapshot(spark, table))
+    assert states[0] == states[1] == {2: ("aaa", 7)}
+
+
+def test_cdc_empty_batch_commits_no_version(spark, tmp_path):
+    """An empty micro-batch (streaming frameworks emit them) must not
+    commit a new identical version — version history stays one entry
+    per EFFECTIVE epoch."""
+    table = str(tmp_path / "table")
+    sink = cdc_apply_sink(table, "k")
+    schema = "k long, op string, seq long, val string"
+    sink(spark.createDataFrame([(1, "upsert", 1, "a")], schema), 0)
+    v = current_version(table)
+    sink(spark.createDataFrame([], schema), 1)
+    assert current_version(table) == v
+    assert _snapshot(spark, table) == {1: ("a", 1)}
+
+
 def test_cdc_replay_of_last_epoch_converges(spark, tmp_path):
     """Crash replay re-runs only the LAST uncommitted epoch (Structured
     Streaming's contract): re-applying the final batch against its own
