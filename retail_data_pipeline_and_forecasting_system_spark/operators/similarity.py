@@ -23,6 +23,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt_partitions(df: DataFrame, salt: int) -> int:
+    """Partition count for a salted block join's probe-side repartition.
+
+    ``4 * salt`` alone can PIN the join below the cluster's parallelism
+    when salt is small (repartition(8) on a 32-core session leaves 24
+    cores idle — the opposite of what salting is for), so never go below
+    the session's ``spark.sql.shuffle.partitions``.
+    """
+    default = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    return max(4 * salt, default)
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential-fold dot product in double precision (deterministic)."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -142,7 +156,11 @@ def cosine_pairs_blocked(
     else:
         a = a.withColumn(
             "__shard", F.pmod(F.xxhash64("vec_a"), F.lit(salt))
-        ).repartition(4 * salt, F.col("__blk"), F.col("__shard"))
+        ).repartition(
+            _salt_partitions(embeddings, salt),
+            F.col("__blk"),
+            F.col("__shard"),
+        )
         b = b.withColumn(
             "__shard",
             F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1))),
@@ -328,15 +346,40 @@ def ivf_topk(
     )
 
 
+def auto_k(n: int, target_cell_size: int = 32) -> int:
+    """SemDeDup's k ~ sqrt(n) regime as a formula: k =
+    ceil(sqrt(n / target_cell_size)), floored at 1.
+
+    With k on this law, expected cell size is sqrt(n * target) and the
+    cell-blocked pair join does n^2/k = n^1.5 * sqrt(target) work — the
+    per-CELL work (cell_size^2 = n * target) grows only linearly in n,
+    so the quadratic term a FIXED k suffers at scale vanishes
+    (SCALE.md's measured n^2/k law and its cure). Pure float math
+    (division, sqrt, ceil are all IEEE-correctly-rounded), so an oracle
+    computing ``ceil(sqrt(count(*) / target.0))`` lands on the same k
+    bit-for-bit.
+    """
+    import math
+
+    return max(1, math.ceil(math.sqrt(n / float(target_cell_size))))
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
-    k: int = 16,
+    k: int | str = 16,
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact_mean: bool = False,
+    target_cell_size: int = 32,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over an embedding column.
+
+    ``k="auto"`` derives k from one cheap ``count()`` via
+    :func:`auto_k` (k = ceil(sqrt(n / target_cell_size))) so callers
+    building SemDeDup cells never pin a k that stops scaling — the
+    count is a columnless scan (parquet answers it from footer
+    metadata), trivial beside the n_iter full passes of the fit.
 
     Init = first ``k`` vectors by id (no RNG → rerun-identical); each
     iteration assigns points to their nearest centroid in a MAP-ONLY
@@ -361,6 +404,8 @@ def kmeans_lloyd(
     double avg for callers that only need a quantizer.)
     """
     spark = embeddings.sparkSession
+    if k == "auto":
+        k = auto_k(embeddings.count(), target_cell_size)
     cents_rows = (
         embeddings.orderBy(id_col)
         .limit(k)
@@ -508,7 +553,11 @@ def incremental_semantic_dedup(
     else:
         c = c.withColumn(
             "__shard", F.pmod(F.xxhash64("corpus_id"), F.lit(salt))
-        ).repartition(4 * salt, F.col("__blk"), F.col("__shard"))
+        ).repartition(
+            _salt_partitions(embeddings, salt),
+            F.col("__blk"),
+            F.col("__shard"),
+        )
         n = n.withColumn(
             "__shard",
             F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1))),

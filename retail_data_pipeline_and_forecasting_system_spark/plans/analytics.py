@@ -6495,10 +6495,11 @@ def _l2_list_sql(a: str, b: str) -> str:
 
 
 def _kmeans_af_ctes(
-    k: int = 4,
+    k: int | str = 4,
     n_iter: int = 2,
     source_where: str = "",
     init_order_limit: bool = False,
+    target_cell_size: int = 32,
 ) -> str:
     """Unrolled Lloyd k-means as pure SQL CTEs: one (assignment,
     exact-mean, rebuild) trio per iteration, ending with ``af``
@@ -6510,11 +6511,27 @@ def _kmeans_af_ctes(
     ingest). ``source_where`` restricts the fit set;
     ``init_order_limit`` switches the first-k init from the dense-id
     predicate to an explicit ORDER BY/LIMIT (needed when the fit set's
-    ids are not 0..k-1 — both match kmeans_lloyd's first-k-by-id)."""
+    ids are not 0..k-1 — both match kmeans_lloyd's first-k-by-id).
+
+    ``k="auto"`` mirrors ``similarity.auto_k``: k =
+    ceil(sqrt(count(*) / target_cell_size)) computed IN SQL over the
+    fit set (a ``kk`` CTE), init switched to a window-ranked first-k —
+    division, sqrt and ceil are IEEE-correctly-rounded in both engines,
+    so the SQL k equals the engine's k bit-for-bit at every scale."""
 
     l2 = _l2_list_sql
 
-    if init_order_limit:
+    if k == "auto":
+        c0 = f"""kk AS (
+      SELECT GREATEST(1, CAST(ceil(sqrt(count(*) / {target_cell_size}.0))
+                          AS INT)) AS k
+      FROM e),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM e
+      QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk))"""
+    elif init_order_limit:
         # first k by id of the fit set, renumbered 0..k-1 to match the
         # engine's enumerate(centroids)
         c0 = f"""c0 AS (
@@ -7695,7 +7712,7 @@ def w9_rolling_median(spark, sf):
 
 @q(
     "d14_semantic_dedup",
-    sql=_kmeans_af_ctes(4, 2)
+    sql=_kmeans_af_ctes("auto", 2)
     + f""",
     dropped AS (
       SELECT b.vec_id
@@ -7719,19 +7736,23 @@ def w9_rolling_median(spark, sf):
     "dropped; one-pass upper-bounds the drops and needs no iteration). "
     "Shares the exact-mean Lloyd fit + oracle CTEs with k1",
     scale="the cell assignment is map-only (k x dim literal matrix, no "
-    "shuffle); the pair join is cell-blocked (sum cell^2, never n^2) — at "
-    "100 TB raise k ~ sqrt(n) (the paper's regime) so cells stay bounded "
-    "and the quadratic term vanishes; the drop-list join is an equi-join "
-    "on the corpus key (NOT broadcast: the drop list grows with the "
-    "corpus, so it must shuffle-join co-partitioned on vec_id)",
+    "shuffle); the pair join is cell-blocked (sum cell^2, never n^2) and "
+    "k is AUTO (k = ceil(sqrt(n/32)) from one cheap count — "
+    "similarity.auto_k, mirrored bit-for-bit by the oracle's kk CTE), "
+    "the paper's k ~ sqrt(n) regime, so per-cell work stays linear in n "
+    "and the quadratic term a fixed k suffers at 100 TB never appears; "
+    "the drop-list join is an equi-join on the corpus key (NOT "
+    "broadcast: the drop list grows with the corpus, so it must "
+    "shuffle-join co-partitioned on vec_id)",
 )
 def d14_semantic_dedup(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    cents = SIM.kmeans_lloyd(emb, k=4, n_iter=2, exact_mean=True)
+    cents = SIM.kmeans_lloyd(emb, k="auto", n_iter=2, exact_mean=True)
     cells = SIM.assign_cells(emb, cents)
-    # salt=32: with k=4 the cells are few and big, so the unsalted block
-    # join would score every pair of a cell in ONE task (measured 16 s
-    # for 500k pairs at sf0.1); sharding spreads each cell 32 ways
+    # salt=32: even with auto-k the cells can be few and big at small n,
+    # so the unsalted block join would score every pair of a cell in ONE
+    # task (measured 16 s for 500k pairs at sf0.1); sharding spreads
+    # each cell 32 ways (floored at the session's shuffle parallelism)
     pairs = SIM.cosine_pairs_blocked(
         cells, threshold=0.35, block_col="cent_id", salt=32
     )
@@ -7750,7 +7771,7 @@ def d14_semantic_dedup(spark, sf):
 @q(
     "d15_incremental_semantic",
     sql=_kmeans_af_ctes(
-        4, 2, source_where=" WHERE vec_id % 5 <> 0", init_order_limit=True
+        "auto", 2, source_where=" WHERE vec_id % 5 <> 0"
     )
     + f""",
     newv AS (
@@ -7810,7 +7831,9 @@ def d15_incremental_semantic(spark, sf):
     emb = _t(spark, sf, "embeddings")
     new_pred = F.pmod(F.col("vec_id"), F.lit(5)) == 0
     corpus = emb.filter(~new_pred)
-    cents = SIM.kmeans_lloyd(corpus, k=4, n_iter=2, exact_mean=True)
+    # auto-k on the FIT SET (the accepted corpus) — the oracle's kk CTE
+    # counts the same WHERE-filtered set, so both land on the same k
+    cents = SIM.kmeans_lloyd(corpus, k="auto", n_iter=2, exact_mean=True)
     return SIM.incremental_semantic_dedup(
         emb, new_pred, cents, threshold=0.35, salt=16
     )
