@@ -2,10 +2,14 @@
 
 Images/audio/video ride through Spark as ``binary`` columns with struct
 metadata. The *plumbing* — schema, Arrow batch shape, ``mapInPandas``
-signature, partitioning — is real and tested; the actual codec call is
-stubbed (image/audio libraries are not in this container) behind
-``FAKE_DECODE``: a deterministic function of the bytes, so tests and SQL
-oracles can verify the pipeline end-to-end.
+signature, partitioning — is real and tested, and IMAGE decode is real
+too: a stdlib-only PNG/PPM/PGM codec (:mod:`operators.imagecodec` —
+zlib + struct + scanline unfiltering; no PIL in this container) behind
+format sniffing in ``_decode_batch`` and the full
+:func:`decode_media_real` path. Payloads that aren't a supported image
+(the synthetic text-bytes test rows; audio/video, whose codecs genuinely
+aren't installable here) keep a deterministic stub: a pure function of
+the bytes, so tests and SQL oracles verify the pipeline end-to-end.
 
 At scale: binary payloads dominate partition size, so the reader should cap
 ``spark.sql.files.maxPartitionBytes`` and the decode stage is a
@@ -42,12 +46,22 @@ def _fake_dims(n_bytes: pd.Series) -> tuple[pd.Series, pd.Series]:
 
 
 def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """The codec slot. Replace the body with a real decoder (e.g. PIL) —
-    signature and output schema stay fixed."""
+    """The codec slot: REAL stdlib decode (PNG/PPM/PGM via
+    operators.imagecodec — zlib + struct, all filter types, CRC-checked)
+    behind format sniffing; payloads that aren't a supported image (the
+    synthetic text-bytes rows) keep the deterministic stub dims so the
+    SQL oracles stay exact."""
     import hashlib
+
+    from . import imagecodec
 
     n_bytes = batch["payload"].map(len)
     width, height = _fake_dims(n_bytes)
+    width, height = list(width), list(height)
+    for i, payload in enumerate(batch["payload"]):
+        if imagecodec.sniff_format(bytes(payload)) is not None:
+            img = imagecodec.decode_image(bytes(payload))
+            width[i], height[i] = img.width, img.height
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
@@ -55,8 +69,8 @@ def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
             "content_md5": batch["payload"].map(
                 lambda b: hashlib.md5(bytes(b)).hexdigest()
             ),
-            "width": width.astype("int32"),
-            "height": height.astype("int32"),
+            "width": pd.Series(width, index=batch.index).astype("int32"),
+            "height": pd.Series(height, index=batch.index).astype("int32"),
         }
     )
 
@@ -102,12 +116,112 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
-def decode_media_real(df: DataFrame) -> DataFrame:  # pragma: no cover
-    """Real-codec path: raises until a decoder library is provided."""
-    raise NotImplementedError(
-        "No media codec available in this environment; use decode_media() "
-        "(deterministic stub) or replace _decode_batch with a real decoder."
-    )
+REAL_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("pixel_md5", T.StringType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_media_real(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL decode path — stdlib PNG/PPM/PGM codec
+    (:mod:`operators.imagecodec`), no external library.
+
+    Emits per-image typed metadata plus two pixel-derived columns that
+    prove the decode actually ran: ``pixel_md5`` (md5 of the raw decoded
+    pixel bytes — filter-independent, so the same image encoded with
+    different PNG filters hashes identically) and ``mean_luma`` (mean of
+    all samples, double). Non-image / unsupported payloads yield NULL
+    metadata rows (``format`` NULL) unless ``strict=True``, which
+    re-raises — a 100 TB corpus must quarantine bad payloads, not die.
+
+    Same plumbing as :func:`decode_media`: partition-local Arrow-batched
+    mapInPandas, no shuffle.
+    """
+    import hashlib
+
+    from . import imagecodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {k.name: [] for k in REAL_DECODED_SCHEMA}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                data = bytes(payload)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(data))
+                try:
+                    img = imagecodec.decode_image(data)
+                except ValueError:
+                    if strict:
+                        raise
+                    for k in (
+                        "format", "width", "height", "channels",
+                        "pixel_md5", "mean_luma",
+                    ):
+                        out[k].append(None)
+                    continue
+                out["format"].append(img.format)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["channels"].append(img.channels)
+                out["pixel_md5"].append(hashlib.md5(img.pixels).hexdigest())
+                out["mean_luma"].append(
+                    sum(img.pixels) / len(img.pixels) if img.pixels else None
+                )
+            yield pd.DataFrame(out).astype(
+                {
+                    "n_bytes": "int32",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "channels": "Int32",
+                    "mean_luma": "float64",
+                }
+            )
+
+    return df.mapInPandas(run, schema=REAL_DECODED_SCHEMA)
+
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def synthesize_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-PNG payload synthesis (test corpus builder):
+    each id becomes a genuine Paeth-filtered, zlib-compressed 8-bit
+    grayscale PNG of ``(4 + id%13) x (3 + id%11)`` uniform pixels valued
+    ``32 + id%95`` (printable-ASCII range so a SQL oracle can md5 the
+    same pixel bytes via ``repeat(chr(v), n)``). Decoding these through
+    :func:`decode_media_real` closes a real compress->decompress->
+    unfilter loop on the executors — not a stub.
+
+    Partition-local mapInPandas, no shuffle; mirrors the shape of a real
+    payload fetch (id -> bytes).
+    """
+    from .imagecodec import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h, v = int(4 + i % 13), int(3 + i % 11), int(32 + i % 95)
+                payloads.append(
+                    encode_png(w, h, 1, bytes([v]) * (w * h), filter_type=4)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(run, schema=PAYLOAD_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

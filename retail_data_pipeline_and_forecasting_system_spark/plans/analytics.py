@@ -2043,6 +2043,41 @@ def m5_media_features(spark, sf):
 
 
 @q(
+    "m10_real_image_decode",
+    sql="""
+    SELECT doc_id, 'png' AS format,
+      CAST(4 + doc_id % 13 AS INT) AS width,
+      CAST(3 + doc_id % 11 AS INT) AS height,
+      CAST(1 AS INT) AS channels,
+      md5(repeat(chr(CAST(32 + doc_id % 95 AS INT)),
+                 CAST((4 + doc_id % 13) * (3 + doc_id % 11) AS INT)))
+        AS pixel_md5,
+      CAST(32 + doc_id % 95 AS DOUBLE) AS mean_luma
+    FROM documents
+    """,
+    ref="LLM-ops: REAL image decode, no stub — per-doc payloads are "
+    "genuine Paeth-filtered zlib-compressed PNGs (synthesize_png_"
+    "payloads) decoded by the stdlib codec (operators/imagecodec.py: "
+    "chunk walk + CRC verify + inflate + unfilter; validated against "
+    "externally-produced PNGs in tests/test_imagecodec.py), surfacing "
+    "true dims + pixel_md5 + mean_luma; the oracle recomputes the "
+    "pixel bytes in closed form (uniform value 32 + id%95) so the "
+    "executor-side decompress->unfilter loop is exact-value checked",
+    scale="both stages are partition-local mapInPandas (synthesize, "
+    "decode): zero shuffle, Arrow-batched, CPU-bound — the decode slot "
+    "a real PIL/ffmpeg deployment fills with the same plumbing; cap "
+    "spark.sql.files.maxPartitionBytes when payloads dominate rows",
+)
+def m10_real_image_decode(spark, sf):
+    ids = _t(spark, sf, "documents").select("doc_id")
+    decoded = MM.decode_media_real(MM.synthesize_png_payloads(ids))
+    return decoded.select(
+        "doc_id", "format", "width", "height", "channels",
+        "pixel_md5", "mean_luma",
+    )
+
+
+@q(
     "g5_unpivot",
     sql="""
     SELECT p_partkey, metric, CAST(val AS DOUBLE) AS val FROM (
