@@ -29,7 +29,18 @@ same values and deletes of already-absent keys are no-ops, so the
 replayed epoch commits a new version whose CONTENT equals the crashed
 attempt's (the version counter advances — same contract as the
 epoch-keyed delete-then-insert JDBC sink, where replay converges rather
-than dedupes). A vacuum policy (``vacuum_versions``) bounds history.
+than dedupes). The apply is additionally SEQUENCE-GUARDED: each change
+is dropped unless its seq >= the snapshot's last applied seq for that
+key, so even a MID-HISTORY re-fire (lost checkpoint, feed re-drain
+replaying epoch k of n) converges for every key the snapshot holds —
+the stale epoch's deletes cannot clobber newer upserts; only the
+guard's no-op version advances. (The one shape needing more machinery
+is delete-resurrection: a stale upsert of a key deleted LATER finds no
+seq watermark and re-inserts — production table formats keep tombstones
+for exactly this. Last-epoch replay, Structured Streaming's actual
+contract, never hits it: the replayed epoch's seqs are the highest
+applied, so the guard passes its changes untouched.) A vacuum policy
+(``vacuum_versions``) bounds history.
 
 Scale: the merge is one full-outer shuffle of snapshot x batch on the
 key (batch side is epoch-sized — AQE broadcasts it); the snapshot
@@ -94,13 +105,36 @@ def cdc_apply_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        ups = latest.filter(F.col(op_col) == "upsert").select(payload)
-        dels = latest.filter(F.col(op_col) == "delete").select(key_col)
-
         if current_version(table_dir) is None:
-            cur = spark.createDataFrame([], ups.schema)
+            cur = spark.createDataFrame(
+                [], latest.select(payload).schema
+            )
         else:
             cur = read_version(spark, table_dir)
+
+        # SEQUENCE GUARD — the snapshot stores the last applied seq per
+        # key, so drop any change OLDER than what the key already holds
+        # (seq >= survives: a crash-replayed epoch re-applies its own
+        # changes as no-ops). This makes the apply safe for ANY replay,
+        # not just the last epoch: a mid-history re-fire (lost
+        # checkpoint, feed re-drain) carries stale seqs that the guard
+        # filters out, instead of its deletes clobbering newer upserts.
+        # Cost: one equi-join of the epoch-sized batch against the
+        # snapshot's (key, seq) projection — AQE broadcasts the batch.
+        guard = cur.select(
+            F.col(key_col), F.col(seq_col).alias("__cur_seq")
+        )
+        latest = (
+            latest.join(guard, key_col, "left")
+            .filter(
+                F.col("__cur_seq").isNull()
+                | (F.col(seq_col) >= F.col("__cur_seq"))
+            )
+            .drop("__cur_seq")
+        )
+
+        ups = latest.filter(F.col(op_col) == "upsert").select(payload)
+        dels = latest.filter(F.col(op_col) == "delete").select(key_col)
 
         merged = merge_upsert(
             cur,

@@ -150,6 +150,48 @@ def test_cdc_empty_batch_commits_no_version(spark, tmp_path):
     assert _snapshot(spark, table) == {1: ("a", 1)}
 
 
+def test_cdc_midhistory_replay_is_sequence_guarded(spark, tmp_path):
+    """Re-firing epoch 1 of 3 AFTER the full feed ran (lost checkpoint /
+    feed re-drain — beyond Structured Streaming's last-epoch contract):
+    the seq guard must drop every stale change, so the snapshot content
+    is unchanged. Without the guard, epoch 1's `delete k=2 (seq 5)`
+    would clobber epoch 2's newer `upsert k=2 -> b2 (seq 9)`."""
+    _write_feed(tmp_path / "in")
+    table = str(tmp_path / "table")
+    run_cdc_apply(
+        spark,
+        str(tmp_path / "in" / "*.json"),
+        table,
+        str(tmp_path / "ckpt"),
+    )
+    final = _snapshot(spark, table)
+    assert final[2] == ("b2", 9)  # epoch 2's upsert, newer than the delete
+
+    epoch1 = spark.createDataFrame(
+        [
+            (1, "upsert", 3, "a2"),
+            (3, "upsert", 4, "c"),
+            (2, "delete", 5, None),
+            (4, "upsert", 6, "ghost"),
+            (4, "delete", 7, None),
+        ],
+        "k long, op string, seq long, val string",
+    )
+    cdc_apply_sink(table, "k")(epoch1, 1)
+    assert _snapshot(spark, table) == final
+    # and a mid-history refire composed with a LIVE later change still
+    # orders correctly: a fresh upsert (max seq) applies while the stale
+    # delete from the same batch is guarded out
+    mixed = spark.createDataFrame(
+        [(2, "delete", 5, None), (3, "upsert", 100, "c9")],
+        "k long, op string, seq long, val string",
+    )
+    cdc_apply_sink(table, "k")(mixed, 99)
+    want = dict(final)
+    want[3] = ("c9", 100)
+    assert _snapshot(spark, table) == want
+
+
 def test_cdc_replay_of_last_epoch_converges(spark, tmp_path):
     """Crash replay re-runs only the LAST uncommitted epoch (Structured
     Streaming's contract): re-applying the final batch against its own

@@ -140,3 +140,49 @@ def test_semantic_ingest_replay_converges(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         == conf_before
     )
+
+
+def test_semantic_ingest_first_epoch_refire_converges(spark, tmp_path):
+    """Mid-history replay from the OTHER end: re-fire epoch 0 of 3 after
+    the whole feed ran. The refired batch dedups against a corpus that
+    now contains LATER batches (1's and 2's admissions) but not its own
+    partition; because every later vector near epoch 0's admissions was
+    itself rejected at admission time (corpus-wins ordering), the
+    verdict SEMANTICS (status, match_id) and both stores must converge.
+    cent_id is excluded: it is model metadata, and the refit's fit set
+    legitimately differs (first run fit on the batch itself — the corpus
+    was empty; the refire fits on the now-populated corpus)."""
+    _write_feed(tmp_path / "in")
+    corpus_dir = str(tmp_path / "corpus")
+    verdicts_dir = str(tmp_path / "verdicts")
+    run_semantic_ingest(
+        spark,
+        str(tmp_path / "in" / "*.json"),
+        corpus_dir,
+        verdicts_dir,
+        str(tmp_path / "ckpt"),
+    )
+    def verdict_semantics():
+        return sorted(
+            (r["vec_id"], r["status"], r["match_id"], r["batch_id"])
+            for r in spark.read.parquet(verdicts_dir).collect()
+        )
+
+    before_v = verdict_semantics()
+    before_c = sorted(
+        (r["vec_id"], r["batch_id"])
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+
+    epoch0 = spark.createDataFrame(
+        [(1, A), (2, B)], "vec_id long, embedding array<double>"
+    )
+    incremental_semantic_sink(corpus_dir, verdicts_dir)(epoch0, 0)
+
+    after_v = verdict_semantics()
+    after_c = sorted(
+        (r["vec_id"], r["batch_id"])
+        for r in spark.read.parquet(corpus_dir).collect()
+    )
+    assert after_v == before_v
+    assert after_c == before_c
