@@ -27,7 +27,7 @@ before the join, and AQE skew splitting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import (
@@ -595,3 +595,67 @@ def containment_pairs(
         (F.col("n_common") / F.col("n_b")).alias("containment"),
     )
     return fwd.union(rev).filter(F.col("containment") >= threshold)
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Sub-document exact dedup, RefinedWeb/CCNet line-dedup style: cut
+    each document into fixed-width word segments, drop every segment
+    whose exact content appeared earlier in the corpus (first occurrence
+    by (id, position) wins — including earlier in the SAME document),
+    and reassemble the surviving text.
+
+    Web-pipeline line dedup removes boilerplate (nav bars, cookie
+    banners) that document-level dedup never sees; this corpus has no
+    newlines, so the segment is a ``seg_words``-word window — the same
+    operator applies to real line/paragraph splits by swapping the
+    splitter.
+
+    Output: (id, n_segs, n_kept, text_dedup) — text_dedup is the kept
+    segments joined in document order ("" when everything was seen
+    before).
+
+    Scale: segmentation is row-local array math (split + slice, no
+    Python); the first-occurrence rank is ONE window shuffle keyed on
+    the segment text (per-key row count = duplicate count, so skew is
+    bounded by the most-copied segment — a heavy boilerplate line lands
+    one task, switch the rank to a groupBy-min + join if one segment
+    dominates a corpus); reassembly is one doc-keyed aggregation. At
+    100 TB, key the window on md5(segment) so shuffle rows carry a
+    16-byte key instead of the text.
+    """
+    w = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(w) / F.lit(seg_words)).cast("int")
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(
+                    F.slice(w, i * seg_words + 1, seg_words), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    first = Window.partitionBy("seg").orderBy(id_col, "seg_idx")
+    ranked = segs.withColumn(
+        "__keep", F.row_number().over(first) == 1
+    )
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("seg_idx"), F.col("seg"))
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_segs"),
+        F.sum(F.col("__keep").cast("int")).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)),
+                lambda s: s.getField("seg"),
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

@@ -110,6 +110,41 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: scan the query's bucket AND every
+    Hamming-distance-1 neighbor bucket (flip each of the ``n_bits``
+    hyperplane signs once) — the standard recall fix for single-probe
+    LSH (Lv et al., VLDB'07): a near neighbor on the far side of ONE
+    hyperplane lands in a bucket differing in exactly that bit.
+
+    Candidates grow from ~n/2^b to ~(b+1)·n/2^b — still sublinear —
+    and the probe set is a LITERAL IN-list over the bucket column, so
+    at 100 TB (bucket = partition/cluster key) this is a (b+1)-partition
+    read, no shuffle before the final top-k.
+
+    Output: (id, cos_sim) top-k by cosine, ties by id.
+    """
+    qbucket = sum((1 << i) for i, v in enumerate(query_vec[:n_bits]) if v > 0)
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(n_bits)]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    bucketed = embeddings.withColumn(
+        "__bucket", sign_lsh_bucket(vec_col, n_bits)
+    )
+    return (
+        bucketed.filter(F.col("__bucket").isin(probes))
+        .select(id_col, cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs_blocked(
     embeddings: DataFrame,
     threshold: float,

@@ -8,7 +8,7 @@ oracle. At 100 TB each is a single scan + one hash-aggregate keyed on doc id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import explode_tokens, word_shingles
@@ -238,6 +238,77 @@ def repetition_signals(
         (F.max("cnt").cast("double") / n_words.cast("double")).alias(
             "top_word_share"
         ),
+    )
+
+
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher's n-GRAM repetition rules (Rae et al. 2021 §A1.1), the
+    phrase-level complement to :func:`repetition_signals`' word-level
+    fractions: per document, the top n-gram's share of all n-gram
+    instances and the fraction of instances whose n-gram occurs more
+    than once, for n = 2 and 3. ("buy cheap pills buy cheap pills ..."
+    has modest word repetition but saturates these.)
+
+    Output: (id, n_bigrams, top_bigram_share, dup_bigram_frac,
+    n_trigrams, top_trigram_share, dup_trigram_frac).
+
+    Scale: n-gram construction is row-local array math (zip_with over
+    shifted slices — no Python, no explode until counting); both sizes
+    ride ONE explode and one (doc, n, gram)-keyed count with map-side
+    combine, then a doc-keyed conditional rollup — one shuffle chain
+    for all four signals, same shape as repetition_signals.
+    """
+    w = F.split(F.lower(F.col(text_col)), "\\s+")
+    n = F.size(w)
+
+    def grams(order: int) -> Column:
+        # slice length floored at 0 so a doc shorter than the order
+        # yields no grams instead of an ANSI negative-length error
+        glen = F.greatest(n - (order - 1), F.lit(0))
+        parts = [F.slice(w, i + 1, glen) for i in range(order)]
+        g = parts[0]
+        for p in parts[1:]:
+            g = F.zip_with(g, p, lambda a, b: F.concat_ws(" ", a, b))
+        return g
+
+    tagged = df.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform(grams(2), lambda g: F.struct(
+                    F.lit(2).alias("order"), g.alias("gram"))),
+                F.transform(grams(3), lambda g: F.struct(
+                    F.lit(3).alias("order"), g.alias("gram"))),
+            )
+        ).alias("t"),
+    ).select(id_col, F.col("t.order").alias("order"), F.col("t.gram").alias("gram"))
+    counted = tagged.groupBy(id_col, "order", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = F.sum("cnt")
+
+    def share(order: int, expr: Column) -> Column:
+        return F.max(F.when(F.col("order") == order, expr))
+
+    per_order = counted.groupBy(id_col, "order").agg(
+        tot.alias("n_grams"),
+        (F.max("cnt").cast("double") / tot).alias("top_share"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            .cast("double") / tot
+        ).alias("dup_frac"),
+    )
+    return per_order.groupBy(id_col).agg(
+        share(2, F.col("n_grams")).cast("int").alias("n_bigrams"),
+        share(2, F.col("top_share")).alias("top_bigram_share"),
+        share(2, F.col("dup_frac")).alias("dup_bigram_frac"),
+        share(3, F.col("n_grams")).cast("int").alias("n_trigrams"),
+        share(3, F.col("top_share")).alias("top_trigram_share"),
+        share(3, F.col("dup_frac")).alias("dup_trigram_frac"),
     )
 
 

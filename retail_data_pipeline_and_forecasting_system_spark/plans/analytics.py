@@ -8482,53 +8482,177 @@ def f_map_pack(spark, sf):
     )
 
 
+# ------------------- round-5 additions: segment dedup, multiprobe ANN,
+# ------------------- n-gram repetition, real image decode (m10 above)
+
+
+@q(
+    "d16_segment_dedup",
+    sql="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, CAST(i AS INT) AS seg_idx,
+        array_to_string(w[(i*10+1):(i*10+10)], ' ') AS seg
+      FROM (
+        SELECT doc_id, w,
+          unnest(range(CAST(ceil(len(w)/10.0) AS INT))) AS i
+        FROM words
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+        row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+      CAST(count(*) AS INT) AS n_segs,
+      CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+      coalesce(
+        string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx),
+        ''
+      ) AS text_dedup
+    FROM ranked GROUP BY doc_id
+    """,
+    ref="LLM-ops: sub-document exact dedup (RefinedWeb/CCNet line-dedup "
+    "shape): 10-word segments, corpus-wide first-occurrence-wins drop, "
+    "reassembled surviving text — catches boilerplate that document-"
+    "level d1 never sees (operators/dedup.py segment_dedup)",
+    scale="segmentation is row-local split+slice (no Python); first-"
+    "occurrence rank is ONE window shuffle keyed on the segment (skew "
+    "bounded by the most-copied segment; groupBy-min+join swap if one "
+    "boilerplate line dominates); reassembly one doc-keyed agg — at "
+    "100 TB key the window on md5(seg) for 16-byte shuffle keys",
+)
+def d16_segment_dedup(spark, sf):
+    return D.segment_dedup(_t(spark, sf, "documents"), seg_words=10)
+
+
+@q(
+    "n8_ann_multiprobe",
+    sql=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+        {' + '.join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+                    for i in range(8))} AS bucket
+      FROM embeddings
+    )
+    SELECT e.vec_id, {_sql_cosine('e.embedding', 'q.embedding')} AS cos_sim
+    FROM bucketed e,
+         (SELECT embedding, bucket FROM bucketed WHERE vec_id = 0) q
+    WHERE e.vec_id != 0 AND (e.bucket = q.bucket OR
+      {' OR '.join(f"e.bucket = xor(q.bucket, {1 << i})" for i in range(8))})
+    ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    """,
+    ref="LLM-ops: multi-probe sign-LSH ANN (Lv et al. VLDB'07) — n2's "
+    "single probe plus every Hamming-1 bucket (one hyperplane flip), "
+    "the standard recall fix: a near neighbor across ONE hyperplane is "
+    "otherwise invisible (operators/similarity.py lsh_multiprobe_topk)",
+    scale="candidates ~(b+1)*n/2^b, still sublinear; the probe set is a "
+    "literal IN-list on the bucket column, so with bucket as the "
+    "partition/cluster key this is a (b+1)-partition pruned read and "
+    "one top-k — no shuffle before the limit",
+)
+def n8_ann_multiprobe(spark, sf):
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    return SIM.lsh_multiprobe_topk(
+        emb, _query_vec(spark, sf), k=10, n_bits=8
+    )
+
+
+@q(
+    "x26_ngram_repetition",
+    sql="""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, 2 AS ord,
+        unnest(list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM words
+      UNION ALL
+      SELECT doc_id, 3 AS ord,
+        unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      FROM words
+    ),
+    counted AS (
+      SELECT doc_id, ord, gram, count(*) AS cnt
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    per_ord AS (
+      SELECT doc_id, ord, SUM(cnt) AS n_grams,
+        CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_share,
+        CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+          / SUM(cnt) AS dup_frac
+      FROM counted GROUP BY 1, 2
+    )
+    SELECT doc_id,
+      CAST(MAX(CASE WHEN ord = 2 THEN n_grams END) AS INT) AS n_bigrams,
+      MAX(CASE WHEN ord = 2 THEN top_share END) AS top_bigram_share,
+      MAX(CASE WHEN ord = 2 THEN dup_frac END) AS dup_bigram_frac,
+      CAST(MAX(CASE WHEN ord = 3 THEN n_grams END) AS INT) AS n_trigrams,
+      MAX(CASE WHEN ord = 3 THEN top_share END) AS top_trigram_share,
+      MAX(CASE WHEN ord = 3 THEN dup_frac END) AS dup_trigram_frac
+    FROM per_ord GROUP BY doc_id
+    """,
+    ref="LLM-ops: Gopher n-gram repetition rules (Rae et al. 2021 "
+    "A1.1) — top-2/3-gram share and duplicate-2/3-gram fraction per "
+    "doc, the phrase-level complement to x11's word fractions "
+    "(operators/textstats.py ngram_repetition)",
+    scale="n-gram construction is row-local zip_with over shifted "
+    "slices (no Python, no pre-count explode); both orders ride ONE "
+    "explode into a (doc, order, gram) count with map-side combine, "
+    "then a doc-keyed conditional rollup — one shuffle chain for all "
+    "four signals",
+)
+def x26_ngram_repetition(spark, sf):
+    return TX.ngram_repetition(_t(spark, sf, "documents"))
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
 # registration order decides which entries get a driver-verified row each
-# round. Round-4 window: the 37 entries that have never had a driver row
-# (everything r03 left queued — after this round, cumulative driver-green
-# reaches 164/164) + 13 re-verification picks: the 8 queries whose
-# implementation changed this round outside the 37 (x7 shares one
-# tokenized pass between its signal and dup branches; word_shingles now
-# delegates to word_shingles_from_words, touching every word-shingle
-# consumer: d2/d8/x8/d10/d12/d13/d11 — x18 is already in the 37; the
-# quality/asof NULL-policy fixes cover dq1/dq2/j9, also in the 37) + 5
-# headline bench queries (a1/a5/q1/x5/q10 — a1 and q10 additionally
-# changed this round: agg-before-join rewrites) re-pinned under the
-# round-4 code. This round's NEW registrations land after position 50
-# and queue for the ROUND-5 window — after CORRECTNESS_r04 lands green,
-# these 13 are the never-driver-verified set to rotate into the first
-# 50 (plus re-verification picks for whatever round 5 changes):
-# h2_gap_fill, w9_rolling_median, d14_semantic_dedup,
-# d15_incremental_semantic, n7_knn_join, x24_gopher_gate,
-# ops5_compaction_plan, h3_ewma, sq2_relational_division,
-# m9_seasonal_decompose, x25_nb_classifier, f_map_pack (and any other
-# entry registered below this comment). All are local-parity green at
-# sf0.001/0.01/0.1 under the exact-value check every run.
+# round. Round-5 window: the 16 entries with no driver row yet (the 12
+# round-4 registrations CORRECTNESS_r04 left queued — once these land,
+# cumulative driver-green covers every pre-round-5 registry entry — plus
+# this round's 4 new registrations: m10/d16/n8/x26, windowed immediately
+# so round 5 closes its own additions) + 6 re-verification picks for
+# round-5 code changes (d6/d14/d15 ride the salted-join parallelism
+# floor — d14/d15 also switched to auto-k, mirrored in their oracles;
+# k1 rides the kmeans_lloyd signature change; m1 rides _decode_batch's
+# format sniffing; m3/m4/m5 share the multimodal module) + 5 headline
+# bench queries re-pinned every round (a1/a5/q1/x5/q10) + 23 REFRESH
+# picks: the oldest driver evidence (r01) re-verified under four rounds
+# of accumulated code drift. All 180 registry entries are local-parity
+# green at sf0.001/0.01/0.1 under the exact-value check every run.
 _DRIVER_SAMPLE = [
-    # never-driver-verified (r01-r03 windows rotated past them)
-    "x14_pii_mask", "smp3_mixture_weights", "x15_sequence_pack",
-    "pr1_copurchase_pagerank", "smp4_weighted_sample", "x16_bm25",
-    "x17_unigram_lm", "x18_boilerplate_ngrams", "pr2_copurchase_triangles",
-    "z1_zorder_key", "smp5_temperature_mixture", "x19_bigram_lm",
-    "x23_source_drift", "smp6_balanced_classes", "x22_vocab_coverage",
-    "a17_grouping_id", "u7_bag_setops", "skw2_salted_agg",
-    "e8_markov_transitions", "x21_contamination_by_source",
-    "pr3_hits_authorities", "u6_union_schema_drift", "k1_kmeans_cells",
-    "na2_outlier_clip", "j8_bloom_semi_join", "w8_running_distinct",
-    "x20_dup_rate_by_source", "n6_ann_rerank", "ops4_snapshot_diff",
-    "a16_sampled_quantiles", "a15_hll_merge", "a18_histogram_quantiles",
-    "j9_asof_join", "h1_hypertable_rollup", "dq1_expectations",
-    "dq2_quarantine", "m8_rolling_backtest",
-    # changed this round, previously driver-green — re-verify the change
-    "x7_corpus_curation", "d2_jaccard_pairs", "d8_dup_clusters",
-    "x8_edit_distance", "d10_containment_pairs", "d11_incremental_dedup",
-    "d12_dedup_yield", "d13_canonical_selection",
-    # headline bench queries re-pinned under round-4 code (a1 and q10
-    # changed this round: agg-before-join rewrites)
+    # never-driver-verified: round-4 registrations (12)
+    "h2_gap_fill", "w9_rolling_median", "d14_semantic_dedup",
+    "d15_incremental_semantic", "n7_knn_join", "x24_gopher_gate",
+    "ops5_compaction_plan", "h3_ewma", "sq2_relational_division",
+    "m9_seasonal_decompose", "x25_nb_classifier", "f_map_pack",
+    # never-driver-verified: round-5 registrations (4)
+    "m10_real_image_decode", "d16_segment_dedup", "n8_ann_multiprobe",
+    "x26_ngram_repetition",
+    # changed in round 5, previously driver-green — re-verify (6)
+    "d6_embedding_neardup", "k1_kmeans_cells", "m1_multimodal_decode",
+    "m3_media_resize", "m4_frame_sample", "m5_media_features",
+    # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",
+    # refresh: r01's window re-verified after four rounds of drift (23)
+    "s1_scan_projection", "p1_filter_null", "p2_filter_compare",
+    "p7_derived_date", "p8_arith_column", "j1_join_inner_broadcast",
+    "j2_join_left", "j3_join_semi", "j4_join_anti", "j5_join_multiway",
+    "a2_daily_summary", "a3_global_agg", "t1_topk", "u1_union",
+    "u2_intersect", "u3_except", "f_scalar_pack", "f7_explode_tokens",
+    "w1_running_sum", "w2_rank_topn", "w3_lag_delta", "e1_json_extract",
+    "e2_sessionize",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Behavioral tests for the round-5 operators (segment dedup, multiprobe
+LSH, n-gram repetition) on hand-built inputs with hand-computed answers —
+the registry's DuckDB parity covers the corpus; these pin the semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from retail_data_pipeline_and_forecasting_system_spark.operators.dedup import (
+    segment_dedup,
+)
+from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+    lsh_bucket_topk,
+    lsh_multiprobe_topk,
+)
+from retail_data_pipeline_and_forecasting_system_spark.operators.textstats import (
+    ngram_repetition,
+)
+
+
+def test_segment_dedup_drops_repeated_segments(spark):
+    # 3-word segments; doc 2 repeats doc 1's first segment (boilerplate),
+    # doc 1 repeats its own first segment later in the same doc
+    docs = spark.createDataFrame(
+        [
+            (1, "the cookie banner x y z the cookie banner"),
+            (2, "the cookie banner fresh words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, seg_words=3).collect()
+    }
+    # doc 1: segs = [the cookie banner][x y z][the cookie banner]
+    assert got[1]["n_segs"] == 3
+    assert got[1]["n_kept"] == 2  # its own repeat dropped
+    assert got[1]["text_dedup"] == "the cookie banner x y z"
+    # doc 2: first segment seen in doc 1 -> dropped, rest kept
+    assert got[2]["n_segs"] == 2
+    assert got[2]["n_kept"] == 1
+    assert got[2]["text_dedup"] == "fresh words here"
+
+
+def test_segment_dedup_all_duplicate_doc_empties(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in segment_dedup(docs, seg_words=3).collect()}
+    assert got[2]["n_kept"] == 0
+    assert got[2]["text_dedup"] == ""
+
+
+def test_multiprobe_recovers_single_probe_miss(spark):
+    """A neighbor on the far side of exactly ONE hyperplane: invisible
+    to the single-probe scan, found by the Hamming-1 probes."""
+    # 8 dims = 8 hyperplanes (axis signs). query: all-positive.
+    query = [1.0] * 8
+    near = [1.0] * 8
+    near[0] = -0.1  # flips bit 0 only; cosine to query still ~0.83
+    far = [-1.0] * 8  # opposite orthant
+    rows = [(1, near), (2, far), (3, [0.9] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    single = {
+        r["vec_id"]
+        for r in lsh_bucket_topk(emb, query, k=10, n_bits=8).collect()
+    }
+    multi = {
+        r["vec_id"]
+        for r in lsh_multiprobe_topk(emb, query, k=10, n_bits=8).collect()
+    }
+    assert single == {3}  # same-bucket only
+    assert multi == {1, 3}  # + the one-flip neighbor; far stays invisible
+
+
+def test_multiprobe_ranks_by_cosine(spark):
+    query = [1.0] * 8
+    rows = [
+        (1, [1.0, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1]),  # same bucket, off-axis
+        (2, [1.0] * 8),  # parallel to the query -> cosine 1.0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = lsh_multiprobe_topk(emb, query, k=2, n_bits=8).collect()
+    assert [r["vec_id"] for r in got] == [2, 1]
+    assert got[0]["cos_sim"] > got[1]["cos_sim"]
+
+
+def test_ngram_repetition_hand_computed(spark):
+    # "buy cheap pills buy cheap pills": bigrams = [buy cheap, cheap
+    # pills, pills buy, buy cheap, cheap pills] -> 5 instances, top
+    # (buy cheap / cheap pills) = 2/5; dup instances = 4/5.
+    # trigrams = [b c p, c p b, p b c, b c p] -> 4, top 2/4, dup 2/4.
+    docs = spark.createDataFrame(
+        [(1, "buy cheap pills buy cheap pills")], "doc_id long, text string"
+    )
+    r = ngram_repetition(docs).collect()[0]
+    assert r["n_bigrams"] == 5
+    assert r["top_bigram_share"] == pytest.approx(2 / 5)
+    assert r["dup_bigram_frac"] == pytest.approx(4 / 5)
+    assert r["n_trigrams"] == 4
+    assert r["top_trigram_share"] == pytest.approx(2 / 4)
+    assert r["dup_trigram_frac"] == pytest.approx(2 / 4)
+
+
+def test_ngram_repetition_no_repeats_and_short_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "all words here differ fully"), (2, "two words")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_repetition(docs).collect()}
+    assert got[1]["dup_bigram_frac"] == 0.0
+    assert got[1]["top_bigram_share"] == pytest.approx(1 / 4)
+    # a 2-word doc has one bigram and NO trigrams
+    assert got[2]["n_bigrams"] == 1
+    assert got[2]["n_trigrams"] is None
