@@ -8,7 +8,7 @@ oracle. At 100 TB each is a single scan + one hash-aggregate keyed on doc id.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import explode_tokens, word_shingles
@@ -309,6 +309,60 @@ def ngram_repetition(
         share(3, F.col("n_grams")).cast("int").alias("n_trigrams"),
         share(3, F.col("top_share")).alias("top_trigram_share"),
         share(3, F.col("dup_frac")).alias("dup_trigram_frac"),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """The BPE trainer's inner statistic as ONE distributed aggregation:
+    corpus-weighted adjacent-symbol-pair counts over the word-frequency
+    table (Sennrich et al. 2016) — the top pair is the next merge.
+
+    Classic BPE training iterates: count pairs -> merge the winner ->
+    recount. The COUNT is the only corpus-sized step and it is pure
+    aggregation (this function); the merge table is model state measured
+    in KBs, living driver-side exactly like k-means centroids
+    (kmeans_lloyd) — so distributed BPE = re-running this aggregation
+    against a re-symbolized corpus per merge, and the engine shape never
+    changes. Here symbols are characters (iteration 0).
+
+    Output: (rnk, pair, cnt) — top ``top_n`` pairs by corpus-weighted
+    count, ties broken by pair string.
+
+    Scale: word-frequency table first (one (word)-keyed count with
+    map-side combine — Zipf makes this collapse ~100:1), then pairs are
+    row-local zip_with over shifted char slices EXPLODED FROM THE WORD
+    TABLE, not the corpus: pair rows scale with |vocab| x word length,
+    not corpus tokens. Final rollup is a (pair)-keyed sum + one top-n.
+    """
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    c = F.split(F.col("word"), "")
+    glen = F.greatest(F.size(c) - 1, F.lit(0))
+    pairs = wf.select(
+        F.col("freq"),
+        F.explode(
+            F.zip_with(
+                F.slice(c, 1, glen),
+                F.slice(c, 2, glen),
+                lambda a, b: F.concat(a, b),
+            )
+        ).alias("pair"),
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("pair"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.col("pair"))
+    return top.select(
+        F.row_number().over(w).alias("rnk"), "pair", "cnt"
     )
 
 

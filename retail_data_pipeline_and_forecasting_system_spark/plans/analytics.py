@@ -8613,22 +8613,64 @@ def x26_ngram_repetition(spark, sf):
     return TX.ngram_repetition(_t(spark, sf, "documents"))
 
 
+@q(
+    "x27_bpe_pair_counts",
+    sql="""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents
+    ),
+    wf AS (
+      SELECT word, count(*) AS freq FROM words
+      WHERE length(word) >= 2 GROUP BY word
+    ),
+    pairs AS (
+      SELECT freq,
+        unnest(list_transform(range(1, length(word)),
+                              i -> substring(word, CAST(i AS INT), 2)))
+          AS pair
+      FROM wf
+    ),
+    top AS (
+      SELECT pair, SUM(freq) AS cnt FROM pairs GROUP BY pair
+      ORDER BY cnt DESC, pair LIMIT 20
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rnk,
+      pair, CAST(cnt AS BIGINT) AS cnt
+    FROM top
+    """,
+    ref="LLM-ops: the BPE trainer's inner statistic (Sennrich et al. "
+    "2016) — corpus-weighted adjacent-symbol-pair counts over the word-"
+    "frequency table; the top pair IS the next merge. Distributed BPE "
+    "re-runs this aggregation per merge with the merge table (KBs) as "
+    "driver-side model state, the k-means pattern applied to tokenizer "
+    "training (operators/textstats.py bpe_pair_counts)",
+    scale="pair rows explode from the WORD-FREQUENCY table, not the "
+    "corpus (Zipf collapses tokens ~100:1 first, one map-side-combine "
+    "count); pair construction is row-local zip_with over shifted char "
+    "slices; final rollup one (pair)-keyed sum + top-n — nothing "
+    "corpus-sized crosses a shuffle except the word count itself",
+)
+def x27_bpe_pair_counts(spark, sf):
+    return TX.bpe_pair_counts(_t(spark, sf, "documents"), top_n=20)
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
 # registration order decides which entries get a driver-verified row each
-# round. Round-5 window: the 16 entries with no driver row yet (the 12
+# round. Round-5 window: the 17 entries with no driver row yet (the 12
 # round-4 registrations CORRECTNESS_r04 left queued — once these land,
 # cumulative driver-green covers every pre-round-5 registry entry — plus
-# this round's 4 new registrations: m10/d16/n8/x26, windowed immediately
-# so round 5 closes its own additions) + 6 re-verification picks for
+# this round's 5 new registrations: m10/d16/n8/x26/x27, windowed
+# immediately so round 5 closes its own additions) + 6 re-verifies for
 # round-5 code changes (d6/d14/d15 ride the salted-join parallelism
 # floor — d14/d15 also switched to auto-k, mirrored in their oracles;
 # k1 rides the kmeans_lloyd signature change; m1 rides _decode_batch's
 # format sniffing; m3/m4/m5 share the multimodal module) + 5 headline
-# bench queries re-pinned every round (a1/a5/q1/x5/q10) + 23 REFRESH
+# bench queries re-pinned every round (a1/a5/q1/x5/q10) + 22 REFRESH
 # picks: the oldest driver evidence (r01) re-verified under four rounds
-# of accumulated code drift. All 180 registry entries are local-parity
+# of accumulated code drift. All 181 registry entries are local-parity
 # green at sf0.001/0.01/0.1 under the exact-value check every run.
 _DRIVER_SAMPLE = [
     # never-driver-verified: round-4 registrations (12)
@@ -8636,22 +8678,22 @@ _DRIVER_SAMPLE = [
     "d15_incremental_semantic", "n7_knn_join", "x24_gopher_gate",
     "ops5_compaction_plan", "h3_ewma", "sq2_relational_division",
     "m9_seasonal_decompose", "x25_nb_classifier", "f_map_pack",
-    # never-driver-verified: round-5 registrations (4)
+    # never-driver-verified: round-5 registrations (5)
     "m10_real_image_decode", "d16_segment_dedup", "n8_ann_multiprobe",
-    "x26_ngram_repetition",
+    "x26_ngram_repetition", "x27_bpe_pair_counts",
     # changed in round 5, previously driver-green — re-verify (6)
     "d6_embedding_neardup", "k1_kmeans_cells", "m1_multimodal_decode",
     "m3_media_resize", "m4_frame_sample", "m5_media_features",
     # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",
-    # refresh: r01's window re-verified after four rounds of drift (23)
+    # refresh: r01's window re-verified after four rounds of drift (22)
     "s1_scan_projection", "p1_filter_null", "p2_filter_compare",
     "p7_derived_date", "p8_arith_column", "j1_join_inner_broadcast",
     "j2_join_left", "j3_join_semi", "j4_join_anti", "j5_join_multiway",
     "a2_daily_summary", "a3_global_agg", "t1_topk", "u1_union",
     "u2_intersect", "u3_except", "f_scalar_pack", "f7_explode_tokens",
-    "w1_running_sum", "w2_rank_topn", "w3_lag_delta", "e1_json_extract",
+    "w1_running_sum", "w2_rank_topn", "w3_lag_delta",
     "e2_sessionize",
 ]
 

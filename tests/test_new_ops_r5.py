@@ -104,6 +104,24 @@ def test_ngram_repetition_hand_computed(spark):
     assert r["dup_trigram_frac"] == pytest.approx(2 / 4)
 
 
+def test_bpe_pair_counts_hand_computed(spark):
+    """corpus = 'low low lower': wf = {low: 2, lower: 1}; pairs
+    lo (2+1=3), ow (2+1=3), we (1), er (1) -> top by (cnt desc, pair):
+    lo, ow, er, we."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.textstats import (
+        bpe_pair_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower")], "doc_id long, text string"
+    )
+    got = [
+        (r["rnk"], r["pair"], r["cnt"])
+        for r in bpe_pair_counts(docs, top_n=3).collect()
+    ]
+    assert got == [(1, "lo", 3), (2, "ow", 3), (3, "er", 1)]
+
+
 def test_ngram_repetition_no_repeats_and_short_doc(spark):
     docs = spark.createDataFrame(
         [(1, "all words here differ fully"), (2, "two words")],
