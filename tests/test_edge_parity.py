@@ -173,6 +173,11 @@ HOSTILE_SWEEP = [
     "d11_incremental_dedup",
     "d12_dedup_yield",
     "d13_canonical_selection",
+    # round-5 ops over the pathological corpus
+    "d16_segment_dedup",
+    "x26_ngram_repetition",
+    "x27_bpe_pair_counts",
+    "m10_real_image_decode",
 ]
 
 
@@ -333,6 +338,12 @@ EMPTY_SWEEP = [
     "n7_knn_join",
     "d14_semantic_dedup",  # k-means over an empty corpus must not crash
     "d15_incremental_semantic",
+    # round-5 ops (n8 stays out like n1/n2: the collected query vector
+    # is definitionally absent from an empty corpus)
+    "d16_segment_dedup",
+    "x26_ngram_repetition",
+    "x27_bpe_pair_counts",
+    "m10_real_image_decode",
 ]
 
 
@@ -379,6 +390,7 @@ HOSTILE_EMBEDDING_SWEEP = [
     "d14_semantic_dedup",  # dead embedding scores NULL cosine in pairs
     "d15_incremental_semantic",
     "n7_knn_join",
+    "n8_ann_multiprobe",  # the dead vector scores NULL, never ranks
 ]
 
 
