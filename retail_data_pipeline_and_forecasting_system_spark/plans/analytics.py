@@ -8655,22 +8655,90 @@ def x27_bpe_pair_counts(spark, sf):
     return TX.bpe_pair_counts(_t(spark, sf, "documents"), top_n=20)
 
 
+@q(
+    "n9_knn_join_ivf",
+    sql=_kmeans_af_ctes("auto", 2, source_where=" WHERE vec_id >= 10")
+    + f""",
+    afn AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {_l2_list_sql("v.embedding", "c.cvec")} ASC,
+                     c.cid ASC) AS rn
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) v
+        CROSS JOIN c2 c
+      ) WHERE rn = 1
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        {_sql_cosine('ec.embedding', 'eq.embedding')} AS cos_sim,
+        row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY {_sql_cosine('ec.embedding', 'eq.embedding')} DESC,
+                   c.vec_id
+        ) AS rnk
+      FROM afn q JOIN af c ON q.cid = c.cid
+      JOIN embeddings eq ON eq.vec_id = q.vec_id
+      JOIN embeddings ec ON ec.vec_id = c.vec_id
+    ) WHERE rnk <= 5
+    """,
+    ref="LLM-ops: the IVF-BLOCKED batch retrieval n7's scale note "
+    "promises — every query row retrieves its top-5 within its "
+    "(auto-k) k-means cell instead of scoring the whole corpus; "
+    "single-probe IVF semantics (cross-cell neighbors are the recall "
+    "trade, recoverable by multi-probing cells as in n8/n3)",
+    scale="corpus and queries cell-assign map-only (k x dim literals); "
+    "the candidate join touches |Q| x (corpus/k) rows instead of "
+    "|Q| x corpus — with auto-k (k ~ sqrt(n)) candidates per query "
+    "grow as sqrt(n x 32); one (query)-keyed top-k window after an "
+    "equi-join on the cell id, which doubles as the partition key at "
+    "100 TB so the join is co-located",
+)
+def n9_knn_join_ivf(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cents = SIM.kmeans_lloyd(corpus, k="auto", n_iter=2, exact_mean=True)
+    qc = SIM.assign_cells(queries, cents).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        "cent_id",
+    )
+    cc = SIM.assign_cells(corpus, cents).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        "cent_id",
+    )
+    scored = cc.join(F.broadcast(qc), "cent_id").select(
+        "query_id",
+        "neighbor_id",
+        SIM.cosine("cvec", "qvec").alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
 # registration order decides which entries get a driver-verified row each
-# round. Round-5 window: the 17 entries with no driver row yet (the 12
+# round. Round-5 window: the 18 entries with no driver row yet (the 12
 # round-4 registrations CORRECTNESS_r04 left queued — once these land,
 # cumulative driver-green covers every pre-round-5 registry entry — plus
-# this round's 5 new registrations: m10/d16/n8/x26/x27, windowed
+# this round's 6 new registrations: m10/d16/n8/x26/x27/n9, windowed
 # immediately so round 5 closes its own additions) + 6 re-verifies for
 # round-5 code changes (d6/d14/d15 ride the salted-join parallelism
 # floor — d14/d15 also switched to auto-k, mirrored in their oracles;
 # k1 rides the kmeans_lloyd signature change; m1 rides _decode_batch's
 # format sniffing; m3/m4/m5 share the multimodal module) + 5 headline
-# bench queries re-pinned every round (a1/a5/q1/x5/q10) + 22 REFRESH
+# bench queries re-pinned every round (a1/a5/q1/x5/q10) + 21 REFRESH
 # picks: the oldest driver evidence (r01) re-verified under four rounds
-# of accumulated code drift. All 181 registry entries are local-parity
+# of accumulated code drift. All 182 registry entries are local-parity
 # green at sf0.001/0.01/0.1 under the exact-value check every run.
 _DRIVER_SAMPLE = [
     # never-driver-verified: round-4 registrations (12)
@@ -8678,22 +8746,22 @@ _DRIVER_SAMPLE = [
     "d15_incremental_semantic", "n7_knn_join", "x24_gopher_gate",
     "ops5_compaction_plan", "h3_ewma", "sq2_relational_division",
     "m9_seasonal_decompose", "x25_nb_classifier", "f_map_pack",
-    # never-driver-verified: round-5 registrations (5)
+    # never-driver-verified: round-5 registrations (6)
     "m10_real_image_decode", "d16_segment_dedup", "n8_ann_multiprobe",
-    "x26_ngram_repetition", "x27_bpe_pair_counts",
+    "x26_ngram_repetition", "x27_bpe_pair_counts", "n9_knn_join_ivf",
     # changed in round 5, previously driver-green — re-verify (6)
     "d6_embedding_neardup", "k1_kmeans_cells", "m1_multimodal_decode",
     "m3_media_resize", "m4_frame_sample", "m5_media_features",
     # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",
-    # refresh: r01's window re-verified after four rounds of drift (22)
+    # refresh: r01's window re-verified after four rounds of drift (21)
     "s1_scan_projection", "p1_filter_null", "p2_filter_compare",
     "p7_derived_date", "p8_arith_column", "j1_join_inner_broadcast",
     "j2_join_left", "j3_join_semi", "j4_join_anti", "j5_join_multiway",
     "a2_daily_summary", "a3_global_agg", "t1_topk", "u1_union",
     "u2_intersect", "u3_except", "f_scalar_pack", "f7_explode_tokens",
-    "w1_running_sum", "w2_rank_topn", "w3_lag_delta",
+    "w1_running_sum", "w2_rank_topn",
     "e2_sessionize",
 ]
 

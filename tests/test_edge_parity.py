@@ -344,6 +344,7 @@ EMPTY_SWEEP = [
     "x26_ngram_repetition",
     "x27_bpe_pair_counts",
     "m10_real_image_decode",
+    "n9_knn_join_ivf",  # k-means over an empty corpus, like d14
 ]
 
 
@@ -391,6 +392,7 @@ HOSTILE_EMBEDDING_SWEEP = [
     "d15_incremental_semantic",
     "n7_knn_join",
     "n8_ann_multiprobe",  # the dead vector scores NULL, never ranks
+    "n9_knn_join_ivf",
 ]
 
 
