@@ -20,6 +20,7 @@ from .semantic_stream import (  # noqa: F401
 )
 from .cdc_stream import (  # noqa: F401
     cdc_apply_sink,
+    read_cdc_snapshot,
     run_cdc_apply,
 )
 from .sinks import (  # noqa: F401

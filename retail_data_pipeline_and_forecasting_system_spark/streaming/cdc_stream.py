@@ -36,8 +36,10 @@ replaying epoch k of n) converges for every key the snapshot holds —
 the stale epoch's deletes cannot clobber newer upserts; only the
 guard's no-op version advances. (The one shape needing more machinery
 is delete-resurrection: a stale upsert of a key deleted LATER finds no
-seq watermark and re-inserts — production table formats keep tombstones
-for exactly this. Last-epoch replay, Structured Streaming's actual
+seq watermark and re-inserts. ``tombstones=True`` closes it the way
+production table formats do — deletes persist as ``__tombstone`` rows
+whose seq keeps guarding, :func:`read_cdc_snapshot` serves the live
+view, both tested. Last-epoch replay, Structured Streaming's actual
 contract, never hits it: the replayed epoch's seqs are the highest
 applied, so the guard passes its changes untouched.) A vacuum policy
 (``vacuum_versions``) bounds history.
@@ -66,6 +68,7 @@ def cdc_apply_sink(
     key_col: str,
     op_col: str = "op",
     seq_col: str = "seq",
+    tombstones: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function applying a change feed to a versioned table.
 
@@ -73,6 +76,17 @@ def cdc_apply_sink(
     ``seq_col`` (monotone change-order within the feed), plus any
     payload columns. The snapshot keeps key + payload + ``seq_col``
     (the last applied change per key).
+
+    ``tombstones=True`` stores deletes as ``__tombstone=True`` rows
+    instead of removing them, so a deleted key KEEPS its seq watermark:
+    the one replay shape the plain guard cannot catch — a stale upsert
+    of a key deleted later (delete-resurrection) — is then guarded out
+    too, making the apply convergent under arbitrary mid-history
+    replays. Read the live view with :func:`read_cdc_snapshot` (filters
+    tombstones); vacuum them on a retention window once no replayable
+    feed segment is older (the same contract lakehouse MERGE formats
+    ship). Default stays tombstone-free: physical deletes, lighter
+    snapshots, last-epoch-replay-safe.
 
     Use::
 
@@ -105,6 +119,11 @@ def cdc_apply_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        if tombstones:
+            latest = latest.withColumn(
+                "__tombstone", F.col(op_col) == "delete"
+            )
+            payload = payload + ["__tombstone"]
         if current_version(table_dir) is None:
             cur = spark.createDataFrame(
                 [], latest.select(payload).schema
@@ -133,19 +152,45 @@ def cdc_apply_sink(
             .drop("__cur_seq")
         )
 
-        ups = latest.filter(F.col(op_col) == "upsert").select(payload)
-        dels = latest.filter(F.col(op_col) == "delete").select(key_col)
-
-        merged = merge_upsert(
-            cur,
-            ups,
-            key=key_col,
-            update_cols={c: c for c in payload if c != key_col},
-        )
-        out = merged.join(dels, key_col, "left_anti")
+        if tombstones:
+            # deletes MERGE in as tombstone rows (payload nulls, seq
+            # kept) — the watermark survives, nothing is anti-joined out
+            ups = latest.select(payload)
+            out = merge_upsert(
+                cur,
+                ups,
+                key=key_col,
+                update_cols={c: c for c in payload if c != key_col},
+            )
+        else:
+            ups = latest.filter(F.col(op_col) == "upsert").select(payload)
+            dels = latest.filter(F.col(op_col) == "delete").select(key_col)
+            merged = merge_upsert(
+                cur,
+                ups,
+                key=key_col,
+                update_cols={c: c for c in payload if c != key_col},
+            )
+            out = merged.join(dels, key_col, "left_anti")
         write_version(out, table_dir)
 
     return apply
+
+
+def read_cdc_snapshot(
+    spark,
+    table_dir: str,
+    version: int | None = None,
+    include_tombstones: bool = False,
+) -> DataFrame:
+    """Live view of a CDC-maintained snapshot: time-travels like
+    ``read_version`` and (for tombstone-mode tables) filters deleted
+    keys unless ``include_tombstones``. Works on tombstone-free tables
+    too (no ``__tombstone`` column -> nothing to filter)."""
+    df = read_version(spark, table_dir, version)
+    if "__tombstone" in df.columns and not include_tombstones:
+        df = df.filter(~F.col("__tombstone")).drop("__tombstone")
+    return df
 
 
 def run_cdc_apply(

@@ -138,6 +138,33 @@ def test_png_unsupported_variants_raise_precisely():
         decode_png(b"nope")
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    filter_type=st.integers(0, 4),
+    data=st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_png_roundtrip_property(w, h, channels, filter_type, data):
+    """decode(encode(pixels)) == pixels for arbitrary images across all
+    sizes, color types, and filter types — the decoder's unfilter is a
+    true inverse, not tuned to the fixed test fixtures."""
+    n = w * h * channels
+    pixels = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=n, max_size=n)
+        )
+    )
+    img = decode_png(encode_png(w, h, channels, pixels, filter_type))
+    assert (img.width, img.height, img.channels) == (w, h, channels)
+    assert img.pixels == pixels
+
+
 def test_ppm_and_pgm_decode():
     ppm = b"P6\n# a comment\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
     img = decode_ppm(ppm)

@@ -122,6 +122,74 @@ def test_bpe_pair_counts_hand_computed(spark):
     assert got == [(1, "lo", 3), (2, "ow", 3), (3, "er", 1)]
 
 
+def test_segment_dedup_random_corpus_matches_python_oracle(spark):
+    """200 random docs from a tiny vocab (dup segments guaranteed):
+    Spark's windowed first-occurrence dedup must equal a sequential
+    Python sweep keyed by (doc_id, seg_idx)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=int(rng.integers(1, 18)))))
+        for i in range(200)
+    ]
+    seen: set[str] = set()
+    oracle = {}
+    for doc_id, text in docs:  # doc_id ascending == first-occurrence order
+        w = text.split(" ")
+        segs = [
+            " ".join(w[i : i + 3]) for i in range(0, len(w), 3)
+        ]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        oracle[doc_id] = (len(segs), len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_kept"], r["text_dedup"])
+        for r in segment_dedup(df, seg_words=3).collect()
+    }
+    assert got == oracle
+
+
+def test_bpe_pair_counts_random_corpus_matches_python_oracle(spark):
+    from collections import Counter
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vocab = ["low", "lower", "newest", "widest", "a", "bb"]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=int(rng.integers(1, 30)))))
+        for i in range(60)
+    ]
+    wf: Counter = Counter()
+    for _, text in docs:
+        for w in text.lower().split():
+            if len(w) >= 2:
+                wf[w] += 1
+    pc: Counter = Counter()
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += f
+    want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.textstats import (
+        bpe_pair_counts,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["pair"], r["cnt"])
+        for r in bpe_pair_counts(df, top_n=10).orderBy("rnk").collect()
+    ]
+    assert got == want
+
+
 def test_ngram_repetition_no_repeats_and_short_doc(spark):
     docs = spark.createDataFrame(
         [(1, "all words here differ fully"), (2, "two words")],

@@ -192,6 +192,84 @@ def test_cdc_midhistory_replay_is_sequence_guarded(spark, tmp_path):
     assert _snapshot(spark, table) == want
 
 
+def test_cdc_tombstones_block_delete_resurrection(spark, tmp_path):
+    """The replay shape the plain seq guard cannot catch: key 1 is
+    upserted (seq 1) then deleted (seq 5); a mid-history refire replays
+    the stale upsert. Without tombstones the deleted key has no seq
+    watermark and the upsert RESURRECTS it; with tombstones=True the
+    watermark survives deletion and the stale upsert is guarded out."""
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        read_cdc_snapshot,
+    )
+
+    schema = "k long, op string, seq long, val string"
+    up1 = spark.createDataFrame([(1, "upsert", 1, "a")], schema)
+    del5 = spark.createDataFrame([(1, "delete", 5, None)], schema)
+
+    # plain mode: resurrection happens (the documented limitation)
+    plain = str(tmp_path / "plain")
+    sink = cdc_apply_sink(plain, "k")
+    sink(up1, 0)
+    sink(del5, 1)
+    sink(up1, 0)  # stale refire
+    assert _snapshot(spark, plain) == {1: ("a", 1)}  # resurrected
+
+    # tombstone mode: converges
+    ts = str(tmp_path / "ts")
+    sink = cdc_apply_sink(ts, "k", tombstones=True)
+    sink(up1, 0)
+    sink(del5, 1)
+    assert read_cdc_snapshot(spark, ts).count() == 0  # live view empty
+    assert (
+        read_cdc_snapshot(spark, ts, include_tombstones=True).count() == 1
+    )
+    sink(up1, 0)  # stale refire — guarded by the tombstone's seq 5
+    assert read_cdc_snapshot(spark, ts).count() == 0
+    # and a GENUINELY new upsert (seq > tombstone) re-creates the key
+    sink(spark.createDataFrame([(1, "upsert", 9, "z")], schema), 3)
+    live = read_cdc_snapshot(spark, ts).collect()
+    assert [(r["k"], r["val"], r["seq"]) for r in live] == [(1, "z", 9)]
+
+
+def test_cdc_tombstone_feed_matches_dict_oracle(spark, tmp_path):
+    """The randomized-feed oracle holds in tombstone mode too (live view
+    == sequential dict replay)."""
+    import numpy as np
+
+    rng = np.random.default_rng(43)
+    table = str(tmp_path / "table")
+    sink = cdc_apply_sink(table, "k", tombstones=True)
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        read_cdc_snapshot,
+    )
+
+    oracle: dict[int, tuple] = {}
+    seq = 0
+    for epoch in range(4):
+        rows = []
+        for _ in range(int(rng.integers(1, 12))):
+            k = int(rng.integers(0, 8))
+            seq += 1
+            if rng.random() < 0.3:
+                rows.append((k, "delete", seq, None))
+            else:
+                rows.append((k, "upsert", seq, f"v{seq}"))
+        batch = spark.createDataFrame(
+            rows, "k long, op string, seq long, val string"
+        )
+        sink(batch, epoch)
+        for k, op, s, v in rows:
+            if op == "delete":
+                oracle.pop(k, None)
+            else:
+                oracle[k] = (v, s)
+        live = {
+            r["k"]: (r["val"], r["seq"])
+            for r in read_cdc_snapshot(spark, table).collect()
+        }
+        assert live == oracle, f"epoch {epoch}"
+
+
 def test_cdc_replay_of_last_epoch_converges(spark, tmp_path):
     """Crash replay re-runs only the LAST uncommitted epoch (Structured
     Streaming's contract): re-applying the final batch against its own
