@@ -259,8 +259,9 @@ def ngram_repetition(
     Scale: n-gram construction is row-local array math (zip_with over
     shifted slices — no Python, no explode until counting); both sizes
     ride ONE explode and one (doc, n, gram)-keyed count with map-side
-    combine, then a doc-keyed conditional rollup — one shuffle chain
-    for all four signals, same shape as repetition_signals.
+    combine; the (doc, n) and (doc) rollups after it exchange
+    post-combine rows only (distinct grams, then 2/doc, then 1/doc),
+    so the corpus-sized cost is the first exchange alone.
     """
     w = F.split(F.lower(F.col(text_col)), "\\s+")
     n = F.size(w)

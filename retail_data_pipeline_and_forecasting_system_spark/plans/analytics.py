@@ -8606,8 +8606,10 @@ def n8_ann_multiprobe(spark, sf):
     scale="n-gram construction is row-local zip_with over shifted "
     "slices (no Python, no pre-count explode); both orders ride ONE "
     "explode into a (doc, order, gram) count with map-side combine, "
-    "then a doc-keyed conditional rollup — one shuffle chain for all "
-    "four signals",
+    "then (doc, order) and (doc) rollups — three exchanges, each a "
+    "fraction of the previous (post-combine distinct grams, then "
+    "2 rows/doc, then 1), so the corpus-sized cost is the first "
+    "exchange only",
 )
 def x26_ngram_repetition(spark, sf):
     return TX.ngram_repetition(_t(spark, sf, "documents"))

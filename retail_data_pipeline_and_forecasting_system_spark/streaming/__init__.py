@@ -23,6 +23,10 @@ from .cdc_stream import (  # noqa: F401
     read_cdc_snapshot,
     run_cdc_apply,
 )
+from .segment_stream import (  # noqa: F401
+    run_segment_ingest,
+    segment_dedup_sink,
+)
 from .sinks import (  # noqa: F401
     idempotent_parquet_sink,
     quarantine_parquet_sink,

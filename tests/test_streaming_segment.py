@@ -1,0 +1,136 @@
+"""Streaming segment-level dedup service (segment_stream).
+
+A 3-epoch doc feed drives the sink; asserts (1) the concatenated
+streamed outputs equal the BATCH d16 operator over the same corpus —
+the streaming rendition computes the same function; (2) the seen-store
+holds each segment exactly once, in the partition of its first epoch;
+(3) replay convergence for the LAST epoch and for a MID-HISTORY epoch
+(the store's first-seen-only layout makes any-epoch replay read exactly
+the state that epoch originally saw)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from retail_data_pipeline_and_forecasting_system_spark.operators.dedup import (
+    segment_dedup,
+)
+from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+    run_segment_ingest,
+    segment_dedup_sink,
+)
+
+# 3-word segments; doc_ids globally increasing across epochs so the
+# batch operator's (doc_id, seg_idx) first-occurrence order equals the
+# stream's (epoch, doc_id, seg_idx) order
+EPOCHS = [
+    [
+        (1, "the cookie banner alpha beta gamma"),
+        (2, "the cookie banner delta words here"),
+    ],
+    [
+        (3, "fresh stuff now the cookie banner"),
+        (4, "alpha beta gamma repeated inside doc alpha beta gamma"),
+    ],
+    [
+        (5, "delta words here fresh stuff now entirely new tail"),
+    ],
+]
+
+
+def _write_feed(in_dir):
+    in_dir.mkdir()
+    for i, docs in enumerate(EPOCHS):
+        p = in_dir / f"epoch_{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": t}) for d, t in docs
+            )
+        )
+        ts = time.time() - 1000 + i
+        os.utime(p, (ts, ts))
+
+
+def _drain(spark, tmp_path):
+    _write_feed(tmp_path / "in")
+    segs_dir = str(tmp_path / "segs")
+    docs_dir = str(tmp_path / "docs")
+    run_segment_ingest(
+        spark,
+        str(tmp_path / "in" / "*.json"),
+        segs_dir,
+        docs_dir,
+        str(tmp_path / "ckpt"),
+        seg_words=3,
+    )
+    return segs_dir, docs_dir
+
+
+def _docs_state(spark, docs_dir):
+    return sorted(
+        (r["doc_id"], r["n_segs"], r["n_kept"], r["text_dedup"], r["batch_id"])
+        for r in spark.read.parquet(docs_dir).collect()
+    )
+
+
+def _store_state(spark, segs_dir):
+    return sorted(
+        (r["seg"], r["batch_id"])
+        for r in spark.read.parquet(segs_dir).collect()
+    )
+
+
+def test_streamed_output_equals_batch_operator(spark, tmp_path):
+    segs_dir, docs_dir = _drain(spark, tmp_path)
+
+    all_docs = [d for e in EPOCHS for d in e]
+    batch_df = spark.createDataFrame(all_docs, "doc_id long, text string")
+    want = sorted(
+        (r["doc_id"], r["n_segs"], r["n_kept"], r["text_dedup"])
+        for r in segment_dedup(batch_df, seg_words=3).collect()
+    )
+    got = [t[:4] for t in _docs_state(spark, docs_dir)]
+    assert got == want
+
+    # the seen-store: every distinct segment exactly once, first-epoch
+    # partitioned
+    store = _store_state(spark, segs_dir)
+    segs_only = [s for s, _ in store]
+    assert len(segs_only) == len(set(segs_only))
+    by_seg = dict(store)
+    assert by_seg["the cookie banner"] == 0  # first seen in epoch 0
+    assert by_seg["fresh stuff now"] == 1
+    assert by_seg["entirely new tail"] == 2
+
+
+def test_segment_replay_converges_last_and_midhistory(spark, tmp_path):
+    segs_dir, docs_dir = _drain(spark, tmp_path)
+    before_docs = _docs_state(spark, docs_dir)
+    before_store = _store_state(spark, segs_dir)
+
+    sink = segment_dedup_sink(segs_dir, docs_dir, seg_words=3)
+
+    # last-epoch replay (Structured Streaming's contract)
+    last = spark.createDataFrame(EPOCHS[2], "doc_id long, text string")
+    sink(last, 2)
+    assert _docs_state(spark, docs_dir) == before_docs
+    assert _store_state(spark, segs_dir) == before_store
+
+    # MID-HISTORY replay: epoch 1 of 3 — its first-seen segments live
+    # only in partition 1, which the replay excludes, so it reads
+    # exactly the store state it originally saw
+    mid = spark.createDataFrame(EPOCHS[1], "doc_id long, text string")
+    sink(mid, 1)
+    assert _docs_state(spark, docs_dir) == before_docs
+    assert _store_state(spark, segs_dir) == before_store
+
+    # and epoch 0 (the other boundary)
+    first = spark.createDataFrame(EPOCHS[0], "doc_id long, text string")
+    sink(first, 0)
+    assert _docs_state(spark, docs_dir) == before_docs
+    assert _store_state(spark, segs_dir) == before_store
+
+    # cache hygiene: no persisted frames survive an epoch
+    assert not spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
