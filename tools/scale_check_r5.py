@@ -127,11 +127,7 @@ def main() -> None:
         fn = QUERIES[name].fn
         base = _time(lambda: _force(fn(spark, SF)))
         t3 = _time(lambda: _force(fn(spark, str(x3))))
-        t10 = (
-            _time(lambda: _force(fn(spark, str(x10))))
-            if name == "d14_semantic_dedup"
-            else float("nan")
-        )
+        t10 = _time(lambda: _force(fn(spark, str(x10))))
         print(f"{name + ' (auto-k)':28s}{base:9.2f}{t3:9.2f}{t10:9.2f}")
 
     # a5 deep decade: 10x-long per-product sequences, same task count
@@ -145,7 +141,8 @@ def main() -> None:
     # dup density for d16 — its window's worst direction — and n8's
     # corpus triples the probed buckets' population)
     for name in ("d16_segment_dedup", "n8_ann_multiprobe",
-                 "x26_ngram_repetition", "m10_real_image_decode"):
+                 "x26_ngram_repetition", "m10_real_image_decode",
+                 "x27_bpe_pair_counts", "n9_knn_join_ivf"):
         fn = QUERIES[name].fn
         base = _time(lambda: _force(fn(spark, SF)))
         t3 = _time(lambda: _force(fn(spark, str(x3))))
