@@ -208,12 +208,19 @@ def decode_ppm(data: bytes) -> DecodedImage:
 
 
 def decode_image(data: bytes) -> DecodedImage:
-    """Sniff and decode; raises ValueError for non-image payloads."""
+    """Sniff and decode; raises ValueError for non-image payloads AND
+    for corrupt ones — truncated chunks (struct.error) and bad deflate
+    streams (zlib.error) are normalized to ValueError so a caller's
+    quarantine path (decode_media_real) catches every bad payload with
+    one except clause instead of a job-killing surprise type."""
     fmt = sniff_format(bytes(data))
-    if fmt == "png":
-        return decode_png(bytes(data))
-    if fmt in ("ppm", "pgm"):
-        return decode_ppm(bytes(data))
+    try:
+        if fmt == "png":
+            return decode_png(bytes(data))
+        if fmt in ("ppm", "pgm"):
+            return decode_ppm(bytes(data))
+    except (struct.error, zlib.error) as ex:
+        raise ValueError(f"{fmt}: corrupt payload ({ex})") from ex
     raise ValueError("not a supported image format (png/ppm/pgm)")
 
 

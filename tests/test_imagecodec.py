@@ -181,6 +181,37 @@ def test_ppm_and_pgm_decode():
         decode_ppm(b"P6 2 2 255 " + b"\x00" * 3)
 
 
+def test_truncated_and_corrupt_payloads_raise_valueerror():
+    """Truncation (struct.error territory) and bad deflate bytes
+    (zlib.error) must surface as ValueError — the one exception type
+    decode_media_real quarantines on."""
+    whole = encode_png(4, 3, 3, bytes(36), filter_type=1)
+    for cut in (10, 20, len(whole) - 3):
+        with pytest.raises(ValueError):
+            decode_image(whole[:cut])
+    # CRC-valid chunk wrapping garbage deflate bytes -> zlib.error inside
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\xff\xfe\xfd\xfc")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt payload"):
+        decode_image(bad)
+
+
 def test_sniff_format():
     assert sniff_format(GOLDEN_2X2_GRAY_PNG) == "png"
     assert sniff_format(b"P6 1 1 255 abc") == "ppm"

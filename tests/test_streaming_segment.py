@@ -111,6 +111,9 @@ def test_segment_replay_converges_last_and_midhistory(spark, tmp_path):
     before_store = _store_state(spark, segs_dir)
 
     sink = segment_dedup_sink(segs_dir, docs_dir, seg_words=3)
+    cached_before = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
 
     # last-epoch replay (Structured Streaming's contract)
     last = spark.createDataFrame(EPOCHS[2], "doc_id long, text string")
@@ -132,5 +135,9 @@ def test_segment_replay_converges_last_and_midhistory(spark, tmp_path):
     assert _docs_state(spark, docs_dir) == before_docs
     assert _store_state(spark, segs_dir) == before_store
 
-    # cache hygiene: no persisted frames survive an epoch
-    assert not spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    # cache hygiene: the epochs left no NEW persisted frames (other
+    # suite tests may legitimately hold their own on the shared session)
+    cached_after = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert cached_after <= cached_before, "epoch left persisted frames"

@@ -1,6 +1,8 @@
 """Round-5 scale sweeps (SCALE.md protocol).
 
-Two jobs:
+Three jobs (the third: 3x rows for every round-5 operator — d16 / n8 /
+x26 / m10 / x27 / n9 — under duplicated docs, tripled embeddings and
+tripled lineitem). The first two:
 
 1. **Auto-k law, no caller input** (round-4 verdict item 3): run d14 /
    d15 at sf0.1 and at a 3x corpus with k="auto" doing the choosing
