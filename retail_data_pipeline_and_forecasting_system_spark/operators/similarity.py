@@ -413,8 +413,8 @@ def kmeans_lloyd(
     ``k="auto"`` derives k from one cheap ``count()`` via
     :func:`auto_k` (k = ceil(sqrt(n / target_cell_size))) so callers
     building SemDeDup cells never pin a k that stops scaling — the
-    count is a columnless scan (parquet answers it from footer
-    metadata), trivial beside the n_iter full passes of the fit.
+    count is a zero-column scan of the fit set (one cheap extra pass;
+    trivial beside the n_iter full passes of the fit itself).
 
     Init = first ``k`` vectors by id (no RNG → rerun-identical); each
     iteration assigns points to their nearest centroid in a MAP-ONLY

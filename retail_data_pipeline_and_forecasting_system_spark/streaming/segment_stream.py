@@ -58,6 +58,8 @@ def segment_dedup_sink(
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # no docs -> no (empty) partitions committed
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col)
 

@@ -105,6 +105,19 @@ def test_streamed_output_equals_batch_operator(spark, tmp_path):
     assert by_seg["entirely new tail"] == 2
 
 
+def test_segment_empty_batch_writes_nothing(spark, tmp_path):
+    """Streaming frameworks emit empty micro-batches; they must not
+    commit empty partitions into either store."""
+    import os
+
+    segs_dir, docs_dir = _drain(spark, tmp_path)
+    before = _store_state(spark, segs_dir)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    segment_dedup_sink(segs_dir, docs_dir, seg_words=3)(empty, 99)
+    assert _store_state(spark, segs_dir) == before
+    assert not os.path.isdir(os.path.join(docs_dir, "batch_id=99"))
+
+
 def test_segment_replay_converges_last_and_midhistory(spark, tmp_path):
     segs_dir, docs_dir = _drain(spark, tmp_path)
     before_docs = _docs_state(spark, docs_dir)
