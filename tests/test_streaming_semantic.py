@@ -142,6 +142,39 @@ def test_semantic_ingest_replay_converges(spark, tmp_path):
     )
 
 
+def test_semantic_ingest_auto_k_matches_fixed_k_verdicts(spark, tmp_path):
+    """k='auto' (similarity.auto_k) flows through the sink: on this
+    tiny feed auto-k resolves to 1 cell, a superset of any blocking, so
+    the verdict semantics must equal the default k=4 run — and the
+    service no longer needs a caller-tuned k as the corpus grows."""
+    _write_feed(tmp_path / "in")
+    states = {}
+    for label, kw in (("fixed", {}), ("auto", {"k": "auto"})):
+        cdir = str(tmp_path / f"corpus_{label}")
+        vdir = str(tmp_path / f"verdicts_{label}")
+        sink = incremental_semantic_sink(cdir, vdir, **kw)
+        for i, epoch in enumerate(
+            [[(1, A), (2, B)], [(3, A), (4, NEAR_A), (5, C)],
+             [(6, NEAR_C), (7, D), (8, D)]]
+        ):
+            sink(
+                spark.createDataFrame(
+                    epoch, "vec_id long, embedding array<double>"
+                ),
+                i,
+            )
+        states[label] = (
+            sorted(
+                (r["vec_id"], r["status"], r["match_id"], r["batch_id"])
+                for r in spark.read.parquet(vdir).collect()
+            ),
+            sorted(
+                r["vec_id"] for r in spark.read.parquet(cdir).collect()
+            ),
+        )
+    assert states["auto"] == states["fixed"]
+
+
 def test_semantic_ingest_first_epoch_refire_converges(spark, tmp_path):
     """Mid-history replay from the OTHER end: re-fire epoch 0 of 3 after
     the whole feed ran. The refired batch dedups against a corpus that
