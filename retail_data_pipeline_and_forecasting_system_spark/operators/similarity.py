@@ -516,6 +516,78 @@ def assign_cells(
     )
 
 
+def kmeans_minibatch_update(
+    model: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Absorb one batch into a running k-means model (mini-batch
+    k-means, Sculley 2010's running-mean form): assign the batch to the
+    current centroid literals map-only, aggregate per-cell decimal sums
+    + counts, and move each centroid to the count-weighted running mean
+    ``(old_mean·old_n + batch_sum) / (old_n + batch_n)``.
+
+    ``model`` is (cent_id INT, cent_vec ARRAY<DOUBLE>, n BIGINT) — the
+    k×dim(+k) state that crosses the driver, same budget as
+    :func:`kmeans_lloyd`. With ``n = 0`` rows (a fresh
+    ``kmeans_lloyd`` fit) the update degenerates to exact batch cell
+    means. Cost per call is ONE pass over the BATCH (assignment is
+    map-only; the sum aggregation is (cell, pos)-keyed with map-side
+    combine) — never over the corpus the model has already absorbed,
+    which is what makes a long-running ingest service's model
+    maintenance O(batch) instead of O(corpus) refits.
+
+    Deterministic: decimal batch sums are partition-order-proof, and
+    the merge arithmetic is plain driver-side float math — a replayed
+    epoch absorbing the same batch from the same prior model lands on
+    the bit-identical model.
+    """
+    spark = model.sparkSession
+    state = {
+        int(r["cent_id"]): ([float(x) for x in r["cent_vec"]], int(r["n"]))
+        for r in model.collect()
+    }
+    cents = sorted((cid, vec) for cid, (vec, _) in state.items())
+    nearest = F.array_min(centroid_dist_structs(vec_col, cents))
+    assigned = batch.select(
+        nearest.getField("cent_id").alias("cent_id"), F.col(vec_col)
+    )
+    sums = (
+        assigned.select(
+            "cent_id", F.posexplode(vec_col).alias("pos", "val")
+        )
+        .groupBy("cent_id", "pos")
+        .agg(
+            F.sum(
+                F.col("val").cast("double").cast("decimal(28,10)")
+            ).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        .collect()
+    )
+    per_cell: dict[int, dict[int, tuple[float, int]]] = {}
+    for r in sums:
+        per_cell.setdefault(int(r["cent_id"]), {})[int(r["pos"])] = (
+            float(r["s"]),
+            int(r["nb"]),
+        )
+    out = []
+    for cid, (vec, n_old) in sorted(state.items()):
+        dims = per_cell.get(cid)
+        if dims:
+            nb = next(iter(dims.values()))[1]  # same count every dim
+            vec = [
+                (vec[pos] * n_old + dims[pos][0]) / (n_old + nb)
+                for pos in range(len(vec))
+            ]
+            n_old += nb
+        out.append((cid, vec, n_old))
+    return spark.createDataFrame(
+        out, "cent_id INT, cent_vec ARRAY<DOUBLE>, n BIGINT"
+    )
+
+
 def incremental_semantic_dedup(
     embeddings: DataFrame,
     new_pred: Column,
@@ -572,7 +644,35 @@ def incremental_semantic_dedup(
 
     new_cells = cells.filter(F.col("__new"))
     corpus_cells = cells.filter(~F.col("__new"))
+    return semantic_verdicts(
+        new_cells,
+        corpus_cells,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        salt=salt,
+    )
 
+
+def semantic_verdicts(
+    new_cells: DataFrame,
+    corpus_cells: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: int | None = None,
+) -> DataFrame:
+    """Verdicts for an already-CELL-ASSIGNED batch against an
+    already-cell-assigned corpus — the join half of
+    :func:`incremental_semantic_dedup`, split out so callers that keep
+    corpus cell ids STORED (the incremental-model streaming service,
+    which must not re-assign the corpus every epoch) share one
+    implementation with the recompute-everything batch path.
+
+    Both inputs carry (id, vec, cent_id); output and policy are exactly
+    incremental_semantic_dedup's (dup_corpus > dup_batch > unique,
+    match_id = lowest winning id).
+    """
     n = new_cells.select(
         F.col("cent_id").alias("__blk"),
         F.col(id_col).alias("new_id"),
@@ -589,7 +689,7 @@ def incremental_semantic_dedup(
         c = c.withColumn(
             "__shard", F.pmod(F.xxhash64("corpus_id"), F.lit(salt))
         ).repartition(
-            _salt_partitions(embeddings, salt),
+            _salt_partitions(corpus_cells, salt),
             F.col("__blk"),
             F.col("__shard"),
         )

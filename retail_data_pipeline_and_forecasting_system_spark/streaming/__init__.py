@@ -15,6 +15,7 @@ from .dedup_stream import (  # noqa: F401
     run_dedup_ingest,
 )
 from .semantic_stream import (  # noqa: F401
+    incremental_semantic_model_sink,
     incremental_semantic_sink,
     run_semantic_ingest,
 )

@@ -35,12 +35,13 @@ corpus x corpus is already deduped by induction and never rescored, so
 pair-scoring cost is O(batch x colliding-cell corpus) regardless of
 corpus age. The refit-per-epoch model lifecycle above is NOT flat: the
 k-means refit (n_iter full passes) and the corpus cell-assignment are
-each O(corpus) scans per epoch — acceptable for this self-contained
-example, but a long-lived service should switch to the incremental
-model maintenance already described (mini-batch k-means or a
-slower-cadence versioned refresh), which removes the only O(corpus)
-terms and leaves the flat candidate join. Salt-sharding keeps
-few-big-cells spread across the cluster.
+each O(corpus) scans per epoch — acceptable while the corpus is young.
+:func:`incremental_semantic_model_sink` is the long-lived-service
+rendition that removes BOTH O(corpus) terms: a mini-batch-maintained
+model store (one batch pass per epoch) plus admission-time corpus cell
+ids (the corpus is never re-assigned), leaving only the flat candidate
+join — with the honest IVF-style recall trade its docstring states.
+Salt-sharding keeps few-big-cells spread across the cluster.
 """
 
 from __future__ import annotations
@@ -51,7 +52,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-from ..operators.similarity import incremental_semantic_dedup, kmeans_lloyd
+from ..operators.similarity import (
+    assign_cells,
+    auto_k,
+    incremental_semantic_dedup,
+    kmeans_lloyd,
+    kmeans_minibatch_update,
+    semantic_verdicts,
+)
 
 
 def incremental_semantic_sink(
@@ -135,6 +143,146 @@ def incremental_semantic_sink(
                 .write.mode("overwrite")
                 .partitionBy("batch_id")
                 .parquet(corpus_dir)
+            )
+        finally:
+            if old is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", old
+                )
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            verdicts.unpersist()
+
+    return write
+
+
+def incremental_semantic_model_sink(
+    corpus_dir: str,
+    verdicts_dir: str,
+    model_dir: str,
+    k: int | str = "auto",
+    n_iter: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: int | None = 16,
+) -> Callable[[DataFrame, int], None]:
+    """The INCREMENTAL-MODEL rendition of the semantic gate — per-epoch
+    cost O(batch), never O(corpus).
+
+    :func:`incremental_semantic_sink` refits k-means on the accepted
+    corpus and re-assigns the whole corpus every epoch (exact, and fine
+    while the corpus is young, but both passes are O(corpus)). This
+    sink removes them, the way a long-running service must:
+
+    - the MODEL lives in ``model_dir/epoch=<n>/`` as
+      (cent_id, cent_vec, n) and is maintained by mini-batch running
+      means (:func:`kmeans_minibatch_update`) — one pass over the BATCH
+      absorbs it; the corpus is never re-fit;
+    - the CORPUS stores each vector's cell id AS OF ITS ADMISSION EPOCH
+      (``corpus_dir/batch_id=<n>/`` rows carry cent_id), so candidate
+      generation joins stored cells — the corpus is never re-assigned.
+
+    The price is honest and standard: corpus cell ids age as the model
+    drifts, so a batch vector and an old near-duplicate can land in
+    different cells and be missed — the same recall trade every
+    IVF-style index accepts between rebuilds. Exact-duplicate pressure
+    is unaffected (identical vectors assign identically under ANY
+    model). Schedule a full re-assignment (assign_cells over the
+    corpus + partition rewrite) on a slow cadence if recall drift
+    matters, exactly like an index rebuild.
+
+    Replay: the model read takes the newest epoch STRICTLY BELOW the
+    current batch_id, so a crashed epoch's half-written model partition
+    is ignored and a mid-history re-fire reads exactly the model it
+    originally saw; the update is deterministic (decimal batch sums +
+    driver float math), so the rewritten model/verdict/corpus
+    partitions are byte-identical.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, vec_col)
+
+        prev_model = None
+        try:
+            models = spark.read.parquet(model_dir).filter(
+                F.col("epoch") < int(batch_id)
+            )
+            prev_epoch = models.agg(F.max("epoch")).collect()[0][0]
+            if prev_epoch is not None:
+                prev_model = models.filter(
+                    F.col("epoch") == prev_epoch
+                ).select("cent_id", "cent_vec", "n")
+        except AnalysisException:
+            pass
+
+        if prev_model is None:
+            # first epoch: structure from the batch itself, counts start
+            # at 0 so the running mean degenerates to exact batch means
+            k_res = auto_k(batch.count()) if k == "auto" else k
+            cents0 = kmeans_lloyd(
+                batch, k=k_res, n_iter=n_iter, id_col=id_col,
+                vec_col=vec_col, exact_mean=True,
+            )
+            prev_model = cents0.select(
+                "cent_id", "cent_vec", F.lit(0).cast("bigint").alias("n")
+            )
+
+        model = kmeans_minibatch_update(
+            prev_model, batch, id_col=id_col, vec_col=vec_col
+        )
+
+        batch_cells = assign_cells(
+            batch, model.select("cent_id", "cent_vec"),
+            id_col=id_col, vec_col=vec_col,
+        ).select(id_col, vec_col, F.col("cent_id").cast("int").alias("cent_id"))
+
+        try:
+            corpus_cells = (
+                spark.read.parquet(corpus_dir)
+                .filter(F.col("batch_id") != int(batch_id))
+                .select(id_col, vec_col, "cent_id")
+            )
+        except AnalysisException:
+            corpus_cells = spark.createDataFrame([], batch_cells.schema)
+
+        verdicts = semantic_verdicts(
+            batch_cells,
+            corpus_cells,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            salt=salt,
+        )
+
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            verdicts = verdicts.persist()
+            (
+                verdicts.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(verdicts_dir)
+            )
+            accepted = batch_cells.join(
+                verdicts.filter(F.col("status") == "unique").select(id_col),
+                id_col,
+            )
+            (
+                accepted.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(corpus_dir)
+            )
+            (
+                model.withColumn("epoch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("epoch")
+                .parquet(model_dir)
             )
         finally:
             if old is not None:

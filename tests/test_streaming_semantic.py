@@ -14,6 +14,8 @@ import json
 import os
 import time
 
+from pyspark.sql import functions as F
+
 from retail_data_pipeline_and_forecasting_system_spark.streaming import (
     incremental_semantic_sink,
     run_semantic_ingest,
@@ -173,6 +175,112 @@ def test_semantic_ingest_auto_k_matches_fixed_k_verdicts(spark, tmp_path):
             ),
         )
     assert states["auto"] == states["fixed"]
+
+
+def _drive_model_sink(spark, tmp_path, epochs):
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        incremental_semantic_model_sink,
+    )
+
+    dirs = (
+        str(tmp_path / "corpus_m"),
+        str(tmp_path / "verdicts_m"),
+        str(tmp_path / "model_m"),
+    )
+    sink = incremental_semantic_model_sink(*dirs, k=2)
+    for i, epoch in enumerate(epochs):
+        sink(
+            spark.createDataFrame(
+                epoch, "vec_id long, embedding array<double>"
+            ),
+            i,
+        )
+    return sink, dirs
+
+
+def test_semantic_model_sink_gates_and_maintains_model(spark, tmp_path):
+    """The O(batch)-per-epoch rendition: verdict semantics on the
+    standard feed match the refit service (strong dup signals are
+    model-independent), the corpus stores admission-time cell ids, and
+    the model store holds one absorbed-count-increasing version per
+    epoch."""
+    epochs = [
+        [(1, A), (2, B)],
+        [(3, A), (4, NEAR_A), (5, C)],
+        [(6, NEAR_C), (7, D), (8, D)],
+    ]
+    _, (corpus_dir, verdicts_dir, model_dir) = _drive_model_sink(
+        spark, tmp_path, epochs
+    )
+    verdicts = {
+        r["vec_id"]: (r["status"], r["match_id"], r["batch_id"])
+        for r in spark.read.parquet(verdicts_dir).collect()
+    }
+    assert verdicts[1] == ("unique", None, 0)
+    assert verdicts[2] == ("unique", None, 0)
+    assert verdicts[3] == ("dup_corpus", 1, 1)
+    assert verdicts[4] == ("dup_corpus", 1, 1)
+    assert verdicts[5] == ("unique", None, 1)
+    assert verdicts[6] == ("dup_corpus", 5, 2)
+    assert verdicts[7] == ("unique", None, 2)
+    assert verdicts[8] == ("dup_batch", 7, 2)
+
+    corpus = {
+        r["vec_id"]: r["cent_id"]
+        for r in spark.read.parquet(corpus_dir).collect()
+    }
+    assert set(corpus) == {1, 2, 5, 7}
+    assert all(c is not None for c in corpus.values())  # stored cells
+
+    model = spark.read.parquet(model_dir)
+    per_epoch = {
+        r["epoch"]: r["total"]
+        for r in model.groupBy("epoch")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    # the model absorbs every ARRIVING vector (2, then +3, then +3)
+    assert per_epoch == {0: 2, 1: 5, 2: 8}
+
+
+def test_semantic_model_sink_replay_converges_any_epoch(spark, tmp_path):
+    """Replay any epoch: the model read takes the newest epoch BELOW
+    the batch id, so the re-fire reads exactly what it originally saw
+    and rewrites byte-identical verdict/corpus/model partitions."""
+    epochs = [
+        [(1, A), (2, B)],
+        [(3, A), (4, NEAR_A), (5, C)],
+        [(6, NEAR_C), (7, D), (8, D)],
+    ]
+    sink, (corpus_dir, verdicts_dir, model_dir) = _drive_model_sink(
+        spark, tmp_path, epochs
+    )
+
+    def state():
+        return (
+            sorted(
+                tuple(r)
+                for r in spark.read.parquet(verdicts_dir).collect()
+            ),
+            sorted(
+                (r["vec_id"], r["cent_id"], r["batch_id"])
+                for r in spark.read.parquet(corpus_dir).collect()
+            ),
+            sorted(
+                (r["epoch"], r["cent_id"], r["n"], tuple(r["cent_vec"]))
+                for r in spark.read.parquet(model_dir).collect()
+            ),
+        )
+
+    before = state()
+    for epoch_id in (2, 1, 0):  # last, mid-history, first
+        sink(
+            spark.createDataFrame(
+                epochs[epoch_id], "vec_id long, embedding array<double>"
+            ),
+            epoch_id,
+        )
+        assert state() == before, f"replay of epoch {epoch_id} diverged"
 
 
 def test_semantic_ingest_first_epoch_refire_converges(spark, tmp_path):
