@@ -516,6 +516,41 @@ def assign_cells(
     )
 
 
+def assign_cells_multiprobe(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ``n_probe`` NEAREST cells per vector, exploded to
+    (id, vec, probe_rank, cent_id) — one row per probe, still map-only
+    (array_sort over the same literal-matrix dist structs
+    :func:`assign_cells` argmins; no join, no shuffle).
+
+    Feed the QUERY side of an IVF join through this to trade n_probe×
+    candidates for the cross-cell recall single-probe assignment loses
+    — the join analogue of :func:`ivf_topk`'s multi-probe scan.
+    """
+    ranked = F.slice(
+        F.array_sort(
+            centroid_dist_structs(vec_col, _collect_centroids(centroids))
+        ),
+        1,
+        n_probe,
+    )
+    return embeddings.select(
+        id_col,
+        vec_col,
+        F.posexplode(ranked).alias("probe_rank", "__p"),
+    ).select(
+        id_col,
+        vec_col,
+        (F.col("probe_rank") + 1).cast("int").alias("probe_rank"),
+        F.col("__p").getField("cent_id").alias("cent_id"),
+    )
+
+
 def kmeans_minibatch_update(
     model: DataFrame,
     batch: DataFrame,

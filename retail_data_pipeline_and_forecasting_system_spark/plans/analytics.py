@@ -8726,6 +8726,74 @@ def n9_knn_join_ivf(spark, sf):
 
 
 @q(
+    "n10_knn_join_multiprobe",
+    sql=_kmeans_af_ctes("auto", 2, source_where=" WHERE vec_id >= 10")
+    + f""",
+    afn AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {_l2_list_sql("v.embedding", "c.cvec")} ASC,
+                     c.cid ASC) AS rn
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) v
+        CROSS JOIN c2 c
+      ) WHERE rn <= 2
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        {_sql_cosine('ec.embedding', 'eq.embedding')} AS cos_sim,
+        row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY {_sql_cosine('ec.embedding', 'eq.embedding')} DESC,
+                   c.vec_id
+        ) AS rnk
+      FROM afn q JOIN af c ON q.cid = c.cid
+      JOIN embeddings eq ON eq.vec_id = q.vec_id
+      JOIN embeddings ec ON ec.vec_id = c.vec_id
+    ) WHERE rnk <= 5
+    """,
+    ref="LLM-ops: n9's IVF-blocked kNN join with TWO-probe queries "
+    "(each query searches its 2 nearest cells — "
+    "similarity.assign_cells_multiprobe), buying back the cross-cell "
+    "neighbors single-probe n9 loses for 2x candidates; corpus side "
+    "stays single-assigned, so probe cells are disjoint and no "
+    "candidate duplicates arise",
+    scale="query-side probe fan-out is map-only (array_sort over the "
+    "same literal dist structs, then a 2-row explode of the QUERY "
+    "side only — |Q| is the small side); candidates are "
+    "n_probe x |Q| x (corpus/k); the cell-id equi-join and one "
+    "query-keyed top-k are unchanged from n9",
+)
+def n10_knn_join_multiprobe(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cents = SIM.kmeans_lloyd(corpus, k="auto", n_iter=2, exact_mean=True)
+    qc = SIM.assign_cells_multiprobe(queries, cents, n_probe=2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        "cent_id",
+    )
+    cc = SIM.assign_cells(corpus, cents).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        "cent_id",
+    )
+    scored = cc.join(F.broadcast(qc), "cent_id").select(
+        "query_id",
+        "neighbor_id",
+        SIM.cosine("cvec", "qvec").alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@q(
     "h4_downsample_ltob",
     sql="""
     WITH daily AS (
@@ -8962,9 +9030,10 @@ def x28_perplexity_buckets(spark, sf):
 # cumulative driver-green covers every entry registered through the
 # round-5 window; the ROUND-6 queue (registered late in round 5, after
 # the window was sealed) is exactly: h4_downsample_ltob,
-# x28_perplexity_buckets (plus re-verification picks for whatever
-# round 6 changes). All 184 registry entries are local-parity green at
-# sf0.001/0.01/0.1 under the exact-value check every run.
+# x28_perplexity_buckets, n10_knn_join_multiprobe (plus re-verification
+# picks for whatever round 6 changes). All 186 registry entries are
+# local-parity green at sf0.001/0.01/0.1 under the exact-value check
+# every run.
 _DRIVER_SAMPLE = [
     # never-driver-verified: round-4 registrations (12)
     "h2_gap_fill", "w9_rolling_median", "d14_semantic_dedup",

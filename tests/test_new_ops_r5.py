@@ -87,6 +87,80 @@ def test_multiprobe_ranks_by_cosine(spark):
     assert got[0]["cos_sim"] > got[1]["cos_sim"]
 
 
+def test_multiprobe_cells_recover_cross_cell_neighbor(spark):
+    """The n9 vs n10 recall story at operator level: a query sits just
+    inside cluster X's cell while its TRUE nearest neighbor lives in
+    cluster Y — single-probe assignment misses it, the 2-probe fan-out
+    finds it."""
+    from pyspark.sql import functions as F
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_multiprobe,
+        cosine,
+        kmeans_lloyd,
+    )
+
+    def v(a, b):
+        return [float(a), float(b), 0.0, 0.0]
+
+    # corpus: tight cluster X near (1,0), tight cluster Y near (0,1)
+    corpus_rows = [
+        (10, v(1.0, 0.0)), (11, v(0.98, 0.05)), (12, v(1.02, -0.05)),
+        (20, v(0.0, 1.0)), (21, v(0.05, 0.98)), (22, v(-0.05, 1.02)),
+    ]
+    # query: between the clusters, barely X-side — but its best cosine
+    # match is Y's member 23, angled toward the query
+    query_rows = [(1, v(0.75, 0.70))]
+    corpus_rows.append((23, v(0.72, 0.73)))
+
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        query_rows, "vec_id long, embedding array<double>"
+    )
+    cents = kmeans_lloyd(corpus, k=2, n_iter=3, exact_mean=True)
+
+    def top1(qc):
+        cc = assign_cells(corpus, cents).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cvec"),
+            "cent_id",
+        )
+        scored = cc.join(qc, "cent_id").select(
+            "neighbor_id", cosine("cvec", "qvec").alias("cos_sim")
+        )
+        return scored.orderBy(F.desc("cos_sim"), "neighbor_id").head()
+
+    single = top1(
+        assign_cells(queries, cents).select(
+            F.col("embedding").alias("qvec"), "cent_id"
+        )
+    )
+    multi = top1(
+        assign_cells_multiprobe(queries, cents, n_probe=2).select(
+            F.col("embedding").alias("qvec"), "cent_id"
+        )
+    )
+    # 23 sits in whichever cluster the fit put it; the point is the
+    # 2-probe search must find the GLOBAL best (23), while single-probe
+    # is confined to the query's own cell
+    assert multi["neighbor_id"] == 23
+    assert multi["cos_sim"] >= single["cos_sim"]
+    if single["neighbor_id"] == 23:
+        # fit landed query and 23 in one cell — strengthen the setup
+        # assumption rather than silently passing
+        cells = {
+            r["vec_id"]: r["cent_id"]
+            for r in assign_cells(corpus, cents).collect()
+        }
+        qcell = assign_cells(queries, cents).head()["cent_id"]
+        assert cells[23] == qcell
+    else:
+        assert single["cos_sim"] < multi["cos_sim"]
+
+
 def test_ngram_repetition_hand_computed(spark):
     # "buy cheap pills buy cheap pills": bigrams = [buy cheap, cheap
     # pills, pills buy, buy cheap, cheap pills] -> 5 instances, top
