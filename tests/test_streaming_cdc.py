@@ -270,6 +270,55 @@ def test_cdc_tombstone_feed_matches_dict_oracle(spark, tmp_path):
         assert live == oracle, f"epoch {epoch}"
 
 
+def test_cdc_tombstone_random_replay_fuzz(spark, tmp_path):
+    """Adversarial replay: after a 5-epoch random feed (tombstone mode),
+    re-fire a random shuffle of past epochs — the live view must stay
+    pinned to the sequential dict oracle through every refire. This is
+    the seq-guard + tombstone contract under arbitrary re-delivery."""
+    import numpy as np
+
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        read_cdc_snapshot,
+    )
+
+    rng = np.random.default_rng(99)
+    table = str(tmp_path / "table")
+    sink = cdc_apply_sink(table, "k", tombstones=True)
+    schema = "k long, op string, seq long, val string"
+
+    epochs = []
+    oracle: dict[int, tuple] = {}
+    seq = 0
+    for epoch in range(5):
+        rows = []
+        for _ in range(int(rng.integers(2, 10))):
+            k = int(rng.integers(0, 6))
+            seq += 1
+            if rng.random() < 0.35:
+                rows.append((k, "delete", seq, None))
+            else:
+                rows.append((k, "upsert", seq, f"v{seq}"))
+        epochs.append(rows)
+        sink(spark.createDataFrame(rows, schema), epoch)
+        for k, op, s, v in rows:
+            if op == "delete":
+                oracle.pop(k, None)
+            else:
+                oracle[k] = (v, s)
+
+    def live():
+        return {
+            r["k"]: (r["val"], r["seq"])
+            for r in read_cdc_snapshot(spark, table).collect()
+        }
+
+    assert live() == oracle
+    refires = list(rng.permutation(5)) + [int(rng.integers(0, 5))]
+    for e in refires:
+        sink(spark.createDataFrame(epochs[int(e)], schema), int(e))
+        assert live() == oracle, f"refire of epoch {e} diverged"
+
+
 def test_cdc_replay_of_last_epoch_converges(spark, tmp_path):
     """Crash replay re-runs only the LAST uncommitted epoch (Structured
     Streaming's contract): re-applying the final batch against its own

@@ -105,6 +105,50 @@ def test_streamed_output_equals_batch_operator(spark, tmp_path):
     assert by_seg["entirely new tail"] == 2
 
 
+def test_segment_random_replay_fuzz(spark, tmp_path):
+    """Adversarial replay over a random corpus: drive 4 random epochs,
+    then re-fire a random shuffle of them — docs output and seen-store
+    must be byte-stable through every refire (the first-seen-partition
+    layout makes each refire read exactly its original store state)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    vocab = ["a", "b", "c"]
+    epochs = []
+    next_id = 0
+    for _ in range(4):
+        docs = []
+        for _ in range(int(rng.integers(2, 6))):
+            docs.append(
+                (
+                    next_id,
+                    " ".join(
+                        rng.choice(vocab, size=int(rng.integers(3, 12)))
+                    ),
+                )
+            )
+            next_id += 1
+        epochs.append(docs)
+
+    segs_dir = str(tmp_path / "segs")
+    docs_dir = str(tmp_path / "docs")
+    sink = segment_dedup_sink(segs_dir, docs_dir, seg_words=3)
+    for i, docs in enumerate(epochs):
+        sink(spark.createDataFrame(docs, "doc_id long, text string"), i)
+
+    before = (_docs_state(spark, docs_dir), _store_state(spark, segs_dir))
+    refires = list(rng.permutation(4)) + [int(rng.integers(0, 4))]
+    for e in refires:
+        sink(
+            spark.createDataFrame(
+                epochs[int(e)], "doc_id long, text string"
+            ),
+            int(e),
+        )
+        now = (_docs_state(spark, docs_dir), _store_state(spark, segs_dir))
+        assert now == before, f"refire of epoch {e} diverged"
+
+
 def test_segment_empty_batch_writes_nothing(spark, tmp_path):
     """Streaming frameworks emit empty micro-batches; they must not
     commit empty partitions into either store."""
