@@ -31,4 +31,5 @@ from .segment_stream import (  # noqa: F401
 from .sinks import (  # noqa: F401
     idempotent_parquet_sink,
     quarantine_parquet_sink,
+    vacuum_epoch_partitions,
 )

@@ -227,3 +227,53 @@ def idempotent_jdbc_sink(
         writer.save()
 
     return write
+
+
+def vacuum_epoch_partitions(
+    store_dir: str,
+    keep_latest: int,
+    partition_col: str | None = None,
+) -> list[int]:
+    """Retire old epoch partitions from an epoch-partitioned store
+    (``batch_id=<n>/`` or ``epoch=<n>/`` dirs — the layout every
+    foreachBatch service here writes), keeping the newest
+    ``keep_latest``. Returns the vacuumed epoch ids.
+
+    The replay contract shrinks accordingly: a vacuumed epoch can no
+    longer be re-fired convergently (its partition — and for the
+    segment store, its first-seen segments; for the model store, the
+    model its successor read — is gone), so keep the retention at least
+    as deep as the streaming checkpoint's replay horizon, exactly like
+    ``sources.versioned.vacuum_versions``. Deleting a whole partition
+    directory is metadata-only for readers: the next scan simply lists
+    fewer partitions; no rewrite, no tombstone files.
+
+    NOTE for the dedup/segment corpus stores: vacuuming ADMISSION
+    epochs changes dedup semantics (early segments/vectors stop
+    guarding future arrivals). That is sometimes exactly what a
+    retention policy wants (dedup against the last N days only) — this
+    function is that policy's mechanism; it is NOT safe compaction for
+    a store meant to guard forever. For the model store it is always
+    safe beyond the replay horizon: only the newest version is read.
+    """
+    import re
+    import shutil
+    from pathlib import Path
+
+    root = Path(store_dir)
+    if not root.is_dir():
+        return []
+    pat = re.compile(
+        rf"^{re.escape(partition_col)}=(\d+)$"
+        if partition_col
+        else r"^(?:batch_id|epoch)=(\d+)$"
+    )
+    parts = sorted(
+        (int(m.group(1)), p)
+        for p in root.iterdir()
+        if p.is_dir() and (m := pat.match(p.name))
+    )
+    victims = parts[:-keep_latest] if keep_latest > 0 else parts
+    for _, p in victims:
+        shutil.rmtree(p)
+    return [e for e, _ in victims]

@@ -105,6 +105,31 @@ def test_streamed_output_equals_batch_operator(spark, tmp_path):
     assert by_seg["entirely new tail"] == 2
 
 
+def test_vacuum_epoch_partitions_retires_old_epochs(spark, tmp_path):
+    """Retention mechanism for every epoch-partitioned store: keep the
+    newest N partitions, readers see only the survivors, and the model
+    store's newest-version read is unaffected."""
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        vacuum_epoch_partitions,
+    )
+
+    segs_dir, docs_dir = _drain(spark, tmp_path)  # 3 epochs
+    assert vacuum_epoch_partitions(docs_dir, keep_latest=1) == [0, 1]
+    left = {r["batch_id"] for r in spark.read.parquet(docs_dir).collect()}
+    assert left == {2}
+    # idempotent on a second pass; missing dir is a no-op
+    assert vacuum_epoch_partitions(docs_dir, keep_latest=1) == []
+    assert vacuum_epoch_partitions(str(tmp_path / "nope"), 1) == []
+    # explicit partition column name works too (model stores use epoch=)
+    mdir = tmp_path / "model"
+    for e in range(3):
+        (mdir / f"epoch={e}").mkdir(parents=True)
+    assert vacuum_epoch_partitions(
+        str(mdir), keep_latest=2, partition_col="epoch"
+    ) == [0]
+    assert sorted(p.name for p in mdir.iterdir()) == ["epoch=1", "epoch=2"]
+
+
 def test_segment_random_replay_fuzz(spark, tmp_path):
     """Adversarial replay over a random corpus: drive 4 random epochs,
     then re-fire a random shuffle of them — docs output and seen-store
