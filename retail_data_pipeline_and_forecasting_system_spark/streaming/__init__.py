@@ -17,6 +17,7 @@ from .dedup_stream import (  # noqa: F401
 from .semantic_stream import (  # noqa: F401
     incremental_semantic_model_sink,
     incremental_semantic_sink,
+    rebuild_semantic_model,
     run_semantic_ingest,
 )
 from .cdc_stream import (  # noqa: F401

@@ -283,6 +283,77 @@ def test_semantic_model_sink_replay_converges_any_epoch(spark, tmp_path):
         assert state() == before, f"replay of epoch {epoch_id} diverged"
 
 
+def test_semantic_model_rebuild_restores_autok_and_consistency(spark, tmp_path):
+    """rebuild_semantic_model: the periodic k ~ sqrt(n) restore — after
+    a rebuild the model store's newest version has auto-k cells whose
+    counts sum to the corpus, every stored corpus cell id equals a
+    fresh assignment under the rebuilt centroids, and the NEXT epoch
+    still gates correctly (a clone of an old admission is caught)."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        assign_cells,
+        auto_k,
+    )
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        incremental_semantic_model_sink,
+        rebuild_semantic_model,
+    )
+
+    corpus_dir = str(tmp_path / "corpus")
+    verdicts_dir = str(tmp_path / "verdicts")
+    model_dir = str(tmp_path / "model")
+    sink = incremental_semantic_model_sink(
+        corpus_dir, verdicts_dir, model_dir, k=2
+    )
+    epochs = [[(1, A), (2, B)], [(5, C), (7, D)]]
+    for i, epoch in enumerate(epochs):
+        sink(
+            spark.createDataFrame(
+                epoch, "vec_id long, embedding array<double>"
+            ),
+            i,
+        )
+
+    k = rebuild_semantic_model(spark, corpus_dir, model_dir, epoch=1)
+    assert k == auto_k(4)  # corpus is 4 accepted vectors
+
+    model = (
+        spark.read.parquet(model_dir)
+        .filter(F.col("epoch") == 1)
+        .select("cent_id", "cent_vec", "n")
+    )
+    assert model.count() == k
+    assert model.agg(F.sum("n")).collect()[0][0] == 4
+
+    stored = {
+        r["vec_id"]: r["cent_id"]
+        for r in spark.read.parquet(corpus_dir).collect()
+    }
+    fresh = {
+        r["vec_id"]: r["cent_id"]
+        for r in assign_cells(
+            spark.read.parquet(corpus_dir).select("vec_id", "embedding"),
+            model.select("cent_id", "cent_vec"),
+        ).collect()
+    }
+    assert stored == fresh  # rewrite is consistent with the new model
+
+    # next epoch gates against the rebuilt index: clone of 1 caught
+    sink(
+        spark.createDataFrame(
+            [(9, A), (10, D)], "vec_id long, embedding array<double>"
+        ),
+        2,
+    )
+    verdicts = {
+        r["vec_id"]: r["status"]
+        for r in spark.read.parquet(verdicts_dir)
+        .filter(F.col("batch_id") == 2)
+        .collect()
+    }
+    assert verdicts[9] == "dup_corpus"
+    assert verdicts[10] == "dup_corpus"
+
+
 def test_semantic_ingest_first_epoch_refire_converges(spark, tmp_path):
     """Mid-history replay from the OTHER end: re-fire epoch 0 of 3 after
     the whole feed ran. The refired batch dedups against a corpus that
