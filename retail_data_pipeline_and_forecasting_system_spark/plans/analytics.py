@@ -9031,7 +9031,7 @@ def x28_perplexity_buckets(spark, sf):
 # round-5 window; the ROUND-6 queue (registered late in round 5, after
 # the window was sealed) is exactly: h4_downsample_ltob,
 # x28_perplexity_buckets, n10_knn_join_multiprobe (plus re-verification
-# picks for whatever round 6 changes). All 186 registry entries are
+# picks for whatever round 6 changes). All 185 registry entries are
 # local-parity green at sf0.001/0.01/0.1 under the exact-value check
 # every run.
 _DRIVER_SAMPLE = [
