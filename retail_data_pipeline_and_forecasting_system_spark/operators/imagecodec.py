@@ -31,6 +31,12 @@ from dataclasses import dataclass
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Decode-bomb guard: reject images whose raw (unfiltered) size exceeds
+# this many bytes BEFORE allocating or inflating anything. An
+# attacker-controlled IHDR or a small deflate bomb must fail with
+# ValueError (caught by the quarantine paths), never OOM an executor.
+MAX_DECODED_BYTES = 64 * 1024 * 1024
+
 # color type -> samples per pixel (before palette expansion)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -47,14 +53,38 @@ class DecodedImage:
     format: str  # "png" | "ppm" | "pgm"
 
 
+def _ppm_headerish(data: bytes) -> bool:
+    """True when the bytes after a P5/P6 magic look like a real PPM
+    header: whitespace, then (after optional ``#`` comment lines) a
+    digit. A 2-byte magic alone matches arbitrary text ("P6 chip
+    benchmarks..."); requiring the width digit keeps such payloads on
+    the stub path instead of raising mid-decode."""
+    pos = 2
+    if pos >= len(data) or not data[pos : pos + 1].isspace():
+        return False
+    while pos < len(data):
+        ch = data[pos : pos + 1]
+        if ch.isspace():
+            pos += 1
+        elif ch == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+        else:
+            return ch.isdigit()
+    return False
+
+
 def sniff_format(data: bytes) -> str | None:
     """Return "png" / "ppm" / "pgm" when ``data`` starts like one of the
-    supported formats, else None (caller falls back to the stub)."""
+    supported formats, else None (caller falls back to the stub). P5/P6
+    additionally require a plausible header (whitespace then a digit) so
+    text payloads that merely start with the two magic bytes don't
+    sniff as images."""
     if data[:8] == PNG_MAGIC:
         return "png"
-    if data[:2] == b"P6":
+    if data[:2] == b"P6" and _ppm_headerish(data):
         return "ppm"
-    if data[:2] == b"P5":
+    if data[:2] == b"P5" and _ppm_headerish(data):
         return "pgm"
     return None
 
@@ -154,11 +184,23 @@ def decode_png(data: bytes) -> DecodedImage:
     if interlace != 0:
         raise ValueError("png: Adam7 interlace not supported")
     bpp = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     expected = height * (1 + width * bpp)
-    if len(raw) != expected:
+    # Size sanity BEFORE any allocation/inflate: a hostile IHDR
+    # (4-billion-pixel dims) or deflate bomb must raise, not OOM.
+    if width == 0 or height == 0:
+        raise ValueError("png: zero-sized image")
+    if expected > MAX_DECODED_BYTES:
         raise ValueError(
-            f"png: decompressed size {len(raw)} != expected {expected}"
+            f"png: decoded size {expected} exceeds cap {MAX_DECODED_BYTES}"
+        )
+    dec = zlib.decompressobj()
+    # Bounded inflate: ask for at most expected+1 bytes — if the stream
+    # yields more than `expected`, it's malformed (or a bomb) and we
+    # stop without materializing the excess.
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or not dec.eof or dec.unused_data:
+        raise ValueError(
+            f"png: decompressed size != expected {expected}"
         )
     pixels = _unfilter(raw, width, height, bpp)
     if color_type == 3:

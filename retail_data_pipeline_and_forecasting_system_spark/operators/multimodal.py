@@ -60,7 +60,13 @@ def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
     width, height = list(width), list(height)
     for i, payload in enumerate(batch["payload"]):
         if imagecodec.sniff_format(bytes(payload)) is not None:
-            img = imagecodec.decode_image(bytes(payload))
+            try:
+                img = imagecodec.decode_image(bytes(payload))
+            except ValueError:
+                # Sniffed like an image but didn't decode (corrupt body,
+                # unsupported variant): keep the stub dims — mirrors
+                # decode_media_real's quarantine; never kill the job.
+                continue
             width[i], height[i] = img.width, img.height
     return pd.DataFrame(
         {

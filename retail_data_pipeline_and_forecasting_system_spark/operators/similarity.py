@@ -584,8 +584,19 @@ def kmeans_minibatch_update(
         for r in model.collect()
     }
     cents = sorted((cid, vec) for cid, (vec, _) in state.items())
+    dim = len(cents[0][1]) if cents else 0
+    # Hostile-embedding guard (mirrors the null-safe cosine elsewhere):
+    # a NULL element would null the per-(cell,pos) decimal sum — raising
+    # TypeError below — and a ragged/short vector would silently mix
+    # mismatched per-dim counts into the running mean. Drop such rows at
+    # the boundary; the surviving batch is dense and dim-consistent.
+    clean = batch.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == F.lit(dim))
+        & ~F.exists(vec_col, lambda x: x.isNull())
+    )
     nearest = F.array_min(centroid_dist_structs(vec_col, cents))
-    assigned = batch.select(
+    assigned = clean.select(
         nearest.getField("cent_id").alias("cent_id"), F.col(vec_col)
     )
     sums = (

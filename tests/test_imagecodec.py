@@ -274,3 +274,88 @@ def test_decode_batch_sniffs_real_images(spark):
 
     fw, fh = _fake_dims(pd.Series([len(b"synthetic text bytes")]))
     assert (got[2]["width"], got[2]["height"]) == (int(fw[0]), int(fh[0]))
+
+
+def test_sniff_rejects_text_with_ppm_magic():
+    """ADVICE r5: a text payload that merely STARTS with 'P6'/'P5' must
+    not sniff as an image (the 2-byte magic matched 'P6 chip
+    benchmarks...' and crashed the decode job)."""
+    assert sniff_format(b"P6 chip benchmarks beat last gen") is None
+    assert sniff_format(b"P5 highway exit ahead") is None
+    assert sniff_format(b"P6") is None
+    assert sniff_format(b"P6\n# comment\n  12 7 255 ") == "ppm"
+    assert sniff_format(b"P5\t3 3 255 " + bytes(9)) == "pgm"
+
+
+def test_decode_batch_quarantines_corrupt_sniffed_payloads(spark):
+    """ADVICE r5 (medium): payloads that sniff as an image but fail to
+    decode (PNG magic + corrupt body) fall back to the stub dims instead
+    of killing the whole decode_media job."""
+    import pandas as pd
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.multimodal import (
+        _fake_dims,
+        decode_media,
+    )
+
+    corrupt_png = GOLDEN_2X2_GRAY_PNG[:20] + b"\x00garbage-body\xff" * 3
+    assert sniff_format(corrupt_png) == "png"
+    rows = [(1, bytearray(corrupt_png)), (2, bytearray(b"plain text"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_media(df).collect()}
+    fw, fh = _fake_dims(pd.Series([len(corrupt_png)]))
+    assert (got[1]["width"], got[1]["height"]) == (int(fw[0]), int(fh[0]))
+
+
+def test_png_decode_bomb_guards():
+    """ADVICE r5 (low): hostile IHDR dims / deflate bombs raise
+    ValueError BEFORE any large allocation or full inflate — they must
+    quarantine, never OOM an executor."""
+    import struct
+    import zlib
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators import (
+        imagecodec,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # 1) huge-dims IHDR (would be ~16 GB raw) with a tiny IDAT
+    ihdr = struct.pack(">IIBBBBB", 65536, 65536, 8, 2, 0, 0, 0)
+    huge = (
+        imagecodec.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="exceeds cap"):
+        decode_png(huge)
+
+    # 2) deflate bomb: claims 2x2 but the stream inflates to ~10 MB.
+    #    The bounded inflate stops at expected+1 bytes.
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = (
+        imagecodec.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decompressed size"):
+        decode_png(bomb)
+
+    # 3) zero-dims image
+    ihdr = struct.pack(">IIBBBBB", 0, 5, 8, 0, 0, 0, 0)
+    zero = (
+        imagecodec.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b""))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="zero-sized"):
+        decode_png(zero)

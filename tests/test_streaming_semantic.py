@@ -398,3 +398,40 @@ def test_semantic_ingest_first_epoch_refire_converges(spark, tmp_path):
     )
     assert after_v == before_v
     assert after_c == before_c
+
+
+def test_minibatch_update_drops_null_and_ragged_vectors(spark):
+    """ADVICE r5 (low): a NULL element or ragged vector in the batch
+    must not crash the decimal-sum aggregation (TypeError on float(None))
+    or silently mix mismatched per-dim counts — such rows are dropped at
+    the model-sink boundary and the surviving rows update the model
+    exactly as if the hostile rows never arrived."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        kmeans_minibatch_update,
+    )
+
+    model = spark.createDataFrame(
+        [(0, A, 1), (1, C, 1)],
+        "cent_id INT, cent_vec ARRAY<DOUBLE>, n BIGINT",
+    )
+    hostile = spark.createDataFrame(
+        [
+            (10, NEAR_A),                    # clean: joins cell 0
+            (11, None),                      # null vector
+            (12, [1.0, 0.0]),                # ragged (dim 2, model dim 16)
+            (13, [None] + [0.0] * (DIM - 1)),  # null element, right size
+            (14, NEAR_C),                    # clean: joins cell 1
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    clean_only = hostile.filter(F.col("vec_id").isin(10, 14))
+    got = {
+        r["cent_id"]: (r["cent_vec"], r["n"])
+        for r in kmeans_minibatch_update(model, hostile).collect()
+    }
+    want = {
+        r["cent_id"]: (r["cent_vec"], r["n"])
+        for r in kmeans_minibatch_update(model, clean_only).collect()
+    }
+    assert got == want
+    assert got[0][1] == 2 and got[1][1] == 2  # one clean row absorbed each
