@@ -602,6 +602,7 @@ def segment_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     seg_words: int = 10,
+    key: str = "text",
 ) -> DataFrame:
     """Sub-document exact dedup, RefinedWeb/CCNet line-dedup style: cut
     each document into fixed-width word segments, drop every segment
@@ -619,27 +620,76 @@ def segment_dedup(
     segments joined in document order ("" when everything was seen
     before).
 
-    Scale: segmentation is row-local array math (split + slice, no
-    Python); the first-occurrence rank is ONE window shuffle keyed on
-    the segment text (per-key row count = duplicate count, so skew is
-    bounded by the most-copied segment — a heavy boilerplate line lands
-    one task, switch the rank to a groupBy-min + join if one segment
-    dominates a corpus); reassembly is one doc-keyed aggregation. At
-    100 TB, key the window on md5(segment) so shuffle rows carry a
-    16-byte key instead of the text.
+    Scale — two interchangeable physical shapes, identical output:
+
+    - ``key="text"`` (default, the driver-oracle shape): the
+      first-occurrence rank is ONE window shuffle keyed on the segment
+      text; per-key row count = duplicate count, so skew is bounded by
+      the most-copied segment (a heavy boilerplate line lands one
+      task) and shuffle rows carry the full text.
+    - ``key="md5"`` (the 100 TB shape): segments are hashed row-local
+      and the text is DROPPED before any shuffle — the first
+      occurrence per hash is a groupBy-min over (hash, id, idx) rows
+      (16-byte key, map-side combine, so the hottest boilerplate
+      segment partially aggregates in every map task instead of
+      landing one window task), keep flags collapse to a per-doc
+      kept-index array, and the surviving text is re-derived row-local
+      from the original document. No shuffle in the plan carries
+      segment text; output is identical modulo md5 collisions
+      (2^-64-scale at corpus size; acceptable for dedup, same trade
+      every fingerprint dedup makes).
     """
     w = F.split(F.col(text_col), " ")
     n_segs = F.ceil(F.size(w) / F.lit(seg_words)).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * seg_words + 1, seg_words), " "
+        ),
+    )
+    if key == "md5":
+        # (id, seg_idx, 16-byte hash) — no text crosses a shuffle
+        hashed = df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(seg_arr, lambda s: F.md5(s))
+            ).alias("seg_idx", "h"),
+        )
+        winner = hashed.groupBy("h").agg(
+            F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__w")
+        )
+        flags = hashed.join(winner, "h").select(
+            id_col,
+            "seg_idx",
+            (
+                (F.col("__w").getField(id_col) == F.col(id_col))
+                & (F.col("__w").getField("seg_idx") == F.col("seg_idx"))
+            ).alias("__keep"),
+        )
+        per_doc = flags.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("int").alias("n_segs"),
+            F.sum(F.col("__keep").cast("int")).cast("int").alias("n_kept"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__keep"), F.col("seg_idx")))
+            ).alias("__kept_idx"),
+        )
+        return df.join(per_doc, id_col).select(
+            id_col,
+            "n_segs",
+            "n_kept",
+            F.array_join(
+                F.transform(
+                    F.col("__kept_idx"),
+                    lambda i: F.element_at(seg_arr, i + 1),
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    if key != "text":
+        raise ValueError(f"segment_dedup: unknown key mode {key!r}")
     segs = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_segs - 1),
-                lambda i: F.array_join(
-                    F.slice(w, i * seg_words + 1, seg_words), " "
-                ),
-            )
-        ).alias("seg_idx", "seg"),
+        F.posexplode(seg_arr).alias("seg_idx", "seg"),
     )
     first = Window.partitionBy("seg").orderBy(id_col, "seg_idx")
     ranked = segs.withColumn(

@@ -46,9 +46,19 @@ def segment_dedup_sink(
     seg_words: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    key: str = "text",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function: segment-dedup each micro-batch against the
     seen-segment store, emit cleaned docs, append the novel segments.
+
+    ``key="md5"`` is the 100 TB store layout (same switch as
+    :func:`operators.dedup.segment_dedup`): the seen-store holds
+    16-byte segment hashes (column ``h``) instead of the text, the
+    probe join and the within-epoch first-occurrence groupBy-min carry
+    no text at all, and the cleaned document is re-derived row-local
+    from the original — store bytes and shuffle bytes both drop to the
+    hash width. A store written in one mode must be read in the same
+    mode (the layouts differ by design).
 
     Use::
 
@@ -56,6 +66,105 @@ def segment_dedup_sink(
             segment_dedup_sink(segs_dir, docs_dir)
         ).option("checkpointLocation", ckpt).start()
     """
+    if key not in ("text", "md5"):
+        raise ValueError(f"segment_dedup_sink: unknown key mode {key!r}")
+
+    def _write_md5(spark, batch, seg_arr, batch_id: int) -> None:
+        # (id, seg_idx, 16-byte hash); text never crosses a shuffle
+        hashed = batch.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(seg_arr, lambda s: F.md5(s))
+            ).alias("seg_idx", "h"),
+        )
+        try:
+            seen = (
+                spark.read.parquet(segs_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select("h")
+                .withColumn("__seen", F.lit(True))
+            )
+            cand = hashed.join(seen, "h", "left")
+        except AnalysisException:
+            cand = hashed.withColumn(
+                "__seen", F.lit(None).cast("boolean")
+            )
+        # within-epoch first occurrence of each NOVEL hash: groupBy-min
+        # (map-side combine — the hot-boilerplate key partially
+        # aggregates everywhere instead of landing one window task)
+        winner = (
+            cand.filter(F.col("__seen").isNull())
+            .groupBy("h")
+            .agg(
+                F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias(
+                    "__w"
+                )
+            )
+        )
+        flags = cand.join(winner, "h", "left").select(
+            id_col,
+            "seg_idx",
+            "h",
+            (
+                F.col("__seen").isNull()
+                & (F.col("__w").getField(id_col) == F.col(id_col))
+                & (F.col("__w").getField("seg_idx") == F.col("seg_idx"))
+            ).alias("__keep"),
+        )
+        old = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", None
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            flags = flags.persist()
+            per_doc = flags.groupBy(id_col).agg(
+                F.count(F.lit(1)).cast("int").alias("n_segs"),
+                F.sum(F.col("__keep").cast("int")).cast("int").alias(
+                    "n_kept"
+                ),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.col("seg_idx"))
+                    )
+                ).alias("__kept_idx"),
+            )
+            docs = batch.join(per_doc, id_col).select(
+                id_col,
+                "n_segs",
+                "n_kept",
+                F.array_join(
+                    F.transform(
+                        F.col("__kept_idx"),
+                        lambda i: F.element_at(seg_arr, i + 1),
+                    ),
+                    " ",
+                ).alias("text_dedup"),
+            )
+            (
+                docs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(docs_dir)
+            )
+            novel = flags.filter(F.col("__keep")).select("h")
+            (
+                novel.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(segs_dir)
+            )
+        finally:
+            flags.unpersist()
+            if old is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", old
+                )
+            else:
+                spark.conf.unset(
+                    "spark.sql.sources.partitionOverwriteMode"
+                )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -65,16 +174,18 @@ def segment_dedup_sink(
 
         w = F.split(F.col(text_col), " ")
         n_segs = F.ceil(F.size(w) / F.lit(seg_words)).cast("int")
+        seg_arr = F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice(w, i * seg_words + 1, seg_words), " "
+            ),
+        )
+        if key == "md5":
+            _write_md5(spark, batch, seg_arr, int(batch_id))
+            return
         segs = batch.select(
             F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_segs - 1),
-                    lambda i: F.array_join(
-                        F.slice(w, i * seg_words + 1, seg_words), " "
-                    ),
-                )
-            ).alias("seg_idx", "seg"),
+            F.posexplode(seg_arr).alias("seg_idx", "seg"),
         )
 
         try:

@@ -166,6 +166,8 @@ def incremental_semantic_model_sink(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: int | None = 16,
+    auto_rebuild: float | None = 2.0,
+    target_cell_size: int = 32,
 ) -> Callable[[DataFrame, int], None]:
     """The INCREMENTAL-MODEL rendition of the semantic gate: no
     per-epoch O(corpus) refit or re-assignment passes; paired with
@@ -192,14 +194,32 @@ def incremental_semantic_model_sink(
       vector and an old near-duplicate can land in different cells and
       be missed (exact duplicates are unaffected — identical vectors
       assign identically under any model);
-    - K IS FROZEN: mini-batch updates move centroids but never add
-      cells, so candidate work per epoch is batch x (corpus/k) with a
-      k sized for the FIRST epoch — MEASURED growing 24 -> 94 s/epoch
-      over 10 epochs at dim 256 while the refit sink (auto-k regrown
-      each epoch) stayed flat (SCALE.md round-5). The rebuild restores
-      k ~ sqrt(n) at O(corpus) once per cadence — amortized O(batch)
-      when triggered every constant-factor corpus growth, which is how
-      every IVF index is operated.
+    - K IS FROZEN between rebuilds: mini-batch updates move centroids
+      but never add cells, so candidate work per epoch is
+      batch x (corpus/k) with a k sized at the last rebuild — MEASURED
+      growing 24 -> 94 s/epoch over 10 epochs at dim 256 while the
+      refit sink (auto-k regrown each epoch) stayed flat (SCALE.md
+      round-5). The rebuild restores k ~ sqrt(n) at O(corpus) once per
+      cadence — amortized O(batch) when triggered every
+      constant-factor corpus growth, which is how every IVF index is
+      operated.
+
+    AUTO-TRIGGER (``auto_rebuild``, default 2.0): after each epoch's
+    writes the sink compares the corpus's CURRENT auto-k target
+    (``auto_k(corpus_n, target_cell_size)`` — one metadata-cheap
+    parquet count) against the live model's cell count and fires
+    :func:`rebuild_semantic_model` when the target has outgrown the
+    model by the given factor — i.e. every ~``auto_rebuild**2``-fold
+    corpus growth, geometric cadence, so a long-lived feed self-heals
+    without an operator remembering to call the rebuild. The trigger
+    decision is a pure function of (corpus size, model k), both of
+    which replay deterministically, so a re-fired epoch re-takes the
+    same decision and the rebuilt model is bit-identical
+    (deterministic Lloyd fit). ``auto_rebuild=None`` restores the
+    manual-cadence behavior. Epochs OLDER than a fired rebuild lose
+    byte-convergent replay exactly as a manual rebuild's docstring
+    states — the trigger only fires at the stream head, so run
+    checkpoint-horizon vacuuming on the same cadence.
 
     Replay: the model read takes the newest epoch STRICTLY BELOW the
     current batch_id, so a crashed epoch's half-written model partition
@@ -301,6 +321,35 @@ def incremental_semantic_model_sink(
             else:
                 spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
             verdicts.unpersist()
+
+        if auto_rebuild:
+            # Head-only: a replayed OLD epoch must not rebuild (it would
+            # rewrite corpus cell ids under a model the head batches
+            # don't assign with, breaking the exact-dup invariant). At
+            # the head the store's max epoch is our own write.
+            max_epoch = (
+                spark.read.parquet(model_dir)
+                .agg(F.max("epoch"))
+                .collect()[0][0]
+            )
+            at_head = max_epoch is None or int(max_epoch) <= int(batch_id)
+            # Both inputs are cheap and replay-deterministic: the corpus
+            # count is parquet-metadata work, k_cur is the k-row model.
+            n_total = spark.read.parquet(corpus_dir).count()
+            k_cur = model.count()
+            if at_head and (
+                auto_k(n_total, target_cell_size) >= auto_rebuild * k_cur
+            ):
+                rebuild_semantic_model(
+                    spark,
+                    corpus_dir,
+                    model_dir,
+                    epoch=int(batch_id),
+                    n_iter=n_iter,
+                    target_cell_size=target_cell_size,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                )
 
     return write
 

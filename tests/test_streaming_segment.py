@@ -223,3 +223,46 @@ def test_segment_replay_converges_last_and_midhistory(spark, tmp_path):
         spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     )
     assert cached_after <= cached_before, "epoch left persisted frames"
+
+
+def test_md5_store_mode_matches_text_mode_docs(spark, tmp_path):
+    """VERDICT r5 #4 (streaming half): the md5 store layout produces
+    byte-identical per-doc output to the text layout, stores 32-hex
+    hashes instead of text, and replays converge."""
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        segment_dedup_sink,
+    )
+
+    def drive(tag, **kw):
+        segs_dir = str(tmp_path / f"segs_{tag}")
+        docs_dir = str(tmp_path / f"docs_{tag}")
+        sink = segment_dedup_sink(segs_dir, docs_dir, seg_words=3, **kw)
+        for i, docs in enumerate(EPOCHS):
+            sink(
+                spark.createDataFrame(docs, "doc_id long, text string"), i
+            )
+        return sink, segs_dir, docs_dir
+
+    _, _, docs_text = drive("text")
+    sink_h, segs_h, docs_h = drive("md5", key="md5")
+
+    assert _docs_state(spark, docs_h) == _docs_state(spark, docs_text)
+
+    store = spark.read.parquet(segs_h)
+    hashes = [r["h"] for r in store.collect()]
+    assert all(len(h) == 32 for h in hashes)
+    assert len(hashes) == len(set(hashes))
+
+    before = (_docs_state(spark, docs_h), sorted(hashes))
+    for epoch_id in (2, 0):  # head and mid-history replay
+        sink_h(
+            spark.createDataFrame(
+                EPOCHS[epoch_id], "doc_id long, text string"
+            ),
+            epoch_id,
+        )
+        after = (
+            _docs_state(spark, docs_h),
+            sorted(r["h"] for r in spark.read.parquet(segs_h).collect()),
+        )
+        assert after == before, f"md5-mode replay of {epoch_id} diverged"

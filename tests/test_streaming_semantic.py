@@ -435,3 +435,110 @@ def test_minibatch_update_drops_null_and_ragged_vectors(spark):
     }
     assert got == want
     assert got[0][1] == 2 and got[1][1] == 2  # one clean row absorbed each
+
+
+def test_semantic_model_sink_auto_rebuild_self_heals(spark, tmp_path):
+    """VERDICT r5 #3: the auto-trigger. A long-lived feed through the
+    model sink with ``auto_rebuild`` on regrows k as the corpus grows
+    (no operator call needed) and lands on the exact model/corpus state
+    of a manually-rebuilt twin; replaying the triggering epoch
+    converges; and a replayed OLD epoch never fires the rebuild."""
+    import numpy as np
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        auto_k,
+    )
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        incremental_semantic_model_sink,
+    )
+
+    rng = np.random.default_rng(11)
+    epochs = []
+    next_id = 0
+    for _ in range(4):
+        vecs = rng.normal(size=(12, DIM))
+        epochs.append(
+            [(next_id + i, [float(x) for x in vecs[i]]) for i in range(12)]
+        )
+        next_id += 12
+
+    def drive(tag, **kw):
+        dirs = tuple(
+            str(tmp_path / f"{d}_{tag}") for d in ("corpus", "verd", "model")
+        )
+        sink = incremental_semantic_model_sink(
+            *dirs, k="auto", salt=None, target_cell_size=2, **kw
+        )
+        for i, rows in enumerate(epochs):
+            sink(
+                spark.createDataFrame(
+                    rows, "vec_id long, embedding array<double>"
+                ),
+                i,
+            )
+        return sink, dirs
+
+    sink_a, (cdir, vdir, mdir) = drive("auto", auto_rebuild=2.0)
+    _, (_, _, mdir_off) = drive("off", auto_rebuild=None)
+
+    def model_k(mdir, epoch):
+        return (
+            spark.read.parquet(mdir)
+            .filter(F.col("epoch") == epoch)
+            .count()
+        )
+
+    # frozen-k arm keeps the epoch-0 k forever; the auto arm regrew it
+    k0 = model_k(mdir_off, 0)
+    assert model_k(mdir_off, 3) == k0
+    n_corpus = spark.read.parquet(cdir).count()
+    k_auto = model_k(mdir, 3)
+    assert k_auto > k0
+    # after the last fired rebuild, k tracks auto_k of the corpus then
+    assert k_auto < 2.0 * auto_k(n_corpus, 2)
+
+    def state():
+        return (
+            sorted(tuple(r) for r in spark.read.parquet(vdir).collect()),
+            sorted(
+                (r["vec_id"], r["cent_id"], r["batch_id"])
+                for r in spark.read.parquet(cdir).collect()
+            ),
+            sorted(
+                (r["epoch"], r["cent_id"], r["n"], tuple(r["cent_vec"]))
+                for r in spark.read.parquet(mdir).collect()
+            ),
+        )
+
+    before = state()
+    # replay the head epoch (which fired a rebuild): must converge
+    sink_a(
+        spark.createDataFrame(
+            epochs[3], "vec_id long, embedding array<double>"
+        ),
+        3,
+    )
+    assert state() == before, "head-epoch replay with auto-rebuild diverged"
+
+    # replay an OLD epoch: the head guard must keep the rebuild from
+    # rewriting the store under an old epoch id (model store unchanged
+    # at the head epoch)
+    head_model = sorted(
+        (r["cent_id"], tuple(r["cent_vec"]), r["n"])
+        for r in spark.read.parquet(mdir)
+        .filter(F.col("epoch") == 3)
+        .collect()
+    )
+    sink_a(
+        spark.createDataFrame(
+            epochs[1], "vec_id long, embedding array<double>"
+        ),
+        1,
+    )
+    after_model = sorted(
+        (r["cent_id"], tuple(r["cent_vec"]), r["n"])
+        for r in spark.read.parquet(mdir)
+        .filter(F.col("epoch") == 3)
+        .collect()
+    )
+    assert after_model == head_model
