@@ -8882,9 +8882,10 @@ def h4_downsample_ltob(spark, sf):
     )
 
 
-@q(
-    "x28_perplexity_buckets",
-    sql="""
+# Shared template: the registered oracle formats it with the production
+# threshold; tests re-format it with a tiny one to force the sampled
+# arm on every source and prove THAT path is oracle-exact too.
+X28_SQL_TMPL = """
     WITH toks AS (
       SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
       FROM documents
@@ -8907,11 +8908,20 @@ def h4_downsample_ltob(spark, sf):
           / CAST(SUM(tf) AS BIGINT), 6
         ) AS lp
       FROM tf JOIN probs USING (token) GROUP BY doc_id, source
+    ), src_n AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_src
+      FROM per_doc GROUP BY source
+    ), tert_in AS (
+      SELECT p.source, p.lp,
+        md5(CAST(p.doc_id AS VARCHAR)) AS __h, s.n_src
+      FROM per_doc p JOIN src_n s USING (source)
     ), th AS (
       SELECT source,
         quantile_cont(lp, 1.0/3) AS q33,
         quantile_cont(lp, 2.0/3) AS q66
-      FROM per_doc GROUP BY source
+      FROM tert_in
+      WHERE n_src <= {thresh} OR {draw} < 0.125
+      GROUP BY source
     )
     SELECT source,
       CASE WHEN lp >= q66 THEN 'head'
@@ -8921,7 +8931,16 @@ def h4_downsample_ltob(spark, sf):
       CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_lp
     FROM per_doc JOIN th USING (source)
     GROUP BY 1, 2
-    """,
+    """
+
+X28_TERTILE_SAMPLE_ABOVE = 100_000
+
+
+@q(
+    "x28_perplexity_buckets",
+    sql=X28_SQL_TMPL.format(
+        thresh=X28_TERTILE_SAMPLE_ABOVE, draw=sql_md5_fraction("__h", 6)
+    ),
     ref="LLM-ops: CCNet's perplexity bucketing (Wenzek et al. 2020) — "
     "score every doc with the corpus-trained unigram LM (x17's exact "
     "sorted-fold scoring), then split EACH SOURCE into head/middle/"
@@ -8932,14 +8951,17 @@ def h4_downsample_ltob(spark, sf):
     scale="LM training is two hash-aggs + a broadcast of vocab probs "
     "(model grows with vocab, not corpus); per-doc scoring is the "
     "broadcast join + one doc-keyed agg; tertiles are a per-source "
-    "exact percentile over one rounded double per doc (at 100 TB "
-    "switch to a16's sampled quantiles), and the final rollup is "
-    "20 x 3 rows. Scores round(,6) after a token-sorted sequential "
-    "fold, so thresholds and bucket edges are bit-identical across "
-    "engines (the x17 rules); mean_lp sums in DECIMAL for "
-    "partition-order-proof exactness",
+    "percentile over one rounded double per doc WITH the a16 switch "
+    "CODED IN: any source above 100k docs computes its tertiles on a "
+    "deterministic 1-in-8 md5(doc_id) sample (same draw text in engine "
+    "and oracle, so the entry stays exact-checkable — below the "
+    "threshold the filter keeps every row and the path is the exact "
+    "percentile). The final rollup is 20 x 3 rows. Scores round(,6) "
+    "after a token-sorted sequential fold, so thresholds and bucket "
+    "edges are bit-identical across engines (the x17 rules); mean_lp "
+    "sums in DECIMAL for partition-order-proof exactness",
 )
-def x28_perplexity_buckets(spark, sf):
+def x28_perplexity_buckets(spark, sf, thresh=X28_TERTILE_SAMPLE_ABOVE):
     docs = _t(spark, sf, "documents")
     toks = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
@@ -8986,9 +9008,27 @@ def x28_perplexity_buckets(spark, sf):
             ).alias("lp"),
         )
     )
-    th = per_doc.groupBy("source").agg(
-        F.percentile("lp", 1 / 3).alias("q33"),
-        F.percentile("lp", 2 / 3).alias("q66"),
+    src_n = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src")
+    )
+    tert_in = per_doc.join(F.broadcast(src_n), "source").select(
+        "source",
+        "lp",
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+        "n_src",
+    )
+    # the a16 switch: big sources estimate tertiles on a deterministic
+    # 1-in-8 md5 sample; small sources keep every row (exact path)
+    th = (
+        tert_in.filter(
+            (F.col("n_src") <= F.lit(int(thresh)))
+            | (F.expr(sql_md5_fraction("__h", 6)) < 0.125)
+        )
+        .groupBy("source")
+        .agg(
+            F.percentile("lp", 1 / 3).alias("q33"),
+            F.percentile("lp", 2 / 3).alias("q66"),
+        )
     )
     return (
         per_doc.join(F.broadcast(th), "source")

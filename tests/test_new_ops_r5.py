@@ -303,3 +303,53 @@ def test_segment_dedup_md5_key_identical_output(spark):
 
     with _pytest.raises(ValueError, match="unknown key mode"):
         segment_dedup(df, key="sha9")
+
+
+def test_x28_sampled_tertile_arm_matches_oracle(spark):
+    """VERDICT r5 #5: force the a16 sampled-tertile switch (thresh=1 ->
+    every source samples 1-in-8 by md5(doc_id)) and check the Spark
+    result against the SAME-threshold DuckDB oracle — the sampled arm
+    is exact-checkable too, and it genuinely diverges from the exact
+    arm (different tertile inputs), proving it activated."""
+    import duckdb
+
+    from retail_data_pipeline_and_forecasting_system_spark.functions import (
+        sql_md5_fraction,
+    )
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        X28_SQL_TMPL,
+        x28_perplexity_buckets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        x28_perplexity_buckets(spark, sf, thresh=1)
+        .toPandas()
+        .sort_values(["source", "bucket"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = (
+        con.execute(
+            X28_SQL_TMPL.format(thresh=1, draw=sql_md5_fraction("__h", 6))
+        )
+        .df()
+        .sort_values(["source", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert mine.shape == want.shape
+    assert (mine["n_docs"].values == want["n_docs"].astype("int64").values).all()
+    assert (abs(mine["mean_lp"].values - want["mean_lp"].values) == 0).all()
+
+    exact = (
+        x28_perplexity_buckets(spark, sf)
+        .toPandas()
+        .sort_values(["source", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert not (
+        mine["n_docs"].tolist() == exact["n_docs"].tolist()
+    ), "sampled arm never diverged — the switch did not activate"

@@ -72,14 +72,25 @@ def main() -> None:
             "model",
             lambda d: incremental_semantic_model_sink(
                 f"{d}/corpus", f"{d}/verdicts", f"{d}/model",
-                k="auto", salt=None,
+                k="auto", salt=None, auto_rebuild=None,
             ),
         ),
         (
             "model+rebuild",
             lambda d: incremental_semantic_model_sink(
                 f"{d}/corpus", f"{d}/verdicts", f"{d}/model",
-                k="auto", salt=None,
+                k="auto", salt=None, auto_rebuild=None,
+            ),
+        ),
+        (
+            # the self-healing arm: no manual rebuild calls at all —
+            # the sink's own auto_rebuild trigger (default 2.0) fires
+            # on geometric corpus growth. Its per-epoch trend should
+            # track model+rebuild, not the frozen-k "model" arm.
+            "model+auto",
+            lambda d: incremental_semantic_model_sink(
+                f"{d}/corpus", f"{d}/verdicts", f"{d}/model",
+                k="auto", salt=None, auto_rebuild=2.0,
             ),
         ),
     ):
@@ -103,13 +114,14 @@ def main() -> None:
 
     print(
         f"{'epoch':>6s}{'corpus':>9s}{'refit_s':>9s}{'model_s':>9s}"
-        f"{'m+rb_s':>9s}"
+        f"{'m+rb_s':>9s}{'m+auto_s':>9s}"
     )
     for i in range(EPOCHS):
         print(
             f"{i:6d}{(i + 1) * BATCH:9d}"
             f"{results['refit'][i]:9.2f}{results['model'][i]:9.2f}"
             f"{results['model+rebuild'][i]:9.2f}"
+            f"{results['model+auto'][i]:9.2f}"
         )
     if rebuild_times:
         print(
