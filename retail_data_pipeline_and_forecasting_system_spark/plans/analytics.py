@@ -9055,48 +9055,47 @@ def x28_perplexity_buckets(spark, sf, thresh=X28_TERTILE_SAMPLE_ABOVE):
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
 # registration order decides which entries get a driver-verified row each
-# round. Round-5 window: the 18 entries with no driver row yet (the 12
-# round-4 registrations CORRECTNESS_r04 left queued — once these land,
-# cumulative driver-green covers every pre-round-5 registry entry — plus
-# this round's 6 new registrations: m10/d16/n8/x26/x27/n9, windowed
-# immediately so round 5 closes its own additions) + 6 re-verifies for
-# round-5 code changes (d6/d14/d15 ride the salted-join parallelism
-# floor — d14/d15 also switched to auto-k, mirrored in their oracles;
-# k1 rides the kmeans_lloyd signature change; m1 rides _decode_batch's
-# format sniffing; m3/m4/m5 share the multimodal module) + 5 headline
-# bench queries re-pinned every round (a1/a5/q1/x5/q10) + 21 REFRESH
-# picks: the oldest driver evidence (r01) re-verified under four rounds
-# of accumulated code drift. After CORRECTNESS_r05 lands green,
-# cumulative driver-green covers every entry registered through the
-# round-5 window; the ROUND-6 queue (registered late in round 5, after
-# the window was sealed) is exactly: h4_downsample_ltob,
-# x28_perplexity_buckets, n10_knn_join_multiprobe (plus re-verification
-# picks for whatever round 6 changes). All 185 registry entries are
-# local-parity green at sf0.001/0.01/0.1 under the exact-value check
-# every run.
+# round. CORRECTNESS_r05 landed 50/50 green, so cumulative driver-green
+# covers every entry registered through the round-5 window. Round-6
+# window: the 3 entries with no driver row yet (registered late in
+# round 5, after that window sealed: h4/x28/n10 — once these land,
+# EVERY registry entry has a driver-verified row) + 9 re-verifies for
+# round-6 code changes (x28 gained the a16 sampled-tertile switch in
+# code AND oracle; m1/m3/m4/m5/m10 ride the multimodal/imagecodec
+# hardening — PPM-header sniffing, corrupt-payload quarantine, PNG
+# bomb guards; d16 rides segment_dedup's key="md5" addition (default
+# text path unchanged); d14/d15/k1 ride the similarity module's
+# kmeans_minibatch_update null-guard) + 5 headline bench queries
+# re-pinned every round (a1/a5/q1/x5/q10) + 33 REFRESH picks: the
+# entries whose newest driver evidence is oldest (all 30 r02-latest
+# entries + the first 3 r03-latest) re-verified under four rounds of
+# accumulated code drift. All 185 registry entries are local-parity
+# green at sf0.001/0.01/0.1 under the exact-value check every run.
 _DRIVER_SAMPLE = [
-    # never-driver-verified: round-4 registrations (12)
-    "h2_gap_fill", "w9_rolling_median", "d14_semantic_dedup",
-    "d15_incremental_semantic", "n7_knn_join", "x24_gopher_gate",
-    "ops5_compaction_plan", "h3_ewma", "sq2_relational_division",
-    "m9_seasonal_decompose", "x25_nb_classifier", "f_map_pack",
-    # never-driver-verified: round-5 registrations (6)
-    "m10_real_image_decode", "d16_segment_dedup", "n8_ann_multiprobe",
-    "x26_ngram_repetition", "x27_bpe_pair_counts", "n9_knn_join_ivf",
-    # changed in round 5, previously driver-green — re-verify (6)
-    "d6_embedding_neardup", "k1_kmeans_cells", "m1_multimodal_decode",
-    "m3_media_resize", "m4_frame_sample", "m5_media_features",
+    # never-driver-verified: late round-5 registrations (3)
+    "h4_downsample_ltob", "x28_perplexity_buckets",
+    "n10_knn_join_multiprobe",
+    # changed in round 6, previously driver-green — re-verify (9)
+    "m1_multimodal_decode", "m3_media_resize", "m4_frame_sample",
+    "m5_media_features", "m10_real_image_decode", "d16_segment_dedup",
+    "d14_semantic_dedup", "d15_incremental_semantic", "k1_kmeans_cells",
     # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",
-    # refresh: r01's window re-verified after four rounds of drift (21)
-    "s1_scan_projection", "p1_filter_null", "p2_filter_compare",
-    "p7_derived_date", "p8_arith_column", "j1_join_inner_broadcast",
-    "j2_join_left", "j3_join_semi", "j4_join_anti", "j5_join_multiway",
-    "a2_daily_summary", "a3_global_agg", "t1_topk", "u1_union",
-    "u2_intersect", "u3_except", "f_scalar_pack", "f7_explode_tokens",
-    "w1_running_sum", "w2_rank_topn",
-    "e2_sessionize",
+    # refresh: oldest driver evidence — every r02-latest entry (30)
+    "a4_approx_distinct", "d3_minhash_lsh", "d5_simhash_pairs",
+    "e3_tumbling_window", "e5_retention_cohort", "m2_forecast_linear",
+    "n3_ann_ivf", "ops1_merge_upsert", "ops2_scd2_intervals",
+    "q11_important_stock", "q12_priority_lines",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_qty_revenue", "q18_big_orders",
+    "q19_disjunctive_join", "q20_excess_suppliers", "q21_waiting_supplier",
+    "q22_idle_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "x6_train_split",
+    # refresh: first r03-latest entries (3)
+    "a10_profile", "a11_collect_agg", "a12_argmax",
 ]
 
 
