@@ -9303,6 +9303,121 @@ def x30_dsir_selection(spark, sf):
     return scored.orderBy(F.desc("lam"), "doc_id").limit(100)
 
 
+@q(
+    "x31_duplicate_spans",
+    sql="""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        md5(list_aggregate(w[i : i + 7], 'string_agg', ' ')) AS h
+      FROM words, unnest(range(1, len(w) - 6)) AS t(i)
+    ), dup AS (
+      SELECT h FROM wins GROUP BY h HAVING count(*) > 1
+    ), flagged AS (
+      SELECT wins.doc_id, wins.pos,
+        lead(wins.pos) OVER (PARTITION BY wins.doc_id
+                             ORDER BY wins.pos) AS nxt
+      FROM wins JOIN dup USING (h)
+    ), per_doc AS (
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_dup_windows,
+        CAST(SUM(LEAST(8, COALESCE(nxt - pos, 8))) AS BIGINT)
+          AS dup_cover_tokens
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      CAST(GREATEST(len(w.w) - 7, 0) AS BIGINT) AS n_windows,
+      COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+      COALESCE(p.dup_cover_tokens, 0) AS dup_cover_tokens,
+      round(COALESCE(p.dup_cover_tokens, 0)
+            / CAST(len(w.w) AS DOUBLE), 6) AS dup_cover_frac
+    FROM documents d JOIN words w USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+    """,
+    ref="LLM-ops: exact duplicate-SUBSTRING detection (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better') — "
+    "every length-8 token window is hashed (stride 1, OVERLAPPING — "
+    "the difference from d16's fixed non-overlapping segments), a "
+    "window duplicated anywhere in the corpus (other docs or the same "
+    "doc) flags its positions, and per doc the flagged [pos, pos+8) "
+    "intervals merge into maximal spans whose union length is the "
+    "dup_cover_tokens (the suffix-array family's answer computed with "
+    "hashes: union length = sum of min(8, next_pos - pos) over sorted "
+    "duplicated positions — exact interval merging as one lead())",
+    scale="window construction is row-local (slice + md5 per position; "
+    "only the 16-byte hash leaves the row — never window text); the "
+    "global dup test is ONE hash-keyed count with map-side combine "
+    "HAVING > 1 (output bounded by actually-duplicated windows, tiny "
+    "on a clean corpus); flagging is a hash-keyed semi-join carrying "
+    "(hash, id, pos); the interval merge is a per-doc lead() window + "
+    "agg on the FLAGGED subset only. At 100 TB this is the "
+    "hash-sharded rendition of the suffix-array pipeline: no global "
+    "sort, no position lists longer than the duplicated subset",
+)
+def x31_duplicate_spans(spark, sf):
+    L = 8
+    docs = _t(spark, sf, "documents")
+    w = F.split(F.lower("text"), r"\s+")
+    words = docs.select("doc_id", w.alias("w"))
+    n_win = F.greatest(F.size("w") - (L - 1), F.lit(0))
+    wins = words.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("w") >= L,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - L),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("w", i + 1, L), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("h")
+    )
+    flagged = wins.join(dup, "h").select("doc_id", "pos")
+    wl = W.partitionBy("doc_id").orderBy("pos")
+    per_doc = (
+        flagged.withColumn("nxt", F.lead("pos").over(wl))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"),
+            F.sum(
+                F.least(
+                    F.lit(L), F.coalesce(F.col("nxt") - F.col("pos"), F.lit(L))
+                )
+            )
+            .cast("bigint")
+            .alias("dup_cover_tokens"),
+        )
+    )
+    return (
+        words.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_win.cast("bigint").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+            F.coalesce("dup_cover_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("dup_cover_tokens"),
+            F.round(
+                F.coalesce("dup_cover_tokens", F.lit(0))
+                / F.size("w").cast("double"),
+                6,
+            ).alias("dup_cover_frac"),
+        )
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
@@ -9324,7 +9439,7 @@ def x30_dsir_selection(spark, sf):
 # accumulated code drift. All 187 registry entries are local-parity
 # green at sf0.001/0.01/0.1 under the exact-value check every run.
 # ROUND-7 queue (registered in round 6, after this window sealed):
-# n11_knn_join_ivfpq, x30_dsir_selection.
+# n11_knn_join_ivfpq, x30_dsir_selection, x31_duplicate_spans.
 _DRIVER_SAMPLE = [
     # never-driver-verified: late round-5 registrations (3)
     "h4_downsample_ltob", "x28_perplexity_buckets",

@@ -353,3 +353,49 @@ def test_x28_sampled_tertile_arm_matches_oracle(spark):
     assert not (
         mine["n_docs"].tolist() == exact["n_docs"].tolist()
     ), "sampled arm never diverged — the switch did not activate"
+
+
+def test_duplicate_spans_hand_computed(spark):
+    """x31 semantics on a hand-built corpus: a shared 10-token phrase
+    between docs 1 and 2 yields 3 duplicated windows (positions 0..2 of
+    the phrase in each doc) merging into one 10-token span; a doc with
+    no 8-token window in common flags nothing; a short doc (<8 tokens)
+    has zero windows. Within-doc repetition also counts (doc 4 repeats
+    its own phrase)."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+    import os
+    import tempfile
+
+    phrase = "a b c d e f g h i j"  # 10 tokens -> 3 windows of 8
+    docs = [
+        (1, phrase + " tail1 tail2"),
+        (2, "lead1 lead2 " + phrase),
+        (3, "x y z w v u t s r q p o n m"),  # 14 unique tokens
+        (4, "m1 m2 m3 m4 m5 m6 m7 m8 gap m1 m2 m3 m4 m5 m6 m7 m8"),
+        (5, "too short doc"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="x31_")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    got = {
+        r["doc_id"]: (
+            r["n_windows"],
+            r["n_dup_windows"],
+            r["dup_cover_tokens"],
+        )
+        for r in QUERIES["x31_duplicate_spans"].fn(spark, tmp).collect()
+    }
+    # docs 1,2: phrase at pos 0 / pos 2; windows of the phrase = 3
+    # (positions p, p+1, p+2), merged span = [p, p+2+8) = 10 tokens
+    assert got[1] == (5, 3, 10)   # 12 tokens -> 5 windows
+    assert got[2] == (5, 3, 10)
+    assert got[3] == (7, 0, 0)
+    # doc 4: "m1..m8" appears at pos 0 and pos 9 -> both windows of the
+    # SAME doc duplicated; each is a single window (8 tokens), spans
+    # [0,8) and [9,17) -> 16 covered tokens
+    assert got[4] == (10, 2, 16)
+    assert got[5] == (0, 0, 0)
