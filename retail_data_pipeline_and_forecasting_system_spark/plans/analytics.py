@@ -9250,15 +9250,25 @@ def x30_dsir_selection(spark, sf):
         "source",
         F.expr(_X30_BUCKET.format(h="md5(gram)")).alias("b"),
     )
-    tf = hashed.groupBy("doc_id", "source", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
+    # ONE corpus pass: the (doc, bucket) term frame carries lang so both
+    # corpus-level models are rollups of it (256-bucket re-aggs over the
+    # post-combine frame) instead of two more explode scans — measured
+    # 7.3 -> 1.8 s at sf0.1. Persisted because three consumers would
+    # otherwise re-run the explode (the d-family precedent).
+    from pyspark import StorageLevel
+
+    tfl = (
+        hashed.groupBy("doc_id", "lang", "source", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tgt = hashed.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_t")
+    tf = tfl.select("doc_id", "source", "b", "tf")
+    tgt = (
+        tfl.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("tf").cast("bigint").alias("c_t"))
     )
-    raw = hashed.groupBy("b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_r")
-    )
+    raw = tfl.groupBy("b").agg(F.sum("tf").cast("bigint").alias("c_r"))
     tot = raw.join(tgt, "b", "left").agg(
         F.sum("c_t").cast("bigint").alias("t_t"),
         F.sum("c_r").cast("bigint").alias("t_r"),

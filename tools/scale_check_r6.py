@@ -88,18 +88,30 @@ def main() -> None:
     _stage(spark, x3, 3)
     _stage(spark, x10, 10)
 
-    print(f"{'query':28s}{'sf0.1':>9s}{'3x':>9s}{'10x':>9s}")
-    for name in (
+    queries = (
         "n8_ann_multiprobe",
         "n9_knn_join_ivf",
         "n10_knn_join_multiprobe",
         "m10_real_image_decode",
-    ):
+    )
+    if "--new-ops" in sys.argv:
+        # round-6's own additions, same decade protocol
+        queries = (
+            "n11_knn_join_ivfpq",
+            "x30_dsir_selection",
+            "x31_duplicate_spans",
+        )
+    print(f"{'query':28s}{'sf0.1':>9s}{'3x':>9s}{'10x':>9s}")
+    for name in queries:
         fn = QUERIES[name].fn
         base = _time(lambda: _force(fn(spark, SF)))
         t3 = _time(lambda: _force(fn(spark, str(x3))))
         t10 = _time(lambda: _force(fn(spark, str(x10))))
         print(f"{name:28s}{base:9.2f}{t3:9.2f}{t10:9.2f}")
+
+    if "--new-ops" in sys.argv:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
 
     app = _app_id()
     print(
