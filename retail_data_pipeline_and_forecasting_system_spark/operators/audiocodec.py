@@ -6,7 +6,7 @@ canonical WAV is a RIFF chunk walk over raw PCM — fully decodable with
 :mod:`operators.imagecodec`: the real body behind
 :func:`operators.multimodal.decode_audio_real`, validated against
 externally-produced files from the stdlib ``wave`` writer in
-``tests/test_new_ops_r6.py``.
+``tests/test_audiocodec.py``.
 
 Supported: RIFF/WAVE with a PCM ``fmt `` chunk (format tag 1), 8- or
 16-bit samples, 1–8 channels; unknown chunks (LIST/INFO/JUNK/fact/cue)

@@ -6,10 +6,14 @@ signature, partitioning — is real and tested, and IMAGE decode is real
 too: a stdlib-only PNG/PPM/PGM codec (:mod:`operators.imagecodec` —
 zlib + struct + scanline unfiltering; no PIL in this container) behind
 format sniffing in ``_decode_batch`` and the full
-:func:`decode_media_real` path. Payloads that aren't a supported image
-(the synthetic text-bytes test rows; audio/video, whose codecs genuinely
-aren't installable here) keep a deterministic stub: a pure function of
-the bytes, so tests and SQL oracles verify the pipeline end-to-end.
+:func:`decode_media_real` path. AUDIO decode is real too
+(:func:`decode_audio_real` over :mod:`operators.audiocodec` — RIFF
+chunk walk, 8/16-bit PCM) and VIDEO via the stdlib Y4M codec
+(:func:`sample_frames_real` over :mod:`operators.videocodec`). Payloads
+in none of the supported formats (the synthetic text-bytes test rows;
+compressed codecs that genuinely need ffmpeg) keep a deterministic
+stub: a pure function of the bytes, so tests and SQL oracles verify
+the pipeline end-to-end.
 
 At scale: binary payloads dominate partition size, so the reader should cap
 ``spark.sql.files.maxPartitionBytes`` and the decode stage is a
@@ -194,6 +198,129 @@ def decode_media_real(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema=REAL_DECODED_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("pcm_md5", T.StringType(), True),
+        T.StructField("mean_amp", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio_real(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL audio decode path — stdlib RIFF/WAVE PCM codec
+    (:mod:`operators.audiocodec`), no external library; the audio twin of
+    :func:`decode_media_real` with the identical sniff→decode→quarantine
+    contract.
+
+    Emits per-clip typed metadata plus two sample-derived columns that
+    prove the decode actually ran: ``pcm_md5`` (md5 of the raw data-chunk
+    PCM bytes, i.e. of the decoded payload after the chunk walk stripped
+    headers/JUNK chunks) and ``mean_amp`` (mean of all decoded samples,
+    centred — 8-bit WAV's unsigned+128-bias handled by
+    :func:`audiocodec.samples_int`). Non-WAV / corrupt / unsupported
+    payloads yield NULL metadata rows (``format`` NULL) unless
+    ``strict=True`` — a 100 TB corpus quarantines bad payloads, never dies.
+
+    Same plumbing as :func:`decode_media_real`: partition-local
+    Arrow-batched mapInPandas, zero shuffle.
+    """
+    import hashlib
+
+    from . import audiocodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_SCHEMA}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                data = bytes(payload)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(data))
+                try:
+                    audio = audiocodec.decode_audio(data)
+                except ValueError:
+                    if strict:
+                        raise
+                    for k in (
+                        "format", "sample_rate", "channels", "bit_depth",
+                        "n_samples", "duration_ms", "pcm_md5", "mean_amp",
+                    ):
+                        out[k].append(None)
+                    continue
+                samples = audiocodec.samples_int(audio)
+                out["format"].append("wav")
+                out["sample_rate"].append(audio.sample_rate)
+                out["channels"].append(audio.channels)
+                out["bit_depth"].append(audio.bit_depth)
+                out["n_samples"].append(audio.n_samples)
+                # raw IEEE division (no round): bit-identical in any
+                # engine computing n*1000.0/rate as doubles — rule 2
+                out["duration_ms"].append(
+                    audio.n_samples * 1000.0 / audio.sample_rate
+                )
+                out["pcm_md5"].append(hashlib.md5(audio.pcm).hexdigest())
+                out["mean_amp"].append(
+                    sum(samples) / len(samples) if samples else None
+                )
+            yield pd.DataFrame(out).astype(
+                {
+                    "n_bytes": "int32",
+                    "sample_rate": "Int32",
+                    "channels": "Int32",
+                    "bit_depth": "Int32",
+                    "n_samples": "Int64",
+                    "duration_ms": "float64",
+                    "mean_amp": "float64",
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+def synthesize_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-WAV payload synthesis (test corpus builder):
+    each id becomes a genuine RIFF/WAVE file — 8-bit mono PCM,
+    ``16 + id%37`` samples of uniform unsigned value ``32 + id%95``
+    (printable-ASCII range so a SQL oracle can md5 the identical PCM
+    bytes via ``repeat(chr(v), n)`` — the m10 pixel_md5 play), sample
+    rate ``8000 + 1000*(id%5)``. Every third clip carries an odd-length
+    LIST junk chunk before ``data``, so decoding the corpus proves the
+    chunk walk (incl. the pad byte) rather than a fixed 44-byte-header
+    assumption — and the junk never changes the decoded output, which
+    is what keeps the oracle closed-form.
+
+    Partition-local mapInPandas, no shuffle; mirrors a real payload
+    fetch (id -> bytes).
+    """
+    from .audiocodec import encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                n, v = int(16 + i % 37), int(32 + i % 95)
+                payloads.append(
+                    encode_wav(
+                        bytes([v]) * n,
+                        sample_rate=int(8000 + 1000 * (i % 5)),
+                        bit_depth=8,
+                        channels=1,
+                        junk_chunk=(i % 3 == 0),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
 PAYLOAD_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -320,6 +447,128 @@ def sample_frames(df: DataFrame, max_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+FRAMES_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("frame_md5", T.StringType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def sample_frames_real(
+    df: DataFrame, max_frames: int = 8, strict: bool = False
+) -> DataFrame:
+    """REAL video frame sampling — stdlib Y4M codec
+    (:mod:`operators.videocodec`), no ffmpeg; the video twin of
+    :func:`decode_media_real` with the same sniff→decode→quarantine
+    contract.
+
+    Decodes the stream's true frame count, selects up to ``max_frames``
+    evenly-spaced frames (``floor(j * n / max_frames)``), and emits per
+    selected frame: its true index, the true frame timestamp from the
+    stream's fps (``idx * 1000 * fps_den // fps_num`` ms, exact integer
+    math), ``frame_md5`` (md5 of the decoded LUMA plane — proves the
+    planar slicing ran) and ``mean_luma``. Non-Y4M / corrupt payloads
+    yield ONE quarantine row (``frame_idx`` 0, ``n_frames`` NULL) unless
+    ``strict=True`` — bad payloads must be visible, not job-fatal.
+
+    Same plumbing as :func:`sample_frames`: the fan-out happens inside
+    streaming Arrow batches — partition-local mapInPandas, no shuffle,
+    no group materialization.
+    """
+    import hashlib
+
+    from . import videocodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {k.name: [] for k in FRAMES_REAL_SCHEMA}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                try:
+                    vid = videocodec.decode_y4m(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(0)
+                    for k in (
+                        "n_frames", "width", "height", "ts_ms",
+                        "frame_md5", "mean_luma",
+                    ):
+                        out[k].append(None)
+                    continue
+                n = vid.n_frames
+                if n <= max_frames:
+                    picks = range(n)
+                else:
+                    picks = [j * n // max_frames for j in range(max_frames)]
+                for idx in picks:
+                    y = vid.y_plane(idx)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n)
+                    out["width"].append(vid.width)
+                    out["height"].append(vid.height)
+                    out["ts_ms"].append(
+                        idx * 1000 * vid.fps_den // vid.fps_num
+                    )
+                    out["frame_md5"].append(hashlib.md5(y).hexdigest())
+                    out["mean_luma"].append(sum(y) / len(y) if y else None)
+            yield pd.DataFrame(out).astype(
+                {
+                    "frame_idx": "int32",
+                    "n_frames": "Int32",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "ts_ms": "Int64",
+                    "mean_luma": "float64",
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAMES_REAL_SCHEMA)
+
+
+def synthesize_y4m_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-Y4M payload synthesis (test corpus builder):
+    each id becomes a genuine YUV4MPEG2 stream — C420, 25 fps,
+    ``2*(2 + id%4) x 2*(1 + id%3)`` pixels, ``1 + id%6`` frames, frame k
+    a uniform luma plane valued ``32 + (id + 7*k) % 95``
+    (printable-ASCII range so a SQL oracle can md5 the identical luma
+    bytes via ``repeat(chr(v), w*h)`` — the m10/m11 play; chroma planes
+    are neutral 128 and deliberately excluded from the hash). Each FRAME
+    line carries an ``Xsynth`` parameter so decoding the corpus proves
+    per-frame-parameter tolerance, not a bare-marker assumption.
+
+    Partition-local mapInPandas, no shuffle.
+    """
+    from .videocodec import encode_y4m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(2 * (2 + i % 4)), int(2 * (1 + i % 3))
+                frames = [
+                    bytes([int(32 + (i + 7 * k) % 95)]) * (w * h)
+                    for k in range(int(1 + i % 6))
+                ]
+                payloads.append(
+                    encode_y4m(
+                        w, h, frames, fps=(25, 1), frame_param=b" Xsynth"
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(run, schema=PAYLOAD_SCHEMA)
 
 
 def extract_features(df: DataFrame, dims: int = 8) -> DataFrame:

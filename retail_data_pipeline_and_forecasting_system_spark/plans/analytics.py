@@ -2078,6 +2078,93 @@ def m10_real_image_decode(spark, sf):
 
 
 @q(
+    "m11_real_audio_decode",
+    sql="""
+    SELECT doc_id, 'wav' AS format,
+      CAST(8000 + 1000 * (doc_id % 5) AS INT) AS sample_rate,
+      CAST(1 AS INT) AS channels,
+      CAST(8 AS INT) AS bit_depth,
+      CAST(16 + doc_id % 37 AS BIGINT) AS n_samples,
+      CAST((16 + doc_id % 37) * 1000.0 AS DOUBLE)
+        / CAST(8000 + 1000 * (doc_id % 5) AS DOUBLE) AS duration_ms,
+      md5(repeat(chr(CAST(32 + doc_id % 95 AS INT)),
+                 CAST(16 + doc_id % 37 AS INT))) AS pcm_md5,
+      CAST(doc_id % 95 - 96 AS DOUBLE) AS mean_amp
+    FROM documents
+    """,
+    ref="LLM-ops: REAL audio decode, no stub — per-doc payloads are "
+    "genuine RIFF/WAVE 8-bit PCM files (synthesize_wav_payloads; every "
+    "third carries an odd-length LIST junk chunk) decoded by the stdlib "
+    "codec (operators/audiocodec.py: chunk walk + pad bytes + fmt "
+    "validation; validated against stdlib-wave-writer files in "
+    "tests/test_audiocodec.py), surfacing true rate/depth/frame count + "
+    "pcm_md5 + centred mean amplitude; the oracle recomputes the PCM "
+    "bytes in closed form (uniform sample 32 + id%95) so the "
+    "executor-side chunk walk is exact-value checked; duration_ms is a "
+    "raw IEEE division, bit-identical in both engines (rule 2)",
+    scale="both stages are partition-local mapInPandas (synthesize, "
+    "decode): zero shuffle, Arrow-batched, CPU-bound — the decode slot "
+    "a real soundfile/ffmpeg deployment fills with the same plumbing; "
+    "cap spark.sql.files.maxPartitionBytes when payloads dominate rows",
+)
+def m11_real_audio_decode(spark, sf):
+    ids = _t(spark, sf, "documents").select("doc_id")
+    decoded = MM.decode_audio_real(MM.synthesize_wav_payloads(ids))
+    return decoded.select(
+        "doc_id", "format", "sample_rate", "channels", "bit_depth",
+        "n_samples", "duration_ms", "pcm_md5", "mean_amp",
+    )
+
+
+@q(
+    "m12_real_frame_sample",
+    sql="""
+    WITH v AS (
+      SELECT doc_id,
+        CAST(2 * (2 + doc_id % 4) AS INT) AS width,
+        CAST(2 * (1 + doc_id % 3) AS INT) AS height,
+        CAST(1 + doc_id % 6 AS INT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx,
+      n_frames, width, height,
+      CAST(unnest(range(0, n_frames)) * 40 AS BIGINT) AS ts_ms,
+      md5(repeat(
+        chr(CAST(32 + (doc_id + 7 * unnest(range(0, n_frames))) % 95
+                 AS INT)),
+        width * height)) AS frame_md5,
+      CAST(32 + (doc_id + 7 * unnest(range(0, n_frames))) % 95 AS DOUBLE)
+        AS mean_luma
+    FROM v
+    """,
+    ref="LLM-ops: REAL video frame sampling, no stub — per-doc payloads "
+    "are genuine YUV4MPEG2 streams (synthesize_y4m_payloads: C420, "
+    "25 fps, per-frame uniform luma, Xsynth FRAME params) decoded by "
+    "the stdlib codec (operators/videocodec.py: header validation + "
+    "FRAME walk + planar slicing; validated in "
+    "tests/test_videocodec.py), surfacing the TRUE frame count, true "
+    "fps-derived timestamps (k*40 ms at 25 fps, exact integer math) "
+    "and per-frame luma-plane md5 + mean — the oracle recomputes the "
+    "luma bytes in closed form so the executor-side stream walk is "
+    "exact-value checked (closes the last multimodal stub; m4 keeps "
+    "the stub path for non-Y4M payloads)",
+    scale="fan-out happens inside partition-local mapInPandas batches — "
+    "no group materialization, no shuffle; hostile headers are bounded "
+    "(dims x frames) BEFORE any frame allocation",
+)
+def m12_real_frame_sample(spark, sf):
+    ids = _t(spark, sf, "documents").select("doc_id")
+    frames = MM.sample_frames_real(
+        MM.synthesize_y4m_payloads(ids), max_frames=8
+    )
+    return frames.select(
+        "doc_id", "frame_idx", "n_frames", "width", "height",
+        "ts_ms", "frame_md5", "mean_luma",
+    )
+
+
+@q(
     "g5_unpivot",
     sql="""
     SELECT p_partkey, metric, CAST(val AS DOUBLE) AS val FROM (
