@@ -161,10 +161,13 @@ def _jaccard_from_shingles(
         # 3.4 s -> 2.1 s for d2 at sf0.1 with the persist). Same one-shot
         # caching stance as minhash_lsh_pairs' bucket frame: session-
         # lived queries accept it, long-running services should pass
-        # cache=False (or unpersist via sparkContext) per epoch.
+        # cache=False (or unpersist via sparkContext) per epoch. Tracked
+        # in ..caching so the next registry query releases it.
         from pyspark import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        from ..caching import track
+
+        sh = track(sh.persist(StorageLevel.MEMORY_AND_DISK))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -263,11 +266,13 @@ def minhash_lsh_pairs(
         # once PER SIDE (md5 over every shingle dominates d3's cost).
         # The cached frame is tiny — (id, band, bucket-hash) × bands rows
         # per doc, independent of document length — so MEMORY_AND_DISK is
-        # bounded; callers composing many pipelines in one session can
-        # reclaim it with spark.catalog.clearCache().
+        # bounded; tracked in ..caching so the next registry query
+        # releases it (callers can also spark.catalog.clearCache()).
         from pyspark import StorageLevel
 
-        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+        from ..caching import track
+
+        buckets = track(buckets.persist(StorageLevel.MEMORY_AND_DISK))
 
     ca = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     cb = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
@@ -508,7 +513,14 @@ def incremental_dedup(
 
         tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
         if cache_tracker is not None:
+            # caller-managed release (the streaming services' per-epoch
+            # unpersist) — do NOT also register globally, the epoch
+            # cache must outlive interleaved registry queries
             cache_tracker.append(tagged)
+        else:
+            from ..caching import track
+
+            track(tagged)
     nb = tagged.filter(F.col("__new")).select(
         F.col(id_col).alias("new_id"), "band", "bucket"
     )
@@ -570,10 +582,13 @@ def containment_pairs(
     sh = word_shingles(df, k=k, id_col=id_col, text_col=text_col)
     sh = _rare_shingles(sh, max_df)
     # triple-consumed (sizes + both join sides) — persist like
-    # _jaccard_from_shingles does, for the same measured reason
+    # _jaccard_from_shingles does, for the same measured reason;
+    # tracked in ..caching so the next registry query releases it
     from pyspark import StorageLevel
 
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    from ..caching import track
+
+    sh = track(sh.persist(StorageLevel.MEMORY_AND_DISK))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -619,6 +634,15 @@ def segment_dedup(
     Output: (id, n_segs, n_kept, text_dedup) — text_dedup is the kept
     segments joined in document order ("" when everything was seen
     before).
+
+    PRECONDITION: ``id_col`` uniquely identifies rows (it is the
+    document's primary key). Under duplicate ids the two key modes
+    diverge — ``key="text"`` groups all same-id rows into one pooled
+    output row, while ``key="md5"`` re-derives text per input row and
+    joins pooled counts onto each (round-6 ADVICE). Deduplicating here
+    would shuffle full document text, defeating the md5 mode's no-text-
+    shuffle design, so the precondition is the caller's contract — the
+    same one every per-document operator in this package assumes.
 
     Scale — two interchangeable physical shapes, identical output:
 

@@ -1043,6 +1043,7 @@ def pq_topk(
     """
     width = dim // m
     books = pq_codebooks(embeddings, m, ksub, id_col, vec_col, dim)
+    _validate_codebook_ids(books)
     qrow = embeddings.filter(F.col(id_col) == query_id).head()
     if qrow is None:
         raise ValueError(f"query_id {query_id!r} not found in {id_col}")
@@ -1163,6 +1164,7 @@ def ivfpq_topk(
     )
     cent_list = _collect_centroids(cents)
     books = pq_codebooks(embeddings, m, ksub, id_col, vec_col, dim)
+    _validate_codebook_ids(books)
     qrow = embeddings.filter(F.col(id_col) == query_id).head()
     if qrow is None:
         raise ValueError(f"query_id {query_id!r} not found in {id_col}")
@@ -1211,6 +1213,24 @@ def ivfpq_topk(
     )
 
 
+def _validate_codebook_ids(
+    codebooks: list[list[tuple[int, list[float]]]],
+) -> None:
+    """ADC lookups index the flat dtable by CENT-ID VALUE
+    (``s*ksub + code[s]``) while the table is laid out by codebook LIST
+    POSITION — sound only when every codebook's cent_ids are exactly
+    0..ksub-1 in order. pq_codebooks built from a corpus with
+    non-contiguous ids would silently misindex (round-6 ADVICE), so the
+    precondition is enforced here, loudly, at plan-build time."""
+    for s, book in enumerate(codebooks):
+        cids = [cid for cid, _ in book]
+        if cids != list(range(len(book))):
+            raise ValueError(
+                f"codebook {s}: cent_ids {cids[:8]}... must be exactly "
+                f"0..{len(book) - 1} in order for positional ADC lookups"
+            )
+
+
 def adc_dtable_col(
     vec_col: str, codebooks: list[list[tuple[int, list[float]]]]
 ) -> Column:
@@ -1228,6 +1248,7 @@ def adc_dtable_col(
     downstream ``element_at(dtable, s*ksub + code[s] + 1)`` lookup is
     bit-identical to the SQL-side join-derived table.
     """
+    _validate_codebook_ids(codebooks)
     m = len(codebooks)
     width = len(codebooks[0][0][1])
     d = lambda x: repr(float(x)) + "D"
@@ -1275,6 +1296,7 @@ def knn_join_ivfpq(
     Output: (query_id, neighbor_id, approx_l2, rnk), rnk 1..k by coded
     distance ascending, ties to lowest neighbor id.
     """
+    _validate_codebook_ids(codebooks)
     m = len(codebooks)
     ksub = len(codebooks[0])
     cent_list = _collect_centroids(centroids)

@@ -109,10 +109,24 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
+# Registry-scoped cache hygiene: every persist inside a registry query
+# routes through ..caching (or registers there), and each query entry
+# drops the previous query's caches — residue bounded at one working
+# set, not ~190 accumulated ones (round-6 verdict item 5).
+from ..caching import drop_stale as _drop_stale_caches
+from ..caching import persist_tracked as _persist_tracked
+
 
 def q(name: str, **kw):
     def reg(fn):
-        QUERIES[name] = Query(fn=fn, **kw)
+        import functools
+
+        @functools.wraps(fn)
+        def scoped(spark, sf):
+            _drop_stale_caches()
+            return fn(spark, sf)
+
+        QUERIES[name] = Query(fn=scoped, **kw)
         return fn
 
     return reg
@@ -1591,8 +1605,6 @@ def a6_histogram(spark, sf):
     bench=True,
 )
 def x5_tfidf(spark, sf):
-    from pyspark import StorageLevel
-
     docs = _t(spark, sf, "documents")
     n_docs = docs.count()
     toks = docs.select(
@@ -1601,9 +1613,11 @@ def x5_tfidf(spark, sf):
     # tf's keys ARE the distinct (doc, token) pairs, so doc_freq comes
     # from re-aggregating tf — no second explode+distinct pass over the
     # corpus. tf is then double-consumed (df_ + the join): persist it.
-    tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("term_freq")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tf = _persist_tracked(
+        toks.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).alias("term_freq")
+        )
+    )
     df_ = (
         tf.groupBy("token")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -2430,8 +2444,6 @@ def _sql_curation(thr: str = "0.5") -> str:
     bench=True,
 )
 def x7_corpus_curation(spark, sf):
-    from pyspark import StorageLevel
-
     from ..functions import tokens
 
     docs = _t(spark, sf, "documents")
@@ -2442,9 +2454,9 @@ def x7_corpus_curation(spark, sf):
     # branch's shingle index (previously its own re-scan + re-split).
     # At 100 TB persist the words frame to disk-backed storage or a
     # staging table instead; the plan shape is unchanged.
-    words = docs.select(
-        "doc_id", tokens("text").alias("words")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    words = _persist_tracked(
+        docs.select("doc_id", tokens("text").alias("words"))
+    )
     sig = TX.curation_signals_from_words(words)
     dup = (
         D.jaccard_pairs_from_words(words, k=3, threshold=0.5)
@@ -7410,20 +7422,20 @@ def j9_asof_join(spark, sf):
     "raw data. Exactness of the merge rests on decimal sums (rule 1)",
 )
 def h1_hypertable_rollup(spark, sf):
-    from pyspark import StorageLevel
-
     ev = _t(spark, sf, "events")
-    hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec("value", 4)).alias("__sv"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
     # persist the partial table: both union branches consume it, and the
     # whole point is that raw events are scanned once (it is the
     # materialized hypertable; O(buckets) rows, tiny)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hourly = _persist_tracked(
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 4)).alias("__sv"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
     daily = hourly.groupBy(
         F.date_trunc("day", "bucket_start").alias("bucket_start"),
         "event_type",
@@ -9342,12 +9354,9 @@ def x30_dsir_selection(spark, sf):
     # post-combine frame) instead of two more explode scans — measured
     # 7.3 -> 1.8 s at sf0.1. Persisted because three consumers would
     # otherwise re-run the explode (the d-family precedent).
-    from pyspark import StorageLevel
-
-    tfl = (
+    tfl = _persist_tracked(
         hashed.groupBy("doc_id", "lang", "source", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tf = tfl.select("doc_id", "source", "b", "tf")
     tgt = (
