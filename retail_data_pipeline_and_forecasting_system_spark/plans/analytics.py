@@ -9544,33 +9544,39 @@ def x31_duplicate_spans(spark, sf):
 # entries + the first 3 r03-latest) re-verified under four rounds of
 # accumulated code drift. All 187 registry entries are local-parity
 # green at sf0.001/0.01/0.1 under the exact-value check every run.
-# ROUND-7 queue (registered in round 6, after this window sealed):
-# n11_knn_join_ivfpq, x30_dsir_selection, x31_duplicate_spans.
+# ROUND-7 window: the 3 entries queued from round 6 (n11/x30/x31 —
+# registered after the r06 window sealed, judge-verified green at
+# sf0.01 that session) + the 2 round-7 registrations (m11/m12: real
+# WAV/Y4M decode) + re-verifies for round-7 code changes (x7/h1 and
+# the d-family ride the registry-scoped cache tracking in caching.py;
+# n4/n5/n6 ride similarity's codebook-contiguity guard) + the 5
+# headline bench queries re-pinned every round + REFRESH picks by
+# oldest driver evidence: all 18 r01-latest entries and the first 12
+# r03-latest (r02's cohort was fully refreshed in the r06 window).
+# All 190 registry entries stay local-parity green at sf0.001/0.01
+# under the exact-value check every pytest run.
 _DRIVER_SAMPLE = [
-    # never-driver-verified: late round-5 registrations (3)
-    "h4_downsample_ltob", "x28_perplexity_buckets",
-    "n10_knn_join_multiprobe",
-    # changed in round 6, previously driver-green — re-verify (9)
-    "m1_multimodal_decode", "m3_media_resize", "m4_frame_sample",
-    "m5_media_features", "m10_real_image_decode", "d16_segment_dedup",
-    "d14_semantic_dedup", "d15_incremental_semantic", "k1_kmeans_cells",
+    # never-driver-verified (5): round-6 queue + round-7 registrations
+    "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",
+    "m11_real_audio_decode", "m12_real_frame_sample",
+    # changed in round 7, previously driver-green — re-verify (10)
+    "x7_corpus_curation", "h1_hypertable_rollup", "d2_jaccard_pairs",
+    "d3_minhash_lsh", "d7_char_jaccard", "d10_containment_pairs",
+    "d11_incremental_dedup", "n4_ann_pq", "n5_ann_ivfpq", "n6_ann_rerank",
     # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",
-    # refresh: oldest driver evidence — every r02-latest entry (30)
-    "a4_approx_distinct", "d3_minhash_lsh", "d5_simhash_pairs",
-    "e3_tumbling_window", "e5_retention_cohort", "m2_forecast_linear",
-    "n3_ann_ivf", "ops1_merge_upsert", "ops2_scd2_intervals",
-    "q11_important_stock", "q12_priority_lines",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_count", "q17_small_qty_revenue", "q18_big_orders",
-    "q19_disjunctive_join", "q20_excess_suppliers", "q21_waiting_supplier",
-    "q22_idle_customers", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "x6_train_split",
-    # refresh: first r03-latest entries (3)
-    "a10_profile", "a11_collect_agg", "a12_argmax",
+    # refresh: oldest driver evidence — every r01-latest entry (18)
+    "a6_histogram", "a7_stats_pack", "d1_dedup_exact", "d4_simhash",
+    "e1_json_extract", "f_conditional_pack", "f_string_pack", "g1_rollup",
+    "g2_pivot", "g3_asof_join", "n1_ann_bruteforce", "n2_ann_lsh_bucket",
+    "w3_lag_delta", "w4_window_pack", "x1_language_scores",
+    "x2_quality_scores", "x3_token_counts", "x4_fingerprints",
+    # refresh: first r03-latest entries (12)
+    "a13_bloom_membership", "a14_count_min", "a8_percentiles",
+    "a9_having", "c1_cross_join", "d9_hyperplane_lsh",
+    "e4_sliding_window", "e6_inter_event_gaps", "e7_variant_extract",
+    "f_array_pack", "f_date_pack", "g4_cube",
 ]
 
 
