@@ -1339,3 +1339,81 @@ def knn_join_ivfpq(
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    margin: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-hard negative mining (FaceNet, Schroff et al. CVPR 2015) —
+    the batch-construction primitive for contrastive/metric training
+    data: for each anchor, the top-k DIFFERENT-label vectors inside the
+    semi-hard band ``pos_sim - margin < cos < pos_sim``, where
+    ``pos_sim`` is the anchor's best same-label similarity (its hardest
+    positive, self excluded). Easier negatives teach nothing; harder-
+    than-the-positive ones destabilize training — the band is the
+    actionable middle.
+
+    Plan: ONE scored frame (corpus x broadcast anchors, row-local
+    cosine) feeds both branches — the per-anchor positive max (a
+    map-side-combinable agg producing |anchors| rows, broadcast back)
+    and the negative band filter; one query-keyed top-k window
+    finishes. Anchors with no same-label positive drop out (inner
+    join): there is no band without a positive.
+
+    At 100 TB the |A| x |C| product is blocked exactly like the kNN
+    joins: score only (anchor cell = corpus cell) pairs from an IVF
+    assignment (n9's structure) — both branches read the same blocked
+    frame, so the blocking is paid once. The band filter prunes before
+    the window, so the top-k shuffle carries band survivors only.
+
+    Output: (query_id, neighbor_id, cos_sim, pos_sim, rnk), rnk 1..k
+    by cos_sim descending, ties to lowest neighbor id.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__avec"),
+        F.col(label_col).alias("__albl"),
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+            F.col(label_col).alias("__clbl"),
+        )
+        .crossJoin(F.broadcast(a))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "__albl",
+            "__clbl",
+            cosine("__cvec", "__avec").alias("cos_sim"),
+        )
+    )
+    pos = (
+        scored.filter(F.col("__clbl") == F.col("__albl"))
+        .groupBy("query_id")
+        .agg(F.max("cos_sim").alias("pos_sim"))
+    )
+    band = (
+        scored.filter(F.col("__clbl") != F.col("__albl"))
+        .join(F.broadcast(pos), "query_id")
+        .filter(
+            (F.col("cos_sim") < F.col("pos_sim"))
+            & (F.col("cos_sim") > F.col("pos_sim") - F.lit(float(margin)))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id"
+    )
+    return (
+        band.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "pos_sim", "rnk")
+    )

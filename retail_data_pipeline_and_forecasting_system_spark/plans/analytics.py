@@ -8999,6 +8999,49 @@ def n11_knn_join_ivfpq(spark, sf):
 
 
 @q(
+    "n12_hard_negatives",
+    sql=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        a.label AS albl, c.label AS clbl,
+        {_sql_cosine('c.embedding', 'a.embedding')} AS cos_sim
+      FROM embeddings a JOIN embeddings c ON c.vec_id <> a.vec_id
+      WHERE a.vec_id < 20
+    ), pos AS (
+      SELECT query_id, max(cos_sim) AS pos_sim FROM scored
+      WHERE clbl = albl GROUP BY query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, pos_sim, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT s.query_id, s.neighbor_id, s.cos_sim, p.pos_sim,
+        row_number() OVER (PARTITION BY s.query_id
+                           ORDER BY s.cos_sim DESC, s.neighbor_id) AS rnk
+      FROM scored s JOIN pos p USING (query_id)
+      WHERE s.clbl <> s.albl AND s.cos_sim < p.pos_sim
+        AND s.cos_sim > p.pos_sim - 0.2
+    ) WHERE rnk <= 5
+    """,
+    ref="LLM-ops: semi-hard negative mining (FaceNet, Schroff et al. "
+    "CVPR 2015) — per-anchor top-k different-label vectors inside the "
+    "band (pos_sim - margin, pos_sim), pos_sim = the anchor's hardest "
+    "same-label positive: the batch-construction primitive for "
+    "contrastive/metric-learning training data (operators/"
+    "similarity.py hard_negatives). Exactness: the n7 rules — "
+    "sequential-fold cosine, ties to lowest neighbor id",
+    scale="ONE |A| x |C| scored frame (anchors broadcast) feeds both "
+    "the per-anchor positive max (map-side combine, |A| rows broadcast "
+    "back) and the band filter, which prunes before the only window "
+    "shuffle; at 100 TB block the product with an IVF cell equi-join "
+    "(n9's structure), paid once for both branches",
+)
+def n12_hard_negatives(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return SIM.hard_negatives(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, margin=0.2
+    )
+
+
+@q(
     "h4_downsample_ltob",
     sql="""
     WITH daily AS (
@@ -9553,8 +9596,10 @@ def x31_duplicate_spans(spark, sf):
 # headline bench queries re-pinned every round + REFRESH picks by
 # oldest driver evidence: all 18 r01-latest entries and the first 12
 # r03-latest (r02's cohort was fully refreshed in the r06 window).
-# All 190 registry entries stay local-parity green at sf0.001/0.01
+# All registry entries stay local-parity green at sf0.001/0.01
 # under the exact-value check every pytest run.
+# ROUND-8 queue (registered in round 7, after this window sealed):
+# n12_hard_negatives.
 _DRIVER_SAMPLE = [
     # never-driver-verified (5): round-6 queue + round-7 registrations
     "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",

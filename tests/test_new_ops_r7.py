@@ -135,3 +135,42 @@ def test_codebook_contiguity_guard():
     swapped = [[(1, [0.0, 0.0]), (0, [1.0, 1.0])]]
     with pytest.raises(ValueError, match="cent_ids"):
         _validate_codebook_ids(swapped)
+
+
+def test_hard_negatives_band_semantics(spark):
+    """Hand-built vectors: the band (pos_sim - margin, pos_sim) is
+    exclusive on both edges, anchors without a same-label positive drop
+    out, and self never appears."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    # anchor 1 (label a) points along x; cos to a vector at angle t is
+    # cos(t), so we place: a positive at ~0.9, negatives at 0.85 (in
+    # band), 0.65 (below band = 0.9-0.2), and 0.95 (harder than the
+    # positive — excluded). anchor 99 has NO same-label vector.
+    import math
+
+    def vec(c):  # unit vector with cosine c to [1, 0]
+        return [float(c), float(math.sqrt(1 - c * c))]
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, vec(0.9), "a"),    # hardest positive -> pos_sim = 0.9
+        (3, vec(0.85), "b"),   # inside band (0.7, 0.9)
+        (4, vec(0.65), "b"),   # below band: too easy
+        (5, vec(0.95), "b"),   # above pos_sim: too hard
+        (99, [0.0, 1.0], "z"), # anchor with no same-label positive
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = hard_negatives(
+        df.filter("vec_id in (1, 99)"), df, k=5, margin=0.2
+    ).collect()
+    assert {r["query_id"] for r in got} == {1}  # 99 dropped: no positive
+    picks = {r["neighbor_id"]: r for r in got}
+    assert set(picks) == {3}
+    assert picks[3]["pos_sim"] == pytest.approx(0.9)
+    assert picks[3]["cos_sim"] == pytest.approx(0.85)
+    assert picks[3]["rnk"] == 1
