@@ -410,3 +410,30 @@ def test_incremental_semantic_never_pairs_corpus_with_corpus(spark):
     # the corpus filter NOT pmod(...)=0 and the batch filter pmod(...)=0
     # both appear: the two quadrant guards survive into the plan
     assert "pmod" in plan
+
+
+def test_real_codec_stages_are_shuffle_free(spark):
+    """m10/m11/m12: synthesize->decode chains must stay partition-local
+    Arrow mapInPandas — zero Exchange anywhere in the plan."""
+    for name in ("m10_real_image_decode", "m11_real_audio_decode",
+                 "m12_real_frame_sample"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} must not shuffle"
+        assert "MapInPandas" in plan, f"{name} must be Arrow mapInPandas"
+
+
+def test_hard_negatives_broadcasts_anchors_and_pos(spark):
+    """n12: anchors broadcast against the corpus (BroadcastNestedLoopJoin),
+    the per-anchor positive max broadcasts back (BroadcastHashJoin), and
+    the only hash Exchanges are the pos-agg and the top-k window — the
+    corpus side never sort-merge-joins or cartesians."""
+    import re
+
+    plan = _plan(spark, "n12_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    n_hash_ex = len(
+        re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+    )
+    assert n_hash_ex <= 2, f"extra shuffles: {n_hash_ex}"
