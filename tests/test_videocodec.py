@@ -175,3 +175,34 @@ def test_synthesize_y4m_payloads_are_genuine_streams(spark):
             assert r["ts_ms"] == k * 40
             assert r["mean_luma"] == float(v)
             assert r["frame_md5"] == hashlib.md5(bytes([v]) * (w * h)).hexdigest()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    w2=st.integers(1, 6),
+    h2=st.integers(1, 5),
+    n_frames=st.integers(1, 6),
+    cs=st.sampled_from(["C420", "C422", "C444", "Cmono"]),
+    fps=st.sampled_from([(25, 1), (30000, 1001), (24, 1)]),
+    data=st.data(),
+)
+@settings(max_examples=80, deadline=None)
+def test_y4m_roundtrip_property(w2, h2, n_frames, cs, fps, data):
+    """decode(encode(frames)) == frames for arbitrary luma content across
+    all colorspaces, sizes, frame counts and rates — the FRAME walk and
+    planar slicing are true inverses, not tuned to the fixed fixtures."""
+    w, h = 2 * w2, 2 * h2  # even dims valid under every subsampling
+    n = w * h
+    y_frames = [
+        bytes(data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)))
+        for _ in range(n_frames)
+    ]
+    vid = decode_y4m(encode_y4m(w, h, y_frames, fps=fps, colorspace=cs))
+    assert (vid.width, vid.height) == (w, h)
+    assert (vid.fps_num, vid.fps_den) == fps
+    assert vid.n_frames == n_frames
+    for i in range(n_frames):
+        assert vid.y_plane(i) == y_frames[i]
