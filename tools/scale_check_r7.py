@@ -92,7 +92,12 @@ def main() -> None:
 
     print(f"{'query':24s} {'scale':5s} {'rows':>9s} {'sec':>7s} "
           f"{'rows/s':>9s} {'shufW':>8s}")
-    for name in ("m11_real_audio_decode", "m12_real_frame_sample"):
+    # n12: anchors FIXED (vec_id < 20), corpus 10x -> the |A| x |C|
+    # scored product grows 10x; the decade question is whether the
+    # band filter + broadcast pos keep the extra volume off the window
+    # shuffle (they should: shufW grows with band survivors, not |C|).
+    for name in ("m11_real_audio_decode", "m12_real_frame_sample",
+                 "n12_hard_negatives"):
         fn = QUERIES[name].fn
         for label, sf_dir in (("1x", SF), ("10x", str(x10))):
             rows = _force(fn(spark, sf_dir))  # codegen warm
