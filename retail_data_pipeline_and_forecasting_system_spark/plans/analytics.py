@@ -9130,6 +9130,79 @@ def h4_downsample_ltob(spark, sf):
     )
 
 
+@q(
+    "h5_time_weighted_avg",
+    sql="""
+    WITH pts AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+        epoch_us(ts) // 1000 AS t_ms,
+        CAST(value AS DECIMAL(18,4)) AS v,
+        lead(epoch_us(ts) // 1000) OVER (
+          PARTITION BY event_type, date_trunc('day', ts)
+          ORDER BY epoch_us(ts) // 1000, event_id) AS nxt
+      FROM events
+    )
+    SELECT event_type, d,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(max(t_ms) - min(t_ms) AS BIGINT) AS span_ms,
+      CASE WHEN max(t_ms) > min(t_ms)
+        THEN CAST(SUM(CASE WHEN nxt IS NOT NULL
+                           THEN v * (nxt - t_ms) END) AS DOUBLE)
+             / CAST(max(t_ms) - min(t_ms) AS DOUBLE)
+        ELSE CAST(min(v) AS DOUBLE) END AS twa
+    FROM pts GROUP BY 1, 2
+    """,
+    ref="hypertable continuous-aggregate analytics: LOCF time-weighted "
+    "average per (event_type, day) over IRREGULARLY-spaced events — "
+    "TimescaleDB's average(time_weight('LOCF', ts, value)) semantics: "
+    "each observation holds until the next one, TWA = integral / span "
+    "from first to last point in the bucket (single-point and zero-"
+    "span buckets degrade to the point value / min). Plain avg() "
+    "over-weights burst periods; TWA is the correct mean for sensor/"
+    "price state sampled at uneven times. Exactness: millisecond "
+    "integer timestamps (micros div 1000, exact in both engines), "
+    "decimal value x bigint weight products (rule 1: exact, order-"
+    "independent sums), numerator magnitude kept under 2^53 at scale "
+    "4 (rule 5) so the final decimal->double cast is 1-ulp-safe",
+    scale="one lead() window + one hash agg, both keyed on (event_type, "
+    "day) — the window never crosses a bucket so there is no global "
+    "sort and no cross-partition carry; at 100 TB the day key is the "
+    "partition key and the weighted partial sums combine map-side "
+    "(decimal sums are algebraic) exactly like h1's rollup partials",
+)
+def h5_time_weighted_avg(spark, sf):
+    ev = _t(spark, sf, "events")
+    pts = ev.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        F.expr("unix_micros(ts) div 1000").alias("t_ms"),
+        dec("value", 4).alias("v"),
+        "event_id",
+    )
+    w = W.partitionBy("event_type", "d").orderBy("t_ms", "event_id")
+    pts = pts.withColumn("nxt", F.lead("t_ms").over(w))
+    span = F.max("t_ms") - F.min("t_ms")
+    numer = F.sum(
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.col("v") * (F.col("nxt") - F.col("t_ms")),
+        )
+    )
+    return (
+        pts.groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            span.cast("bigint").alias("span_ms"),
+            F.when(
+                span > 0,
+                numer.cast("double") / span.cast("double"),
+            )
+            .otherwise(F.min("v").cast("double"))
+            .alias("twa"),
+        )
+    )
+
+
 # Shared template: the registered oracle formats it with the production
 # threshold; tests re-format it with a tiny one to force the sampled
 # arm on every source and prove THAT path is oracle-exact too.
@@ -9599,7 +9672,7 @@ def x31_duplicate_spans(spark, sf):
 # All registry entries stay local-parity green at sf0.001/0.01
 # under the exact-value check every pytest run.
 # ROUND-8 queue (registered in round 7, after this window sealed):
-# n12_hard_negatives.
+# n12_hard_negatives, h5_time_weighted_avg.
 _DRIVER_SAMPLE = [
     # never-driver-verified (5): round-6 queue + round-7 registrations
     "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",

@@ -188,3 +188,40 @@ def test_hard_negatives_band_semantics(spark):
     assert picks[3]["pos_sim"] == pytest.approx(0.9)
     assert picks[3]["cos_sim"] == pytest.approx(0.85)
     assert picks[3]["rnk"] == 1
+
+
+def test_time_weighted_avg_hand_values(spark, tmp_path):
+    """LOCF TWA on hand-placed points: v=10 held for 60s then v=40 for
+    30s -> TWA = (10*60 + 40*30)/90 = 20; a single-point bucket returns
+    the point; the last observation carries no weight."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # bucket (click, Jan 1): points at t=0 (v=10), t=60s (v=40),
+        # t=90s (v=999 — last point, weightless by LOCF-to-last-point)
+        (1, base, 1, "click", 10.0, "{}"),
+        (2, base + dt.timedelta(seconds=60), 1, "click", 40.0, "{}"),
+        (3, base + dt.timedelta(seconds=90), 1, "click", 999.0, "{}"),
+        # bucket (view, Jan 1): single point -> TWA = the point
+        (4, base + dt.timedelta(seconds=10), 2, "view", 7.5, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["h5_time_weighted_avg"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    click = got["click"]
+    assert click["n_events"] == 3
+    assert click["span_ms"] == 90_000
+    assert click["twa"] == pytest.approx((10 * 60 + 40 * 30) / 90)
+    view = got["view"]
+    assert (view["n_events"], view["span_ms"]) == (1, 0)
+    assert view["twa"] == 7.5
