@@ -9203,6 +9203,97 @@ def h5_time_weighted_avg(spark, sf):
     )
 
 
+@q(
+    "h6_counter_increase",
+    sql="""
+    WITH pts AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+        epoch_us(ts) // 1000 AS t_ms,
+        CAST(value AS DECIMAL(18,4)) AS v,
+        lag(CAST(value AS DECIMAL(18,4))) OVER (
+          PARTITION BY event_type, date_trunc('day', ts)
+          ORDER BY epoch_us(ts) // 1000, event_id) AS prev
+      FROM events
+    )
+    SELECT event_type, d,
+      CAST(count(*) AS BIGINT) AS n_points,
+      CAST(SUM(CASE WHEN prev IS NOT NULL AND v < prev
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+      -- no greatest(): DuckDB promotes greatest(DECIMAL, DECIMAL) to
+      -- DOUBLE, silently breaking the exact-decimal sum (caught live)
+      CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL AND v > prev
+                             THEN v - prev
+                             WHEN prev IS NOT NULL
+                             THEN CAST(0 AS DECIMAL(19,4)) END),
+                    0) AS DOUBLE) AS increase,
+      CASE WHEN max(t_ms) > min(t_ms)
+        THEN CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL AND v > prev
+                                    THEN v - prev
+                                    WHEN prev IS NOT NULL
+                                    THEN CAST(0 AS DECIMAL(19,4)) END),
+                           0) AS DOUBLE)
+             / (CAST(max(t_ms) - min(t_ms) AS DOUBLE) / 1000.0)
+        END AS rate_per_s
+    FROM pts GROUP BY 1, 2
+    """,
+    ref="hypertable counter analytics: PromQL-style increase()/rate() "
+    "per (event_type, day) — consecutive deltas with COUNTER-RESET "
+    "handling (a drop means the counter restarted, so only "
+    "non-negative deltas accumulate: increase = sum of max(0, v_i - "
+    "v_{i-1}); resets are counted, not summed as negatives); rate = "
+    "increase over first-to-last span, NULL for zero-span buckets. "
+    "Plain max-min over-counts on every restart — this is the correct "
+    "aggregate for restartable counters (bytes served, rows ingested). "
+    "Exactness: decimal deltas (rule 1, order-independent sums), ms "
+    "integer timestamps, one double division at the end",
+    scale="identical shape to h5: one lag() window + one hash agg, both "
+    "keyed on (event_type, day) — no global sort, no cross-partition "
+    "carry; decimal partials combine map-side, so at 100 TB the day "
+    "key partitions the scan and every coarser rollup re-aggregates "
+    "the per-day increases (they are algebraic over time splits as "
+    "long as split points duplicate the boundary sample — the "
+    "standard hypertable caveat)",
+)
+def h6_counter_increase(spark, sf):
+    ev = _t(spark, sf, "events")
+    pts = ev.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        F.expr("unix_micros(ts) div 1000").alias("t_ms"),
+        dec("value", 4).alias("v"),
+        "event_id",
+    )
+    w = W.partitionBy("event_type", "d").orderBy("t_ms", "event_id")
+    pts = pts.withColumn("prev", F.lag("v").over(w))
+    pos_delta = F.when(
+        F.col("prev").isNotNull() & (F.col("v") > F.col("prev")),
+        F.col("v") - F.col("prev"),
+    ).when(F.col("prev").isNotNull(), F.lit(0).cast("decimal(19,4)"))
+    increase = F.coalesce(
+        F.sum(pos_delta), F.lit(0).cast("decimal(28,4)")
+    ).cast("double")
+    span = F.max("t_ms") - F.min("t_ms")
+    return (
+        pts.groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("v") < F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_resets"),
+            increase.alias("increase"),
+            F.when(
+                span > 0,
+                increase / (span.cast("double") / F.lit(1000.0)),
+            ).alias("rate_per_s"),
+        )
+    )
+
+
 # Shared template: the registered oracle formats it with the production
 # threshold; tests re-format it with a tiny one to force the sampled
 # arm on every source and prove THAT path is oracle-exact too.
@@ -9672,7 +9763,7 @@ def x31_duplicate_spans(spark, sf):
 # All registry entries stay local-parity green at sf0.001/0.01
 # under the exact-value check every pytest run.
 # ROUND-8 queue (registered in round 7, after this window sealed):
-# n12_hard_negatives, h5_time_weighted_avg.
+# n12_hard_negatives, h5_time_weighted_avg, h6_counter_increase.
 _DRIVER_SAMPLE = [
     # never-driver-verified (5): round-6 queue + round-7 registrations
     "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",

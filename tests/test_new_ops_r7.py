@@ -225,3 +225,28 @@ def test_time_weighted_avg_hand_values(spark, tmp_path):
     view = got["view"]
     assert (view["n_events"], view["span_ms"]) == (1, 0)
     assert view["twa"] == 7.5
+
+
+def test_counter_increase_reset_handling(spark, tmp_path):
+    """PromQL increase() semantics on a hand counter: 10->50->5->30 in
+    one bucket = increase 40 + 25 (the 50->5 reset contributes 0, and
+    is counted), NOT max-min = 20."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    vals = [10.0, 50.0, 5.0, 30.0]
+    rows = [
+        (i, base + dt.timedelta(seconds=10 * i), 1, "bytes", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    [r] = QUERIES["h6_counter_increase"].fn(spark, str(tmp_path)).collect()
+    assert r["n_points"] == 4
+    assert r["n_resets"] == 1
+    assert r["increase"] == pytest.approx(40 + 25)
+    assert r["rate_per_s"] == pytest.approx(65 / 30)
