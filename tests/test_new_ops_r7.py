@@ -103,8 +103,13 @@ def test_registry_queries_release_predecessor_caches(spark, sf_dir):
     from retail_data_pipeline_and_forecasting_system_spark import caching
 
     # other suites may have left tracked (direct operator calls) or
-    # untracked persists on the shared session — measure RELATIVE to a
-    # clean tracker and the session's current block count
+    # untracked persists on the shared session — and test_bench_meter's
+    # `import bench` flips KEEP_SESSION_CACHES=True as a module side
+    # effect, which would turn every drop below into a no-op. Pin the
+    # product default, then measure RELATIVE to a clean tracker and the
+    # session's current block count.
+    keep_prior = caching.KEEP_SESSION_CACHES
+    caching.KEEP_SESSION_CACHES = False
     caching.drop_stale()
     sc = spark.sparkContext
 
@@ -128,6 +133,7 @@ def test_registry_queries_release_predecessor_caches(spark, sf_dir):
             break
         time.sleep(0.1)
     assert blocks() <= base
+    caching.KEEP_SESSION_CACHES = keep_prior
 
 
 def test_codebook_contiguity_guard():

@@ -437,3 +437,22 @@ def test_hard_negatives_broadcasts_anchors_and_pos(spark):
         re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
     )
     assert n_hash_ex <= 2, f"extra shuffles: {n_hash_ex}"
+
+
+def test_hypertable_point_aggs_single_window_then_agg(spark):
+    """h5/h6: one bucket-keyed window (lead/lag) + one hash agg — no
+    global sort, no extra exchanges beyond the shared (event_type, day)
+    partitioning the window and agg both use."""
+    import re
+
+    for name in ("h5_time_weighted_avg", "h6_counter_increase"):
+        plan = _plan(spark, name)
+        assert "Window" in plan, name
+        assert "HashAggregate" in plan, name
+        # the window's hashpartitioning on (event_type, day) is the ONLY
+        # hash exchange; the agg reuses it (same keys)
+        n_hash_ex = len(
+            re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+        )
+        assert n_hash_ex <= 1, f"{name}: extra shuffles ({n_hash_ex})"
+        assert "Exchange rangepartitioning" not in plan, name
