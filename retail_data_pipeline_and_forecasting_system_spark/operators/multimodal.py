@@ -595,3 +595,110 @@ def extract_features(df: DataFrame, dims: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zcr", T.IntegerType(), True),
+        T.StructField("mean_amp", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_frame_features(
+    df: DataFrame, frame: int = 16, hop: int = 16, strict: bool = False
+) -> DataFrame:
+    """Librosa-style frame-level audio features over REAL decoded PCM:
+    decode the WAV payload (:mod:`operators.audiocodec`), split the
+    centred sample stream into fixed ``frame``-sample windows at
+    ``hop``-sample stride (trailing partial window dropped, the librosa
+    ``center=False`` convention), and emit per frame: RMS energy
+    (sqrt of mean squared sample), zero-crossing COUNT (sign products
+    < 0 between consecutive samples — the VAD/speech-music primitive),
+    and mean amplitude. Multi-channel clips are framed on the
+    interleaved stream (callers wanting per-channel features split
+    first). Non-WAV / corrupt payloads yield one quarantine row
+    (``frame_idx`` 0, ``n_frames`` NULL) unless ``strict=True``.
+
+    Same plumbing as every codec stage here: partition-local
+    Arrow-batched mapInPandas, zero shuffle; a real mel/MFCC extractor
+    replaces the numpy kernel inside the same batch iterator.
+    """
+    import numpy as np
+
+    from . import audiocodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_FRAMES_SCHEMA}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                try:
+                    audio = audiocodec.decode_audio(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(0)
+                    for k in ("n_frames", "rms", "zcr", "mean_amp"):
+                        out[k].append(None)
+                    continue
+                x = np.asarray(audiocodec.samples_int(audio), dtype="float64")
+                n_frames = max(0, (len(x) - frame) // hop + 1)
+                for k in range(n_frames):
+                    w = x[k * hop : k * hop + frame]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["n_frames"].append(n_frames)
+                    out["rms"].append(float(np.sqrt(np.mean(w * w))))
+                    out["zcr"].append(int(np.sum(w[1:] * w[:-1] < 0)))
+                    out["mean_amp"].append(float(np.mean(w)))
+            yield pd.DataFrame(out).astype(
+                {
+                    "frame_idx": "int32",
+                    "n_frames": "Int32",
+                    "rms": "float64",
+                    "zcr": "Int32",
+                    "mean_amp": "float64",
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FRAMES_SCHEMA)
+
+
+def synthesize_square_wav_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic square-wave WAV synthesis (m13 corpus builder):
+    each id becomes a genuine 8-bit mono RIFF file of ``16*(1 + id%4)``
+    samples — a period-``2^(1 + id%3)`` square wave of amplitude
+    ``1 + id%90`` around the 8-bit 128 bias. Periods divide the
+    16-sample analysis window, so every frame's features are closed
+    form: RMS = the amplitude exactly (sqrt of a perfect square),
+    zero-crossing count = floor(15/(period/2)), mean = 0 — an oracle
+    can state them without decoding anything, while the engine path
+    genuinely decodes, centres, and frames real bytes.
+    """
+    from .audiocodec import encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                n = 16 * int(1 + i % 4)
+                p = 2 ** int(1 + i % 3)
+                v = int(1 + i % 90)
+                pcm = bytes(
+                    128 + v if (j % p) < p // 2 else 128 - v
+                    for j in range(n)
+                )
+                payloads.append(
+                    encode_wav(pcm, sample_rate=8000, bit_depth=8, channels=1)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(run, schema=PAYLOAD_SCHEMA)

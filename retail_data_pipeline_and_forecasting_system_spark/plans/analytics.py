@@ -2179,6 +2179,50 @@ def m12_real_frame_sample(spark, sf):
 
 
 @q(
+    "m13_audio_frame_features",
+    sql="""
+    WITH v AS (
+      SELECT doc_id,
+        CAST(1 + doc_id % 4 AS INT) AS n_frames,
+        CAST(power(2, 1 + doc_id % 3) AS INT) AS p,
+        CAST(1 + doc_id % 90 AS DOUBLE) AS amp
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx,
+      n_frames,
+      amp AS rms,
+      CAST(15 // (p // 2) AS INT) AS zcr,
+      CAST(0 AS DOUBLE) AS mean_amp
+    FROM v
+    """,
+    ref="LLM-ops: frame-level audio featurization over REAL decoded PCM "
+    "(librosa framing semantics, center=False): decode -> centre -> "
+    "16-sample windows at hop 16 -> per-frame RMS energy, zero-crossing "
+    "count (the VAD/speech-music primitive) and mean amplitude "
+    "(operators/multimodal.py audio_frame_features over "
+    "operators/audiocodec.py). The corpus is genuine square-wave WAV "
+    "bytes (synthesize_square_wav_payloads) whose period divides the "
+    "window, so every feature is closed form — RMS = amplitude exactly "
+    "(sqrt of a perfect square), zcr = floor(15/(period/2)), mean = 0 — "
+    "and the oracle states them without decoding while the engine path "
+    "decodes, centres and frames real bytes",
+    scale="decode + framing are one partition-local mapInPandas (zero "
+    "shuffle); the numpy window kernel is the slot a real mel/MFCC "
+    "extractor fills; frames-per-clip fan-out stays inside streaming "
+    "Arrow batches exactly like m4/m12",
+)
+def m13_audio_frame_features(spark, sf):
+    ids = _t(spark, sf, "documents").select("doc_id")
+    frames = MM.audio_frame_features(
+        MM.synthesize_square_wav_payloads(ids), frame=16, hop=16
+    )
+    return frames.select(
+        "doc_id", "frame_idx", "n_frames", "rms", "zcr", "mean_amp"
+    )
+
+
+@q(
     "g5_unpivot",
     sql="""
     SELECT p_partkey, metric, CAST(val AS DOUBLE) AS val FROM (
@@ -9763,7 +9807,8 @@ def x31_duplicate_spans(spark, sf):
 # All registry entries stay local-parity green at sf0.001/0.01
 # under the exact-value check every pytest run.
 # ROUND-8 queue (registered in round 7, after this window sealed):
-# n12_hard_negatives, h5_time_weighted_avg, h6_counter_increase.
+# n12_hard_negatives, h5_time_weighted_avg, h6_counter_increase,
+# m13_audio_frame_features.
 _DRIVER_SAMPLE = [
     # never-driver-verified (5): round-6 queue + round-7 registrations
     "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",

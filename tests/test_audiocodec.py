@@ -221,3 +221,45 @@ def test_synthesize_wav_payloads_are_genuine_wavs(spark):
         assert r["n_samples"] == n
         assert r["pcm_md5"] == hashlib.md5(bytes([v]) * n).hexdigest()
         assert r["mean_amp"] == float(v - 128)
+
+
+def test_audio_frame_features_hand_values(spark):
+    """Frame features over an externally-produced (stdlib wave) 16-bit
+    clip: 32 samples alternating +1000/-1000 -> two 16-sample frames,
+    each RMS=1000, zcr=15, mean=0; a 40-sample clip drops the trailing
+    partial window (librosa center=False); garbage quarantines."""
+    import struct
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+
+    alt = [1000 if i % 2 == 0 else -1000 for i in range(32)]
+    pcm32 = struct.pack("<32h", *alt)
+    ramp = list(range(40))  # 40 samples -> 2 full frames, 8 dropped
+    pcm40 = struct.pack("<40h", *ramp)
+    rows = [
+        (1, bytearray(_stdlib_wav(pcm32, 8000, 2, 1))),
+        (2, bytearray(_stdlib_wav(pcm40, 8000, 2, 1))),
+        (3, bytearray(b"not audio")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = audio_frame_features(df, frame=16, hop=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    assert len(by_doc[1]) == 2
+    for r in by_doc[1]:
+        assert r["rms"] == 1000.0 and r["zcr"] == 15 and r["mean_amp"] == 0.0
+
+    assert len(by_doc[2]) == 2  # partial third window dropped
+    f0 = sorted(by_doc[2], key=lambda r: r["frame_idx"])[0]
+    import numpy as np
+
+    w = np.array(ramp[:16], dtype="float64")
+    assert f0["rms"] == pytest.approx(float(np.sqrt(np.mean(w * w))))
+    assert f0["zcr"] == 0 and f0["mean_amp"] == 7.5
+
+    [q] = by_doc[3]
+    assert q["n_frames"] is None and q["frame_idx"] == 0
