@@ -74,14 +74,21 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
-def sign_lsh_bucket(vec_col: Column | str, n_bits: int = 8) -> Column:
+def sign_lsh_bucket(
+    vec_col: Column | str, n_bits: int = 8, offset: int = 0
+) -> Column:
     """Sign-random-projection LSH with axis-aligned hyperplanes: bit i =
-    (vec[i] > 0). Deterministic, engine-portable, and a valid (if weak)
-    cosine LSH; swap in seeded random hyperplanes for production skew."""
+    (vec[offset + i] > 0). Deterministic, engine-portable, and a valid
+    (if weak) cosine LSH; swap in seeded random hyperplanes for
+    production skew. Distinct ``offset`` values give INDEPENDENT
+    bucketings of the same corpus (disjoint coordinate sets), the
+    multi-hash trick nn_descent's seed graph relies on."""
     col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     b = None
     for i in range(n_bits):
-        term = F.when(F.element_at(col, i + 1) > 0, F.lit(1 << i)).otherwise(0)
+        term = F.when(
+            F.element_at(col, offset + i + 1) > 0, F.lit(1 << i)
+        ).otherwise(0)
         b = term if b is None else b + term
     return b.cast("int")
 
@@ -1416,4 +1423,102 @@ def hard_negatives(
         band.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "pos_sim", "rnk")
+    )
+
+
+def nn_descent(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN-GRAPH construction by NN-Descent (Dong et al.,
+    WWW 2011) as pure DataFrame ops — the scalable alternative to any
+    all-pairs scoring when the goal is every vector's neighbors (the
+    substrate of graph-ANN serving indexes and embedding-dedup
+    pipelines), not one query's.
+
+    The local-join principle: a neighbor of my neighbor is likely my
+    neighbor. Start from a CHEAP blocked guess, then iterate:
+    candidates = current neighbors, reverse neighbors, and
+    neighbors-of-neighbors over the UNDIRECTED graph; score candidates;
+    keep each node's top-k. Every structure is edges keyed by vector id,
+    so each round is two id-equi-joins (graph x graph, then edges x
+    vectors) plus one per-node top-k window — candidate volume is
+    O(n * k^2) per round vs the n^2 a direct kNN join pays.
+
+    Seed graph: top-k inside TWO independent sign-LSH bucketings
+    (disjoint coordinate sets — the paper uses random init; two hashes
+    are its deterministic surrogate). One bucketing would be vacuous:
+    neighbors-of-neighbors can never leave a connected component, and a
+    single bucket-local seed's components ARE the buckets, so the
+    iterations could only rediscover the per-bucket exact kNN. The
+    second hash bridges components, which is what the descent then
+    exploits to recover cross-bucket neighbors the seed missed.
+
+    Determinism: fixed ``iters`` (no convergence test), ties to lowest
+    dst id, `distinct` candidate dedup before scoring — bit-identical
+    to the unrolled SQL oracle.
+
+    Output: (src, dst, cos_sim, rnk) — the final graph, rnk 1..k per
+    src by cosine descending.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_lsh_bucket(vec_col, n_bits).alias("bkt1"),
+        sign_lsh_bucket(vec_col, n_bits, offset=n_bits).alias("bkt2"),
+    )
+
+    def topk(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("src").orderBy(F.desc("cs"), "dst")
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+        )
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(
+                emb.select(F.col("id").alias("src"), F.col("vec").alias("svec")),
+                "src",
+            )
+            .join(
+                emb.select(F.col("id").alias("dst"), F.col("vec").alias("dvec")),
+                "dst",
+            )
+            .select("src", "dst", cosine("dvec", "svec").alias("cs"))
+        )
+
+    a = emb.select(
+        F.col("id").alias("src"), F.col("vec").alias("svec"), "bkt1", "bkt2"
+    )
+    b = emb.select(F.col("id").alias("dst"), "bkt1", "bkt2")
+    seed = (
+        a.join(b.select("dst", "bkt1"), "bkt1")
+        .select("src", "dst")
+        .union(a.join(b.select("dst", "bkt2"), "bkt2").select("src", "dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    g = topk(score(seed)).select("src", "dst")
+    for _ in range(iters):
+        und = g.union(
+            g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        g1, g2 = und.alias("g1"), und.alias("g2")
+        non = g1.join(
+            g2, F.col("g1.dst") == F.col("g2.src")
+        ).select(F.col("g1.src").alias("src"), F.col("g2.dst").alias("dst"))
+        cand = (
+            und.union(non)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        g = topk(score(cand)).select("src", "dst")
+    return topk(score(g)).select(
+        "src", "dst", F.col("cs").alias("cos_sim"),
+        F.col("rnk").cast("int").alias("rnk"),
     )

@@ -9086,6 +9086,90 @@ def n12_hard_negatives(spark, sf):
 
 
 @q(
+    "n13_nn_descent_graph",
+    sql=f"""
+    WITH emb AS (
+      SELECT vec_id AS id, embedding AS vec,
+        CAST(list_sum(list_transform(range(0, 8),
+          i -> CASE WHEN embedding[i + 1] > 0
+               THEN 1 << i ELSE 0 END)) AS INT) AS bkt1,
+        CAST(list_sum(list_transform(range(0, 8),
+          i -> CASE WHEN embedding[i + 9] > 0
+               THEN 1 << i ELSE 0 END)) AS INT) AS bkt2
+      FROM embeddings
+    ), c0 AS (
+      SELECT a.id AS src, b.id AS dst
+      FROM emb a JOIN emb b ON a.bkt1 = b.bkt1 AND a.id <> b.id
+      UNION
+      SELECT a.id AS src, b.id AS dst
+      FROM emb a JOIN emb b ON a.bkt2 = b.bkt2 AND a.id <> b.id
+    ), p0 AS (
+      SELECT c.src, c.dst, {_sql_cosine('e2.vec', 'e1.vec')} AS cs
+      FROM c0 c JOIN emb e1 ON e1.id = c.src JOIN emb e2 ON e2.id = c.dst
+    ), g0 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+          row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rnk
+        FROM p0) WHERE rnk <= 4
+    ), u0 AS (
+      SELECT src, dst FROM g0 UNION SELECT dst AS src, src AS dst FROM g0
+    ), c1 AS (
+      SELECT src, dst FROM u0
+      UNION
+      SELECT x.src, y.dst FROM u0 x JOIN u0 y ON x.dst = y.src
+      WHERE x.src <> y.dst
+    ), p1 AS (
+      SELECT c.src, c.dst, {_sql_cosine('e2.vec', 'e1.vec')} AS cs
+      FROM c1 c JOIN emb e1 ON e1.id = c.src JOIN emb e2 ON e2.id = c.dst
+    ), g1 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+          row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rnk
+        FROM p1) WHERE rnk <= 4
+    ), u1 AS (
+      SELECT src, dst FROM g1 UNION SELECT dst AS src, src AS dst FROM g1
+    ), c2 AS (
+      SELECT src, dst FROM u1
+      UNION
+      SELECT x.src, y.dst FROM u1 x JOIN u1 y ON x.dst = y.src
+      WHERE x.src <> y.dst
+    ), p2 AS (
+      SELECT c.src, c.dst, {_sql_cosine('e2.vec', 'e1.vec')} AS cs
+      FROM c2 c JOIN emb e1 ON e1.id = c.src JOIN emb e2 ON e2.id = c.dst
+    )
+    SELECT src, dst, cs AS cos_sim, CAST(rnk AS INT) AS rnk FROM (
+      SELECT src, dst, cs,
+        row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rnk
+      FROM p2) WHERE rnk <= 4
+    """,
+    ref="LLM-ops: approximate kNN-GRAPH construction by NN-Descent "
+    "(Dong et al. WWW 2011, the local-join principle: a neighbor of my "
+    "neighbor is likely my neighbor) — seed graph from TWO independent "
+    "sign-LSH bucketings (coords 0-7 and 8-15; the deterministic "
+    "surrogate for the paper's random init — a single bucketing would "
+    "be vacuous, since neighbors-of-neighbors never leave a connected "
+    "component and one bucket-local seed's components ARE the "
+    "buckets), then 2 rounds of neighbors + reverse neighbors + "
+    "neighbors-of-neighbors candidate generation, score, per-node "
+    "top-4 (operators/similarity.py nn_descent). This builds EVERY "
+    "vector's neighbor list — the substrate of graph-ANN serving "
+    "indexes and embedding-dedup — where the n7-style kNN join pays "
+    "|Q| x |C|. Deterministic: fixed iterations, ties to lowest dst, "
+    "distinct dedup before scoring; the oracle unrolls both rounds",
+    scale="per round: one graph x graph id-equi-join (candidates "
+    "O(n k^2), never n^2), one edges x vectors join to attach the two "
+    "vectors, one per-node top-k window — all hash-partitioned on "
+    "vector id, so at 100 TB every stage reuses ONE id partitioning "
+    "and the vector table bucket-joins against itself; candidate "
+    "dedup is a distinct on 16-byte edge keys with map-side combine",
+)
+def n13_nn_descent_graph(spark, sf):
+    return SIM.nn_descent(
+        _t(spark, sf, "embeddings"), k=4, iters=2, n_bits=8
+    )
+
+
+@q(
     "h4_downsample_ltob",
     sql="""
     WITH daily AS (
@@ -9808,7 +9892,7 @@ def x31_duplicate_spans(spark, sf):
 # under the exact-value check every pytest run.
 # ROUND-8 queue (registered in round 7, after this window sealed):
 # n12_hard_negatives, h5_time_weighted_avg, h6_counter_increase,
-# m13_audio_frame_features.
+# m13_audio_frame_features, n13_nn_descent_graph.
 _DRIVER_SAMPLE = [
     # never-driver-verified (5): round-6 queue + round-7 registrations
     "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",

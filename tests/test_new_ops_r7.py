@@ -256,3 +256,29 @@ def test_counter_increase_reset_handling(spark, tmp_path):
     assert r["n_resets"] == 1
     assert r["increase"] == pytest.approx(40 + 25)
     assert r["rate_per_s"] == pytest.approx(65 / 30)
+
+
+def test_nn_descent_recovers_cross_bucket_neighbor(spark):
+    """The descent's point: A and B are near neighbors but share NO
+    sign-LSH bucket under either hash, so the seed graph cannot contain
+    A-B. Bridge C shares bucketing-1 with B and bucketing-2 with A; one
+    neighbors-of-neighbors round must then surface A-B."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        nn_descent,
+    )
+
+    A = [0.01] + [1.0] * 7 + [1.0] + [1.0] * 7      # bkt1 0xFF, bkt2 0xFF
+    B = [-0.01] + [1.0] * 7 + [-0.01] + [1.0] * 7   # bkt1 0xFE, bkt2 0xFE
+    C = [-0.3] + [1.0] * 7 + [0.3] + [1.0] * 7      # bkt1 0xFE, bkt2 0xFF
+    df = spark.createDataFrame(
+        [(1, A), (2, B), (3, C)], "vec_id long, embedding array<double>"
+    )
+
+    seed = nn_descent(df, k=2, iters=0).collect()
+    seed_edges = {(r["src"], r["dst"]) for r in seed}
+    assert (1, 2) not in seed_edges and (2, 1) not in seed_edges
+    assert (1, 3) in seed_edges and (2, 3) in seed_edges  # the bridge
+
+    final = nn_descent(df, k=2, iters=2).collect()
+    final_edges = {(r["src"], r["dst"]) for r in final}
+    assert (1, 2) in final_edges and (2, 1) in final_edges  # recovered
