@@ -96,8 +96,12 @@ def main() -> None:
     # scored product grows 10x; the decade question is whether the
     # band filter + broadcast pos keep the extra volume off the window
     # shuffle (they should: shufW grows with band survivors, not |C|).
+    # n13: the whole corpus is both sides — at 10x the seed join grows
+    # ~(n/256)^2 per bucket and the descent rounds grow O(n k^2); the
+    # decade question is the wall ratio staying far under the 100x an
+    # n^2 method would pay.
     for name in ("m11_real_audio_decode", "m12_real_frame_sample",
-                 "n12_hard_negatives"):
+                 "n12_hard_negatives", "n13_nn_descent_graph"):
         fn = QUERIES[name].fn
         for label, sf_dir in (("1x", SF), ("10x", str(x10))):
             rows = _force(fn(spark, sf_dir))  # codegen warm
