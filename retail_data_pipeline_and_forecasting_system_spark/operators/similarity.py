@@ -1522,3 +1522,91 @@ def nn_descent(
         "src", "dst", F.col("cs").alias("cos_sim"),
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-quality monitoring: recall@k of the single-probe sign-LSH
+    search measured against exact brute force, per query, in ONE plan —
+    the metric a production ANN deployment tracks continuously (recall
+    decays as the corpus drifts away from the index's partitioning; see
+    the semantic-stream rebuild trigger for the remediation side).
+
+    Both retrievals share the scored frame: queries (id < n_queries)
+    broadcast against the corpus (self excluded), cosine scored once.
+    The EXACT list is the per-query top-k over everything; the APPROX
+    list is the per-query top-k restricted to rows whose bucket equals
+    the query's bucket (single probe, n2's search shape). Recall is the
+    intersection size over k. Queries whose bucket holds fewer than k
+    candidates naturally surface recall < 1 — the metric's job.
+
+    Output: (query_id, n_exact, n_approx, n_hit, recall), recall
+    rounded to 6dp for cross-engine hash stability.
+    """
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sign_lsh_bucket(vec_col, n_bits).alias("qbkt"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        sign_lsh_bucket(vec_col, n_bits).alias("cbkt"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("cbkt") == F.col("qbkt")).alias("same_bkt"),
+            cosine("cvec", "qvec").alias("cs"),
+        )
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(F.desc("cs"), "cand_id")
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w_exact))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id")
+    )
+    approx = (
+        scored.filter(F.col("same_bkt"))
+        .withColumn("rnk", F.row_number().over(w_exact))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("cand_id").alias("approx_id"))
+    )
+    hits = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["cand_id"] == approx["approx_id"]),
+    ).groupBy(exact["query_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .join(
+            approx.groupBy("query_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_approx")
+            ),
+            "query_id",
+            "left",
+        )
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).cast("bigint").alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

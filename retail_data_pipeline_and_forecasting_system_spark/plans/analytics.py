@@ -9170,6 +9170,130 @@ def n13_nn_descent_graph(spark, sf):
 
 
 @q(
+    "ev1_ann_recall",
+    sql=f"""
+    WITH emb AS (
+      SELECT vec_id AS id, embedding AS vec,
+        CAST(list_sum(list_transform(range(0, 8),
+          i -> CASE WHEN embedding[i + 1] > 0
+               THEN 1 << i ELSE 0 END)) AS INT) AS bkt
+      FROM embeddings
+    ), scored AS (
+      SELECT q.id AS query_id, c.id AS cand_id,
+        (c.bkt = q.bkt) AS same_bkt,
+        {_sql_cosine('c.vec', 'q.vec')} AS cs
+      FROM emb q JOIN emb c ON c.id <> q.id
+      WHERE q.id < 20
+    ), exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cs DESC, cand_id) AS rnk
+        FROM scored) WHERE rnk <= 5
+    ), approx AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cs DESC, cand_id) AS rnk
+        FROM scored WHERE same_bkt) WHERE rnk <= 5
+    )
+    SELECT e.query_id,
+      CAST(count(*) AS BIGINT) AS n_exact,
+      (SELECT CAST(count(*) AS BIGINT) FROM approx a
+       WHERE a.query_id = e.query_id) AS n_approx,
+      CAST(COALESCE(SUM(CASE WHEN EXISTS (
+        SELECT 1 FROM approx a WHERE a.query_id = e.query_id
+          AND a.cand_id = e.cand_id) THEN 1 END), 0) AS BIGINT) AS n_hit,
+      round(CAST(COALESCE(SUM(CASE WHEN EXISTS (
+        SELECT 1 FROM approx a WHERE a.query_id = e.query_id
+          AND a.cand_id = e.cand_id) THEN 1 END), 0) AS DOUBLE)
+        / count(*), 6) AS recall
+    FROM exact e GROUP BY e.query_id
+    """,
+    ref="LLM-ops EVALUATION family: recall@5 of single-probe sign-LSH "
+    "retrieval vs exact brute force, per query, in one plan "
+    "(operators/similarity.py ann_recall) — the metric a production "
+    "ANN index is monitored by (recall decays as the corpus drifts "
+    "from the index partitioning; the semantic-stream auto_rebuild is "
+    "the remediation this metric triggers). Both lists rank the SAME "
+    "scored frame, so the comparison is apples-to-apples by "
+    "construction",
+    scale="one scored pass (queries broadcast, |Q| x |C| — block with "
+    "IVF cells at 100 TB exactly like n7), two windows over it (the "
+    "approx one pre-filtered to bucket matches, so it shuffles a "
+    "1/2^bits fraction), then |Q|-sized joins — evaluation cost is "
+    "dominated by the exact baseline, which is the point: run it on a "
+    "SAMPLED query set in production, never the full corpus",
+)
+def ev1_ann_recall(spark, sf):
+    return SIM.ann_recall(
+        _t(spark, sf, "embeddings"), n_queries=20, k=5, n_bits=8
+    )
+
+
+@q(
+    "ev2_partition_purity",
+    sql="""
+    WITH emb AS (
+      SELECT label,
+        CAST(list_sum(list_transform(range(0, 8),
+          i -> CASE WHEN embedding[i + 1] > 0
+               THEN 1 << i ELSE 0 END)) AS INT) AS bkt
+      FROM embeddings
+    ), counts AS (
+      SELECT bkt, label, CAST(count(*) AS BIGINT) AS n
+      FROM emb GROUP BY 1, 2
+    ), tot AS (
+      SELECT bkt, CAST(SUM(n) AS BIGINT) AS n_vecs FROM counts GROUP BY 1
+    )
+    SELECT c.bkt, t.n_vecs, c.label AS top_label, c.n AS n_top,
+      round(CAST(c.n AS DOUBLE) / t.n_vecs, 6) AS purity
+    FROM (
+      SELECT bkt, label, n,
+        row_number() OVER (PARTITION BY bkt ORDER BY n DESC, label) AS rnk
+      FROM counts) c JOIN tot t ON t.bkt = c.bkt
+    WHERE c.rnk = 1
+    """,
+    ref="LLM-ops EVALUATION family: label purity of the sign-LSH "
+    "partitioning — per bucket, the majority label's share (ties to "
+    "lexicographically lowest label). The monitoring twin of ev1: "
+    "blocked dedup/ANN assumes near-duplicates co-bucket, and purity "
+    "against a trusted label column quantifies how well the blocking "
+    "respects real structure (low purity = raise bits or switch "
+    "blocking key). Same shape as external cluster-evaluation purity "
+    "(Manning et al., IR book ch.16) with buckets as clusters",
+    scale="two hash aggs ((bucket, label) then bucket) + one window "
+    "over the COUNTS table (|buckets| x |labels| rows, tiny regardless "
+    "of corpus size) — the corpus is touched once, map-side combined; "
+    "this is a free metric at any scale",
+)
+def ev2_partition_purity(spark, sf):
+    emb = _t(spark, sf, "embeddings").select(
+        "label", SIM.sign_lsh_bucket("embedding", 8).alias("bkt")
+    )
+    counts = emb.groupBy("bkt", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.groupBy("bkt").agg(
+        F.sum("n").cast("bigint").alias("n_vecs")
+    )
+    w = W.partitionBy("bkt").orderBy(F.desc("n"), "label")
+    top = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+    )
+    return top.join(tot, "bkt").select(
+        "bkt",
+        "n_vecs",
+        F.col("label").alias("top_label"),
+        F.col("n").alias("n_top"),
+        F.round(F.col("n") / F.col("n_vecs").cast("double"), 6).alias(
+            "purity"
+        ),
+    )
+
+
+@q(
     "h4_downsample_ltob",
     sql="""
     WITH daily AS (
@@ -9892,7 +10016,8 @@ def x31_duplicate_spans(spark, sf):
 # under the exact-value check every pytest run.
 # ROUND-8 queue (registered in round 7, after this window sealed):
 # n12_hard_negatives, h5_time_weighted_avg, h6_counter_increase,
-# m13_audio_frame_features, n13_nn_descent_graph.
+# m13_audio_frame_features, n13_nn_descent_graph, ev1_ann_recall,
+# ev2_partition_purity.
 _DRIVER_SAMPLE = [
     # never-driver-verified (5): round-6 queue + round-7 registrations
     "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",
