@@ -89,6 +89,25 @@ def main() -> None:
     tmp = Path(tempfile.mkdtemp(prefix="scale_r7_"))
     x10 = tmp / "x10"
     _stage(spark, x10, 10)
+    # h5/h6 read events, which _stage symlinks — replace the symlink
+    # with a 10x copy (event_id offsets; same timestamps, so per-bucket
+    # point counts grow 10x: the window's serial axis, its worst case)
+    ev_link = x10 / "events.parquet"
+    if ev_link.is_symlink():
+        ev_link.unlink()
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        _t as _t_ev,
+    )
+    ev = _t_ev(spark, SF, "events")
+    from pyspark.sql import functions as FF
+    u = ev
+    for i in range(1, 10):
+        u = u.unionByName(
+            ev.withColumn(
+                "event_id", FF.col("event_id") + FF.lit(i * 100_000_000)
+            )
+        )
+    u.write.mode("overwrite").parquet(str(ev_link))
 
     print(f"{'query':24s} {'scale':5s} {'rows':>9s} {'sec':>7s} "
           f"{'rows/s':>9s} {'shufW':>8s}")
@@ -101,7 +120,9 @@ def main() -> None:
     # decade question is the wall ratio staying far under the 100x an
     # n^2 method would pay.
     for name in ("m11_real_audio_decode", "m12_real_frame_sample",
-                 "n12_hard_negatives", "n13_nn_descent_graph"):
+                 "n12_hard_negatives", "n13_nn_descent_graph",
+                 "h5_time_weighted_avg", "h6_counter_increase",
+                 "ev1_ann_recall", "ev2_partition_purity"):
         fn = QUERIES[name].fn
         for label, sf_dir in (("1x", SF), ("10x", str(x10))):
             rows = _force(fn(spark, sf_dir))  # codegen warm
