@@ -9170,6 +9170,73 @@ def n13_nn_descent_graph(spark, sf):
 
 
 @q(
+    "x32_training_shards",
+    sql="""
+    WITH d AS (
+      SELECT doc_id,
+        CAST(instr('0123456789abcdef',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+             AS INT) % 16 AS shard,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM d GROUP BY shard
+    )
+    SELECT shard, n_docs, n_tokens, first_doc,
+      round(CAST(n_tokens AS DOUBLE)
+            / (SELECT CAST(SUM(n_tokens) AS DOUBLE) / count(*) FROM per),
+            6) AS balance
+    FROM per
+    """,
+    ref="LLM-ops: training-export sharding — the terminal stage of "
+    "every corpus pipeline: each doc lands in shard md5(doc_id)%16 (a "
+    "content-independent, deterministic, restart-stable assignment — "
+    "never round-robin, which reorders under retries), and the "
+    "per-shard manifest reports doc/token counts plus balance = "
+    "shard tokens over the mean (trainers need near-1.0 balance or "
+    "data-parallel ranks starve). The hash matches x6_train_split's "
+    "first-md5-nibble convention",
+    scale="one scan + one 16-group hash agg (map-side combined); the "
+    "assignment column doubles as the physical write partition key "
+    "(partitionBy(shard)), so the export itself is shuffle-free per "
+    "shard and a failed shard re-exports independently — the "
+    "restartability the deterministic hash buys",
+)
+def x32_training_shards(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        (
+            F.expr(
+                "instr('0123456789abcdef',"
+                " substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1"
+            ).cast("int")
+            % 16
+        ).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    per = d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
+    mean = per.agg(
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("__m")
+    )
+    return per.crossJoin(F.broadcast(mean)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "first_doc",
+        F.round(F.col("n_tokens").cast("double") / F.col("__m"), 6).alias(
+            "balance"
+        ),
+    )
+
+
+@q(
     "ev1_ann_recall",
     sql=f"""
     WITH emb AS (
@@ -10017,7 +10084,7 @@ def x31_duplicate_spans(spark, sf):
 # ROUND-8 queue (registered in round 7, after this window sealed):
 # n12_hard_negatives, h5_time_weighted_avg, h6_counter_increase,
 # m13_audio_frame_features, n13_nn_descent_graph, ev1_ann_recall,
-# ev2_partition_purity.
+# ev2_partition_purity, x32_training_shards.
 _DRIVER_SAMPLE = [
     # never-driver-verified (5): round-6 queue + round-7 registrations
     "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",
