@@ -648,6 +648,17 @@ def audio_frame_features(
                     continue
                 x = np.asarray(audiocodec.samples_int(audio), dtype="float64")
                 n_frames = max(0, (len(x) - frame) // hop + 1)
+                if n_frames == 0:
+                    # a VALID clip shorter than one window must stay
+                    # visible (n_frames 0), not vanish — else short
+                    # clips are indistinguishable from never-ingested
+                    # docs downstream (round-7 review finding)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(0)
+                    out["n_frames"].append(0)
+                    for k in ("rms", "zcr", "mean_amp"):
+                        out[k].append(None)
+                    continue
                 for k in range(n_frames):
                     w = x[k * hop : k * hop + frame]
                     out["doc_id"].append(doc_id)

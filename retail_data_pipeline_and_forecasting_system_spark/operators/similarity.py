@@ -1403,6 +1403,15 @@ def hard_negatives(
             cosine("__cvec", "__avec").alias("cos_sim"),
         )
     )
+    # the scored product is the dominant cost and BOTH branches consume
+    # it — Spark has no cross-branch subplan sharing, so persist (tracked:
+    # the next registry query releases it), or the corpus is scanned and
+    # cosined twice (round-7 review finding)
+    from pyspark import StorageLevel
+
+    from ..caching import track
+
+    scored = track(scored.persist(StorageLevel.MEMORY_AND_DISK))
     pos = (
         scored.filter(F.col("__clbl") == F.col("__albl"))
         .groupBy("query_id")
@@ -1503,8 +1512,13 @@ def nn_descent(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    g = topk(score(seed)).select("src", "dst")
+    # keep each round's SCORED top-k: the final answer is the last
+    # round's frame as-is — re-scoring it would pay one whole extra
+    # edges-x-vectors join pair and window for bit-identical values
+    # (round-7 review finding)
+    g_scored = topk(score(seed))
     for _ in range(iters):
+        g = g_scored.select("src", "dst")
         und = g.union(
             g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
@@ -1517,8 +1531,8 @@ def nn_descent(
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
-        g = topk(score(cand)).select("src", "dst")
-    return topk(score(g)).select(
+        g_scored = topk(score(cand))
+    return g_scored.select(
         "src", "dst", F.col("cs").alias("cos_sim"),
         F.col("rnk").cast("int").alias("rnk"),
     )
@@ -1569,6 +1583,14 @@ def ann_recall(
             cosine("cvec", "qvec").alias("cs"),
         )
     )
+    # the |Q| x |C| cosine product feeds exact AND approx (each consumed
+    # twice downstream) — persist it (tracked) or the dominant stage
+    # runs 2x+ per evaluation (round-7 review finding)
+    from pyspark import StorageLevel
+
+    from ..caching import track
+
+    scored = track(scored.persist(StorageLevel.MEMORY_AND_DISK))
     w_exact = Window.partitionBy("query_id").orderBy(F.desc("cs"), "cand_id")
     exact = (
         scored.withColumn("rnk", F.row_number().over(w_exact))

@@ -116,6 +116,12 @@ QUERIES: dict[str, Query] = {}
 from ..caching import drop_stale as _drop_stale_caches
 from ..caching import persist_tracked as _persist_tracked
 
+# Composite queries build on other registry entries (x9 -> x5,
+# x12 -> x7, smp4 -> smp3, x21 -> x13): dropping at a NESTED entry
+# would unpersist the outer query's tracked caches mid-build (round-7
+# review finding), so only the OUTERMOST entry drops.
+_ENTRY_DEPTH = [0]
+
 
 def q(name: str, **kw):
     def reg(fn):
@@ -123,8 +129,13 @@ def q(name: str, **kw):
 
         @functools.wraps(fn)
         def scoped(spark, sf):
-            _drop_stale_caches()
-            return fn(spark, sf)
+            if _ENTRY_DEPTH[0] == 0:
+                _drop_stale_caches()
+            _ENTRY_DEPTH[0] += 1
+            try:
+                return fn(spark, sf)
+            finally:
+                _ENTRY_DEPTH[0] -= 1
 
         QUERIES[name] = Query(fn=scoped, **kw)
         return fn

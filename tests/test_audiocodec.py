@@ -242,6 +242,9 @@ def test_audio_frame_features_hand_values(spark):
         (1, bytearray(_stdlib_wav(pcm32, 8000, 2, 1))),
         (2, bytearray(_stdlib_wav(pcm40, 8000, 2, 1))),
         (3, bytearray(b"not audio")),
+        # valid but shorter than one window: must stay visible (n_frames
+        # 0 marker), not vanish
+        (4, bytearray(_stdlib_wav(struct.pack("<5h", *range(5)), 8000, 2, 1))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = audio_frame_features(df, frame=16, hop=16).collect()
@@ -262,4 +265,7 @@ def test_audio_frame_features_hand_values(spark):
     assert f0["zcr"] == 0 and f0["mean_amp"] == 7.5
 
     [q] = by_doc[3]
-    assert q["n_frames"] is None and q["frame_idx"] == 0
+    assert q["n_frames"] is None and q["frame_idx"] == 0  # corrupt: NULL
+
+    [s] = by_doc[4]
+    assert s["n_frames"] == 0 and s["rms"] is None  # short: zero marker

@@ -103,11 +103,9 @@ def test_registry_queries_release_predecessor_caches(spark, sf_dir):
     from retail_data_pipeline_and_forecasting_system_spark import caching
 
     # other suites may have left tracked (direct operator calls) or
-    # untracked persists on the shared session — and test_bench_meter's
-    # `import bench` flips KEEP_SESSION_CACHES=True as a module side
-    # effect, which would turn every drop below into a no-op. Pin the
-    # product default, then measure RELATIVE to a clean tracker and the
-    # session's current block count.
+    # untracked persists on the shared session; pin the product default
+    # flag (defence against any module flipping it) and measure
+    # RELATIVE to a clean tracker and the session's current block count.
     keep_prior = caching.KEEP_SESSION_CACHES
     caching.KEEP_SESSION_CACHES = False
     caching.drop_stale()
