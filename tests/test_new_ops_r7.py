@@ -280,3 +280,30 @@ def test_nn_descent_recovers_cross_bucket_neighbor(spark):
     final = nn_descent(df, k=2, iters=2).collect()
     final_edges = {(r["src"], r["dst"]) for r in final}
     assert (1, 2) in final_edges and (2, 1) in final_edges  # recovered
+
+
+def test_nested_registry_entry_does_not_drop_outer_cache(spark, sf_dir):
+    """Composite queries invoke other registry entries mid-build; only
+    the OUTERMOST entry may drop stale caches, or the outer query's
+    tracked persists die before first use."""
+    from retail_data_pipeline_and_forecasting_system_spark import caching
+    from retail_data_pipeline_and_forecasting_system_spark.plans import (
+        analytics,
+    )
+
+    keep_prior = caching.KEEP_SESSION_CACHES
+    caching.KEEP_SESSION_CACHES = False
+    caching.drop_stale()
+    analytics._ENTRY_DEPTH[0] += 1  # simulate being inside an outer query
+    try:
+        outer = caching.persist_tracked(spark.range(10))
+        outer.count()
+        # nested entry at depth 1: must NOT drop the outer cache
+        QUERIES["p1_filter_null"].fn(spark, sf_dir).count()
+        assert len(caching._LIVE) == 1
+    finally:
+        analytics._ENTRY_DEPTH[0] -= 1
+    # a genuine outermost entry DOES drop it
+    QUERIES["p2_filter_compare"].fn(spark, sf_dir)
+    assert caching._LIVE == []
+    caching.KEEP_SESSION_CACHES = keep_prior
