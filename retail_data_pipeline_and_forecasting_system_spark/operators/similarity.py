@@ -1597,24 +1597,32 @@ def ann_recall(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id")
     )
+    # approx renames BOTH columns: exact and approx share the scored
+    # frame's lineage, so same-name refs in the join would resolve
+    # ambiguously (Spark warns 'trivially true equals predicate')
     approx = (
         scored.filter(F.col("same_bkt"))
         .withColumn("rnk", F.row_number().over(w_exact))
         .filter(F.col("rnk") <= k)
-        .select("query_id", F.col("cand_id").alias("approx_id"))
+        .select(
+            F.col("query_id").alias("aq_id"),
+            F.col("cand_id").alias("approx_id"),
+        )
     )
-    hits = exact.join(
-        approx,
-        (exact["query_id"] == approx["query_id"])
-        & (exact["cand_id"] == approx["approx_id"]),
-    ).groupBy(exact["query_id"]).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq_id"))
+            & (F.col("cand_id") == F.col("approx_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
     )
     return (
         exact.groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
         .join(
-            approx.groupBy("query_id").agg(
+            approx.groupBy(F.col("aq_id").alias("query_id")).agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_approx")
             ),
             "query_id",
