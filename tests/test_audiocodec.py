@@ -269,3 +269,16 @@ def test_audio_frame_features_hand_values(spark):
 
     [s] = by_doc[4]
     assert s["n_frames"] == 0 and s["rms"] is None  # short: zero marker
+
+
+@given(data=st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_decoder_total_on_arbitrary_bytes(data):
+    """Totality: on ARBITRARY bytes decode_audio either succeeds or
+    raises ValueError — never struct.error/IndexError/etc. This is the
+    quarantine contract decode_audio_real relies on."""
+    for payload in (data, b"RIFF" + data, b"RIFF\x00\x01\x00\x00WAVE" + data):
+        try:
+            decode_audio(payload)
+        except ValueError:
+            pass

@@ -206,3 +206,16 @@ def test_y4m_roundtrip_property(w2, h2, n_frames, cs, fps, data):
     assert vid.n_frames == n_frames
     for i in range(n_frames):
         assert vid.y_plane(i) == y_frames[i]
+
+
+@given(data=st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_decoder_total_on_arbitrary_bytes(data):
+    """Totality: on ARBITRARY bytes decode_y4m either succeeds or raises
+    ValueError — never IndexError/struct.error/etc. This is the whole
+    quarantine contract: sample_frames_real catches exactly ValueError."""
+    for payload in (data, b"YUV4MPEG2" + data, b"YUV4MPEG2 " + data):
+        try:
+            decode_y4m(payload)
+        except ValueError:
+            pass
