@@ -10061,6 +10061,275 @@ def x31_duplicate_spans(spark, sf):
     )
 
 
+# ------------------------------------------- round-7 closing registrations
+
+
+@q(
+    "h7_ohlc_bars",
+    sql="""
+    WITH pts AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+        epoch_us(ts) // 1000 AS t_ms,
+        CAST(value AS DECIMAL(18,4)) AS v, event_id
+      FROM events
+    ), w AS (
+      SELECT event_type, bucket_start, v,
+        first_value(v) OVER (
+          PARTITION BY event_type, bucket_start
+          ORDER BY t_ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        last_value(v) OVER (
+          PARTITION BY event_type, bucket_start
+          ORDER BY t_ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+      FROM pts
+    )
+    SELECT event_type, bucket_start,
+      CAST(count(*) AS BIGINT) AS n_points,
+      CAST(min(o) AS DOUBLE) AS open_v,
+      CAST(max(v) AS DOUBLE) AS high_v,
+      CAST(min(v) AS DOUBLE) AS low_v,
+      CAST(min(c) AS DOUBLE) AS close_v
+    FROM w GROUP BY 1, 2
+    """,
+    ref="hypertable candlestick rollup: OHLC bars per (event_type, hour) "
+    "— TimescaleDB's candlestick_agg / the financial-bars primitive the "
+    "h-family was missing: open/close are the FIRST/LAST observation by "
+    "time (ties broken on event_id, deterministic), high/low plain "
+    "min/max. Exactness: values through DECIMAL(18,4) (rule 1), "
+    "open/close picked positionally (no float compare), decimals cast "
+    "to double only at the end (rule 5: magnitudes far under 2^53)",
+    scale="one Exchange on (event_type, hour): the window sort and the "
+    "final hash agg share that partitioning, so open/close/high/low all "
+    "ride a single shuffle; min/max/count partials combine map-side, "
+    "and first/last are per-bucket positional picks that never cross "
+    "partitions — at 100 TB the hour key is the hypertable chunk key "
+    "and coarser bars (day/week) re-aggregate hourly bars (OHLC is "
+    "algebraic over ordered splits: open=first open, close=last close)",
+)
+def h7_ohlc_bars(spark, sf):
+    ev = _t(spark, sf, "events")
+    pts = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket_start"),
+        F.expr("unix_micros(ts) div 1000").alias("t_ms"),
+        dec("value", 4).alias("v"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("event_type", "bucket_start")
+        .orderBy("t_ms", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    pts = pts.withColumn("o", F.first("v").over(w)).withColumn(
+        "c", F.last("v").over(w)
+    )
+    return pts.groupBy("event_type", "bucket_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.min("o").cast("double").alias("open_v"),
+        F.max("v").cast("double").alias("high_v"),
+        F.min("v").cast("double").alias("low_v"),
+        F.min("c").cast("double").alias("close_v"),
+    )
+
+
+@q(
+    "pr4_item_similarity",
+    sql="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), n_ord AS (
+      SELECT pk, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY pk
+    ), pairs AS (
+      SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(count(*) AS BIGINT) AS co
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT pk_a, pk_b, co, na.n AS n_a, nb.n AS n_b,
+        round(co / CAST(na.n + nb.n - co AS DOUBLE), 6) AS jaccard
+      FROM pairs
+      JOIN n_ord na ON na.pk = pairs.pk_a
+      JOIN n_ord nb ON nb.pk = pairs.pk_b
+    )
+    SELECT pk_a, pk_b, co, n_a, n_b, jaccard FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY pk_a ORDER BY jaccard DESC, co DESC, pk_b) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    ref="item-item collaborative filtering (market-basket similarity): "
+    "top-3 most-similar parts per part by co-order Jaccard "
+    "(|orders with both| / |orders with either|) — the classic "
+    "'customers also bought' recommender primitive over the copurchase "
+    "structure pr1/pr2 analyze as a graph. Exactness: all counts "
+    "integer, one double division rounded to 6 dp, rank ties broken "
+    "(jaccard DESC, co DESC, pk_b) so top-3 is deterministic",
+    scale="pair generation shuffles the DISTINCT (order, part) table on "
+    "orderkey and emits per-basket pairs — bounded by basket size "
+    "(TPC-H ≤7 lines → ≤21 pairs/order; at 100 TB the standard cap "
+    "drops mega-baskets before pairing, since a b-item basket emits "
+    "b², and the co-counts combine map-side on the (a,b) key); the "
+    "n_ord side is a part-keyed agg joined AFTER pair aggregation, so "
+    "full fact rows never ride the pair shuffle; per-item top-3 ranks "
+    "the already-aggregated pair table on pk_a",
+)
+def pr4_item_similarity(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    # materialize the distinct (order, part) table once: both sides of
+    # the pair self-join AND both n_ord lookups consume it — without
+    # the persist Spark re-scans the fact table four times (h1 pattern)
+    op = _persist_tracked(
+        li.select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("pk"),
+        ).distinct()
+    )
+    n_ord = op.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    pairs = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(
+            F.col("a.pk").alias("pk_a"), F.col("b.pk").alias("pk_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    )
+    scored = (
+        pairs.join(
+            n_ord.select(
+                F.col("pk").alias("pk_a"), F.col("n").alias("n_a")
+            ),
+            "pk_a",
+        )
+        .join(
+            n_ord.select(
+                F.col("pk").alias("pk_b"), F.col("n").alias("n_b")
+            ),
+            "pk_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("co")
+                / (F.col("n_a") + F.col("n_b") - F.col("co")).cast(
+                    "double"
+                ),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("pk_a").orderBy(
+        F.desc("jaccard"), F.desc("co"), "pk_b"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("pk_a", "pk_b", "co", "n_a", "n_b", "jaccard")
+    )
+
+
+# ev3 wraps x25's registered oracle as a subquery so classifier and
+# evaluation can never drift apart; the Spark side calls the registered
+# entry the same way (the x9 -> x5 composite pattern).
+_EV3_SQL_TMPL = """
+    WITH preds AS (
+      SELECT actual_lang, pred_lang FROM ({x25}) __p
+    ), cls AS (
+      SELECT DISTINCT lang FROM documents
+    ), by_actual AS (
+      SELECT actual_lang AS lang,
+        CAST(count(*) AS BIGINT) AS support_n,
+        CAST(SUM(CASE WHEN pred_lang = actual_lang THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp
+      FROM preds GROUP BY 1
+    ), by_pred AS (
+      SELECT pred_lang AS lang, CAST(count(*) AS BIGINT) AS pred_n
+      FROM preds GROUP BY 1
+    )
+    SELECT cls.lang,
+      COALESCE(support_n, 0) AS support_n,
+      COALESCE(tp, 0) AS tp,
+      COALESCE(pred_n, 0) AS pred_n,
+      round(COALESCE(tp, 0)
+            / CAST(nullif(COALESCE(pred_n, 0), 0) AS DOUBLE), 6)
+        AS precision_v,
+      round(COALESCE(tp, 0)
+            / CAST(nullif(COALESCE(support_n, 0), 0) AS DOUBLE), 6)
+        AS recall_v,
+      round(2.0 * COALESCE(tp, 0)
+            / CAST(nullif(COALESCE(pred_n, 0) + COALESCE(support_n, 0),
+                          0) AS DOUBLE), 6) AS f1_v
+    FROM cls
+    LEFT JOIN by_actual USING (lang)
+    LEFT JOIN by_pred USING (lang)
+    """
+
+
+@q(
+    "ev3_classifier_eval",
+    sql=_EV3_SQL_TMPL.format(x25=QUERIES["x25_nb_classifier"].sql),
+    ref="evaluation family: per-class precision / recall / F1 / support "
+    "for the x25 Naive Bayes classifier against the lang labels — the "
+    "confusion-matrix rollup every model-based curation gate (CCNet/"
+    "LLaMA quality classifiers) needs before its scores are trusted. "
+    "F1 computed as 2*TP/(pred_n + support_n) — algebraically equal to "
+    "the harmonic mean but one exact-integer ratio instead of three "
+    "chained divisions. Exactness: all counts integer; the three "
+    "divisions are single double ops rounded to 6 dp; zero "
+    "denominators yield NULL (nullif) in both engines",
+    scale="rides x25's scoring plan (see that entry); the evaluation "
+    "itself is two map-side-combined aggs over the per-doc prediction "
+    "table keyed by class (5 rows out) joined on the broadcast class "
+    "spine — evaluation cost is O(docs) scan + O(classes) state, "
+    "nothing new materializes at 100 TB",
+)
+def ev3_classifier_eval(spark, sf):
+    # the per-doc prediction table feeds TWO aggs (by actual, by pred);
+    # without the persist the whole NB scoring plan executes twice
+    preds = _persist_tracked(
+        QUERIES["x25_nb_classifier"].fn(spark, sf).select(
+            "actual_lang", "pred_lang"
+        )
+    )
+    cls = _t(spark, sf, "documents").select("lang").distinct()
+    by_actual = preds.groupBy(
+        F.col("actual_lang").alias("lang")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("support_n"),
+        F.sum(
+            F.when(F.col("pred_lang") == F.col("actual_lang"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+    )
+    by_pred = preds.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("pred_n")
+    )
+    j = (
+        cls.join(by_actual, "lang", "left")
+        .join(by_pred, "lang", "left")
+    )
+    sup = F.coalesce("support_n", F.lit(0)).cast("bigint")
+    tp = F.coalesce("tp", F.lit(0)).cast("bigint")
+    pn = F.coalesce("pred_n", F.lit(0)).cast("bigint")
+    nz = lambda c: F.when(c > 0, c.cast("double"))  # noqa: E731
+    return j.select(
+        "lang",
+        sup.alias("support_n"),
+        tp.alias("tp"),
+        pn.alias("pred_n"),
+        F.round(tp / nz(pn), 6).alias("precision_v"),
+        F.round(tp / nz(sup), 6).alias("recall_v"),
+        F.round(F.lit(2.0) * tp / nz(pn + sup), 6).alias("f1_v"),
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
@@ -10095,7 +10364,8 @@ def x31_duplicate_spans(spark, sf):
 # ROUND-8 queue (registered in round 7, after this window sealed):
 # n12_hard_negatives, h5_time_weighted_avg, h6_counter_increase,
 # m13_audio_frame_features, n13_nn_descent_graph, ev1_ann_recall,
-# ev2_partition_purity, x32_training_shards.
+# ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
+# pr4_item_similarity, ev3_classifier_eval.
 _DRIVER_SAMPLE = [
     # never-driver-verified (5): round-6 queue + round-7 registrations
     "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",

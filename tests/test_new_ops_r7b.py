@@ -1,0 +1,126 @@
+"""Round-7 closing additions: OHLC bars, item-item similarity, and the
+classifier-evaluation rollup — each on a hand-built corpus where the
+expected values are derivable by eye (or a short hand computation),
+independently of both the engine and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+    QUERIES,
+)
+
+
+def test_ohlc_hand_values(spark, tmp_path):
+    """OHLC on hand-placed points, including a timestamp TIE at the
+    bucket open: two points share t=0, so open must come from the lower
+    event_id (the deterministic tiebreak), not from either min/max."""
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (0, base, 1, "trade", 8.0, "{}"),  # t=0, wins the open tiebreak
+        (1, base, 1, "trade", 5.0, "{}"),  # t=0, same instant
+        (2, base + dt.timedelta(seconds=10), 1, "trade", 9.0, "{}"),
+        (3, base + dt.timedelta(seconds=20), 1, "trade", 1.0, "{}"),
+        (4, base + dt.timedelta(seconds=30), 1, "trade", 3.0, "{}"),
+        # a second bucket: single point -> all four prices equal it
+        (5, base + dt.timedelta(hours=1), 2, "quote", 7.25, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["h7_ohlc_bars"].fn(spark, str(tmp_path)).collect()
+    }
+    trade = got["trade"]
+    assert trade["n_points"] == 5
+    assert trade["open_v"] == 8.0
+    assert trade["high_v"] == 9.0
+    assert trade["low_v"] == 1.0
+    assert trade["close_v"] == 3.0
+    quote = got["quote"]
+    assert (
+        quote["open_v"],
+        quote["high_v"],
+        quote["low_v"],
+        quote["close_v"],
+    ) == (7.25, 7.25, 7.25, 7.25)
+
+
+def test_item_similarity_hand_values(spark, tmp_path):
+    """Co-order Jaccard on a 3-order basket set; the repeated (o1, p1)
+    line must NOT double-count (the DISTINCT), and jaccard(1,2) =
+    2 / (3 + 2 - 2) = 2/3 while jaccard(1,3) = 1 / (3 + 1 - 1) = 1/3."""
+    rows = [
+        (100, 1),
+        (100, 1),  # duplicate line: same part twice in one order
+        (100, 2),
+        (200, 1),
+        (200, 2),
+        (300, 1),
+        (300, 3),
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = {
+        (r["pk_a"], r["pk_b"]): r
+        for r in QUERIES["pr4_item_similarity"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # p2 and p3 never share an order -> pair generation (an inner join
+    # on co-orders) must not emit (2, 3) at all
+    assert set(out) == {(1, 2), (1, 3)}
+    r12 = out[(1, 2)]
+    assert (r12["co"], r12["n_a"], r12["n_b"]) == (2, 3, 2)
+    assert r12["jaccard"] == pytest.approx(2 / 3, abs=1e-6)
+    r13 = out[(1, 3)]
+    assert (r13["co"], r13["n_a"], r13["n_b"]) == (1, 3, 1)
+    assert r13["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_classifier_eval_hand_confusion(spark, tmp_path):
+    """A corpus built so the NB predictions (and hence the confusion
+    matrix) are hand-derivable: d4 is labeled de but written entirely in
+    en vocabulary, and with equal priors its en likelihood dominates
+    (ln(4/10) per token vs ln(2/9)) -> exactly one misclassification.
+
+    en: precision 2/3, recall 1, F1 2*2/(3+2) = 0.8
+    de: precision 1, recall 1/2, F1 2*1/(1+2) = 2/3
+    """
+    docs = [
+        (1, "apple apple banana", "en", "web", 18),
+        (2, "apple banana banana", "en", "web", 19),
+        (3, "zebra zebra quark", "de", "web", 17),
+        (4, "apple banana", "de", "web", 12),  # mislabeled on purpose
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["lang"]: r
+        for r in QUERIES["ev3_classifier_eval"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    en, de = got["en"], got["de"]
+    assert (en["support_n"], en["tp"], en["pred_n"]) == (2, 2, 3)
+    assert en["precision_v"] == pytest.approx(2 / 3, abs=1e-6)
+    assert en["recall_v"] == 1.0
+    assert en["f1_v"] == pytest.approx(0.8, abs=1e-6)
+    assert (de["support_n"], de["tp"], de["pred_n"]) == (2, 1, 1)
+    assert de["precision_v"] == 1.0
+    assert de["recall_v"] == pytest.approx(0.5, abs=1e-6)
+    assert de["f1_v"] == pytest.approx(2 / 3, abs=1e-6)

@@ -445,14 +445,28 @@ def test_hypertable_point_aggs_single_window_then_agg(spark):
     partitioning the window and agg both use."""
     import re
 
-    for name in ("h5_time_weighted_avg", "h6_counter_increase"):
+    for name in ("h5_time_weighted_avg", "h6_counter_increase",
+                 "h7_ohlc_bars"):
         plan = _plan(spark, name)
         assert "Window" in plan, name
         assert "HashAggregate" in plan, name
-        # the window's hashpartitioning on (event_type, day) is the ONLY
-        # hash exchange; the agg reuses it (same keys)
+        # the window's hashpartitioning on (event_type, bucket) is the
+        # ONLY hash exchange; the agg reuses it (same keys)
         n_hash_ex = len(
             re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
         )
         assert n_hash_ex <= 1, f"{name}: extra shuffles ({n_hash_ex})"
         assert "Exchange rangepartitioning" not in plan, name
+
+
+def test_item_similarity_scans_fact_once(spark):
+    """pr4: the distinct (order, part) table is persisted, so every
+    consumer — both sides of the pair self-join and both n_ord lookups
+    — reads the cache (4 InMemoryTableScans), and the fact parquet is
+    built into the cache once at runtime (the formatted explain repeats
+    the cached build plan per reference, so we count cache reads, not
+    the textual 'Scan parquet' echoes); no cartesian anywhere."""
+    plan = _plan(spark, "pr4_item_similarity")
+    assert "CartesianProduct" not in plan
+    n_cache_reads = plan.count("InMemoryTableScan")
+    assert n_cache_reads >= 4, f"cache reads: {n_cache_reads}"
