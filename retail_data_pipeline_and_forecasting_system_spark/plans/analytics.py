@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators.ohlc import ohlc_aggs, ohlc_order_key
 from ..operators import multimodal as MM
 from ..operators import packing as PK
 from ..operators import similarity as SIM
@@ -10069,67 +10070,55 @@ def x31_duplicate_spans(spark, sf):
     sql="""
     WITH pts AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket_start,
-        epoch_us(ts) // 1000 AS t_ms,
-        CAST(value AS DECIMAL(18,4)) AS v, event_id
+        CAST(value AS DECIMAL(18,4)) AS v,
+        lpad(CAST(epoch_us(ts) // 1000 AS VARCHAR), 20, '0') || '|' ||
+          lpad(CAST(event_id AS VARCHAR), 20, '0') AS okey
       FROM events
-    ), w AS (
-      SELECT event_type, bucket_start, v,
-        first_value(v) OVER (
-          PARTITION BY event_type, bucket_start
-          ORDER BY t_ms, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
-        last_value(v) OVER (
-          PARTITION BY event_type, bucket_start
-          ORDER BY t_ms, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
-      FROM pts
     )
     SELECT event_type, bucket_start,
       CAST(count(*) AS BIGINT) AS n_points,
-      CAST(min(o) AS DOUBLE) AS open_v,
+      CAST(arg_min(v, okey) AS DOUBLE) AS open_v,
       CAST(max(v) AS DOUBLE) AS high_v,
       CAST(min(v) AS DOUBLE) AS low_v,
-      CAST(min(c) AS DOUBLE) AS close_v
-    FROM w GROUP BY 1, 2
+      CAST(arg_max(v, okey) AS DOUBLE) AS close_v
+    FROM pts GROUP BY 1, 2
     """,
     ref="hypertable candlestick rollup: OHLC bars per (event_type, hour) "
     "— TimescaleDB's candlestick_agg / the financial-bars primitive the "
     "h-family was missing: open/close are the FIRST/LAST observation by "
     "time (ties broken on event_id, deterministic), high/low plain "
-    "min/max. Exactness: values through DECIMAL(18,4) (rule 1), "
-    "open/close picked positionally (no float compare), decimals cast "
-    "to double only at the end (rule 5: magnitudes far under 2^53)",
-    scale="one Exchange on (event_type, hour): the window sort and the "
-    "final hash agg share that partitioning, so open/close/high/low all "
-    "ride a single shuffle; min/max/count partials combine map-side, "
-    "and first/last are per-bucket positional picks that never cross "
-    "partitions — at 100 TB the hour key is the hypertable chunk key "
-    "and coarser bars (day/week) re-aggregate hourly bars (OHLC is "
-    "algebraic over ordered splits: open=first open, close=last close)",
+    "min/max. Open/close via min_by/max_by on a zero-padded "
+    "'t_ms|event_id' string key (lexicographic == numeric for "
+    "non-negative fixed-width ints, identical bytewise in both "
+    "engines; a struct key would be natural but DuckDB's arg_min does "
+    "not accept STRUCT). Exactness: values through DECIMAL(18,4) "
+    "(rule 1), open/close picked positionally (no float compare), "
+    "decimals cast to double only at the end (rule 5)",
+    scale="ONE hash aggregate, no sort, no window: min_by/max_by are "
+    "algebraic, so count/high/low/open/close all combine map-side and "
+    "only O(buckets) partial states ride the (event_type, hour) "
+    "exchange — a first/last-over-window formulation would instead "
+    "shuffle and sort EVERY raw row (measured: the rewrite cut decade "
+    "shuffle-write from all-rows to partials-only). At 100 TB the hour "
+    "key is the hypertable chunk key and coarser bars (day/week) "
+    "re-aggregate hourly bars (OHLC is algebraic over ordered splits: "
+    "open = open at min okey, close = close at max okey); the same "
+    "agg spec runs unchanged as the streaming twin "
+    "(streaming.aggregates.streaming_ohlc_bars) because algebraic "
+    "state is exactly what a streaming sink can maintain",
 )
 def h7_ohlc_bars(spark, sf):
     ev = _t(spark, sf, "events")
     pts = ev.select(
         "event_type",
         F.date_trunc("hour", "ts").alias("bucket_start"),
-        F.expr("unix_micros(ts) div 1000").alias("t_ms"),
         dec("value", 4).alias("v"),
-        "event_id",
-    )
-    w = (
-        W.partitionBy("event_type", "bucket_start")
-        .orderBy("t_ms", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
-    pts = pts.withColumn("o", F.first("v").over(w)).withColumn(
-        "c", F.last("v").over(w)
+        ohlc_order_key(
+            F.expr("unix_micros(ts) div 1000"), F.col("event_id")
+        ).alias("okey"),
     )
     return pts.groupBy("event_type", "bucket_start").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_points"),
-        F.min("o").cast("double").alias("open_v"),
-        F.max("v").cast("double").alias("high_v"),
-        F.min("v").cast("double").alias("low_v"),
-        F.min("c").cast("double").alias("close_v"),
+        *ohlc_aggs(F.col("v"), F.col("okey"))
     )
 
 

@@ -4,6 +4,7 @@ from .aggregates import (  # noqa: F401
     streaming_funnel_join,
     streaming_dedup,
     streaming_histogram_quantiles,
+    streaming_ohlc_bars,
 )
 from .inventory_stream import (  # noqa: F401
     read_transaction_stream,

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.ohlc import ohlc_aggs, ohlc_order_key
+
 
 def streaming_daily_summary(
     lines: DataFrame,
@@ -59,6 +61,49 @@ def streaming_dedup(
     advances (``dropDuplicatesWithinWatermark`` semantics)."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
+    )
+
+
+def streaming_ohlc_bars(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bar: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Live candlestick bars — the streaming twin of the batch
+    ``h7_ohlc_bars`` registry query, built from the SAME aggregation
+    spec (``operators.ohlc``): open/close are min_by/max_by over the
+    (t_ms, event_id) order key, which makes them ALGEBRAIC state a
+    streaming window can maintain incrementally — a first/last-over-
+    sorted-window formulation could not stream at all. High/low/count
+    ride the same state. Late rows inside the watermark still update
+    their bar; bars finalize (append mode) once the watermark passes.
+
+    Output: (bucket_start, event_type, n_points, open_v, high_v,
+    low_v, close_v) — identical column set to the batch query, proven
+    equal on the same input by ``tests/test_streaming.py``.
+    """
+    pts = events.select(
+        "event_type",
+        F.col(ts_col),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        ohlc_order_key(
+            F.expr(f"unix_micros({ts_col}) div 1000"), F.col("event_id")
+        ).alias("okey"),
+    )
+    return (
+        pts.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, bar).alias("w"), "event_type")
+        .agg(*ohlc_aggs(F.col("v"), F.col("okey")))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_points",
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+        )
     )
 
 

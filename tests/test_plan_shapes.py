@@ -445,18 +445,43 @@ def test_hypertable_point_aggs_single_window_then_agg(spark):
     partitioning the window and agg both use."""
     import re
 
-    for name in ("h5_time_weighted_avg", "h6_counter_increase",
-                 "h7_ohlc_bars"):
+    for name in ("h5_time_weighted_avg", "h6_counter_increase"):
         plan = _plan(spark, name)
         assert "Window" in plan, name
         assert "HashAggregate" in plan, name
-        # the window's hashpartitioning on (event_type, bucket) is the
-        # ONLY hash exchange; the agg reuses it (same keys)
+        # the window's hashpartitioning on (event_type, day) is the ONLY
+        # hash exchange; the agg reuses it (same keys)
         n_hash_ex = len(
             re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
         )
         assert n_hash_ex <= 1, f"{name}: extra shuffles ({n_hash_ex})"
         assert "Exchange rangepartitioning" not in plan, name
+
+
+def test_ohlc_partials_combine_before_exchange(spark):
+    """h7: open/close via min_by/max_by make OHLC one two-phase
+    aggregate with NO window — the load-bearing property is the
+    partial_min_by/partial_max_by BELOW the single exchange, so only
+    O(buckets) partial states shuffle (a first/last-over-window
+    formulation shuffles every raw row; the decade A/B in SCALE.md
+    prices it). Spark picks SortAggregate because a string-keyed
+    min_by buffer is not hash-mutable — the per-partition sort is the
+    accepted CPU cost of keeping the network cost at partials-only."""
+    import re
+
+    plan = _plan(spark, "h7_ohlc_bars")
+    assert "Window" not in plan
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    # partials must appear before (below) the exchange in execution
+    # order: the formatted plan lists the partial agg node with a
+    # smaller id than the exchange node
+    pid = int(re.search(r"\((\d+)\) \w*Aggregate", plan).group(1))
+    eid = int(re.search(r"\((\d+)\) Exchange", plan).group(1))
+    assert pid < eid, "partial agg must run map-side, before the shuffle"
+    n_hash_ex = len(
+        re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+    )
+    assert n_hash_ex <= 1, f"extra shuffles ({n_hash_ex})"
 
 
 def test_item_similarity_scans_fact_once(spark):

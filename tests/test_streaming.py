@@ -693,3 +693,53 @@ def test_streaming_transitions_match_batch_markov(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path):
+    """streaming_ohlc_bars over the real events table (replayed as a
+    file stream) produces exactly the batch h7_ohlc_bars rows — the
+    algebraic min_by/max_by state must survive micro-batch merging,
+    including the open-tie broken by event_id."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+        _t,
+    )
+    from retail_data_pipeline_and_forecasting_system_spark.streaming import (
+        streaming_ohlc_bars,
+    )
+
+    # normalize the driver testdata's ts encoding (nanos vs micros)
+    # through the batch loader, then restage as a clean parquet dir
+    in_dir = tmp_path / "events.parquet"
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(4).write.parquet(str(in_dir))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(str(in_dir))
+    )
+    q = (
+        streaming_ohlc_bars(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    key = ["event_type", "bucket_start"]
+    got = {
+        tuple(str(r[k]) for k in key): (
+            r["n_points"], r["open_v"], r["high_v"], r["low_v"], r["close_v"]
+        )
+        for r in spark.sql("SELECT * FROM ohlc_mem").collect()
+    }
+    want = {
+        tuple(str(r[k]) for k in key): (
+            r["n_points"], r["open_v"], r["high_v"], r["low_v"], r["close_v"]
+        )
+        for r in QUERIES["h7_ohlc_bars"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == want and len(got) > 50
