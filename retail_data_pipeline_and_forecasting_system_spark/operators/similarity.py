@@ -1640,3 +1640,145 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def ann_ndcg(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Position-sensitive index-quality monitoring: nDCG@k of the
+    single-probe sign-LSH retrieval against the exact ranking — the
+    graded companion to :func:`ann_recall` (recall treats a hit at
+    rank 1 and rank k the same; nDCG pays more for putting the BEST
+    neighbors first, which is what a retrieval-augmented consumer of
+    the index actually experiences).
+
+    Relevance is graded by the exact ranking: the exact rank-1
+    neighbor is worth k, rank-2 worth k-1, ... rank-k worth 1, and
+    anything outside the exact top-k worth 0. DCG folds the approx
+    list's rel / log2(pos + 1) in position order; IDCG folds the
+    ideal (exact) placement the same way; nDCG = DCG / IDCG.
+
+    Cross-engine exactness: discounts are written ln(p + 1) / ln(2)
+    in BOTH engines (never a native log2 — Spark computes log2 as a
+    quotient of natural logs while DuckDB calls libm log2, and the
+    two can differ in the last ulp); both folds run in ascending
+    position order as sequential left folds (the x17 rule), so the
+    doubles are bit-identical before the final 6 dp round.
+
+    Output: (query_id, n_approx, dcg, idcg, ndcg); queries whose
+    probe bucket is empty score 0.0 — the decay signal this metric
+    exists to surface.
+    """
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sign_lsh_bucket(vec_col, n_bits).alias("qbkt"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        sign_lsh_bucket(vec_col, n_bits).alias("cbkt"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("cbkt") == F.col("qbkt")).alias("same_bkt"),
+            cosine("cvec", "qvec").alias("cs"),
+        )
+    )
+    # exact and approx both rank this frame (ann_recall's pattern)
+    from pyspark import StorageLevel
+
+    from ..caching import track
+
+    scored = track(scored.persist(StorageLevel.MEMORY_AND_DISK))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), "cand_id")
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            (F.lit(k) - F.col("rnk") + 1).cast("bigint").alias("rel"),
+            F.col("rnk").alias("ipos"),
+        )
+    )
+    approx = (
+        scored.filter(F.col("same_bkt"))
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(
+            F.col("query_id").alias("aq_id"),
+            F.col("cand_id").alias("approx_id"),
+            "pos",
+        )
+    )
+
+    def _fold_dcg(pairs):  # ordered (pos, rel) structs -> sum rel/disc
+        return F.aggregate(
+            pairs,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + t["rel"].cast("double")
+            / (F.log(t["pos"].cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))),
+        )
+
+    dcg_q = (
+        approx.join(
+            exact,
+            (F.col("aq_id") == F.col("query_id"))
+            & (F.col("approx_id") == F.col("cand_id")),
+            "left",
+        )
+        .select(
+            "aq_id",
+            "pos",
+            F.coalesce("rel", F.lit(0)).cast("bigint").alias("rel"),
+        )
+        .groupBy("aq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_approx"),
+            _fold_dcg(
+                F.sort_array(F.collect_list(F.struct("pos", "rel")))
+            ).alias("dcg"),
+        )
+    )
+    idcg_q = exact.groupBy("query_id").agg(
+        _fold_dcg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("ipos").alias("pos"), "rel")
+                )
+            )
+        ).alias("idcg")
+    )
+    spine = q.select("query_id")
+    return (
+        spine.join(idcg_q, "query_id", "left")
+        .join(
+            dcg_q.withColumnRenamed("aq_id", "query_id"),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_approx", F.lit(0)).cast("bigint").alias(
+                "n_approx"
+            ),
+            F.round(F.coalesce("dcg", F.lit(0.0)), 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(
+                F.coalesce("dcg", F.lit(0.0))
+                / F.when(F.col("idcg") > 0, F.col("idcg")),
+                6,
+            ).alias("ndcg"),
+        )
+    )

@@ -124,3 +124,35 @@ def test_classifier_eval_hand_confusion(spark, tmp_path):
     assert de["precision_v"] == 1.0
     assert de["recall_v"] == pytest.approx(0.5, abs=1e-6)
     assert de["f1_v"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_ann_ndcg_hand_values(spark, tmp_path):
+    """nDCG on a hand-built 4-vector corpus where the retrieval outcome
+    is derivable by eye: the probe bucket (all-positive signs) holds
+    only c1, the exact top-3 is c1 (cos~1), c2 (cos 0.75), c3 (cos 0),
+    so DCG = rel(c1)/log2(2) = 5 and IDCG = 5 + 4/log2(3) + 3/log2(4);
+    expected values recomputed with an independent math.log fold."""
+    import math
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators import (
+        similarity as SIM,
+    )
+
+    rows = [
+        (0, [1.0] * 8, "q"),
+        (1, [0.9] * 8, "a"),                                  # same bucket
+        (2, [1.0] * 7 + [-1.0], "a"),                         # bkt differs
+        (3, [1.0] * 4 + [-1.0] * 4, "a"),                     # bkt differs
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    [r] = SIM.ann_ndcg(emb, n_queries=1, k=5, n_bits=8).collect()
+
+    disc = lambda p: math.log(p + 1.0) / math.log(2.0)  # noqa: E731
+    idcg = 5 / disc(1) + 4 / disc(2) + 3 / disc(3)
+    assert r["query_id"] == 0
+    assert r["n_approx"] == 1
+    assert r["dcg"] == pytest.approx(5.0, abs=1e-9)
+    assert r["idcg"] == pytest.approx(idcg, abs=1e-6)
+    assert r["ndcg"] == pytest.approx(5.0 / idcg, abs=1e-6)
