@@ -733,3 +733,86 @@ def segment_dedup(
             " ",
         ).alias("text_dedup"),
     )
+
+
+def edit_distance_dedup(
+    df: DataFrame,
+    threshold: int = 8,
+    prefix_len: int = 16,
+    max_block: int | None = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Record-linkage dedup: docs within ``threshold`` Levenshtein edits
+    of a lower-id doc, with prefix+length blocking so no all-pairs scan.
+
+    Output: one row per duplicate — (doc_id, canonical_id, edit_dist)
+    where canonical_id is the LOWEST-id neighbor within the threshold
+    and edit_dist is the distance to that canonical (min_by, so the
+    reported distance always belongs to the reported canonical).
+
+    Blocking (part of the operator's defined semantics, replicated in
+    the oracle): candidate pairs share their first ``prefix_len``
+    characters AND differ in length by at most ``threshold`` (the
+    Levenshtein lower bound |len(a)-len(b)| <= d makes the length band
+    lossless; the prefix block is a recall heuristic — edits inside the
+    first ``prefix_len`` chars hide a pair, the standard multi-pass
+    blocking trade-off in record linkage). Blocks with more than
+    ``max_block`` docs are dropped whole before the self-join (the
+    max_df house rule: one boilerplate prefix shared by 10^5 docs
+    would emit 10^10 pair rows from a single join key; with the cap a
+    block costs at most max_block^2). Measured: max block 10 at sf0.1,
+    so the default cap never binds at test scale.
+
+    Cross-engine exactness: unit-cost Levenshtein is integer-valued in
+    both engines (Spark F.levenshtein / DuckDB levenshtein), identical
+    on ASCII/BMP text (Spark counts UTF-16 code units, DuckDB code
+    points — they diverge only beyond the BMP). The O(len^2) distance
+    runs ONLY on blocked candidates that survive the length band.
+
+    At 100 TB: the block key is the ONE shuffle (high-cardinality
+    prefix), per-block pair fanout is capped, and the canonical pick is
+    a map-side-combinable min/min_by agg keyed on doc id.
+    """
+    blk = F.substring(F.col(text_col), 1, prefix_len)
+    docs = df.select(
+        F.col(id_col).alias("ida"),
+        F.col(text_col).alias("ta"),
+        F.length(text_col).alias("la"),
+        blk.alias("blk"),
+    )
+    if max_block is not None:
+        small = (
+            docs.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_block)
+            .select("blk")
+        )
+        docs = docs.join(small, "blk")
+    # both sides of the pair self-join read this frame: persist it so
+    # the scan + block-cap semi-join build once (the containment_pairs
+    # rule); tracked in ..caching so the next registry query releases it
+    from pyspark import StorageLevel
+
+    from ..caching import track
+
+    docs = track(docs.persist(StorageLevel.MEMORY_AND_DISK))
+    rhs = docs.select(
+        F.col("ida").alias("idb"),
+        F.col("ta").alias("tb"),
+        F.col("la").alias("lb"),
+        "blk",
+    )
+    pairs = (
+        docs.join(rhs, "blk")
+        .filter(
+            (F.col("ida") < F.col("idb"))
+            & (F.abs(F.col("la") - F.col("lb")) <= threshold)
+        )
+        .select("ida", "idb", F.levenshtein("ta", "tb").alias("ed"))
+        .filter(F.col("ed") <= threshold)
+    )
+    return pairs.groupBy(F.col("idb").alias("doc_id")).agg(
+        F.min("ida").alias("canonical_id"),
+        F.min_by("ed", "ida").cast("int").alias("edit_dist"),
+    )

@@ -10400,6 +10400,53 @@ def ev4_ann_ndcg(spark, sf):
     )
 
 
+@q(
+    "d17_edit_distance_dedup",
+    sql="""
+    WITH blocks AS (
+      SELECT substr(text, 1, 16) AS blk, count(*) AS bn
+      FROM documents GROUP BY 1
+    ),
+    docs AS (
+      SELECT d.doc_id, d.text, length(d.text) AS ln, b.blk
+      FROM documents d
+      JOIN blocks b ON substr(d.text, 1, 16) = b.blk AND b.bn <= 50
+    ),
+    pairs AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+             levenshtein(a.text, b.text) AS ed
+      FROM docs a JOIN docs b
+        ON a.blk = b.blk
+       AND a.doc_id < b.doc_id
+       AND abs(a.ln - b.ln) <= 8
+      WHERE levenshtein(a.text, b.text) <= 8
+    )
+    SELECT idb AS doc_id,
+           min(ida) AS canonical_id,
+           CAST(arg_min(ed, ida) AS INT) AS edit_dist
+    FROM pairs GROUP BY idb
+    """,
+    ref="LLM-ops: record-linkage fuzzy dedup — docs within 8 Levenshtein "
+    "edits of a lower-id doc, canonical = the lowest-id neighbor, with "
+    "the reported distance belonging to that canonical (min_by/arg_min). "
+    "Complements d2/d7 (set-overlap Jaccard): edit distance catches "
+    "character-level mutations (typos, small insertions) that barely "
+    "move a shingle set (operators/dedup.py edit_distance_dedup)",
+    scale="prefix-16 block key is the ONE shuffle; the Levenshtein "
+    "lower bound |len(a)-len(b)| <= d makes the length band lossless, "
+    "so the O(len^2) distance runs only on same-block same-length-band "
+    "survivors; blocks over 50 docs dropped whole (max_df house rule "
+    "— caps per-key join fanout at 50^2; measured max block 10 at "
+    "sf0.1); canonical pick is a map-side-combinable min/min_by agg. "
+    "Exactness: integer unit-cost metric in both engines, identical "
+    "on ASCII/BMP text",
+)
+def d17_edit_distance_dedup(spark, sf):
+    return D.edit_distance_dedup(
+        _t(spark, sf, "documents"), threshold=8, prefix_len=16
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so
@@ -10435,7 +10482,8 @@ def ev4_ann_ndcg(spark, sf):
 # n12_hard_negatives, h5_time_weighted_avg, h6_counter_increase,
 # m13_audio_frame_features, n13_nn_descent_graph, ev1_ann_recall,
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
-# pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg.
+# pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
+# d17_edit_distance_dedup.
 _DRIVER_SAMPLE = [
     # never-driver-verified (5): round-6 queue + round-7 registrations
     "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",

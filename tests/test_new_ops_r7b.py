@@ -156,3 +156,54 @@ def test_ann_ndcg_hand_values(spark, tmp_path):
     assert r["dcg"] == pytest.approx(5.0, abs=1e-9)
     assert r["idcg"] == pytest.approx(idcg, abs=1e-6)
     assert r["ndcg"] == pytest.approx(5.0 / idcg, abs=1e-6)
+
+
+def test_edit_distance_dedup_hand_values(spark):
+    """Levenshtein dedup on a hand-built corpus. Doc texts share a 16+
+    char prefix so the block keeps the true pairs; expected distances
+    are hand-countable (dog->cat = 3 substitutions, identical = 0).
+    Doc 4 is identical to doc 1 AND within 3 edits of doc 2: canonical
+    must be the MIN id (1) and the reported distance must belong to
+    THAT canonical (0, not 3) — the min_by contract."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.dedup import (
+        edit_distance_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, base),
+        (2, base.replace("dog", "cat")),  # ed(1,2) = 3
+        (3, "completely unrelated text about spark plans"),
+        (4, base),  # exact copy of 1
+        (5, "x" + base[1:]),  # first char differs -> other block, missed
+        (6, base + " padded far beyond the eight-edit length band!!"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in edit_distance_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert set(out) == {2, 4}
+    assert (out[2]["canonical_id"], out[2]["edit_dist"]) == (1, 3)
+    assert (out[4]["canonical_id"], out[4]["edit_dist"]) == (1, 0)
+
+
+def test_edit_distance_dedup_block_cap(spark):
+    """max_block drops an oversized block WHOLE: three identical docs
+    in one block with max_block=2 yield no pairs at all, while an
+    in-cap block elsewhere still dedups."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.dedup import (
+        edit_distance_dedup,
+    )
+
+    hot = "boilerplate header that repeats everywhere verbatim"
+    cold = "a rare document body that appears exactly twice here"
+    rows = [(1, hot), (2, hot), (3, hot), (10, cold), (11, cold)]
+    out = edit_distance_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        max_block=2,
+    ).collect()
+    assert {(r["doc_id"], r["canonical_id"], r["edit_dist"]) for r in out} == {
+        (11, 10, 0)
+    }

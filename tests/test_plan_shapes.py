@@ -495,3 +495,18 @@ def test_item_similarity_scans_fact_once(spark):
     assert "CartesianProduct" not in plan
     n_cache_reads = plan.count("InMemoryTableScan")
     assert n_cache_reads >= 4, f"cache reads: {n_cache_reads}"
+
+
+def test_edit_distance_dedup_blocked_equi_join(spark):
+    """d17: the pair join must be an EQUI join on the prefix block key
+    — never a cartesian / nested-loop — with the O(len^2) levenshtein
+    evaluated only on post-join survivors; the capped docs frame is
+    persisted so both self-join sides read ONE cache (the
+    containment_pairs rule) instead of re-running scan + block-cap."""
+    plan = _plan(spark, "d17_edit_distance_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    # two cache consumers (formatted explain repeats the cached BUILD
+    # plan at each reference — count InMemoryTableScans, the pr4 rule)
+    assert plan.count("InMemoryTableScan") >= 2
