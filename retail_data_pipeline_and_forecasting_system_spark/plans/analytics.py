@@ -10447,6 +10447,133 @@ def d17_edit_distance_dedup(spark, sf):
     )
 
 
+@q(
+    "x33_vocab_coverage",
+    sql="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY token
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY c DESC, token) AS rn
+        FROM counts
+      ) WHERE rn <= 16
+    ),
+    st AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS tcnt
+      FROM toks GROUP BY source, token
+    ),
+    flagged AS (
+      SELECT st.source, st.token, st.tcnt,
+             (v.token IS NOT NULL) AS in_vocab
+      FROM st LEFT JOIN vocab v ON st.token = v.token
+    ),
+    agg AS (
+      SELECT source,
+        CAST(SUM(tcnt) AS BIGINT) AS total_tokens,
+        CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE tcnt END) AS BIGINT)
+          AS oov_tokens,
+        CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_oov_types
+      FROM flagged GROUP BY source
+    ),
+    top_oov AS (
+      SELECT source, token AS top_oov_token FROM (
+        SELECT source, token,
+          row_number() OVER (
+            PARTITION BY source ORDER BY tcnt DESC, token
+          ) AS rn
+        FROM flagged WHERE NOT in_vocab
+      ) WHERE rn = 1
+    ),
+    nd AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    )
+    SELECT a.source, nd.n_docs, a.total_tokens, a.oov_tokens,
+      a.n_oov_types,
+      a.oov_tokens / CAST(a.total_tokens AS DOUBLE) AS oov_rate,
+      coalesce(t.top_oov_token, '') AS top_oov_token
+    FROM agg a
+    JOIN nd ON a.source = nd.source
+    LEFT JOIN top_oov t ON a.source = t.source
+    """,
+    ref="LLM-ops: tokenizer vocabulary coverage — fix the vocab at the "
+    "top-k corpus tokens (count desc, token asc tiebreak: the "
+    "deterministic stand-in for a shipped tokenizer's vocab file) and "
+    "report per-source OOV mass, OOV type count, OOV rate, and the "
+    "most frequent out-of-vocab token. The go/no-go check before "
+    "training on a new source: a spiking OOV rate means the tokenizer "
+    "will shred that source into bytes",
+    scale="token counts are ONE Zipf-collapsed hash-agg (vocab-sized, "
+    "not corpus-sized, after the map-side combine); the top-k window "
+    "runs on that model-sized table (single-partition by design — "
+    "it's the vocab, not the corpus); vocab broadcasts to the "
+    "per-(source, token) table; per-source rollup is map-side "
+    "combinable. oov_rate is raw IEEE int/int division — identical "
+    "bits in both engines, no round() half-rule exposure",
+)
+def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wv = W.orderBy(F.desc("c"), "token")
+    vocab = (
+        counts.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= vocab_k)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    st = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tcnt")
+    )
+    flagged = st.join(F.broadcast(vocab), "token", "left").withColumn(
+        "in_vocab", F.coalesce("in_vocab", F.lit(False))
+    )
+    agg = flagged.groupBy("source").agg(
+        F.sum("tcnt").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("in_vocab"), F.lit(0)).otherwise(F.col("tcnt")))
+        .cast("bigint")
+        .alias("oov_tokens"),
+        F.sum(F.when(F.col("in_vocab"), F.lit(0)).otherwise(F.lit(1)))
+        .cast("bigint")
+        .alias("n_oov_types"),
+    )
+    wt = W.partitionBy("source").orderBy(F.desc("tcnt"), "token")
+    top_oov = (
+        flagged.filter(~F.col("in_vocab"))
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("token").alias("top_oov_token"))
+    )
+    n_docs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        agg.join(n_docs, "source")
+        .join(top_oov, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "oov_tokens",
+            "n_oov_types",
+            (
+                F.col("oov_tokens")
+                / F.col("total_tokens").cast("double")
+            ).alias("oov_rate"),
+            F.coalesce("top_oov_token", F.lit("")).alias("top_oov_token"),
+        )
+    )
+
+
 # --------------------------------------------------------- registry order
 #
 # The driver's correctness gate samples the FIRST 50 registered queries, so

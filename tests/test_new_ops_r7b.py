@@ -207,3 +207,31 @@ def test_edit_distance_dedup_block_cap(spark):
     assert {(r["doc_id"], r["canonical_id"], r["edit_dist"]) for r in out} == {
         (11, 10, 0)
     }
+
+
+def test_vocab_coverage_hand_values(spark, tmp_path):
+    """OOV accounting on a 2-source corpus where counts are countable
+    by eye: corpus counts a=4, b=1, c=1. With vocab_k=1 the vocab is
+    {a}; with vocab_k=2 the b-vs-c count tie must break token-ASC
+    (vocab {a, b}), leaving source A fully covered (empty top_oov)."""
+    # the raw module function (the registry wrapper pins (spark, sf))
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        x33_vocab_coverage as fn,
+    )
+
+    rows = [(1, "a a a b", "A"), (2, "a c", "B")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    k1 = {r["source"]: r for r in fn(spark, str(tmp_path), vocab_k=1).collect()}
+    a, b = k1["A"], k1["B"]
+    assert (a["n_docs"], a["total_tokens"], a["oov_tokens"],
+            a["n_oov_types"], a["top_oov_token"]) == (1, 4, 1, 1, "b")
+    assert a["oov_rate"] == 0.25
+    assert (b["total_tokens"], b["oov_tokens"], b["oov_rate"],
+            b["top_oov_token"]) == (2, 1, 0.5, "c")
+
+    k2 = {r["source"]: r for r in fn(spark, str(tmp_path), vocab_k=2).collect()}
+    assert (k2["A"]["oov_tokens"], k2["A"]["oov_rate"],
+            k2["A"]["top_oov_token"]) == (0, 0.0, "")
+    assert (k2["B"]["oov_tokens"], k2["B"]["top_oov_token"]) == (1, "c")

@@ -510,3 +510,15 @@ def test_edit_distance_dedup_blocked_equi_join(spark):
     # two cache consumers (formatted explain repeats the cached BUILD
     # plan at each reference — count InMemoryTableScans, the pr4 rule)
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """x33: the top-k vocab (model-sized by construction) must reach
+    the per-(source, token) table as a BROADCAST join — never a
+    shuffle keyed on the corpus side — and the only global-order
+    window must be the top-k rank over the Zipf-collapsed vocab
+    counts, not over corpus rows."""
+    plan = _plan(spark, "x33_vocab_coverage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -48,18 +48,22 @@ def main() -> None:
     x10 = tmp / "x10"
     _stage(spark, x10, 10)
 
+    names = sys.argv[1:] or [
+        "d17_edit_distance_dedup", "x33_vocab_coverage",
+    ]
     print(f"{'query':26s} {'scale':5s} {'rows':>9s} {'sec':>7s} "
           f"{'rows/s':>9s} {'shufW':>10s}")
-    fn = QUERIES["d17_edit_distance_dedup"].fn
-    for label, sf_dir in (("1x", SF), ("10x", str(x10))):
-        rows = _force(fn(spark, sf_dir))  # codegen warm
-        mark = _last_job_id(app_id)
-        sec = _time(lambda: _force(fn(spark, sf_dir)))
-        shuf = _shuffle_write_bytes(app_id, mark)
-        print(
-            f"{'d17_edit_distance_dedup':26s} {label:5s} {rows:9d} "
-            f"{sec:7.2f} {rows / sec:9.0f} {shuf:10d}"
-        )
+    for name in names:
+        fn = QUERIES[name].fn
+        for label, sf_dir in (("1x", SF), ("10x", str(x10))):
+            rows = _force(fn(spark, sf_dir))  # codegen warm
+            mark = _last_job_id(app_id)
+            sec = _time(lambda: _force(fn(spark, sf_dir)))
+            shuf = _shuffle_write_bytes(app_id, mark)
+            print(
+                f"{name:26s} {label:5s} {rows:9d} "
+                f"{sec:7.2f} {rows / sec:9.0f} {shuf:10d}"
+            )
 
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
