@@ -10610,7 +10610,7 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # m13_audio_frame_features, n13_nn_descent_graph, ev1_ann_recall,
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
-# d17_edit_distance_dedup.
+# d17_edit_distance_dedup, x33_vocab_coverage.
 _DRIVER_SAMPLE = [
     # never-driver-verified (5): round-6 queue + round-7 registrations
     "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",
