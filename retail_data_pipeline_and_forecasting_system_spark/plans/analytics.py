@@ -10448,6 +10448,70 @@ def d17_edit_distance_dedup(spark, sf):
 
 
 @q(
+    "ops6_incremental_agg",
+    sql="""
+    SELECT o_custkey,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS total_spent,
+      min(o_orderdate) AS first_order,
+      max(o_orderdate) AS last_order
+    FROM orders GROUP BY o_custkey
+    """,
+    ref="incremental materialized-view maintenance: the per-customer "
+    "lifetime rollup is computed as BASE state (orders before "
+    "1999-01-01) merged with DELTA state (orders since) — count+count, "
+    "decimal sum+sum, least/greatest of min/max — and the oracle is "
+    "the full-table recompute, so the driver hash proves "
+    "merge(base, delta) == recompute exactly. The pattern behind "
+    "every always-on rollup the reference's daily batch recomputes "
+    "from scratch (SURVEY §2 A1/A2 generalized)",
+    scale="the point at 100 TB: the base state is NEVER re-scanned — "
+    "a day's delta aggregates alone (map-side combined) and merges "
+    "into the stored state by one key-partitioned full-outer join; "
+    "bucket both state tables by the group key and the merge is "
+    "shuffle-free. Works because every column here is ALGEBRAIC "
+    "(sum/count/min/max over exact decimal); countDistinct is "
+    "deliberately excluded — non-algebraic, use a15's mergeable HLL "
+    "sketch instead",
+)
+def ops6_incremental_agg(spark, sf):
+    o = _t(spark, sf, "orders")
+    split = F.lit("1999-01-01").cast("timestamp")
+
+    def state(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "total_spent"
+            ),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    b = state(o.filter(F.col("o_orderdate") < split)).alias("b")
+    d = state(o.filter(F.col("o_orderdate") >= split)).alias("d")
+    zero = F.lit("0").cast("decimal(28,2)")
+    return b.join(d, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (
+            F.coalesce(F.col("b.n_orders"), F.lit(0))
+            + F.coalesce(F.col("d.n_orders"), F.lit(0))
+        ).cast("bigint").alias("n_orders"),
+        (
+            F.coalesce(F.col("b.total_spent"), zero)
+            + F.coalesce(F.col("d.total_spent"), zero)
+        ).cast("double").alias("total_spent"),
+        F.least(F.col("b.first_order"), F.col("d.first_order")).alias(
+            "first_order"
+        ),
+        F.greatest(F.col("b.last_order"), F.col("d.last_order")).alias(
+            "last_order"
+        ),
+    )
+
+
+@q(
     "x33_vocab_coverage",
     sql="""
     WITH toks AS (
@@ -10610,7 +10674,8 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # m13_audio_frame_features, n13_nn_descent_graph, ev1_ann_recall,
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
-# d17_edit_distance_dedup, x33_vocab_coverage.
+# d17_edit_distance_dedup, x33_vocab_coverage,
+# ops6_incremental_agg.
 _DRIVER_SAMPLE = [
     # never-driver-verified (5): round-6 queue + round-7 registrations
     "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",

@@ -235,3 +235,44 @@ def test_vocab_coverage_hand_values(spark, tmp_path):
     assert (k2["A"]["oov_tokens"], k2["A"]["oov_rate"],
             k2["A"]["top_oov_token"]) == (0, 0.0, "")
     assert (k2["B"]["oov_tokens"], k2["B"]["top_oov_token"]) == (1, "c")
+
+
+def test_incremental_agg_merge_hand_values(spark, tmp_path):
+    """ops6 merge on three customers straddling the 1999-01-01 split:
+    cust 1 is base-only, cust 2 delta-only, cust 3 in both — the two
+    one-sided rows exercise every null-coalesce path of the full-outer
+    merge, and cust 3's fields must combine across the split
+    (count 1+1, sum 10.50+2.25, min from base, max from delta)."""
+    import datetime as dt
+
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    rows = [
+        (100, 1, 5.00, dt.datetime(1998, 3, 1)),
+        (101, 1, 7.00, dt.datetime(1998, 9, 1)),
+        (102, 2, 3.25, dt.datetime(2000, 1, 15)),
+        (103, 3, 10.50, dt.datetime(1997, 6, 1)),
+        (104, 3, 2.25, dt.datetime(1999, 6, 1)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["o_custkey"]: r
+        for r in QUERIES["ops6_incremental_agg"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    c1, c2, c3 = got[1], got[2], got[3]
+    assert (c1["n_orders"], c1["total_spent"]) == (2, 12.0)
+    assert c1["last_order"] == dt.datetime(1998, 9, 1)
+    assert (c2["n_orders"], c2["total_spent"]) == (1, 3.25)
+    assert c2["first_order"] == dt.datetime(2000, 1, 15)
+    assert (c3["n_orders"], c3["total_spent"]) == (2, 12.75)
+    assert c3["first_order"] == dt.datetime(1997, 6, 1)
+    assert c3["last_order"] == dt.datetime(1999, 6, 1)

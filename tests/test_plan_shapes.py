@@ -522,3 +522,24 @@ def test_vocab_coverage_broadcasts_vocab(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_agg_merge_is_one_key_join(spark):
+    """ops6: base and delta states are each a two-phase hash agg, and
+    the merge is ONE full-outer equi join on the group key — no
+    cartesian, no re-aggregation after the join (the merged columns
+    are row-local coalesce arithmetic)."""
+    import re
+
+    plan = _plan(spark, "ops6_incremental_agg")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan
+    # row-local merge: in the top-down tree the join sits ABOVE both
+    # state aggregates (nothing re-aggregates the merged rows)
+    assert plan.index("FullOuter") < plan.index("HashAggregate")
+    # exactly the two state exchanges, both keyed on the group key
+    ex = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert [e.split("#")[0] for e in ex] == ["o_custkey"] * 2, ex
+    # the base/delta date split reaches BOTH parquet scans
+    assert plan.count("PushedFilters: [IsNotNull(o_orderdate)") == 2

@@ -48,8 +48,27 @@ def main() -> None:
     x10 = tmp / "x10"
     _stage(spark, x10, 10)
 
+    # ops6 reads orders, which _stage symlinks — replace with a 10x
+    # copy (o_orderkey offsets, SAME custkeys: per-key state depth x10,
+    # the merge join's worst axis)
+    from pyspark.sql import functions as FF
+
+    ord_link = x10 / "orders.parquet"
+    if ord_link.is_symlink():
+        ord_link.unlink()
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    u = orders
+    for i in range(1, 10):
+        u = u.unionByName(
+            orders.withColumn(
+                "o_orderkey", FF.col("o_orderkey") + FF.lit(i * 100_000_000)
+            )
+        )
+    u.write.mode("overwrite").parquet(str(ord_link))
+
     names = sys.argv[1:] or [
         "d17_edit_distance_dedup", "x33_vocab_coverage",
+        "ops6_incremental_agg",
     ]
     print(f"{'query':26s} {'scale':5s} {'rows':>9s} {'sec':>7s} "
           f"{'rows/s':>9s} {'shufW':>10s}")
