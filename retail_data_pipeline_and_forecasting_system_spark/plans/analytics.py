@@ -10476,38 +10476,17 @@ def d17_edit_distance_dedup(spark, sf):
     "sketch instead",
 )
 def ops6_incremental_agg(spark, sf):
+    from ..operators.rollup import merge_rollup_states, rollup_state
+
     o = _t(spark, sf, "orders")
     split = F.lit("1999-01-01").cast("timestamp")
-
-    def state(df):
-        return df.groupBy("o_custkey").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-                "total_spent"
-            ),
-            F.min("o_orderdate").alias("first_order"),
-            F.max("o_orderdate").alias("last_order"),
-        )
-
-    b = state(o.filter(F.col("o_orderdate") < split)).alias("b")
-    d = state(o.filter(F.col("o_orderdate") >= split)).alias("d")
-    zero = F.lit("0").cast("decimal(28,2)")
-    return b.join(d, "o_custkey", "full_outer").select(
-        "o_custkey",
-        (
-            F.coalesce(F.col("b.n_orders"), F.lit(0))
-            + F.coalesce(F.col("d.n_orders"), F.lit(0))
-        ).cast("bigint").alias("n_orders"),
-        (
-            F.coalesce(F.col("b.total_spent"), zero)
-            + F.coalesce(F.col("d.total_spent"), zero)
-        ).cast("double").alias("total_spent"),
-        F.least(F.col("b.first_order"), F.col("d.first_order")).alias(
-            "first_order"
-        ),
-        F.greatest(F.col("b.last_order"), F.col("d.last_order")).alias(
-            "last_order"
-        ),
+    base = rollup_state(o.filter(F.col("o_orderdate") < split))
+    delta = rollup_state(o.filter(F.col("o_orderdate") >= split))
+    merged = merge_rollup_states(base, delta)
+    # exact decimal state -> double only at the final read (rule 1;
+    # |total|·100 « 2^53 so the cast is bit-identical cross-engine)
+    return merged.withColumn(
+        "total_spent", F.col("total_spent").cast("double")
     )
 
 
