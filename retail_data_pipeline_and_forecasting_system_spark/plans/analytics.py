@@ -10448,6 +10448,87 @@ def d17_edit_distance_dedup(spark, sf):
 
 
 @q(
+    "d18_cross_source_overlap",
+    sql="""
+    WITH d AS (
+      SELECT DISTINCT source, md5(substr(text, 1, 64)) AS k
+      FROM documents
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_heads
+      FROM d GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(count(*) AS BIGINT) AS shared_heads
+      FROM d a JOIN d b ON a.k = b.k AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b, s.shared_heads,
+      na.n_heads AS n_a, nb.n_heads AS n_b,
+      s.shared_heads / CAST(
+        CASE WHEN na.n_heads < nb.n_heads
+             THEN na.n_heads ELSE nb.n_heads END AS DOUBLE
+      ) AS containment
+    FROM shared s
+    JOIN sizes na ON s.source_a = na.source
+    JOIN sizes nb ON s.source_b = nb.source
+    """,
+    ref="LLM-ops: cross-source duplication matrix (provenance overlap) "
+    "— for every source pair, how many distinct 64-char document heads "
+    "they share, plus the containment share of the smaller source. The "
+    "curation question d1-d17 don't answer: not WHICH docs are dups "
+    "but WHO is copying WHOM — a near-1.0 containment row means one "
+    "feed is a re-crawl/mirror of another and should be dropped whole, "
+    "not doc-by-doc",
+    scale="heads collapse per (source, key) BEFORE the pair join "
+    "(DISTINCT = one hash agg), so each md5 key carries at most "
+    "n_sources rows and the self-join fanout is bounded by sources² "
+    "per key — corpus size only grows the distinct agg, which is "
+    "map-side combined on 16-byte keys. CASE instead of least() in "
+    "the oracle (DuckDB least() type games, the h6 lesson); the "
+    "containment is raw IEEE int/int division",
+)
+def d18_cross_source_overlap(spark, sf):
+    docs = _t(spark, sf, "documents")
+    d = docs.select(
+        "source", F.md5(F.substring("text", 1, 64)).alias("k")
+    ).distinct()
+    sizes = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_heads")
+    )
+    a = d.select(F.col("source").alias("source_a"), "k")
+    b = d.select(F.col("source").alias("source_b"), "k")
+    shared = (
+        a.join(b, "k")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_heads"))
+    )
+    na = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_heads").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_heads").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_heads",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared_heads")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+@q(
     "ops6_incremental_agg",
     sql="""
     SELECT o_custkey,
@@ -10654,7 +10735,7 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, x33_vocab_coverage,
-# ops6_incremental_agg.
+# ops6_incremental_agg, d18_cross_source_overlap.
 _DRIVER_SAMPLE = [
     # never-driver-verified (5): round-6 queue + round-7 registrations
     "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",

@@ -276,3 +276,36 @@ def test_incremental_agg_merge_hand_values(spark, tmp_path):
     assert (c3["n_orders"], c3["total_spent"]) == (2, 12.75)
     assert c3["first_order"] == dt.datetime(1997, 6, 1)
     assert c3["last_order"] == dt.datetime(1999, 6, 1)
+
+
+def test_cross_source_overlap_hand_values(spark, tmp_path):
+    """Provenance matrix on a 3-source corpus: A={h1, h1, h2},
+    B={h1, h3}, C={h4}. The within-A duplicate of h1 must NOT
+    double-count (the DISTINCT), so (A, B) shares exactly 1 head of
+    each side's 2 -> containment 0.5, and C shares nothing -> no row."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    rows = [
+        (1, "h1 common head", "A"),
+        (2, "h1 common head", "A"),  # same head twice in A
+        (3, "h2 only in a", "A"),
+        (4, "h1 common head", "B"),
+        (5, "h3 only in b", "B"),
+        (6, "h4 only in c", "C"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in QUERIES["d18_cross_source_overlap"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    assert (r["shared_heads"], r["n_a"], r["n_b"]) == (1, 2, 2)
+    assert r["containment"] == 0.5

@@ -543,3 +543,16 @@ def test_incremental_agg_merge_is_one_key_join(spark):
     assert [e.split("#")[0] for e in ex] == ["o_custkey"] * 2, ex
     # the base/delta date split reaches BOTH parquet scans
     assert plan.count("PushedFilters: [IsNotNull(o_orderdate)") == 2
+
+
+def test_cross_source_overlap_distinct_before_pair_join(spark):
+    """d18: the (source, head) DISTINCT must collapse BELOW the pair
+    self-join (each md5 key then carries at most n_sources rows, the
+    fanout bound), the tiny size tables must broadcast, and nothing
+    may go cartesian."""
+    plan = _plan(spark, "d18_cross_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # in the top-down tree the pair join sits above the distinct aggs
+    assert plan.index("Join") < plan.index("HashAggregate")
