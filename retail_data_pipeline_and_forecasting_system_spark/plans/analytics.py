@@ -10626,13 +10626,15 @@ def ops6_incremental_agg(spark, sf):
     JOIN nd ON a.source = nd.source
     LEFT JOIN top_oov t ON a.source = t.source
     """,
-    ref="LLM-ops: tokenizer vocabulary coverage — fix the vocab at the "
-    "top-k corpus tokens (count desc, token asc tiebreak: the "
-    "deterministic stand-in for a shipped tokenizer's vocab file) and "
-    "report per-source OOV mass, OOV type count, OOV rate, and the "
-    "most frequent out-of-vocab token. The go/no-go check before "
-    "training on a new source: a spiking OOV rate means the tokenizer "
-    "will shred that source into bytes",
+    ref="LLM-ops: per-source OOV diagnostics against a FIXED vocab — "
+    "the vocab is pinned to the top-k corpus tokens (count desc, token "
+    "asc tiebreak: the deterministic stand-in for a shipped "
+    "tokenizer's vocab file) and each source reports its OOV mass, "
+    "OOV type count, OOV rate, and most frequent out-of-vocab token. "
+    "Complements x22 (corpus-level Zipf-head coverage, one scalar): "
+    "x22 asks how head-heavy the distribution is; this asks WHICH "
+    "source a fixed tokenizer will shred into bytes — the go/no-go "
+    "check before training on a new feed",
     scale="token counts are ONE Zipf-collapsed hash-agg (vocab-sized, "
     "not corpus-sized, after the map-side combine); the top-k window "
     "runs on that model-sized table (single-partition by design — "

@@ -178,6 +178,10 @@ HOSTILE_SWEEP = [
     "x26_ngram_repetition",
     "x27_bpe_pair_counts",
     "m10_real_image_decode",
+    # round-7 post-close ops over the pathological corpus
+    "d17_edit_distance_dedup",
+    "d18_cross_source_overlap",
+    "x33_vocab_coverage",
 ]
 
 
@@ -345,6 +349,11 @@ EMPTY_SWEEP = [
     "x27_bpe_pair_counts",
     "m10_real_image_decode",
     "n9_knn_join_ivf",  # k-means over an empty corpus, like d14
+    # round-7 post-close ops over zero-row inputs
+    "d17_edit_distance_dedup",
+    "d18_cross_source_overlap",
+    "x33_vocab_coverage",
+    "ops6_incremental_agg",
 ]
 
 
