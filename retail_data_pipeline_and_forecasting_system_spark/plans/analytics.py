@@ -10448,6 +10448,102 @@ def d17_edit_distance_dedup(spark, sf):
 
 
 @q(
+    "e9_attribution",
+    sql="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS p_us,
+        last_value(CASE WHEN event_type IN ('view', 'click') THEN
+            struct_pack(
+              t_us := epoch_us(ts), t_id := event_id,
+              t_type := event_type
+            )
+          END IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+          ) AS lt,
+        SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0
+            END) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+          ) AS n7
+      FROM events
+    )
+    SELECT event_id, user_id,
+      CASE WHEN lt IS NOT NULL AND p_us - lt.t_us <= 604800000000
+           THEN lt.t_type ELSE 'none' END AS last_touch_type,
+      CASE WHEN lt IS NOT NULL AND p_us - lt.t_us <= 604800000000
+           THEN lt.t_id END AS last_touch_id,
+      CASE WHEN lt IS NOT NULL AND p_us - lt.t_us <= 604800000000
+           THEN p_us - lt.t_us END AS us_since_touch,
+      CAST(n7 AS BIGINT) AS n_touches_7d
+    FROM e WHERE event_type = 'purchase'
+    """,
+    ref="marketing attribution over the raw event stream: each "
+    "purchase attributed to the user's LAST view/click within a 7-day "
+    "lookback (carry-forward over strictly-preceding rows, so a "
+    "same-instant touch counts only via the deterministic "
+    "(ts, event_id) order), plus the 7-day touch count — the "
+    "channel-credit rollup every growth dashboard derives from this "
+    "frame. Unattributed purchases report 'none', not a dropped row "
+    "(the funnel j7 answers a different question: ordered step "
+    "completion, not credit)",
+    scale="ONE user_id exchange feeds both window passes (the "
+    "carry-forward rows-frame and the range-frame touch count reuse "
+    "the same partitioning; only the intra-partition sort differs); "
+    "all arithmetic is exact integer microseconds (unix_micros / "
+    "epoch_us, the e6 idiom). Per-user history length bounds the "
+    "window state — at 100 TB, bucket by user_id and neither window "
+    "re-shuffles",
+)
+def e9_attribution(spark, sf):
+    LOOKBACK_US = 7 * 86400 * 1_000_000
+    ev = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    is_touch = F.col("event_type").isin("view", "click")
+    wrow = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    tstruct = F.when(
+        is_touch,
+        F.struct(
+            us.alias("t_us"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("t_type"),
+        ),
+    )
+    wrange = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-LOOKBACK_US, 0)
+    )
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("p_us"),
+        F.last(tstruct, ignorenulls=True).over(wrow).alias("lt"),
+        F.sum(is_touch.cast("bigint")).over(wrange).alias("n7"),
+    )
+    attributed = F.col("lt").isNotNull() & (
+        F.col("p_us") - F.col("lt.t_us") <= LOOKBACK_US
+    )
+    return e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.when(attributed, F.col("lt.t_type"))
+        .otherwise(F.lit("none"))
+        .alias("last_touch_type"),
+        F.when(attributed, F.col("lt.t_id")).alias("last_touch_id"),
+        F.when(attributed, F.col("p_us") - F.col("lt.t_us")).alias(
+            "us_since_touch"
+        ),
+        F.col("n7").cast("bigint").alias("n_touches_7d"),
+    )
+
+
+@q(
     "d18_cross_source_overlap",
     sql="""
     WITH d AS (
@@ -10737,7 +10833,7 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, x33_vocab_coverage,
-# ops6_incremental_agg, d18_cross_source_overlap.
+# ops6_incremental_agg, d18_cross_source_overlap, e9_attribution.
 _DRIVER_SAMPLE = [
     # never-driver-verified (5): round-6 queue + round-7 registrations
     "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",

@@ -309,3 +309,50 @@ def test_cross_source_overlap_hand_values(spark, tmp_path):
     r = out[("A", "B")]
     assert (r["shared_heads"], r["n_a"], r["n_b"]) == (1, 2, 2)
     assert r["containment"] == 0.5
+
+
+def test_attribution_hand_values(spark, tmp_path):
+    """Last-touch attribution on a hand-built stream: an in-window
+    purchase credits the latest touch THROUGH an intervening non-touch
+    event (the IGNORE NULLS carry), a purchase 8 days after the last
+    touch reports 'none' (7-day lookback expiry), a same-instant
+    touch+purchase attributes via the (ts, event_id) tiebreak with
+    zero elapsed micros, and a touchless user reports 'none'/0."""
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(days=0, secs=0):
+        return t0 + dt.timedelta(days=days, seconds=secs)
+
+    rows = [
+        (1, at(0), 1, "view", 0.0, "{}"),
+        (2, at(1), 1, "click", 0.0, "{}"),
+        (8, at(1, 43200), 1, "error", 0.0, "{}"),  # non-touch interloper
+        (3, at(2), 1, "purchase", 9.0, "{}"),
+        (4, at(9, 1), 1, "purchase", 5.0, "{}"),  # 8d+1s after the click
+        (5, dt.datetime(2024, 2, 1), 2, "click", 0.0, "{}"),
+        (6, dt.datetime(2024, 2, 1), 2, "purchase", 7.0, "{}"),  # tie
+        (7, dt.datetime(2024, 3, 1), 3, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_id"]: r
+        for r in QUERIES["e9_attribution"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {3, 4, 6, 7}
+    p3 = got[3]
+    assert (p3["last_touch_type"], p3["last_touch_id"]) == ("click", 2)
+    assert p3["us_since_touch"] == 86400 * 1_000_000
+    assert p3["n_touches_7d"] == 2
+    p4 = got[4]
+    assert (p4["last_touch_type"], p4["last_touch_id"],
+            p4["us_since_touch"], p4["n_touches_7d"]) == ("none", None, None, 0)
+    p6 = got[6]
+    assert (p6["last_touch_type"], p6["us_since_touch"],
+            p6["n_touches_7d"]) == ("click", 0, 1)
+    p7 = got[7]
+    assert (p7["last_touch_type"], p7["n_touches_7d"]) == ("none", 0)

@@ -556,3 +556,16 @@ def test_cross_source_overlap_distinct_before_pair_join(spark):
     assert "BroadcastHashJoin" in plan
     # in the top-down tree the pair join sits above the distinct aggs
     assert plan.index("Join") < plan.index("HashAggregate")
+
+
+def test_attribution_windows_share_one_shuffle(spark):
+    """e9: the carry-forward rows-window and the range-frame touch
+    count must ride ONE user_id exchange (same partitioning, only the
+    intra-partition sort differs) — two Window operators, one
+    Exchange, no join at all."""
+    import re
+
+    plan = _plan(spark, "e9_attribution")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2
+    assert "Join" not in plan

@@ -66,9 +66,25 @@ def main() -> None:
         )
     u.write.mode("overwrite").parquet(str(ord_link))
 
+    # e9 reads events — 10x copy (event_id offsets, same timestamps and
+    # user_ids: per-user window depth x10, both frames' worst axis)
+    ev_link = x10 / "events.parquet"
+    if ev_link.is_symlink():
+        ev_link.unlink()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    u = ev
+    for i in range(1, 10):
+        u = u.unionByName(
+            ev.withColumn(
+                "event_id", FF.col("event_id") + FF.lit(i * 100_000_000)
+            )
+        )
+    u.write.mode("overwrite").parquet(str(ev_link))
+
     names = sys.argv[1:] or [
         "d17_edit_distance_dedup", "x33_vocab_coverage",
-        "ops6_incremental_agg",
+        "ops6_incremental_agg", "d18_cross_source_overlap",
+        "e9_attribution",
     ]
     print(f"{'query':26s} {'scale':5s} {'rows':>9s} {'sec':>7s} "
           f"{'rows/s':>9s} {'shufW':>10s}")
