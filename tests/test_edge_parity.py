@@ -292,6 +292,9 @@ HOSTILE_EVENT_SWEEP = [
     "e5_retention_cohort",
     "e6_inter_event_gaps",
     "e8_markov_transitions",
+    # e9: u1's same-microsecond burst hits the strictly-preceding rows
+    # frame + (ts, event_id) tiebreak; range-frame boundaries inclusive
+    "e9_attribution",
     # props carry key "p", so e7's $.k extraction is NULL on every row:
     # the all-NULL aggregate paths must agree too
     "e7_variant_extract",
@@ -354,6 +357,7 @@ EMPTY_SWEEP = [
     "d18_cross_source_overlap",
     "x33_vocab_coverage",
     "ops6_incremental_agg",
+    "e9_attribution",
 ]
 
 
