@@ -10834,6 +10834,92 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, x33_vocab_coverage,
 # ops6_incremental_agg, d18_cross_source_overlap, e9_attribution.
+# 100 TB plan notes for the round-1/2 vintage entries, registered before
+# the scale= field existed. Same contract as the inline notes; applied
+# post-registration so each note sits next to its name for grepping.
+# tests/test_oracle_parity.py asserts every registry entry carries one.
+_SCALE_NOTES = {
+    "a6_histogram": "row-local bucket id + ONE two-phase hash agg; "
+    "output is bucket-count-sized, never row-sized",
+    "d4_simhash": "row-local token hashing; bit-majority as per-doc "
+    "conditional sums in ONE map-side-combined doc-keyed agg",
+    "e1_json_extract": "map-side JSON path extraction + one tiny "
+    "event_type agg; malformed payloads degrade to NULL row-locally "
+    "instead of failing the job",
+    "f_conditional_pack": "pure map-side column expressions — zero "
+    "shuffles, whole-stage codegen end to end",
+    "f_string_pack": "pure map-side string expressions — zero shuffles",
+    "f_array_pack": "row-local array folds (F.aggregate over a slice) — "
+    "zero shuffles; vector length bounds per-row cost",
+    "f_date_pack": "pure map-side date-field extraction — zero "
+    "shuffles; UTC-pinned so results are session-independent",
+    "f_scalar_pack": "pure map-side scalar expressions, money through "
+    "decimal (rule 1) — zero shuffles",
+    "g1_rollup": "two broadcast dim joins + Expand(3 grouping sets) "
+    "feeding ONE hash-agg exchange; output is group-count-sized",
+    "g2_pivot": "pivot with an EXPLICIT value list = 3 conditional "
+    "sums in ONE two-phase agg — no second job to discover pivot "
+    "values (the unpinned-pivot trap at scale)",
+    "w3_lag_delta": "ONE user_id exchange + intra-partition sort; lag "
+    "is O(1) per row with no state beyond the previous row",
+    "x1_language_scores": "row-local tokenization; per-doc stopword "
+    "ratios as conditional sums in one map-side-combined agg; the "
+    "argmax is row-local over a fixed language set",
+    "x2_quality_scores": "one token explode + per-doc hash agg; all "
+    "ratios row-local and nullif-guarded (blank docs yield NULL, not "
+    "an ANSI job failure)",
+    "x3_token_counts": "pure map-side regex token counting — zero "
+    "shuffles",
+    "x4_fingerprints": "shingling row-local; min-wise digest + count "
+    "in ONE map-side-combinable doc-keyed agg",
+    "p1_filter_null": "null-normalization row-local, filter pushed to "
+    "the scan; ONE tiny hash agg (3 flag groups)",
+    "p2_filter_compare": "pushed-down scan filter + projection — "
+    "map-only, zero shuffles",
+    "p7_derived_date": "row-local date derivation + ONE two-phase agg "
+    "on date-cardinality keys",
+    "p8_arith_column": "map-only exact-decimal arithmetic (rule 1), "
+    "double only at the edge — zero shuffles",
+    "j2_join_left": "the partkey join exchange doubles as the agg "
+    "partitioning — one shuffle per side, none after the join; "
+    "missing-part NULL sums coalesce to zero row-locally",
+    "j3_join_semi": "probe side filtered AT THE SCAN before the semi "
+    "join; semi never duplicates or widens rows — at test SF the "
+    "filtered side broadcasts, at 100 TB it is a key-partitioned "
+    "hash join",
+    "j4_join_anti": "same shape as j3 with anti semantics — the "
+    "not-exists set never materializes wider than (key)",
+    "a2_daily_summary": "two-phase agg; exact countDistinct costs one "
+    "extra per-(date, orderkey) dedup exchange — swap to a15's "
+    "mergeable HLL when approximate is acceptable",
+    "a3_global_agg": "all-partition partials collapse to ONE final "
+    "row — no collect(); exact countDistinct adds one key dedup "
+    "exchange",
+    "u1_union": "union is plan-level concat (zero shuffle); the "
+    "distinct is ONE hash agg on the key",
+    "u2_intersect": "set op plans as a key-partitioned agg/join pair "
+    "— one exchange per side, inputs pre-filtered at the scan",
+    "u3_except": "same one-exchange-per-side set-op shape as u2",
+    "u5_except_all": "bag semantics via per-row multiplicity counts — "
+    "still one exchange per side, no row explosion",
+    "f7_explode_tokens": "explode row-local; ONE token-keyed "
+    "two-phase agg, Zipf-collapsed by the map-side combine",
+    "w2_rank_topn": "broadcast dim join + ONE n_name exchange for the "
+    "rank window; rank<=N filter right after — never a global sort",
+    "e2_sessionize": "ONE user_id exchange: lag, gap flag, and the "
+    "running session-id sum share the same window spec; the session "
+    "agg reuses the partitioning",
+    "d5_simhash_pairs": "pigeonhole band blocking (hamming<=3 over 4 "
+    "bands forces equality in one band): candidates come from a "
+    "band-bucket equi-join, verification is row-local XOR popcount — "
+    "never all-pairs",
+}
+for _n, _s in _SCALE_NOTES.items():
+    assert _n in QUERIES and not QUERIES[_n].scale, _n
+    QUERIES[_n].scale = _s
+del _n, _s
+
+
 _DRIVER_SAMPLE = [
     # never-driver-verified (5): round-6 queue + round-7 registrations
     "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",
