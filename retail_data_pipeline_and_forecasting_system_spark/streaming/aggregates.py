@@ -352,3 +352,137 @@ def streaming_transitions(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    value_col: str = "value",
+    lookback_us: int = 7 * 86400 * 1_000_000,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Last-touch attribution on a stream — the stateful twin of the
+    batch ``e9_attribution`` window pair. Per-user group state carries
+    (a) the latest touch (its micros/id/type) for the strictly-
+    preceding carry-forward, and (b) the touch timestamps still inside
+    the lookback for the range-frame count; both are exactly what the
+    batch windows recompute from history.
+
+    Tie semantics match the batch frames precisely: the carry-forward
+    is strictly-preceding in (ts, seq) order — a same-instant touch
+    with a LOWER seq attributes, a higher one does not — while the
+    7-day touch count is a RANGE frame, so same-instant touches count
+    regardless of seq order. The implementation therefore walks rows
+    sequentially for the carry, but counts touches against the FULL
+    batch+state touch list (searchsorted over sorted micros).
+
+    In-order contract (same as streaming_transitions): epochs must
+    arrive time-ordered per user (day-partitioned file drains do), and
+    a same-instant tie group must not split across an epoch boundary —
+    a later epoch's same-instant touch cannot count for an already-
+    emitted purchase. State per user is one small struct plus the
+    lookback's touch times (evicted past the window every batch) — at
+    100 TB it shards by user and never grows with history.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    user_field = events.schema[user_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(seq_col, T.LongType(), False),
+            T.StructField(user_col, user_field.dataType, False),
+            T.StructField("last_touch_type", T.StringType(), False),
+            T.StructField("last_touch_id", T.LongType(), True),
+            T.StructField("us_since_touch", T.LongType(), True),
+            T.StructField("n_touches_7d", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("t_us", T.LongType(), True),
+            T.StructField("t_id", T.LongType(), True),
+            T.StructField("t_type", T.StringType(), True),
+            T.StructField("touch_us", T.ArrayType(T.LongType()), True),
+        ]
+    )
+
+    def attach(key, batches, state: GroupState):
+        (user,) = key
+        if state.exists:
+            last_us, last_id, last_type, kept = state.get
+            touch_us = sorted(kept or [])
+        else:
+            last_us = last_id = last_type = None
+            touch_us = []
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            pdf = pdf.sort_values(
+                [ts_col, seq_col], kind="mergesort"
+            ).reset_index(drop=True)
+            us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+            types = pdf[type_col].to_numpy()
+            seqs = pdf[seq_col].to_numpy()
+            # range-frame pool: state touches + ALL of this batch's
+            # touches (same-instant ones count regardless of seq order)
+            is_t = np.isin(types, list(touch_types))
+            pool = np.sort(
+                np.concatenate([np.asarray(touch_us, dtype="int64"),
+                                us[is_t]])
+            )
+            rows = []
+            for i in range(len(pdf)):
+                if types[i] == conversion_type:
+                    lo = np.searchsorted(pool, us[i] - lookback_us, "left")
+                    hi = np.searchsorted(pool, us[i], "right")
+                    n7 = int(hi - lo)
+                    if (
+                        last_us is not None
+                        and us[i] - last_us <= lookback_us
+                    ):
+                        rows.append(
+                            (int(seqs[i]), user, last_type,
+                             int(last_id), int(us[i] - last_us), n7)
+                        )
+                    else:
+                        rows.append(
+                            (int(seqs[i]), user, "none", None, None, n7)
+                        )
+                elif is_t[i]:
+                    last_us, last_id, last_type = (
+                        int(us[i]), int(seqs[i]), str(types[i])
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[seq_col, user_col, "last_touch_type",
+                             "last_touch_id", "us_since_touch",
+                             "n_touches_7d"],
+                )
+            # evict touches that can never count again (strictly older
+            # than the lookback behind the newest event seen)
+            horizon = int(us[-1]) - lookback_us
+            touch_us = [int(t) for t in pool if t >= horizon]
+        state.update((last_us, last_id, last_type, touch_us))
+
+    return (
+        events.groupBy(user_col)
+        .applyInPandasWithState(
+            attach,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

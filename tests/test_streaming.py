@@ -743,3 +743,71 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path):
         for r in QUERIES["h7_ohlc_bars"].fn(spark, str(tmp_path)).collect()
     }
     assert got == want and len(got) > 50
+
+
+def test_streaming_attribution_matches_batch_e9(spark, tmp_path):
+    """Last-touch attribution with cross-micro-batch state: a 3-slice
+    time-ordered replay of the events table yields exactly the batch
+    e9 window pair's output — carried state supplies the cross-slice
+    last touch AND the range-frame touch count (ties never split
+    slices: the percentile bounds cut between distinct timestamps)."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+        _t,
+    )
+    from retail_data_pipeline_and_forecasting_system_spark.streaming.aggregates import (
+        streaming_attribution,
+    )
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    bounds = ev.selectExpr(
+        "percentile(cast(ts as long), array(0.33, 0.66)) AS b"
+    ).head()["b"]
+    slices = [
+        ev.filter(F.col("ts").cast("long") <= bounds[0]),
+        ev.filter(
+            (F.col("ts").cast("long") > bounds[0])
+            & (F.col("ts").cast("long") <= bounds[1])
+        ),
+        ev.filter(F.col("ts").cast("long") > bounds[1]),
+    ]
+    for i, sl in enumerate(slices):
+        p = in_dir / f"slice_{i}.parquet"
+        sl.coalesce(1).write.mode("overwrite").parquet(str(p))
+        ts = time.time() - 100 + i
+        os.utime(p, (ts, ts))
+        for f in Path(p).glob("*"):
+            os.utime(f, (ts, ts))
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(in_dir / "*.parquet"))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        streaming_attribution(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+    cols = ["last_touch_type", "last_touch_id", "us_since_touch",
+            "n_touches_7d"]
+    got = {
+        r["event_id"]: tuple(r[c] for c in cols)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["event_id"]: tuple(r[c] for c in cols)
+        for r in QUERIES["e9_attribution"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want
