@@ -22,7 +22,10 @@ only = set(sys.argv[1:])  # optional: verify just these query names
 spark = get_session("verify")
 print("entry rows:", e.entry(spark).count())
 con = duckdb.connect()
-sf = "/root/testdata/sf0.01"
+# override with VERIFY_SF_DIR to run the same compare at another scale
+import os  # noqa: E402
+
+sf = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
 for t in [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
