@@ -408,3 +408,67 @@ def test_edit_distance_dedup_randomized_differential(spark, seed):
         ).collect()
     }
     assert got == best
+
+
+@pytest.mark.parametrize("seed", [11, 503])
+def test_attribution_randomized_differential(spark, tmp_path, seed):
+    """Randomized differential test for e9: random event streams with
+    DELIBERATE timestamp collisions (seconds drawn from a small grid
+    over ~20 days) checked against an independent pure-Python forward
+    pass — strictly-preceding carry in (ts, event_id) order, range-
+    frame touch count order-blind, 7-day boundary inclusive. Exercises
+    the tie and expiry edges far beyond the hand stream."""
+    import random
+
+    rng = random.Random(seed)
+    LB = 7 * 86400 * 1_000_000
+    rows = []
+    eid = 0
+    for user in range(1, 41):
+        for _ in range(rng.randint(1, 15)):
+            eid += 1
+            day = rng.randint(0, 19)
+            sec = rng.choice([0, 1, 30, 86399])  # heavy collisions
+            ts = dt.datetime(2024, 3, 1) + dt.timedelta(
+                days=day, seconds=sec
+            )
+            etype = rng.choice(
+                ["view", "click", "purchase", "error", "signup"]
+            )
+            rows.append((eid, ts, user, etype, 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    # independent python oracle
+    want = {}
+    byuser: dict[int, list] = {}
+    for eid_, ts, user, etype, _v, _p in rows:
+        byuser.setdefault(user, []).append(
+            (int(ts.timestamp() * 1_000_000), eid_, etype)
+        )
+    for user, evs in byuser.items():
+        evs.sort()
+        touch_pool = [u for u, _i, t in evs if t in ("view", "click")]
+        last = None  # (us, id, type)
+        for us, eid_, etype in evs:
+            if etype == "purchase":
+                n7 = sum(1 for tu in touch_pool if us - LB <= tu <= us)
+                if last is not None and us - last[0] <= LB:
+                    want[eid_] = ("click" if last[2] == "click" else
+                                  last[2], last[1], us - last[0], n7)
+                else:
+                    want[eid_] = ("none", None, None, n7)
+            elif etype in ("view", "click"):
+                last = (us, eid_, etype)
+
+    got = {
+        r["event_id"]: (r["last_touch_type"], r["last_touch_id"],
+                        r["us_since_touch"], r["n_touches_7d"])
+        for r in QUERIES["e9_attribution"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == want
