@@ -1,4 +1,5 @@
 from .aggregates import (  # noqa: F401
+    streaming_attribution,
     streaming_daily_summary,
     streaming_enrich_static,
     streaming_funnel_join,
@@ -34,4 +35,9 @@ from .sinks import (  # noqa: F401
     idempotent_parquet_sink,
     quarantine_parquet_sink,
     vacuum_epoch_partitions,
+)
+from .rollup_stream import (  # noqa: F401
+    read_rollup_state,
+    rollup_state_sink,
+    run_rollup_ingest,
 )
