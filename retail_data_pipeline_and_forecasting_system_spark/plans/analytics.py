@@ -10833,7 +10833,82 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, x33_vocab_coverage,
-# ops6_incremental_agg, d18_cross_source_overlap, e9_attribution.
+# ops6_incremental_agg, d18_cross_source_overlap, e9_attribution,
+# ev5_dedup_recall.
+_EV5_SQL_TMPL = """
+    WITH truth AS (
+      SELECT doc_a, doc_b FROM ({d2}) __t
+    ), det AS (
+      SELECT doc_a, doc_b FROM ({d3}) __d
+    ), tc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth
+    ), dc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_detected FROM det
+    ), hc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hit
+      FROM truth t JOIN det d
+        ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b
+    )
+    SELECT n_true, n_detected, n_hit,
+      n_hit / CAST(nullif(n_true, 0) AS DOUBLE) AS recall_v,
+      n_hit / CAST(nullif(n_detected, 0) AS DOUBLE) AS precision_v
+    FROM tc, dc, hc
+"""
+
+
+@q(
+    "ev5_dedup_recall",
+    sql=_EV5_SQL_TMPL.format(
+        d2=QUERIES["d2_jaccard_pairs"].sql,
+        d3=QUERIES["d3_minhash_lsh"].sql,
+    ),
+    ref="evaluation family: recall/precision of the MinHash-LSH "
+    "near-dup detector (d3) against the exhaustive rare-shingle "
+    "Jaccard truth (d2) at the same 0.35 threshold — THE metric for "
+    "sizing bands/hashes (banding trades recall for candidate count; "
+    "this prices the trade on the live corpus). Both sides splice the "
+    "REGISTERED queries (the ev3 pattern: oracle embeds d2's and d3's "
+    "SQL, Spark calls their fns), so detector, truth, and eval can "
+    "never drift apart",
+    scale="rides d2's and d3's own plans (see those entries); the "
+    "evaluation adds two count aggs and one pair-keyed equi join on "
+    "frames that are pair-sized, not corpus-sized; the three scalars "
+    "combine via broadcast crossJoin of 1-row aggregates (the "
+    "ratio-to-report shape)",
+)
+def ev5_dedup_recall(spark, sf):
+    # each side feeds a count AND the hit join — persist both or the
+    # full shingle/banding plans execute twice
+    truth = _persist_tracked(
+        QUERIES["d2_jaccard_pairs"].fn(spark, sf).select("doc_a", "doc_b")
+    )
+    det = _persist_tracked(
+        QUERIES["d3_minhash_lsh"].fn(spark, sf).select("doc_a", "doc_b")
+    )
+    tc = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    dc = det.agg(F.count(F.lit(1)).cast("bigint").alias("n_detected"))
+    hc = truth.join(det, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        tc.crossJoin(F.broadcast(dc))
+        .crossJoin(F.broadcast(hc))
+        .select(
+            "n_true",
+            "n_detected",
+            "n_hit",
+            (
+                F.col("n_hit")
+                / F.nullif(F.col("n_true"), F.lit(0)).cast("double")
+            ).alias("recall_v"),
+            (
+                F.col("n_hit")
+                / F.nullif(F.col("n_detected"), F.lit(0)).cast("double")
+            ).alias("precision_v"),
+        )
+    )
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.

@@ -358,6 +358,7 @@ EMPTY_SWEEP = [
     "x33_vocab_coverage",
     "ops6_incremental_agg",
     "e9_attribution",
+    "ev5_dedup_recall",  # zero pairs both sides -> NULL ratios
 ]
 
 

@@ -472,3 +472,26 @@ def test_attribution_randomized_differential(spark, tmp_path, seed):
         .collect()
     }
     assert got == want
+
+
+def test_dedup_recall_hand_values(spark, tmp_path):
+    """ev5 arithmetic on a corpus with exactly one true near-dup pair
+    (word-level Jaccard 1.0 after the rare-shingle cap — identical
+    texts always survive banding) and two unrelated docs: every count
+    is 1 and both ratios are exactly 1.0. The interesting degenerate
+    paths (zero denominators -> NULL ratios) ride the EMPTY_SWEEP."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s0", 30),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "s1", 30),
+        (3, "one two three four five six seven", "en", "s0", 30),
+        (4, "red green blue cyan magenta yellow", "en", "s1", 30),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    [r] = QUERIES["ev5_dedup_recall"].fn(spark, str(tmp_path)).collect()
+    assert (r["n_true"], r["n_detected"], r["n_hit"]) == (1, 1, 1)
+    assert (r["recall_v"], r["precision_v"]) == (1.0, 1.0)

@@ -569,3 +569,14 @@ def test_attribution_windows_share_one_shuffle(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2
     assert "Join" not in plan
+
+
+def test_dedup_recall_reuses_both_pair_caches(spark):
+    """ev5: truth (d2) and detected (d3) pair frames each feed a count
+    AND the hit join — both must be persisted so their full shingle/
+    banding plans build once (>=4 cache consumers); the only nested-
+    loop joins are the sanctioned broadcast crossJoins of 1-row
+    aggregates (the ratio-to-report shape)."""
+    plan = _plan(spark, "ev5_dedup_recall")
+    assert plan.count("InMemoryTableScan") >= 4
+    assert "CartesianProduct" not in plan
