@@ -10834,7 +10834,126 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, x33_vocab_coverage,
 # ops6_incremental_agg, d18_cross_source_overlap, e9_attribution,
-# ev5_dedup_recall.
+# ev5_dedup_recall, dq3_column_profile.
+@q(
+    "dq3_column_profile",
+    sql="""
+    WITH a AS (
+      SELECT count(*) AS n_rows,
+        SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_ok,
+        count(DISTINCT o_orderkey) AS nd_ok,
+        CAST(min(o_orderkey) AS VARCHAR) AS mn_ok,
+        CAST(max(o_orderkey) AS VARCHAR) AS mx_ok,
+        SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_ck,
+        count(DISTINCT o_custkey) AS nd_ck,
+        CAST(min(o_custkey) AS VARCHAR) AS mn_ck,
+        CAST(max(o_custkey) AS VARCHAR) AS mx_ck,
+        SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_st,
+        count(DISTINCT o_orderstatus) AS nd_st,
+        min(o_orderstatus) AS mn_st,
+        max(o_orderstatus) AS mx_st,
+        SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_tp,
+        count(DISTINCT o_totalprice) AS nd_tp,
+        CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mn_tp,
+        CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mx_tp,
+        SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn_od,
+        count(DISTINCT o_orderdate) AS nd_od,
+        CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS mn_od,
+        CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS mx_od
+      FROM orders
+    )
+    SELECT col_name, n_rows, n_nulls, n_distinct, min_s, max_s FROM (
+      SELECT 'o_orderkey' AS col_name, n_rows,
+        CAST(nn_ok AS BIGINT) AS n_nulls, CAST(nd_ok AS BIGINT)
+          AS n_distinct, mn_ok AS min_s, mx_ok AS max_s FROM a
+      UNION ALL SELECT 'o_custkey', n_rows, CAST(nn_ck AS BIGINT),
+        CAST(nd_ck AS BIGINT), mn_ck, mx_ck FROM a
+      UNION ALL SELECT 'o_orderstatus', n_rows, CAST(nn_st AS BIGINT),
+        CAST(nd_st AS BIGINT), mn_st, mx_st FROM a
+      UNION ALL SELECT 'o_totalprice', n_rows, CAST(nn_tp AS BIGINT),
+        CAST(nd_tp AS BIGINT), mn_tp, mx_tp FROM a
+      UNION ALL SELECT 'o_orderdate', n_rows, CAST(nn_od AS BIGINT),
+        CAST(nd_od AS BIGINT), mn_od, mx_od FROM a
+    )
+    """,
+    ref="platform staple: one-pass column profiling of a table — per "
+    "column: null count, exact distinct count, portable min/max "
+    "rendering (ints raw, money through DECIMAL(18,2) so the string "
+    "is engine-independent — a raw double->string differs across "
+    "engines — timestamps at DATE grain). The first query every "
+    "ingest pipeline runs against a new feed; dq1/dq2 then enforce "
+    "what this discovers",
+    scale="ONE scan with every column's aggregates fused; the "
+    "long-form output is a plan-level unpivot of the single agg row "
+    "(5 literal-tagged selects, no second read). Exact per-column "
+    "countDistinct is the one scale expense (Spark expands each into "
+    "its own partial dedup) — swap to a15's HLL sketches when "
+    "approximate cardinality is acceptable at 100 TB",
+)
+def dq3_column_profile(spark, sf):
+    o = _t(spark, sf, "orders")
+
+    def _null_count(c):
+        return F.sum(F.col(c).isNull().cast("int")).cast("bigint")
+
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _null_count("o_orderkey").alias("nn_ok"),
+        F.countDistinct("o_orderkey").alias("nd_ok"),
+        F.min("o_orderkey").cast("string").alias("mn_ok"),
+        F.max("o_orderkey").cast("string").alias("mx_ok"),
+        _null_count("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("string").alias("mn_ck"),
+        F.max("o_custkey").cast("string").alias("mx_ck"),
+        _null_count("o_orderstatus").alias("nn_st"),
+        F.countDistinct("o_orderstatus").alias("nd_st"),
+        F.min("o_orderstatus").alias("mn_st"),
+        F.max("o_orderstatus").alias("mx_st"),
+        _null_count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("mn_tp"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("mx_tp"),
+        _null_count("o_orderdate").alias("nn_od"),
+        F.countDistinct("o_orderdate").alias("nd_od"),
+        F.min("o_orderdate").cast("date").cast("string").alias("mn_od"),
+        F.max("o_orderdate").cast("date").cast("string").alias("mx_od"),
+    )
+    rows = [
+        ("o_orderkey", "nn_ok", "nd_ok", "mn_ok", "mx_ok"),
+        ("o_custkey", "nn_ck", "nd_ck", "mn_ck", "mx_ck"),
+        ("o_orderstatus", "nn_st", "nd_st", "mn_st", "mx_st"),
+        ("o_totalprice", "nn_tp", "nd_tp", "mn_tp", "mx_tp"),
+        ("o_orderdate", "nn_od", "nd_od", "mn_od", "mx_od"),
+    ]
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("col_name"),
+                    F.col(nn).cast("bigint").alias("n_nulls"),
+                    F.col(nd).cast("bigint").alias("n_distinct"),
+                    F.col(mn).alias("min_s"),
+                    F.col(mx).alias("max_s"),
+                )
+                for name, nn, nd, mn, mx in rows
+            ]
+        )
+    ).alias("p")
+    return a.select("n_rows", stack).select(
+        F.col("p.col_name").alias("col_name"),
+        "n_rows",
+        F.col("p.n_nulls").alias("n_nulls"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_s").alias("min_s"),
+        F.col("p.max_s").alias("max_s"),
+    )
+
+
 _EV5_SQL_TMPL = """
     WITH truth AS (
       SELECT doc_a, doc_b FROM ({d2}) __t

@@ -495,3 +495,41 @@ def test_dedup_recall_hand_values(spark, tmp_path):
     [r] = QUERIES["ev5_dedup_recall"].fn(spark, str(tmp_path)).collect()
     assert (r["n_true"], r["n_detected"], r["n_hit"]) == (1, 1, 1)
     assert (r["recall_v"], r["precision_v"]) == (1.0, 1.0)
+
+
+def test_column_profile_hand_values(spark, tmp_path):
+    """dq3 on a 3-row table with a NULL in three different columns and
+    a duplicated money value: per-column null counts, NULL-excluded
+    distinct counts, and the portable min/max renderings (int raw,
+    money as DECIMAL(18,2) string, timestamp at DATE grain) are all
+    hand-checkable."""
+    rows = [
+        (1, 10, "O", 100.50, dt.datetime(2024, 1, 1)),
+        (2, 10, None, None, dt.datetime(2024, 1, 2)),
+        (3, 20, "F", 100.50, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["col_name"]: r
+        for r in QUERIES["dq3_column_profile"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert all(r["n_rows"] == 3 for r in got.values())
+    ok = got["o_orderkey"]
+    assert (ok["n_nulls"], ok["n_distinct"], ok["min_s"], ok["max_s"]) == (
+        0, 3, "1", "3")
+    st = got["o_orderstatus"]
+    assert (st["n_nulls"], st["n_distinct"], st["min_s"], st["max_s"]) == (
+        1, 2, "F", "O")
+    tp = got["o_totalprice"]
+    assert (tp["n_nulls"], tp["n_distinct"], tp["min_s"], tp["max_s"]) == (
+        1, 1, "100.50", "100.50")
+    od = got["o_orderdate"]
+    assert (od["n_nulls"], od["n_distinct"], od["min_s"], od["max_s"]) == (
+        1, 2, "2024-01-01", "2024-01-02")

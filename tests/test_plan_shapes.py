@@ -580,3 +580,14 @@ def test_dedup_recall_reuses_both_pair_caches(spark):
     plan = _plan(spark, "ev5_dedup_recall")
     assert plan.count("InMemoryTableScan") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_column_profile_single_scan(spark):
+    """dq3: all five columns' profiles fuse into aggregates over ONE
+    table read (the multi-countDistinct Expand still feeds from a
+    single scan); the long-form output is a plan-level unpivot, never
+    a second read."""
+    import re
+
+    plan = _plan(spark, "dq3_column_profile")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
