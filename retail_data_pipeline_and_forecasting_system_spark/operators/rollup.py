@@ -45,16 +45,38 @@ def rollup_state(
 
 
 def merge_rollup_states(
-    a: DataFrame, b: DataFrame, key_col: str = "o_custkey"
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str = "o_custkey",
+    keys_nullable: bool = True,
 ) -> DataFrame:
     """Merge two state frames: count+count, exact decimal sum+sum,
     least/greatest of min/max (Spark's least/greatest skip NULLs, so
-    one-sided keys pass through). ONE key-partitioned full-outer join;
-    with both states bucketed by key the merge is shuffle-free."""
+    one-sided keys pass through). ONE key-partitioned full-outer join.
+
+    The key join is NULL-SAFE by default (a groupBy keeps a NULL-key
+    group; an equi join would leave two un-merged NULL rows that
+    compound every epoch in the streaming sink) — but Spark plans a
+    null-safe join by re-partitioning both sides on a coalesce wrapper
+    of the key, which costs two extra state-sized exchanges on top of
+    the agg exchanges it would otherwise reuse. Callers whose key is
+    non-null BY CONTRACT (a foreign key, ops6's o_custkey) pass
+    ``keys_nullable=False`` to keep the plain equi join: the agg
+    exchanges then double as the join partitioning, and with both
+    states bucketed by key the merge is shuffle-free."""
     zero = F.lit("0").cast(STATE_TOTAL_TYPE)
     aa, bb = a.alias("a"), b.alias("b")
-    return aa.join(bb, key_col, "full_outer").select(
-        key_col,
+    if keys_nullable:
+        cond = F.col(f"a.{key_col}").eqNullSafe(F.col(f"b.{key_col}"))
+        joined = aa.join(bb, cond, "full_outer")
+    else:
+        joined = aa.join(bb, key_col, "full_outer")
+    return joined.select(
+        F.coalesce(F.col(f"a.{key_col}"), F.col(f"b.{key_col}")).alias(
+            key_col
+        )
+        if keys_nullable
+        else F.col(key_col),
         (
             F.coalesce(F.col("a.n_orders"), F.lit(0))
             + F.coalesce(F.col("b.n_orders"), F.lit(0))

@@ -10587,9 +10587,14 @@ def e9_attribution(spark, sf):
 )
 def d18_cross_source_overlap(spark, sf):
     docs = _t(spark, sf, "documents")
-    d = docs.select(
-        "source", F.md5(F.substring("text", 1, 64)).alias("k")
-    ).distinct()
+    # four consumers (both self-join sides + the two size lookups) —
+    # persist or the scan+md5+distinct subtree builds for each (the
+    # containment_pairs rule)
+    d = _persist_tracked(
+        docs.select(
+            "source", F.md5(F.substring("text", 1, 64)).alias("k")
+        ).distinct()
+    )
     sizes = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_heads")
     )
@@ -10657,9 +10662,19 @@ def ops6_incremental_agg(spark, sf):
 
     o = _t(spark, sf, "orders")
     split = F.lit("1999-01-01").cast("timestamp")
+    # the split must PARTITION the table: NULL dates fail both `<` and
+    # `>=` (three-valued logic), so route them into the delta side
+    # explicitly or merge == recompute silently loses those rows
     base = rollup_state(o.filter(F.col("o_orderdate") < split))
-    delta = rollup_state(o.filter(F.col("o_orderdate") >= split))
-    merged = merge_rollup_states(base, delta)
+    delta = rollup_state(
+        o.filter(
+            (F.col("o_orderdate") >= split)
+            | F.col("o_orderdate").isNull()
+        )
+    )
+    # o_custkey is a foreign key (non-null by contract): the plain
+    # equi merge keeps the agg exchanges as the join partitioning
+    merged = merge_rollup_states(base, delta, keys_nullable=False)
     # exact decimal state -> double only at the final read (rule 1;
     # |total|·100 « 2^53 so the cast is bit-identical cross-engine)
     return merged.withColumn(
@@ -10744,8 +10759,16 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
     toks = docs.select(
         "source", F.explode(F.split("text", " ")).alias("token")
     )
-    counts = toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # ONE corpus tokenization pass: st (vocab x sources sized) is
+    # persisted and everything downstream — corpus token counts, the
+    # vocab, the flagged table's two consumers — derives from it
+    st = _persist_tracked(
+        toks.groupBy("source", "token").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tcnt")
+        )
+    )
+    counts = st.groupBy("token").agg(
+        F.sum("tcnt").cast("bigint").alias("c")
     )
     wv = W.orderBy(F.desc("c"), "token")
     vocab = (
@@ -10753,11 +10776,10 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
         .filter(F.col("rn") <= vocab_k)
         .select("token", F.lit(True).alias("in_vocab"))
     )
-    st = toks.groupBy("source", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tcnt")
-    )
-    flagged = st.join(F.broadcast(vocab), "token", "left").withColumn(
-        "in_vocab", F.coalesce("in_vocab", F.lit(False))
+    flagged = _persist_tracked(
+        st.join(F.broadcast(vocab), "token", "left").withColumn(
+            "in_vocab", F.coalesce("in_vocab", F.lit(False))
+        )
     )
     agg = flagged.groupBy("source").agg(
         F.sum("tcnt").cast("bigint").alias("total_tokens"),
@@ -10832,9 +10854,9 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # m13_audio_frame_features, n13_nn_descent_graph, ev1_ann_recall,
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
-# d17_edit_distance_dedup, x33_vocab_coverage,
-# ops6_incremental_agg, d18_cross_source_overlap, e9_attribution,
-# ev5_dedup_recall, dq3_column_profile.
+# d17_edit_distance_dedup, e9_attribution, d18_cross_source_overlap,
+# ops6_incremental_agg, x33_vocab_coverage, dq3_column_profile,
+# ev5_dedup_recall.  (listed in registration order)
 @q(
     "dq3_column_profile",
     sql="""

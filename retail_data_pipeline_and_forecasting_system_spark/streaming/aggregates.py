@@ -360,7 +360,6 @@ def streaming_attribution(
     type_col: str = "event_type",
     ts_col: str = "ts",
     seq_col: str = "event_id",
-    value_col: str = "value",
     lookback_us: int = 7 * 86400 * 1_000_000,
     touch_types: tuple[str, ...] = ("view", "click"),
     conversion_type: str = "purchase",

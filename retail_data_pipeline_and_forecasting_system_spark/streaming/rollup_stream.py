@@ -67,9 +67,22 @@ def rollup_state_sink(
             # EPOCH GUARD: agg merges double-count under replay, so a
             # re-fired epoch (crash before checkpoint commit) must be
             # dropped, not re-merged. One scalar off the state table.
+            # batch_id == last is that legitimate replay; batch_id <
+            # last means a DIFFERENT checkpoint lineage (fresh/cleared
+            # checkpoint against an existing table) whose batches
+            # would otherwise be silently discarded — that is an
+            # operator error, so fail loudly instead of no-oping.
             last = cur.agg(F.max("__epoch")).first()[0]
-            if last is not None and batch_id <= last:
-                return  # already applied -> exactly-once
+            if last is not None and batch_id == last:
+                return  # crash-replayed epoch, already applied
+            if last is not None and batch_id < last:
+                raise ValueError(
+                    f"rollup_state_sink: batch_id {batch_id} is behind "
+                    f"the table's last applied epoch {last} — a new "
+                    "checkpoint lineage is pointed at an existing "
+                    "state table; use a fresh table_dir (or resume "
+                    "the original checkpoint)"
+                )
             out = merge_rollup_states(
                 cur.drop("__epoch"), delta, key_col
             )

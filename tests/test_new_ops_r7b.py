@@ -255,6 +255,10 @@ def test_incremental_agg_merge_hand_values(spark, tmp_path):
         (102, 2, 3.25, dt.datetime(2000, 1, 15)),
         (103, 3, 10.50, dt.datetime(1997, 6, 1)),
         (104, 3, 2.25, dt.datetime(1999, 6, 1)),
+        # NULL order date: fails BOTH split predicates under 3-valued
+        # logic — must still be counted (routed into delta) or
+        # merge == recompute silently loses the row
+        (105, 2, 1.00, None),
     ]
     spark.createDataFrame(
         rows,
@@ -271,8 +275,8 @@ def test_incremental_agg_merge_hand_values(spark, tmp_path):
     c1, c2, c3 = got[1], got[2], got[3]
     assert (c1["n_orders"], c1["total_spent"]) == (2, 12.0)
     assert c1["last_order"] == dt.datetime(1998, 9, 1)
-    assert (c2["n_orders"], c2["total_spent"]) == (1, 3.25)
-    assert c2["first_order"] == dt.datetime(2000, 1, 15)
+    assert (c2["n_orders"], c2["total_spent"]) == (2, 4.25)
+    assert c2["first_order"] == dt.datetime(2000, 1, 15)  # min skips NULL
     assert (c3["n_orders"], c3["total_spent"]) == (2, 12.75)
     assert c3["first_order"] == dt.datetime(1997, 6, 1)
     assert c3["last_order"] == dt.datetime(1999, 6, 1)

@@ -541,8 +541,18 @@ def test_incremental_agg_merge_is_one_key_join(spark):
     # exactly the two state exchanges, both keyed on the group key
     ex = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
     assert [e.split("#")[0] for e in ex] == ["o_custkey"] * 2, ex
-    # the base/delta date split reaches BOTH parquet scans
-    assert plan.count("PushedFilters: [IsNotNull(o_orderdate)") == 2
+    # the base/delta date split reaches BOTH parquet scans: base pushes
+    # the strict less-than, delta pushes the NULL-inclusive complement
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "o_orderdate" in ln
+    ]
+    assert len(pushed) == 2, pushed
+    assert any("LessThan(o_orderdate" in ln for ln in pushed)
+    assert any(
+        "GreaterThanOrEqual(o_orderdate" in ln and "IsNull" in ln
+        for ln in pushed
+    ), pushed
 
 
 def test_cross_source_overlap_distinct_before_pair_join(spark):

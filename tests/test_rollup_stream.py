@@ -128,3 +128,51 @@ def test_merge_is_slicing_invariant(spark):
     hi = orders.filter(F.col("o_custkey") > 100)
     merged = merge_rollup_states(rollup_state(lo), rollup_state(hi))
     assert _rows(merged) == _rows(rollup_state(orders))
+
+
+def test_merge_is_null_key_safe(spark):
+    """A NULL group key appears in BOTH state frames: the null-safe
+    full-outer join must merge them into ONE row (an equi join would
+    emit two partial NULL rows that compound every streaming epoch)."""
+    a = spark.createDataFrame(
+        [(None, 2, "3.00", "2024-01-01", "2024-01-02")],
+        "o_custkey long, n_orders long, total_spent string,"
+        " first_order string, last_order string",
+    ).selectExpr(
+        "o_custkey", "n_orders",
+        "CAST(total_spent AS DECIMAL(28,2)) AS total_spent",
+        "CAST(first_order AS TIMESTAMP) AS first_order",
+        "CAST(last_order AS TIMESTAMP) AS last_order",
+    )
+    b = a.selectExpr(
+        "o_custkey", "n_orders + 3 AS n_orders",
+        "CAST('1.50' AS DECIMAL(28,2)) AS total_spent",
+        "CAST('2023-12-01' AS TIMESTAMP) AS first_order",
+        "CAST('2024-05-01' AS TIMESTAMP) AS last_order",
+    )
+    out = merge_rollup_states(a, b).collect()
+    assert len(out) == 1
+    [r] = out
+    assert r["o_custkey"] is None
+    assert r["n_orders"] == 7
+    assert float(r["total_spent"]) == 4.50
+    assert str(r["first_order"]) == "2023-12-01 00:00:00"
+    assert str(r["last_order"]) == "2024-05-01 00:00:00"
+
+
+def test_epoch_guard_rejects_foreign_lineage(spark, tmp_path):
+    """A batch id BEHIND the stored epoch is not a crash replay — it is
+    a new checkpoint lineage pointed at an existing state table, and
+    silently dropping its data would lose rows forever. The sink must
+    raise, not no-op."""
+    import pytest as _pytest
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(ORDER_COLS)
+    a = orders.limit(10)
+    table = str(tmp_path / "state")
+    sink = rollup_state_sink(table)
+    sink(a, 0)
+    sink(a, 5)  # later epoch, fine (merge applies)
+    sink(a, 5)  # replay of the LAST epoch -> silent no-op
+    with _pytest.raises(ValueError, match="behind the table"):
+        sink(a, 2)  # behind the stored epoch -> foreign lineage
