@@ -19,19 +19,26 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def ohlc_order_key(t_ms: Column, event_id: Column) -> Column:
-    """Zero-padded ``t_ms|event_id`` string: lexicographic order equals
+def ohlc_order_key(t_us: Column, event_id: Column) -> Column:
+    """Zero-padded ``t_us|event_id`` string (FULL epoch microseconds —
+    truncating to ms would silently tie sub-ms observations and hand
+    the open/close pick to the event_id tiebreak): lexicographic order
+    equals
     numeric order for non-negative fixed-width ints, and Spark and
     DuckDB compare it identically bytewise — the portable min_by /
     max_by ordering key (DuckDB's ``arg_min`` accepts VARCHAR but not
     STRUCT keys, so a struct key would leave the oracle inexpressible).
 
-    Precondition: both inputs non-negative (epoch-ms timestamps and id
-    sequences are; a negative value would sort before all positives as
-    text and break the equivalence).
+    Preconditions: both inputs non-negative (epoch-us timestamps and
+    id sequences are; a negative value would sort before all positives
+    as text and break the equivalence), and the VALUE column fed to
+    ``ohlc_aggs`` must be non-null — Spark's min_by returns a NULL
+    value landing first in key order while DuckDB's arg_min skips NULL
+    arguments, so callers filter NULL values before aggregating (both
+    h7 and the streaming twin do).
     """
     return F.concat(
-        F.lpad(t_ms.cast("string"), 20, "0"),
+        F.lpad(t_us.cast("string"), 20, "0"),
         F.lit("|"),
         F.lpad(event_id.cast("string"), 20, "0"),
     )

@@ -1538,6 +1538,44 @@ def nn_descent(
     )
 
 
+def _lsh_scored_frame(
+    embeddings, n_queries, n_bits, id_col, vec_col
+):
+    """The ONE evaluation frame ev1 (recall) and ev4 (nDCG) share:
+    queries (id < n_queries) broadcast against the corpus (self
+    excluded), cosine scored once, each candidate tagged with whether
+    its sign-LSH bucket equals the query's. Persisted (tracked) —
+    every caller ranks it at least twice, and the |Q| x |C| cosine
+    product is the dominant stage (round-7 review: ev1/ev4 previously
+    each built their own copy of this block, the exact drift risk
+    their docstrings warn about)."""
+    from pyspark import StorageLevel
+
+    from ..caching import track
+
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sign_lsh_bucket(vec_col, n_bits).alias("qbkt"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        sign_lsh_bucket(vec_col, n_bits).alias("cbkt"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("cbkt") == F.col("qbkt")).alias("same_bkt"),
+            cosine("cvec", "qvec").alias("cs"),
+        )
+    )
+    return track(scored.persist(StorageLevel.MEMORY_AND_DISK))
+
+
 def ann_recall(
     embeddings: DataFrame,
     n_queries: int = 20,
@@ -1563,34 +1601,9 @@ def ann_recall(
     Output: (query_id, n_exact, n_approx, n_hit, recall), recall
     rounded to 6dp for cross-engine hash stability.
     """
-    q = embeddings.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        sign_lsh_bucket(vec_col, n_bits).alias("qbkt"),
+    scored = _lsh_scored_frame(
+        embeddings, n_queries, n_bits, id_col, vec_col
     )
-    c = embeddings.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cvec"),
-        sign_lsh_bucket(vec_col, n_bits).alias("cbkt"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            (F.col("cbkt") == F.col("qbkt")).alias("same_bkt"),
-            cosine("cvec", "qvec").alias("cs"),
-        )
-    )
-    # the |Q| x |C| cosine product feeds exact AND approx (each consumed
-    # twice downstream) — persist it (tracked) or the dominant stage
-    # runs 2x+ per evaluation (round-7 review finding)
-    from pyspark import StorageLevel
-
-    from ..caching import track
-
-    scored = track(scored.persist(StorageLevel.MEMORY_AND_DISK))
     w_exact = Window.partitionBy("query_id").orderBy(F.desc("cs"), "cand_id")
     exact = (
         scored.withColumn("rnk", F.row_number().over(w_exact))
@@ -1674,32 +1687,9 @@ def ann_ndcg(
     probe bucket is empty score 0.0 — the decay signal this metric
     exists to surface.
     """
-    q = embeddings.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        sign_lsh_bucket(vec_col, n_bits).alias("qbkt"),
+    scored = _lsh_scored_frame(
+        embeddings, n_queries, n_bits, id_col, vec_col
     )
-    c = embeddings.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cvec"),
-        sign_lsh_bucket(vec_col, n_bits).alias("cbkt"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            (F.col("cbkt") == F.col("qbkt")).alias("same_bkt"),
-            cosine("cvec", "qvec").alias("cs"),
-        )
-    )
-    # exact and approx both rank this frame (ann_recall's pattern)
-    from pyspark import StorageLevel
-
-    from ..caching import track
-
-    scored = track(scored.persist(StorageLevel.MEMORY_AND_DISK))
     w = Window.partitionBy("query_id").orderBy(F.desc("cs"), "cand_id")
     exact = (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -1760,7 +1750,9 @@ def ann_ndcg(
             )
         ).alias("idcg")
     )
-    spine = q.select("query_id")
+    spine = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id")
+    )
     return (
         spine.join(idcg_q, "query_id", "left")
         .join(

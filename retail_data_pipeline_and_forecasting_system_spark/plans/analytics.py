@@ -10071,9 +10071,9 @@ def x31_duplicate_spans(spark, sf):
     WITH pts AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket_start,
         CAST(value AS DECIMAL(18,4)) AS v,
-        lpad(CAST(epoch_us(ts) // 1000 AS VARCHAR), 20, '0') || '|' ||
+        lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
           lpad(CAST(event_id AS VARCHAR), 20, '0') AS okey
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type, bucket_start,
       CAST(count(*) AS BIGINT) AS n_points,
@@ -10088,7 +10088,8 @@ def x31_duplicate_spans(spark, sf):
     "h-family was missing: open/close are the FIRST/LAST observation by "
     "time (ties broken on event_id, deterministic), high/low plain "
     "min/max. Open/close via min_by/max_by on a zero-padded "
-    "'t_ms|event_id' string key (lexicographic == numeric for "
+    "'t_us|event_id' string key (full microseconds, no lossy ms "
+    "truncation; lexicographic == numeric for "
     "non-negative fixed-width ints, identical bytewise in both "
     "engines; a struct key would be natural but DuckDB's arg_min does "
     "not accept STRUCT). Exactness: values through DECIMAL(18,4) "
@@ -10108,13 +10109,15 @@ def x31_duplicate_spans(spark, sf):
     "state is exactly what a streaming sink can maintain",
 )
 def h7_ohlc_bars(spark, sf):
-    ev = _t(spark, sf, "events")
+    # NULL values are excluded up front: Spark's min_by would return a
+    # NULL landing first in okey order while DuckDB's arg_min skips
+    # NULL arguments — the one input shape where the engines disagree
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull())
     pts = ev.select(
         "event_type",
         F.date_trunc("hour", "ts").alias("bucket_start"),
         dec("value", 4).alias("v"),
-        ohlc_order_key(
-            F.expr("unix_micros(ts) div 1000"), F.col("event_id")
+        ohlc_order_key(F.expr("unix_micros(ts)"), F.col("event_id")
         ).alias("okey"),
     )
     return pts.groupBy("event_type", "bucket_start").agg(
@@ -10139,20 +10142,28 @@ def h7_ohlc_bars(spark, sf):
       FROM pairs
       JOIN n_ord na ON na.pk = pairs.pk_a
       JOIN n_ord nb ON nb.pk = pairs.pk_b
+    ), sym AS (
+      SELECT pk_a, pk_b, co, n_a, n_b, jaccard FROM scored
+      UNION ALL
+      SELECT pk_b, pk_a, co, n_b, n_a, jaccard FROM scored
     )
     SELECT pk_a, pk_b, co, n_a, n_b, jaccard FROM (
       SELECT *, row_number() OVER (
         PARTITION BY pk_a ORDER BY jaccard DESC, co DESC, pk_b) AS rk
-      FROM scored
+      FROM sym
     ) WHERE rk <= 3
     """,
     ref="item-item collaborative filtering (market-basket similarity): "
-    "top-3 most-similar parts per part by co-order Jaccard "
+    "top-3 most-similar parts for EVERY part by co-order Jaccard "
     "(|orders with both| / |orders with either|) — the classic "
     "'customers also bought' recommender primitive over the copurchase "
-    "structure pr1/pr2 analyze as a graph. Exactness: all counts "
-    "integer, one double division rounded to 6 dp, rank ties broken "
-    "(jaccard DESC, co DESC, pk_b) so top-3 is deterministic",
+    "structure pr1/pr2 analyze as a graph. Pairs aggregate once in "
+    "canonical a<b orientation, then the scored table is SYMMETRIZED "
+    "(row-local mirror union) before the per-part rank — without that "
+    "a part only ranks partners with larger keys and the largest key "
+    "gets no list at all. Exactness: all counts integer, one double "
+    "division rounded to 6 dp, rank ties broken (jaccard DESC, co "
+    "DESC, pk_b) so top-3 is deterministic",
     scale="pair generation shuffles the DISTINCT (order, part) table on "
     "orderkey and emits per-basket pairs — bounded by basket size "
     "(TPC-H ≤7 lines → ≤21 pairs/order; at 100 TB the standard cap "
@@ -10212,11 +10223,27 @@ def pr4_item_similarity(spark, sf):
             ),
         )
     )
+    # symmetrize: the canonical a<b table holds each pair once; the
+    # per-part rank needs BOTH orientations. scored feeds the union's
+    # two branches — persist or the pair join builds twice.
+    scored = _persist_tracked(
+        scored.select("pk_a", "pk_b", "co", "n_a", "n_b", "jaccard")
+    )
+    sym = scored.unionByName(
+        scored.select(
+            F.col("pk_b").alias("pk_a"),
+            F.col("pk_a").alias("pk_b"),
+            "co",
+            F.col("n_b").alias("n_a"),
+            F.col("n_a").alias("n_b"),
+            "jaccard",
+        )
+    )
     w = W.partitionBy("pk_a").orderBy(
         F.desc("jaccard"), F.desc("co"), "pk_b"
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        sym.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("pk_a", "pk_b", "co", "n_a", "n_b", "jaccard")
     )

@@ -83,12 +83,12 @@ def streaming_ohlc_bars(
     low_v, close_v) — identical column set to the batch query, proven
     equal on the same input by ``tests/test_streaming.py``.
     """
-    pts = events.select(
+    pts = events.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.col(ts_col),
         F.col("value").cast("decimal(18,4)").alias("v"),
         ohlc_order_key(
-            F.expr(f"unix_micros({ts_col}) div 1000"), F.col("event_id")
+            F.expr(f"unix_micros({ts_col})"), F.col("event_id")
         ).alias("okey"),
     )
     return (

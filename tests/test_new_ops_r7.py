@@ -108,30 +108,34 @@ def test_registry_queries_release_predecessor_caches(spark, sf_dir):
     # RELATIVE to a clean tracker and the session's current block count.
     keep_prior = caching.KEEP_SESSION_CACHES
     caching.KEEP_SESSION_CACHES = False
-    caching.drop_stale()
-    sc = spark.sparkContext
+    try:
+        caching.drop_stale()
+        sc = spark.sparkContext
 
-    def blocks() -> int:
-        return len(sc._jsc.sc().getRDDStorageInfo())
+        def blocks() -> int:
+            return len(sc._jsc.sc().getRDDStorageInfo())
 
-    for _ in range(50):  # unpersist is async; let residue drain
-        if blocks() == 0:
-            break
-        time.sleep(0.1)
-    base = blocks()
+        for _ in range(50):  # unpersist is async; let residue drain
+            if blocks() == 0:
+                break
+            time.sleep(0.1)
+        base = blocks()
 
-    QUERIES["x5_tfidf"].fn(spark, sf_dir).count()  # materializes tf cache
-    assert len(caching._LIVE) == 1
-    assert blocks() >= base + 1
+        QUERIES["x5_tfidf"].fn(spark, sf_dir).count()  # tf cache
+        assert len(caching._LIVE) == 1
+        assert blocks() >= base + 1
 
-    QUERIES["p1_filter_null"].fn(spark, sf_dir).count()
-    assert caching._LIVE == []
-    for _ in range(50):
-        if blocks() <= base:
-            break
-        time.sleep(0.1)
-    assert blocks() <= base
-    caching.KEEP_SESSION_CACHES = keep_prior
+        QUERIES["p1_filter_null"].fn(spark, sf_dir).count()
+        assert caching._LIVE == []
+        for _ in range(50):
+            if blocks() <= base:
+                break
+            time.sleep(0.1)
+        assert blocks() <= base
+    finally:
+        # a mid-assert failure must not leak the forced flag into the
+        # rest of the shared-session suite (round-7 review finding)
+        caching.KEEP_SESSION_CACHES = keep_prior
 
 
 def test_codebook_contiguity_guard():
@@ -293,17 +297,21 @@ def test_nested_registry_entry_does_not_drop_outer_cache(spark, sf_dir):
 
     keep_prior = caching.KEEP_SESSION_CACHES
     caching.KEEP_SESSION_CACHES = False
-    caching.drop_stale()
-    analytics._ENTRY_DEPTH[0] += 1  # simulate being inside an outer query
     try:
-        outer = caching.persist_tracked(spark.range(10))
-        outer.count()
-        # nested entry at depth 1: must NOT drop the outer cache
-        QUERIES["p1_filter_null"].fn(spark, sf_dir).count()
-        assert len(caching._LIVE) == 1
+        caching.drop_stale()
+        analytics._ENTRY_DEPTH[0] += 1  # simulate an outer query
+        try:
+            outer = caching.persist_tracked(spark.range(10))
+            outer.count()
+            # nested entry at depth 1: must NOT drop the outer cache
+            QUERIES["p1_filter_null"].fn(spark, sf_dir).count()
+            assert len(caching._LIVE) == 1
+        finally:
+            analytics._ENTRY_DEPTH[0] -= 1
+        # a genuine outermost entry DOES drop it
+        QUERIES["p2_filter_compare"].fn(spark, sf_dir)
+        assert caching._LIVE == []
     finally:
-        analytics._ENTRY_DEPTH[0] -= 1
-    # a genuine outermost entry DOES drop it
-    QUERIES["p2_filter_compare"].fn(spark, sf_dir)
-    assert caching._LIVE == []
-    caching.KEEP_SESSION_CACHES = keep_prior
+        # a mid-assert failure must not leak the forced flag into the
+        # rest of the shared-session suite (round-7 review finding)
+        caching.KEEP_SESSION_CACHES = keep_prior

@@ -28,6 +28,9 @@ def test_ohlc_hand_values(spark, tmp_path):
         (4, base + dt.timedelta(seconds=30), 1, "trade", 3.0, "{}"),
         # a second bucket: single point -> all four prices equal it
         (5, base + dt.timedelta(hours=1), 2, "quote", 7.25, "{}"),
+        # NULL value: excluded up front (Spark min_by would return it,
+        # DuckDB arg_min would skip it — the one engine divergence)
+        (6, base + dt.timedelta(seconds=40), 1, "trade", None, "{}"),
     ]
     spark.createDataFrame(
         rows,
@@ -40,7 +43,7 @@ def test_ohlc_hand_values(spark, tmp_path):
         for r in QUERIES["h7_ohlc_bars"].fn(spark, str(tmp_path)).collect()
     }
     trade = got["trade"]
-    assert trade["n_points"] == 5
+    assert trade["n_points"] == 5  # the NULL-value row is not a point
     assert trade["open_v"] == 8.0
     assert trade["high_v"] == 9.0
     assert trade["low_v"] == 1.0
@@ -77,15 +80,20 @@ def test_item_similarity_hand_values(spark, tmp_path):
             spark, str(tmp_path)
         ).collect()
     }
-    # p2 and p3 never share an order -> pair generation (an inner join
-    # on co-orders) must not emit (2, 3) at all
-    assert set(out) == {(1, 2), (1, 3)}
+    # p2 and p3 never share an order -> no (2, 3)/(3, 2) rows; the
+    # symmetrized output gives EVERY part its list, with n_a/n_b
+    # swapped on the mirrored orientation
+    assert set(out) == {(1, 2), (2, 1), (1, 3), (3, 1)}
     r12 = out[(1, 2)]
     assert (r12["co"], r12["n_a"], r12["n_b"]) == (2, 3, 2)
     assert r12["jaccard"] == pytest.approx(2 / 3, abs=1e-6)
+    r21 = out[(2, 1)]
+    assert (r21["co"], r21["n_a"], r21["n_b"]) == (2, 2, 3)
+    assert r21["jaccard"] == pytest.approx(2 / 3, abs=1e-6)
     r13 = out[(1, 3)]
     assert (r13["co"], r13["n_a"], r13["n_b"]) == (1, 3, 1)
     assert r13["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+    assert (out[(3, 1)]["n_a"], out[(3, 1)]["n_b"]) == (1, 3)
 
 
 def test_classifier_eval_hand_confusion(spark, tmp_path):

@@ -298,7 +298,7 @@ def test_rerank_stages_have_no_shuffle(spark):
     plan = _plan(spark, "n6_ann_rerank")
     assert "SortMergeJoin" not in plan and "Window" not in plan
     assert "BroadcastHashJoin" in plan
-    assert not re.search(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+    assert not re.search(r"Arguments: hashpartitioning", plan)
 
 
 def test_bloom_prefilter_is_mapside(spark):
@@ -311,7 +311,10 @@ def test_bloom_prefilter_is_mapside(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 2  # 1-row bits frame
     assert "BroadcastHashJoin" in plan  # the exact dim join
-    assert not re.search(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+    # the ONLY hash exchange is the final group-by's, on its agg key —
+    # the fact side itself never hash-shuffles into a join
+    ex = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert [e.split("#")[0] for e in ex] == ["p_brand"], ex
 
 
 def test_jaccard_pairs_plan_caps_shingle_df(spark):
@@ -370,7 +373,7 @@ def test_knn_join_broadcasts_queries_once(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     n_hash_ex = len(
-        re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+        re.findall(r"Arguments: hashpartitioning", plan)
     )
     assert n_hash_ex <= 1, f"extra shuffles: {n_hash_ex}"
 
@@ -434,7 +437,7 @@ def test_hard_negatives_broadcasts_anchors_and_pos(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     n_hash_ex = len(
-        re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+        re.findall(r"Arguments: hashpartitioning", plan)
     )
     assert n_hash_ex <= 2, f"extra shuffles: {n_hash_ex}"
 
@@ -452,7 +455,7 @@ def test_hypertable_point_aggs_single_window_then_agg(spark):
         # the window's hashpartitioning on (event_type, day) is the ONLY
         # hash exchange; the agg reuses it (same keys)
         n_hash_ex = len(
-            re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+            re.findall(r"Arguments: hashpartitioning", plan)
         )
         assert n_hash_ex <= 1, f"{name}: extra shuffles ({n_hash_ex})"
         assert "Exchange rangepartitioning" not in plan, name
@@ -479,7 +482,7 @@ def test_ohlc_partials_combine_before_exchange(spark):
     eid = int(re.search(r"\((\d+)\) Exchange", plan).group(1))
     assert pid < eid, "partial agg must run map-side, before the shuffle"
     n_hash_ex = len(
-        re.findall(r"^\(\d+\) Exchange hashpartitioning", plan, re.M)
+        re.findall(r"Arguments: hashpartitioning", plan)
     )
     assert n_hash_ex <= 1, f"extra shuffles ({n_hash_ex})"
 

@@ -3,11 +3,13 @@ h7_ohlc_bars, pr4_item_similarity, ev3_classifier_eval.
 
 Claims under test:
 
-- **h7**: same shape as h5/h6 — one (event_type, hour) window + one
-  hash agg on the same key. The 10x events copy keeps timestamps, so
-  per-bucket depth grows 10x (the window sort's serial axis, its worst
-  case); wall should track h5/h6's decade cells and shuffle-write
-  should carry only the (t_ms, v, ids) projection, never raw rows.
+- **h7**: ONE two-phase hash aggregate — NO window (the window
+  formulation was the rejected A/B arm; min_by/max_by over the
+  't_us|event_id' key make open/close algebraic). The 10x events copy
+  keeps timestamps, so per-bucket depth grows 10x; wall should stay
+  near-flat and shuffle-write should carry only O(buckets) partial
+  states, never raw rows — the exact property
+  test_ohlc_partials_combine_before_exchange asserts.
 - **pr4**: 10x lineitem under OFFSET orderkeys (same parts) repeats
   every basket 10x — pair volume grows 10x (linearly, because pairs
   are per-basket and baskets are bounded), co-counts combine map-side,
