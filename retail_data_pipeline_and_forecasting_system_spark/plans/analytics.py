@@ -10885,6 +10885,126 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ops6_incremental_agg, x33_vocab_coverage, dq3_column_profile,
 # ev5_dedup_recall.  (listed in registration order)
 @q(
+    "h8_peak_concurrency",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id)) > 1800
+             OR lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+      FROM numbered GROUP BY user_id, session_id
+    ), deltas AS (
+      SELECT s_start AS ts, 1 AS delta FROM sess
+      UNION ALL
+      SELECT s_end AS ts, -1 AS delta FROM sess
+    ), run AS (
+      SELECT ts, CAST(SUM(delta) OVER (ORDER BY ts, delta DESC)
+        AS BIGINT) AS running
+      FROM deltas
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
+      (SELECT max(running) FROM run) AS peak_concurrent,
+      (SELECT min(ts) FROM run
+        WHERE running = (SELECT max(running) FROM run)) AS peak_at
+    """,
+    ref="peak concurrent sessions (the 'peak simultaneous users' "
+    "dashboard number): gap-sessionize (e2's exact rule), turn each "
+    "session into +1/-1 sweep events, and take the running sum's "
+    "maximum and its first timestamp. CLOSED-interval semantics: at a "
+    "tie timestamp +1 sorts before -1 (ORDER BY ts, delta DESC), so a "
+    "session ending at t and one starting at t overlap at t, and a "
+    "single-event session counts at its instant. Determinism under "
+    "ties: the default window frame is RANGE-with-peers in BOTH "
+    "engines, so every row in a (ts, delta) tie group gets the SAME "
+    "running value — no order-dependent intermediate is observable",
+    scale="the sweep is NOT a single global window: Spark computes "
+    "within-WEEK running sums (one bucket-partitioned window), then "
+    "adds each bucket's broadcast carry (cumulative sum of per-bucket "
+    "delta totals — a model-sized table) — the classic two-pass "
+    "distributed prefix sum, so the only single-partition work is "
+    "over O(weeks) rows. The oracle states the same semantics as one "
+    "global window; the driver hash proves the two-pass plan equal. "
+    "Session derivation reuses e2's one-user_id-exchange shape",
+)
+def h8_peak_concurrency(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800)
+            | prev.isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    # sessions feed the sweep twice (starts + ends) and the count
+    sess = _persist_tracked(
+        numbered.groupBy("user_id", "session_id").agg(
+            F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+        )
+    )
+    deltas = sess.select(
+        F.col("s_start").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(F.col("s_end").alias("ts"), F.lit(-1).alias("delta"))
+    ).withColumn("bucket", F.date_trunc("week", "ts"))
+    # two-pass distributed prefix sum: within-bucket running + the
+    # bucket's carry (cumulative earlier-bucket totals, model-sized)
+    w_in = W.partitionBy("bucket").orderBy("ts", F.desc("delta"))
+    btot = deltas.groupBy("bucket").agg(F.sum("delta").alias("btot"))
+    w_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    carry = btot.select(
+        "bucket",
+        F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("carry"),
+    )
+    run = _persist_tracked(
+        deltas.withColumn("run_in", F.sum("delta").over(w_in))
+        .join(F.broadcast(carry), "bucket")
+        .select(
+            "ts",
+            (F.col("run_in") + F.col("carry")).cast("bigint").alias(
+                "running"
+            ),
+        )
+    )
+    n_sessions = sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    pk = run.agg(F.max("running").alias("peak_concurrent"))
+    at = (
+        run.crossJoin(F.broadcast(pk))
+        .filter(F.col("running") == F.col("peak_concurrent"))
+        .agg(F.min("ts").alias("peak_at"))
+    )
+    return n_sessions.crossJoin(F.broadcast(pk)).crossJoin(
+        F.broadcast(at)
+    )
+
+
+@q(
     "dq3_column_profile",
     sql="""
     WITH a AS (

@@ -295,6 +295,7 @@ HOSTILE_EVENT_SWEEP = [
     # e9: u1's same-microsecond burst hits the strictly-preceding rows
     # frame + (ts, event_id) tiebreak; range-frame boundaries inclusive
     "e9_attribution",
+    "h8_peak_concurrency",
     # props carry key "p", so e7's $.k extraction is NULL on every row:
     # the all-NULL aggregate paths must agree too
     "e7_variant_extract",
@@ -359,6 +360,7 @@ EMPTY_SWEEP = [
     "ops6_incremental_agg",
     "e9_attribution",
     "ev5_dedup_recall",  # zero pairs both sides -> NULL ratios
+    "h8_peak_concurrency",  # empty sweep -> NULL peak, 0 sessions
 ]
 
 

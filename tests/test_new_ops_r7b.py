@@ -545,3 +545,53 @@ def test_column_profile_hand_values(spark, tmp_path):
     od = got["o_orderdate"]
     assert (od["n_nulls"], od["n_distinct"], od["min_s"], od["max_s"]) == (
         1, 2, "2024-01-01", "2024-01-02")
+
+
+def _h8_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    [r] = QUERIES["h8_peak_concurrency"].fn(spark, str(tmp_path)).collect()
+    return r
+
+
+def test_peak_concurrency_hand_values(spark, tmp_path):
+    """Closed-interval sweep on hand-placed sessions: u1 [10:00,10:10],
+    u2 and u5 single-event at 10:05, u3 single-event at 10:10 (overlaps
+    u1's endpoint under closed semantics), u4 two events 40 min apart
+    = TWO sessions. Peak is 3 (u1+u2+u5 at 10:05), first reached at
+    10:05; n_sessions counts u4's gap split."""
+    t = lambda h, m: dt.datetime(2024, 3, 6, h, m)  # noqa: E731
+    rows = [
+        (1, t(10, 0), 1, "view", 0.0, "{}"),
+        (2, t(10, 10), 1, "view", 0.0, "{}"),
+        (3, t(10, 5), 2, "view", 0.0, "{}"),
+        (4, t(10, 10), 3, "view", 0.0, "{}"),
+        (5, t(12, 0), 4, "view", 0.0, "{}"),
+        (6, t(12, 40), 4, "view", 0.0, "{}"),  # 40 min gap: new session
+        (7, t(10, 5), 5, "view", 0.0, "{}"),
+    ]
+    r = _h8_events(spark, tmp_path, rows)
+    assert r["n_sessions"] == 6
+    assert r["peak_concurrent"] == 3
+    assert r["peak_at"] == t(10, 5)
+
+
+def test_peak_concurrency_carries_across_buckets(spark, tmp_path):
+    """The two-pass prefix sum's carry: a session straddling the
+    week-boundary bucket (Sun 23:50 -> Mon 00:10, one 20-min-gap
+    session) must still be counted as active inside the next week's
+    bucket — peak 2 at Mon 00:05 when the straddler overlaps a fresh
+    Monday session. A broken carry would report peak 1."""
+    rows = [
+        (1, dt.datetime(2024, 3, 3, 23, 50), 1, "view", 0.0, "{}"),
+        (2, dt.datetime(2024, 3, 4, 0, 10), 1, "view", 0.0, "{}"),
+        (3, dt.datetime(2024, 3, 4, 0, 5), 2, "view", 0.0, "{}"),
+        (4, dt.datetime(2024, 3, 4, 0, 8), 2, "view", 0.0, "{}"),
+    ]
+    r = _h8_events(spark, tmp_path, rows)
+    assert r["n_sessions"] == 2
+    assert r["peak_concurrent"] == 2
+    assert r["peak_at"] == dt.datetime(2024, 3, 4, 0, 5)

@@ -604,3 +604,14 @@ def test_column_profile_single_scan(spark):
 
     plan = _plan(spark, "dq3_column_profile")
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_peak_concurrency_sweep_is_bucket_partitioned(spark):
+    """h8: the sweep's running sum must be a BUCKET-partitioned window
+    (the two-pass prefix sum), never a global window over the delta
+    rows — the only unpartitioned windows run over the O(weeks) carry
+    table and e2's per-user session numbering is user-partitioned."""
+    plan = _plan(spark, "h8_peak_concurrency")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(bucket" in plan
+    assert "windowspecdefinition(user_id" in plan
