@@ -595,3 +595,54 @@ def test_peak_concurrency_carries_across_buckets(spark, tmp_path):
     assert r["n_sessions"] == 2
     assert r["peak_concurrent"] == 2
     assert r["peak_at"] == dt.datetime(2024, 3, 4, 0, 5)
+
+
+@pytest.mark.parametrize("seed", [19, 877])
+def test_peak_concurrency_randomized_differential(spark, tmp_path, seed):
+    """Randomized differential for h8: random event streams with heavy
+    timestamp collisions, checked against an independent pure-Python
+    sessionize + closed-interval sweep (sessions ending at t overlap
+    sessions starting at t; single-event sessions count at their
+    instant; peak_at is the first timestamp reaching the peak)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for user in range(1, 31):
+        for _ in range(rng.randint(1, 10)):
+            eid += 1
+            ts = dt.datetime(2024, 3, 1) + dt.timedelta(
+                minutes=rng.randint(0, 600) * 10  # 10-min grid: ties
+            )
+            rows.append((eid, ts, user, "view", 0.0, "{}"))
+    r = _h8_events(spark, tmp_path, rows)
+
+    # independent python oracle
+    byuser = {}
+    for _eid, ts, user, *_ in rows:
+        byuser.setdefault(user, []).append(ts)
+    sessions = []
+    for user, tss in byuser.items():
+        tss.sort()
+        start = prev = tss[0]
+        for t in tss[1:]:
+            if (t - prev).total_seconds() > 1800:
+                sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+    # closed-interval sweep: at tie instants +1 applies before -1
+    deltas = [(s, 0, 1) for s, _ in sessions] + [
+        (e, 1, -1) for _, e in sessions
+    ]
+    deltas.sort()  # (ts, 0/+1-first, delta)
+    running = peak = 0
+    peak_at = None
+    for ts, _o, d in deltas:
+        running += d
+        if running > peak:
+            peak, peak_at = running, ts
+    assert r["n_sessions"] == len(sessions)
+    assert r["peak_concurrent"] == peak
+    assert r["peak_at"] == peak_at
