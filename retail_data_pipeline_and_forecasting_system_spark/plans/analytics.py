@@ -10882,8 +10882,90 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, e9_attribution, d18_cross_source_overlap,
-# ops6_incremental_agg, x33_vocab_coverage, dq3_column_profile,
-# ev5_dedup_recall.  (listed in registration order)
+# ops6_incremental_agg, x33_vocab_coverage, dq4_robust_outliers,
+# h8_peak_concurrency, dq3_column_profile, ev5_dedup_recall.
+# (listed in registration order)
+@q(
+    "dq4_robust_outliers",
+    sql="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med_v
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type,
+        quantile_cont(abs(e.value - m.med_v), 0.5) AS mad_v
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+      CAST(count(e.value) AS BIGINT) AS n_values,
+      m.med_v AS med_v,
+      d.mad_v AS mad_v,
+      CAST(SUM(CASE WHEN abs(e.value - m.med_v) > 4.4478 * d.mad_v
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      SUM(CASE WHEN abs(e.value - m.med_v) > 4.4478 * d.mad_v
+          THEN 1 ELSE 0 END) / CAST(count(e.value) AS DOUBLE)
+        AS outlier_share
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type, m.med_v, d.mad_v
+    """,
+    ref="robust (median/MAD) outlier profile per group — the "
+    "statistical complement to na2's mean/stddev clip: median and MAD "
+    "are unmoved by the very outliers being hunted (one wild value "
+    "inflates a stddev fence until nothing is an outlier; it cannot "
+    "move a median). Flag = |x - median| > 3 * 1.4826 * MAD (the "
+    "normal-consistency constant, folded to the literal 4.4478 so "
+    "both engines multiply the same two doubles). Exactness: exact "
+    "interpolated percentiles via the a8-proven "
+    "F.percentile/quantile_cont pairing; NULL values excluded from "
+    "counts and never flagged (CASE else-0) in both engines",
+    scale="three passes over a TWO-column projection (median; MAD "
+    "needs deviations FROM that median; flags need both) — the "
+    "projected frame is persisted once and the 5-row med/mad tables "
+    "broadcast back, so no fact-side shuffle ever carries full rows; "
+    "exact per-group percentile sorts are the cost — at 100 TB swap "
+    "approx_percentile (t-digest) for the medians unless the "
+    "contract demands exactness (a8's rule)",
+)
+def dq4_robust_outliers(spark, sf):
+    ev = _persist_tracked(
+        _t(spark, sf, "events").select("event_type", "value")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med_v")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.percentile(
+            F.abs(F.col("value") - F.col("med_v")), 0.5
+        ).alias("mad_v")
+    )
+    flagged = with_med.join(F.broadcast(mad), "event_type").withColumn(
+        "is_out",
+        F.when(
+            F.abs(F.col("value") - F.col("med_v"))
+            > F.lit(4.4478) * F.col("mad_v"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("event_type", "med_v", "mad_v").agg(
+        F.count("value").cast("bigint").alias("n_values"),
+        F.sum("is_out").cast("bigint").alias("n_outliers"),
+        (
+            F.sum("is_out") / F.count("value").cast("double")
+        ).alias("outlier_share"),
+    ).select(
+        "event_type",
+        "n_values",
+        "med_v",
+        "mad_v",
+        "n_outliers",
+        "outlier_share",
+    )
+
+
 @q(
     "h8_peak_concurrency",
     sql="""

@@ -296,6 +296,7 @@ HOSTILE_EVENT_SWEEP = [
     # frame + (ts, event_id) tiebreak; range-frame boundaries inclusive
     "e9_attribution",
     "h8_peak_concurrency",
+    "dq4_robust_outliers",
     # props carry key "p", so e7's $.k extraction is NULL on every row:
     # the all-NULL aggregate paths must agree too
     "e7_variant_extract",
@@ -361,6 +362,7 @@ EMPTY_SWEEP = [
     "e9_attribution",
     "ev5_dedup_recall",  # zero pairs both sides -> NULL ratios
     "h8_peak_concurrency",  # empty sweep -> NULL peak, 0 sessions
+    "dq4_robust_outliers",  # empty input -> zero groups
 ]
 
 

@@ -646,3 +646,39 @@ def test_peak_concurrency_randomized_differential(spark, tmp_path, seed):
     assert r["n_sessions"] == len(sessions)
     assert r["peak_concurrent"] == peak
     assert r["peak_at"] == peak_at
+
+
+def test_robust_outliers_hand_values(spark, tmp_path):
+    """Median/MAD on hand values. Group A = [1,2,3,4,100,NULL]: median
+    3, MAD 1, fence 4.4478 -> only 100 flagged (share 1/5; the NULL is
+    neither counted nor flagged) — note a mean/std fence would MISS it
+    (100 is only ~1.8 sigma in this group), the robustness this
+    operator exists for. Group B = [5,5,9]: MAD degenerates to 0, so
+    anything off the median is flagged (9) while the all-equal ties
+    are not."""
+    rows = []
+    eid = 0
+    for v in [1.0, 2.0, 3.0, 4.0, 100.0, None]:
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1), 1, "A", v, "{}"))
+    for v in [5.0, 5.0, 9.0]:
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1), 1, "B", v, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["dq4_robust_outliers"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    a = got["A"]
+    assert (a["n_values"], a["med_v"], a["mad_v"]) == (5, 3.0, 1.0)
+    assert (a["n_outliers"], a["outlier_share"]) == (1, 0.2)
+    b = got["B"]
+    assert (b["med_v"], b["mad_v"]) == (5.0, 0.0)
+    assert b["n_outliers"] == 1  # MAD 0: anything off the median flags

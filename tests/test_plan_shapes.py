@@ -615,3 +615,13 @@ def test_peak_concurrency_sweep_is_bucket_partitioned(spark):
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition(bucket" in plan
     assert "windowspecdefinition(user_id" in plan
+
+
+def test_robust_outliers_broadcasts_stats_back(spark):
+    """dq4: the 5-row med/mad tables must come back as BROADCAST joins
+    (never a fact-side shuffle), and the three passes read the ONE
+    persisted two-column projection."""
+    plan = _plan(spark, "dq4_robust_outliers")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("InMemoryTableScan") >= 3
