@@ -10882,9 +10882,99 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, e9_attribution, d18_cross_source_overlap,
-# ops6_incremental_agg, x33_vocab_coverage, dq4_robust_outliers,
+# ops6_incremental_agg, x33_vocab_coverage, x34_ngram_novelty,
+# dq4_robust_outliers,
 # h8_peak_concurrency, dq3_column_profile, ev5_dedup_recall.
 # (listed in registration order)
+@q(
+    "x34_ngram_novelty",
+    sql="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id,
+        array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 3], ' ')
+          AS gram
+      FROM (
+        SELECT doc_id, w,
+          unnest(range(CAST(len(w) - 2 AS BIGINT))) AS i
+        FROM words WHERE len(w) >= 3
+      )
+    ), dg AS (
+      SELECT DISTINCT doc_id, gram FROM grams
+    ), df AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS n_docs FROM dg
+      GROUP BY gram
+    )
+    SELECT dg.doc_id,
+      CAST(count(*) AS BIGINT) AS n_grams,
+      CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_novel,
+      SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE) AS novelty
+    FROM dg JOIN df USING (gram)
+    GROUP BY dg.doc_id
+    """,
+    ref="LLM-ops: n-gram novelty — per document, the share of its "
+    "DISTINCT word 3-grams that appear in no other document. The "
+    "memorization/boilerplate axis x26 (within-doc repetition) and "
+    "x13 (train/test contamination) do not cover: a low-novelty doc "
+    "is assembled from corpus-common phrasing (near-dup debris, "
+    "templates) even when no single document matches it; "
+    "dedup-aware samplers upweight high-novelty docs. Docs under 3 "
+    "words have no grams and emit no row (both engines)",
+    scale="the inverted gram index is ONE hash agg (doc-distinct "
+    "grams first, so a gram repeated inside a doc counts that doc "
+    "once); df=1 testing joins the doc-gram table back on the gram "
+    "key — both shuffles are gram-keyed and Zipf-collapsed by "
+    "map-side combine; at 100 TB hash grams to md5 so only 16-byte "
+    "keys ride the exchanges (the d16 rule)",
+)
+def x34_ngram_novelty(spark, sf):
+    docs = _t(spark, sf, "documents")
+    words = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 3)
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.size("w") - F.lit(3)
+                ),
+                lambda i: F.array_join(F.slice("w", i + 1, 3), " "),
+            )
+        ).alias("gram"),
+    )
+    # doc-distinct grams feed BOTH the df count and the join-back
+    dg = _persist_tracked(grams.distinct())
+    df_t = dg.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        dg.join(df_t, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("n_docs") == 1, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+            (
+                F.sum(
+                    F.when(F.col("n_docs") == 1, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
 @q(
     "dq4_robust_outliers",
     sql="""

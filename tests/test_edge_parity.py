@@ -182,6 +182,7 @@ HOSTILE_SWEEP = [
     "d17_edit_distance_dedup",
     "d18_cross_source_overlap",
     "x33_vocab_coverage",
+    "x34_ngram_novelty",
 ]
 
 
@@ -363,6 +364,7 @@ EMPTY_SWEEP = [
     "ev5_dedup_recall",  # zero pairs both sides -> NULL ratios
     "h8_peak_concurrency",  # empty sweep -> NULL peak, 0 sessions
     "dq4_robust_outliers",  # empty input -> zero groups
+    "x34_ngram_novelty",  # empty corpus -> zero rows
 ]
 
 

@@ -682,3 +682,36 @@ def test_robust_outliers_hand_values(spark, tmp_path):
     b = got["B"]
     assert (b["med_v"], b["mad_v"]) == (5.0, 0.0)
     assert b["n_outliers"] == 1  # MAD 0: anything off the median flags
+
+
+def test_ngram_novelty_hand_values(spark, tmp_path):
+    """3-gram novelty on a hand corpus: doc 1 'a b c d' has grams
+    {abc, bcd}; doc 2 'a b c' shares abc, so doc 1's novelty is 1/2
+    and doc 2's 0. Doc 3 repeats its unique gram INSIDE itself — the
+    doc-distinct step must still count it novel (df counts docs, not
+    occurrences). Doc 4 has fewer than 3 words -> no output row."""
+    rows = [
+        (1, "a b c d", "s"),
+        (2, "a b c", "s"),
+        (3, "x y z x y z", "s"),  # grams xyz, yzx, zxy, xyz (dup inside)
+        (4, "too short", "s"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["x34_ngram_novelty"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_grams"], got[1]["n_novel"]) == (2, 1)
+    assert got[1]["novelty"] == 0.5
+    assert (got[2]["n_grams"], got[2]["n_novel"], got[2]["novelty"]) == (
+        1, 0, 0.0)
+    # doc 3: distinct grams {xyz, yzx, zxy} (xyz appears twice inside),
+    # all df=1 -> fully novel
+    assert (got[3]["n_grams"], got[3]["n_novel"], got[3]["novelty"]) == (
+        3, 3, 1.0)

@@ -625,3 +625,13 @@ def test_robust_outliers_broadcasts_stats_back(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_ngram_novelty_gram_keyed_shuffles_only(spark):
+    """x34: both shuffles (df count, join-back) key on the gram; the
+    doc-distinct frame is persisted for its two consumers; never a
+    cartesian."""
+    plan = _plan(spark, "x34_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
