@@ -10882,10 +10882,117 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, e9_attribution, d18_cross_source_overlap,
-# ops6_incremental_agg, x33_vocab_coverage, x34_ngram_novelty,
+# ops6_incremental_agg, x33_vocab_coverage, smp7_quota_allocation,
+# x34_ngram_novelty,
 # dq4_robust_outliers,
 # h8_peak_concurrency, dq3_column_profile, ev5_dedup_recall.
 # (listed in registration order)
+@q(
+    "smp7_quota_allocation",
+    sql="""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts
+    ), shares AS (
+      SELECT source, n,
+        (100 * n) // total AS base,
+        (100 * n) % total AS rem
+      FROM counts, tot
+    ), ranked AS (
+      SELECT source, n, base,
+        row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        100 - SUM(base) OVER () AS leftover
+      FROM shares
+    ), quotas AS (
+      SELECT source, n,
+        CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+          AS BIGINT) AS quota
+      FROM ranked
+    ), sel AS (
+      SELECT source,
+        row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS r
+      FROM documents
+    )
+    SELECT q.source, q.n AS n_docs, q.quota,
+      CAST(SUM(CASE WHEN s.r <= q.quota THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_selected
+    FROM quotas q JOIN sel s ON q.source = s.source
+    GROUP BY q.source, q.n, q.quota
+    """,
+    ref="LLM-ops: exact sampling-budget apportionment — split a "
+    "100-doc budget across sources proportionally via LARGEST "
+    "REMAINDER (Hare quota): base = (B*n) div N, the L = B - Σbase "
+    "leftover units go to the largest (B*n) mod N remainders (ties "
+    "by source asc). Every step is INTEGER arithmetic, so the "
+    "apportionment is exact and engine-independent — floats would "
+    "make the remainder ranking a ulp lottery. Selection inside each "
+    "source is the md5(doc_id) hash order (restart-stable, the smp "
+    "house rule); output proves n_selected == quota per source. "
+    "Precondition: budget <= corpus size (else cap at n)",
+    scale="counts are one map-side-combined agg; the apportionment "
+    "runs on the SOURCE-cardinality table (the two single-partition "
+    "windows touch only that model-sized frame); the selection rank "
+    "is one source-partitioned window over the corpus — at 100 TB "
+    "that window's per-source sort is the cost, and a hash-threshold "
+    "approximation (take md5 < quota/n scaled) replaces it when "
+    "exact-k is not contractual",
+)
+def smp7_quota_allocation(spark, sf):
+    docs = _t(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr("(100 * n) div total").alias("base"),
+        ((F.lit(100) * F.col("n")) % F.col("total")).alias("rem"),
+    )
+    w_rk = W.orderBy(F.desc("rem"), "source")
+    w_all = W.rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    quotas = shares.select(
+        "source",
+        "n",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_rk)
+                <= F.lit(100) - F.sum("base").over(w_all),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+    w_sel = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    sel = docs.select(
+        "source", F.row_number().over(w_sel).alias("r")
+    )
+    return (
+        quotas.join(sel, "source")
+        .groupBy("source", F.col("n").alias("n_docs"), "quota")
+        .agg(
+            F.sum(
+                F.when(F.col("r") <= F.col("quota"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_selected")
+        )
+    )
+
+
 @q(
     "x34_ngram_novelty",
     sql="""

@@ -183,6 +183,7 @@ HOSTILE_SWEEP = [
     "d18_cross_source_overlap",
     "x33_vocab_coverage",
     "x34_ngram_novelty",
+    "smp7_quota_allocation",
 ]
 
 
@@ -365,6 +366,7 @@ EMPTY_SWEEP = [
     "h8_peak_concurrency",  # empty sweep -> NULL peak, 0 sessions
     "dq4_robust_outliers",  # empty input -> zero groups
     "x34_ngram_novelty",  # empty corpus -> zero rows
+    "smp7_quota_allocation",  # empty corpus -> zero rows
 ]
 
 

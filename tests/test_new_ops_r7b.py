@@ -715,3 +715,41 @@ def test_ngram_novelty_hand_values(spark, tmp_path):
     # all df=1 -> fully novel
     assert (got[3]["n_grams"], got[3]["n_novel"], got[3]["novelty"]) == (
         3, 3, 1.0)
+
+
+def test_quota_allocation_hand_values(spark, tmp_path):
+    """Largest-remainder apportionment on counts the Hare quota makes
+    interesting: sources of 5/3/2 docs over budget 100... scaled to a
+    10-doc corpus so selection is checkable: A=5, B=3, C=2 -> exact
+    shares 50/30/20, no remainders, quotas land exactly; then a 7/2/1
+    split forces remainder distribution (70/20/10 exact again — so
+    use 6/3/1: shares 60/30/10, still exact...). Counts 5/4/1 give
+    (500,400,100)/10 = 50/40/10 exact. To force remainders use
+    3 sources of 3/3/4 docs: base = 30/30/40, Σ=100 — exact. With 10
+    docs any split is exact (B=100 divisible); so use 13 docs:
+    A=6, B=4, C=3 -> base floor(600/13)=46 r2, floor(400/13)=30 r10,
+    floor(300/13)=23 r1 -> Σbase=99, leftover 1 goes to B (largest
+    remainder 10): quotas 46/31/23 summing to 100. n_selected is
+    capped by n_docs (quota > n here), proving the cap behavior is
+    visible, not hidden."""
+    rows = []
+    eid = 0
+    for src, k in (("A", 6), ("B", 4), ("C", 3)):
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, f"doc {eid} text", src))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["source"]: r
+        for r in QUERIES["smp7_quota_allocation"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert (got["A"]["quota"], got["B"]["quota"], got["C"]["quota"]) == (
+        46, 31, 23)
+    assert sum(r["quota"] for r in got.values()) == 100
+    # budget > corpus here, so selection saturates at n_docs
+    assert all(r["n_selected"] == r["n_docs"] for r in got.values())
