@@ -10882,11 +10882,94 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, e9_attribution, d18_cross_source_overlap,
-# ops6_incremental_agg, x33_vocab_coverage, smp7_quota_allocation,
+# ops6_incremental_agg, x33_vocab_coverage, dq5_ks_drift,
+# smp7_quota_allocation,
 # x34_ngram_novelty,
 # dq4_robust_outliers,
 # h8_peak_concurrency, dq3_column_profile, ev5_dedup_recall.
 # (listed in registration order)
+@q(
+    "dq5_ks_drift",
+    sql="""
+    WITH vals AS (
+      SELECT event_type, value,
+        CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS pre
+      FROM events WHERE value IS NOT NULL
+    ), counts AS (
+      SELECT event_type,
+        CAST(SUM(pre) AS BIGINT) AS n_pre,
+        CAST(SUM(1 - pre) AS BIGINT) AS n_post
+      FROM vals GROUP BY event_type
+    ), cum AS (
+      SELECT v.event_type, c.n_pre, c.n_post,
+        SUM(v.pre) OVER (
+          PARTITION BY v.event_type ORDER BY v.value
+        ) AS c_pre,
+        SUM(1 - v.pre) OVER (
+          PARTITION BY v.event_type ORDER BY v.value
+        ) AS c_post
+      FROM vals v JOIN counts c USING (event_type)
+    )
+    SELECT event_type, n_pre, n_post,
+      max(abs(c_pre / CAST(nullif(n_pre, 0) AS DOUBLE)
+              - c_post / CAST(nullif(n_post, 0) AS DOUBLE))) AS ks_stat
+    FROM cum GROUP BY event_type, n_pre, n_post
+    """,
+    ref="distribution drift: exact two-sample Kolmogorov-Smirnov "
+    "statistic per event_type between the first and second half of "
+    "the month (split 2024-01-16) — max |ECDF_pre − ECDF_post| over "
+    "the pooled values. The alarm that catches a SHAPE change "
+    "(bimodality, tail stretch) that dq4's point fences and x23's "
+    "token drift miss. Exactness: ECDFs are integer cumulative "
+    "counts over the default RANGE-with-peers frame (count of values "
+    "<= v — ties handled identically in both engines), divided by "
+    "integer totals: every double is the same int/int quotient. A "
+    "one-sided group (every value pre or post) has no defined KS: "
+    "nullif keeps it NULL in both engines instead of an ANSI "
+    "divide-by-zero job failure (caught live by the hostile sweep)",
+    scale="ONE (event_type)-keyed window over the pooled values — "
+    "the per-type sort is the cost (exact KS needs the order "
+    "statistic; at 100 TB bucket values into quantile-sketch bins "
+    "and bound the KS between bin edges instead); counts broadcast "
+    "back; the max collapses map-side",
+)
+def dq5_ks_drift(spark, sf):
+    split = F.lit("2024-01-16").cast("timestamp")
+    vals = (
+        _t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            F.when(F.col("ts") < split, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("pre"),
+        )
+    )
+    counts = vals.groupBy("event_type").agg(
+        F.sum("pre").cast("bigint").alias("n_pre"),
+        F.sum(F.lit(1) - F.col("pre")).cast("bigint").alias("n_post"),
+    )
+    w = W.partitionBy("event_type").orderBy("value")
+    cum = vals.join(F.broadcast(counts), "event_type").select(
+        "event_type",
+        "n_pre",
+        "n_post",
+        F.sum("pre").over(w).alias("c_pre"),
+        F.sum(F.lit(1) - F.col("pre")).over(w).alias("c_post"),
+    )
+    return cum.groupBy("event_type", "n_pre", "n_post").agg(
+        F.max(
+            F.abs(
+                F.col("c_pre")
+                / F.nullif(F.col("n_pre"), F.lit(0)).cast("double")
+                - F.col("c_post")
+                / F.nullif(F.col("n_post"), F.lit(0)).cast("double")
+            )
+        ).alias("ks_stat")
+    )
+
+
 @q(
     "smp7_quota_allocation",
     sql="""

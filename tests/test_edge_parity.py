@@ -299,6 +299,7 @@ HOSTILE_EVENT_SWEEP = [
     "e9_attribution",
     "h8_peak_concurrency",
     "dq4_robust_outliers",
+    "dq5_ks_drift",
     # props carry key "p", so e7's $.k extraction is NULL on every row:
     # the all-NULL aggregate paths must agree too
     "e7_variant_extract",
@@ -367,6 +368,7 @@ EMPTY_SWEEP = [
     "dq4_robust_outliers",  # empty input -> zero groups
     "x34_ngram_novelty",  # empty corpus -> zero rows
     "smp7_quota_allocation",  # empty corpus -> zero rows
+    "dq5_ks_drift",  # empty input -> zero groups
 ]
 
 

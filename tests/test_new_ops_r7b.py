@@ -753,3 +753,37 @@ def test_quota_allocation_hand_values(spark, tmp_path):
     assert sum(r["quota"] for r in got.values()) == 100
     # budget > corpus here, so selection saturates at n_docs
     assert all(r["n_selected"] == r["n_docs"] for r in got.values())
+
+
+def test_ks_drift_hand_values(spark, tmp_path):
+    """Two-sample KS by hand: type A pre=[1,2] vs post=[1,3] -> ECDF
+    gap peaks at v=2 (pre 1.0 vs post 0.5): KS 0.5, with the tied
+    value 1 contributing 0 under the count-<=v peers rule. Type B has
+    identical halves -> KS exactly 0. A NULL value is excluded."""
+    pre, post = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)
+    rows = [
+        (1, pre, 1, "A", 1.0, "{}"),
+        (2, pre, 1, "A", 2.0, "{}"),
+        (3, post, 1, "A", 1.0, "{}"),
+        (4, post, 1, "A", 3.0, "{}"),
+        (5, post, 1, "A", None, "{}"),
+        (6, pre, 1, "B", 5.0, "{}"),
+        (7, pre, 1, "B", 6.0, "{}"),
+        (8, post, 1, "B", 5.0, "{}"),
+        (9, post, 1, "B", 6.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["dq5_ks_drift"].fn(spark, str(tmp_path)).collect()
+    }
+    a = got["A"]
+    assert (a["n_pre"], a["n_post"]) == (2, 2)
+    assert a["ks_stat"] == 0.5
+    b = got["B"]
+    assert b["ks_stat"] == 0.0
