@@ -10882,12 +10882,84 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, e9_attribution, d18_cross_source_overlap,
-# ops6_incremental_agg, x33_vocab_coverage, dq5_ks_drift,
+# ops6_incremental_agg, x33_vocab_coverage, n14_filtered_ann,
+# dq5_ks_drift,
 # smp7_quota_allocation,
 # x34_ngram_novelty,
 # dq4_robust_outliers,
 # h8_peak_concurrency, dq3_column_profile, ev5_dedup_recall.
 # (listed in registration order)
+@q(
+    "n14_filtered_ann",
+    sql=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id < 16
+    ), assigned AS (
+      SELECT vec_id, embedding, label, cent_id FROM (
+        SELECT e.vec_id, e.embedding, e.label, c.cent_id,
+          row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_reduce(list_transform(
+                list_zip(e.embedding, c.cent_vec),
+                p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                   * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                (x, y) -> x + y) ASC, c.cent_id ASC
+          ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT cent_id AS q_cell, embedding AS q_vec, label AS q_label
+      FROM assigned WHERE vec_id = 0
+    )
+    SELECT a.vec_id, {{cos}} AS cos_sim
+    FROM assigned a
+    JOIN q ON a.cent_id = q.q_cell AND a.label = q.q_label
+    WHERE a.vec_id != 0
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+    """.format(cos=_sql_cosine("a.embedding", "q.q_vec")),
+    ref="LLM-ops: FILTERED vector search — n3's single-probe IVF "
+    "restricted to candidates sharing the query's label (search "
+    "within the query's own class: the metadata-constrained retrieval "
+    "every vector store gets asked for). PRE-filtering semantics: the "
+    "predicate cuts candidates before scoring, so top-k is the best "
+    "of the eligible set — post-filtering an unconstrained top-k "
+    "would return fewer than k (or zero) eligible hits. Same "
+    "deterministic first-16 quantizer and sequential-fold cosine as "
+    "n3, so the oracle reproduces it bit-for-bit",
+    scale="identical collapsed shape to n3 (scan -> map cell argmin "
+    "-> filter(cell AND label) -> TakeOrdered: zero joins/shuffles/"
+    "broadcasts) — the label predicate rides the same map stage and "
+    "at 100 TB prunes partitions when the corpus is additionally "
+    "partitioned by label (the standard filtered-ANN layout)",
+)
+def n14_filtered_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    model = _N14_MODEL.get(sf)
+    if model is None:
+        cents = emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_vec"),
+        )
+        qrow = emb.filter(F.col("vec_id") == 0).head()
+        model = _N14_MODEL[sf] = (
+            SIM._collect_centroids(cents),
+            [float(x) for x in qrow["embedding"]],
+            qrow["label"],
+        )
+    cent_list, qvec, qlabel = model
+    return SIM.ivf_topk(
+        emb.filter(F.col("label") == qlabel),
+        query_id=0,
+        n_centroids=16,
+        k=10,
+        model=(cent_list, qvec),
+    )
+
+
+_N14_MODEL: dict[str, tuple] = {}
+
+
 @q(
     "dq5_ks_drift",
     sql="""

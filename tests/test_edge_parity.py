@@ -404,6 +404,7 @@ def test_empty_tables_parity(spark, tmp_path, name):
 
 HOSTILE_EMBEDDING_SWEEP = [
     "n1_ann_bruteforce",
+    "n14_filtered_ann",
     "n2_ann_lsh_bucket",
     "d6_embedding_neardup",
     "d9_hyperplane_lsh",

@@ -787,3 +787,44 @@ def test_ks_drift_hand_values(spark, tmp_path):
     assert a["ks_stat"] == 0.5
     b = got["B"]
     assert b["ks_stat"] == 0.0
+
+
+def test_filtered_ann_hand_values(spark):
+    """Filtered ANN semantics on a hand corpus: the query's globally
+    NEAREST neighbor (vec 2) carries the wrong label and must be
+    excluded BEFORE scoring (pre-filter), and a right-label vector in
+    the other IVF cell (vec 4) is excluded by the probe — the top-2
+    is exactly the two in-class, in-cell candidates in cosine order."""
+    from pyspark.sql import functions as F
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators import (
+        similarity as SIM,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "A"),   # query; centroid 0
+        (1, [0.0, 1.0, 0.0, 0.0], "B"),   # centroid 1
+        (2, [0.99, 0.1, 0.0, 0.0], "B"),  # nearest overall, wrong label
+        (3, [0.9, 0.2, 0.0, 0.0], "A"),
+        (4, [0.1, 1.0, 0.0, 0.0], "A"),   # right label, other cell
+        (5, [0.8, 0.3, 0.0, 0.0], "A"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_vec"),
+    )
+    model = (
+        SIM._collect_centroids(cents),
+        [1.0, 0.0, 0.0, 0.0],
+    )
+    got = SIM.ivf_topk(
+        emb.filter(F.col("label") == "A"),
+        query_id=0,
+        n_centroids=2,
+        k=2,
+        model=model,
+    ).collect()
+    assert [r["vec_id"] for r in got] == [3, 5]

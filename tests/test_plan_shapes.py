@@ -635,3 +635,13 @@ def test_ngram_novelty_gram_keyed_shuffles_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_filtered_ann_stays_collapsed(spark):
+    """n14: the label filter must ride n3's collapsed map-only shape —
+    zero joins, zero exchanges, the predicate evaluated before the
+    TakeOrdered (never a post-top-k filter)."""
+    plan = _plan(spark, "n14_filtered_ann")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
