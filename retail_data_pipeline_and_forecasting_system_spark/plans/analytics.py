@@ -768,8 +768,8 @@ def e1_json_extract(spark, sf):
     sql="""
     WITH flagged AS (
       SELECT user_id, ts, event_id,
-        CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
-             ORDER BY ts, event_id)) > 1800
+        CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -795,9 +795,9 @@ def e2_sessionize(spark, sf):
         "event_id",
         F.when(
             (
-                F.unix_timestamp("ts")
-                - F.unix_timestamp(F.lag("ts").over(w))
-                > 1800
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
             )
             | F.lag("ts").over(w).isNull(),
             1,
@@ -1933,6 +1933,38 @@ def x6_train_split(spark, sf):
     )
 
 
+_IVF_MODELS: dict[tuple, tuple] = {}
+
+
+def _ivf_query_model(emb, cache_key, n_centroids=16, query_id=0,
+                     with_label=False):
+    """Collect (and memoize per corpus) the IVF model state n3/n14
+    serve queries from: the first-``n_centroids``-by-id quantizer, the
+    query vector, and (``with_label``) the query's label. Model-sized
+    driver state — an ANN service holds it across queries. Raises a
+    descriptive error when the query row is absent (a corpus whose ids
+    do not include ``query_id``) instead of a NoneType subscript."""
+    key = (cache_key, n_centroids, query_id, with_label)
+    model = _IVF_MODELS.get(key)
+    if model is None:
+        cents = emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_vec"),
+        )
+        qrow = emb.filter(F.col("vec_id") == query_id).head()
+        if qrow is None:
+            raise ValueError(
+                f"IVF query model: no row with vec_id == {query_id} "
+                "in the embeddings corpus"
+            )
+        model = _IVF_MODELS[key] = (
+            SIM._collect_centroids(cents),
+            [float(x) for x in qrow["embedding"]],
+            qrow["label"] if with_label else None,
+        )
+    return model
+
+
 @q(
     "n3_ann_ivf",
     sql=f"""
@@ -1969,26 +2001,14 @@ def x6_train_split(spark, sf):
 )
 def n3_ann_ivf(spark, sf):
     # the collected quantizer + query vector are model state an ANN
-    # service holds across queries — memoize per corpus so repeat calls
-    # skip the two tiny collect jobs (deterministic pure data: first-16
-    # centroids and the query row of an immutable parquet corpus)
+    # service holds across queries — memoized per corpus in
+    # _ivf_query_model (shared with n14, so the bootstrap rule can
+    # never drift between the filtered and unfiltered paths)
     emb = _t(spark, sf, "embeddings")
-    model = _N3_MODEL.get(sf)
-    if model is None:
-        cents = emb.filter(F.col("vec_id") < 16).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent_vec"),
-        )
-        cent_list = SIM._collect_centroids(cents)
-        qvec = [
-            float(x)
-            for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
-        ]
-        model = _N3_MODEL[sf] = (cent_list, qvec)
-    return SIM.ivf_topk(emb, query_id=0, n_centroids=16, k=10, model=model)
-
-
-_N3_MODEL: dict[str, tuple] = {}
+    cent_list, qvec, _ = _ivf_query_model(emb, sf)
+    return SIM.ivf_topk(
+        emb, query_id=0, n_centroids=16, k=10, model=(cent_list, qvec)
+    )
 
 
 # ------------------------------------------------- multimodal breadth
@@ -10935,19 +10955,7 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 )
 def n14_filtered_ann(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    model = _N14_MODEL.get(sf)
-    if model is None:
-        cents = emb.filter(F.col("vec_id") < 16).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent_vec"),
-        )
-        qrow = emb.filter(F.col("vec_id") == 0).head()
-        model = _N14_MODEL[sf] = (
-            SIM._collect_centroids(cents),
-            [float(x) for x in qrow["embedding"]],
-            qrow["label"],
-        )
-    cent_list, qvec, qlabel = model
+    cent_list, qvec, qlabel = _ivf_query_model(emb, sf, with_label=True)
     return SIM.ivf_topk(
         emb.filter(F.col("label") == qlabel),
         query_id=0,
@@ -10955,9 +10963,6 @@ def n14_filtered_ann(spark, sf):
         k=10,
         model=(cent_list, qvec),
     )
-
-
-_N14_MODEL: dict[str, tuple] = {}
 
 
 @q(
@@ -11007,7 +11012,9 @@ _N14_MODEL: dict[str, tuple] = {}
 )
 def dq5_ks_drift(spark, sf):
     split = F.lit("2024-01-16").cast("timestamp")
-    vals = (
+    # vals feeds the counts agg AND the windowed cum pass — persist or
+    # the events scan+filter+projection executes twice
+    vals = _persist_tracked(
         _t(spark, sf, "events")
         .filter(F.col("value").isNotNull())
         .select(
@@ -11256,8 +11263,8 @@ def x34_ngram_novelty(spark, sf):
       CAST(SUM(CASE WHEN abs(e.value - m.med_v) > 4.4478 * d.mad_v
            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
       SUM(CASE WHEN abs(e.value - m.med_v) > 4.4478 * d.mad_v
-          THEN 1 ELSE 0 END) / CAST(count(e.value) AS DOUBLE)
-        AS outlier_share
+          THEN 1 ELSE 0 END)
+        / CAST(nullif(count(e.value), 0) AS DOUBLE) AS outlier_share
     FROM events e
     JOIN med m USING (event_type)
     JOIN mad d USING (event_type)
@@ -11306,7 +11313,8 @@ def dq4_robust_outliers(spark, sf):
         F.count("value").cast("bigint").alias("n_values"),
         F.sum("is_out").cast("bigint").alias("n_outliers"),
         (
-            F.sum("is_out") / F.count("value").cast("double")
+            F.sum("is_out")
+            / F.nullif(F.count("value"), F.lit(0)).cast("double")
         ).alias("outlier_share"),
     ).select(
         "event_type",
@@ -11323,8 +11331,8 @@ def dq4_robust_outliers(spark, sf):
     sql="""
     WITH flagged AS (
       SELECT user_id, ts, event_id,
-        CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
-             ORDER BY ts, event_id)) > 1800
+        CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
              OR lag(ts) OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_session
@@ -11380,7 +11388,10 @@ def h8_peak_concurrency(spark, sf):
         "ts",
         "event_id",
         F.when(
-            (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800)
+            (
+                F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+                > 1800 * 1_000_000
+            )
             | prev.isNull(),
             F.lit(1),
         )

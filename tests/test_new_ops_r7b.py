@@ -828,3 +828,19 @@ def test_filtered_ann_hand_values(spark):
         model=model,
     ).collect()
     assert [r["vec_id"] for r in got] == [3, 5]
+
+
+def test_session_gap_rule_is_microsecond_exact(spark, tmp_path):
+    """A 1800.5-second gap must START A NEW SESSION: the gap rule
+    compares exact microseconds in both engines (Spark's
+    unix_timestamp truncates to whole seconds and read 1800 <= 1800
+    here while DuckDB's fractional epoch read 1800.5 — the divergence
+    the third review pass reproduced live). h8 reports 2 sessions."""
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 10, 0, 0, 0), 1, "view", 0.0, "{}"),
+        (2, dt.datetime(2024, 3, 1, 10, 30, 0, 500000), 1, "view",
+         0.0, "{}"),
+    ]
+    r = _h8_events(spark, tmp_path, rows)
+    assert r["n_sessions"] == 2
+    assert r["peak_concurrent"] == 1

@@ -611,9 +611,15 @@ def test_peak_concurrency_sweep_is_bucket_partitioned(spark):
     (the two-pass prefix sum), never a global window over the delta
     rows — the only unpartitioned windows run over the O(weeks) carry
     table and e2's per-user session numbering is user-partitioned."""
+    import re
+
     plan = _plan(spark, "h8_peak_concurrency")
     assert "CartesianProduct" not in plan
-    assert "windowspecdefinition(bucket" in plan
+    # the SWEEP spec: partitioned by bucket, ordered by ts — the carry
+    # window (ORDER BY bucket, no ts) must not satisfy this assert
+    assert re.search(
+        r"windowspecdefinition\(bucket#\d+, ts#\d+", plan
+    ), "bucket-PARTITIONED ts-ordered sweep window missing"
     assert "windowspecdefinition(user_id" in plan
 
 
