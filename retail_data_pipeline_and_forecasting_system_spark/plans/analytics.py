@@ -10902,13 +10902,106 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, e9_attribution, d18_cross_source_overlap,
-# ops6_incremental_agg, x33_vocab_coverage, n14_filtered_ann,
+# ops6_incremental_agg, x33_vocab_coverage, e12_time_to_convert,
+# n14_filtered_ann,
 # dq5_ks_drift,
 # smp7_quota_allocation,
 # x34_ngram_novelty,
 # dq4_robust_outliers,
 # h8_peak_concurrency, dq3_column_profile, ev5_dedup_recall.
 # (listed in registration order)
+@q(
+    "e12_time_to_convert",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id,
+        min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT e.user_id,
+        CAST(epoch_us(min(e.ts)) - epoch_us(f.first_signup) AS BIGINT)
+          AS latency_us
+      FROM events e
+      JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase' AND f.first_signup IS NOT NULL
+        AND e.ts >= f.first_signup
+      GROUP BY e.user_id, f.first_signup
+    )
+    SELECT
+      CAST((SELECT count(*) FROM firsts
+            WHERE first_signup IS NOT NULL) AS BIGINT) AS n_signed_up,
+      CAST(count(*) AS BIGINT) AS n_converted,
+      count(*) / CAST(nullif((SELECT count(*) FROM firsts
+            WHERE first_signup IS NOT NULL), 0) AS DOUBLE)
+        AS conversion_rate,
+      quantile_cont(latency_us, 0.50) AS p50_latency_us,
+      quantile_cont(latency_us, 0.90) AS p90_latency_us
+    FROM conv
+    """,
+    ref="funnel latency: per signed-up user, the time from FIRST "
+    "signup to the first purchase AT OR AFTER it, rolled up to "
+    "conversion rate and p50/p90 latency — the time-to-convert "
+    "number next to j7's step-completion funnel (j7 asks whether the "
+    "ordered steps happened; this asks how long conversion took). "
+    "Purchases BEFORE the first signup do not count as conversions "
+    "(the >= guard); users who never sign up are excluded from the "
+    "denominator. Exactness: integer microsecond latencies, the "
+    "proven percentile pairing (quantiles of integers interpolate to "
+    "halves at worst — still exact doubles; NOT cast back to bigint: "
+    "Spark's double->bigint cast truncates while DuckDB's rounds, so "
+    "a .5 interpolation would diverge), nullif on the rate",
+    scale="one user-keyed agg for first signups, one filtered "
+    "user-keyed agg for first eligible purchases (the join key IS "
+    "the agg key — exchanges reuse), then a global scalar rollup; "
+    "the exact p50/p90 sort runs over the CONVERTED-USERS table "
+    "(one latency per user), not raw events",
+)
+def e12_time_to_convert(spark, sf):
+    ev = _t(spark, sf, "events")
+    firsts = _persist_tracked(
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("first_signup")
+        )
+        .filter(F.col("first_signup").isNotNull())
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(F.col("ts") >= F.col("first_signup"))
+        .groupBy("user_id", "first_signup")
+        .agg(F.min("ts").alias("first_purchase"))
+        .select(
+            (
+                F.unix_micros(F.col("first_purchase"))
+                - F.unix_micros(F.col("first_signup"))
+            )
+            .cast("bigint")
+            .alias("latency_us")
+        )
+    )
+    n_su = firsts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signed_up")
+    )
+    stats = conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.percentile("latency_us", 0.5).alias("p50_latency_us"),
+        F.percentile("latency_us", 0.9).alias("p90_latency_us"),
+    )
+    return n_su.crossJoin(F.broadcast(stats)).select(
+        "n_signed_up",
+        "n_converted",
+        (
+            F.col("n_converted")
+            / F.nullif(F.col("n_signed_up"), F.lit(0)).cast("double")
+        ).alias("conversion_rate"),
+        "p50_latency_us",
+        "p90_latency_us",
+    )
+
+
 @q(
     "n14_filtered_ann",
     sql=f"""

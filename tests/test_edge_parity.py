@@ -300,6 +300,7 @@ HOSTILE_EVENT_SWEEP = [
     "h8_peak_concurrency",
     "dq4_robust_outliers",
     "dq5_ks_drift",
+    "e12_time_to_convert",
     # props carry key "p", so e7's $.k extraction is NULL on every row:
     # the all-NULL aggregate paths must agree too
     "e7_variant_extract",
@@ -369,6 +370,7 @@ EMPTY_SWEEP = [
     "x34_ngram_novelty",  # empty corpus -> zero rows
     "smp7_quota_allocation",  # empty corpus -> zero rows
     "dq5_ks_drift",  # empty input -> zero groups
+    "e12_time_to_convert",  # empty input -> 0/0/NULL scalar row
 ]
 
 

@@ -844,3 +844,37 @@ def test_session_gap_rule_is_microsecond_exact(spark, tmp_path):
     r = _h8_events(spark, tmp_path, rows)
     assert r["n_sessions"] == 2
     assert r["peak_concurrent"] == 1
+
+
+def test_time_to_convert_hand_values(spark, tmp_path):
+    """Conversion latency by hand: u1 signs up at 10:00 and first
+    purchases at 10:30 (1800s); u2's only purchase PRECEDES its signup
+    and must not convert; u3 signs up twice — the FIRST signup anchors
+    (latency 3600s, not 60s); u4 never signs up and stays out of the
+    denominator. Rate 2/3; p50 of [1800e6, 3600e6] interpolates to
+    2700e6 (a double, deliberately not cast back to bigint)."""
+    t = lambda h, m: dt.datetime(2024, 3, 1, h, m)  # noqa: E731
+    rows = [
+        (1, t(10, 0), 1, "signup", 0.0, "{}"),
+        (2, t(10, 30), 1, "purchase", 9.0, "{}"),
+        (3, t(11, 0), 1, "purchase", 9.0, "{}"),   # later; ignored
+        (4, t(9, 0), 2, "purchase", 5.0, "{}"),    # pre-signup
+        (5, t(9, 30), 2, "signup", 0.0, "{}"),
+        (6, t(8, 0), 3, "signup", 0.0, "{}"),
+        (7, t(8, 59), 3, "signup", 0.0, "{}"),     # second signup
+        (8, t(9, 0), 3, "purchase", 1.0, "{}"),    # 3600s after FIRST
+        (9, t(12, 0), 4, "purchase", 1.0, "{}"),   # never signed up
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    [r] = QUERIES["e12_time_to_convert"].fn(spark, str(tmp_path)).collect()
+    assert (r["n_signed_up"], r["n_converted"]) == (3, 2)
+    assert r["conversion_rate"] == pytest.approx(2 / 3, abs=1e-9)
+    assert r["p50_latency_us"] == 2700.0 * 1_000_000
+    # p90 over n=2: position 0.9*(n-1) -> 1800s + 0.9*1800s
+    assert r["p90_latency_us"] == pytest.approx(
+        (1800 + 0.9 * 1800) * 1_000_000, abs=1.0)
