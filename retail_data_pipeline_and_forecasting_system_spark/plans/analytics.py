@@ -10902,14 +10902,51 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, e9_attribution, d18_cross_source_overlap,
-# ops6_incremental_agg, x33_vocab_coverage, e12_time_to_convert,
-# n14_filtered_ann,
-# dq5_ks_drift,
-# smp7_quota_allocation,
-# x34_ngram_novelty,
-# dq4_robust_outliers,
+# ops6_incremental_agg, x33_vocab_coverage, m14_image_content_dedup,
+# e12_time_to_convert, n14_filtered_ann, dq5_ks_drift,
+# smp7_quota_allocation, x34_ngram_novelty, dq4_robust_outliers,
 # h8_peak_concurrency, dq3_column_profile, ev5_dedup_recall.
 # (listed in registration order)
+@q(
+    "m14_image_content_dedup",
+    sql="""
+    WITH px AS (
+      SELECT doc_id,
+        md5(repeat(chr(CAST(32 + doc_id % 95 AS INT)),
+                   CAST((4 + doc_id % 13) * (3 + doc_id % 11) AS INT)))
+          AS pixel_md5,
+        CAST(4 + doc_id % 13 AS INT) AS width,
+        CAST(3 + doc_id % 11 AS INT) AS height
+      FROM documents
+    )
+    SELECT pixel_md5, width, height,
+      CAST(min(doc_id) AS BIGINT) AS keep_id,
+      CAST(count(*) AS BIGINT) AS n_copies
+    FROM px GROUP BY pixel_md5, width, height
+    """,
+    ref="LLM-ops: image dedup by DECODED CONTENT, not by file bytes — "
+    "group on the pixel_md5 the real decode chain surfaces (m10's "
+    "genuine PNG decode: chunk walk + CRC + inflate + unfilter), so "
+    "two images with identical pixels but different encodings "
+    "(compression level, filter choice, PNG vs PPM container) "
+    "collapse into one group where d1's byte-hash dedup sees two "
+    "distinct documents. keep_id = lowest doc id (d1's rule). The "
+    "hand test proves the encoding invariance with one pixel buffer "
+    "written as two different byte streams",
+    scale="synthesize + decode are partition-local mapInPandas (zero "
+    "shuffle, Arrow-batched); the dedup itself is d1's ONE hash-agg "
+    "shuffle on the 16-byte content digest — at 100 TB images ride "
+    "as binary columns and only digests + dims reach the exchange",
+)
+def m14_image_content_dedup(spark, sf):
+    ids = _t(spark, sf, "documents").select("doc_id")
+    decoded = MM.decode_media_real(MM.synthesize_png_payloads(ids))
+    return decoded.groupBy("pixel_md5", "width", "height").agg(
+        F.min("doc_id").cast("bigint").alias("keep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+
+
 @q(
     "e12_time_to_convert",
     sql="""

@@ -878,3 +878,56 @@ def test_time_to_convert_hand_values(spark, tmp_path):
     # p90 over n=2: position 0.9*(n-1) -> 1800s + 0.9*1800s
     assert r["p90_latency_us"] == pytest.approx(
         (1800 + 0.9 * 1800) * 1_000_000, abs=1.0)
+
+
+def test_image_content_dedup_is_encoding_invariant(spark):
+    """The core claim: one pixel buffer written as TWO different byte
+    streams — zlib level 0 vs level 9, different filter bytes — must
+    collapse into ONE content group (byte-hash dedup like d1 would see
+    two distinct files), while a third image with different pixels
+    stays its own group."""
+    import struct
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.multimodal import (
+        decode_media_real,
+    )
+
+    def png(pixels_rows, level, filter_byte=0):
+        # 8-bit grayscale PNG; filter 0 scanlines, configurable zlib level
+        h, w = len(pixels_rows), len(pixels_rows[0])
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body))
+            )
+
+        scan = b"".join(
+            bytes([filter_byte]) + bytes(r) for r in pixels_rows
+        )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan, level))
+            + chunk(b"IEND", b"")
+        )
+
+    rows_a = [[10, 20, 30], [40, 50, 60]]
+    rows_b = [[1, 1, 1], [2, 2, 2]]
+    payloads = [
+        (1, bytearray(png(rows_a, level=0))),
+        (2, bytearray(png(rows_a, level=9))),  # same pixels, new bytes
+        (3, bytearray(png(rows_b, level=9))),
+    ]
+    assert bytes(payloads[0][1]) != bytes(payloads[1][1])  # bytes differ
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = decode_media_real(df).groupBy("pixel_md5").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups == {1: 2, 3: 1}

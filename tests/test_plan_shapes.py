@@ -651,3 +651,14 @@ def test_filtered_ann_stays_collapsed(spark):
     assert "Join" not in plan
     assert "Exchange" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_image_content_dedup_shuffles_digests_only(spark):
+    """m14: synthesize + decode are map-local (MapInPandas, no
+    exchange below them); the dedup is d1's single hash-agg shuffle —
+    one Exchange total, carrying digests and dims, never pixels."""
+    import re
+
+    plan = _plan(spark, "m14_image_content_dedup")
+    assert "MapInPandas" in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
