@@ -10902,11 +10902,87 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, e9_attribution, d18_cross_source_overlap,
-# ops6_incremental_agg, x33_vocab_coverage, m14_image_content_dedup,
+# ops6_incremental_agg, x33_vocab_coverage, w10_longest_streak,
+# m14_image_content_dedup,
 # e12_time_to_convert, n14_filtered_ann, dq5_ks_drift,
 # smp7_quota_allocation, x34_ngram_novelty, dq4_robust_outliers,
 # h8_peak_concurrency, dq3_column_profile, ev5_dedup_recall.
 # (listed in registration order)
+@q(
+    "w10_longest_streak",
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), islands AS (
+      SELECT user_id, d,
+        d - CAST(row_number() OVER (
+              PARTITION BY user_id ORDER BY d
+            ) AS INT) AS anchor
+      FROM days
+    ), streaks AS (
+      SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len,
+        min(d) AS streak_start
+      FROM islands GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+      CAST(SUM(len) AS BIGINT) AS n_active_days,
+      CAST(count(*) AS BIGINT) AS n_streaks,
+      CAST(max(len) AS BIGINT) AS longest_streak,
+      min(CASE WHEN len = (SELECT max(s2.len) FROM streaks s2
+                           WHERE s2.user_id = streaks.user_id)
+          THEN streak_start END) AS longest_start
+    FROM streaks GROUP BY user_id
+    """,
+    ref="gaps-and-islands: longest consecutive-DAY activity streak "
+    "per user (the retention primitive e2's intra-day sessions don't "
+    "answer) — distinct activity dates, anchor = date − row_number "
+    "days (consecutive dates share an anchor), streaks = anchor "
+    "groups; reports active days, streak count, the longest run, and "
+    "its first start date (earliest start among max-length streaks, "
+    "deterministic). Exactness: pure integer date arithmetic — "
+    "date − int days is the same calendar op in both engines",
+    scale="ONE user-keyed window over DISTINCT (user, day) rows — "
+    "the calendar collapses the raw stream first (the distinct is "
+    "map-side combined), so the window sees at most days-per-user "
+    "rows, not events; the streak rollup reuses the user "
+    "partitioning; Spark avoids the oracle's correlated max via "
+    "one max_by pass",
+)
+def w10_longest_streak(spark, sf):
+    days = (
+        _t(spark, sf, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        "d",
+        F.date_sub("d", F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    # earliest start among max-length streaks: a per-user window max
+    # first (reuses the user partitioning), then min(start | len==max)
+    # — mirrors the oracle's correlated subquery without one
+    wu = W.partitionBy("user_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    st2 = streaks.withColumn("max_len", F.max("len").over(wu))
+    return st2.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.min(
+            F.when(
+                F.col("len") == F.col("max_len"), F.col("streak_start")
+            )
+        ).alias("longest_start"),
+    )
+
+
 @q(
     "m14_image_content_dedup",
     sql="""

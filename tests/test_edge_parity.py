@@ -301,6 +301,7 @@ HOSTILE_EVENT_SWEEP = [
     "dq4_robust_outliers",
     "dq5_ks_drift",
     "e12_time_to_convert",
+    "w10_longest_streak",
     # props carry key "p", so e7's $.k extraction is NULL on every row:
     # the all-NULL aggregate paths must agree too
     "e7_variant_extract",
@@ -371,6 +372,7 @@ EMPTY_SWEEP = [
     "smp7_quota_allocation",  # empty corpus -> zero rows
     "dq5_ks_drift",  # empty input -> zero groups
     "e12_time_to_convert",  # empty input -> 0/0/NULL scalar row
+    "w10_longest_streak",  # empty input -> zero rows
 ]
 
 

@@ -931,3 +931,42 @@ def test_image_content_dedup_is_encoding_invariant(spark):
     ).collect()
     groups = {r["keep_id"]: r["n_copies"] for r in out}
     assert groups == {1: 2, 3: 1}
+
+
+def test_longest_streak_hand_values(spark, tmp_path):
+    """Gaps-and-islands by hand: u1 active Mar 1-3, skips Mar 4,
+    active Mar 5-6 (two streaks, longest 3 starting Mar 1; two events
+    on Mar 2 count ONE active day); u2 has two length-2 streaks TIED —
+    longest_start must be the EARLIEST start (Mar 1, not Mar 10);
+    u3 is a single-day user (streak 1)."""
+    def ev(eid, day, user, hour=12):
+        return (eid, dt.datetime(2024, 3, day, hour), user, "view",
+                0.0, "{}")
+
+    rows = [
+        ev(1, 1, 1), ev(2, 2, 1), ev(3, 2, 1, hour=18), ev(4, 3, 1),
+        ev(5, 5, 1), ev(6, 6, 1),
+        ev(7, 1, 2), ev(8, 2, 2), ev(9, 10, 2), ev(10, 11, 2),
+        ev(11, 20, 3),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["user_id"]: r
+        for r in QUERIES["w10_longest_streak"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    u1 = got[1]
+    assert (u1["n_active_days"], u1["n_streaks"],
+            u1["longest_streak"]) == (5, 2, 3)
+    assert str(u1["longest_start"]) == "2024-03-01"
+    u2 = got[2]
+    assert (u2["n_streaks"], u2["longest_streak"]) == (2, 2)
+    assert str(u2["longest_start"]) == "2024-03-01"  # earliest of ties
+    u3 = got[3]
+    assert (u3["n_active_days"], u3["longest_streak"]) == (1, 1)
