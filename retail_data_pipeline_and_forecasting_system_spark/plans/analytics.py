@@ -10902,12 +10902,100 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, e9_attribution, d18_cross_source_overlap,
-# ops6_incremental_agg, x33_vocab_coverage, w10_longest_streak,
+# ops6_incremental_agg, x33_vocab_coverage, x38_char_entropy,
+# w10_longest_streak,
 # m14_image_content_dedup,
 # e12_time_to_convert, n14_filtered_ann, dq5_ks_drift,
 # smp7_quota_allocation, x34_ngram_novelty, dq4_robust_outliers,
 # h8_peak_concurrency, dq3_column_profile, ev5_dedup_recall.
 # (listed in registration order)
+@q(
+    "x38_char_entropy",
+    sql="""
+    WITH chars AS (
+      SELECT doc_id,
+        substr(text, CAST(i AS INT), 1) AS ch
+      FROM (
+        SELECT doc_id, text,
+          unnest(range(1, CAST(length(text) + 1 AS BIGINT))) AS i
+        FROM documents WHERE length(text) > 0
+      )
+    ), cc AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      FROM chars GROUP BY doc_id, ch
+    ), g AS (
+      SELECT doc_id,
+        CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+        CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        list((c * ln(c)) ORDER BY ch) AS arr
+      FROM cc GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_counted, n_distinct_chars,
+      round(
+        ln(n_chars_counted)
+        - list_reduce(arr, (x, y) -> x + y) / n_chars_counted,
+        6
+      ) AS entropy_nats
+    FROM g
+    """,
+    ref="LLM-ops: per-document character entropy (nats) — the "
+    "gibberish/compression-quality signal: natural text sits in a "
+    "narrow entropy band; base64 blobs and key dumps sit high, "
+    "repeated-character padding sits near zero. Complements x2's "
+    "ratio heuristics with an information measure. Exactness: "
+    "H = ln(n) − Σ c·ln(c) / n (algebraically −Σ p·ln p, but every "
+    "ln argument is an INTEGER — no p = c/n division inside the "
+    "fold), summed as a char-ASC-ordered sequential fold (the x17 "
+    "rule) so the doubles are bit-identical before the 6 dp round; "
+    "character extraction is substr(text, i, 1), the same codepoint "
+    "rule in both engines",
+    scale="character explode is row-local (Σ length rows feed ONE "
+    "(doc, char)-keyed hash agg — at most alphabet-size rows per doc "
+    "survive the map-side combine); the fold runs over the per-doc "
+    "alphabet, not the text; empty docs emit no row by definition "
+    "(length > 0 guard, both engines)",
+)
+def x38_char_entropy(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.length("text") > 0)
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.col("text").substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    g = cc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_chars_counted"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ch"),
+                    (F.col("c") * F.log(F.col("c"))).alias("v"),
+                )
+            )
+        ).alias("__arr"),
+    )
+    return g.select(
+        "doc_id",
+        "n_chars_counted",
+        "n_distinct_chars",
+        F.round(
+            F.log(F.col("n_chars_counted"))
+            - F.aggregate(
+                F.col("__arr"), F.lit(0.0), lambda a, x: a + x["v"]
+            )
+            / F.col("n_chars_counted"),
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
 @q(
     "w10_longest_streak",
     sql="""

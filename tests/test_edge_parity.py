@@ -184,6 +184,7 @@ HOSTILE_SWEEP = [
     "x33_vocab_coverage",
     "x34_ngram_novelty",
     "smp7_quota_allocation",
+    "x38_char_entropy",
 ]
 
 
@@ -373,6 +374,7 @@ EMPTY_SWEEP = [
     "dq5_ks_drift",  # empty input -> zero groups
     "e12_time_to_convert",  # empty input -> 0/0/NULL scalar row
     "w10_longest_streak",  # empty input -> zero rows
+    "x38_char_entropy",  # empty corpus -> zero rows
 ]
 
 

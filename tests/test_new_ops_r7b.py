@@ -970,3 +970,33 @@ def test_longest_streak_hand_values(spark, tmp_path):
     assert str(u2["longest_start"]) == "2024-03-01"  # earliest of ties
     u3 = got[3]
     assert (u3["n_active_days"], u3["longest_streak"]) == (1, 1)
+
+
+def test_char_entropy_hand_values(spark, tmp_path):
+    """Entropy by hand (H = ln n − Σ c·ln c / n): 'aaaa' has H = 0;
+    'abab' has two chars at p=1/2 -> H = ln 2; 'abcd' four uniform
+    chars -> H = ln 4; the empty doc emits no row. Checked against an
+    independent math.log computation."""
+    import math
+
+    rows = [
+        (1, "aaaa", "s"),
+        (2, "abab", "s"),
+        (3, "abcd", "s"),
+        (4, "", "s"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["x38_char_entropy"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_distinct_chars"], got[1]["entropy_nats"]) == (1, 0.0)
+    assert got[2]["entropy_nats"] == pytest.approx(math.log(2), abs=1e-6)
+    assert got[3]["entropy_nats"] == pytest.approx(math.log(4), abs=1e-6)
+    assert got[3]["n_chars_counted"] == 4
