@@ -10902,13 +10902,62 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
 # pr4_item_similarity, ev3_classifier_eval, ev4_ann_ndcg,
 # d17_edit_distance_dedup, e9_attribution, d18_cross_source_overlap,
-# ops6_incremental_agg, x33_vocab_coverage, x38_char_entropy,
+# ops6_incremental_agg, x33_vocab_coverage, a19_exact_mode,
+# x38_char_entropy,
 # w10_longest_streak,
 # m14_image_content_dedup,
 # e12_time_to_convert, n14_filtered_ann, dq5_ks_drift,
 # smp7_quota_allocation, x34_ngram_novelty, dq4_robust_outliers,
 # h8_peak_concurrency, dq3_column_profile, ev5_dedup_recall.
 # (listed in registration order)
+@q(
+    "a19_exact_mode",
+    sql="""
+    WITH counts AS (
+      SELECT l_returnflag, CAST(l_quantity AS INT) AS qty,
+        CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_returnflag, qty
+    )
+    SELECT l_returnflag, qty AS mode_qty, c AS mode_count
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY l_returnflag ORDER BY c DESC, qty ASC
+      ) AS rk
+      FROM counts
+    ) WHERE rk = 1
+    """,
+    ref="exact per-group MODE (most frequent value) with a "
+    "deterministic tie rule (highest count, then smallest value) — "
+    "the one central-tendency scalar a8's percentiles and dq4's "
+    "median don't give; the first thing a data profiler reports for "
+    "a low-cardinality column. Two integer stages end to end — no "
+    "float anywhere",
+    scale="ONE (group, value)-keyed two-phase hash agg collapses the "
+    "fact to value-cardinality rows; the rank window then runs on "
+    "that collapsed table (per-group alphabet, not per-group rows) — "
+    "at 100 TB the agg exchange is the only data-proportional stage",
+)
+def a19_exact_mode(spark, sf):
+    counts = (
+        _t(spark, sf, "lineitem")
+        .groupBy(
+            "l_returnflag",
+            F.col("l_quantity").cast("int").alias("qty"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("qty"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+
+
 @q(
     "x38_char_entropy",
     sql="""

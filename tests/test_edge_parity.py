@@ -375,6 +375,7 @@ EMPTY_SWEEP = [
     "e12_time_to_convert",  # empty input -> 0/0/NULL scalar row
     "w10_longest_streak",  # empty input -> zero rows
     "x38_char_entropy",  # empty corpus -> zero rows
+    "a19_exact_mode",  # empty input -> zero groups
 ]
 
 

@@ -1000,3 +1000,23 @@ def test_char_entropy_hand_values(spark, tmp_path):
     assert got[2]["entropy_nats"] == pytest.approx(math.log(2), abs=1e-6)
     assert got[3]["entropy_nats"] == pytest.approx(math.log(4), abs=1e-6)
     assert got[3]["n_chars_counted"] == 4
+
+
+def test_exact_mode_hand_values(spark, tmp_path):
+    """Mode with the deterministic tie rule: group A has 7 twice and 9
+    twice — the mode must be 7 (count tie -> smallest value), never a
+    nondeterministic pick; group B's clear winner is 3."""
+    rows = [
+        ("A", 7), ("A", 7), ("A", 9), ("A", 9), ("A", 1),
+        ("B", 3), ("B", 3), ("B", 3), ("B", 5),
+    ]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["a19_exact_mode"].fn(spark, str(tmp_path)).collect()
+    }
+    assert (got["A"]["mode_qty"], got["A"]["mode_count"]) == (7, 2)
+    assert (got["B"]["mode_qty"], got["B"]["mode_count"]) == (3, 3)
