@@ -10914,9 +10914,10 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
     "a19_exact_mode",
     sql="""
     WITH counts AS (
-      SELECT l_returnflag, CAST(l_quantity AS INT) AS qty,
+      SELECT l_returnflag, CAST(floor(l_quantity) AS INT) AS qty,
         CAST(count(*) AS BIGINT) AS c
-      FROM lineitem GROUP BY l_returnflag, qty
+      FROM lineitem WHERE l_quantity IS NOT NULL
+      GROUP BY l_returnflag, qty
     )
     SELECT l_returnflag, qty AS mode_qty, c AS mode_count
     FROM (
@@ -10940,9 +10941,10 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 def a19_exact_mode(spark, sf):
     counts = (
         _t(spark, sf, "lineitem")
+        .filter(F.col("l_quantity").isNotNull())
         .groupBy(
             "l_returnflag",
-            F.col("l_quantity").cast("int").alias("qty"),
+            F.floor("l_quantity").cast("int").alias("qty"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
@@ -11005,16 +11007,14 @@ def a19_exact_mode(spark, sf):
     "(length > 0 guard, both engines)",
 )
 def x38_char_entropy(spark, sf):
-    docs = _t(spark, sf, "documents").filter(F.length("text") > 0)
-    chars = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text")),
-                lambda i: F.col("text").substr(i, F.lit(1)),
-            )
-        ).alias("ch"),
-    )
+    from ..functions import char_shingles
+
+    # char_shingles(k=1, distinct=False) is the shared per-character
+    # explode (its CASE guard empties zero-length texts, which doubles
+    # as the length>0 filter the oracle states)
+    chars = char_shingles(
+        _t(spark, sf, "documents"), k=1, distinct=False
+    ).withColumnRenamed("shingle", "ch")
     cc = chars.groupBy("doc_id", "ch").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
@@ -11082,8 +11082,9 @@ def x38_char_entropy(spark, sf):
     "the calendar collapses the raw stream first (the distinct is "
     "map-side combined), so the window sees at most days-per-user "
     "rows, not events; the streak rollup reuses the user "
-    "partitioning; Spark avoids the oracle's correlated max via "
-    "one max_by pass",
+    "partitioning; Spark replaces the oracle's correlated max "
+    "with one per-user window max + a conditional min — no "
+    "subquery, same partitioning",
 )
 def w10_longest_streak(spark, sf):
     days = (

@@ -185,6 +185,7 @@ HOSTILE_SWEEP = [
     "x34_ngram_novelty",
     "smp7_quota_allocation",
     "x38_char_entropy",
+    "m14_image_content_dedup",
 ]
 
 
@@ -376,6 +377,7 @@ EMPTY_SWEEP = [
     "w10_longest_streak",  # empty input -> zero rows
     "x38_char_entropy",  # empty corpus -> zero rows
     "a19_exact_mode",  # empty input -> zero groups
+    "m14_image_content_dedup",  # empty corpus -> zero groups
 ]
 
 
