@@ -386,11 +386,12 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def resize_media(df: DataFrame, target: int = 224) -> DataFrame:
-    """Aspect-preserving resize to ``target`` on the long edge (stub codec).
+    """Aspect-preserving resize to ``target`` on the long edge (stub codec
+    — dimension math only, declared-dims in, no pixel access; the REAL
+    pixel path is :func:`resize_media_real`).
 
     Same plumbing contract as :func:`decode_media`: partition-local
-    mapInPandas, no shuffle; a real implementation replaces the dimension
-    math with PIL's ``thumbnail``. Scale factor and floor are plain IEEE
+    mapInPandas, no shuffle. Scale factor and floor are plain IEEE
     double ops so the SQL oracle reproduces them bit-for-bit.
     """
     import numpy as np
@@ -579,7 +580,8 @@ def extract_features(df: DataFrame, dims: int = 8) -> DataFrame:
     deterministic and oracle-able. A real encoder (CLIP, wav2vec) replaces
     the nibble math and widens ``feat`` to float; the exploded long-format
     output is deliberate: it joins/aggregates without array-equality
-    headaches and writes to columnar storage efficiently.
+    headaches and writes to columnar storage efficiently. The REAL
+    decoded-pixel statistics path is :func:`extract_features_real`.
     """
     import hashlib
 
@@ -713,3 +715,229 @@ def synthesize_square_wav_payloads(
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return df.mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
+def synthesize_gradient_png_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-PNG gradient synthesis (m15/m16 corpus
+    builder): each id becomes a genuine Paeth-filtered zlib-compressed
+    8-bit grayscale PNG of ``(4 + id%13) x (3 + id%11)`` pixels valued
+    ``pixel(x, y) = 32 + (x + 3*y) % 95`` — NON-uniform, so a resize or
+    feature kernel that samples the wrong source pixel produces a
+    different byte stream (the uniform m10 corpus cannot catch that),
+    while every pixel stays closed-form/printable-ASCII so a SQL oracle
+    reconstructs the exact grid with integer arithmetic. Paeth
+    filtering over a gradient exercises the decoder's unfilter path on
+    non-trivial predictors.
+
+    Partition-local mapInPandas, no shuffle.
+    """
+    from .imagecodec import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(4 + i % 13), int(3 + i % 11)
+                px = bytes(
+                    32 + (x + 3 * y) % 95
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(encode_png(w, h, 1, px, filter_type=4))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
+RESIZED_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("rs_width", T.IntegerType(), True),
+        T.StructField("rs_height", T.IntegerType(), True),
+        T.StructField("resized_md5", T.StringType(), True),
+        T.StructField("rs_mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def resize_media_real(
+    df: DataFrame, target: int = 8, strict: bool = False
+) -> DataFrame:
+    """REAL aspect-preserving resize over DECODED pixels — the real
+    twin of the :func:`resize_media` dimension-math stub (the play
+    m13 ran for audio): decode the payload via the stdlib codec
+    (:mod:`operators.imagecodec`), nearest-neighbor resample every
+    channel plane in numpy to ``target`` on the long edge, and emit
+    true output dims plus two pixel-derived proofs that the resample
+    actually ran: ``resized_md5`` (md5 of the resized interleaved
+    pixel bytes) and ``rs_mean_luma`` (mean of all resized samples).
+
+    Resample semantics are ALL-INTEGER so a SQL oracle reproduces them
+    exactly: output dims ``rs = max(1, (dim * target) // long_edge)``
+    (long edge lands on ``target`` exactly when it divides), source
+    index ``src[j] = (j * src_dim) // out_dim`` — the classic
+    floor-NN mapping, upsample and downsample alike. Non-image /
+    unsupported payloads yield one quarantine row (NULL metadata)
+    unless ``strict=True``.
+
+    Same plumbing as :func:`decode_media_real`: partition-local
+    Arrow-batched mapInPandas, ZERO shuffle — resize is per-row CPU
+    work; a real box/Lanczos kernel replaces the numpy gather inside
+    the same batch iterator.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from . import imagecodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {k.name: [] for k in RESIZED_REAL_SCHEMA}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    img = imagecodec.decode_image(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    for k in (
+                        "width", "height", "rs_width", "rs_height",
+                        "resized_md5", "rs_mean_luma",
+                    ):
+                        out[k].append(None)
+                    continue
+                w, h, c = img.width, img.height, img.channels
+                long_edge = max(w, h)
+                rw = max(1, (w * target) // long_edge)
+                rh = max(1, (h * target) // long_edge)
+                arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+                    h, w, c
+                )
+                sy = (np.arange(rh, dtype=np.int64) * h) // rh
+                sx = (np.arange(rw, dtype=np.int64) * w) // rw
+                rs = arr[sy][:, sx]
+                rs_bytes = rs.tobytes()
+                out["width"].append(w)
+                out["height"].append(h)
+                out["rs_width"].append(rw)
+                out["rs_height"].append(rh)
+                out["resized_md5"].append(hashlib.md5(rs_bytes).hexdigest())
+                out["rs_mean_luma"].append(
+                    float(int(rs.sum(dtype=np.int64))) / len(rs_bytes)
+                )
+            yield pd.DataFrame(out).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "rs_width": "Int32",
+                    "rs_height": "Int32",
+                    "rs_mean_luma": "float64",
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_REAL_SCHEMA)
+
+
+VISUAL_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_pixels", T.IntegerType(), True),
+        T.StructField("sum_px", T.LongType(), True),
+        T.StructField("mean_px", T.DoubleType(), True),
+        T.StructField("min_px", T.IntegerType(), True),
+        T.StructField("max_px", T.IntegerType(), True),
+        T.StructField("h_edges", T.IntegerType(), True),
+        T.StructField("v_edges", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_features_real(
+    df: DataFrame, edge_thresh: int = 8, strict: bool = False
+) -> DataFrame:
+    """REAL per-image visual features over DECODED pixels — the real
+    twin of the :func:`extract_features` md5-nibble stub (the image
+    counterpart of :func:`audio_frame_features`): decode via the
+    stdlib codec and emit exactly-defined pixel statistics —
+    ``n_pixels``/``sum_px``/``mean_px``/``min_px``/``max_px`` over ALL
+    samples, plus ``h_edges``/``v_edges``: counts of adjacent
+    channel-0 sample pairs (horizontal resp. vertical neighbors)
+    whose absolute difference is ``>= edge_thresh`` — a gradient /
+    edge-density primitive (the cheap proxy real curation pipelines
+    threshold on before an expensive embed). Channel 0 (luma for
+    grayscale, R for RGB) keeps the metric integer-exact; callers
+    wanting true luma convert first. ``mean_px`` is one raw IEEE
+    division of integer sum by integer count — bit-identical in any
+    engine. Non-image payloads quarantine (NULL row) unless
+    ``strict=True``.
+
+    Partition-local Arrow-batched mapInPandas, ZERO shuffle; the numpy
+    diff kernel is the slot a real feature extractor (CLIP embed)
+    fills with the same batch shape.
+    """
+    import numpy as np
+
+    from . import imagecodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {
+                k.name: [] for k in VISUAL_FEATURES_SCHEMA
+            }
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    img = imagecodec.decode_image(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    for k in (
+                        "width", "height", "channels", "n_pixels",
+                        "sum_px", "mean_px", "min_px", "max_px",
+                        "h_edges", "v_edges",
+                    ):
+                        out[k].append(None)
+                    continue
+                arr = np.frombuffer(img.pixels, dtype=np.uint8)
+                plane = arr.reshape(img.height, img.width, img.channels)[
+                    :, :, 0
+                ].astype(np.int64)
+                hd = np.abs(np.diff(plane, axis=1))
+                vd = np.abs(np.diff(plane, axis=0))
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["channels"].append(img.channels)
+                out["n_pixels"].append(arr.size)
+                out["sum_px"].append(int(arr.sum(dtype=np.int64)))
+                out["mean_px"].append(
+                    float(int(arr.sum(dtype=np.int64))) / arr.size
+                )
+                out["min_px"].append(int(arr.min()))
+                out["max_px"].append(int(arr.max()))
+                out["h_edges"].append(int((hd >= edge_thresh).sum()))
+                out["v_edges"].append(int((vd >= edge_thresh).sum()))
+            yield pd.DataFrame(out).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "channels": "Int32",
+                    "n_pixels": "Int32",
+                    "sum_px": "Int64",
+                    "mean_px": "float64",
+                    "min_px": "Int32",
+                    "max_px": "Int32",
+                    "h_edges": "Int32",
+                    "v_edges": "Int32",
+                }
+            )
+
+    return df.mapInPandas(run, schema=VISUAL_FEATURES_SCHEMA)

@@ -419,7 +419,8 @@ def test_real_codec_stages_are_shuffle_free(spark):
     """m10/m11/m12: synthesize->decode chains must stay partition-local
     Arrow mapInPandas — zero Exchange anywhere in the plan."""
     for name in ("m10_real_image_decode", "m11_real_audio_decode",
-                 "m12_real_frame_sample", "m13_audio_frame_features"):
+                 "m12_real_frame_sample", "m13_audio_frame_features",
+                 "m15_real_resize", "m16_visual_features"):
         plan = _plan(spark, name)
         assert "Exchange" not in plan, f"{name} must not shuffle"
         assert "MapInPandas" in plan, f"{name} must be Arrow mapInPandas"

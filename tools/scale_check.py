@@ -1,26 +1,41 @@
-"""3x scale-up check for the round-3 operators (SCALE.md protocol).
+"""Unified decade/3x scale-check harness (SCALE.md protocol).
 
-Builds two pseudo-sf0.3 corpora from sf0.1:
+Consolidates the per-round scripts (scale_check_r4..r7c — deleted,
+round-8 verdict item 5); their recorded numbers live in SCALE.md.
 
-- variant A ("wide"): 3x users/orders — event_id/user_id (and order/line
-  keys) offset per copy. More keys, same per-key density.
-- variant B ("deep"): 3x per-user HISTORY — same users, copies shifted
-  +40/+80 days. Per-(user, hour) density unchanged, timeline 3x longer.
+Protocol (unchanged from the per-round scripts):
 
-Variant B is the one that separates the interval-bucketed range join
-from the bare equi-join formulation: bucketed candidates grow ~3x
-(linear in history), bare per-user candidates grow ~9x (quadratic).
-Both are timed side by side on the same data.
+- **Staging**: a pseudo-(mult)x corpus is built from sf0.1 by unioning
+  ``mult`` id-offset copies of the tables named in ``--stage``;
+  everything else is symlinked. Offsets multiply KEYS; timestamps,
+  user ids, texts and payload-generating ids keep their residue
+  classes — the per-operator staging notes in SCALE.md interpret what
+  each copy means for that operator (more keys vs deeper history).
+- **Meter**: full-evaluation forcing (count + max xxhash64 over all
+  columns — every cell is computed and hashed), one untimed warm pass,
+  then best-of-``--reps`` wall seconds.
+- **Shuffle**: total shuffle-write bytes for the timed jobs via the
+  Spark UI REST API (localhost:4040) — the scale column that separates
+  "map-only as claimed" from "quietly reshuffling the corpus".
 
-Usage: python tools/scale_check.py   (writes nothing; prints a table)
+Usage:
+    python tools/scale_check.py --ops m15_real_resize,m16_visual_features
+    python tools/scale_check.py --ops e9_attribution --stage events
+    python tools/scale_check.py --ops a5_inventory_depletion \
+        --stage lineitem --mult 3 --scales 1,3
+
+Writes nothing; prints one table row per (op, scale).
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import shutil
 import sys
 import tempfile
 import time
+import urllib.request
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -41,99 +56,43 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
-NEW_QUERIES = [
-    "j6_range_join",
-    "j7_funnel",
-    "j9_asof_join",
-    "h1_hypertable_rollup",
-    "dq1_expectations",
-    "dq2_quarantine",
-]
+# table -> (id column, offset stride). Copies offset the KEY so joins /
+# groups / windows see mult-x distinct keys; every other column repeats,
+# which each operator's SCALE.md note interprets (dup density, per-key
+# depth, residue classes of synthesized payloads).
+STAGE_KEYS = {
+    "documents": ("doc_id", 1_000_000),
+    "embeddings": ("vec_id", 1_000_000),
+    "lineitem": ("l_orderkey", 100_000_000),
+    "orders": ("o_orderkey", 100_000_000),
+    "events": ("event_id", 100_000_000),
+    "customer": ("c_custkey", 10_000_000),
+    "part": ("p_partkey", 10_000_000),
+    "supplier": ("s_suppkey", 10_000_000),
+}
+UI = "http://localhost:4040/api/v1"
 
 
-def _triple_events(spark, out: Path, deep: bool) -> None:
-    ev = _t(spark, SF, "events")  # normalizes ts to TIMESTAMP(micros)
-    n_ev = 10_000_000  # event_id offset stride, far above any real id
-    copies = []
-    for i in range(3):
-        c = ev.withColumn("event_id", F.col("event_id") + F.lit(i * n_ev))
-        if deep:
-            c = c.withColumn(
-                "ts", F.col("ts") + F.expr(f"INTERVAL {i * 40} DAYS")
-            )
-        else:
-            c = c.withColumn(
-                "user_id", F.col("user_id") + F.lit(i * 1_000_000)
-            )
-        copies.append(c)
-    u = copies[0]
-    for c in copies[1:]:
-        u = u.unionByName(c)
-    u.write.mode("overwrite").parquet(str(out / "events.parquet"))
-
-
-def _triple_lineitem_orders(spark, out: Path) -> None:
-    li = spark.read.parquet(f"{SF}/lineitem.parquet")
-    od = spark.read.parquet(f"{SF}/orders.parquet")
-    stride = 100_000_000
-    lcopies, ocopies = [], []
-    for i in range(3):
-        lcopies.append(
-            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * stride))
-        )
-        ocopies.append(
-            od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * stride))
-        )
-    ul, uo = lcopies[0], ocopies[0]
-    for c in lcopies[1:]:
-        ul = ul.unionByName(c)
-    for c in ocopies[1:]:
-        uo = uo.unionByName(c)
-    ul.write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
-    uo.write.mode("overwrite").parquet(str(out / "orders.parquet"))
-
-
-def _stage(spark, out: Path, deep: bool) -> None:
+def _stage(spark, out: Path, mult: int, tables: list[str]) -> None:
     out.mkdir(parents=True, exist_ok=True)
-    _triple_events(spark, out, deep)
-    _triple_lineitem_orders(spark, out)
+    for t in tables:
+        key, stride = STAGE_KEYS[t]
+        # _t normalizes types (e.g. events.ts to TIMESTAMP) exactly as
+        # the registry queries will read them
+        base = _t(spark, SF, t)
+        u = base
+        for i in range(1, mult):
+            u = u.unionByName(
+                base.withColumn(key, F.col(key) + F.lit(i * stride))
+            )
+        u.write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
     for t in TABLES:
         dst = out / f"{t}.parquet"
         if not dst.exists():
-            # symlink untripled tables so every query resolves
             dst.symlink_to(f"{SF}/{t}.parquet")
 
 
-def _bare_j6(spark, sf_dir: str):
-    """The pre-round-3 j6 formulation (bare equi-join on user_id), kept
-    here ONLY as the measurement baseline for the bucketed shape."""
-    ev = _t(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts").alias("p_ts")
-    )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("event_id").alias("c_event"),
-        F.col("ts").alias("c_ts"),
-    )
-    return (
-        p.join(
-            c,
-            on=(
-                (F.col("user_id") == F.col("c_user"))
-                & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-                & (F.col("c_ts") < F.col("p_ts"))
-            ),
-            how="left",
-        )
-        .groupBy("event_id", "user_id")
-        .agg(F.count("c_event").alias("n_clicks_1h"))
-    )
-
-
 def _force(df) -> int:
-    """Full evaluation — bench.py's _run_full (a bare count() lets
-    Catalyst prune agg columns and even eliminate outer joins)."""
     n, _ = df.agg(
         F.count(F.lit(1)),
         F.max(F.xxhash64(*[F.col(c) for c in df.columns])),
@@ -150,57 +109,94 @@ def _time(fn, reps: int = 2) -> float:
     return best
 
 
+def _jobs(app_id: str) -> list[dict]:
+    return json.load(
+        urllib.request.urlopen(f"{UI}/applications/{app_id}/jobs")
+    )
+
+
+def _last_job_id(app_id: str) -> int:
+    return max((j["jobId"] for j in _jobs(app_id)), default=-1)
+
+
+def _shuffle_write_bytes(app_id: str, after_job: int) -> int:
+    """Sum shuffle-write bytes over all stages of jobs > after_job."""
+    total = 0
+    seen: set[int] = set()
+    for j in _jobs(app_id):
+        if j["jobId"] <= after_job:
+            continue
+        for sid in j["stageIds"]:
+            if sid in seen:
+                continue
+            seen.add(sid)
+            try:
+                stages = json.load(
+                    urllib.request.urlopen(
+                        f"{UI}/applications/{app_id}/stages/{sid}"
+                    )
+                )
+            except Exception:
+                continue
+            for att in stages:
+                total += att.get("shuffleWriteBytes", 0)
+    return total
+
+
 def main() -> None:
-    spark = get_session("scale_check")
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--ops", required=True,
+        help="comma-separated registry query names",
+    )
+    ap.add_argument(
+        "--stage", default="documents,embeddings,lineitem",
+        help=f"tables to id-offset copy (choices: {sorted(STAGE_KEYS)})",
+    )
+    ap.add_argument("--mult", type=int, default=10,
+                    help="staged corpus multiplier (default 10)")
+    ap.add_argument("--scales", default="1,10",
+                    help="scales to run, e.g. 1,10 (non-1 uses --mult dir)")
+    ap.add_argument("--reps", type=int, default=2,
+                    help="timed reps, best-of (default 2)")
+    args = ap.parse_args()
+
+    ops = [o for o in args.ops.split(",") if o]
+    unknown = [o for o in ops if o not in QUERIES]
+    if unknown:
+        sys.exit(f"unknown ops: {unknown}")
+    stage_tables = [t for t in args.stage.split(",") if t]
+    bad = [t for t in stage_tables if t not in STAGE_KEYS]
+    if bad:
+        sys.exit(f"no stage key for: {bad} (choices: {sorted(STAGE_KEYS)})")
+
+    spark = get_session(
+        "scale_check", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    tmp = Path(tempfile.mkdtemp(prefix="scale3x_"))
-    wide, deep = tmp / "wide", tmp / "deep"
-    _stage(spark, wide, deep=False)
-    _stage(spark, deep, deep=True)
+    app_id = spark.sparkContext.applicationId
+    tmp = Path(tempfile.mkdtemp(prefix="scale_check_"))
+    staged = tmp / f"x{args.mult}"
+    _stage(spark, staged, args.mult, stage_tables)
 
-    print(f"{'query':28s}{'sf0.1':>9s}{'3x wide':>9s}{'3x deep':>9s}")
-    for name in NEW_QUERIES:
-        spec = QUERIES[name]
-        t1 = _time(lambda: _force(spec.fn(spark, SF)))
-        t3w = _time(lambda: _force(spec.fn(spark, str(wide))))
-        t3d = _time(lambda: _force(spec.fn(spark, str(deep))))
-        print(f"{name:28s}{t1:9.2f}{t3w:9.2f}{t3d:9.2f}")
+    scales = []
+    for s in args.scales.split(","):
+        s = int(s)
+        scales.append(("1x", SF) if s == 1 else (f"{s}x", str(staged)))
 
-    # bucketed vs bare range join under 3x-deep history
-    t_bare_1 = _time(lambda: _force(_bare_j6(spark, SF)))
-    t_bare_3 = _time(lambda: _force(_bare_j6(spark, str(deep))))
-    print(f"{'j6 BARE equi-join (baseline)':28s}{t_bare_1:9.2f}"
-          f"{'':>9s}{t_bare_3:9.2f}")
-
-    # dense-history micro-bench: few users x long histories — the regime
-    # the bucketed shape exists for. Bare candidates = users x |p_u| x
-    # |c_u| (quadratic in per-user history); bucketed candidates track
-    # per-(user, hour) density instead (~1.1/hr here).
-    dense = tmp / "dense"
-    dense.mkdir(exist_ok=True)
-    year_us = 365 * 24 * 3600 * 1_000_000
-    n = 100_000  # 10 users x 5k/5k: bare = 10 x 5k x 5k = 250M candidates
-    base = spark.range(n).select(
-        F.col("id").alias("event_id"),
-        (F.col("id") % 10).alias("user_id"),
-        F.timestamp_micros(
-            F.lit(1704067200000000)
-            + (F.xxhash64("id") % F.lit(year_us) + F.lit(year_us))
-            % F.lit(year_us)
-        ).alias("ts"),
-        F.when(F.col("id") % 2 == 0, "click")
-        .otherwise("purchase")
-        .alias("event_type"),
-        F.lit(1.0).alias("value"),
-        F.lit(None).cast("string").alias("props"),
-    )
-    base.write.mode("overwrite").parquet(str(dense / "events.parquet"))
-    t_bkt = _time(
-        lambda: _force(QUERIES["j6_range_join"].fn(spark, str(dense))), 1
-    )
-    t_bare = _time(lambda: _force(_bare_j6(spark, str(dense))), 1)
-    print(f"dense (10 users x 5k/5k): bucketed {t_bkt:.2f}s, "
-          f"bare {t_bare:.2f}s")
+    print(f"staged {args.mult}x: {','.join(stage_tables)}  "
+          f"(meter: warm + best-of-{args.reps} full-evaluation)")
+    print(f"{'query':28s} {'scale':5s} {'rows':>9s} {'sec':>7s} "
+          f"{'rows/s':>9s} {'shufW':>10s}")
+    for name in ops:
+        fn = QUERIES[name].fn
+        for label, sf_dir in scales:
+            rows = _force(fn(spark, sf_dir))  # codegen/JIT warm, untimed
+            mark = _last_job_id(app_id)
+            sec = _time(lambda: _force(fn(spark, sf_dir)), reps=args.reps)
+            shuf = _shuffle_write_bytes(app_id, mark)
+            print(f"{name:28s} {label:5s} {rows:9d} {sec:7.2f} "
+                  f"{rows / sec:9.0f} {shuf:10d}")
 
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
