@@ -14,13 +14,25 @@ Unpersisting is always correctness-safe: a consumer that is still lazy
 simply recomputes. Long-running services (the streaming sinks) manage
 their own per-batch persist/unpersist pairs and never route through
 this registry.
+
+Concurrency contract: the ENTRY-SCOPED release assumes one registry
+query runs at a time (true of every harness here — driver gate, bench,
+parity tests, all sequential). A concurrent caller entering a query
+can release another in-flight query's intermediates — never wrong
+(lazy consumers recompute) but a performance cliff; multi-threaded
+harnesses should set ``KEEP_SESSION_CACHES = True`` and manage cache
+lifetime themselves. The list itself is lock-protected so concurrent
+mutation can't corrupt tracking or double-unpersist.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 #: When True, ``drop_stale`` is a no-op and session caches accumulate —
 #: the pre-round-7 behavior. bench.py sets this: its best-of-3
@@ -38,14 +50,16 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     entry (see module docstring)."""
     from pyspark import StorageLevel
 
-    _LIVE.append(df)
+    with _LOCK:
+        _LIVE.append(df)
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def track(df: DataFrame) -> DataFrame:
     """Register an ALREADY-persisted DataFrame for the same scoped
     release (for call sites that pick their own storage level)."""
-    _LIVE.append(df)
+    with _LOCK:
+        _LIVE.append(df)
     return df
 
 
@@ -53,5 +67,7 @@ def drop_stale() -> None:
     """Unpersist everything a previous registry query left cached."""
     if KEEP_SESSION_CACHES:
         return
-    while _LIVE:
-        _LIVE.pop().unpersist()
+    with _LOCK:
+        stale, _LIVE[:] = _LIVE[:], []
+    for df in stale:
+        df.unpersist()

@@ -31,17 +31,34 @@ def ohlc_order_key(t_us: Column, event_id: Column) -> Column:
 
     Preconditions: both inputs non-negative (epoch-us timestamps and
     id sequences are; a negative value would sort before all positives
-    as text and break the equivalence), and the VALUE column fed to
-    ``ohlc_aggs`` must be non-null — Spark's min_by returns a NULL
-    value landing first in key order while DuckDB's arg_min skips NULL
-    arguments, so callers filter NULL values before aggregating (both
-    h7 and the streaming twin do).
+    as text and break the equivalence) and at most 20 digits (lpad
+    TRUNCATES wider input), and the VALUE column fed to ``ohlc_aggs``
+    must be non-null — Spark's min_by returns a NULL value landing
+    first in key order while DuckDB's arg_min skips NULL arguments, so
+    callers filter NULL values before aggregating (both h7 and the
+    streaming twin do). The first two preconditions are ENFORCED: a
+    violating row raises via ``assert_true`` instead of silently
+    mis-ordering the open/close picks (round-7 ADVICE); NULL inputs
+    pass through as NULL keys unchanged.
     """
-    return F.concat(
+    key = F.concat(
         F.lpad(t_us.cast("string"), 20, "0"),
         F.lit("|"),
         F.lpad(event_id.cast("string"), 20, "0"),
     )
+    violation = (
+        (t_us < 0)
+        | (event_id < 0)
+        | (F.length(t_us.cast("string")) > 20)
+        | (F.length(event_id.cast("string")) > 20)
+    )
+    # three-valued logic: NULL inputs make `violation` NULL, coalesce
+    # keeps them non-raising (concat already yields a NULL key)
+    guard = F.assert_true(
+        ~F.coalesce(violation, F.lit(False)),
+        F.lit("ohlc_order_key: negative or >20-digit input"),
+    )
+    return F.when(guard.isNull(), key)
 
 
 def ohlc_aggs(v: Column, okey: Column) -> list[Column]:

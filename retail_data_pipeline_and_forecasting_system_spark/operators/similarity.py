@@ -1474,6 +1474,19 @@ def nn_descent(
     Output: (src, dst, cos_sim, rnk) — the final graph, rnk 1..k per
     src by cosine descending.
     """
+    # the second bucketing reads coordinates [n_bits, 2*n_bits); on a
+    # narrower vector element_at past the end is NULL -> every row's
+    # bkt2 = 0, one global bucket, and the seed self-join silently goes
+    # quadratic (round-7 ADVICE). Sample ONE row and fail loud instead.
+    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is not None and dim_row["d"] is not None:
+        if dim_row["d"] < 2 * n_bits:
+            raise ValueError(
+                f"nn_descent needs embedding dim >= 2*n_bits "
+                f"(= {2 * n_bits}) for two independent sign-LSH seed "
+                f"bucketings; sampled dim {dim_row['d']} — lower n_bits "
+                "or widen the vectors"
+            )
     emb = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),

@@ -10793,13 +10793,15 @@ def ops6_incremental_agg(spark, sf):
     "x22 asks how head-heavy the distribution is; this asks WHICH "
     "source a fixed tokenizer will shred into bytes — the go/no-go "
     "check before training on a new feed",
-    scale="token counts are ONE Zipf-collapsed hash-agg (vocab-sized, "
-    "not corpus-sized, after the map-side combine); the top-k window "
-    "runs on that model-sized table (single-partition by design — "
-    "it's the vocab, not the corpus); vocab broadcasts to the "
-    "per-(source, token) table; per-source rollup is map-side "
-    "combinable. oov_rate is raw IEEE int/int division — identical "
-    "bits in both engines, no round() half-rule exposure",
+    scale="token counts are ONE Zipf-collapsed hash-agg (distinct-"
+    "token-cardinality — far below corpus rows but NOT model-sized at "
+    "100 TB); the vocab top-k is therefore TakeOrderedAndProject (per-"
+    "partition k-row heaps, k-row driver merge), never a single-"
+    "partition sort of that table (round-7 ADVICE fix); the chosen "
+    "k-row vocab broadcasts to the per-(source, token) table; "
+    "per-source rollup is map-side combinable. oov_rate is raw IEEE "
+    "int/int division — identical bits in both engines, no round() "
+    "half-rule exposure",
 )
 def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
     docs = _t(spark, sf, "documents")
@@ -10817,10 +10819,14 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
     counts = st.groupBy("token").agg(
         F.sum("tcnt").cast("bigint").alias("c")
     )
-    wv = W.orderBy(F.desc("c"), "token")
+    # top-k via orderBy+limit plans as TakeOrderedAndProject — a
+    # per-partition k-row heap merged at the driver — NOT a
+    # single-partition sort of the whole distinct-token table, which
+    # is corpus-vocabulary cardinality (Zipf-collapsed, but still far
+    # from model-sized at 100 TB; round-7 ADVICE)
     vocab = (
-        counts.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") <= vocab_k)
+        counts.orderBy(F.desc("c"), "token")
+        .limit(vocab_k)
         .select("token", F.lit(True).alias("in_vocab"))
     )
     flagged = _persist_tracked(

@@ -363,6 +363,7 @@ def streaming_attribution(
     lookback_us: int = 7 * 86400 * 1_000_000,
     touch_types: tuple[str, ...] = ("view", "click"),
     conversion_type: str = "purchase",
+    max_touches: int | None = None,
 ) -> DataFrame:
     """Last-touch attribution on a stream — the stateful twin of the
     batch ``e9_attribution`` window pair. Per-user group state carries
@@ -385,7 +386,16 @@ def streaming_attribution(
     a later epoch's same-instant touch cannot count for an already-
     emitted purchase. State per user is one small struct plus the
     lookback's touch times (evicted past the window every batch) — at
-    100 TB it shards by user and never grows with history.
+    100 TB it shards by user and never grows with HISTORY, but it does
+    grow with a single user's touch volume INSIDE the lookback: a
+    bot-like user firing millions of touches in 7 days serializes an
+    ever-larger array through Arrow every epoch (round-7 ADVICE). Set
+    ``max_touches`` to bound that: state retains only the newest
+    ``max_touches`` in-window touch timestamps, so ``n_touches_7d``
+    SATURATES (undercounts) for users whose in-window touches exceed
+    the cap — a floor, exact for everyone below it. Default ``None``
+    preserves exact batch parity and assumes organic per-user volume
+    (≲ thousands of touches per week).
     """
     import numpy as np
     import pandas as pd
@@ -473,6 +483,10 @@ def streaming_attribution(
             # than the lookback behind the newest event seen)
             horizon = int(us[-1]) - lookback_us
             touch_us = [int(t) for t in pool if t >= horizon]
+            if max_touches is not None and len(touch_us) > max_touches:
+                # bound per-user state: keep the newest cap-many (pool
+                # is sorted ascending); counts saturate at the cap
+                touch_us = touch_us[-max_touches:]
         state.update((last_us, last_id, last_type, touch_us))
 
     return (

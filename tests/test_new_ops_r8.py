@@ -145,3 +145,122 @@ def test_gradient_corpus_round_trips_for_both_ops(spark):
         if abs(grid[y + 1][x] - grid[y][x]) >= 8
     )
     assert (f["h_edges"], f["v_edges"]) == (h_edges, v_edges)
+
+
+def test_nn_descent_rejects_narrow_embeddings(spark):
+    """ADVICE fix: a vector too narrow for two independent sign-LSH
+    bucketings must raise loudly instead of silently collapsing the
+    second hash into one global bucket (quadratic seed join)."""
+    import pytest
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        nn_descent,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [-1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dim >= 2\\*n_bits"):
+        nn_descent(df, k=1, iters=1, n_bits=8)
+    # wide enough: no raise; same-bucket pair seeds one edge each way
+    wide = spark.createDataFrame(
+        [(1, [1.0] * 16), (2, [0.5] * 16)],
+        "vec_id long, embedding array<double>",
+    )
+    assert nn_descent(wide, k=1, iters=0, n_bits=8).count() == 2
+
+
+def test_ohlc_order_key_guards_preconditions(spark):
+    """ADVICE fix: negative or >20-digit inputs raise instead of
+    silently truncating/mis-ordering; NULLs pass through as NULL keys;
+    valid inputs produce the unchanged zero-padded key."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.ohlc import (
+        ohlc_order_key,
+    )
+
+    ok = spark.createDataFrame(
+        [(1_700_000_000_000_000, 42), (None, 7)],
+        "t_us long, event_id long",
+    ).select(ohlc_order_key(F.col("t_us"), F.col("event_id")).alias("k"))
+    rows = {r["k"] for r in ok.collect()}
+    assert "00001700000000000000|00000000000000000042" in rows
+    assert None in rows  # NULL input -> NULL key, not an error
+
+    bad = spark.createDataFrame(
+        [(-5, 1)], "t_us long, event_id long"
+    ).select(ohlc_order_key(F.col("t_us"), F.col("event_id")).alias("k"))
+    with pytest.raises(Exception, match="ohlc_order_key"):
+        bad.collect()
+
+    wide = spark.createDataFrame(
+        [("123456789012345678901", 1)], "t_us string, event_id long"
+    ).select(
+        ohlc_order_key(F.col("t_us").cast("decimal(26,0)"),
+                       F.col("event_id")).alias("k")
+    )
+    with pytest.raises(Exception, match="ohlc_order_key"):
+        wide.collect()
+
+
+def test_streaming_attribution_touch_cap_saturates(spark, tmp_path):
+    """ADVICE fix: max_touches bounds per-user state — a purchase after
+    an epoch boundary sees at most cap-many carried touches (count
+    saturates at the cap), while the carry-forward last touch is
+    unaffected. Uncapped twin on the same slices stays exact."""
+    import os
+    import time as _time
+    from datetime import datetime, timezone
+    from pathlib import Path
+
+    from retail_data_pipeline_and_forecasting_system_spark.streaming.aggregates import (
+        streaming_attribution,
+    )
+
+    def ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc)
+
+    slice1 = [(i, ts(1000 * i), 1, "view") for i in range(1, 5)]
+    slice2 = [(9, ts(5000), 1, "purchase")]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def run(cap):
+        in_dir = tmp_path / f"in_{cap}"
+        in_dir.mkdir()
+        for i, rows in enumerate((slice1, slice2)):
+            p = in_dir / f"s{i}.parquet"
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(p))
+            t = _time.time() - 100 + i
+            os.utime(p, (t, t))
+            for f in Path(p).glob("*"):
+                os.utime(f, (t, t))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(in_dir / "*.parquet"))
+        out, ck = str(tmp_path / f"out_{cap}"), str(tmp_path / f"ck_{cap}")
+        q = (
+            streaming_attribution(stream, max_touches=cap)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    capped = run(2)
+    assert len(capped) == 1
+    r = capped[0]
+    assert r["n_touches_7d"] == 2  # saturated at the cap
+    assert r["last_touch_id"] == 4  # carry-forward unaffected
+    assert r["us_since_touch"] == 1000 * 1_000_000
+
+    exact = run(None)
+    assert exact[0]["n_touches_7d"] == 4

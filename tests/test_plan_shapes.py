@@ -517,15 +517,20 @@ def test_edit_distance_dedup_blocked_equi_join(spark):
 
 
 def test_vocab_coverage_broadcasts_vocab(spark):
-    """x33: the top-k vocab (model-sized by construction) must reach
-    the per-(source, token) table as a BROADCAST join — never a
-    shuffle keyed on the corpus side — and the only global-order
-    window must be the top-k rank over the Zipf-collapsed vocab
-    counts, not over corpus rows."""
+    """x33: the top-k vocab (k rows by construction) must reach the
+    per-(source, token) table as a BROADCAST join — never a shuffle
+    keyed on the corpus side — and the vocab pick itself must plan as
+    TakeOrderedAndProject (per-partition heaps + k-row merge), NOT a
+    single-partition global-order window over the distinct-token
+    table, which is corpus-vocabulary cardinality (round-7 ADVICE)."""
     plan = _plan(spark, "x33_vocab_coverage")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the only window left is the per-source top-OOV rank (partitioned
+    # by source) — no empty-partitionBy global window anywhere
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_incremental_agg_merge_is_one_key_join(spark):
