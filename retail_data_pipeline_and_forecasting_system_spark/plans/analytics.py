@@ -10902,7 +10902,17 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # r03-latest (r02's cohort was fully refreshed in the r06 window).
 # All registry entries stay local-parity green at sf0.001/0.01
 # under the exact-value check every pytest run.
-# ROUND-8 queue (registered in round 7, after this window sealed):
+# ROUND-8 window: the full 30-entry round-7 post-seal queue below
+# (verbatim, registration order) + the 2 round-8 registrations
+# (m15/m16: real resize + real visual features over decoded pixels)
+# + the 5 headline re-pins + 13 refresh picks (oldest evidence: 13 of
+# the 22 remaining r03-latest, alphabetical) — see _DRIVER_SAMPLE.
+# ROUND-9 queue (anything registered in round 8 after the r08 window
+# seals gets listed here in registration order, plus the 9 r03-latest
+# refresh leftovers: u5_except_all, w5_share_of_total, w6_rolling_7day,
+# w7_lead_nth, x10_chunk_documents, x11_repetition_signals,
+# x12_corpus_materialize, x13_decontaminate, x9_keywords).
+# ROUND-8 queue (registered in round 7, after the r07 window sealed):
 # n12_hard_negatives, h5_time_weighted_avg, h6_counter_increase,
 # m13_audio_frame_features, n13_nn_descent_graph, ev1_ann_recall,
 # ev2_partition_purity, x32_training_shards, h7_ohlc_bars,
@@ -12197,27 +12207,34 @@ del _n, _s
 
 
 _DRIVER_SAMPLE = [
-    # never-driver-verified (5): round-6 queue + round-7 registrations
-    "n11_knn_join_ivfpq", "x30_dsir_selection", "x31_duplicate_spans",
-    "m11_real_audio_decode", "m12_real_frame_sample",
-    # changed in round 7, previously driver-green — re-verify (10)
-    "x7_corpus_curation", "h1_hypertable_rollup", "d2_jaccard_pairs",
-    "d3_minhash_lsh", "d7_char_jaccard", "d10_containment_pairs",
-    "d11_incremental_dedup", "n4_ann_pq", "n5_ann_ivfpq", "n6_ann_rerank",
+    # never-driver-verified (30): the ROUND-8 queue above, verbatim in
+    # registration order — all 30 judge-verified green at sf0.01 in the
+    # round-7 session; this window converts that to driver rows. Four
+    # of them also ride round-8 code changes (h7: ohlc_order_key
+    # precondition guard; x33: TakeOrderedAndProject vocab top-k; n13:
+    # nn_descent dim validation; e9: caching lock — ADVICE fixes).
+    "n12_hard_negatives", "h5_time_weighted_avg", "h6_counter_increase",
+    "m13_audio_frame_features", "n13_nn_descent_graph", "ev1_ann_recall",
+    "ev2_partition_purity", "x32_training_shards", "h7_ohlc_bars",
+    "pr4_item_similarity", "ev3_classifier_eval", "ev4_ann_ndcg",
+    "d17_edit_distance_dedup", "e9_attribution", "d18_cross_source_overlap",
+    "ops6_incremental_agg", "x33_vocab_coverage", "a19_exact_mode",
+    "x38_char_entropy", "w10_longest_streak", "m14_image_content_dedup",
+    "e12_time_to_convert", "n14_filtered_ann", "dq5_ks_drift",
+    "smp7_quota_allocation", "x34_ngram_novelty", "dq4_robust_outliers",
+    "h8_peak_concurrency", "dq3_column_profile", "ev5_dedup_recall",
+    # never-driver-verified (2): round-8 registrations (real image
+    # resize + real visual features over decoded pixels)
+    "m15_real_resize", "m16_visual_features",
     # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",
-    # refresh: oldest driver evidence — every r01-latest entry (18)
-    "a6_histogram", "a7_stats_pack", "d1_dedup_exact", "d4_simhash",
-    "e1_json_extract", "f_conditional_pack", "f_string_pack", "g1_rollup",
-    "g2_pivot", "g3_asof_join", "n1_ann_bruteforce", "n2_ann_lsh_bucket",
-    "w3_lag_delta", "w4_window_pack", "x1_language_scores",
-    "x2_quality_scores", "x3_token_counts", "x4_fingerprints",
-    # refresh: first r03-latest entries (12)
-    "a13_bloom_membership", "a14_count_min", "a8_percentiles",
-    "a9_having", "c1_cross_join", "d9_hyperplane_lsh",
-    "e4_sliding_window", "e6_inter_event_gaps", "e7_variant_extract",
-    "f_array_pack", "f_date_pack", "g4_cube",
+    # refresh: oldest driver evidence — 13 of the 22 remaining
+    # r03-latest entries (alphabetical; the other 9 queue for round 9)
+    "g5_unpivot", "gs1_grouping_sets", "j6_range_join", "j7_funnel",
+    "m6_multivariate_ols", "m7_forecast_backtest", "na1_null_impute",
+    "ops3_delete_propagation", "skw1_hot_keys", "smp1_stratified_sample",
+    "smp2_per_group_sample", "sq1_above_segment_avg", "u4_intersect_all",
 ]
 
 
