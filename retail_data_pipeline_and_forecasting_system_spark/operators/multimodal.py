@@ -718,16 +718,19 @@ def synthesize_square_wav_payloads(
 
 
 def synthesize_gradient_png_payloads(
-    df: DataFrame, id_col: str = "doc_id"
+    df: DataFrame, id_col: str = "doc_id", per_id_phase: bool = False
 ) -> DataFrame:
-    """Deterministic REAL-PNG gradient synthesis (m15/m16 corpus
+    """Deterministic REAL-PNG gradient synthesis (m15/m16/m17 corpus
     builder): each id becomes a genuine Paeth-filtered zlib-compressed
     8-bit grayscale PNG of ``(4 + id%13) x (3 + id%11)`` pixels valued
-    ``pixel(x, y) = 32 + (x + 3*y) % 95`` — NON-uniform, so a resize or
-    feature kernel that samples the wrong source pixel produces a
-    different byte stream (the uniform m10 corpus cannot catch that),
-    while every pixel stays closed-form/printable-ASCII so a SQL oracle
-    reconstructs the exact grid with integer arithmetic. Paeth
+    ``pixel(x, y) = 32 + (x + 3*y + phase) % 95`` — NON-uniform, so a
+    resize or feature kernel that samples the wrong source pixel
+    produces a different byte stream (the uniform m10 corpus cannot
+    catch that), while every pixel stays closed-form/printable-ASCII so
+    a SQL oracle reconstructs the exact grid with integer arithmetic.
+    ``per_id_phase=False`` (m15/m16) uses phase 0 — same-dims images
+    are identical; ``True`` (m17) uses ``phase = id`` so image CONTENT
+    varies per id and content-grouping operators have real work. Paeth
     filtering over a gradient exercises the decoder's unfilter path on
     non-trivial predictors.
 
@@ -741,8 +744,9 @@ def synthesize_gradient_png_payloads(
             payloads = []
             for i in ids:
                 w, h = int(4 + i % 13), int(3 + i % 11)
+                phase = int(i) if per_id_phase else 0
                 px = bytes(
-                    32 + (x + 3 * y) % 95
+                    32 + (x + 3 * y + phase) % 95
                     for y in range(h)
                     for x in range(w)
                 )
@@ -941,3 +945,91 @@ def extract_features_real(
             )
 
     return df.mapInPandas(run, schema=VISUAL_FEATURES_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("dhash_hi", T.LongType(), True),
+        T.StructField("dhash_lo", T.LongType(), True),
+    ]
+)
+
+
+def perceptual_hash(
+    df: DataFrame, grid_w: int = 9, grid_h: int = 8, strict: bool = False
+) -> DataFrame:
+    """Difference hash (dHash) over REAL decoded pixels — the standard
+    perceptual image fingerprint: NN-resample the channel-0 plane to a
+    ``grid_w x grid_h`` grid (default 9x8, the canonical dHash shape)
+    with the same all-integer mapping as :func:`resize_media_real`
+    (``src = (j*src_dim) // out_dim``), then bit ``i*(grid_w-1)+j`` is
+    set iff ``grid[i][j+1] > grid[i][j]`` — 64 bits capturing local
+    gradient STRUCTURE, invariant to resolution and monotone brightness
+    shifts (unlike m14's exact pixel md5, which only unifies encodings
+    of bit-identical pixels). Emitted as two non-negative 32-bit halves
+    (``dhash_hi`` = grid rows 0..3, ``dhash_lo`` = rows 4..7) so a SQL
+    oracle sums powers of two without BIGINT sign overflow, and
+    Hamming-band blocking (the d5 pigeonhole play) can reuse either
+    half as a coarse bucket. Non-image payloads quarantine (NULL row)
+    unless ``strict=True``.
+
+    Partition-local Arrow-batched mapInPandas, ZERO shuffle; grouping /
+    banding on the emitted 16 bytes is the caller's (m17's) one
+    digest-sized exchange.
+    """
+    import numpy as np
+
+    from . import imagecodec
+
+    half = grid_h // 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {k.name: [] for k in DHASH_SCHEMA}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    img = imagecodec.decode_image(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    for k in ("width", "height", "dhash_hi", "dhash_lo"):
+                        out[k].append(None)
+                    continue
+                w, h = img.width, img.height
+                plane = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+                    h, w, img.channels
+                )[:, :, 0]
+                sy = (np.arange(grid_h, dtype=np.int64) * h) // grid_h
+                sx = (np.arange(grid_w, dtype=np.int64) * w) // grid_w
+                g = plane[sy][:, sx].astype(np.int64)
+                bits = g[:, 1:] > g[:, :-1]  # grid_h x (grid_w-1)
+                shifts = np.arange(grid_w - 1, dtype=np.int64)
+                row_vals = (bits.astype(np.int64) << shifts).sum(axis=1)
+                row_shift = np.int64(grid_w - 1)
+                hi = int(
+                    (row_vals[:half]
+                     << (np.arange(half, dtype=np.int64) * row_shift)).sum()
+                )
+                lo = int(
+                    (row_vals[half:]
+                     << (np.arange(grid_h - half, dtype=np.int64)
+                         * row_shift)).sum()
+                )
+                out["width"].append(w)
+                out["height"].append(h)
+                out["dhash_hi"].append(hi)
+                out["dhash_lo"].append(lo)
+            yield pd.DataFrame(out).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "dhash_hi": "Int64",
+                    "dhash_lo": "Int64",
+                }
+            )
+
+    return df.mapInPandas(run, schema=DHASH_SCHEMA)

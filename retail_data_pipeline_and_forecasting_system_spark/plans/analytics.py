@@ -10907,11 +10907,13 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # (m15/m16: real resize + real visual features over decoded pixels)
 # + the 5 headline re-pins + 13 refresh picks (oldest evidence: 13 of
 # the 22 remaining r03-latest, alphabetical) — see _DRIVER_SAMPLE.
-# ROUND-9 queue (anything registered in round 8 after the r08 window
-# seals gets listed here in registration order, plus the 9 r03-latest
-# refresh leftovers: u5_except_all, w5_share_of_total, w6_rolling_7day,
-# w7_lead_nth, x10_chunk_documents, x11_repetition_signals,
-# x12_corpus_materialize, x13_decontaminate, x9_keywords).
+# ROUND-9 queue (registered in round 8 after the r08 window sealed,
+# in registration order): m17_perceptual_hash,
+# dq6_referential_integrity, e13_conversion_paths; plus the 9
+# r03-latest refresh leftovers: u5_except_all, w5_share_of_total,
+# w6_rolling_7day, w7_lead_nth, x10_chunk_documents,
+# x11_repetition_signals, x12_corpus_materialize, x13_decontaminate,
+# x9_keywords.
 # ROUND-8 queue (registered in round 7, after the r07 window sealed):
 # n12_hard_negatives, h5_time_weighted_avg, h6_counter_increase,
 # m13_audio_frame_features, n13_nn_descent_graph, ev1_ann_recall,
@@ -12117,6 +12119,211 @@ def m16_visual_features(spark, sf):
     return feats.select(
         "doc_id", "width", "height", "channels", "n_pixels", "sum_px",
         "mean_px", "min_px", "max_px", "h_edges", "v_edges",
+    )
+
+
+@q(
+    "m17_perceptual_hash",
+    sql="""
+    WITH dims AS (
+      SELECT doc_id,
+        CAST(4 + doc_id % 13 AS BIGINT) AS w,
+        CAST(3 + doc_id % 11 AS BIGINT) AS h
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, gi.i, gj.j,
+        CASE WHEN
+          32 + ((((gj.j + 1) * w) // 9) + 3 * ((gi.i * h) // 8) + doc_id)
+            % 95
+          >
+          32 + (((gj.j * w) // 9) + 3 * ((gi.i * h) // 8) + doc_id) % 95
+        THEN 1 ELSE 0 END AS bit
+      FROM dims
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS i) gi
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS j) gj
+    ), hashes AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN i < 4
+          THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j))
+          ELSE 0 END) AS BIGINT) AS dhash_hi,
+        CAST(SUM(CASE WHEN i >= 4
+          THEN bit * (CAST(1 AS BIGINT) << ((i - 4) * 8 + j))
+          ELSE 0 END) AS BIGINT) AS dhash_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT dhash_hi, dhash_lo,
+      CAST(count(*) AS BIGINT) AS n_images,
+      CAST(min(doc_id) AS BIGINT) AS canonical_id
+    FROM hashes GROUP BY dhash_hi, dhash_lo
+    """,
+    ref="LLM-ops: perceptual image dedup — dHash (the standard "
+    "difference hash) over REAL decoded pixels: decode the per-id-"
+    "phase gradient PNG (pixel = 32+(x+3y+id)%95, content varies per "
+    "id), NN-resample channel 0 to the canonical 9x8 grid with the "
+    "m15 all-integer mapping, set bit (i,j) iff grid[i][j+1] > "
+    "grid[i][j] (local gradient STRUCTURE — resolution- and monotone-"
+    "brightness-invariant, where m14's pixel_md5 only unifies "
+    "encodings of identical pixels), then group the corpus on the "
+    "64-bit fingerprint (operators/multimodal.py perceptual_hash over "
+    "operators/imagecodec.py). The oracle reconstructs every resampled "
+    "comparison in closed form and sums the same powers of two — the "
+    "decode->resample->threshold chain is exact-value checked; the "
+    "hash rides as two non-negative 32-bit halves so neither engine "
+    "touches BIGINT sign overflow",
+    scale="synthesize->decode->hash is ONE partition-local mapInPandas "
+    "chain (zero shuffle); the only exchange is the final group on 16 "
+    "digest bytes — m14's shape exactly; near-dup extension (hamming "
+    "<= k) reuses the d5 pigeonhole play with dhash_hi/dhash_lo as "
+    "the two blocking bands, never all-pairs",
+)
+def m17_perceptual_hash(spark, sf):
+    ids = _t(spark, sf, "documents").select("doc_id")
+    hashed = MM.perceptual_hash(
+        MM.synthesize_gradient_png_payloads(ids, per_id_phase=True)
+    )
+    return hashed.groupBy("dhash_hi", "dhash_lo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.min("doc_id").cast("bigint").alias("canonical_id"),
+    )
+
+
+_DQ6_RELS = [
+    # (relationship label, child table, fk col, parent table, pk col,
+    #  parent is broadcast-sized at 100 TB)
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey", True),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey", False),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey", True),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey", True),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey", True),
+]
+
+_DQ6_SQL_ONE = """
+    SELECT '{rel}' AS rel,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_null_fk,
+      CAST(count(DISTINCT c.{fk}) AS BIGINT) AS n_distinct_fk,
+      CAST(SUM(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+      SUM(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+        THEN 1 ELSE 0 END)
+        / CAST(nullif(count(*) - SUM(CASE WHEN c.{fk} IS NULL
+            THEN 1 ELSE 0 END), 0) AS DOUBLE) AS orphan_rate
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON c.{fk} = p.{pk}
+"""
+
+
+@q(
+    "dq6_referential_integrity",
+    sql=" UNION ALL ".join(
+        _DQ6_SQL_ONE.format(rel=rel, child=child, fk=fk, parent=parent,
+                            pk=pk)
+        for rel, child, fk, parent, pk, _ in _DQ6_RELS
+    ),
+    ref="data quality: referential-integrity audit — one row per FK "
+    "relationship with row count, NULL-FK count, distinct-FK "
+    "cardinality, orphan rows (non-NULL FK with no parent key) and "
+    "orphan rate; the go/no-go join-safety check before any pipeline "
+    "that inner-joins on the key (an orphan silently vanishes from an "
+    "inner join — this query is how you learn BEFORE the revenue "
+    "number is wrong). The five audited relationships are the "
+    "warehouse's real FK edges plus the behavioral events.user_id -> "
+    "customer containment. The testdata is integrity-clean, so every "
+    "orphan count proves EXACT ZERO against the oracle (the audit's "
+    "normal production reading); detection of real orphans and NULL "
+    "FKs is proven by the hand-corpus unit test",
+    scale="each relationship is one LEFT join against the parent's "
+    "DISTINCT keys collapsed before the join: dims broadcast "
+    "(plan-asserted), the one fact-sized parent (orders) takes a "
+    "key-partitioned shuffle join that AQE sizes at runtime — at "
+    "100 TB swap in a bloom pre-filter (j8's play) to skip the "
+    "shuffle for the no-orphan common case; all counters are "
+    "conditional aggs in ONE pass per relationship, map-side "
+    "combinable; output is relationship-count sized",
+)
+def dq6_referential_integrity(spark, sf):
+    parts = []
+    for rel, child, fk, parent, pk, bcast in _DQ6_RELS:
+        c = _t(spark, sf, child).select(fk)
+        p = _t(spark, sf, parent).select(pk).distinct()
+        if bcast:
+            p = F.broadcast(p)
+        joined = c.join(p, c[fk] == p[pk], "left")
+        orphan = F.col(fk).isNotNull() & F.col(pk).isNull()
+        agg = joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_null_fk"),
+            F.countDistinct(fk).cast("bigint").alias("n_distinct_fk"),
+            F.sum(F.when(orphan, 1).otherwise(0))
+            .cast("bigint").alias("n_orphan_rows"),
+        ).select(
+            F.lit(rel).alias("rel"),
+            "n_rows", "n_null_fk", "n_distinct_fk", "n_orphan_rows",
+            (
+                F.col("n_orphan_rows")
+                / F.nullif(
+                    F.col("n_rows") - F.col("n_null_fk"), F.lit(0)
+                ).cast("double")
+            ).alias("orphan_rate"),
+        )
+        parts.append(agg)
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+@q(
+    "e13_conversion_paths",
+    sql="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+        lag(event_type, 1) OVER w AS p1,
+        lag(event_type, 2) OVER w AS p2,
+        lag(event_type, 3) OVER w AS p3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT concat_ws('>', p3, p2, p1) AS path,
+      CAST(count(*) AS BIGINT) AS n_conversions
+    FROM ev WHERE event_type = 'purchase'
+    GROUP BY path
+    """,
+    ref="event analytics: top conversion paths — for every purchase, "
+    "the exact sequence of the (up to) 3 immediately-preceding events "
+    "in the user's (ts, event_id) order, frequency-counted across the "
+    "corpus; the which-journeys-convert complement of e9's last-touch "
+    "credit and e8's one-step Markov transitions (a path is the "
+    "3-step trajectory those marginalize away). concat_ws skips NULL "
+    "lags identically in both engines, so early-history purchases "
+    "yield the honest shorter path ('' for a cold-start purchase)",
+    scale="the three lags share ONE (user_id)-keyed window spec — one "
+    "exchange, one sort, all three offsets read from the same frame "
+    "buffer; the path agg is map-side combinable over a bounded "
+    "alphabet (<= |event_types|^3 + boundary paths), so the final "
+    "exchange carries path-cardinality partials, never events",
+)
+def e13_conversion_paths(spark, sf):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 3).over(w).alias("p3"),
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.concat_ws(">", "p3", "p2", "p1").alias("path")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
     )
 
 

@@ -264,3 +264,102 @@ def test_streaming_attribution_touch_cap_saturates(spark, tmp_path):
 
     exact = run(None)
     assert exact[0]["n_touches_7d"] == 4
+
+
+def test_perceptual_hash_hand_values(spark):
+    """dHash by hand: 2x2 gray [[10,20],[30,5]] -> 9x8 NN grid repeats
+    row 0 for i<4 (bit at j=4 where 10->20 rises: row value 16) and
+    row 1 for i>=4 (falling 30->5: no bits) -> hi = 16*0x01010101,
+    lo = 0. A monotone brightness shift (+50) must not change the
+    hash; garbage quarantines."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.multimodal import (
+        perceptual_hash,
+    )
+
+    rows = [
+        (1, _png(2, 2, 1, [10, 20, 30, 5])),
+        (2, _png(2, 2, 1, [60, 70, 80, 55])),  # +50 everywhere
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in perceptual_hash(df).collect()}
+    assert got[1]["dhash_hi"] == 16 * 0x01010101
+    assert got[1]["dhash_lo"] == 0
+    assert (got[2]["dhash_hi"], got[2]["dhash_lo"]) == (
+        got[1]["dhash_hi"], got[1]["dhash_lo"],
+    )
+    assert got[3]["dhash_hi"] is None and got[3]["width"] is None
+
+
+def test_dq6_detects_orphans_and_null_fks(spark, tmp_path):
+    """The audit's detection leg (testdata is integrity-clean, so the
+    registry oracle proves zeros): a child with one orphan FK and one
+    NULL FK reports n_orphan_rows=1, n_null_fk=1, and the orphan rate
+    excludes NULL FKs from its denominator."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+
+    def w(name, schema, rows):
+        spark.createDataFrame(rows, schema).write.parquet(
+            str(sf / f"{name}.parquet")
+        )
+
+    w("customer", "c_custkey long", [(1,), (2,)])
+    w("orders", "o_orderkey long, o_custkey long",
+      [(10, 1), (11, 2), (12, 99), (13, None)])
+    w("lineitem", "l_orderkey long, l_partkey long, l_suppkey long",
+      [(10, 7, 3), (55, 7, 3)])
+    w("part", "p_partkey long", [(7,)])
+    w("supplier", "s_suppkey long", [(3,)])
+    w("events", "event_id long, ts timestamp, user_id long, "
+      "event_type string", [])
+
+    out = {
+        r["rel"]: r
+        for r in QUERIES["dq6_referential_integrity"]
+        .fn(spark, str(sf)).collect()
+    }
+    oc = out["orders.o_custkey->customer"]
+    assert (oc["n_rows"], oc["n_null_fk"]) == (4, 1)
+    assert oc["n_distinct_fk"] == 3
+    assert oc["n_orphan_rows"] == 1
+    assert oc["orphan_rate"] == 1.0 / 3  # NULL FK excluded from denom
+    lo = out["lineitem.l_orderkey->orders"]
+    assert (lo["n_orphan_rows"], lo["n_null_fk"]) == (1, 0)
+    assert out["lineitem.l_partkey->part"]["n_orphan_rows"] == 0
+    ev = out["events.user_id->customer"]
+    assert ev["n_rows"] == 0 and ev["orphan_rate"] is None  # nullif
+
+
+def test_e13_paths_hand_values(spark, tmp_path):
+    """Conversion paths by hand: a 3-prior purchase, a cold-start
+    purchase (empty path), and a 1-prior purchase."""
+    from datetime import datetime, timezone
+
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    def ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc)
+
+    rows = [
+        (1, ts(1), 1, "view"), (2, ts(2), 1, "click"),
+        (3, ts(3), 1, "view"), (4, ts(4), 1, "purchase"),
+        (5, ts(1), 2, "purchase"),
+        (6, ts(1), 3, "click"), (7, ts(2), 3, "purchase"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.parquet(str(sf / "events.parquet"))
+    got = {
+        r["path"]: r["n_conversions"]
+        for r in QUERIES["e13_conversion_paths"].fn(spark, str(sf)).collect()
+    }
+    assert got == {"view>click>view": 1, "": 1, "click": 1}

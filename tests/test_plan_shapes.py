@@ -668,3 +668,41 @@ def test_image_content_dedup_shuffles_digests_only(spark):
     plan = _plan(spark, "m14_image_content_dedup")
     assert "MapInPandas" in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_perceptual_hash_single_digest_exchange(spark):
+    """m17: synthesize->decode->dhash is one partition-local
+    mapInPandas chain; the ONLY exchange is the final group on the two
+    32-bit digest halves."""
+    import re
+
+    plan = _plan(spark, "m17_perceptual_hash")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    n_ex = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_ex == 1, f"expected 1 digest exchange, saw {n_ex}"
+
+
+def test_referential_integrity_broadcasts_dims(spark):
+    """dq6: the four dim-parent audits must broadcast the DISTINCT
+    parent keys against the child scan (never shuffle the fact side on
+    a dim key); no cartesian anywhere."""
+    plan = _plan(spark, "dq6_referential_integrity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_conversion_paths_one_user_window(spark):
+    """e13: all three lags ride ONE (user_id) window (one Window node,
+    one user_id exchange); the path agg adds the only other exchange
+    and is map-side combined (partial_count below it)."""
+    import re
+
+    import re as _re
+
+    plan = _plan(spark, "e13_conversion_paths")
+    assert len(_re.findall(r"^\(\d+\) Window", plan, _re.M)) == 1
+    n_ex = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_ex == 2, f"expected window + path-agg exchanges, saw {n_ex}"
+    assert "partial_count" in plan
