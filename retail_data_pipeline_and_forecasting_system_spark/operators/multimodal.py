@@ -1033,3 +1033,70 @@ def perceptual_hash(
             )
 
     return df.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """All image pairs within ``max_hamming`` bits on the dHash
+    (columns ``doc_id``/``dhash_hi``/``dhash_lo`` from
+    :func:`perceptual_hash`) — WITHOUT all-pairs: the 64-bit
+    fingerprint splits into 4 16-bit bands, and a pair differing in
+    <= 3 bits must agree exactly in at least one band (pigeonhole), so
+    candidates come from 4 band-bucket equi-joins and a row-local XOR
+    popcount verifies; ``distinct`` collapses multi-band hits.
+    Recall-LOSSLESS for ``max_hamming <= 3`` (enforced — 4 bands
+    cannot pigeonhole 4 scattered flips). Output: (doc_a, doc_b,
+    hamming), doc_a < doc_b.
+
+    Scale: one exchange per join side on the 16-bit bucket keys; pair
+    volume is the sum of per-bucket products (never corpus²); hot
+    buckets take the d3 max_df cap upstream when a corpus needs it.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            f"4 fixed bands pigeonhole at most 3 flips; got {max_hamming}"
+        )
+    bands = hashed.select(
+        "doc_id", "dhash_hi", "dhash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.col("dhash_hi").bitwiseAND(F.lit(65535)).alias("bval"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.shiftright("dhash_hi", 16).alias("bval"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    F.col("dhash_lo").bitwiseAND(F.lit(65535)).alias("bval"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    F.shiftright("dhash_lo", 16).alias("bval"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "dhash_hi", "dhash_lo",
+        F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("dhash_hi").alias("a_hi"),
+        F.col("dhash_lo").alias("a_lo"), "band", "bval",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("dhash_hi").alias("b_hi"),
+        F.col("dhash_lo").alias("b_lo"), "band", "bval",
+    )
+    ham = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(ham <= max_hamming)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .distinct()
+    )

@@ -10908,7 +10908,7 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # + the 5 headline re-pins + 13 refresh picks (oldest evidence: 13 of
 # the 22 remaining r03-latest, alphabetical) — see _DRIVER_SAMPLE.
 # ROUND-9 queue (registered in round 8 after the r08 window sealed,
-# in registration order): m17_perceptual_hash,
+# in registration order): m17_perceptual_hash, m18_image_neardup_pairs,
 # dq6_referential_integrity, e13_conversion_paths; plus the 9
 # r03-latest refresh leftovers: u5_except_all, w5_share_of_total,
 # w6_rolling_7day, w7_lead_nth, x10_chunk_documents,
@@ -12185,6 +12185,73 @@ def m17_perceptual_hash(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_images"),
         F.min("doc_id").cast("bigint").alias("canonical_id"),
     )
+
+
+@q(
+    "m18_image_neardup_pairs",
+    sql="""
+    WITH dims AS (
+      SELECT doc_id,
+        CAST(4 + doc_id % 13 AS BIGINT) AS w,
+        CAST(3 + doc_id % 11 AS BIGINT) AS h
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, gi.i, gj.j,
+        CASE WHEN
+          32 + ((((gj.j + 1) * w) // 9) + 3 * ((gi.i * h) // 8) + doc_id)
+            % 95
+          >
+          32 + (((gj.j * w) // 9) + 3 * ((gi.i * h) // 8) + doc_id) % 95
+        THEN 1 ELSE 0 END AS bit
+      FROM dims
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS i) gi
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS j) gj
+    ), hashes AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN i < 4
+          THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j))
+          ELSE 0 END) AS BIGINT) AS hi,
+        CAST(SUM(CASE WHEN i >= 4
+          THEN bit * (CAST(1 AS BIGINT) << ((i - 4) * 8 + j))
+          ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+           AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    """,
+    ref="LLM-ops: perceptual image NEAR-dup pairs — all image pairs "
+    "within Hamming distance 3 on the m17 dHash (a 1-3 bit flip is "
+    "what a re-crop/re-encode/mild filter does to the fingerprint; "
+    "distance 0 is m17's exact grouping). The engine runs the d5 "
+    "pigeonhole play on pixels: split the 64-bit fingerprint into 4 "
+    "16-bit bands (hamming <= 3 forces equality in >= 1 band), "
+    "candidates from band-bucket equi-joins, row-local XOR popcount "
+    "verify, distinct — NEVER all-pairs. The ORACLE states the naive "
+    "all-pairs spec; the exact-value hash match is the proof that "
+    "banding is recall-lossless (the h8 pattern: oracle = definition, "
+    "engine = scalable plan)",
+    scale="the dHash chain is m17's zero-shuffle mapInPandas (persisted "
+    "once — one codec pass feeds both join sides); candidates come "
+    "from 4 band-keyed equi-joins (one exchange per side on 16-bit "
+    "buckets), verification is a row-local popcount — pair volume is "
+    "sum of per-bucket products, bounded by banding; hot buckets at "
+    "100 TB take the d3 max_df cap (drop or sub-band oversized "
+    "buckets, mirrored in the oracle) — the synthetic corpus maxes at "
+    "268 per bucket (measured)",
+)
+def m18_image_neardup_pairs(spark, sf):
+    ids = _t(spark, sf, "documents").select("doc_id")
+    hashed = _persist_tracked(
+        MM.perceptual_hash(
+            MM.synthesize_gradient_png_payloads(ids, per_id_phase=True)
+        )
+        .filter(F.col("dhash_hi").isNotNull())
+        .select("doc_id", "dhash_hi", "dhash_lo")
+    )
+    return MM.dhash_neardup_pairs(hashed, max_hamming=3)
 
 
 _DQ6_RELS = [

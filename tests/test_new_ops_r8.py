@@ -363,3 +363,31 @@ def test_e13_paths_hand_values(spark, tmp_path):
         for r in QUERIES["e13_conversion_paths"].fn(spark, str(sf)).collect()
     }
     assert got == {"view>click>view": 1, "": 1, "click": 1}
+
+
+def test_dhash_neardup_pairs_hand_values(spark):
+    """Banded near-dup by hand: A=[10,20,30,5] and its +50 brightness
+    twin hash identically (hamming 0); C=[5,5,5,200] differs from A in
+    8 bits (rising edge moves rows) — excluded at max_hamming 3. Caps
+    above 3 must raise (4 bands cannot pigeonhole 4 flips)."""
+    import pytest
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        perceptual_hash,
+    )
+
+    rows = [
+        (1, _png(2, 2, 1, [10, 20, 30, 5])),
+        (2, _png(2, 2, 1, [60, 70, 80, 55])),
+        (3, _png(2, 2, 1, [5, 5, 5, 200])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashed = perceptual_hash(df).select("doc_id", "dhash_hi", "dhash_lo")
+    got = [
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dhash_neardup_pairs(hashed, max_hamming=3).collect()
+    ]
+    assert got == [(1, 2, 0)]
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_neardup_pairs(hashed, max_hamming=4)

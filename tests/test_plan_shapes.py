@@ -706,3 +706,16 @@ def test_conversion_paths_one_user_window(spark):
     n_ex = len(re.findall(r"Arguments: hashpartitioning", plan))
     assert n_ex == 2, f"expected window + path-agg exchanges, saw {n_ex}"
     assert "partial_count" in plan
+
+
+def test_image_neardup_is_banded_not_allpairs(spark):
+    """m18: candidates must come from band-bucket equi-joins over the
+    PERSISTED dhash frame (one codec pass feeds both sides) — no
+    cartesian, no nested-loop; verification is row-local popcount."""
+    plan = _plan(spark, "m18_image_neardup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan
+    # both join sides read the ONE persisted dhash build (pr4 rule:
+    # count InMemoryTableScans, not Scan echoes)
+    assert plan.count("InMemoryTableScan") >= 2
