@@ -756,6 +756,24 @@ def synthesize_gradient_png_payloads(
     return df.mapInPandas(run, schema=PAYLOAD_SCHEMA)
 
 
+def _quarantine(out: dict[str, list], fields: tuple[str, ...]) -> None:
+    """Append one NULL quarantine row (all ``fields`` None) — the
+    shared decode-failure path of the real-pixel operators; deriving
+    the field list at the call site from the op's schema keeps the
+    NULL row aligned with schema changes by construction."""
+    for k in fields:
+        out[k].append(None)
+
+
+def _nn_indices(out_n: int, src_n: int):
+    """All-integer nearest-neighbor source indices for ``out_n``
+    samples over a ``src_n``-long axis: ``idx[k] = (k*src_n)//out_n``
+    — the exactly-oracle-able gather shared by resize and dHash."""
+    import numpy as np
+
+    return (np.arange(out_n, dtype=np.int64) * src_n) // out_n
+
+
 RESIZED_REAL_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -803,6 +821,9 @@ def resize_media_real(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out: dict[str, list] = {k.name: [] for k in RESIZED_REAL_SCHEMA}
+            nullable = tuple(
+                f.name for f in RESIZED_REAL_SCHEMA if f.name != "doc_id"
+            )
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 out["doc_id"].append(doc_id)
                 try:
@@ -810,11 +831,7 @@ def resize_media_real(
                 except ValueError:
                     if strict:
                         raise
-                    for k in (
-                        "width", "height", "rs_width", "rs_height",
-                        "resized_md5", "rs_mean_luma",
-                    ):
-                        out[k].append(None)
+                    _quarantine(out, nullable)
                     continue
                 w, h, c = img.width, img.height, img.channels
                 long_edge = max(w, h)
@@ -823,9 +840,7 @@ def resize_media_real(
                 arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
                     h, w, c
                 )
-                sy = (np.arange(rh, dtype=np.int64) * h) // rh
-                sx = (np.arange(rw, dtype=np.int64) * w) // rw
-                rs = arr[sy][:, sx]
+                rs = arr[_nn_indices(rh, h)][:, _nn_indices(rw, w)]
                 rs_bytes = rs.tobytes()
                 out["width"].append(w)
                 out["height"].append(h)
@@ -897,6 +912,9 @@ def extract_features_real(
             out: dict[str, list] = {
                 k.name: [] for k in VISUAL_FEATURES_SCHEMA
             }
+            nullable = tuple(
+                f.name for f in VISUAL_FEATURES_SCHEMA if f.name != "doc_id"
+            )
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 out["doc_id"].append(doc_id)
                 try:
@@ -904,12 +922,7 @@ def extract_features_real(
                 except ValueError:
                     if strict:
                         raise
-                    for k in (
-                        "width", "height", "channels", "n_pixels",
-                        "sum_px", "mean_px", "min_px", "max_px",
-                        "h_edges", "v_edges",
-                    ):
-                        out[k].append(None)
+                    _quarantine(out, nullable)
                     continue
                 arr = np.frombuffer(img.pixels, dtype=np.uint8)
                 plane = arr.reshape(img.height, img.width, img.channels)[
@@ -917,14 +930,13 @@ def extract_features_real(
                 ].astype(np.int64)
                 hd = np.abs(np.diff(plane, axis=1))
                 vd = np.abs(np.diff(plane, axis=0))
+                total = int(arr.sum(dtype=np.int64))
                 out["width"].append(img.width)
                 out["height"].append(img.height)
                 out["channels"].append(img.channels)
                 out["n_pixels"].append(arr.size)
-                out["sum_px"].append(int(arr.sum(dtype=np.int64)))
-                out["mean_px"].append(
-                    float(int(arr.sum(dtype=np.int64))) / arr.size
-                )
+                out["sum_px"].append(total)
+                out["mean_px"].append(float(total) / arr.size)
                 out["min_px"].append(int(arr.min()))
                 out["max_px"].append(int(arr.max()))
                 out["h_edges"].append(int((hd >= edge_thresh).sum()))
@@ -989,6 +1001,9 @@ def perceptual_hash(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out: dict[str, list] = {k.name: [] for k in DHASH_SCHEMA}
+            nullable = tuple(
+                f.name for f in DHASH_SCHEMA if f.name != "doc_id"
+            )
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 out["doc_id"].append(doc_id)
                 try:
@@ -996,16 +1011,15 @@ def perceptual_hash(
                 except ValueError:
                     if strict:
                         raise
-                    for k in ("width", "height", "dhash_hi", "dhash_lo"):
-                        out[k].append(None)
+                    _quarantine(out, nullable)
                     continue
                 w, h = img.width, img.height
                 plane = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
                     h, w, img.channels
                 )[:, :, 0]
-                sy = (np.arange(grid_h, dtype=np.int64) * h) // grid_h
-                sx = (np.arange(grid_w, dtype=np.int64) * w) // grid_w
-                g = plane[sy][:, sx].astype(np.int64)
+                g = plane[_nn_indices(grid_h, h)][
+                    :, _nn_indices(grid_w, w)
+                ].astype(np.int64)
                 bits = g[:, 1:] > g[:, :-1]  # grid_h x (grid_w-1)
                 shifts = np.arange(grid_w - 1, dtype=np.int64)
                 row_vals = (bits.astype(np.int64) << shifts).sum(axis=1)

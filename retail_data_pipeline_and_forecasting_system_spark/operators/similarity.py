@@ -1477,21 +1477,25 @@ def nn_descent(
     # the second bucketing reads coordinates [n_bits, 2*n_bits); on a
     # narrower vector element_at past the end is NULL -> every row's
     # bkt2 = 0, one global bucket, and the seed self-join silently goes
-    # quadratic (round-7 ADVICE). Sample ONE row and fail loud instead.
-    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is not None and dim_row["d"] is not None:
-        if dim_row["d"] < 2 * n_bits:
-            raise ValueError(
-                f"nn_descent needs embedding dim >= 2*n_bits "
-                f"(= {2 * n_bits}) for two independent sign-LSH seed "
-                f"bucketings; sampled dim {dim_row['d']} — lower n_bits "
-                "or widen the vectors"
-            )
+    # quadratic (round-7 ADVICE). Guard PER ROW and lazily (a one-row
+    # sample probe would eagerly materialize the upstream lineage and
+    # still miss mixed-width tables — round-8 review finding): any row
+    # too narrow for two independent bucketings raises at action time.
+    dim_ok = F.assert_true(
+        F.size(F.col(vec_col)) >= 2 * n_bits,
+        F.lit(
+            f"nn_descent needs embedding dim >= 2*n_bits (= {2 * n_bits}) "
+            "for two independent sign-LSH seed bucketings — lower n_bits "
+            "or widen the vectors"
+        ),
+    )
     emb = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         sign_lsh_bucket(vec_col, n_bits).alias("bkt1"),
-        sign_lsh_bucket(vec_col, n_bits, offset=n_bits).alias("bkt2"),
+        F.when(
+            dim_ok.isNull(), sign_lsh_bucket(vec_col, n_bits, offset=n_bits)
+        ).alias("bkt2"),
     )
 
     def topk(scored: DataFrame) -> DataFrame:

@@ -12122,9 +12122,12 @@ def m16_visual_features(spark, sf):
     )
 
 
-@q(
-    "m17_perceptual_hash",
-    sql="""
+# closed-form dHash of the per-id-phase gradient corpus, shared by the
+# m17 and m18 oracles (one definition — a grid-math edit cannot
+# desynchronize them; round-8 review finding): reconstructs every 9x8
+# NN-resampled comparison and packs the 64 bits as two non-negative
+# 32-bit halves.
+_DHASH_SQL_CTE = """
     WITH dims AS (
       SELECT doc_id,
         CAST(4 + doc_id % 13 AS BIGINT) AS w,
@@ -12151,6 +12154,12 @@ def m16_visual_features(spark, sf):
           ELSE 0 END) AS BIGINT) AS dhash_lo
       FROM bits GROUP BY doc_id
     )
+"""
+
+
+@q(
+    "m17_perceptual_hash",
+    sql=_DHASH_SQL_CTE + """
     SELECT dhash_hi, dhash_lo,
       CAST(count(*) AS BIGINT) AS n_images,
       CAST(min(doc_id) AS BIGINT) AS canonical_id
@@ -12189,38 +12198,13 @@ def m17_perceptual_hash(spark, sf):
 
 @q(
     "m18_image_neardup_pairs",
-    sql="""
-    WITH dims AS (
-      SELECT doc_id,
-        CAST(4 + doc_id % 13 AS BIGINT) AS w,
-        CAST(3 + doc_id % 11 AS BIGINT) AS h
-      FROM documents
-    ), bits AS (
-      SELECT doc_id, gi.i, gj.j,
-        CASE WHEN
-          32 + ((((gj.j + 1) * w) // 9) + 3 * ((gi.i * h) // 8) + doc_id)
-            % 95
-          >
-          32 + (((gj.j * w) // 9) + 3 * ((gi.i * h) // 8) + doc_id) % 95
-        THEN 1 ELSE 0 END AS bit
-      FROM dims
-      CROSS JOIN (SELECT unnest(range(0, 8)) AS i) gi
-      CROSS JOIN (SELECT unnest(range(0, 8)) AS j) gj
-    ), hashes AS (
-      SELECT doc_id,
-        CAST(SUM(CASE WHEN i < 4
-          THEN bit * (CAST(1 AS BIGINT) << (i * 8 + j))
-          ELSE 0 END) AS BIGINT) AS hi,
-        CAST(SUM(CASE WHEN i >= 4
-          THEN bit * (CAST(1 AS BIGINT) << ((i - 4) * 8 + j))
-          ELSE 0 END) AS BIGINT) AS lo
-      FROM bits GROUP BY doc_id
-    )
+    sql=_DHASH_SQL_CTE + """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-           AS INT) AS hamming
+      CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+           + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INT) AS hamming
     FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+        + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
     """,
     ref="LLM-ops: perceptual image NEAR-dup pairs — all image pairs "
     "within Hamming distance 3 on the m17 dHash (a 1-3 bit flip is "

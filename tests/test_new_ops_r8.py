@@ -150,7 +150,10 @@ def test_gradient_corpus_round_trips_for_both_ops(spark):
 def test_nn_descent_rejects_narrow_embeddings(spark):
     """ADVICE fix: a vector too narrow for two independent sign-LSH
     bucketings must raise loudly instead of silently collapsing the
-    second hash into one global bucket (quadratic seed join)."""
+    second hash into one global bucket (quadratic seed join). The
+    guard is LAZY and per-row (assert_true in the bucketing
+    expression), so plan building stays free and mixed-width tables
+    can't slip a narrow row past a sampled probe."""
     import pytest
 
     from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
@@ -161,8 +164,16 @@ def test_nn_descent_rejects_narrow_embeddings(spark):
         [(1, [1.0] * 8), (2, [-1.0] * 8)],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(ValueError, match="dim >= 2\\*n_bits"):
-        nn_descent(df, k=1, iters=1, n_bits=8)
+    narrow = nn_descent(df, k=1, iters=1, n_bits=8)  # plan builds fine
+    with pytest.raises(Exception, match="dim >= 2\\*n_bits"):
+        narrow.count()
+    # mixed-width: one wide row can't mask a narrow one
+    mixed = spark.createDataFrame(
+        [(1, [1.0] * 16), (2, [0.5] * 16), (3, [1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="dim >= 2\\*n_bits"):
+        nn_descent(mixed, k=1, iters=0, n_bits=8).count()
     # wide enough: no raise; same-bucket pair seeds one edge each way
     wide = spark.createDataFrame(
         [(1, [1.0] * 16), (2, [0.5] * 16)],

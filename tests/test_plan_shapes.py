@@ -699,10 +699,8 @@ def test_conversion_paths_one_user_window(spark):
     and is map-side combined (partial_count below it)."""
     import re
 
-    import re as _re
-
     plan = _plan(spark, "e13_conversion_paths")
-    assert len(_re.findall(r"^\(\d+\) Window", plan, _re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
     n_ex = len(re.findall(r"Arguments: hashpartitioning", plan))
     assert n_ex == 2, f"expected window + path-agg exchanges, saw {n_ex}"
     assert "partial_count" in plan

@@ -1,9 +1,16 @@
 """Unified decade/3x scale-check harness (SCALE.md protocol).
 
 Consolidates the per-round scripts (scale_check_r4..r7c — deleted,
-round-8 verdict item 5); their recorded numbers live in SCALE.md.
+round-8 verdict item 5); their recorded numbers live in SCALE.md. This
+harness covers the common id-offset staging those scripts shared; two
+one-off experiments are NOT reproducible here and stand in SCALE.md as
+recorded by the deleted scripts (in git history): the round-3 "deep"
+events variant (timestamp-shifted copies — 3x longer per-user
+timelines) and the bare-j6 baseline A/B. Events staging here offsets
+event_id (same users, same instants); read each SCALE.md cell's
+staging note for what its copies meant.
 
-Protocol (unchanged from the per-round scripts):
+Protocol:
 
 - **Staging**: a pseudo-(mult)x corpus is built from sf0.1 by unioning
   ``mult`` id-offset copies of the tables named in ``--stage``;
@@ -182,6 +189,11 @@ def main() -> None:
     scales = []
     for s in args.scales.split(","):
         s = int(s)
+        if s != 1 and s != args.mult:
+            # the tool stages exactly ONE multiplied corpus; silently
+            # mapping e.g. --scales 1,3 onto a 10x directory would
+            # record a mislabeled row (round-8 review finding)
+            sys.exit(f"--scales {s} has no staged dir (--mult {args.mult})")
         scales.append(("1x", SF) if s == 1 else (f"{s}x", str(staged)))
 
     print(f"staged {args.mult}x: {','.join(stage_tables)}  "
@@ -192,9 +204,22 @@ def main() -> None:
         fn = QUERIES[name].fn
         for label, sf_dir in scales:
             rows = _force(fn(spark, sf_dir))  # codegen/JIT warm, untimed
+            # shuffle-write is metered over exactly ONE timed rep —
+            # summing all reps inflated shufW by the rep count in the
+            # r4-r7 per-round scripts AND the first round-8 cells
+            # (round-8 review finding; ratios were unaffected)
             mark = _last_job_id(app_id)
-            sec = _time(lambda: _force(fn(spark, sf_dir)), reps=args.reps)
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            best = time.perf_counter() - t0
             shuf = _shuffle_write_bytes(app_id, mark)
+            if args.reps > 1:
+                best = min(
+                    best,
+                    _time(lambda: _force(fn(spark, sf_dir)),
+                          reps=args.reps - 1),
+                )
+            sec = best
             print(f"{name:28s} {label:5s} {rows:9d} {sec:7.2f} "
                   f"{rows / sec:9.0f} {shuf:10d}")
 
