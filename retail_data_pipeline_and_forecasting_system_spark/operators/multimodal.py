@@ -1114,3 +1114,84 @@ def dhash_neardup_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .distinct()
     )
+
+
+SCENE_CUTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("n_cuts", T.IntegerType(), True),
+        T.StructField("first_cut_idx", T.IntegerType(), True),
+        T.StructField("mean_mad", T.DoubleType(), True),
+    ]
+)
+
+
+def scene_cuts(
+    df: DataFrame, thresh: float = 50.0, strict: bool = False
+) -> DataFrame:
+    """Scene-cut detection over REAL decoded video — the temporal
+    feature of the codec family (decode: m12; spatial: m16; spectral:
+    m13): decode the Y4M stream (:mod:`operators.videocodec`), compute
+    the mean absolute LUMA difference (MAD) between every consecutive
+    frame pair, and call a cut where ``MAD >= thresh`` — the classic
+    shot-boundary primitive a video curation pipeline runs before
+    per-scene frame sampling (one keyframe per scene beats every-N
+    sampling for training-data diversity). Emits per clip: true frame
+    count, cut count, first cut's frame index (NULL when no cut) and
+    the mean MAD across pairs (NULL for single-frame clips — no pair
+    exists, which must stay distinguishable from a quiet clip).
+    Chroma is deliberately excluded (luma carries scene identity; the
+    m12 convention). Non-Y4M / corrupt payloads yield one quarantine
+    row unless ``strict=True``.
+
+    Partition-local Arrow-batched mapInPandas, ZERO shuffle; frames
+    never leave the task that decoded them — at 100 TB the operator
+    scales by executors, and only clip-grain stats cross the wire.
+    """
+    import numpy as np
+
+    from . import videocodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {k.name: [] for k in SCENE_CUTS_SCHEMA}
+            nullable = tuple(
+                f.name for f in SCENE_CUTS_SCHEMA if f.name != "doc_id"
+            )
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    vid = videocodec.decode_y4m(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    _quarantine(out, nullable)
+                    continue
+                n = vid.n_frames
+                mads = []
+                prev = None
+                for idx in range(n):
+                    y = np.frombuffer(
+                        vid.y_plane(idx), dtype=np.uint8
+                    ).astype(np.int64)
+                    if prev is not None:
+                        mads.append(float(np.abs(y - prev).mean()))
+                    prev = y
+                cuts = [k + 1 for k, m in enumerate(mads) if m >= thresh]
+                out["n_frames"].append(n)
+                out["n_cuts"].append(len(cuts))
+                out["first_cut_idx"].append(cuts[0] if cuts else None)
+                out["mean_mad"].append(
+                    sum(mads) / len(mads) if mads else None
+                )
+            yield pd.DataFrame(out).astype(
+                {
+                    "n_frames": "Int32",
+                    "n_cuts": "Int32",
+                    "first_cut_idx": "Int32",
+                    "mean_mad": "float64",
+                }
+            )
+
+    return df.mapInPandas(run, schema=SCENE_CUTS_SCHEMA)

@@ -10909,7 +10909,8 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # the 22 remaining r03-latest, alphabetical) — see _DRIVER_SAMPLE.
 # ROUND-9 queue (registered in round 8 after the r08 window sealed,
 # in registration order): m17_perceptual_hash, m18_image_neardup_pairs,
-# dq6_referential_integrity, e13_conversion_paths; plus the 9
+# dq6_referential_integrity, e13_conversion_paths, m19_video_scene_cuts,
+# e14_rfm_segmentation; plus the 9
 # r03-latest refresh leftovers: u5_except_all, w5_share_of_total,
 # w6_rolling_7day, w7_lead_nth, x10_chunk_documents,
 # x11_repetition_signals, x12_corpus_materialize, x13_decontaminate,
@@ -12375,6 +12376,182 @@ def e13_conversion_paths(spark, sf):
             F.concat_ws(">", "p3", "p2", "p1").alias("path")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+    )
+
+
+@q(
+    "m19_video_scene_cuts",
+    sql="""
+    WITH clips AS (
+      SELECT doc_id, CAST(1 + doc_id % 6 AS INT) AS n_frames
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+        gk.k,
+        abs((32 + (doc_id + 7 * (gk.k + 1)) % 95)
+            - (32 + (doc_id + 7 * gk.k) % 95)) AS mad
+      FROM clips
+      JOIN (SELECT unnest(range(0, 5)) AS k) gk ON gk.k < n_frames - 1
+    )
+    SELECT c.doc_id, c.n_frames,
+      CAST(coalesce(SUM(CASE WHEN p.mad >= 50 THEN 1 ELSE 0 END), 0)
+           AS INT) AS n_cuts,
+      CAST(min(CASE WHEN p.mad >= 50 THEN p.k + 1 END) AS INT)
+        AS first_cut_idx,
+      CASE WHEN count(p.mad) > 0
+        THEN CAST(SUM(p.mad) AS DOUBLE) / count(p.mad) END AS mean_mad
+    FROM clips c LEFT JOIN pairs p ON c.doc_id = p.doc_id
+    GROUP BY c.doc_id, c.n_frames
+    """,
+    ref="LLM-ops: scene-cut detection over REAL decoded video — the "
+    "temporal member of the codec family (decode m12, spatial m16, "
+    "spectral m13): decode the genuine Y4M stream, mean-absolute-luma-"
+    "difference every consecutive frame pair, cut where MAD >= 50 — "
+    "the shot-boundary primitive a video curation pipeline runs before "
+    "per-scene keyframe sampling (operators/multimodal.py scene_cuts "
+    "over operators/videocodec.py). The synthesized corpus's frame k "
+    "is uniform luma 32+(id+7k)%95, so every pair's MAD is closed form "
+    "(7, or 88 on the mod-95 wrap — exactly the >= 50 cuts) and the "
+    "oracle states counts, first-cut index and mean MAD without "
+    "decoding; single-frame clips keep NULL mean_mad (no pair exists — "
+    "distinguishable from a quiet clip)",
+    scale="synthesize->decode->diff is ONE partition-local mapInPandas "
+    "chain: zero shuffle, frames never leave the decoding task, only "
+    "clip-grain stats cross the wire; a real ffmpeg/histogram-based "
+    "detector replaces the numpy MAD kernel inside the same iterator",
+)
+def m19_video_scene_cuts(spark, sf):
+    ids = _t(spark, sf, "documents").select("doc_id")
+    cuts = MM.scene_cuts(MM.synthesize_y4m_payloads(ids), thresh=50.0)
+    return cuts.select(
+        "doc_id", "n_frames", "n_cuts", "first_cut_idx", "mean_mad"
+    )
+
+
+@q(
+    "e14_rfm_segmentation",
+    sql="""
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+      FROM orders
+    ), cust AS (
+      SELECT o_custkey AS customer_id,
+        CAST(date_diff('day', max(od),
+             (SELECT max(od) FROM o)) AS INT) AS recency_days,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(floor(SUM(tp)) AS BIGINT) AS monetary
+      FROM o GROUP BY o_custkey
+    ), ra AS (
+      SELECT recency_days AS v, CAST(count(*) AS BIGINT) AS c
+      FROM cust GROUP BY 1
+    ), rs AS (
+      SELECT v, CAST((5 * SUM(c) OVER (ORDER BY v DESC)
+                      + SUM(c) OVER () - 1) // SUM(c) OVER () AS INT)
+        AS r_score
+      FROM ra
+    ), fa AS (
+      SELECT n_orders AS v, CAST(count(*) AS BIGINT) AS c
+      FROM cust GROUP BY 1
+    ), fs AS (
+      SELECT v, CAST((5 * SUM(c) OVER (ORDER BY v ASC)
+                      + SUM(c) OVER () - 1) // SUM(c) OVER () AS INT)
+        AS f_score
+      FROM fa
+    ), ma AS (
+      SELECT monetary AS v, CAST(count(*) AS BIGINT) AS c
+      FROM cust GROUP BY 1
+    ), ms AS (
+      SELECT v, CAST((5 * SUM(c) OVER (ORDER BY v ASC)
+                      + SUM(c) OVER () - 1) // SUM(c) OVER () AS INT)
+        AS m_score
+      FROM ma
+    )
+    SELECT cust.customer_id, cust.recency_days, cust.n_orders,
+      cust.monetary, rs.r_score, fs.f_score, ms.m_score,
+      CAST(rs.r_score * 100 + fs.f_score * 10 + ms.m_score AS INT)
+        AS rfm
+    FROM cust
+    JOIN rs ON cust.recency_days = rs.v
+    JOIN fs ON cust.n_orders = fs.v
+    JOIN ms ON cust.monetary = ms.v
+    """,
+    ref="retail analytics: RFM segmentation — per customer, recency "
+    "(days from last order to the corpus max date), frequency (order "
+    "count) and monetary (whole-currency floor of decimal spend), each "
+    "scored 1-5 as ceil(5 * CDF) over the metric's VALUE ALPHABET "
+    "(descending CDF for recency so most-recent = 5) and packed into "
+    "the classic 3-digit RFM code. All-integer scoring — ceil via "
+    "(5c + n - 1) // n — so both engines agree bit-for-bit; ties share "
+    "a score by construction (same value, same CDF), which global "
+    "NTILE would split arbitrarily",
+    scale="ONE orders scan collapses to the customer grain (map-side "
+    "combinable agg); each score map is a cumulative window over the "
+    "metric's value alphabet — recency is bounded by the date range, "
+    "frequency by max orders-per-customer, monetary by the whole-"
+    "currency price range — all value-range-sized, NEVER customer-"
+    "count-sized (bucket coarser if a metric's range explodes); maps "
+    "broadcast back to the customer frame (3 tiny joins); the corpus "
+    "max date is a broadcast 1-row agg (the a3 shape)",
+)
+def e14_rfm_segmentation(spark, sf):
+    o = _t(spark, sf, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        dec("o_totalprice").alias("tp"),
+    )
+    maxd = o.agg(F.max("od").alias("max_od"))
+    cust = _persist_tracked(
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("od").alias("last_od"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.floor(F.sum("tp")).cast("bigint").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.datediff("max_od", "last_od").cast("int")
+            .alias("recency_days"),
+            "n_orders",
+            "monetary",
+        )
+    )
+
+    def score_map(metric: str, out: str, descending: bool):
+        alpha = cust.groupBy(F.col(metric).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        wc = W.orderBy(F.desc("v")) if descending else W.orderBy("v")
+        return alpha.select(
+            "v",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(
+                W.partitionBy().orderBy(F.lit(1)).rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            ).alias("n"),
+        ).select(
+            F.col("v").alias(f"{out}_v"),
+            F.expr("CAST((5 * cum + n - 1) DIV n AS INT)").alias(out),
+        )
+
+    rs = score_map("recency_days", "r_score", descending=True)
+    fs = score_map("n_orders", "f_score", descending=False)
+    ms = score_map("monetary", "m_score", descending=False)
+    return (
+        cust.join(F.broadcast(rs),
+                  cust.recency_days == rs.r_score_v)
+        .join(F.broadcast(fs), cust.n_orders == fs.f_score_v)
+        .join(F.broadcast(ms), cust.monetary == ms.m_score_v)
+        .select(
+            "customer_id", "recency_days", "n_orders", "monetary",
+            "r_score", "f_score", "m_score",
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10
+                + F.col("m_score")
+            ).cast("int").alias("rfm"),
+        )
     )
 
 

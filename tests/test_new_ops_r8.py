@@ -402,3 +402,91 @@ def test_dhash_neardup_pairs_hand_values(spark):
     assert got == [(1, 2, 0)]
     with pytest.raises(ValueError, match="pigeonhole"):
         dhash_neardup_pairs(hashed, max_hamming=4)
+
+
+def test_scene_cuts_hand_values(spark):
+    """Scene cuts by hand: 2x2 clip with uniform frames 10 -> 80 -> 85
+    (MADs 70, 5; thresh 50) cuts once at frame 1, mean MAD 37.5; a
+    non-uniform pair averages pixel-level |diffs| (not frame means); a
+    single-frame clip keeps NULL mean_mad; garbage quarantines."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.multimodal import (
+        scene_cuts,
+    )
+    from retail_data_pipeline_and_forecasting_system_spark.operators.videocodec import (
+        encode_y4m,
+    )
+
+    three = encode_y4m(
+        2, 2, [bytes([10] * 4), bytes([80] * 4), bytes([85] * 4)]
+    )
+    # |0-10|, |40-20|, |0-30|, |80-40| -> mean 25; no cut at thresh 50
+    ragged = encode_y4m(
+        2, 2, [bytes([10, 20, 30, 40]), bytes([0, 40, 0, 80])]
+    )
+    single = encode_y4m(2, 2, [bytes([7] * 4)])
+    rows = [
+        (1, bytearray(three)),
+        (2, bytearray(ragged)),
+        (3, bytearray(single)),
+        (4, bytearray(b"not a video")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in scene_cuts(df, thresh=50.0).collect()}
+
+    r = got[1]
+    assert (r["n_frames"], r["n_cuts"], r["first_cut_idx"]) == (3, 1, 1)
+    assert r["mean_mad"] == 37.5
+
+    r2 = got[2]
+    assert (r2["n_cuts"], r2["first_cut_idx"]) == (0, None)
+    assert r2["mean_mad"] == 25.0
+
+    r3 = got[3]
+    assert (r3["n_frames"], r3["n_cuts"]) == (1, 0)
+    assert r3["mean_mad"] is None and r3["first_cut_idx"] is None
+
+    assert got[4]["n_frames"] is None and got[4]["n_cuts"] is None
+
+
+def test_e14_rfm_hand_values(spark, tmp_path):
+    """RFM by hand on 5 customers, one order each, spends 10..50 and
+    one day apart: with distinct values the ceil(5*CDF) score IS the
+    rank — most recent / highest spend get 5 — and a count tie shares
+    the frequency score (all five have n_orders=1 -> f_score 5)."""
+    from datetime import datetime, timezone
+
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    def d(day):
+        return datetime(2024, 1, day, tzinfo=timezone.utc)
+
+    rows = [
+        (100 + i, i, f"2024010{i}", float(10 * i), d(i))
+        for i in range(1, 6)
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(ok, ck, tp, od) for ok, ck, _, tp, od in rows],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    ).write.parquet(str(sf / "orders.parquet"))
+
+    got = {
+        r["customer_id"]: r
+        for r in QUERIES["e14_rfm_segmentation"].fn(spark, str(sf)).collect()
+    }
+    assert len(got) == 5
+    # customer 5 ordered last (recency 0) and spent most -> R5 M5; all
+    # tie on frequency (one order) -> F5 for everyone
+    assert (got[5]["recency_days"], got[5]["r_score"]) == (0, 5)
+    assert (got[5]["m_score"], got[5]["f_score"]) == (5, 5)
+    assert got[5]["rfm"] == 555
+    # customer 1 ordered first (recency 4) and spent least -> R1 M1
+    assert (got[1]["r_score"], got[1]["m_score"]) == (1, 1)
+    assert got[1]["rfm"] == 151
+    # middle customer: scores follow rank exactly on distinct values
+    assert (got[3]["r_score"], got[3]["m_score"]) == (3, 3)
+    assert got[3]["monetary"] == 30

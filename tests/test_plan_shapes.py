@@ -717,3 +717,25 @@ def test_image_neardup_is_banded_not_allpairs(spark):
     # both join sides read the ONE persisted dhash build (pr4 rule:
     # count InMemoryTableScans, not Scan echoes)
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_scene_cuts_is_shuffle_free(spark):
+    """m19: synthesize->decode->frame-diff is one partition-local
+    mapInPandas chain — zero Exchange anywhere."""
+    plan = _plan(spark, "m19_video_scene_cuts")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_rfm_score_maps_broadcast_back(spark):
+    """e14: the three alphabet-sized score maps must come back to the
+    customer frame as BROADCAST joins (never a customer-side shuffle
+    on a score key), the max-date is a broadcast 1-row crossJoin, and
+    the customer grain builds from ONE persisted agg feeding all four
+    consumers."""
+    plan = _plan(spark, "e14_rfm_segmentation")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row max-date
+    assert "SortMergeJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 4
