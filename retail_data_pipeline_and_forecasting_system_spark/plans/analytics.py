@@ -10910,7 +10910,7 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ROUND-9 queue (registered in round 8 after the r08 window sealed,
 # in registration order): m17_perceptual_hash, m18_image_neardup_pairs,
 # dq6_referential_integrity, e13_conversion_paths, m19_video_scene_cuts,
-# e14_rfm_segmentation; plus the 9
+# e14_rfm_segmentation, j10_interval_overlap_join, h9_dwell_time; plus the 9
 # r03-latest refresh leftovers: u5_except_all, w5_share_of_total,
 # w6_rolling_7day, w7_lead_nth, x10_chunk_documents,
 # x11_repetition_signals, x12_corpus_materialize, x13_decontaminate,
@@ -12552,6 +12552,149 @@ def e14_rfm_segmentation(spark, sf):
                 + F.col("m_score")
             ).cast("int").alias("rfm"),
         )
+    )
+
+
+@q(
+    "j10_interval_overlap_join",
+    sql="""
+    WITH iv AS (
+      SELECT event_id, epoch_us(ts) AS s_us,
+        epoch_us(ts) + 1800000000 AS e_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+      CAST(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS BIGINT)
+        AS overlap_us
+    FROM iv a JOIN iv b
+    ON a.event_id < b.event_id
+      AND a.s_us < b.e_us AND b.s_us < a.e_us
+    """,
+    ref="interval x interval OVERLAP join (every pair of 30-minute "
+    "purchase windows that intersect, with the exact overlap "
+    "duration) — the join j6 (point-in-interval) cannot express, and "
+    "the shape behind co-occurrence, conflict-detection and "
+    "concurrent-session analyses. The ORACLE states the naive "
+    "quadratic definition; the engine never runs it (the h8/m18 "
+    "pattern): intervals explode to the <= 2 bucket-length-sized time "
+    "buckets they touch, candidates come from a bucket equi-join, and "
+    "the CLAIM rule — a pair counts only in the bucket containing "
+    "greatest(s_a, s_b), an instant both intervals contain — emits "
+    "every true pair exactly once with NO distinct. All-integer "
+    "micros end to end (unix_micros vs epoch_us, the e2/h8 rule)",
+    scale="one exchange per side on 30-min bucket keys; candidate "
+    "volume is per-bucket concurrency squared (the quantity the query "
+    "measures), never corpus squared; the claim rule replaces a "
+    "pair-keyed distinct exchange with a row-local predicate; at "
+    "100 TB a hot bucket (flash-sale spike) takes the d3 cap or a "
+    "finer bucket length — cost is Σ per-bucket products either way",
+)
+def j10_interval_overlap_join(spark, sf):
+    B = 1_800_000_000  # 30-min buckets == max interval length
+    iv = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.expr("unix_micros(ts)").alias("s_us"),
+            (F.expr("unix_micros(ts)") + F.lit(B)).alias("e_us"),
+        )
+    )
+    bucketed = iv.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {B}"), F.expr(f"(e_us - 1) div {B}")
+            )
+        ),
+    )
+    a = bucketed.select(
+        F.col("event_id").alias("id_a"), F.col("s_us").alias("a_s"),
+        F.col("e_us").alias("a_e"), "bkt",
+    )
+    b = bucketed.select(
+        F.col("event_id").alias("id_b"), F.col("s_us").alias("b_s"),
+        F.col("e_us").alias("b_e"), "bkt",
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("a_s") < F.col("b_e"))
+            & (F.col("b_s") < F.col("a_e"))
+        )
+        .filter(F.col("bkt") == F.expr(f"greatest(a_s, b_s) div {B}"))
+        .select(
+            "id_a", "id_b",
+            (
+                F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+            ).cast("bigint").alias("overlap_us"),
+        )
+    )
+
+
+@q(
+    "h9_dwell_time",
+    sql="""
+    WITH d AS (
+      SELECT event_type,
+        lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dwell_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), agg AS (
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS n_intervals,
+        CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us
+      FROM d WHERE dwell_us IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_intervals, total_dwell_us,
+      CAST(total_dwell_us AS DOUBLE) / n_intervals AS mean_dwell_us,
+      CAST(total_dwell_us AS DOUBLE)
+        / nullif(SUM(total_dwell_us) OVER (), 0) AS dwell_share
+    FROM agg
+    """,
+    ref="hypertable family: categorical DWELL-TIME rollup — how long "
+    "users SIT in each state (state = last event type until the next "
+    "event, the standard state-timeline model): per-type interval "
+    "count, total and mean dwell, and each type's share of all dwell "
+    "time. The duration-weighted complement of plain event counts "
+    "(a type that fires rarely but holds for hours dominates dwell "
+    "while vanishing in counts) and of h5's value-weighted average; "
+    "a user's LAST event contributes nothing (no terminal boundary "
+    "exists — stated, not guessed). Integer micros end to end; the "
+    "two ratios are raw IEEE divisions with the nullif guard",
+    scale="ONE user_id exchange for the lead window; the per-type agg "
+    "collapses map-side to the event-type alphabet; the share "
+    "denominator is a window over that alphabet-sized table — "
+    "nothing downstream of the first exchange is row-sized",
+)
+def h9_dwell_time(spark, sf):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(ts)")
+    d = (
+        _t(spark, sf, "events")
+        .select(
+            "event_type",
+            (F.lead(us).over(w) - us).alias("dwell_us"),
+        )
+        .filter(F.col("dwell_us").isNotNull())
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dwell_us").cast("bigint").alias("total_dwell_us"),
+    )
+    wall = W.partitionBy().orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return agg.select(
+        "event_type", "n_intervals", "total_dwell_us",
+        (
+            F.col("total_dwell_us").cast("double") / F.col("n_intervals")
+        ).alias("mean_dwell_us"),
+        (
+            F.col("total_dwell_us").cast("double")
+            / F.nullif(F.sum("total_dwell_us").over(wall), F.lit(0))
+        ).alias("dwell_share"),
     )
 
 

@@ -490,3 +490,117 @@ def test_e14_rfm_hand_values(spark, tmp_path):
     # middle customer: scores follow rank exactly on distinct values
     assert (got[3]["r_score"], got[3]["m_score"]) == (3, 3)
     assert got[3]["monetary"] == 30
+
+
+def test_j10_interval_overlap_hand_values(spark, tmp_path):
+    """Bucketed interval overlap equals a brute-force oracle on hand
+    intervals, including a cross-bucket pair and the half-open
+    boundary (an interval ending exactly where another starts does
+    NOT overlap)."""
+    from datetime import datetime, timezone
+
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    starts = {1: 0, 2: 600, 3: 3000, 4: 7200, 5: 1700, 6: 1800}
+    rows = [
+        (eid, datetime.fromtimestamp(s, tz=timezone.utc), 1, "purchase")
+        for eid, s in starts.items()
+    ] + [(99, datetime.fromtimestamp(3, tz=timezone.utc), 1, "view")]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.parquet(str(sf / "events.parquet"))
+
+    L = 1800
+    want = {}
+    for a in starts:
+        for b in starts:
+            if a < b:
+                lo = max(starts[a], starts[b])
+                hi = min(starts[a] + L, starts[b] + L)
+                if lo < hi:
+                    want[(a, b)] = (hi - lo) * 1_000_000
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap_us"]
+        for r in QUERIES["j10_interval_overlap_join"]
+        .fn(spark, str(sf)).collect()
+    }
+    assert got == want
+    assert (1, 6) not in got  # half-open: [0,1800) vs [1800,3600)
+    assert got[(1, 5)] == 100 * 1_000_000  # cross-bucket pair
+
+
+def test_h9_dwell_time_hand_values(spark, tmp_path):
+    """Dwell rollup by hand: view holds 100 s then click holds 300 s
+    for user 1; user 2's single event contributes nothing; the last
+    state (purchase) never appears."""
+    from datetime import datetime, timezone
+
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    def ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc)
+
+    rows = [
+        (1, ts(0), 1, "view"), (2, ts(100), 1, "click"),
+        (3, ts(400), 1, "purchase"),
+        (4, ts(50), 2, "view"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.parquet(str(sf / "events.parquet"))
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["h9_dwell_time"].fn(spark, str(sf)).collect()
+    }
+    assert set(got) == {"view", "click"}  # purchase: terminal only
+    assert got["view"]["total_dwell_us"] == 100 * 1_000_000
+    assert got["click"]["total_dwell_us"] == 300 * 1_000_000
+    assert got["view"]["dwell_share"] == 0.25
+    assert got["click"]["mean_dwell_us"] == 300e6
+
+
+def test_codec_chain_runs_under_structured_streaming(spark, tmp_path):
+    """The real-pixel chain (synthesize -> decode -> NN resize) is
+    stateless mapInPandas, so it must run UNCHANGED on a streaming
+    DataFrame — readStream over the same ids yields exactly the batch
+    result (the multimodal family's streaming claim, proven, not
+    asserted in prose)."""
+    ids = [(i,) for i in range(40)]
+    in_dir = tmp_path / "in"
+    spark.createDataFrame(ids, "doc_id long").write.parquet(str(in_dir))
+
+    batch = {
+        r["doc_id"]: (r["rs_width"], r["rs_height"], r["resized_md5"])
+        for r in resize_media_real(
+            synthesize_gradient_png_payloads(
+                spark.read.parquet(str(in_dir))
+            ),
+            target=8,
+        ).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id long").parquet(str(in_dir))
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        resize_media_real(synthesize_gradient_png_payloads(stream), target=8)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r["doc_id"]: (r["rs_width"], r["rs_height"], r["resized_md5"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed == batch and len(batch) == 40

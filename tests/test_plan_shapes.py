@@ -739,3 +739,29 @@ def test_rfm_score_maps_broadcast_back(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row max-date
     assert "SortMergeJoin" not in plan
     assert plan.count("InMemoryTableScan") >= 4
+
+
+def test_interval_overlap_claim_rule_needs_no_distinct(spark):
+    """j10: the claim rule (pair counts only in the bucket holding
+    greatest(s_a, s_b)) must replace a distinct — NO aggregate exists
+    in the plan, candidates come from the two bucket exchanges, never
+    a cartesian."""
+    import re
+
+    plan = _plan(spark, "j10_interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    n_ex = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_ex <= 2, f"expected at most the 2 bucket exchanges: {n_ex}"
+
+
+def test_dwell_time_two_windows_two_exchanges(spark):
+    """h9: the lead rides ONE user_id exchange; the share window runs
+    on the event-type-alphabet agg (tiny by construction); nothing
+    else shuffles."""
+    import re
+
+    plan = _plan(spark, "h9_dwell_time")
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2
+    n_ex = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_ex == 2, f"user window + type agg exchanges expected: {n_ex}"
