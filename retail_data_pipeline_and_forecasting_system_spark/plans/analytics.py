@@ -10910,7 +10910,8 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # ROUND-9 queue (registered in round 8 after the r08 window sealed,
 # in registration order): m17_perceptual_hash, m18_image_neardup_pairs,
 # dq6_referential_integrity, e13_conversion_paths, m19_video_scene_cuts,
-# e14_rfm_segmentation, j10_interval_overlap_join, h9_dwell_time; plus the 9
+# e14_rfm_segmentation, j10_interval_overlap_join, h9_dwell_time,
+# pr5_association_rules; plus the 9
 # r03-latest refresh leftovers: u5_except_all, w5_share_of_total,
 # w6_rolling_7day, w7_lead_nth, x10_chunk_documents,
 # x11_repetition_signals, x12_corpus_materialize, x13_decontaminate,
@@ -12695,6 +12696,90 @@ def h9_dwell_time(spark, sf):
             F.col("total_dwell_us").cast("double")
             / F.nullif(F.sum("total_dwell_us").over(wall), F.lit(0))
         ).alias("dwell_share"),
+    )
+
+
+@q(
+    "pr5_association_rules",
+    sql="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), n_ord AS (
+      SELECT pk, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY pk
+    ), tot AS (
+      SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM op
+    ), pairs AS (
+      SELECT a.pk AS item_a, b.pk AS item_b,
+        CAST(count(*) AS BIGINT) AS support_count
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT item_a, item_b, support_count,
+      na.n AS n_a, nb.n AS n_b,
+      CAST(support_count AS DOUBLE) / na.n AS conf_a_to_b,
+      CAST(support_count AS DOUBLE) / nb.n AS conf_b_to_a,
+      CAST(support_count * tot.n_baskets AS DOUBLE) / (na.n * nb.n)
+        AS lift
+    FROM pairs
+    JOIN n_ord na ON na.pk = pairs.item_a
+    JOIN n_ord nb ON nb.pk = pairs.item_b
+    CROSS JOIN tot
+    """,
+    ref="market-basket ASSOCIATION RULES — support count, both "
+    "directional confidences (P(b|a), P(a|b)) and lift "
+    "(P(ab)/(P(a)P(b)) — >1 means the pair co-occurs above the "
+    "independence base rate) for every part pair co-ordered >= 3 "
+    "times; the thresholded-implication complement of pr4's "
+    "similarity top-k (Jaccard ranks neighbors; rules price the "
+    "directional bet a recommender or shelf-placement decision "
+    "actually takes). All ratios are raw IEEE divisions of exact "
+    "BIGINT counts (support*N stays far under 2^53)",
+    scale="pair generation is per-basket (C(items,2), bounded by "
+    "basket size — never corpus x corpus) riding ONE orderkey "
+    "exchange of the deduped basket frame (persisted: one scan feeds "
+    "pairs, item counts and the basket total); pair counts and item "
+    "counts collapse map-side; the item-count map and the 1-row "
+    "basket total broadcast back to the support>=3-thinned pair "
+    "table",
+)
+def pr5_association_rules(spark, sf):
+    op = _persist_tracked(
+        _t(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"),
+                F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_ord = op.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = op.agg(
+        F.countDistinct("ok").cast("bigint").alias("n_baskets")
+    )
+    a = op.select("ok", F.col("pk").alias("item_a"))
+    b = op.select("ok", F.col("pk").alias("item_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support_count"))
+        .filter(F.col("support_count") >= 3)
+    )
+    na = n_ord.select(F.col("pk").alias("item_a"), F.col("n").alias("n_a"))
+    nb = n_ord.select(F.col("pk").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a", "item_b", "support_count", "n_a", "n_b",
+            (F.col("support_count").cast("double") / F.col("n_a"))
+            .alias("conf_a_to_b"),
+            (F.col("support_count").cast("double") / F.col("n_b"))
+            .alias("conf_b_to_a"),
+            (
+                (F.col("support_count") * F.col("n_baskets"))
+                .cast("double") / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
     )
 
 

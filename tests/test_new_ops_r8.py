@@ -604,3 +604,32 @@ def test_codec_chain_runs_under_structured_streaming(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert streamed == batch and len(batch) == 40
+
+
+def test_pr5_association_rules_hand_values(spark, tmp_path):
+    """Rules by hand: 4 baskets — {1,2}, {1,2}, {1,2,3}, {1} (a
+    duplicate line proves the distinct): pair (1,2) has support 3,
+    conf 1->2 = 3/4, conf 2->1 = 1, lift = 3*4/(4*3) = 1.0; pair
+    (2,3) support 1 falls below the >=3 floor."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    rows = [
+        (10, 1), (10, 2), (10, 2),       # dup line -> distinct
+        (11, 1), (11, 2),
+        (12, 1), (12, 2), (12, 3),
+        (13, 1),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(sf / "lineitem.parquet"))
+    got = QUERIES["pr5_association_rules"].fn(spark, str(sf)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["item_a"], r["item_b"], r["support_count"]) == (1, 2, 3)
+    assert (r["n_a"], r["n_b"]) == (4, 3)
+    assert r["conf_a_to_b"] == 0.75 and r["conf_b_to_a"] == 1.0
+    assert r["lift"] == 1.0

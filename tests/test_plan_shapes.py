@@ -765,3 +765,15 @@ def test_dwell_time_two_windows_two_exchanges(spark):
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2
     n_ex = len(re.findall(r"Arguments: hashpartitioning", plan))
     assert n_ex == 2, f"user window + type agg exchanges expected: {n_ex}"
+
+
+def test_association_rules_broadcast_maps_one_basket_exchange(spark):
+    """pr5: the deduped basket frame is persisted once and feeds all
+    three consumers; item counts and the 1-row total come back as
+    broadcasts; the only non-broadcast join is the per-basket
+    self-join."""
+    plan = _plan(spark, "pr5_association_rules")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row basket total
+    assert plan.count("InMemoryTableScan") >= 4
