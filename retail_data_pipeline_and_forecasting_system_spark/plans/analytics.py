@@ -12364,7 +12364,10 @@ def dq6_referential_integrity(spark, sf):
     "exchange carries path-cardinality partials, never events",
 )
 def e13_conversion_paths(spark, sf):
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS LAST ties for the same cross-engine reason as h9
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     ev = _t(spark, sf, "events").select(
         "user_id", "event_type",
         F.lag("event_type", 1).over(w).alias("p1"),
@@ -12501,15 +12504,19 @@ def e14_rfm_segmentation(spark, sf):
         F.to_date("o_orderdate").alias("od"),
         dec("o_totalprice").alias("tp"),
     )
-    maxd = o.agg(F.max("od").alias("max_od"))
-    cust = _persist_tracked(
-        o.groupBy("o_custkey")
-        .agg(
+    # ONE orders scan: the persisted customer-grain agg also yields the
+    # corpus max date (max of per-customer maxes — a second full scan
+    # for the 1-row global agg would be pure waste; round-8 review)
+    per_cust = _persist_tracked(
+        o.groupBy("o_custkey").agg(
             F.max("od").alias("last_od"),
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             F.floor(F.sum("tp")).cast("bigint").alias("monetary"),
         )
-        .crossJoin(F.broadcast(maxd))
+    )
+    maxd = per_cust.agg(F.max("last_od").alias("max_od"))
+    cust = (
+        per_cust.crossJoin(F.broadcast(maxd))
         .select(
             F.col("o_custkey").alias("customer_id"),
             F.datediff("max_od", "last_od").cast("int")
@@ -12523,7 +12530,16 @@ def e14_rfm_segmentation(spark, sf):
         alpha = cust.groupBy(F.col(metric).alias("v")).agg(
             F.count(F.lit(1)).cast("bigint").alias("c")
         )
-        wc = W.orderBy(F.desc("v")) if descending else W.orderBy("v")
+        # NULLS LAST in BOTH directions: Spark's bare asc is NULLS
+        # FIRST while DuckDB defaults NULLS LAST, so a NULL-metric
+        # alphabet row would inflate every real value's cumulative
+        # count on the Spark side only (round-8 review finding,
+        # reproduced with a NULL-spend customer); desc agrees already
+        wc = (
+            W.orderBy(F.col("v").desc_nulls_last())
+            if descending
+            else W.orderBy(F.col("v").asc_nulls_last())
+        )
         return alpha.select(
             "v",
             F.sum("c").over(wc).alias("cum"),
@@ -12601,13 +12617,18 @@ def j10_interval_overlap_join(spark, sf):
             (F.expr("unix_micros(ts)") + F.lit(B)).alias("e_us"),
         )
     )
-    bucketed = iv.withColumn(
-        "bkt",
-        F.explode(
-            F.sequence(
-                F.expr(f"s_us div {B}"), F.expr(f"(e_us - 1) div {B}")
-            )
-        ),
+    # persisted: the scan+filter+explode build feeds BOTH self-join
+    # sides (on the broadcast path exchange reuse cannot dedupe it —
+    # the pr4/m18/pr5 shared-build convention; round-8 review)
+    bucketed = _persist_tracked(
+        iv.withColumn(
+            "bkt",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_us div {B}"), F.expr(f"(e_us - 1) div {B}")
+                )
+            ),
+        )
     )
     a = bucketed.select(
         F.col("event_id").alias("id_a"), F.col("s_us").alias("a_s"),
@@ -12670,7 +12691,12 @@ def j10_interval_overlap_join(spark, sf):
     "nothing downstream of the first exchange is row-sized",
 )
 def h9_dwell_time(spark, sf):
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS LAST ties: Spark's bare asc is NULLS FIRST, DuckDB's is
+    # NULLS LAST — a NULL event_id inside a same-instant tie group
+    # would swap which type owns the interval (round-8 review)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     us = F.expr("unix_micros(ts)")
     d = (
         _t(spark, sf, "events")
@@ -12739,9 +12765,11 @@ def h9_dwell_time(spark, sf):
     "basket size — never corpus x corpus) riding ONE orderkey "
     "exchange of the deduped basket frame (persisted: one scan feeds "
     "pairs, item counts and the basket total); pair counts and item "
-    "counts collapse map-side; the item-count map and the 1-row "
-    "basket total broadcast back to the support>=3-thinned pair "
-    "table",
+    "counts collapse map-side; the 1-row basket total broadcasts, "
+    "while the item-count map is PART-COUNT-sized (linear in the "
+    "corpus) and deliberately carries no broadcast hint — the planner "
+    "broadcasts it below the size threshold and key-partition-joins "
+    "it at fact scale",
 )
 def pr5_association_rules(spark, sf):
     op = _persist_tracked(
@@ -12765,9 +12793,13 @@ def pr5_association_rules(spark, sf):
     )
     na = n_ord.select(F.col("pk").alias("item_a"), F.col("n").alias("n_a"))
     nb = n_ord.select(F.col("pk").alias("item_b"), F.col("n").alias("n_b"))
+    # no broadcast HINT on the item-count maps: they are part-count-
+    # sized (linear in the corpus — forcing a broadcast would OOM at
+    # fact scale); the planner broadcasts below its size threshold and
+    # falls back to a key-partitioned join beyond it (round-8 review)
     return (
-        pairs.join(F.broadcast(na), "item_a")
-        .join(F.broadcast(nb), "item_b")
+        pairs.join(na, "item_a")
+        .join(nb, "item_b")
         .crossJoin(F.broadcast(tot))
         .select(
             "item_a", "item_b", "support_count", "n_a", "n_b",

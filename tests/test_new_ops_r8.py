@@ -633,3 +633,52 @@ def test_pr5_association_rules_hand_values(spark, tmp_path):
     assert (r["n_a"], r["n_b"]) == (4, 3)
     assert r["conf_a_to_b"] == 0.75 and r["conf_b_to_a"] == 1.0
     assert r["lift"] == 1.0
+
+
+def test_e14_null_spend_customer_matches_oracle(spark, tmp_path):
+    """Round-8 review regression: a customer whose only order has NULL
+    o_totalprice puts a NULL row in the monetary alphabet — Spark's
+    bare asc window (NULLS FIRST) counted it into every real value's
+    CDF while DuckDB (NULLS LAST) did not, shifting every other
+    customer's m_score. The asc_nulls_last fix must keep both engines
+    identical; the NULL customer itself drops (NULL never equi-joins
+    its score) in BOTH engines."""
+    from datetime import datetime, timezone
+
+    import duckdb
+
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    def d(day):
+        return datetime(2024, 1, day, tzinfo=timezone.utc)
+
+    rows = [(100 + i, i, float(10 * i), d(i)) for i in range(1, 6)]
+    rows.append((200, 9, None, d(6)))  # NULL-spend customer
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    ).write.parquet(str(sf / "orders.parquet"))
+
+    got = (
+        QUERIES["e14_rfm_segmentation"].fn(spark, str(sf)).toPandas()
+    )
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the part glob
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{sf}/orders.parquet/*.parquet'"
+    )
+    want = con.execute(QUERIES["e14_rfm_segmentation"].sql).df()
+    got = got[sorted(got.columns)].sort_values(
+        sorted(got.columns)).reset_index(drop=True)
+    want = want[sorted(want.columns)].sort_values(
+        sorted(want.columns)).reset_index(drop=True)
+    assert got.shape == want.shape == (5, 8)  # NULL customer dropped
+    assert (got.astype(str).values == want.astype(str).values).all()
+    # with five distinct spends the scores stay rank-exact
+    assert sorted(got["m_score"]) == [1, 2, 3, 4, 5]
