@@ -322,3 +322,60 @@ def encode_png(
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
+
+
+def read_text_chunks(data: bytes) -> list[tuple[str, str]]:
+    """Extract PNG ``tEXt`` metadata chunks (the PNG spec's EXIF-role
+    key/value store: ``keyword\\0text``, both Latin-1) in stream
+    order, CRC-verified like every other chunk this module touches.
+    Raises ``ValueError`` on a non-PNG signature, a truncated chunk, a
+    bad CRC, or a tEXt body with no keyword separator — corrupt
+    metadata must quarantine upstream, never decode wrong."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("png: bad signature")
+    pos = 8
+    out: list[tuple[str, str]] = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("png: truncated chunk")
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: bad CRC in {ctype!r}")
+        if ctype == b"tEXt":
+            sep = body.find(b"\x00")
+            if sep < 0:
+                raise ValueError("png: tEXt without keyword separator")
+            out.append(
+                (body[:sep].decode("latin-1"),
+                 body[sep + 1 :].decode("latin-1"))
+            )
+        if ctype == b"IEND":
+            break
+        pos += 12 + length
+    return out
+
+
+def append_text_chunks(png: bytes, chunks: list[tuple[str, str]]) -> bytes:
+    """Insert ``tEXt`` chunks (keyword, text) before IEND of an
+    existing PNG (fixture builder for the metadata-extraction path).
+    Latin-1 per the PNG spec; CRCs computed the standard way so
+    :func:`read_text_chunks` exercises real verification."""
+    iend = png.rfind(b"IEND") - 4
+    if iend < 8:
+        raise ValueError("png: no IEND to insert before")
+    parts = [png[:iend]]
+    for k, v in chunks:
+        body = k.encode("latin-1") + b"\x00" + v.encode("latin-1")
+        parts.append(
+            struct.pack(">I", len(body))
+            + b"tEXt"
+            + body
+            + struct.pack(">I", zlib.crc32(b"tEXt" + body) & 0xFFFFFFFF)
+        )
+    parts.append(png[iend:])
+    return b"".join(parts)

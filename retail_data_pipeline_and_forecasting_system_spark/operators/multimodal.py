@@ -1195,3 +1195,79 @@ def scene_cuts(
             )
 
     return df.mapInPandas(run, schema=SCENE_CUTS_SCHEMA)
+
+
+PNG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("meta_key", T.StringType(), True),
+        T.StructField("meta_value", T.StringType(), True),
+    ]
+)
+
+
+def synthesize_png_with_text(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gradient PNGs carrying REAL ``tEXt`` metadata chunks (m20 corpus
+    builder): every id gets ``source = cam-<id%7>``; ids divisible by 3
+    also get ``author = u<id%11>`` — closed-form strings a SQL oracle
+    regenerates exactly. Partition-local mapInPandas, no shuffle."""
+    from .imagecodec import append_text_chunks, encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h = int(4 + i % 13), int(3 + i % 11)
+                px = bytes(
+                    32 + (x + 3 * y) % 95
+                    for y in range(h)
+                    for x in range(w)
+                )
+                chunks = [("source", f"cam-{int(i) % 7}")]
+                if i % 3 == 0:
+                    chunks.append(("author", f"u{int(i) % 11}"))
+                payloads.append(
+                    append_text_chunks(
+                        encode_png(w, h, 1, px, filter_type=4), chunks
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df.mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
+def extract_png_metadata(df: DataFrame, strict: bool = False) -> DataFrame:
+    """PNG ``tEXt`` metadata extraction (the EXIF-role sidecar read a
+    multimodal catalog runs at ingest): one (doc_id, meta_key,
+    meta_value) row per tEXt chunk, in stream order. A VALID PNG with
+    no metadata emits no rows (absence is a legitimate answer —
+    downstream joins are left joins); a NON-decodable or CRC-corrupt
+    payload emits one quarantine row (NULL key/value) unless
+    ``strict=True`` — corrupt and empty must stay distinguishable.
+
+    Partition-local Arrow-batched mapInPandas, zero shuffle; the
+    fan-out (chunks per image) streams inside batches like m4/m12.
+    """
+    from . import imagecodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {k.name: [] for k in PNG_META_SCHEMA}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                try:
+                    chunks = imagecodec.read_text_chunks(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    out["doc_id"].append(doc_id)
+                    out["meta_key"].append(None)
+                    out["meta_value"].append(None)
+                    continue
+                for k, v in chunks:
+                    out["doc_id"].append(doc_id)
+                    out["meta_key"].append(k)
+                    out["meta_value"].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=PNG_META_SCHEMA)

@@ -8473,11 +8473,14 @@ def m9_seasonal_decompose(spark, sf):
       LEFT JOIN adj ON adj.doc_id = n.doc_id AND adj.lang = p.lang
     )
     SELECT s.doc_id, d.lang AS actual_lang, s.lang AS pred_lang,
-      s.score, (s.lang = d.lang) AS correct
+      s.score, s.score - s.runner_up AS margin,
+      (s.lang = d.lang) AS correct
     FROM (
       SELECT doc_id, lang, score,
         row_number() OVER (PARTITION BY doc_id
-                           ORDER BY score DESC, lang ASC) AS rn
+                           ORDER BY score DESC, lang ASC) AS rn,
+        lead(score) OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, lang ASC) AS runner_up
       FROM scores
     ) s JOIN documents d USING (doc_id)
     WHERE s.rn = 1
@@ -8582,10 +8585,18 @@ def x25_nb_classifier(spark, sf):
     w = W.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("lang").asc()
     )
+    # margin = top score - runner-up (both individually 6dp-rounded,
+    # so the subtraction is exact in both engines) — the confidence
+    # proxy ev6's reliability bins consume (softmax would ride libm
+    # exp, which is NOT bit-portable across engines)
     best = (
         scores.withColumn("rn", F.row_number().over(w))
+        .withColumn("runner_up", F.lead("score").over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+        .select(
+            "doc_id", F.col("lang").alias("pred_lang"), "score",
+            (F.col("score") - F.col("runner_up")).alias("margin"),
+        )
     )
     return best.join(
         docs.select("doc_id", F.col("lang").alias("actual_lang")),
@@ -8595,6 +8606,7 @@ def x25_nb_classifier(spark, sf):
         "actual_lang",
         "pred_lang",
         "score",
+        "margin",
         (F.col("pred_lang") == F.col("actual_lang")).alias("correct"),
     )
 
@@ -10911,7 +10923,10 @@ def x33_vocab_coverage(spark, sf, vocab_k: int = 16):
 # in registration order): m17_perceptual_hash, m18_image_neardup_pairs,
 # dq6_referential_integrity, e13_conversion_paths, m19_video_scene_cuts,
 # e14_rfm_segmentation, j10_interval_overlap_join, h9_dwell_time,
-# pr5_association_rules; plus the 9
+# pr5_association_rules, ev6_margin_reliability, m20_png_metadata;
+# plus riders for round-8 changes to verified entries: x25_nb_classifier
+# (gained the margin column) and ev3_classifier_eval (splices x25's
+# SQL — re-verified green with the margin change this round); plus the 9
 # r03-latest refresh leftovers: u5_except_all, w5_share_of_total,
 # w6_rolling_7day, w7_lead_nth, x10_chunk_documents,
 # x11_repetition_signals, x12_corpus_materialize, x13_decontaminate,
@@ -12813,6 +12828,100 @@ def pr5_association_rules(spark, sf):
             ).alias("lift"),
         )
     )
+
+
+_EV6_SQL_TMPL = """
+    WITH preds AS (
+      SELECT margin, correct FROM ({x25}) __p
+    ), binned AS (
+      SELECT CAST(floor(margin / 0.5) AS INT) AS margin_bin, correct
+      FROM preds
+    )
+    SELECT margin_bin,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_correct,
+      round(SUM(CASE WHEN correct THEN 1 ELSE 0 END)
+            / CAST(count(*) AS DOUBLE), 6) AS accuracy_v
+    FROM binned GROUP BY margin_bin
+    """
+
+
+@q(
+    "ev6_margin_reliability",
+    sql=_EV6_SQL_TMPL.format(x25=QUERIES["x25_nb_classifier"].sql),
+    ref="evaluation family: RELIABILITY (calibration) curve for the "
+    "x25 classifier — accuracy per confidence bin, where confidence "
+    "is the top-vs-runner-up score MARGIN (an exact subtraction of "
+    "6dp-rounded log scores; a softmax probability would ride libm "
+    "exp, which is not bit-portable across engines — stated, not "
+    "hidden). A well-calibrated gate shows accuracy rising with the "
+    "bin; a flat curve means the margin carries no signal and "
+    "threshold-based curation on it is noise — THE diagnostic to run "
+    "before using x25-style scores as a data-selection dial (ev3 "
+    "says how good the argmax is; this says whether the CONFIDENCE "
+    "is trustworthy). Splices x25's registered SQL (the ev3 "
+    "pattern), so classifier and evaluation cannot drift",
+    scale="rides x25's scoring plan; the evaluation itself is one "
+    "map-side-combined agg keyed by margin bin (output is "
+    "bin-cardinality-sized); nothing new materializes at 100 TB",
+)
+def ev6_margin_reliability(spark, sf):
+    preds = QUERIES["x25_nb_classifier"].fn(spark, sf).select(
+        "margin", "correct"
+    )
+    return (
+        preds.select(
+            F.floor(F.col("margin") / F.lit(0.5)).cast("int")
+            .alias("margin_bin"),
+            "correct",
+        )
+        .groupBy("margin_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("correct"), 1).otherwise(0))
+            .cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "margin_bin", "n_docs", "n_correct",
+            F.round(
+                F.col("n_correct") / F.col("n_docs").cast("double"), 6
+            ).alias("accuracy_v"),
+        )
+    )
+
+
+@q(
+    "m20_png_metadata",
+    sql="""
+    SELECT doc_id, 'source' AS meta_key,
+      'cam-' || CAST(doc_id % 7 AS VARCHAR) AS meta_value
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'author' AS meta_key,
+      'u' || CAST(doc_id % 11 AS VARCHAR) AS meta_value
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    ref="LLM-ops: embedded-metadata extraction from REAL bytes — PNG "
+    "tEXt chunks (the spec's EXIF-role key/value store) parsed by the "
+    "stdlib chunk walk with full CRC verification "
+    "(operators/imagecodec.py read_text_chunks; operators/"
+    "multimodal.py extract_png_metadata), long-format (doc, key, "
+    "value) rows — the sidecar read a multimodal catalog runs at "
+    "ingest (camera source, license, author) before any pixel "
+    "decode. Corpus PNGs carry genuine tEXt chunks "
+    "(synthesize_png_with_text) with closed-form strings the oracle "
+    "regenerates; a valid PNG without metadata emits NOTHING while a "
+    "corrupt payload emits a NULL quarantine row — absence and "
+    "corruption stay distinguishable",
+    scale="synthesize and extract are one partition-local mapInPandas "
+    "chain: zero shuffle, chunk fan-out streams inside Arrow batches "
+    "(m4/m12 shape); metadata rows are chunk-count-sized, payload "
+    "bytes never cross an exchange",
+)
+def m20_png_metadata(spark, sf):
+    ids = _t(spark, sf, "documents").select("doc_id")
+    return MM.extract_png_metadata(MM.synthesize_png_with_text(ids))
 
 
 # 100 TB plan notes for the round-1/2 vintage entries, registered before

@@ -682,3 +682,70 @@ def test_e14_null_spend_customer_matches_oracle(spark, tmp_path):
     assert (got.astype(str).values == want.astype(str).values).all()
     # with five distinct spends the scores stay rank-exact
     assert sorted(got["m_score"]) == [1, 2, 3, 4, 5]
+
+
+def test_png_metadata_extraction_hand_values(spark):
+    """tEXt extraction by hand: two chunks in stream order, a clean
+    PNG with no metadata emits NOTHING, a CRC-corrupted payload emits
+    one NULL quarantine row, and ev6-style strictness raises."""
+    import pytest
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.imagecodec import (
+        append_text_chunks,
+    )
+    from retail_data_pipeline_and_forecasting_system_spark.operators.multimodal import (
+        extract_png_metadata,
+    )
+
+    base = bytes(_png(2, 1, 1, [5, 6]))
+    tagged = append_text_chunks(
+        base, [("source", "cam-3"), ("license", "cc-by")]
+    )
+    corrupt = bytearray(tagged)
+    corrupt[-20] ^= 0xFF  # break a CRC
+    df = spark.createDataFrame(
+        [(1, bytearray(tagged)), (2, bytearray(base)), (3, corrupt)],
+        "doc_id long, payload binary",
+    )
+    rows = extract_png_metadata(df).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["meta_key"], r["meta_value"])
+        )
+    assert by_doc[1] == [("source", "cam-3"), ("license", "cc-by")]
+    assert 2 not in by_doc  # no metadata -> no rows, not a NULL row
+    assert by_doc[3] == [(None, None)]  # corrupt -> quarantine
+
+    with pytest.raises(Exception):
+        extract_png_metadata(
+            spark.createDataFrame(
+                [(9, corrupt)], "doc_id long, payload binary"
+            ),
+            strict=True,
+        ).collect()
+
+
+def test_ev6_bins_partition_the_prediction_set(spark):
+    """ev6's bins must PARTITION x25's predictions: doc and correct
+    totals across bins equal the classifier's own totals (engine-side
+    consistency, independent of the SQL oracle), and per-bin accuracy
+    is the exact ratio."""
+    from pyspark.sql import functions as F
+
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bins = QUERIES["ev6_margin_reliability"].fn(spark, sf).collect()
+    preds = QUERIES["x25_nb_classifier"].fn(spark, sf)
+    n, n_correct = preds.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("correct"), 1).otherwise(0)),
+    ).collect()[0]
+    assert sum(r["n_docs"] for r in bins) == n
+    assert sum(r["n_correct"] for r in bins) == n_correct
+    for r in bins:
+        assert r["accuracy_v"] == round(r["n_correct"] / r["n_docs"], 6)
+        assert r["margin_bin"] is not None and r["margin_bin"] >= 0

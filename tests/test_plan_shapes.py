@@ -777,3 +777,11 @@ def test_association_rules_broadcast_maps_one_basket_exchange(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" in plan  # 1-row basket total
     assert plan.count("InMemoryTableScan") >= 4
+
+
+def test_png_metadata_chain_is_shuffle_free(spark):
+    """m20: synthesize->chunk-walk is one partition-local mapInPandas
+    chain — zero Exchange."""
+    plan = _plan(spark, "m20_png_metadata")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
