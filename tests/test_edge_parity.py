@@ -186,6 +186,16 @@ HOSTILE_SWEEP = [
     "smp7_quota_allocation",
     "x38_char_entropy",
     "m14_image_content_dedup",
+    # round-8 ops over the pathological corpus (codec entries only
+    # consume doc_id, so the hostile ids exercise their synth+decode
+    # chains; ev6 rides x25's full scoring over the degenerate texts)
+    "m15_real_resize",
+    "m16_visual_features",
+    "m17_perceptual_hash",
+    "m18_image_neardup_pairs",
+    "m19_video_scene_cuts",
+    "m20_png_metadata",
+    "ev6_margin_reliability",
 ]
 
 
@@ -317,6 +327,13 @@ HOSTILE_EVENT_SWEEP = [
     "w8_running_distinct",
     "f_date_pack",
     "smp6_balanced_classes",  # class balancing over the hostile event mix
+    # round-8 ops: same-microsecond tie groups hit e13's lag tiebreak
+    # and h9's interval attribution; back-to-back purchases hit j10's
+    # claim rule; hostile user_ids exercise dq6's orphan counting live
+    "e13_conversion_paths",
+    "h9_dwell_time",
+    "j10_interval_overlap_join",
+    "dq6_referential_integrity",
 ]
 
 
@@ -378,6 +395,20 @@ EMPTY_SWEEP = [
     "x38_char_entropy",  # empty corpus -> zero rows
     "a19_exact_mode",  # empty input -> zero groups
     "m14_image_content_dedup",  # empty corpus -> zero groups
+    # round-8 ops over zero-row inputs
+    "m15_real_resize",
+    "m16_visual_features",
+    "m17_perceptual_hash",
+    "m18_image_neardup_pairs",
+    "m19_video_scene_cuts",
+    "m20_png_metadata",
+    "e13_conversion_paths",
+    "h9_dwell_time",
+    "j10_interval_overlap_join",
+    "dq6_referential_integrity",  # 5 audit rows, zero counts, NULL rates
+    "e14_rfm_segmentation",
+    "pr5_association_rules",
+    "ev6_margin_reliability",
 ]
 
 
