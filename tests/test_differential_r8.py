@@ -117,3 +117,90 @@ def test_j10_claim_rule_matches_bruteforce(spark, seed, tmp_path):
         assert key not in got, f"pair {key} emitted twice"
         got[key] = r["overlap_us"]
     assert got == want and len(want) > 1000
+
+
+@pytest.mark.parametrize("seed", [31, 777])
+def test_e14_cdf_scores_match_pure_python(spark, seed, tmp_path):
+    """40 customers with colliding order counts/spends/dates (draws
+    from tiny ranges) and a few NULL spends: Spark's alphabet-CDF
+    scoring must equal an independent Python ceil(5*CDF) — tie
+    groups share scores, NULL-monetary customers drop."""
+    import math
+    from datetime import datetime, timezone
+
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    ok = 0
+    for cust in range(40):
+        for _ in range(rng.randint(1, 4)):
+            ok += 1
+            spend = (
+                None if rng.random() < 0.08
+                else float(rng.choice([20, 20, 50, 50, 99, 180]))
+            )
+            day = rng.randint(1, 25)
+            rows.append(
+                (ok, cust, spend,
+                 datetime(2024, 3, day, tzinfo=timezone.utc))
+            )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    ).write.parquet(str(sf / "orders.parquet"))
+
+    # independent python oracle
+    per = {}
+    for _okey, cust, spend, od in rows:
+        d = per.setdefault(cust, {"last": None, "n": 0, "spend": None})
+        d["n"] += 1
+        d["last"] = od.date() if d["last"] is None else max(
+            d["last"], od.date()
+        )
+        if spend is not None:
+            d["spend"] = (d["spend"] or 0.0) + spend
+    maxd = max(d["last"] for d in per.values())
+    cust_rows = {
+        c: (
+            (maxd - d["last"]).days,
+            d["n"],
+            None if d["spend"] is None else math.floor(d["spend"]),
+        )
+        for c, d in per.items()
+    }
+    N = len(cust_rows)
+
+    def score(vals, v, desc):
+        c = sum(
+            1 for x in vals
+            if x is not None and (x >= v if desc else x <= v)
+        )
+        return (5 * c + N - 1) // N
+
+    rvals = [r for r, _, _ in cust_rows.values()]
+    fvals = [f for _, f, _ in cust_rows.values()]
+    mvals = [m for _, _, m in cust_rows.values()]
+    want = {}
+    for c, (r, f, m) in cust_rows.items():
+        if m is None:
+            continue  # NULL monetary never equi-joins its score map
+        rs, fs, ms = (
+            score(rvals, r, True), score(fvals, f, False),
+            score(mvals, m, False),
+        )
+        want[c] = (r, f, m, rs, fs, ms, rs * 100 + fs * 10 + ms)
+
+    got = {
+        r["customer_id"]: (
+            r["recency_days"], r["n_orders"], r["monetary"],
+            r["r_score"], r["f_score"], r["m_score"], r["rfm"],
+        )
+        for r in QUERIES["e14_rfm_segmentation"].fn(spark, str(sf)).collect()
+    }
+    assert got == want
