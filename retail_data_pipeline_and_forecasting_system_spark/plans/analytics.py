@@ -13011,34 +13011,38 @@ del _n, _s
 
 
 _DRIVER_SAMPLE = [
-    # never-driver-verified (30): the ROUND-8 queue above, verbatim in
-    # registration order — all 30 judge-verified green at sf0.01 in the
-    # round-7 session; this window converts that to driver rows. Four
-    # of them also ride round-8 code changes (h7: ohlc_order_key
-    # precondition guard; x33: TakeOrderedAndProject vocab top-k; n13:
-    # nn_descent dim validation; e9: caching lock — ADVICE fixes).
-    "n12_hard_negatives", "h5_time_weighted_avg", "h6_counter_increase",
-    "m13_audio_frame_features", "n13_nn_descent_graph", "ev1_ann_recall",
-    "ev2_partition_purity", "x32_training_shards", "h7_ohlc_bars",
-    "pr4_item_similarity", "ev3_classifier_eval", "ev4_ann_ndcg",
-    "d17_edit_distance_dedup", "e9_attribution", "d18_cross_source_overlap",
-    "ops6_incremental_agg", "x33_vocab_coverage", "a19_exact_mode",
-    "x38_char_entropy", "w10_longest_streak", "m14_image_content_dedup",
-    "e12_time_to_convert", "n14_filtered_ann", "dq5_ks_drift",
-    "smp7_quota_allocation", "x34_ngram_novelty", "dq4_robust_outliers",
-    "h8_peak_concurrency", "dq3_column_profile", "ev5_dedup_recall",
-    # never-driver-verified (2): round-8 registrations (real image
-    # resize + real visual features over decoded pixels)
-    "m15_real_resize", "m16_visual_features",
+    # never-driver-verified (11): the ROUND-9 queue above, verbatim in
+    # registration order — all 11 judge-verified green at sf0.01 in the
+    # round-8 session; this window converts that to driver rows. Two of
+    # them also ride round-9 code changes (m18: enforced max_bucket cap
+    # + band-width guard; m20: truncated-PNG-chunk quarantine fix —
+    # VERDICT #4 / ADVICE items).
+    "m17_perceptual_hash", "m18_image_neardup_pairs",
+    "dq6_referential_integrity", "e13_conversion_paths",
+    "m19_video_scene_cuts", "e14_rfm_segmentation",
+    "j10_interval_overlap_join", "h9_dwell_time", "pr5_association_rules",
+    "ev6_margin_reliability", "m20_png_metadata",
+    # riders (2) for round-8 changes to already-verified entries:
+    # x25 gained the margin column; ev3 splices x25's registered SQL
+    "x25_nb_classifier", "ev3_classifier_eval",
     # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",
-    # refresh: oldest driver evidence — 13 of the 22 remaining
-    # r03-latest entries (alphabetical; the other 9 queue for round 9)
-    "g5_unpivot", "gs1_grouping_sets", "j6_range_join", "j7_funnel",
-    "m6_multivariate_ols", "m7_forecast_backtest", "na1_null_impute",
-    "ops3_delete_propagation", "skw1_hot_keys", "smp1_stratified_sample",
-    "smp2_per_group_sample", "sq1_above_segment_avg", "u4_intersect_all",
+    # refresh: the 9 r03-latest leftovers (oldest driver evidence)
+    "u5_except_all", "w5_share_of_total", "w6_rolling_7day",
+    "w7_lead_nth", "x10_chunk_documents", "x11_repetition_signals",
+    "x12_corpus_materialize", "x13_decontaminate", "x9_keywords",
+    # refresh: first 23 of the 38-entry r04-latest cohort (alphabetical;
+    # the remaining 15 queue for round 10)
+    "a15_hll_merge", "a16_sampled_quantiles", "a17_grouping_id",
+    "a18_histogram_quantiles", "d12_dedup_yield", "d13_canonical_selection",
+    "d8_dup_clusters", "dq1_expectations", "dq2_quarantine",
+    "e8_markov_transitions", "j8_bloom_semi_join", "j9_asof_join",
+    "m8_rolling_backtest", "na2_outlier_clip", "ops4_snapshot_diff",
+    "pr1_copurchase_pagerank", "pr2_copurchase_triangles",
+    "pr3_hits_authorities", "skw2_salted_agg", "smp3_mixture_weights",
+    "smp4_weighted_sample", "smp5_temperature_mixture",
+    "smp6_balanced_classes",
 ]
 
 
