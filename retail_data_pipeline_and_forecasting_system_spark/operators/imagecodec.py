@@ -157,7 +157,7 @@ def decode_png(data: bytes) -> DecodedImage:
             pos + 4 : pos + 8
         ]
         body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        if len(body) != length or pos + 12 + length > len(data):
             raise ValueError("png: truncated chunk")
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length : pos + 12 + length]
@@ -339,7 +339,7 @@ def read_text_chunks(data: bytes) -> list[tuple[str, str]]:
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        if len(body) != length or pos + 12 + length > len(data):
             raise ValueError("png: truncated chunk")
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length : pos + 12 + length]

@@ -1049,7 +1049,13 @@ def perceptual_hash(
     return df.mapInPandas(run, schema=DHASH_SCHEMA)
 
 
-def dhash_neardup_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
+def dhash_neardup_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    grid_w: int = 9,
+    grid_h: int = 8,
+) -> DataFrame:
     """All image pairs within ``max_hamming`` bits on the dHash
     (columns ``doc_id``/``dhash_hi``/``dhash_lo`` from
     :func:`perceptual_hash`) — WITHOUT all-pairs: the 64-bit
@@ -1061,13 +1067,37 @@ def dhash_neardup_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
     cannot pigeonhole 4 scattered flips). Output: (doc_a, doc_b,
     hamming), doc_a < doc_b.
 
-    Scale: one exchange per join side on the 16-bit bucket keys; pair
-    volume is the sum of per-bucket products (never corpus²); hot
-    buckets take the d3 max_df cap upstream when a corpus needs it.
+    ``grid_w``/``grid_h`` must match the :func:`perceptual_hash` call
+    that produced ``hashed`` and are validated here: the band split is
+    only correct when each hash half carries exactly 32 bits
+    (``(grid_w-1) * (grid_h//2) == 32`` per half — the default 9x8, or
+    e.g. 5x16); any other grid raises rather than silently losing
+    recall on bits above the banded 32.
+
+    ``max_bucket`` is the enforced hot-key cap (d3/d17 house rule):
+    band buckets holding more than ``max_bucket`` rows are dropped
+    WHOLE before the pair join, capping per-key fanout at
+    ``max_bucket²`` — a degenerate band value (e.g. flat-color images
+    hashing to a constant band) can no longer make one bucket
+    quadratic. A pair is then emitted iff it agrees in at least one
+    surviving band; callers' oracles must mirror the same rule.
+    ``None`` disables the cap.
+
+    Scale: one exchange per join side on the 16-bit bucket keys (the
+    bucket-count filter shuffles on the SAME keys); pair volume is the
+    sum of per-bucket products (never corpus²), bounded by
+    ``max_bucket``.
     """
     if max_hamming > 3:
         raise ValueError(
             f"4 fixed bands pigeonhole at most 3 flips; got {max_hamming}"
+        )
+    half = grid_h // 2
+    if (grid_w - 1) * half != 32 or (grid_w - 1) * (grid_h - half) != 32:
+        raise ValueError(
+            "dhash_neardup_pairs bands 32-bit halves into 4x16 bits; "
+            f"grid {grid_w}x{grid_h} gives {(grid_w - 1) * half}/"
+            f"{(grid_w - 1) * (grid_h - half)}-bit halves — incompatible"
         )
     bands = hashed.select(
         "doc_id", "dhash_hi", "dhash_lo",
@@ -1095,6 +1125,14 @@ def dhash_neardup_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
         "doc_id", "dhash_hi", "dhash_lo",
         F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"),
     )
+    if max_bucket is not None:
+        cool = (
+            bands.groupBy("band", "bval")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("band", "bval")
+        )
+        bands = bands.join(cool, on=["band", "bval"])
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("dhash_hi").alias("a_hi"),
         F.col("dhash_lo").alias("a_lo"), "band", "bval",

@@ -12216,12 +12216,29 @@ def m17_perceptual_hash(spark, sf):
 @q(
     "m18_image_neardup_pairs",
     sql=_DHASH_SQL_CTE + """
+    , bands AS (
+      SELECT doc_id, g.band,
+        CASE g.band
+          WHEN 0 THEN dhash_hi % 65536 WHEN 1 THEN dhash_hi // 65536
+          WHEN 2 THEN dhash_lo % 65536 ELSE dhash_lo // 65536
+        END AS bval
+      FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g
+    ), cool AS (
+      SELECT band, bval FROM bands GROUP BY 1, 2 HAVING count(*) <= 2048
+    )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
            + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INT) AS hamming
     FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
         + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+      AND EXISTS (
+        SELECT 1 FROM cool c
+        JOIN bands ba ON ba.band = c.band AND ba.bval = c.bval
+         AND ba.doc_id = a.doc_id
+        JOIN bands bb ON bb.band = c.band AND bb.bval = c.bval
+         AND bb.doc_id = b.doc_id
+      )
     """,
     ref="LLM-ops: perceptual image NEAR-dup pairs — all image pairs "
     "within Hamming distance 3 on the m17 dHash (a 1-3 bit flip is "
@@ -12230,18 +12247,23 @@ def m17_perceptual_hash(spark, sf):
     "pigeonhole play on pixels: split the 64-bit fingerprint into 4 "
     "16-bit bands (hamming <= 3 forces equality in >= 1 band), "
     "candidates from band-bucket equi-joins, row-local XOR popcount "
-    "verify, distinct — NEVER all-pairs. The ORACLE states the naive "
-    "all-pairs spec; the exact-value hash match is the proof that "
-    "banding is recall-lossless (the h8 pattern: oracle = definition, "
-    "engine = scalable plan)",
+    "verify, distinct — NEVER all-pairs. The ORACLE states the "
+    "definition: every pair within hamming 3 that agrees in at least "
+    "one band bucket holding <= 2048 rows (the d17 whole-block-drop "
+    "contract, mirrored); band extraction is recomputed independently "
+    "in SQL, so the exact-value match still proves the engine's "
+    "banding loses nothing the contract keeps. The pure no-cap "
+    "definition is proven equal by the seeded randomized differential "
+    "vs brute force (tests/test_multimodal_real.py)",
     scale="the dHash chain is m17's zero-shuffle mapInPandas (persisted "
     "once — one codec pass feeds both join sides); candidates come "
     "from 4 band-keyed equi-joins (one exchange per side on 16-bit "
     "buckets), verification is a row-local popcount — pair volume is "
-    "sum of per-bucket products, bounded by banding; hot buckets at "
-    "100 TB take the d3 max_df cap (drop or sub-band oversized "
-    "buckets, mirrored in the oracle) — the synthetic corpus maxes at "
-    "268 per bucket (measured)",
+    "sum of per-bucket products, bounded by banding AND by the "
+    "ENFORCED max_bucket=2048 whole-bucket drop (count filter shuffles "
+    "on the same band keys; a degenerate constant-band corpus caps at "
+    "2048² per bucket instead of corpus²) — the synthetic corpus maxes "
+    "at 268 per bucket (measured), so the cap binds nothing here",
 )
 def m18_image_neardup_pairs(spark, sf):
     ids = _t(spark, sf, "documents").select("doc_id")
@@ -12252,7 +12274,7 @@ def m18_image_neardup_pairs(spark, sf):
         .filter(F.col("dhash_hi").isNotNull())
         .select("doc_id", "dhash_hi", "dhash_lo")
     )
-    return MM.dhash_neardup_pairs(hashed, max_hamming=3)
+    return MM.dhash_neardup_pairs(hashed, max_hamming=3, max_bucket=2048)
 
 
 _DQ6_RELS = [

@@ -1,0 +1,167 @@
+"""Round-9 fixes: truncated-PNG-chunk quarantine (ADVICE r8 medium),
+dhash_neardup_pairs enforced max_bucket hot-key cap (VERDICT r8 #4)
+and the band-width grid guard (ADVICE r8 low). Hand-built corpora
+independent of the DuckDB oracles (the done-bundle's second leg)."""
+
+from __future__ import annotations
+
+import pytest
+
+from retail_data_pipeline_and_forecasting_system_spark.operators.imagecodec import (
+    append_text_chunks,
+    encode_png,
+    read_text_chunks,
+)
+from retail_data_pipeline_and_forecasting_system_spark.operators.multimodal import (
+    dhash_neardup_pairs,
+    extract_png_metadata,
+)
+
+
+def _png(w, h, c, px, filt=0):
+    return bytearray(encode_png(w, h, c, bytes(px), filter_type=filt))
+
+
+def test_read_text_chunks_truncated_mid_crc_raises_valueerror():
+    """A PNG cut mid-CRC (body complete, CRC field short) must raise
+    ValueError like every other corruption — before the round-9 fix it
+    escaped as struct.error and job-killed the quarantine path."""
+    png = bytes(
+        append_text_chunks(bytes(_png(2, 2, 1, [1, 2, 3, 4])), [("k", "v")])
+    )
+    # IEND is the last 12 bytes (len+type+crc); cutting 2 bytes off the
+    # tail leaves IEND's body (empty) intact but its CRC short.
+    for cut in (1, 2, 3, 4):
+        with pytest.raises(ValueError, match="truncated chunk"):
+            read_text_chunks(png[:-cut])
+
+
+def test_extract_png_metadata_quarantines_truncated_mid_crc(spark):
+    """The Spark chain must quarantine (NULL key/value row), not fail
+    the task, when a payload is truncated mid-CRC (reproduced ADVICE
+    case: struct.error escaping the except ValueError path)."""
+    good = bytes(
+        append_text_chunks(
+            bytes(_png(2, 2, 1, [9, 9, 9, 9])), [("title", "ok")]
+        )
+    )
+    rows = [(1, bytearray(good)), (2, bytearray(good[:-3]))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = sorted(
+        (r["doc_id"], r["meta_key"], r["meta_value"])
+        for r in extract_png_metadata(df).collect()
+    )
+    assert got == [(1, "title", "ok"), (2, None, None)]
+    with pytest.raises(Exception, match="truncated chunk"):
+        extract_png_metadata(df, strict=True).collect()
+
+
+def _hashed(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, dhash_hi long, dhash_lo long"
+    )
+
+
+def _py_capped_pairs(rows, max_hamming, max_bucket):
+    """Independent pure-Python statement of the capped semantics: a
+    pair within max_hamming is emitted iff it agrees in >= 1 band
+    whose bucket holds <= max_bucket rows (whole-bucket drop)."""
+    bands = {
+        doc: (hi & 0xFFFF, hi >> 16, lo & 0xFFFF, lo >> 16)
+        for doc, hi, lo in rows
+    }
+    from collections import Counter
+
+    bn = Counter((k, b[k]) for b in bands.values() for k in range(4))
+    out = set()
+    full = {doc: (hi, lo) for doc, hi, lo in rows}
+    for a in full:
+        for b in full:
+            if a >= b:
+                continue
+            ham = bin(full[a][0] ^ full[b][0]).count("1") + bin(
+                full[a][1] ^ full[b][1]
+            ).count("1")
+            if ham > max_hamming:
+                continue
+            shared_cool = any(
+                bands[a][k] == bands[b][k]
+                and (max_bucket is None or bn[(k, bands[a][k])] <= max_bucket)
+                for k in range(4)
+            )
+            if shared_cool:
+                out.add((a, b, ham))
+    return out
+
+
+def test_dhash_max_bucket_drops_hot_buckets_whole(spark):
+    """Degenerate band staged on purpose: six docs share dhash_hi=0, so
+    band buckets (0,0) and (1,0) hold 6 rows — hot at max_bucket=3.
+    Pairs whose ONLY agreement is those buckets must drop WHOLE; pairs
+    also agreeing in a cool lo-band bucket must survive."""
+    rows = [
+        (1, 0, (1 << 16) * 1 + 0),
+        (2, 0, (1 << 16) * 1 + 1),
+        (3, 0, (1 << 16) * 2 + 0),
+        (4, 0, (1 << 16) * 4 + 8),
+        (5, 0, (1 << 16) * 5 + 9),
+        (6, 0, (1 << 16) * 15 + 51),
+    ]
+    hashed = _hashed(spark, rows)
+    uncapped = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dhash_neardup_pairs(hashed, max_hamming=3).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dhash_neardup_pairs(
+            hashed, max_hamming=3, max_bucket=3
+        ).collect()
+    }
+    # kept: (1,2) share band3 bucket value 1 (2 rows, cool); (1,3)
+    # share band2 bucket value 0 (2 rows, cool). dropped: (4,5) et al.
+    # agree ONLY in the hot hi-band buckets.
+    assert capped == {(1, 2, 1), (1, 3, 2)}
+    assert (4, 5, 2) in uncapped and (4, 5, 2) not in capped
+    assert capped < uncapped
+    assert uncapped == _py_capped_pairs(rows, 3, None)
+    assert capped == _py_capped_pairs(rows, 3, 3)
+
+
+@pytest.mark.parametrize("seed", [11, 307])
+def test_dhash_max_bucket_randomized_differential(spark, seed):
+    """Seeded random hash corpus with engineered band collisions vs the
+    independent Python capped semantics — boundary (== cap) and
+    multi-band-agreement cases the hand corpus misses."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            doc,
+            (rng.choice([0, 1, 5]) << 16) | rng.choice([0, 2, 7]),
+            (rng.choice([0, 3]) << 16) | rng.choice([0, 1, 4, 9]),
+        )
+        for doc in range(60)
+    ]
+    hashed = _hashed(spark, rows)
+    for cap in (5, 20, None):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dhash_neardup_pairs(
+                hashed, max_hamming=3, max_bucket=cap
+            ).collect()
+        }
+        assert got == _py_capped_pairs(rows, 3, cap), f"cap={cap}"
+
+
+def test_dhash_grid_guard_rejects_non_32bit_halves(spark):
+    """Non-default perceptual_hash grids whose halves are not exactly
+    32 bits must raise loudly (pre-fix: silent recall loss); 32-bit-
+    half grids (5x16, 17x4) remain accepted."""
+    hashed = _hashed(spark, [(1, 0, 0)])
+    for gw, gh in ((9, 6), (8, 8), (33, 8), (9, 16)):
+        with pytest.raises(ValueError, match="incompatible"):
+            dhash_neardup_pairs(hashed, grid_w=gw, grid_h=gh)
+    for gw, gh in ((9, 8), (5, 16), (17, 4)):
+        assert dhash_neardup_pairs(hashed, grid_w=gw, grid_h=gh) is not None
