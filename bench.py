@@ -82,7 +82,7 @@ def main() -> None:
     names = [n for n, s in QUERIES.items() if s.bench]
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    # best of 3, ROUND-ROBIN across queries: the first pass pays
+    # best of 5, ROUND-ROBIN across queries: the first pass pays
     # whole-stage-codegen compilation, the repeats measure the engine.
     # Repeats are interleaved (pass 1 of every query, then pass 2, ...)
     # rather than back-to-back so a transient load spike on this shared
@@ -97,10 +97,17 @@ def main() -> None:
     # making the recorded min effectively a best-of-2; now all 3 timed
     # reps measure the steady-state engine and the recorded floor no
     # longer depends on which rep happened to pay compilation.
+    # round 9: reps 3 -> 5 (variance-robust recorded protocol, adopted
+    # per the round-8 verdict's adjudication). The round-8/9 A/B record
+    # (SCALE.md) shows the recorded artifact landing 1.03-1.06x above
+    # same-code idle draws purely from machine state at draw time —
+    # two extra minima absorb that draw noise. Timing semantics are
+    # unchanged: full-evaluation forcing, untimed warm pass, round-
+    # robin interleave; only the rep count grew (recorded in the JSON).
     for name in names:
         rows[name] = _run_full(QUERIES[name].fn(spark, sf_dir))
     best: dict[str, float] = {n: float("inf") for n in names}
-    for _ in range(3):
+    for _ in range(5):
         for name in names:
             t0 = time.perf_counter()
             rows[name] = _run_full(QUERIES[name].fn(spark, sf_dir))
@@ -135,7 +142,7 @@ def main() -> None:
         caching.drop_stale()
 
         best = float("inf")
-        for rep in range(4):  # rep 0 is the untimed warm pass
+        for rep in range(6):  # rep 0 is the untimed warm pass
             t0 = time.perf_counter()
             products = read_products_csv(spark, str(ds / "products.csv"))
             raw = read_transactions_json(spark, str(ds / "transactions_*.json"))
@@ -163,9 +170,10 @@ def main() -> None:
                 # r01/r02 timed .count(), which Catalyst prunes (see
                 # _run_full) — totals are not comparable across that line
                 "meter": "full-evaluation",
-                # best of 3 timed round-robin reps after one untimed
-                # warm pass (r07+; r03-r06 folded codegen into rep 1)
-                "reps": 3,
+                # best of 5 timed round-robin reps after one untimed
+                # warm pass (r09+; r07-r08 best-of-3; r03-r06 folded
+                # codegen into rep 1)
+                "reps": 5,
                 "warm_pass": True,
             }
         )

@@ -402,6 +402,31 @@ def q1_pricing_summary(spark, sf):
     )
 
 
+def _line_total_cents(price_col: str, discount_col: str):
+    """``ROUND(dec(price) * (1 - dec(discount)), 2)`` in exact integer
+    CENTS — the fixed-point twin of the decimal expression, for sums
+    that want a BIGINT agg buffer instead of decimal.
+
+    ``dec()`` is decimal(18,2), so ``dec(x)*100`` is integral and the
+    BIGINT cast is exact; the product ``p_cents * (100 - d_hundredths)``
+    is the line total in 1e-4 dollars, and HALF_UP to cents mirrors
+    decimal ROUND (away from zero — the negative branch mirrors the
+    positive; NULL inputs propagate to NULL through both branches).
+    floor((x+50)/100) uses IEEE double division: x+50 < 2^53 is exact,
+    integer-valued quotients divide exactly (the .5 boundary), and
+    non-integer quotients sit >= 0.01 above the floor while one ulp at
+    1e9 is ~1e-7 — floor cannot misround at money magnitudes.
+    """
+    p = (dec(price_col) * 100).cast("bigint")
+    d = (dec(discount_col) * 100).cast("bigint")
+    x = p * (F.lit(100) - d)
+    return (
+        F.when(x >= 0, F.floor((x + 50) / 100))
+        .otherwise(-F.floor((-x + 50) / 100))
+        .cast("bigint")
+    )
+
+
 @q(
     "a1_orders_rollup",
     sql="""
@@ -420,16 +445,21 @@ def q1_pricing_summary(spark, sf):
     "and the join sees |orders| rows instead of |lineitem| — at 100 TB "
     "that is the difference between shuffling the fact table once at "
     "line grain vs once at order grain (measured 1.35 -> 1.10 s at "
-    "sf0.1; identical output, sorted-rows-verified)",
+    "sf0.1; identical output, sorted-rows-verified). Round 9: the sum "
+    "runs in FIXED-POINT CENTS (exact BIGINT, see _line_total_cents) "
+    "instead of a decimal(18,2) agg buffer — identical values (oracle "
+    "hash unchanged), ~35%% less agg CPU (1.29 -> 0.84 s measured) and "
+    "8-byte long partials instead of 16-byte decimals across the "
+    "exchange; per-order cent totals stay far under 2^63",
     bench=True,
 )
 def a1_orders_rollup(spark, sf):
     li, orders = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
-    line_total = F.round(
-        dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2
-    ).cast("decimal(18,2)")
     per_order = li.groupBy("l_orderkey").agg(
-        F.sum(line_total).cast("double").alias("total_amount"),
+        (
+            F.sum(_line_total_cents("l_extendedprice", "l_discount"))
+            .cast("double") / 100
+        ).alias("total_amount"),
         F.count(F.lit(1)).alias("num_items"),
     )
     return per_order.join(
@@ -2970,11 +3000,14 @@ def q4_order_priority(spark, sf):
     "per-order revenue before any join (decimal sums are exact and "
     "associative, so the split is bit-identical), orders only attaches "
     "the custkey, the customer-grain rollup happens BEFORE customer/"
-    "nation join so the shuffles move (key, decimal) pairs instead of "
-    "carrying name strings through every exchange; top-20 is a "
+    "nation join so the shuffles move (key, long-cents) pairs instead "
+    "of carrying name strings through every exchange; top-20 is a "
     "TakeOrdered (no full sort). At 100 TB the fact table is shuffled "
     "once at order grain and once at customer grain — never with "
-    "dimension payload attached",
+    "dimension payload attached. Round 9: both sum levels run in "
+    "fixed-point CENTS (a1's _line_total_cents — bit-identical values, "
+    "oracle hash unchanged; per-customer cent totals bounded far under "
+    "2^63) for the long-buffer agg fast path and 8-byte partials",
     bench=True,
 )
 def q10_returned_items(spark, sf):
@@ -2982,14 +3015,14 @@ def q10_returned_items(spark, sf):
     nation = _t(spark, sf, "nation")
     orders = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
-    disc_price = F.round(
-        dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2
-    ).cast("decimal(18,2)")
-    per_order = li.groupBy("l_orderkey").agg(F.sum(disc_price).alias("rev"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(_line_total_cents("l_extendedprice", "l_discount"))
+        .alias("rev_cents")
+    )
     per_cust = (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
-        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .agg((F.sum("rev_cents").cast("double") / 100).alias("revenue"))
     )
     return (
         per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)

@@ -165,3 +165,68 @@ def test_dhash_grid_guard_rejects_non_32bit_halves(spark):
             dhash_neardup_pairs(hashed, grid_w=gw, grid_h=gh)
     for gw, gh in ((9, 8), (5, 16), (17, 4)):
         assert dhash_neardup_pairs(hashed, grid_w=gw, grid_h=gh) is not None
+
+
+def test_line_total_cents_matches_decimal_twin(spark):
+    """a1's fixed-point cents rewrite vs the original decimal
+    expression on adversarial money values: .5-cent HALF_UP
+    boundaries, negative totals (discount > 1), NULLs, zero — the
+    cents sum must equal the decimal sum exactly."""
+    from pyspark.sql import functions as F
+
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        _line_total_cents,
+        dec,
+    )
+
+    rows = [
+        (1.005, 0.0),     # cast-to-dec(18,2) boundary on the price
+        (2.0, 0.5),       # exact half dollar
+        (0.01, 0.5),      # 0.005 -> HALF_UP to 0.01
+        (0.01, 0.25),     # 0.0075 -> 0.01
+        (0.03, 0.25),     # 0.0225 -> 0.02
+        (5.0, 1.5),       # negative total: -2.50
+        (0.01, 1.5),      # -0.005 -> HALF_UP away from zero: -0.01
+        (0.03, 1.25),     # -0.0075 -> -0.01
+        (None, 0.1),      # NULL price
+        (4.0, None),      # NULL discount
+        (0.0, 0.3),       # zero
+        (99999999.99, 0.33),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_extendedprice double, l_discount double"
+    )
+    decimal_twin = F.round(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), 2
+    ).cast("decimal(18,2)")
+    got = df.select(
+        _line_total_cents("l_extendedprice", "l_discount").alias("cents"),
+        (decimal_twin * 100).cast("bigint").alias("want"),
+    ).collect()
+    for r in got:
+        assert r["cents"] == r["want"], (r["cents"], r["want"])
+    # and the aggregate forms agree (sum of cents / 100 vs decimal sum)
+    agg = df.agg(
+        (F.sum(_line_total_cents("l_extendedprice", "l_discount"))
+         .cast("double") / 100).alias("a"),
+        F.sum(decimal_twin).cast("double").alias("b"),
+    ).collect()[0]
+    assert agg["a"] == agg["b"]
+
+
+def test_a1_plan_shape_long_partials_and_broadcast(spark):
+    """a1's 100 TB posture, post-cents-rewrite: ONE hash exchange, a
+    map-side partial sum over BIGINT cents (not decimal) below it, and
+    the orders side broadcast — nothing between scan and two-phase agg."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    df = QUERIES["a1_orders_rollup"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    # the partial agg buffer is a long: no decimal sum function remains
+    assert "sum(cast(round" not in plan
