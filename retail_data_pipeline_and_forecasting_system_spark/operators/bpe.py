@@ -1,0 +1,222 @@
+"""BPE merge-table APPLICATION — the tokenizer-encode stage of the
+LLM-data pipeline (the one stage x27's pair-count trainer statistic
+and x15's sequence packer sat on either side of).
+
+``bpe_pair_counts`` (operators/textstats.py) computes the trainer's
+corpus-sized statistic; its ranked pair table IS a merge table in the
+``merges.txt`` sense (rank-ordered symbol pairs — GPT-2/Sennrich
+representation). This module applies such a table row-locally to emit
+real token ids, so downstream packing (x36) and mixture weights (x37)
+run on true tokenizer output instead of regex token counts.
+
+Encode semantics (deterministic, engine == oracle == pure Python):
+repeatedly find the LOWEST-RANK pair among adjacent symbol pairs of
+the word and merge its LEFTMOST occurrence; stop when no adjacent
+pair is in the table. One-merge-at-a-time leftmost-lowest-rank is a
+total order, so it needs no tie convention beyond the table's ranks;
+for tables produced by iterated BPE training it coincides with the
+classic sweep-all-occurrences encoder (a merge can only create pairs
+whose own rank is HIGHER than the rank just applied, because a merge
+involving symbol X is learned after X exists).
+
+Token ids are deterministic integers: a single-char symbol's id is
+its Unicode codepoint; a merged symbol's id is ``1114112 + r`` (one
+past the codepoint space) where ``r`` is the smallest rank among
+merges producing that string (two training paths can emit the same
+string; vocab ids key on the string, as every tokenizer's does).
+
+Scale: the merge table is KB-sized driver/model state (the k-means /
+x27 pattern) shipped in the UDF closure; encode is one partition-local
+Arrow-batched ``mapInPandas`` over the corpus with a per-partition
+word memo (Zipf: most words repeat, each unique word encodes once per
+partition) — ZERO shuffle, doc-grain output. Nothing data-proportional
+ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# one past the Unicode codepoint space: merged-symbol ids can never
+# collide with single-char ids
+MERGED_ID_BASE = 0x110000
+
+_NO_MERGE = object()
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE-apply for one word: merge the leftmost occurrence of
+    the lowest-rank adjacent pair until none applies. Pure Python —
+    the single definition the Spark engine, the tests, and the DuckDB
+    oracle's recursive CTE all restate."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_pos = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pos = r, i
+        if best_rank is None:
+            break
+        syms[best_pos : best_pos + 2] = [syms[best_pos] + syms[best_pos + 1]]
+    return syms
+
+
+def token_ids(
+    syms: list[str], tok_ranks: dict[str, int]
+) -> list[int]:
+    """Deterministic ids: codepoint for single chars, MERGED_ID_BASE +
+    min-rank for merged symbols."""
+    return [
+        ord(s) if len(s) == 1 else MERGED_ID_BASE + tok_ranks[s]
+        for s in syms
+    ]
+
+
+def _rank_maps(
+    merges: list[tuple[str, str, int]],
+) -> tuple[dict[tuple[str, str], int], dict[str, int]]:
+    ranks: dict[tuple[str, str], int] = {}
+    tok_ranks: dict[str, int] = {}
+    for left, right, rank in merges:
+        key = (left, right)
+        if key not in ranks or rank < ranks[key]:
+            ranks[key] = rank
+        tok = left + right
+        if tok not in tok_ranks or rank < tok_ranks[tok]:
+            tok_ranks[tok] = rank
+    return ranks, tok_ranks
+
+
+ENCODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("n_merged", T.LongType(), False),
+        T.StructField("id_sum", T.LongType(), False),
+    ]
+)
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-document token statistics from applying ``merges`` (list of
+    ``(left, right, rank)``) to the lowercased whitespace-tokenized
+    text: token count, merged-token count, and the exact sum of token
+    ids (any misapplied merge, wrong tie, or wrong id scheme moves the
+    sum). Docs with no words (empty/NULL text) emit zeros — absence
+    and corruption stay distinguishable from never-scanned.
+
+    Partition-local mapInPandas with a per-partition word memo; the
+    merge table rides the closure (KB model state, never a shuffle).
+    """
+    import re
+
+    ranks, tok_ranks = _rank_maps(merges)
+    cols = docs.select(id_col, source_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, tuple[int, int, int]] = {}
+        for batch in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "source": [], "n_tokens": [],
+                "n_merged": [], "id_sum": [],
+            }
+            for doc_id, source, text in zip(
+                batch[id_col], batch[source_col], batch[text_col]
+            ):
+                nt = nm = ids = 0
+                if isinstance(text, str) and text:
+                    for w in re.split(r"\s+", text.lower()):
+                        if not w:
+                            continue
+                        stat = memo.get(w)
+                        if stat is None:
+                            syms = encode_word(w, ranks)
+                            stat = (
+                                len(syms),
+                                sum(1 for s in syms if len(s) > 1),
+                                sum(token_ids(syms, tok_ranks)),
+                            )
+                            memo[w] = stat
+                        nt += stat[0]
+                        nm += stat[1]
+                        ids += stat[2]
+                out["doc_id"].append(doc_id)
+                out["source"].append(source)
+                out["n_tokens"].append(nt)
+                out["n_merged"].append(nm)
+                out["id_sum"].append(ids)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, schema=ENCODE_STATS_SCHEMA)
+
+
+ENCODE_TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("token", T.StringType(), False),
+        T.StructField("token_id", T.LongType(), False),
+    ]
+)
+
+
+def bpe_encode_tokens(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exploded per-token view (doc_id, pos, token, token_id) — the
+    granular twin of :func:`bpe_encode_stats` for tests and sampling;
+    same encode, same ids, same zero-shuffle mapInPandas shape (the
+    fan-out streams inside Arrow batches like m4/m12)."""
+    import re
+
+    ranks, tok_ranks = _rank_maps(merges)
+    cols = docs.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, tuple[list[str], list[int]]] = {}
+        for batch in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "pos": [], "token": [], "token_id": [],
+            }
+            for doc_id, text in zip(batch[id_col], batch[text_col]):
+                pos = 0
+                if isinstance(text, str) and text:
+                    for w in re.split(r"\s+", text.lower()):
+                        if not w:
+                            continue
+                        hit = memo.get(w)
+                        if hit is None:
+                            syms = encode_word(w, ranks)
+                            hit = (syms, token_ids(syms, tok_ranks))
+                            memo[w] = hit
+                        for s, i in zip(*hit):
+                            out["doc_id"].append(doc_id)
+                            out["pos"].append(pos)
+                            out["token"].append(s)
+                            out["token_id"].append(i)
+                            pos += 1
+            yield pd.DataFrame(out).astype({"pos": "int32"})
+
+    return cols.mapInPandas(run, schema=ENCODE_TOKENS_SCHEMA)
+
+
+def merges_from_pair_counts(pair_rows) -> list[tuple[str, str, int]]:
+    """Adapt x27's ``(rnk, pair, cnt)`` rows (2-char pair strings) to
+    the ``(left, right, rank)`` merge-table form."""
+    return [(r["pair"][0], r["pair"][1], int(r["rnk"])) for r in pair_rows]

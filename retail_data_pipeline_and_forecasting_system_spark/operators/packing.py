@@ -65,6 +65,35 @@ def pack_sequences(
         F.col(id_col),
         F.col(group_col),
         F.size(F.split(F.col(text_col), " ")).cast("int").alias("n_tokens"),
+    )
+    return pack_counts(
+        slim,
+        capacity=capacity,
+        group_col=group_col,
+        id_col=id_col,
+        num_buckets=num_buckets,
+    )
+
+
+def pack_counts(
+    counts: DataFrame,
+    capacity: int = 256,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """The packing fold over a PRE-COMPUTED token-count frame
+    (``id_col``, ``group_col``, ``count_col``) — the entry point for
+    true-tokenizer counts (x36 packs on BPE ids via operators/bpe.py,
+    where :func:`pack_sequences`'s whitespace ``size(split())`` is the
+    pre-tokenizer estimate). Same greedy rule, same hash-bucketed
+    applyInPandas shape, same output schema (count column emitted as
+    ``n_tokens``)."""
+    slim = counts.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(count_col).cast("int").alias("n_tokens"),
     ).withColumn("__bucket", F.pmod(F.hash(group_col), F.lit(num_buckets)))
 
     out_schema = T.StructType(

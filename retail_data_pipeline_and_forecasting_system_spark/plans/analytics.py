@@ -39,6 +39,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators import bpe as BP
 from ..operators import dedup as D
 from ..operators.ohlc import ohlc_aggs, ohlc_order_key
 from ..operators import multimodal as MM
@@ -12979,6 +12980,215 @@ def m20_png_metadata(spark, sf):
     return MM.extract_png_metadata(MM.synthesize_png_with_text(ids))
 
 
+# The x35 oracle restates the full encode chain in SQL: the merge table
+# comes from x27's REGISTERED SQL (spliced — code and oracle cannot
+# drift, the ev3-over-x25 pattern), the per-word greedy merge loop is a
+# recursive CTE (one merge per recursion step: lowest rank wins,
+# leftmost occurrence on ties via list_position; each step shrinks the
+# symbol list by one, so the word's final state is its minimum-length
+# row), and token ids are codepoints / 1114112+min-rank exactly as
+# operators/bpe.py defines them. chr(10) delimits pair-lookup keys —
+# a newline can never appear inside a symbol because words come from a
+# whitespace split in both engines.
+_X35_SQL_TMPL = """
+    WITH RECURSIVE merges AS (
+      SELECT rnk, substring(pair, 1, 1) AS l, substring(pair, 2, 1) AS r,
+             pair
+      FROM ({x27})
+    ),
+    mm AS (
+      SELECT map(list(l || chr(10) || r ORDER BY rnk),
+                 list(rnk ORDER BY rnk)) AS m
+      FROM merges
+    ),
+    tmm AS (
+      SELECT map(list(tok), list(trnk)) AS tm FROM (
+        SELECT pair AS tok, CAST(min(rnk) AS BIGINT) AS trnk
+        FROM merges GROUP BY pair
+      )
+    ),
+    dw AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS wn FROM (
+        SELECT doc_id,
+          unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY 1, 2
+    ),
+    vocab AS (SELECT DISTINCT word FROM dw),
+    enc AS (
+      SELECT word,
+        list_transform(range(1, length(word) + 1),
+                       i -> substring(word, CAST(i AS INT), 1)) AS syms
+      FROM vocab
+      UNION ALL
+      SELECT word,
+        list_concat(list_concat(syms[1:bpos-1],
+                                [syms[bpos] || syms[bpos+1]]),
+                    syms[bpos+2:]) AS syms
+      FROM (
+        SELECT word, syms,
+          list_min(ranks) AS br,
+          list_position(ranks, list_min(ranks)) AS bpos
+        FROM (
+          SELECT e.word, e.syms,
+            list_transform(range(1, len(e.syms)),
+              i -> coalesce((mm.m[e.syms[i] || chr(10) || e.syms[i+1]])[1],
+                            CAST(999999 AS INT))) AS ranks
+          FROM enc e, mm
+          WHERE len(e.syms) > 1
+        )
+      ) WHERE br < 999999
+    ),
+    fin_len AS (SELECT word, min(len(syms)) AS ml FROM enc GROUP BY word),
+    fin AS (
+      SELECT e.word, e.syms FROM enc e JOIN fin_len f
+        ON e.word = f.word AND len(e.syms) = f.ml
+    ),
+    tok AS (
+      SELECT f.word,
+        CAST(len(f.syms) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(f.syms, s -> length(s) > 1)) AS BIGINT)
+          AS n_merged,
+        CAST(list_sum(list_transform(f.syms,
+          s -> CASE WHEN length(s) = 1 THEN CAST(unicode(s) AS BIGINT)
+                    ELSE 1114112 + (tmm.tm[s])[1] END)) AS BIGINT)
+          AS id_sum
+      FROM fin f, tmm
+    )
+    SELECT d.doc_id, any_value(d.source) AS source,
+      CAST(COALESCE(SUM(t.n_tokens * w.wn), 0) AS BIGINT) AS n_tokens,
+      CAST(COALESCE(SUM(t.n_merged * w.wn), 0) AS BIGINT) AS n_merged,
+      CAST(COALESCE(SUM(t.id_sum * w.wn), 0) AS BIGINT) AS id_sum
+    FROM documents d
+    LEFT JOIN dw w ON w.doc_id = d.doc_id
+    LEFT JOIN tok t ON t.word = w.word
+    GROUP BY d.doc_id
+"""
+
+
+@q(
+    "x35_bpe_encode",
+    sql=_X35_SQL_TMPL.format(x27=QUERIES["x27_bpe_pair_counts"].sql),
+    ref="LLM-ops: tokenizer ENCODE — apply a rank-ordered BPE merge "
+    "table row-locally to emit real token ids (the merges.txt "
+    "application step; Sennrich et al. 2016 / GPT-2 encoder), the one "
+    "first-class LLM-data stage between x27's trainer statistic and "
+    "x15's packing. Merge table = x27's registered ranked pair counts "
+    "(KB driver-side model state, the k1 centroid pattern); encode = "
+    "lowest-rank-leftmost greedy merging (operators/bpe.py "
+    "encode_word — coincides with the classic sweep encoder on "
+    "trained tables); ids = codepoint for chars, 1114112+rank for "
+    "merged symbols. Output per doc: token count, merged-token count, "
+    "exact id sum — any wrong merge order, tie, or id moves the sum",
+    scale="the table ships in the UDF closure (KBs); encode is ONE "
+    "partition-local Arrow-batched mapInPandas with a per-partition "
+    "word memo (Zipf: unique words encode once per partition), doc-"
+    "grain output, ZERO shuffle — the only exchanges in the whole "
+    "chain belong to x27's vocab-sized training agg, and nothing "
+    "data-proportional reaches the driver",
+)
+def x35_bpe_encode(spark, sf):
+    pair_rows = QUERIES["x27_bpe_pair_counts"].fn(spark, sf).collect()
+    merges = BP.merges_from_pair_counts(pair_rows)
+    return BP.bpe_encode_stats(_t(spark, sf, "documents"), merges)
+
+
+_X36_SQL_TMPL = """
+    WITH RECURSIVE x35 AS ( {x35} ),
+    sized AS (
+      SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM x35
+    ), walk AS (
+      SELECT doc_id, source, n_tokens, rn,
+        0 AS seq_id, n_tokens AS fill
+      FROM sized WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.source, d.n_tokens, d.rn,
+        CASE WHEN w.fill + d.n_tokens <= 1024 THEN w.seq_id
+             ELSE w.seq_id + 1 END,
+        CASE WHEN w.fill + d.n_tokens <= 1024 THEN w.fill + d.n_tokens
+             ELSE d.n_tokens END
+      FROM walk w JOIN sized d ON d.source = w.source AND d.rn = w.rn + 1
+    )
+    SELECT doc_id, source, n_tokens, CAST(seq_id AS INT) AS seq_id
+    FROM walk
+"""
+
+
+@q(
+    "x36_bpe_sequence_pack",
+    sql=_X36_SQL_TMPL.format(
+        x35=QUERIES["x35_bpe_encode"].sql
+    ),
+    ref="LLM-ops: sequence packing on TRUE tokenizer output — x15's "
+    "greedy fixed-budget packer (capacity 1024) fed by x35's real BPE "
+    "token counts instead of the whitespace estimate (the round-8 "
+    "verdict's 'a training-data pipeline tokenizes before packing'); "
+    "x15 remains the pre-tokenizer estimate variant "
+    "(operators/packing.py pack_counts over operators/bpe.py)",
+    scale="x35's zero-shuffle encode feeds the same hash-bucketed "
+    "applyInPandas fold as x15: sequential per source, parallel "
+    "across sources, only (id, group, count) scalars cross into "
+    "Python — text and token ids never move",
+)
+def x36_bpe_sequence_pack(spark, sf):
+    stats = QUERIES["x35_bpe_encode"].fn(spark, sf)
+    return PK.pack_counts(stats, capacity=1024)
+
+
+_X37_SQL_TMPL = """
+    WITH RECURSIVE x35 AS ( {x35} ),
+    per_src AS (
+      SELECT source, count(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM x35 GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        count(*) AS n_sources
+      FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+      CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens) AS weight
+    FROM per_src, tot
+"""
+
+
+@q(
+    "x37_bpe_mixture_weights",
+    sql=_X37_SQL_TMPL.format(
+        x35=QUERIES["x35_bpe_encode"].sql
+    ),
+    ref="LLM-ops: data-mixture balancing on TRUE tokenizer budgets — "
+    "smp3's equalizing weight formula computed over x35's real BPE "
+    "token counts (the budget a training run actually consumes) "
+    "instead of whitespace counts; smp3 remains the pre-tokenizer "
+    "estimate variant",
+    scale="x35's zero-shuffle doc-grain stats collapse through one "
+    "partial-aggregated groupBy to ~#sources rows, then a 1-row "
+    "broadcast of the totals — smp3's exact shape",
+)
+def x37_bpe_mixture_weights(spark, sf):
+    stats = QUERIES["x35_bpe_encode"].fn(spark, sf)
+    per_src = stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("__total"),
+        F.count(F.lit(1)).alias("__n_src"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("__total").cast("double")
+            / (F.col("__n_src") * F.col("n_tokens"))
+        ).alias("weight"),
+    )
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.
@@ -13077,6 +13287,10 @@ _DRIVER_SAMPLE = [
     "m19_video_scene_cuts", "e14_rfm_segmentation",
     "j10_interval_overlap_join", "h9_dwell_time", "pr5_association_rules",
     "ev6_margin_reliability", "m20_png_metadata",
+    # never-driver-verified (3): round-9 registrations — the BPE-apply
+    # tokenizer chain (VERDICT r8 #3: encode -> pack -> mixture on
+    # true token ids)
+    "x35_bpe_encode", "x36_bpe_sequence_pack", "x37_bpe_mixture_weights",
     # riders (2) for round-8 changes to already-verified entries:
     # x25 gained the margin column; ev3 splices x25's registered SQL
     "x25_nb_classifier", "ev3_classifier_eval",
@@ -13087,8 +13301,8 @@ _DRIVER_SAMPLE = [
     "u5_except_all", "w5_share_of_total", "w6_rolling_7day",
     "w7_lead_nth", "x10_chunk_documents", "x11_repetition_signals",
     "x12_corpus_materialize", "x13_decontaminate", "x9_keywords",
-    # refresh: first 23 of the 38-entry r04-latest cohort (alphabetical;
-    # the remaining 15 queue for round 10)
+    # refresh: first 20 of the 38-entry r04-latest cohort (alphabetical;
+    # the remaining 18 — smp4 onward — queue for round 10)
     "a15_hll_merge", "a16_sampled_quantiles", "a17_grouping_id",
     "a18_histogram_quantiles", "d12_dedup_yield", "d13_canonical_selection",
     "d8_dup_clusters", "dq1_expectations", "dq2_quarantine",
@@ -13096,8 +13310,6 @@ _DRIVER_SAMPLE = [
     "m8_rolling_backtest", "na2_outlier_clip", "ops4_snapshot_diff",
     "pr1_copurchase_pagerank", "pr2_copurchase_triangles",
     "pr3_hits_authorities", "skw2_salted_agg", "smp3_mixture_weights",
-    "smp4_weighted_sample", "smp5_temperature_mixture",
-    "smp6_balanced_classes",
 ]
 
 

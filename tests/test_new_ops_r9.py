@@ -230,3 +230,186 @@ def test_a1_plan_shape_long_partials_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     # the partial agg buffer is a long: no decimal sum function remains
     assert "sum(cast(round" not in plan
+
+
+# ---------------------------------------------------------------- BPE encode
+
+
+def _enc_independent(word, merges):
+    """Independent restatement of the encode spec for the differential:
+    build the candidate list fresh each step with min() over enumerate
+    (different code shape from operators/bpe.py encode_word)."""
+    ranks = {}
+    for l, r, k in merges:
+        ranks.setdefault((l, r), k)
+        ranks[(l, r)] = min(ranks[(l, r)], k)
+    syms = list(word)
+    while True:
+        cands = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(syms, syms[1:]))
+            if (a, b) in ranks
+        ]
+        if not cands:
+            return syms
+        _, i = min(cands)
+        syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2 :]
+
+
+def test_bpe_encode_word_hand_values():
+    """Greedy lowest-rank-leftmost by hand: rank precedence over
+    position, leftmost on equal rank (same pair twice), cascade onto a
+    just-merged symbol, and the no-merge fall-through."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.bpe import (
+        encode_word,
+    )
+
+    ranks = {("a", "b"): 1, ("b", "c"): 2, ("ab", "c"): 3, ("x", "y"): 4}
+    # rank wins over position ("bc" at pos 1 loses to "ab" at pos 2),
+    # then the cascade merge ("ab","c") fires on the created symbol
+    assert encode_word("babc", ranks) == ["b", "abc"]
+    assert encode_word("abc", ranks) == ["abc"]
+    # leftmost on equal rank: both "ab"s rank 1 -> left one first; the
+    # cascade then eats the c after the FIRST ab
+    assert encode_word("abcab", ranks) == ["abc", "ab"]
+    # overlapping occurrences: "aab" -> only one "ab" (positions overlap)
+    assert encode_word("aab", ranks) == ["a", "ab"]
+    # no applicable merge
+    assert encode_word("zzz", ranks) == ["z", "z", "z"]
+    # single char and empty
+    assert encode_word("q", ranks) == ["q"]
+    assert encode_word("", ranks) == []
+
+
+def test_bpe_token_ids_scheme():
+    from retail_data_pipeline_and_forecasting_system_spark.operators.bpe import (
+        MERGED_ID_BASE,
+        token_ids,
+    )
+
+    assert token_ids(["a", "ab"], {"ab": 3}) == [97, MERGED_ID_BASE + 3]
+
+
+def test_bpe_encode_stats_and_tokens_hand_corpus(spark):
+    """Tiny staged corpus with hand-computed totals; empty text and a
+    doc with no in-table pairs emit honest zeros/char-ids."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.bpe import (
+        MERGED_ID_BASE,
+        bpe_encode_stats,
+        bpe_encode_tokens,
+    )
+
+    merges = [("t", "h", 1), ("h", "e", 2), ("th", "e", 3)]
+    rows = [
+        (1, "s0", "the the zz"),   # "the" -> ["the"]; "zz" -> z z
+        (2, "s0", "he  he"),       # multi-space split; "he" -> ["he"]
+        (3, "s1", ""),             # empty -> zeros
+        (4, "s1", "TH E"),         # lowercased: "th" -> ["th"], "e"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["n_merged"], r["id_sum"])
+        for r in bpe_encode_stats(df, merges).collect()
+    }
+    B = MERGED_ID_BASE
+    assert got[1] == ("s0", 4, 2, 2 * (B + 3) + 2 * ord("z"))
+    assert got[2] == ("s0", 2, 2, 2 * (B + 2))
+    assert got[3] == ("s1", 0, 0, 0)
+    assert got[4] == ("s1", 2, 1, (B + 1) + ord("e"))
+
+    toks = [
+        (r["doc_id"], r["pos"], r["token"], r["token_id"])
+        for r in bpe_encode_tokens(df, merges)
+        .orderBy("doc_id", "pos")
+        .collect()
+    ]
+    assert toks == [
+        (1, 0, "the", B + 3), (1, 1, "the", B + 3),
+        (1, 2, "z", ord("z")), (1, 3, "z", ord("z")),
+        (2, 0, "he", B + 2), (2, 1, "he", B + 2),
+        (4, 0, "th", B + 1), (4, 1, "e", ord("e")),
+    ]
+
+
+@pytest.mark.parametrize("seed", [5, 1729])
+def test_bpe_encode_randomized_differential(spark, seed):
+    """Seeded random corpus over a tiny alphabet (dense pair overlaps,
+    cascades onto merged symbols) + random multi-level merge table vs
+    an independent restatement of the spec."""
+    import random
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.bpe import (
+        MERGED_ID_BASE,
+        bpe_encode_tokens,
+    )
+
+    rng = random.Random(seed)
+    alpha = "abc"
+    base = ["".join(p) for p in zip(alpha, alpha[1:] + alpha[0])]
+    merges = []
+    rank = 1
+    syms_pool = list(alpha)
+    for _ in range(6):
+        l = rng.choice(syms_pool)
+        r = rng.choice(syms_pool)
+        merges.append((l, r, rank))
+        syms_pool.append(l + r)  # later merges may involve merged syms
+        rank += 1
+    docs = []
+    for doc_id in range(40):
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(1, 6))
+        ]
+        docs.append((doc_id, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in bpe_encode_tokens(df, merges).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["pos"], r["token"], r["token_id"])
+        )
+    tok_ranks = {}
+    for l, r, k in merges:
+        tok_ranks[l + r] = min(tok_ranks.get(l + r, k), k)
+    for doc_id, text in docs:
+        want, pos = [], 0
+        for w in text.split(" "):
+            for s in _enc_independent(w, merges):
+                tid = ord(s) if len(s) == 1 else MERGED_ID_BASE + tok_ranks[s]
+                want.append((pos, s, tid))
+                pos += 1
+        assert sorted(got.get(doc_id, [])) == want, doc_id
+
+
+def test_x35_plan_zero_shuffle_and_x36_oracle_feed(spark):
+    """x35's returned frame is scan -> MapInPandas with ZERO exchanges
+    (the merge table rides the closure); x36 packs those counts with
+    the same greedy rule as the pure-Python pack oracle."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.packing import (
+        pack_oracle,
+    )
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["x35_bpe_encode"].fn(spark, sf)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" in plan
+    assert "Arguments: hashpartitioning" not in plan
+    assert "Exchange" not in plan
+
+    stats = {
+        (r["source"], r["doc_id"]): r["n_tokens"] for r in df.collect()
+    }
+    packed = QUERIES["x36_bpe_sequence_pack"].fn(spark, sf).collect()
+    by_src: dict[str, list] = {}
+    for r in sorted(packed, key=lambda r: (r["source"], r["doc_id"])):
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        toks = [r["n_tokens"] for r in rows]
+        assert toks == [stats[(src, r["doc_id"])] for r in rows]
+        want = pack_oracle(toks, 1024)
+        assert [r["seq_id"] for r in rows] == want, src
