@@ -13137,6 +13137,62 @@ def x36_bpe_sequence_pack(spark, sf):
     return PK.pack_counts(stats, capacity=1024)
 
 
+_X39_SQL_TMPL = """
+    WITH RECURSIVE x35 AS ( {x35} ),
+    chars AS (
+      SELECT source,
+        CAST(SUM(length(regexp_replace(lower(text), '\\s+', '', 'g')))
+          AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    )
+    SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+      c.n_chars,
+      CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+      CAST(c.n_chars AS DOUBLE) / SUM(s.n_tokens) AS chars_per_token
+    FROM x35 s JOIN chars c ON c.source = s.source
+    GROUP BY s.source, c.n_chars
+"""
+
+
+@q(
+    "x39_bpe_compression",
+    sql=_X39_SQL_TMPL.format(x35=QUERIES["x35_bpe_encode"].sql),
+    ref="LLM-ops: tokenizer compression ratio by source — non-"
+    "whitespace chars per BPE token (the fertility/efficiency metric "
+    "every tokenizer eval reports): low chars/token means the merge "
+    "table fits the source's distribution, an out-of-domain source "
+    "shows near-1.0 (char-level fallback) and costs proportionally "
+    "more context budget. Built on x35's true token counts",
+    scale="two source-keyed aggs (x35's doc-grain stats; one row-local "
+    "char count off the same scan pattern) joined on the source "
+    "alphabet — everything past the scans is #sources-sized",
+)
+def x39_bpe_compression(spark, sf):
+    stats = QUERIES["x35_bpe_encode"].fn(spark, sf)
+    chars = (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.length(F.regexp_replace(F.lower("text"), r"\s+", ""))
+            ).alias("n_chars")
+        )
+    )
+    per_src = stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return per_src.join(chars, "source").select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 _X37_SQL_TMPL = """
     WITH RECURSIVE x35 AS ( {x35} ),
     per_src AS (
@@ -13287,10 +13343,11 @@ _DRIVER_SAMPLE = [
     "m19_video_scene_cuts", "e14_rfm_segmentation",
     "j10_interval_overlap_join", "h9_dwell_time", "pr5_association_rules",
     "ev6_margin_reliability", "m20_png_metadata",
-    # never-driver-verified (3): round-9 registrations — the BPE-apply
+    # never-driver-verified (4): round-9 registrations — the BPE-apply
     # tokenizer chain (VERDICT r8 #3: encode -> pack -> mixture on
-    # true token ids)
+    # true token ids, plus the compression-ratio metric)
     "x35_bpe_encode", "x36_bpe_sequence_pack", "x37_bpe_mixture_weights",
+    "x39_bpe_compression",
     # riders (2) for round-8 changes to already-verified entries:
     # x25 gained the margin column; ev3 splices x25's registered SQL
     "x25_nb_classifier", "ev3_classifier_eval",
@@ -13301,15 +13358,15 @@ _DRIVER_SAMPLE = [
     "u5_except_all", "w5_share_of_total", "w6_rolling_7day",
     "w7_lead_nth", "x10_chunk_documents", "x11_repetition_signals",
     "x12_corpus_materialize", "x13_decontaminate", "x9_keywords",
-    # refresh: first 20 of the 38-entry r04-latest cohort (alphabetical;
-    # the remaining 18 — smp4 onward — queue for round 10)
+    # refresh: first 19 of the 38-entry r04-latest cohort (alphabetical;
+    # the remaining 19 — smp3 onward — queue for round 10)
     "a15_hll_merge", "a16_sampled_quantiles", "a17_grouping_id",
     "a18_histogram_quantiles", "d12_dedup_yield", "d13_canonical_selection",
     "d8_dup_clusters", "dq1_expectations", "dq2_quarantine",
     "e8_markov_transitions", "j8_bloom_semi_join", "j9_asof_join",
     "m8_rolling_backtest", "na2_outlier_clip", "ops4_snapshot_diff",
     "pr1_copurchase_pagerank", "pr2_copurchase_triangles",
-    "pr3_hits_authorities", "skw2_salted_agg", "smp3_mixture_weights",
+    "pr3_hits_authorities", "skw2_salted_agg",
 ]
 
 

@@ -413,3 +413,81 @@ def test_x35_plan_zero_shuffle_and_x36_oracle_feed(spark):
         assert toks == [stats[(src, r["doc_id"])] for r in rows]
         want = pack_oracle(toks, 1024)
         assert [r["seq_id"] for r in rows] == want, src
+
+
+def test_bpe_encode_runs_under_structured_streaming(spark, tmp_path):
+    """bpe_encode_stats is stateless mapInPandas with the merge table
+    in the closure, so it must run UNCHANGED on a streaming DataFrame —
+    readStream over the same docs yields exactly the batch stats (the
+    codec-family streaming claim extended to the tokenizer stage)."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.bpe import (
+        bpe_encode_stats,
+    )
+
+    merges = [("t", "h", 1), ("h", "e", 2), ("th", "e", 3), ("a", "n", 4)]
+    rows = [
+        (i, f"s{i % 3}", " ".join(["the", "an", "than", "x"][: 1 + i % 4]))
+        for i in range(30)
+    ]
+    in_dir = tmp_path / "in"
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(str(in_dir))
+
+    batch = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["n_merged"], r["id_sum"])
+        for r in bpe_encode_stats(
+            spark.read.parquet(str(in_dir)), merges
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string"
+    ).parquet(str(in_dir))
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        bpe_encode_stats(stream, merges)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["n_merged"], r["id_sum"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed == batch and len(batch) == 30
+
+
+def test_x39_compression_counts_nonspace_chars(spark):
+    """chars_per_token's numerator is NON-WHITESPACE chars of the
+    lowercased text (the tokenizer's actual input mass): tabs/newlines/
+    runs of spaces contribute nothing; ratio = chars/tokens exactly."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    # reuse the registered query on the real sf0.001 corpus, then check
+    # the definition on one source independently
+    sf = "/root/testdata/sf0.001"
+    rows = {r["source"]: r for r in QUERIES["x39_bpe_compression"].fn(
+        spark, sf).collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    chars = dict(con.execute(
+        "SELECT source, SUM(length(regexp_replace(lower(text), "
+        "'\\s+', '', 'g'))) FROM documents GROUP BY 1"
+    ).fetchall())
+    assert rows and set(rows) == set(chars)
+    for src, r in rows.items():
+        assert r["n_chars"] == chars[src]
+        assert r["chars_per_token"] == r["n_chars"] / r["n_tokens"]
+        # sanity: merges compress, so strictly more than 1 char/token
+        assert r["chars_per_token"] > 1.0
