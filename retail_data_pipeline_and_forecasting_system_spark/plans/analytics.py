@@ -13193,6 +13193,59 @@ def x39_bpe_compression(spark, sf):
     )
 
 
+_X40_SQL_TMPL = """
+    WITH RECURSIVE x36 AS ( {x36} ),
+    seqs AS (
+      SELECT source, seq_id,
+        CAST(SUM(n_tokens) AS BIGINT) AS fill,
+        CAST(count(*) AS BIGINT) AS n_docs
+      FROM x36 GROUP BY source, seq_id
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_seqs,
+      CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      CAST(SUM(fill) AS BIGINT) AS total_tokens,
+      CAST(SUM(fill) AS DOUBLE) / count(*) AS mean_fill,
+      CAST(count(*) * 1024 - SUM(fill) AS DOUBLE)
+        / (count(*) * 1024) AS waste_frac
+    FROM seqs GROUP BY source
+"""
+
+
+@q(
+    "x40_packing_efficiency",
+    sql=_X40_SQL_TMPL.format(x36=QUERIES["x36_bpe_sequence_pack"].sql),
+    ref="LLM-ops: packing efficiency — per-source sequence count, mean "
+    "fill and padding-waste fraction of x36's true-token-id packing "
+    "(the metric a training-batch assembler watches: waste is paid "
+    "compute; an over-long doc makes its sequence's waste negative, "
+    "surfacing truncation candidates). Closes the tokenize -> pack -> "
+    "measure chain on real ids",
+    scale="one (source, seq_id)-keyed agg over x36's scalar rows, then "
+    "a source-keyed rollup — both map-side combined; everything past "
+    "x36's bucket fold is alphabet-sized",
+)
+def x40_packing_efficiency(spark, sf):
+    packed = QUERIES["x36_bpe_sequence_pack"].fn(spark, sf)
+    seqs = packed.groupBy("source", "seq_id").agg(
+        F.sum("n_tokens").cast("bigint").alias("fill"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    cap = 1024
+    return seqs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("fill").cast("bigint").alias("total_tokens"),
+        (F.sum("fill").cast("double") / F.count(F.lit(1))).alias(
+            "mean_fill"
+        ),
+        (
+            (F.count(F.lit(1)) * cap - F.sum("fill")).cast("double")
+            / (F.count(F.lit(1)) * cap)
+        ).alias("waste_frac"),
+    )
+
+
 _X37_SQL_TMPL = """
     WITH RECURSIVE x35 AS ( {x35} ),
     per_src AS (
@@ -13343,11 +13396,11 @@ _DRIVER_SAMPLE = [
     "m19_video_scene_cuts", "e14_rfm_segmentation",
     "j10_interval_overlap_join", "h9_dwell_time", "pr5_association_rules",
     "ev6_margin_reliability", "m20_png_metadata",
-    # never-driver-verified (4): round-9 registrations — the BPE-apply
+    # never-driver-verified (5): round-9 registrations — the BPE-apply
     # tokenizer chain (VERDICT r8 #3: encode -> pack -> mixture on
-    # true token ids, plus the compression-ratio metric)
+    # true token ids, plus the compression and packing-waste metrics)
     "x35_bpe_encode", "x36_bpe_sequence_pack", "x37_bpe_mixture_weights",
-    "x39_bpe_compression",
+    "x39_bpe_compression", "x40_packing_efficiency",
     # riders (2) for round-8 changes to already-verified entries:
     # x25 gained the margin column; ev3 splices x25's registered SQL
     "x25_nb_classifier", "ev3_classifier_eval",
@@ -13358,15 +13411,15 @@ _DRIVER_SAMPLE = [
     "u5_except_all", "w5_share_of_total", "w6_rolling_7day",
     "w7_lead_nth", "x10_chunk_documents", "x11_repetition_signals",
     "x12_corpus_materialize", "x13_decontaminate", "x9_keywords",
-    # refresh: first 19 of the 38-entry r04-latest cohort (alphabetical;
-    # the remaining 19 — smp3 onward — queue for round 10)
+    # refresh: first 18 of the 38-entry r04-latest cohort (alphabetical;
+    # the remaining 20 — skw2 onward — queue for round 10)
     "a15_hll_merge", "a16_sampled_quantiles", "a17_grouping_id",
     "a18_histogram_quantiles", "d12_dedup_yield", "d13_canonical_selection",
     "d8_dup_clusters", "dq1_expectations", "dq2_quarantine",
     "e8_markov_transitions", "j8_bloom_semi_join", "j9_asof_join",
     "m8_rolling_backtest", "na2_outlier_clip", "ops4_snapshot_diff",
     "pr1_copurchase_pagerank", "pr2_copurchase_triangles",
-    "pr3_hits_authorities", "skw2_salted_agg",
+    "pr3_hits_authorities",
 ]
 
 

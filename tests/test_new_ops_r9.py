@@ -491,3 +491,42 @@ def test_x39_compression_counts_nonspace_chars(spark):
         assert r["chars_per_token"] == r["n_chars"] / r["n_tokens"]
         # sanity: merges compress, so strictly more than 1 char/token
         assert r["chars_per_token"] > 1.0
+
+
+def test_x40_packing_efficiency_matches_hand_fold(spark):
+    """Waste accounting by hand from x36's own output: per-source
+    sequence fills re-folded in pure Python (pack_oracle), then the
+    registered aggregates recomputed independently."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    packed = sorted(
+        (
+            (r["source"], r["doc_id"], r["n_tokens"], r["seq_id"])
+            for r in QUERIES["x36_bpe_sequence_pack"].fn(spark, sf).collect()
+        ),
+    )
+    got = {r["source"]: r for r in QUERIES["x40_packing_efficiency"].fn(
+        spark, sf).collect()}
+    per_src: dict[str, dict[int, int]] = {}
+    docs_per_src: dict[str, int] = {}
+    for src, _doc, n, seq in packed:
+        per_src.setdefault(src, {}).setdefault(seq, 0)
+        per_src[src][seq] += n
+        docs_per_src[src] = docs_per_src.get(src, 0) + 1
+    assert set(got) == set(per_src)
+    for src, fills in per_src.items():
+        r = got[src]
+        n_seqs, total = len(fills), sum(fills.values())
+        assert r["n_seqs"] == n_seqs
+        assert r["n_docs"] == docs_per_src[src]
+        assert r["total_tokens"] == total
+        assert r["mean_fill"] == total / n_seqs
+        assert r["waste_frac"] == (n_seqs * 1024 - total) / (n_seqs * 1024)
+        # every fill respects the budget unless a single doc overflows
+        for seq, fill in fills.items():
+            docs_in_seq = [n for s, _d, n, q in packed
+                           if s == src and q == seq]
+            assert fill <= 1024 or len(docs_in_seq) == 1
