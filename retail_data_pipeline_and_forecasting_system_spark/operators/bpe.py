@@ -45,7 +45,13 @@ from pyspark.sql import types as T
 # collide with single-char ids
 MERGED_ID_BASE = 0x110000
 
-_NO_MERGE = object()
+# The tokenizer's whitespace, as an EXPLICIT class — not \s+, whose
+# meaning is dialect-local (Python re: Unicode spaces incl. NBSP;
+# Java: adds \x0b; RE2/DuckDB: neither). The x35 oracle uses the same
+# five characters, so engine and oracle agree by construction on any
+# corpus; x27's merge-table trainer keeps its \s+ (settled contract,
+# divergence-free on wordable text without \x0b/Unicode spaces).
+WHITESPACE_CLASS = "[ \t\n\f\r]+"
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -138,7 +144,7 @@ def bpe_encode_stats(
             ):
                 nt = nm = ids = 0
                 if isinstance(text, str) and text:
-                    for w in re.split(r"\s+", text.lower()):
+                    for w in re.split(WHITESPACE_CLASS, text.lower()):
                         if not w:
                             continue
                         stat = memo.get(w)
@@ -197,7 +203,7 @@ def bpe_encode_tokens(
             for doc_id, text in zip(batch[id_col], batch[text_col]):
                 pos = 0
                 if isinstance(text, str) and text:
-                    for w in re.split(r"\s+", text.lower()):
+                    for w in re.split(WHITESPACE_CLASS, text.lower()):
                         if not w:
                             continue
                         hit = memo.get(w)

@@ -5089,7 +5089,8 @@ def smp3_mixture_weights(spark, sf):
              ELSE w.seq_id + 1 END,
         CASE WHEN w.fill + d.n_tokens <= 256 THEN w.fill + d.n_tokens
              ELSE d.n_tokens END
-      FROM walk w JOIN sized d ON d.source = w.source AND d.rn = w.rn + 1
+      FROM walk w JOIN sized d
+        ON d.source IS NOT DISTINCT FROM w.source AND d.rn = w.rn + 1
     )
     SELECT doc_id, source, n_tokens, CAST(seq_id AS INT) AS seq_id
     FROM walk
@@ -8840,7 +8841,8 @@ def x26_ngram_repetition(spark, sf):
     "x27_bpe_pair_counts",
     sql="""
     WITH words AS (
-      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'))
+        AS word
       FROM documents
     ),
     wf AS (
@@ -13008,9 +13010,12 @@ _X35_SQL_TMPL = """
       )
     ),
     dw AS (
+      -- explicit whitespace class (engine-identical; \s is dialect-
+      -- local: Python adds Unicode spaces, Java adds \x0b, RE2 neither)
       SELECT doc_id, word, CAST(count(*) AS BIGINT) AS wn FROM (
         SELECT doc_id,
-          unnest(string_split_regex(lower(text), '\\s+')) AS word
+          unnest(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'))
+            AS word
         FROM documents
       ) WHERE word <> '' GROUP BY 1, 2
     ),
@@ -13109,7 +13114,8 @@ _X36_SQL_TMPL = """
              ELSE w.seq_id + 1 END,
         CASE WHEN w.fill + d.n_tokens <= 1024 THEN w.fill + d.n_tokens
              ELSE d.n_tokens END
-      FROM walk w JOIN sized d ON d.source = w.source AND d.rn = w.rn + 1
+      FROM walk w JOIN sized d
+        ON d.source IS NOT DISTINCT FROM w.source AND d.rn = w.rn + 1
     )
     SELECT doc_id, source, n_tokens, CAST(seq_id AS INT) AS seq_id
     FROM walk
@@ -13141,14 +13147,15 @@ _X39_SQL_TMPL = """
     WITH RECURSIVE x35 AS ( {x35} ),
     chars AS (
       SELECT source,
-        CAST(SUM(length(regexp_replace(lower(text), '\\s+', '', 'g')))
-          AS BIGINT) AS n_chars
+        CAST(SUM(length(regexp_replace(lower(text),
+          '[ \\t\\n\\f\\r]+', '', 'g'))) AS BIGINT) AS n_chars
       FROM documents GROUP BY source
     )
     SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
       c.n_chars,
       CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
-      CAST(c.n_chars AS DOUBLE) / SUM(s.n_tokens) AS chars_per_token
+      CAST(c.n_chars AS DOUBLE) / nullif(SUM(s.n_tokens), 0)
+        AS chars_per_token
     FROM x35 s JOIN chars c ON c.source = s.source
     GROUP BY s.source, c.n_chars
 """
@@ -13174,7 +13181,11 @@ def x39_bpe_compression(spark, sf):
         .groupBy("source")
         .agg(
             F.sum(
-                F.length(F.regexp_replace(F.lower("text"), r"\s+", ""))
+                F.length(
+                    F.regexp_replace(
+                        F.lower("text"), "[ \t\n\f\r]+", ""
+                    )
+                )
             ).alias("n_chars")
         )
     )
@@ -13182,14 +13193,18 @@ def x39_bpe_compression(spark, sf):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+    # nullif: an all-empty source has 0 tokens; NULL ratio, never a
+    # DIVIDE_BY_ZERO task kill under ANSI (memory rule: every int/int
+    # ratio over a possibly-empty group guards BOTH engines)
     return per_src.join(chars, "source").select(
         "source",
         "n_docs",
         "n_chars",
         "n_tokens",
-        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
-            "chars_per_token"
-        ),
+        (
+            F.col("n_chars").cast("double")
+            / F.nullif(F.col("n_tokens"), F.lit(0))
+        ).alias("chars_per_token"),
     )
 
 
@@ -13258,7 +13273,8 @@ _X37_SQL_TMPL = """
       FROM per_src
     )
     SELECT source, n_docs, n_tokens,
-      CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens) AS weight
+      CAST(total_tokens AS DOUBLE) / (n_sources * nullif(n_tokens, 0))
+        AS weight
     FROM per_src, tot
 """
 
@@ -13287,13 +13303,16 @@ def x37_bpe_mixture_weights(spark, sf):
         F.sum("n_tokens").alias("__total"),
         F.count(F.lit(1)).alias("__n_src"),
     )
+    # nullif: unlike smp3 (whose size(split()) floor is 1), true BPE
+    # token counts CAN be zero for an all-empty source — guard the
+    # ratio in BOTH engines or ANSI mode kills the task
     return per_src.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "n_tokens",
         (
             F.col("__total").cast("double")
-            / (F.col("__n_src") * F.col("n_tokens"))
+            / (F.col("__n_src") * F.nullif(F.col("n_tokens"), F.lit(0)))
         ).alias("weight"),
     )
 
@@ -13404,6 +13423,12 @@ _DRIVER_SAMPLE = [
     # riders (2) for round-8 changes to already-verified entries:
     # x25 gained the margin column; ev3 splices x25's registered SQL
     "x25_nb_classifier", "ev3_classifier_eval",
+    # riders (2) for round-9 review fixes applied to the entries they
+    # were inherited from: x15's recursive walk join is now null-safe
+    # (IS NOT DISTINCT FROM — the x36 finding); x27's word split is the
+    # explicit whitespace class in BOTH engines (the x35 finding: Java
+    # \s includes \x0b, RE2's doesn't — shifted merge ranks)
+    "x15_sequence_pack", "x27_bpe_pair_counts",
     # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",
@@ -13411,15 +13436,15 @@ _DRIVER_SAMPLE = [
     "u5_except_all", "w5_share_of_total", "w6_rolling_7day",
     "w7_lead_nth", "x10_chunk_documents", "x11_repetition_signals",
     "x12_corpus_materialize", "x13_decontaminate", "x9_keywords",
-    # refresh: first 18 of the 38-entry r04-latest cohort (alphabetical;
-    # the remaining 20 — skw2 onward — queue for round 10)
+    # refresh: first 16 of the 38-entry r04-latest cohort (alphabetical;
+    # the remaining 21 — pr2 onward, minus the x15 rider above — queue
+    # for round 10)
     "a15_hll_merge", "a16_sampled_quantiles", "a17_grouping_id",
     "a18_histogram_quantiles", "d12_dedup_yield", "d13_canonical_selection",
     "d8_dup_clusters", "dq1_expectations", "dq2_quarantine",
     "e8_markov_transitions", "j8_bloom_semi_join", "j9_asof_join",
     "m8_rolling_backtest", "na2_outlier_clip", "ops4_snapshot_diff",
-    "pr1_copurchase_pagerank", "pr2_copurchase_triangles",
-    "pr3_hits_authorities",
+    "pr1_copurchase_pagerank",
 ]
 
 

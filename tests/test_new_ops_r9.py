@@ -530,3 +530,126 @@ def test_x40_packing_efficiency_matches_hand_fold(spark):
             docs_in_seq = [n for s, _d, n, q in packed
                            if s == src and q == seq]
             assert fill <= 1024 or len(docs_in_seq) == 1
+
+
+def _staged_docs(spark, tmp_path, rows):
+    """Write a documents.parquet a registered fn can read via sf_dir."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _oracle(sql, sf):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    return con.execute(sql).df()
+
+
+def test_zero_token_source_yields_null_ratios_not_crash(spark, tmp_path):
+    """Review finding (reproduced DIVIDE_BY_ZERO): a source whose docs
+    all encode to zero tokens must produce NULL weight/ratio in BOTH
+    engines — never an ANSI task kill."""
+    import math
+
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    sf = _staged_docs(
+        spark,
+        tmp_path,
+        [(1, "live", "the cat"), (2, "live", "dog"),
+         (3, "hollow", ""), (4, "hollow", "   ")],
+    )
+    for name, ratio_col in (
+        ("x37_bpe_mixture_weights", "weight"),
+        ("x39_bpe_compression", "chars_per_token"),
+    ):
+        mine = {
+            r["source"]: r[ratio_col]
+            for r in QUERIES[name].fn(spark, sf).collect()
+        }
+        want = {}
+        for r in _oracle(QUERIES[name].sql, sf).itertuples():
+            v = getattr(r, ratio_col)
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                v = None
+            want[r.source] = v
+        assert mine["hollow"] is None, name
+        assert want["hollow"] is None, name
+        assert mine["live"] == want["live"], name
+
+
+def test_x36_packs_null_source_group_like_oracle(spark, tmp_path):
+    """Review finding: the walk join must be null-safe — multiple
+    NULL-source docs pack as ONE group in both engines (pre-fix the
+    oracle silently dropped all but the first)."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    sf = _staged_docs(
+        spark,
+        tmp_path,
+        [(1, None, "a b c"), (2, None, "d e"), (3, None, "f"),
+         (4, "s", "g h")],
+    )
+    mine = sorted(
+        (r["doc_id"], r["source"], r["n_tokens"], r["seq_id"])
+        for r in QUERIES["x36_bpe_sequence_pack"].fn(spark, sf).collect()
+    )
+    want = sorted(
+        (int(r.doc_id), None if r.source is None else r.source,
+         int(r.n_tokens), int(r.seq_id))
+        for r in _oracle(QUERIES["x36_bpe_sequence_pack"].sql, sf)
+        .itertuples()
+    )
+    assert mine == want
+    assert len(mine) == 4  # every NULL-source doc present
+
+
+def test_x35_whitespace_class_is_dialect_proof(spark, tmp_path):
+    """Review finding: \\s is dialect-local (Python adds NBSP/U+2028,
+    Java adds \\x0b, RE2 neither). With the explicit class in x27 and
+    x35, NBSP and \\x0b stay INSIDE words in both engines, the merge
+    table trains identically, and the hash-compared stats agree."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    sf = _staged_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "s", "a\u00a0b c"),        # NBSP inside one word
+            (2, "s", "d\x0be f"),           # VT inside one word
+            (3, "s", "g\u2028h"),           # LS inside one word
+            (4, "s", "i\tj\nk\fl\rm n"),    # the five real separators
+        ],
+    )
+    mine = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_merged"], r["id_sum"])
+        for r in QUERIES["x35_bpe_encode"].fn(spark, sf).collect()
+    )
+    want = sorted(
+        (int(r.doc_id), int(r.n_tokens), int(r.n_merged), int(r.id_sum))
+        for r in _oracle(QUERIES["x35_bpe_encode"].sql, sf).itertuples()
+    )
+    assert mine == want
+    stats = {d: (n, m) for d, n, m, _ in mine}
+    # docs 1-3 keep their exotic char INSIDE a word: that multi-char
+    # word trains pairs (tiny corpus -> all pairs in the top-20), so at
+    # least one merged token appears; had the char split the word, the
+    # doc would be all single-char words and n_merged would be 0
+    assert stats[1][1] >= 1 and stats[2][1] >= 1 and stats[3][1] >= 1
+    # doc 4: all five REAL separators split -> six single-char words,
+    # which can never merge
+    assert stats[4] == (6, 0)
