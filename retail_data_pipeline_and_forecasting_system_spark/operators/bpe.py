@@ -222,6 +222,60 @@ def bpe_encode_tokens(
     return cols.mapInPandas(run, schema=ENCODE_TOKENS_SCHEMA)
 
 
+VOCAB_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType(), False),
+        T.StructField("token_id", T.LongType(), False),
+        T.StructField("freq", T.LongType(), False),
+    ]
+)
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """The exported vocabulary artifact (token, token_id, corpus
+    frequency) — what a pipeline writes next to merges.txt so training
+    and inference share ids. Frequencies count token OCCURRENCES under
+    the same encode the corpus receives (a word containing a token
+    twice contributes twice per word occurrence).
+
+    Scale: the corpus collapses to the Zipf-collapsed word-frequency
+    table first (one word-keyed agg with map-side combine — the x27
+    shape); each DISTINCT word encodes exactly once in a vocab-sized
+    mapInPandas; the final rollup is one token-keyed sum. Nothing
+    token-grain ever crosses an exchange at corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    ranks, tok_ranks = _rank_maps(merges)
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[ \t\n\f\r]+")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {"token": [], "token_id": [], "freq": []}
+            for word, freq in zip(batch["word"], batch["freq"]):
+                syms = encode_word(word, ranks)
+                for s, i in zip(syms, token_ids(syms, tok_ranks)):
+                    out["token"].append(s)
+                    out["token_id"].append(i)
+                    out["freq"].append(freq)
+            yield pd.DataFrame(out)
+
+    return (
+        wf.mapInPandas(run, schema=VOCAB_SCHEMA)
+        .groupBy("token", "token_id")
+        .agg(F.sum("freq").cast("bigint").alias("freq"))
+    )
+
+
 def merges_from_pair_counts(pair_rows) -> list[tuple[str, str, int]]:
     """Adapt x27's ``(rnk, pair, cnt)`` rows (2-char pair strings) to
     the ``(left, right, rank)`` merge-table form."""

@@ -12992,7 +12992,9 @@ def m20_png_metadata(spark, sf):
 # operators/bpe.py defines them. chr(10) delimits pair-lookup keys —
 # a newline can never appear inside a symbol because words come from a
 # whitespace split in both engines.
-_X35_SQL_TMPL = """
+# Shared CTE core (merge table -> word split -> recursive encode ->
+# per-word token stats); x35 closes it at doc grain, x41 at vocab grain.
+_X35_SQL_CORE = """
     WITH RECURSIVE merges AS (
       SELECT rnk, substring(pair, 1, 1) AS l, substring(pair, 2, 1) AS r,
              pair
@@ -13060,6 +13062,9 @@ _X35_SQL_TMPL = """
           AS id_sum
       FROM fin f, tmm
     )
+"""
+
+_X35_SQL_TMPL = _X35_SQL_CORE + """
     SELECT d.doc_id, any_value(d.source) AS source,
       CAST(COALESCE(SUM(t.n_tokens * w.wn), 0) AS BIGINT) AS n_tokens,
       CAST(COALESCE(SUM(t.n_merged * w.wn), 0) AS BIGINT) AS n_merged,
@@ -13205,6 +13210,45 @@ def x39_bpe_compression(spark, sf):
             F.col("n_chars").cast("double")
             / F.nullif(F.col("n_tokens"), F.lit(0))
         ).alias("chars_per_token"),
+    )
+
+
+_X41_SQL_TMPL = _X35_SQL_CORE + """
+    , wfreq AS (
+      SELECT word, CAST(SUM(wn) AS BIGINT) AS freq FROM dw GROUP BY word
+    ),
+    toks AS (
+      SELECT f.word, unnest(f.syms) AS token FROM fin f
+    )
+    SELECT t.token,
+      CAST(CASE WHEN length(t.token) = 1 THEN unicode(t.token)
+           ELSE 1114112 + (tmm.tm[t.token])[1] END AS BIGINT) AS token_id,
+      CAST(SUM(w.freq) AS BIGINT) AS freq
+    FROM toks t JOIN wfreq w ON w.word = t.word, tmm
+    GROUP BY 1, 2
+"""
+
+
+@q(
+    "x41_bpe_vocab",
+    sql=_X41_SQL_TMPL.format(x27=QUERIES["x27_bpe_pair_counts"].sql),
+    ref="LLM-ops: the exported vocabulary artifact — (token, token_id, "
+    "corpus frequency) under the same encode the corpus receives, the "
+    "vocab.json a pipeline writes next to merges.txt so training and "
+    "inference share ids; frequency counts token OCCURRENCES "
+    "(operators/bpe.py bpe_vocab). Completes the tokenizer family: "
+    "train statistic (x27) -> encode (x35) -> artifacts (x41) -> "
+    "consumers (x36/x37/x39/x40)",
+    scale="corpus collapses to the Zipf-collapsed word-frequency table "
+    "first (one word-keyed map-side-combined agg); each DISTINCT word "
+    "encodes once in a vocab-sized mapInPandas; final rollup is one "
+    "token-keyed sum — token-grain rows never cross an exchange at "
+    "corpus size",
+)
+def x41_bpe_vocab(spark, sf):
+    pair_rows = QUERIES["x27_bpe_pair_counts"].fn(spark, sf).collect()
+    return BP.bpe_vocab(
+        _t(spark, sf, "documents"), BP.merges_from_pair_counts(pair_rows)
     )
 
 
@@ -13419,7 +13463,7 @@ _DRIVER_SAMPLE = [
     # tokenizer chain (VERDICT r8 #3: encode -> pack -> mixture on
     # true token ids, plus the compression and packing-waste metrics)
     "x35_bpe_encode", "x36_bpe_sequence_pack", "x37_bpe_mixture_weights",
-    "x39_bpe_compression", "x40_packing_efficiency",
+    "x39_bpe_compression", "x40_packing_efficiency", "x41_bpe_vocab",
     # riders (2) for round-8 changes to already-verified entries:
     # x25 gained the margin column; ev3 splices x25's registered SQL
     "x25_nb_classifier", "ev3_classifier_eval",
@@ -13436,15 +13480,14 @@ _DRIVER_SAMPLE = [
     "u5_except_all", "w5_share_of_total", "w6_rolling_7day",
     "w7_lead_nth", "x10_chunk_documents", "x11_repetition_signals",
     "x12_corpus_materialize", "x13_decontaminate", "x9_keywords",
-    # refresh: first 16 of the 38-entry r04-latest cohort (alphabetical;
-    # the remaining 21 — pr2 onward, minus the x15 rider above — queue
+    # refresh: first 15 of the 38-entry r04-latest cohort (alphabetical;
+    # the remaining 22 — pr1 onward, minus the x15 rider above — queue
     # for round 10)
     "a15_hll_merge", "a16_sampled_quantiles", "a17_grouping_id",
     "a18_histogram_quantiles", "d12_dedup_yield", "d13_canonical_selection",
     "d8_dup_clusters", "dq1_expectations", "dq2_quarantine",
     "e8_markov_transitions", "j8_bloom_semi_join", "j9_asof_join",
     "m8_rolling_backtest", "na2_outlier_clip", "ops4_snapshot_diff",
-    "pr1_copurchase_pagerank",
 ]
 
 

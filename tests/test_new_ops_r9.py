@@ -653,3 +653,44 @@ def test_x35_whitespace_class_is_dialect_proof(spark, tmp_path):
     # doc 4: all five REAL separators split -> six single-char words,
     # which can never merge
     assert stats[4] == (6, 0)
+
+
+def test_bpe_vocab_hand_values_and_self_consistency(spark):
+    """Vocab artifact by hand (fixed merge table, staged corpus) and
+    self-consistency: bpe_vocab must equal the groupBy of
+    bpe_encode_tokens' exploded stream."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.bpe import (
+        MERGED_ID_BASE,
+        bpe_encode_tokens,
+        bpe_vocab,
+    )
+
+    merges = [("t", "h", 1), ("h", "e", 2), ("th", "e", 3)]
+    rows = [
+        (1, "the the he"),
+        (2, "thee z"),
+        (3, "he   the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["token"], r["token_id"]): r["freq"]
+        for r in bpe_vocab(df, merges).collect()
+    }
+    B = MERGED_ID_BASE
+    # "the" x3 -> ["the"]; "he" x2 -> ["he"]; "thee" -> ["the","e"]
+    # (cascade then no ("the","e")... wait: "thee": t,h,e,e -> r1
+    # ("t","h") -> [th,e,e]; r3 ("th","e") leftmost -> [the, e]);
+    # "z" -> ["z"]
+    assert got == {
+        ("the", B + 3): 4,
+        ("he", B + 2): 2,
+        ("e", ord("e")): 1,
+        ("z", ord("z")): 1,
+    }
+    from collections import Counter
+
+    stream = Counter(
+        (r["token"], r["token_id"])
+        for r in bpe_encode_tokens(df, merges).collect()
+    )
+    assert dict(stream) == got
