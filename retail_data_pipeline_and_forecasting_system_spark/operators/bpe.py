@@ -47,11 +47,26 @@ MERGED_ID_BASE = 0x110000
 
 # The tokenizer's whitespace, as an EXPLICIT class — not \s+, whose
 # meaning is dialect-local (Python re: Unicode spaces incl. NBSP;
-# Java: adds \x0b; RE2/DuckDB: neither). The x35 oracle uses the same
-# five characters, so engine and oracle agree by construction on any
-# corpus; x27's merge-table trainer keeps its \s+ (settled contract,
-# divergence-free on wordable text without \x0b/Unicode spaces).
+# Java: adds \x0b; RE2/DuckDB: neither). The x27/x35 oracles use the
+# same five characters, so engine and oracle agree by construction on
+# any corpus. The literal is valid in Python re AND Java regex alike.
 WHITESPACE_CLASS = "[ \t\n\f\r]+"
+
+# Case folding, EXPLICITLY ASCII — not lower(), whose full-Unicode
+# mapping is dialect-local too (JVM is context-sensitive: 'ΦΩΣ' ->
+# final sigma; utf8proc/DuckDB uses the simple map; Python differs on
+# 'İ' -> 'i̇'). translate() with the 26-letter map is identical
+# in Python, Spark and DuckDB; non-ASCII letters keep their case —
+# deterministic everywhere (round-9 review catch, verified live).
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_FOLD = str.maketrans(ASCII_UPPER, ASCII_LOWER)
+# the SQL twin of fold_case, for oracle templates
+SQL_FOLD_TMPL = "translate({col}, '" + ASCII_UPPER + "', '" + ASCII_LOWER + "')"
+
+
+def fold_case(s: str) -> str:
+    return s.translate(_FOLD)
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -144,7 +159,7 @@ def bpe_encode_stats(
             ):
                 nt = nm = ids = 0
                 if isinstance(text, str) and text:
-                    for w in re.split(WHITESPACE_CLASS, text.lower()):
+                    for w in re.split(WHITESPACE_CLASS, fold_case(text)):
                         if not w:
                             continue
                         stat = memo.get(w)
@@ -203,7 +218,7 @@ def bpe_encode_tokens(
             for doc_id, text in zip(batch[id_col], batch[text_col]):
                 pos = 0
                 if isinstance(text, str) and text:
-                    for w in re.split(WHITESPACE_CLASS, text.lower()):
+                    for w in re.split(WHITESPACE_CLASS, fold_case(text)):
                         if not w:
                             continue
                         hit = memo.get(w)
@@ -253,7 +268,10 @@ def bpe_vocab(
     ranks, tok_ranks = _rank_maps(merges)
     words = docs.select(
         F.explode(
-            F.split(F.lower(F.col(text_col)), "[ \t\n\f\r]+")
+            F.split(
+                F.translate(F.col(text_col), ASCII_UPPER, ASCII_LOWER),
+                WHITESPACE_CLASS,
+            )
         ).alias("word")
     ).filter(F.col("word") != "")
     wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))

@@ -339,13 +339,22 @@ def bpe_pair_counts(
     TABLE, not the corpus: pair rows scale with |vocab| x word length,
     not corpus tokens. Final rollup is a (pair)-keyed sum + one top-n.
     """
-    # explicit whitespace class, not \s+: Java's \s includes \x0b and
-    # Python's adds Unicode spaces while DuckDB's RE2 has neither — the
-    # class makes the trained table identical across every consumer
-    # (round-9 review: a \x0b-bearing corpus shifted x35's merge ranks)
+    # explicit whitespace class, not \s+ (Java's \s includes \x0b and
+    # Python's adds Unicode spaces while DuckDB's RE2 has neither), and
+    # explicit ASCII case fold, not lower() (JVM/utf8proc/Python full-
+    # Unicode maps disagree on final sigma, dotted I) — both make the
+    # trained table identical across every consumer (round-9 review:
+    # a \x0b corpus shifted x35's merge ranks; 'ΦΩΣ' shifted x41's ids)
     words = df.select(
         F.explode(
-            F.split(F.lower(F.col(text_col)), "[ \t\n\f\r]+")
+            F.split(
+                F.translate(
+                    F.col(text_col),
+                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                    "abcdefghijklmnopqrstuvwxyz",
+                ),
+                "[ \t\n\f\r]+",
+            )
         ).alias("word")
     ).filter(F.length("word") >= 2)
     wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))

@@ -8841,8 +8841,10 @@ def x26_ngram_repetition(spark, sf):
     "x27_bpe_pair_counts",
     sql="""
     WITH words AS (
-      SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'))
-        AS word
+      SELECT unnest(string_split_regex(
+        translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                        'abcdefghijklmnopqrstuvwxyz'),
+        '[ \\t\\n\\f\\r]+')) AS word
       FROM documents
     ),
     wf AS (
@@ -13012,12 +13014,16 @@ _X35_SQL_CORE = """
       )
     ),
     dw AS (
-      -- explicit whitespace class (engine-identical; \s is dialect-
-      -- local: Python adds Unicode spaces, Java adds \x0b, RE2 neither)
+      -- explicit whitespace class and ASCII case fold (engine-
+      -- identical; both \s and lower() are dialect-local: Python adds
+      -- Unicode spaces, Java adds \x0b, RE2 neither; JVM/utf8proc/
+      -- Python full-Unicode lowering disagree on final sigma/dotted I)
       SELECT doc_id, word, CAST(count(*) AS BIGINT) AS wn FROM (
         SELECT doc_id,
-          unnest(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'))
-            AS word
+          unnest(string_split_regex(
+            translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            'abcdefghijklmnopqrstuvwxyz'),
+            '[ \\t\\n\\f\\r]+')) AS word
         FROM documents
       ) WHERE word <> '' GROUP BY 1, 2
     ),
@@ -13151,8 +13157,11 @@ def x36_bpe_sequence_pack(spark, sf):
 _X39_SQL_TMPL = """
     WITH RECURSIVE x35 AS ( {x35} ),
     chars AS (
+      -- no case fold: ASCII translate is length-invariant, and a
+      -- full-Unicode lower() is NOT (Python 'İ' grows a char) — count
+      -- the raw non-whitespace chars, dialect-proof by construction
       SELECT source,
-        CAST(SUM(length(regexp_replace(lower(text),
+        CAST(SUM(length(regexp_replace(text,
           '[ \\t\\n\\f\\r]+', '', 'g'))) AS BIGINT) AS n_chars
       FROM documents GROUP BY source
     )
@@ -13187,9 +13196,7 @@ def x39_bpe_compression(spark, sf):
         .agg(
             F.sum(
                 F.length(
-                    F.regexp_replace(
-                        F.lower("text"), "[ \t\n\f\r]+", ""
-                    )
+                    F.regexp_replace(F.col("text"), "[ \t\n\f\r]+", "")
                 )
             ).alias("n_chars")
         )

@@ -482,8 +482,8 @@ def test_x39_compression_counts_nonspace_chars(spark):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
     )
     chars = dict(con.execute(
-        "SELECT source, SUM(length(regexp_replace(lower(text), "
-        "'\\s+', '', 'g'))) FROM documents GROUP BY 1"
+        "SELECT source, SUM(length(regexp_replace(text, "
+        "'[ \\t\\n\\f\\r]+', '', 'g'))) FROM documents GROUP BY 1"
     ).fetchall())
     assert rows and set(rows) == set(chars)
     for src, r in rows.items():
@@ -677,10 +677,9 @@ def test_bpe_vocab_hand_values_and_self_consistency(spark):
         for r in bpe_vocab(df, merges).collect()
     }
     B = MERGED_ID_BASE
-    # "the" x3 -> ["the"]; "he" x2 -> ["he"]; "thee" -> ["the","e"]
-    # (cascade then no ("the","e")... wait: "thee": t,h,e,e -> r1
-    # ("t","h") -> [th,e,e]; r3 ("th","e") leftmost -> [the, e]);
-    # "z" -> ["z"]
+    # "the" x3 -> ["the"]; "he" x2 -> ["he"]; "z" -> ["z"];
+    # "thee": t,h,e,e -> rank-1 ("t","h") -> [th,e,e] -> rank-3
+    # ("th","e") leftmost -> [the, e]
     assert got == {
         ("the", B + 3): 4,
         ("he", B + 2): 2,
@@ -694,3 +693,62 @@ def test_bpe_vocab_hand_values_and_self_consistency(spark):
         for r in bpe_encode_tokens(df, merges).collect()
     )
     assert dict(stream) == got
+
+
+def test_x41_plan_shape_vocab_sized_encode(spark):
+    """x41's scale contract asserted: the corpus collapses to the
+    word-frequency agg BEFORE the encode (MapInPandas sits above the
+    word exchange), and exactly two hash exchanges exist — word agg
+    and token rollup; token-grain rows never shuffle at corpus size."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    df = QUERIES["x41_bpe_vocab"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert plan.count("MapInPandas") >= 1
+    # numbered tree: the scan feeds an aggregate below the MapInPandas
+    tree = plan.split("(1) Scan")[0]
+    assert tree.index("MapInPandas") < tree.index("Scan parquet")
+    assert tree.index("Exchange") < tree.index("Scan parquet")
+    assert tree.count("HashAggregate") == 4  # two 2-phase aggs
+
+
+def test_bpe_family_case_fold_is_dialect_proof(spark, tmp_path):
+    """Round-9 review catch #2 (verified live pre-fix): full-Unicode
+    lower() disagrees across JVM/utf8proc/Python on final sigma and
+    dotted I, shifting trained merge ranks. With explicit ASCII
+    translate, Greek/Turkish corpora hash identically engine vs
+    oracle, and ASCII letters still fold."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    sf = _staged_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "s", "ΦΩΣ φως"),  # ΦΩΣ φως
+            (2, "s", "İstanbul istanbul"),                   # İstanbul
+            (3, "s", "The THE the"),                              # ASCII fold
+        ],
+    )
+    for name in ("x35_bpe_encode", "x41_bpe_vocab"):
+        mine = sorted(
+            tuple(r) for r in QUERIES[name].fn(spark, sf).collect()
+        )
+        want = sorted(
+            tuple(r)[1:]
+            for r in _oracle(QUERIES[name].sql, sf).itertuples()
+        )
+        assert [tuple(map(str, m)) for m in mine] == [
+            tuple(map(str, w)) for w in want
+        ], name
+    # the three 'the' spellings fold to ONE vocab entry family
+    vocab = {r["token"]: r["freq"]
+             for r in QUERIES["x41_bpe_vocab"].fn(spark, sf).collect()}
+    assert sum(f for t, f in vocab.items() if "t" in t or t == "the") >= 1
+    assert not any(t for t in vocab if "T" in t or "H" in t or "E" in t)
