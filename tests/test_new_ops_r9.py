@@ -752,3 +752,29 @@ def test_bpe_family_case_fold_is_dialect_proof(spark, tmp_path):
              for r in QUERIES["x41_bpe_vocab"].fn(spark, sf).collect()}
     assert sum(f for t, f in vocab.items() if "t" in t or t == "the") >= 1
     assert not any(t for t in vocab if "T" in t or "H" in t or "E" in t)
+
+
+@pytest.mark.parametrize("seed", [3, 77])
+def test_bpe_encode_is_lossless(seed):
+    """Detokenization property: BPE merging only ever concatenates
+    adjacent symbols, so joining a word's tokens must reconstruct the
+    word exactly — for random words, random multi-level merge tables,
+    and hostile all-same-char words."""
+    import random
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.bpe import (
+        encode_word,
+    )
+
+    rng = random.Random(seed)
+    syms_pool = list("abcd")
+    ranks = {}
+    for rank in range(1, 9):
+        pair = (rng.choice(syms_pool), rng.choice(syms_pool))
+        if pair not in ranks:
+            ranks[pair] = rank
+            syms_pool.append(pair[0] + pair[1])
+    for _ in range(300):
+        w = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 12)))
+        assert "".join(encode_word(w, ranks)) == w, w
+    assert "".join(encode_word("a" * 50, ranks)) == "a" * 50
