@@ -12984,6 +12984,78 @@ def m20_png_metadata(spark, sf):
     return MM.extract_png_metadata(MM.synthesize_png_with_text(ids))
 
 
+@q(
+    "m21_holt_winters",
+    sql="""
+    WITH RECURSIVE daily AS (
+      SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS d,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1, 2
+    ), series AS (
+      SELECT g, list(y ORDER BY d) AS xs FROM daily GROUP BY g
+    ), init AS (
+      SELECT g, xs, len(xs) AS n,
+        list_reduce(xs[1:7], (a, b) -> a + b) / 7 AS l0
+      FROM series WHERE len(xs) >= 14
+    ), init2 AS (
+      SELECT g, xs, n, l0,
+        list_reduce(list_transform(range(1, 8), i -> xs[i + 7] - xs[i]),
+                    (a, b) -> a + b) / 49 AS b0,
+        list_transform(range(1, 8), i -> xs[i] - l0) AS s0
+      FROM init
+    ), step AS (
+      SELECT g, xs, n, CAST(7 AS BIGINT) AS t, l0 AS l, b0 AS b, s0 AS s
+      FROM init2
+      UNION ALL
+      SELECT g, xs, n, t + 1 AS t,
+        0.5 * (xs[t + 1] - s[(t % 7) + 1]) + 0.5 * (l + b),
+        0.25 * ((0.5 * (xs[t + 1] - s[(t % 7) + 1]) + 0.5 * (l + b)) - l)
+          + 0.75 * b,
+        list_concat(list_concat(
+          s[1:(t % 7)],
+          [0.25 * (xs[t + 1]
+                   - (0.5 * (xs[t + 1] - s[(t % 7) + 1]) + 0.5 * (l + b)))
+           + 0.75 * s[(t % 7) + 1]]),
+          s[(t % 7) + 2:])
+      FROM step WHERE t < n
+    ), fitted AS (
+      SELECT g, n, l, b, s FROM step WHERE t = n
+    )
+    SELECT g AS o_orderpriority, CAST(h AS INT) AS h,
+      l + h * b + s[((n + h - 1) % 7) + 1] AS forecast
+    FROM fitted, (SELECT unnest(range(1, 15)) AS h) hs
+    """,
+    ref="M-family: additive Holt-Winters (triple exponential smoothing) "
+    "— the deterministic level+trend+seasonality forecaster the "
+    "reference's Prophet slot calls for (src/time_series.py fits "
+    "trend+seasonality), runnable in-sandbox and EXACT cross-engine: "
+    "dyadic weights (0.5/0.25/0.25), ordered left-fold init, one fixed "
+    "expression tree restated by the oracle's recursive CTE — "
+    "forecasts match bit-for-bit (70/70 at sf0.01). 14-day horizon "
+    "per order priority; groups under two seasons are dropped "
+    "(forecast/univariate.py holt_winters_kernel)",
+    scale="the recursion runs on the per-group DAILY rollup (the one "
+    "fact-table agg any daily metric pays) via the depletion-shaped "
+    "hash-bucketed applyInPandas: sequential within a group, parallel "
+    "across groups, state = level+trend+7 seasonal slots per group, "
+    "rows into Python are 2 scalars wide",
+)
+def m21_holt_winters(spark, sf):
+    from ..forecast.univariate import holt_winters_forecast
+
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("g"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("y"))
+    )
+    return holt_winters_forecast(daily).withColumnRenamed(
+        "g", "o_orderpriority"
+    )
+
+
 # The x35 oracle restates the full encode chain in SQL: the merge table
 # comes from x27's REGISTERED SQL (spliced — code and oracle cannot
 # drift, the ev3-over-x25 pattern), the per-word greedy merge loop is a
@@ -13471,6 +13543,7 @@ _DRIVER_SAMPLE = [
     # true token ids, plus the compression and packing-waste metrics)
     "x35_bpe_encode", "x36_bpe_sequence_pack", "x37_bpe_mixture_weights",
     "x39_bpe_compression", "x40_packing_efficiency", "x41_bpe_vocab",
+    "m21_holt_winters",
     # riders (2) for round-8 changes to already-verified entries:
     # x25 gained the margin column; ev3 splices x25's registered SQL
     "x25_nb_classifier", "ev3_classifier_eval",
@@ -13487,14 +13560,14 @@ _DRIVER_SAMPLE = [
     "u5_except_all", "w5_share_of_total", "w6_rolling_7day",
     "w7_lead_nth", "x10_chunk_documents", "x11_repetition_signals",
     "x12_corpus_materialize", "x13_decontaminate", "x9_keywords",
-    # refresh: first 15 of the 38-entry r04-latest cohort (alphabetical;
-    # the remaining 22 — pr1 onward, minus the x15 rider above — queue
+    # refresh: first 14 of the 38-entry r04-latest cohort (alphabetical;
+    # the remaining 23 — ops4 onward, minus the x15 rider above — queue
     # for round 10)
     "a15_hll_merge", "a16_sampled_quantiles", "a17_grouping_id",
     "a18_histogram_quantiles", "d12_dedup_yield", "d13_canonical_selection",
     "d8_dup_clusters", "dq1_expectations", "dq2_quarantine",
     "e8_markov_transitions", "j8_bloom_semi_join", "j9_asof_join",
-    "m8_rolling_backtest", "na2_outlier_clip", "ops4_snapshot_diff",
+    "m8_rolling_backtest", "na2_outlier_clip",
 ]
 
 
