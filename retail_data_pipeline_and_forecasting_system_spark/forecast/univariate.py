@@ -298,8 +298,14 @@ def holt_winters_forecast(
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns="__bucket")
         out: dict[str, list] = {group_col: [], "h": [], "forecast": []}
         for g, grp in pdf.groupby(group_col, dropna=False, sort=True):
+            if isinstance(g, float) and pd.isna(g):
+                # pandas groupby(dropna=False) surfaces a NULL key as
+                # float nan even for string columns — restore None or
+                # Arrow rejects the typed group column (round-9 review)
+                g = None
             ys = [float(v) for v in
                   grp.sort_values(order_col)[value_col].values]
             fc = holt_winters_kernel(ys, m=m, horizon=horizon)

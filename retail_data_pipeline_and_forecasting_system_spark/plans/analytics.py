@@ -13538,9 +13538,10 @@ _DRIVER_SAMPLE = [
     "m19_video_scene_cuts", "e14_rfm_segmentation",
     "j10_interval_overlap_join", "h9_dwell_time", "pr5_association_rules",
     "ev6_margin_reliability", "m20_png_metadata",
-    # never-driver-verified (5): round-9 registrations — the BPE-apply
+    # never-driver-verified (7): round-9 registrations — the BPE-apply
     # tokenizer chain (VERDICT r8 #3: encode -> pack -> mixture on
-    # true token ids, plus the compression and packing-waste metrics)
+    # true token ids, plus the compression/packing-waste metrics and
+    # the vocab artifact) and the Holt-Winters seasonal forecaster
     "x35_bpe_encode", "x36_bpe_sequence_pack", "x37_bpe_mixture_weights",
     "x39_bpe_compression", "x40_packing_efficiency", "x41_bpe_vocab",
     "m21_holt_winters",

@@ -860,3 +860,25 @@ def test_m21_plan_shape(spark):
     )
     assert plan.count("Arguments: hashpartitioning") == 2
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_holt_winters_null_group_key_survives(spark):
+    """Review finding (reproduced crash): pandas groupby(dropna=False)
+    surfaces a NULL group key as float nan, which Arrow rejects in the
+    string-typed group column — a NULL-group series must forecast like
+    any other group, keyed None."""
+    from retail_data_pipeline_and_forecasting_system_spark.forecast.univariate import (
+        holt_winters_forecast,
+        holt_winters_kernel,
+    )
+
+    ys = [float(10 + (t % 7)) for t in range(28)]
+    rows = [(None, i, v) for i, v in enumerate(ys)] + [
+        ("g1", i, v + 1) for i, v in enumerate(ys)
+    ]
+    df = spark.createDataFrame(rows, "g string, d int, y double")
+    got = {}
+    for r in holt_winters_forecast(df).collect():
+        got.setdefault(r["g"], []).append((r["h"], r["forecast"]))
+    assert sorted(got[None]) == holt_winters_kernel(ys)
+    assert sorted(got["g1"]) == holt_winters_kernel([v + 1 for v in ys])
