@@ -199,15 +199,10 @@ def forecast_many(
                 )
         return _pd.DataFrame(rows, columns=[key_col, date_col, "forecast"])
 
-    bucketed = series.withColumn(
-        "__bucket", F.pmod(F.hash(key_col), F.lit(num_buckets))
-    )
-    return (
-        bucketed.groupBy("__bucket")
-        .applyInPandas(
-            lambda pdf: fit_bucket(pdf.drop(columns="__bucket")),
-            schema=out_schema,
-        )
+    from ..operators.bucketed import bucketed_fold
+
+    return bucketed_fold(
+        series, key_col, fit_bucket, out_schema, num_buckets=num_buckets
     )
 
 
@@ -285,7 +280,7 @@ def holt_winters_forecast(
 
     slim = daily.select(
         F.col(group_col), F.col(order_col), F.col(value_col)
-    ).withColumn("__bucket", F.pmod(F.hash(group_col), F.lit(num_buckets)))
+    )
 
     out_schema = T_.StructType(
         [
@@ -298,7 +293,6 @@ def holt_winters_forecast(
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop(columns="__bucket")
         out: dict[str, list] = {group_col: [], "h": [], "forecast": []}
         for g, grp in pdf.groupby(group_col, dropna=False, sort=True):
             if isinstance(g, float) and pd.isna(g):
@@ -321,4 +315,8 @@ def holt_winters_forecast(
              "forecast": pd.array([], dtype="float64")}
         )
 
-    return slim.groupBy("__bucket").applyInPandas(kernel, schema=out_schema)
+    from ..operators.bucketed import bucketed_fold
+
+    return bucketed_fold(
+        slim, group_col, kernel, out_schema, num_buckets=num_buckets
+    )

@@ -100,10 +100,10 @@ def greedy_inventory_depletion(
         F.broadcast(products.select("product_id", F.col(stock_col).alias("__stock"))),
         on="product_id",
         how="inner",
-    ).withColumn("__bucket", F.pmod(F.hash("product_id"), F.lit(num_buckets)))
+    )
 
     out_schema = T.StructType(
-        [f for f in stocked.schema.fields if f.name not in ("__stock", "__bucket")]
+        [f for f in stocked.schema.fields if f.name != "__stock"]
         + [T.StructField("quantity", T.IntegerType(), True)]
     )
     out_cols = [f.name for f in out_schema.fields]
@@ -170,7 +170,11 @@ def greedy_inventory_depletion(
         pdf["quantity"] = out
         return pdf[out_cols]
 
-    # groupBy().applyInPandas hash-partitions on the product bucket; inside
-    # each bucket every product's timeline is processed sequentially and
-    # independently — semantics identical to one-group-per-product.
-    return stocked.groupBy("__bucket").applyInPandas(deplete, schema=out_schema)
+    # hash-partitioned on the product bucket (operators/bucketed.py);
+    # inside each bucket every product's timeline is processed
+    # sequentially and independently — identical to one-group-per-product.
+    from .bucketed import bucketed_fold
+
+    return bucketed_fold(
+        stocked, "product_id", deplete, out_schema, num_buckets=num_buckets
+    )

@@ -94,7 +94,7 @@ def pack_counts(
         F.col(id_col),
         F.col(group_col),
         F.col(count_col).cast("int").alias("n_tokens"),
-    ).withColumn("__bucket", F.pmod(F.hash(group_col), F.lit(num_buckets)))
+    )
 
     out_schema = T.StructType(
         [
@@ -121,7 +121,8 @@ def pack_counts(
         pdf["seq_id"] = pd.array(seq_ids, dtype="int32")
         return pdf
 
-    return (
-        slim.groupBy("__bucket")
-        .applyInPandas(kernel, schema=out_schema)
+    from .bucketed import bucketed_fold
+
+    return bucketed_fold(
+        slim, group_col, kernel, out_schema, num_buckets=num_buckets
     )
