@@ -12985,6 +12985,146 @@ def m20_png_metadata(spark, sf):
 
 
 @q(
+    "m22_forecast_intervals",
+    sql="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders GROUP BY 1
+    ), sums AS (
+      -- syy is an ORDERED double fold, not CAST(SUM(y*y)): the y^2 sum
+      -- (~7e15 at scale 4) sits above 2^53*10^-4, where decimal->double
+      -- casts drift a ulp between engines (rule 5); per-day y itself
+      -- casts exactly, and a fixed fold order makes the double sum
+      -- deterministic (the h3/m21 recipe). The rollup is
+      -- calendar-bounded, so the list is small at any corpus size.
+      SELECT count(*) AS n, SUM(x) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        SUM(x * x) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        list_reduce(list_transform(list(CAST(y AS DOUBLE) ORDER BY x),
+                                   v -> v * v),
+                    (acc, v) -> acc + v) AS syy,
+        MAX(x) AS max_x
+      FROM daily
+    ), model AS (
+      SELECT n, sx, sy, sxx, sxy, syy, max_x,
+        (n * sxy - sx * sy)
+          / nullif(n * sxx - CAST(sx AS DOUBLE) * sx, 0.0) AS b
+      FROM sums
+    ), model2 AS (
+      SELECT *, (sy - b * sx) / nullif(n, 0) AS a,
+        CAST(sx AS DOUBLE) / n AS xbar,
+        sxx - sx * (CAST(sx AS DOUBLE) / n) AS sxx_c
+      FROM model
+    ), model3 AS (
+      SELECT *,
+        CASE WHEN (syy - a * sy) - b * sxy < 0.0 THEN 0.0
+             ELSE (syy - a * sy) - b * sxy END
+          / nullif(CAST(n - 2 AS DOUBLE), 0.0) AS s2
+      FROM model2
+    )
+    SELECT CAST(h AS INT) AS h,
+      a + b * (max_x + h) AS forecast,
+      (a + b * (max_x + h))
+        - 2 * sqrt(s2 * ((1.0 + 1.0 / n)
+          + ((max_x + h) - xbar) * ((max_x + h) - xbar)
+            / nullif(sxx_c, 0.0))) AS lo,
+      (a + b * (max_x + h))
+        + 2 * sqrt(s2 * ((1.0 + 1.0 / n)
+          + ((max_x + h) - xbar) * ((max_x + h) - xbar)
+            / nullif(sxx_c, 0.0))) AS hi
+    FROM model3, (SELECT unnest(range(1, 15)) AS h) hs
+    """,
+    ref="M-family: OLS prediction INTERVALS — the uncertainty band the "
+    "reference's Prophet slot ships (yhat_lower/yhat_upper) around the "
+    "m2 trend forecast: +-2 standard prediction errors with "
+    "se(x0) = sqrt(s2 * (1 + 1/n + (x0-xbar)^2/Sxx)), s2 = RSS/(n-2), "
+    "RSS from the normal-equations identity Syy - a*Sy - b*Sxy so it "
+    "derives from EXACT decimal sums (no residual pass, no "
+    "order-dependent double accumulation); z=2 is dyadic and sqrt is "
+    "correctly rounded — bit-identical cross-engine; RSS clamped at 0 "
+    "(fp round-off on perfect fits; DuckDB errors on sqrt(negative))",
+    scale="the fact table contributes one distributed daily rollup and "
+    "one 7-number summary; interval math is a 14-row cross join on the "
+    "driver-side-sized model frame — m2's shape plus three scalars",
+)
+def m22_forecast_intervals(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("x")
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("y"))
+    )
+    # syy: ordered double fold (see the oracle comment — the y^2 decimal
+    # sum is past the exact-cast threshold, so both engines fold the
+    # same date-ordered doubles instead; list_reduce has no init value
+    # in DuckDB, so the fold starts at the first element there and at
+    # 0.0 + first here — 0.0 + v == v exactly, same bits)
+    sums = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("x"), F.col("y").cast("double").alias("yd"))
+                    )
+                ),
+                lambda s: s.yd * s.yd,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("syy"),
+        F.max("x").alias("max_x"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"),
+        F.lit(0.0),
+    )
+    model = sums.select("*", b.alias("b"))
+    model2 = model.select(
+        "*",
+        ((F.col("sy") - F.col("b") * F.col("sx"))
+         / F.nullif(F.col("n"), F.lit(0))).alias("a"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+        (F.col("sxx")
+         - F.col("sx") * (F.col("sx").cast("double") / F.col("n"))
+         ).alias("sxx_c"),
+    )
+    rss = (F.col("syy") - F.col("a") * F.col("sy")) - F.col("b") * F.col(
+        "sxy"
+    )
+    model3 = model2.select(
+        "*",
+        (
+            F.when(rss < 0.0, F.lit(0.0)).otherwise(rss)
+            / F.nullif((F.col("n") - 2).cast("double"), F.lit(0.0))
+        ).alias("s2"),
+    ).select("*", F.explode(F.sequence(F.lit(1), F.lit(14))).alias("h"))
+    x0 = F.col("max_x") + F.col("h")
+    fc = F.col("a") + F.col("b") * x0
+    se = F.sqrt(
+        F.col("s2")
+        * (
+            (F.lit(1.0) + F.lit(1.0) / F.col("n"))
+            + (x0 - F.col("xbar")) * (x0 - F.col("xbar"))
+            / F.nullif(F.col("sxx_c"), F.lit(0.0))
+        )
+    )
+    return model3.select(
+        F.col("h").cast("int").alias("h"),
+        fc.alias("forecast"),
+        (fc - 2 * se).alias("lo"),
+        (fc + 2 * se).alias("hi"),
+    )
+
+
+@q(
     "m21_holt_winters",
     sql="""
     WITH RECURSIVE daily AS (
@@ -13538,13 +13678,13 @@ _DRIVER_SAMPLE = [
     "m19_video_scene_cuts", "e14_rfm_segmentation",
     "j10_interval_overlap_join", "h9_dwell_time", "pr5_association_rules",
     "ev6_margin_reliability", "m20_png_metadata",
-    # never-driver-verified (7): round-9 registrations — the BPE-apply
+    # never-driver-verified (8): round-9 registrations — the BPE-apply
     # tokenizer chain (VERDICT r8 #3: encode -> pack -> mixture on
     # true token ids, plus the compression/packing-waste metrics and
     # the vocab artifact) and the Holt-Winters seasonal forecaster
     "x35_bpe_encode", "x36_bpe_sequence_pack", "x37_bpe_mixture_weights",
     "x39_bpe_compression", "x40_packing_efficiency", "x41_bpe_vocab",
-    "m21_holt_winters",
+    "m21_holt_winters", "m22_forecast_intervals",
     # riders (2) for round-8 changes to already-verified entries:
     # x25 gained the margin column; ev3 splices x25's registered SQL
     "x25_nb_classifier", "ev3_classifier_eval",
@@ -13561,14 +13701,14 @@ _DRIVER_SAMPLE = [
     "u5_except_all", "w5_share_of_total", "w6_rolling_7day",
     "w7_lead_nth", "x10_chunk_documents", "x11_repetition_signals",
     "x12_corpus_materialize", "x13_decontaminate", "x9_keywords",
-    # refresh: first 14 of the 38-entry r04-latest cohort (alphabetical;
-    # the remaining 23 — ops4 onward, minus the x15 rider above — queue
+    # refresh: first 13 of the 38-entry r04-latest cohort (alphabetical;
+    # the remaining 24 — na2 onward, minus the x15 rider above — queue
     # for round 10)
     "a15_hll_merge", "a16_sampled_quantiles", "a17_grouping_id",
     "a18_histogram_quantiles", "d12_dedup_yield", "d13_canonical_selection",
     "d8_dup_clusters", "dq1_expectations", "dq2_quarantine",
     "e8_markov_transitions", "j8_bloom_semi_join", "j9_asof_join",
-    "m8_rolling_backtest", "na2_outlier_clip",
+    "m8_rolling_backtest",
 ]
 
 

@@ -882,3 +882,66 @@ def test_holt_winters_null_group_key_survives(spark):
         got.setdefault(r["g"], []).append((r["h"], r["forecast"]))
     assert sorted(got[None]) == holt_winters_kernel(ys)
     assert sorted(got["g1"]) == holt_winters_kernel([v + 1 for v in ys])
+
+
+def test_m22_intervals_against_independent_statistics(spark, tmp_path):
+    """m22's band math vs an independent numpy computation of the OLS
+    prediction interval (different algorithm: residual pass instead of
+    the normal-equations identity) on a staged noisy series; and the
+    perfect-fit closed form: RSS clamps to ~0 so lo == hi == forecast
+    up to the +-2*sqrt(eps) collapse."""
+    import math
+    import random
+
+    import numpy as np
+
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        QUERIES,
+    )
+
+    def stage_orders(rows):
+        d = tmp_path / f"sf{len(list(tmp_path.iterdir()))}"
+        d.mkdir()
+        spark.createDataFrame(
+            rows, "o_orderdate timestamp, o_totalprice double"
+        ).write.parquet(str(d / "orders.parquet"))
+        return str(d)
+
+    import datetime as dt
+
+    base = dt.datetime(1995, 1, 1)
+    rng = random.Random(99)
+    noisy = [
+        (base + dt.timedelta(days=i),
+         round(1000.0 + 5.0 * i + rng.uniform(-40, 40), 2))
+        for i in range(60)
+    ]
+    sf = stage_orders(noisy)
+    got = {r["h"]: r for r in QUERIES["m22_forecast_intervals"].fn(
+        spark, sf).collect()}
+    xs = np.array([i for i in range(60)], dtype=float)
+    ys = np.array([v for _, v in noisy], dtype=float)
+    b, a = np.polyfit(xs, ys, 1)
+    resid = ys - (a + b * xs)
+    s2 = float((resid ** 2).sum()) / (60 - 2)
+    xbar = xs.mean()
+    sxx_c = float(((xs - xbar) ** 2).sum())
+    for h in range(1, 15):
+        x0 = 59 + h
+        fc = a + b * x0
+        se = math.sqrt(s2 * (1 + 1 / 60 + (x0 - xbar) ** 2 / sxx_c))
+        r = got[h]
+        assert abs(r["forecast"] - fc) < 1e-6 * abs(fc)
+        assert abs(r["lo"] - (fc - 2 * se)) < 1e-6 * abs(fc)
+        assert abs(r["hi"] - (fc + 2 * se)) < 1e-6 * abs(fc)
+        assert r["lo"] < r["forecast"] < r["hi"]
+
+    exact = [
+        (base + dt.timedelta(days=i), 100.0 + 2.0 * i) for i in range(30)
+    ]
+    sf2 = stage_orders(exact)
+    for r in QUERIES["m22_forecast_intervals"].fn(spark, sf2).collect():
+        want = 100.0 + 2.0 * (29 + r["h"])
+        assert abs(r["forecast"] - want) < 1e-9 * want
+        # RSS clamps at >= 0; a perfect fit leaves at most fp crumbs
+        assert r["hi"] - r["lo"] < 1e-3
