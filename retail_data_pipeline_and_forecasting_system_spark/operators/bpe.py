@@ -294,7 +294,38 @@ def bpe_vocab(
     )
 
 
+# The encode oracles' recursive CTEs use 999999 as the "no merge
+# applies" rank sentinel; a real rank at or above it would stop oracle
+# merges early while the Python engine kept merging. Unreachable at
+# current table sizes — enforced, not assumed (round-9 ADVICE).
+ORACLE_RANK_SENTINEL = 999999
+
+
+def check_ranks(merges: list[tuple[str, str, int]]) -> list[tuple[str, str, int]]:
+    """Reject any merge table whose ranks collide with the oracle's
+    no-merge sentinel; returns the table unchanged otherwise."""
+    for left, right, rank in merges:
+        if rank >= ORACLE_RANK_SENTINEL:
+            raise ValueError(
+                f"merge rank {rank} for ({left!r}, {right!r}) reaches the "
+                f"oracle sentinel {ORACLE_RANK_SENTINEL}; engine and "
+                "oracle would diverge"
+            )
+    return merges
+
+
 def merges_from_pair_counts(pair_rows) -> list[tuple[str, str, int]]:
     """Adapt x27's ``(rnk, pair, cnt)`` rows (2-char pair strings) to
-    the ``(left, right, rank)`` merge-table form."""
-    return [(r["pair"][0], r["pair"][1], int(r["rnk"])) for r in pair_rows]
+    the ``(left, right, rank)`` merge-table form. The x35/x41 oracle
+    equivalence keys pair lookups on ``left || right == pair``, which
+    only holds for exactly-2-char pairs — enforce it (round-9 ADVICE)."""
+    merges = []
+    for r in pair_rows:
+        pair = r["pair"]
+        if len(pair) != 2:
+            raise ValueError(
+                f"pair-count row {pair!r} is not a 2-char pair; "
+                "single-pass pair tables must split unambiguously"
+            )
+        merges.append((pair[0], pair[1], int(r["rnk"])))
+    return check_ranks(merges)

@@ -34,6 +34,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# group-tracking sentinel distinct from every real key INCLUDING None
+_UNSET = object()
+
 
 def pack_oracle(tokens: list[int], capacity: int) -> list[int]:
     """Pure-Python greedy packer; the property-test oracle."""
@@ -108,7 +111,12 @@ def pack_counts(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([group_col, id_col], kind="mergesort")
         seq_ids = []
-        cur_group, seq, fill = None, 0, 0
+        # unique sentinel, NOT None: Arrow delivers NULL group keys as
+        # None, and a None start value would make the NULL group's
+        # first row skip the group-reset branch — an overlong first
+        # doc would then open at seq_id 1 while the oracle anchors it
+        # at 0 (round-9 ADVICE, regression-pinned)
+        cur_group, seq, fill = _UNSET, 0, 0
         for g, n in zip(pdf[group_col].values, pdf["n_tokens"].values):
             n = int(n)
             if g != cur_group:

@@ -13208,7 +13208,7 @@ def m21_holt_winters(spark, sf):
 # whitespace split in both engines.
 # Shared CTE core (merge table -> word split -> recursive encode ->
 # per-word token stats); x35 closes it at doc grain, x41 at vocab grain.
-_X35_SQL_CORE = """
+_X35_SQL_CORE = r"""
     WITH RECURSIVE merges AS (
       SELECT rnk, substring(pair, 1, 1) AS l, substring(pair, 2, 1) AS r,
              pair
@@ -13235,7 +13235,7 @@ _X35_SQL_CORE = """
           unnest(string_split_regex(
             translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
                             'abcdefghijklmnopqrstuvwxyz'),
-            '[ \\t\\n\\f\\r]+')) AS word
+            '[ \t\n\f\r]+')) AS word
         FROM documents
       ) WHERE word <> '' GROUP BY 1, 2
     ),

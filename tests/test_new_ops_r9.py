@@ -596,10 +596,16 @@ def test_x36_packs_null_source_group_like_oracle(spark, tmp_path):
         QUERIES,
     )
 
+    # doc 0: OVERLONG first doc of the NULL group (1025 one-char words
+    # > capacity 1024). Round-9 ADVICE: with a None start sentinel the
+    # kernel's first row skipped the group-reset branch and opened the
+    # NULL group at seq_id 1; the oracle anchors rn=1 at 0. The unique
+    # _UNSET sentinel makes the first row always reset.
     sf = _staged_docs(
         spark,
         tmp_path,
-        [(1, None, "a b c"), (2, None, "d e"), (3, None, "f"),
+        [(0, None, " ".join(["z"] * 1025)),
+         (1, None, "a b c"), (2, None, "d e"), (3, None, "f"),
          (4, "s", "g h")],
     )
     mine = sorted(
@@ -613,7 +619,11 @@ def test_x36_packs_null_source_group_like_oracle(spark, tmp_path):
         .itertuples()
     )
     assert mine == want
-    assert len(mine) == 4  # every NULL-source doc present
+    assert len(mine) == 5  # every NULL-source doc present
+    by_id = {d: s for d, _, _, s in mine}
+    # overlong first doc anchors its sequence at 0; the next NULL doc
+    # overflows into seq 1 (1025 + 3 > 1024)
+    assert by_id[0] == 0 and by_id[1] == 1
 
 
 def test_x35_whitespace_class_is_dialect_proof(spark, tmp_path):
