@@ -1,13 +1,17 @@
-"""BPE merge-table APPLICATION — the tokenizer-encode stage of the
-LLM-data pipeline (the one stage x27's pair-count trainer statistic
-and x15's sequence packer sat on either side of).
+"""BPE merge-table TRAINING and APPLICATION — the tokenizer stage of
+the LLM-data pipeline (between x27's pair-count statistic and x15's
+sequence packer).
 
-``bpe_pair_counts`` (operators/textstats.py) computes the trainer's
-corpus-sized statistic; its ranked pair table IS a merge table in the
-``merges.txt`` sense (rank-ordered symbol pairs — GPT-2/Sennrich
-representation). This module applies such a table row-locally to emit
-real token ids, so downstream packing (x36) and mixture weights (x37)
-run on true tokenizer output instead of regex token counts.
+:func:`bpe_train` is TRUE iterative training (Sennrich et al. 2016):
+it recounts corpus-weighted adjacent pairs after EVERY merge — rank
+k+1 depends on merge k because a merge rewrites the symbol stream —
+so later merges combine earlier merged symbols ('w'+'indow'), which
+no single-pass frequency ranking can produce. ``bpe_pair_counts``
+(operators/textstats.py) remains the one-pass proxy whose ranked pair
+table is also a valid merge table in the ``merges.txt`` sense.
+This module applies either table row-locally to emit real token ids,
+so downstream packing (x36) and mixture weights (x37) run on true
+tokenizer output instead of regex token counts.
 
 Encode semantics (deterministic, engine == oracle == pure Python):
 repeatedly find the LOWEST-RANK pair among adjacent symbol pairs of
@@ -17,7 +21,9 @@ total order, so it needs no tie convention beyond the table's ranks;
 for tables produced by iterated BPE training it coincides with the
 classic sweep-all-occurrences encoder (a merge can only create pairs
 whose own rank is HIGHER than the rank just applied, because a merge
-involving symbol X is learned after X exists).
+involving symbol X is learned after X exists) — test-pinned against
+an independent sweep encoder on x42's trained tables
+(tests/test_bpe_train.py).
 
 Token ids are deterministic integers: a single-char symbol's id is
 its Unicode codepoint; a merged symbol's id is ``1114112 + r`` (one
@@ -292,6 +298,167 @@ def bpe_vocab(
         .groupBy("token", "token_id")
         .agg(F.sum("freq").cast("bigint").alias("freq"))
     )
+
+
+TRAIN_SCHEMA = T.StructType(
+    [
+        T.StructField("rnk", T.IntegerType(), False),
+        T.StructField("l", T.StringType(), False),
+        T.StructField("r", T.StringType(), False),
+        T.StructField("tok", T.StringType(), False),
+        T.StructField("cnt", T.LongType(), False),
+    ]
+)
+
+# Symbol-stream separator for the trainer's delimited representation:
+# a newline can never appear INSIDE a symbol because words come from a
+# whitespace split (\n is a separator) in both engines. Each symbol is
+# individually wrapped ("\na\n\nb\n" for [a, b]) so one literal
+# string-replace of "\n{l}\n\n{r}\n" -> "\n{lr}\n" applies a merge
+# with exact leftmost-first non-overlapping semantics — consecutive
+# occurrences keep their own delimiters, and a symbol can never match
+# across a boundary. replace() is leftmost non-overlapping in Spark,
+# DuckDB and Python alike, which is precisely the classic BPE sweep.
+SYM_SEP = "\n"
+
+
+def symbolize_words(wf: DataFrame) -> DataFrame:
+    """(word, freq) -> (s, freq): the delimited initial symbol stream,
+    one char per symbol. JVM-side regexp; '.' matches one CODEPOINT
+    (supplementary chars stay whole) and the (?s) DOTALL flag is
+    REQUIRED — without it Java's '.' skips the Unicode line
+    terminators U+2028/U+2029/U+0085, which our explicit whitespace
+    class deliberately keeps INSIDE words, leaving them un-wrapped
+    and corrupting the stream (caught by the round-9 dialect-proof
+    test the moment training moved engine-side)."""
+    from pyspark.sql import functions as F
+
+    return wf.select(
+        F.regexp_replace(
+            "word", "(?s)(.)", SYM_SEP + "$1" + SYM_SEP
+        ).alias("s"),
+        "freq",
+    )
+
+
+def pair_counts(sym: DataFrame) -> DataFrame:
+    """(s, freq) -> (l, r, cnt): corpus-weighted adjacent-pair counts
+    of the current symbolization — the trainer's per-iteration
+    statistic. All JVM built-ins (split/slice/zip_with/explode) into
+    ONE map-side-combined agg; single-symbol words contribute nothing
+    (zip_with of two empty slices -> explode drops the row)."""
+    from pyspark.sql import functions as F
+
+    return (
+        sym.withColumn(
+            "tk",
+            F.split(
+                F.expr("substring(s, 2, length(s) - 2)"),
+                SYM_SEP + SYM_SEP,
+            ),
+        )
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(tk, 1, size(tk) - 1), "
+                    "slice(tk, 2, size(tk) - 1), "
+                    "(a, b) -> struct(a AS l, b AS r))"
+                )
+            ).alias("p"),
+        )
+        .select("freq", "p.l", "p.r")
+        .groupBy("l", "r")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    persist_every: int = 8,
+) -> list[tuple[int, str, str, int]]:
+    """TRUE iterative BPE training (Sennrich et al. 2016): learn
+    ``n_merges`` merges by RECOUNTING adjacent-symbol pairs after each
+    merge — rank k+1 depends on merge k because a merge rewrites the
+    symbol stream (x27's one-pass frequency ranking is the single-pass
+    proxy this replaces). Returns ``[(rank, left, right, count)]``.
+
+    Deterministic total order: highest corpus-weighted count first,
+    ties by (left, right) in UTF-8 BYTE order — byte order is what
+    DuckDB's binary varchar comparison implements, and the engine
+    matches it by ordering on ``encode(col, 'UTF-8')`` (Java's UTF-16
+    code-unit order diverges on supplementary characters).
+
+    Scale: the corpus is touched ONCE (the Zipf-collapsed word-
+    frequency agg, map-side combined); every iteration after that is
+    one vocab-sized pair-count agg plus a narrow JVM-side literal
+    replace — no Python in the loop, and the only driver-side state is
+    the KB-sized merge table (the k1/x27 model-state pattern). The
+    symbolization column re-persists every ``persist_every`` merges so
+    the replace-expression chain stays shallow (recompute depth is
+    bounded; lineage never exceeds ``persist_every`` replaces).
+    """
+    from pyspark.sql import functions as F
+
+    if n_merges >= ORACLE_RANK_SENTINEL:
+        raise ValueError(
+            f"n_merges {n_merges} reaches the oracle rank sentinel"
+        )
+    words = docs.select(
+        F.explode(
+            F.split(
+                F.translate(F.col(text_col), ASCII_UPPER, ASCII_LOWER),
+                WHITESPACE_CLASS,
+            )
+        ).alias("word")
+    ).filter(F.length("word") >= 2)
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    cur = symbolize_words(wf).persist()
+    persisted = [cur]
+    merges: list[tuple[int, str, str, int]] = []
+    depth = 0
+    try:
+        for k in range(1, n_merges + 1):
+            top = (
+                pair_counts(cur)
+                .orderBy(
+                    F.desc("cnt"),
+                    F.asc(F.encode(F.col("l"), "UTF-8")),
+                    F.asc(F.encode(F.col("r"), "UTF-8")),
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            merges.append((k, left, right, cnt))
+            pat = SYM_SEP + left + SYM_SEP + SYM_SEP + right + SYM_SEP
+            rep = SYM_SEP + left + right + SYM_SEP
+            cur = cur.withColumn(
+                "s", F.replace(F.col("s"), F.lit(pat), F.lit(rep))
+            )
+            depth += 1
+            if depth >= persist_every and k < n_merges:
+                nxt = cur.persist()
+                nxt.count()
+                for p in persisted:
+                    p.unpersist()
+                persisted, cur, depth = [nxt], nxt, 0
+    finally:
+        for p in persisted:
+            p.unpersist()
+    return merges
+
+
+def trained_merge_table(
+    trained: list[tuple[int, str, str, int]],
+) -> list[tuple[str, str, int]]:
+    """Adapt :func:`bpe_train` rows to the ``(left, right, rank)`` form
+    :func:`bpe_encode_stats` & co. consume."""
+    return check_ranks([(l, r, rank) for rank, l, r, _ in trained])
 
 
 # The encode oracles' recursive CTEs use 999999 as the "no merge

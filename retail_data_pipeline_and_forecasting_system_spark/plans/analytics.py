@@ -13196,8 +13196,126 @@ def m21_holt_winters(spark, sf):
     )
 
 
+# ---- x42: TRUE iterative BPE merge-table training -------------------
+# x27 ranks ONE pair-count pass by frequency — the single-pass proxy.
+# Real BPE training RECOUNTS pairs after each merge (a merge rewrites
+# the symbol stream, so rank k+1 depends on merge k). The oracle is the
+# house per-iteration spliced SQL: one (pair-count -> argmax -> apply)
+# block per merge, each CTE MATERIALIZED — p{k} and w{k+1} both read
+# w{k}, so un-materialized inlining would expand the chain 2^N-fold.
+# A merge applies as ONE literal string replace over the delimited
+# symbol stream ("\nl\n\nr\n" -> "\nlr\n"; every symbol individually
+# newline-wrapped, so consecutive occurrences keep their own delimiters
+# and replace()'s leftmost non-overlapping walk IS the classic BPE
+# sweep — identical in Spark, DuckDB and Python). Ties break by
+# (left, right) in UTF-8 BYTE order: DuckDB varchar comparison is
+# binary, and the engine matches it via encode(col, 'UTF-8') (Java's
+# UTF-16 code-unit order diverges on supplementary characters).
+N_TRAIN_MERGES = 20
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    head = r"""
+    WITH w0 AS MATERIALIZED (
+      SELECT chr(10) || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substring(word, CAST(i AS INT), 1)),
+               chr(10) || chr(10)) || chr(10) AS s,
+             freq
+      FROM (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+          SELECT unnest(string_split_regex(
+            translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            'abcdefghijklmnopqrstuvwxyz'),
+            '[ \t\n\f\r]+')) AS word
+          FROM documents
+        ) WHERE length(word) >= 2 GROUP BY word
+      )
+    )"""
+    blocks = [head]
+    for k in range(1, n_merges + 1):
+        blocks.append(f""",
+    p{k} AS MATERIALIZED (
+      SELECT l, r, cnt FROM (
+        SELECT pr['l'] AS l, pr['r'] AS r,
+               CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (
+          SELECT freq,
+            unnest(list_transform(range(1, len(tk)),
+                   i -> {{'l': tk[i], 'r': tk[i + 1]}})) AS pr
+          FROM (
+            SELECT freq,
+              string_split(substring(s, 2, length(s) - 2),
+                           chr(10) || chr(10)) AS tk
+            FROM w{k - 1}
+          )
+        ) GROUP BY 1, 2
+      ) ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    w{k} AS MATERIALIZED (
+      SELECT CASE WHEN p.l IS NULL THEN w.s
+        ELSE replace(w.s,
+               chr(10) || p.l || chr(10) || chr(10) || p.r || chr(10),
+               chr(10) || p.l || p.r || chr(10)) END AS s, w.freq
+      FROM w{k - 1} w LEFT JOIN p{k} p ON TRUE
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {k} AS rnk, l, r, cnt FROM p{k}"
+        for k in range(1, n_merges + 1)
+    )
+    blocks.append(f"""
+    SELECT CAST(rnk AS INT) AS rnk, l, r, l || r AS tok,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM ({unions})
+    ORDER BY rnk
+    """)
+    return "".join(blocks)
+
+
+# Trained tables are KB-sized driver model state (the k1/x27 pattern),
+# deterministic per sf dir — memoized so the six downstream registry
+# entries (x35/x36/x37/x39/x40/x41) train once per process, not once
+# per query. Keyed on the sf path: registry fns always read documents
+# from that path, so equal keys imply equal corpora.
+_TRAIN_MEMO: dict = {}
+
+
+def _trained_merges(spark, sf):
+    key = str(sf)
+    rows = _TRAIN_MEMO.get(key)
+    if rows is None:
+        rows = BP.bpe_train(_t(spark, sf, "documents"), N_TRAIN_MERGES)
+        _TRAIN_MEMO[key] = rows
+    return rows
+
+
+@q(
+    "x42_bpe_train",
+    sql=_bpe_train_sql(N_TRAIN_MERGES),
+    ref="LLM-ops: TRUE iterative BPE training (Sennrich et al. 2016 "
+    "learn_bpe) — the merges.txt artifact itself. Unlike x27's one-"
+    "pass frequency ranking, every merge RECOUNTS adjacent pairs over "
+    "the rewritten symbol stream, so later merges combine earlier "
+    "MERGED symbols ('w'+'indow' — unreachable for any single-pass "
+    "table). Deterministic: count desc, then (left, right) in UTF-8 "
+    "byte order (operators/bpe.py bpe_train)",
+    scale="the corpus is touched ONCE — the Zipf-collapsed word-"
+    "frequency agg (map-side combined); each of the N iterations is "
+    "one vocab-sized pair-count agg + a narrow JVM literal replace "
+    "(no Python anywhere in the loop); driver state is the KB merge "
+    "table; the symbolization re-persists every 8 merges so lineage "
+    "depth stays bounded at any N",
+)
+def x42_bpe_train(spark, sf):
+    rows = _trained_merges(spark, sf)
+    return spark.createDataFrame(
+        [(k, left, right, left + right, cnt) for k, left, right, cnt in rows],
+        BP.TRAIN_SCHEMA,
+    )
+
+
 # The x35 oracle restates the full encode chain in SQL: the merge table
-# comes from x27's REGISTERED SQL (spliced — code and oracle cannot
+# comes from x42's REGISTERED SQL (spliced — code and oracle cannot
 # drift, the ev3-over-x25 pattern), the per-word greedy merge loop is a
 # recursive CTE (one merge per recursion step: lowest rank wins,
 # leftmost occurrence on ties via list_position; each step shrinks the
@@ -13209,10 +13327,12 @@ def m21_holt_winters(spark, sf):
 # Shared CTE core (merge table -> word split -> recursive encode ->
 # per-word token stats); x35 closes it at doc grain, x41 at vocab grain.
 _X35_SQL_CORE = r"""
-    WITH RECURSIVE merges AS (
-      SELECT rnk, substring(pair, 1, 1) AS l, substring(pair, 2, 1) AS r,
-             pair
-      FROM ({x27})
+    WITH RECURSIVE merges AS MATERIALIZED (
+      -- MATERIALIZED: mm and tmm both read it; inlining would run the
+      -- spliced trainer twice. l/r are full (possibly multi-char)
+      -- trained symbols now, not substring halves of a 2-char pair.
+      SELECT rnk, l, r, tok AS pair
+      FROM ({train})
     ),
     mm AS (
       SELECT map(list(l || chr(10) || r ORDER BY rnk),
@@ -13296,28 +13416,28 @@ _X35_SQL_TMPL = _X35_SQL_CORE + """
 
 @q(
     "x35_bpe_encode",
-    sql=_X35_SQL_TMPL.format(x27=QUERIES["x27_bpe_pair_counts"].sql),
+    sql=_X35_SQL_TMPL.format(train=QUERIES["x42_bpe_train"].sql),
     ref="LLM-ops: tokenizer ENCODE — apply a rank-ordered BPE merge "
     "table row-locally to emit real token ids (the merges.txt "
     "application step; Sennrich et al. 2016 / GPT-2 encoder), the one "
-    "first-class LLM-data stage between x27's trainer statistic and "
-    "x15's packing. Merge table = x27's registered ranked pair counts "
-    "(KB driver-side model state, the k1 centroid pattern); encode = "
-    "lowest-rank-leftmost greedy merging (operators/bpe.py "
-    "encode_word — coincides with the classic sweep encoder on "
-    "trained tables); ids = codepoint for chars, 1114112+rank for "
+    "first-class LLM-data stage between training and packing. Merge "
+    "table = x42's TRUE iteratively-trained merges (KB driver-side "
+    "model state, the k1 centroid pattern; was x27's single-pass "
+    "frequency ranking through round 9); encode = lowest-rank-"
+    "leftmost greedy merging (operators/bpe.py encode_word — equals "
+    "the classic sweep encoder on trained tables, now test-pinned on "
+    "x42's real table); ids = codepoint for chars, 1114112+rank for "
     "merged symbols. Output per doc: token count, merged-token count, "
     "exact id sum — any wrong merge order, tie, or id moves the sum",
     scale="the table ships in the UDF closure (KBs); encode is ONE "
     "partition-local Arrow-batched mapInPandas with a per-partition "
     "word memo (Zipf: unique words encode once per partition), doc-"
     "grain output, ZERO shuffle — the only exchanges in the whole "
-    "chain belong to x27's vocab-sized training agg, and nothing "
+    "chain belong to x42's vocab-sized training aggs, and nothing "
     "data-proportional reaches the driver",
 )
 def x35_bpe_encode(spark, sf):
-    pair_rows = QUERIES["x27_bpe_pair_counts"].fn(spark, sf).collect()
-    merges = BP.merges_from_pair_counts(pair_rows)
+    merges = BP.trained_merge_table(_trained_merges(spark, sf))
     return BP.bpe_encode_stats(_t(spark, sf, "documents"), merges)
 
 
@@ -13450,14 +13570,14 @@ _X41_SQL_TMPL = _X35_SQL_CORE + """
 
 @q(
     "x41_bpe_vocab",
-    sql=_X41_SQL_TMPL.format(x27=QUERIES["x27_bpe_pair_counts"].sql),
+    sql=_X41_SQL_TMPL.format(train=QUERIES["x42_bpe_train"].sql),
     ref="LLM-ops: the exported vocabulary artifact — (token, token_id, "
     "corpus frequency) under the same encode the corpus receives, the "
-    "vocab.json a pipeline writes next to merges.txt so training and "
-    "inference share ids; frequency counts token OCCURRENCES "
-    "(operators/bpe.py bpe_vocab). Completes the tokenizer family: "
-    "train statistic (x27) -> encode (x35) -> artifacts (x41) -> "
-    "consumers (x36/x37/x39/x40)",
+    "vocab.json a pipeline writes next to x42's trained merges.txt so "
+    "training and inference share ids; frequency counts token "
+    "OCCURRENCES (operators/bpe.py bpe_vocab). Completes the tokenizer "
+    "family: train (x42; x27 the one-pass statistic) -> encode (x35) "
+    "-> artifacts (x41) -> consumers (x36/x37/x39/x40)",
     scale="corpus collapses to the Zipf-collapsed word-frequency table "
     "first (one word-keyed map-side-combined agg); each DISTINCT word "
     "encodes once in a vocab-sized mapInPandas; final rollup is one "
@@ -13465,10 +13585,8 @@ _X41_SQL_TMPL = _X35_SQL_CORE + """
     "corpus size",
 )
 def x41_bpe_vocab(spark, sf):
-    pair_rows = QUERIES["x27_bpe_pair_counts"].fn(spark, sf).collect()
-    return BP.bpe_vocab(
-        _t(spark, sf, "documents"), BP.merges_from_pair_counts(pair_rows)
-    )
+    merges = BP.trained_merge_table(_trained_merges(spark, sf))
+    return BP.bpe_vocab(_t(spark, sf, "documents"), merges)
 
 
 _X40_SQL_TMPL = """
@@ -13667,48 +13785,38 @@ del _n, _s
 
 
 _DRIVER_SAMPLE = [
-    # never-driver-verified (11): the ROUND-9 queue above, verbatim in
-    # registration order — all 11 judge-verified green at sf0.01 in the
-    # round-8 session; this window converts that to driver rows. Two of
-    # them also ride round-9 code changes (m18: enforced max_bucket cap
-    # + band-width guard; m20: truncated-PNG-chunk quarantine fix —
-    # VERDICT #4 / ADVICE items).
-    "m17_perceptual_hash", "m18_image_neardup_pairs",
-    "dq6_referential_integrity", "e13_conversion_paths",
-    "m19_video_scene_cuts", "e14_rfm_segmentation",
-    "j10_interval_overlap_join", "h9_dwell_time", "pr5_association_rules",
-    "ev6_margin_reliability", "m20_png_metadata",
-    # never-driver-verified (8): round-9 registrations — the BPE-apply
-    # tokenizer chain (VERDICT r8 #3: encode -> pack -> mixture on
-    # true token ids, plus the compression/packing-waste metrics and
-    # the vocab artifact) and the Holt-Winters seasonal forecaster
+    # never-driver-verified (1): the round-10 registration — TRUE
+    # iterative BPE training (VERDICT r9 Next #1)
+    "x42_bpe_train",
+    # riders (7) for round-10 code changes: the x35 family now encodes
+    # with x42's TRAINED merge table (oracles re-spliced through the
+    # per-iteration trainer SQL — x36/x37/x39/x40 embed x35's text, so
+    # every one changed), and x15 rides the pack-kernel NULL-group
+    # sentinel fix (round-9 ADVICE medium)
     "x35_bpe_encode", "x36_bpe_sequence_pack", "x37_bpe_mixture_weights",
     "x39_bpe_compression", "x40_packing_efficiency", "x41_bpe_vocab",
-    "m21_holt_winters", "m22_forecast_intervals",
-    # riders (2) for round-8 changes to already-verified entries:
-    # x25 gained the margin column; ev3 splices x25's registered SQL
-    "x25_nb_classifier", "ev3_classifier_eval",
-    # riders (2) for round-9 review fixes applied to the entries they
-    # were inherited from: x15's recursive walk join is now null-safe
-    # (IS NOT DISTINCT FROM — the x36 finding); x27's word split is the
-    # explicit whitespace class in BOTH engines (the x35 finding: Java
-    # \s includes \x0b, RE2's doesn't — shifted merge ranks)
-    "x15_sequence_pack", "x27_bpe_pair_counts",
+    "x15_sequence_pack",
     # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",
-    # refresh: the 9 r03-latest leftovers (oldest driver evidence)
-    "u5_except_all", "w5_share_of_total", "w6_rolling_7day",
-    "w7_lead_nth", "x10_chunk_documents", "x11_repetition_signals",
-    "x12_corpus_materialize", "x13_decontaminate", "x9_keywords",
-    # refresh: first 13 of the 38-entry r04-latest cohort (alphabetical;
-    # the remaining 24 — na2 onward, minus the x15 rider above — queue
-    # for round 10)
-    "a15_hll_merge", "a16_sampled_quantiles", "a17_grouping_id",
-    "a18_histogram_quantiles", "d12_dedup_yield", "d13_canonical_selection",
-    "d8_dup_clusters", "dq1_expectations", "dq2_quarantine",
-    "e8_markov_transitions", "j8_bloom_semi_join", "j9_asof_join",
-    "m8_rolling_backtest",
+    # refresh: the ENTIRE 24-entry r04-latest cohort — the oldest
+    # driver evidence in the registry; after this window no entry's
+    # latest driver row predates r05 (VERDICT r9 Next #2)
+    "na2_outlier_clip", "ops4_snapshot_diff", "pr1_copurchase_pagerank",
+    "pr2_copurchase_triangles", "pr3_hits_authorities", "skw2_salted_agg",
+    "smp3_mixture_weights", "smp4_weighted_sample",
+    "smp5_temperature_mixture", "smp6_balanced_classes",
+    "u6_union_schema_drift", "u7_bag_setops", "w8_running_distinct",
+    "x14_pii_mask", "x16_bm25", "x17_unigram_lm",
+    "x18_boilerplate_ngrams", "x19_bigram_lm", "x20_dup_rate_by_source",
+    "x21_contamination_by_source", "x22_vocab_coverage",
+    "x23_source_drift", "x8_edit_distance", "z1_zorder_key",
+    # refresh fill to 50: first 13 of the 34-entry r05-latest cohort,
+    # alphabetical (d6 onward queue for round 11; a2/a3 land here)
+    "a2_daily_summary", "a3_global_agg", "d6_embedding_neardup",
+    "e2_sessionize", "f7_explode_tokens", "f_map_pack", "f_scalar_pack",
+    "h2_gap_fill", "h3_ewma", "j1_join_inner_broadcast", "j2_join_left",
+    "j3_join_semi", "j4_join_anti",
 ]
 
 
