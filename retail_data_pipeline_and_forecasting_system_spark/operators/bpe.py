@@ -300,6 +300,167 @@ def bpe_vocab(
     )
 
 
+# The tokenized-corpus artifact's WORD SEPARATOR id: the space
+# codepoint. Unambiguous by construction — single-char token ids are
+# codepoints and a space can never appear INSIDE a token (words come
+# from a whitespace split), while merged-symbol ids live at
+# MERGED_ID_BASE and above. Decoding the separator as chr(32) is what
+# makes ''.join(decoded tokens) reproduce the whitespace-normalized
+# source text exactly.
+SPACE_ID = 32
+
+ENCODE_IDS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ids", T.ArrayType(T.LongType(), False), True),
+    ]
+)
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The shipped tokenized-corpus artifact: one row per document
+    carrying its FULL token-id sequence (words separated by
+    :data:`SPACE_ID`), alongside the source text so an integrity check
+    (:func:`bpe_decode_check`) can verify losslessness row-locally.
+    NULL text keeps a NULL sequence (absence stays distinguishable
+    from an empty document, whose sequence is ``[]``).
+
+    Same zero-shuffle mapInPandas shape and per-partition word memo as
+    :func:`bpe_encode_stats`; the merge table rides the closure.
+    """
+    import re
+
+    ranks, tok_ranks = _rank_maps(merges)
+    cols = docs.select(id_col, source_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[int]] = {}
+        for batch in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "source": [], "text": [], "ids": [],
+            }
+            for doc_id, source, text in zip(
+                batch[id_col], batch[source_col], batch[text_col]
+            ):
+                ids: list[int] | None = None
+                if isinstance(text, str):
+                    ids = []
+                    for w in re.split(WHITESPACE_CLASS, fold_case(text)):
+                        if not w:
+                            continue
+                        wid = memo.get(w)
+                        if wid is None:
+                            wid = token_ids(encode_word(w, ranks), tok_ranks)
+                            memo[w] = wid
+                        if ids:
+                            ids.append(SPACE_ID)
+                        ids.extend(wid)
+                out["doc_id"].append(doc_id)
+                out["source"].append(source)
+                out["text"].append(text)
+                out["ids"].append(ids)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, schema=ENCODE_IDS_SCHEMA)
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_ids", T.LongType(), False),
+        T.StructField("decoded", T.StringType(), True),
+        T.StructField("lossless", T.BooleanType(), True),
+    ]
+)
+
+
+def id_to_token_map(
+    merges: list[tuple[str, str, int]],
+) -> dict[int, str]:
+    """Invert the vocabulary: ``MERGED_ID_BASE + min-rank -> merged
+    token string`` — the ONLY artifact a detokenizer needs beyond
+    ``chr()`` for codepoint ids. Distinct merged tokens always get
+    distinct ids: each rank is one merge, and a token string reachable
+    by several merges takes its minimum rank (mirroring
+    :func:`token_ids`)."""
+    _, tok_ranks = _rank_maps(merges)
+    return {MERGED_ID_BASE + r: t for t, r in tok_ranks.items()}
+
+
+def decode_ids(ids, id2tok: dict[int, str]) -> str:
+    """Pure-Python detokenize: codepoint ids via ``chr``, merged ids
+    via the inverted vocab. The single definition the Spark engine and
+    the tests restate."""
+    return "".join(
+        chr(i) if i < MERGED_ID_BASE else id2tok[i] for i in ids
+    )
+
+
+def bpe_decode_check(
+    encoded: DataFrame,
+    id2tok: dict[int, str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    ids_col: str = "ids",
+) -> DataFrame:
+    """Detokenize + artifact-integrity check over
+    :func:`bpe_encode_ids`'s output: decode each document's id
+    sequence using ONLY the id→token map (the decoder never sees merge
+    ranks — the separation a real pipeline has between its tokenizer
+    and its artifact check), and verify ``decoded ==
+    whitespace-normalized case-folded source`` per document. NULL
+    sequences (NULL text) decode to NULL with a NULL verdict.
+
+    Row-local mapInPandas — the x35 pattern reversed; the id→token map
+    is KB-sized closure state and nothing shuffles.
+    """
+    import re
+
+    cols = encoded.select(id_col, source_col, text_col, ids_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "source": [], "n_ids": [],
+                "decoded": [], "lossless": [],
+            }
+            for doc_id, source, text, ids in zip(
+                batch[id_col], batch[source_col],
+                batch[text_col], batch[ids_col],
+            ):
+                decoded = lossless = None
+                n = 0
+                if ids is not None:
+                    n = len(ids)
+                    decoded = decode_ids(ids, id2tok)
+                    norm = " ".join(
+                        w
+                        for w in re.split(
+                            WHITESPACE_CLASS, fold_case(text)
+                        )
+                        if w
+                    )
+                    lossless = decoded == norm
+                out["doc_id"].append(doc_id)
+                out["source"].append(source)
+                out["n_ids"].append(n)
+                out["decoded"].append(decoded)
+                out["lossless"].append(lossless)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
 TRAIN_SCHEMA = T.StructType(
     [
         T.StructField("rnk", T.IntegerType(), False),

@@ -109,6 +109,15 @@ def pack_counts(
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # pack_counts is generic over group_col: a float/datetime group
+        # column delivers missing keys as NaN/NaT, and NaN != NaN would
+        # make the group-reset branch fire on EVERY row of the missing
+        # group (sequence counter reset per row — silent mis-packing).
+        # Normalize missing to None, which compares stably under `!=`
+        # (round-10 ADVICE; string sources deliver None already).
+        if pdf[group_col].dtype.kind in "fcMm":
+            gcol = pdf[group_col]
+            pdf[group_col] = gcol.astype(object).where(gcol.notna(), None)
         pdf = pdf.sort_values([group_col, id_col], kind="mergesort")
         seq_ids = []
         # unique sentinel, NOT None: Arrow delivers NULL group keys as

@@ -33,6 +33,7 @@ Each entry's `ref` cites the reference behavior it generalizes
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -13273,15 +13274,31 @@ def _bpe_train_sql(n_merges: int) -> str:
 
 
 # Trained tables are KB-sized driver model state (the k1/x27 pattern),
-# deterministic per sf dir — memoized so the six downstream registry
+# deterministic per corpus — memoized so the six downstream registry
 # entries (x35/x36/x37/x39/x40/x41) train once per process, not once
-# per query. Keyed on the sf path: registry fns always read documents
-# from that path, so equal keys imply equal corpora.
+# per query. Keyed on the NORMALIZED documents path plus a cheap corpus
+# fingerprint (file sizes + mtimes), so a rewritten corpus at the same
+# path retrains instead of silently serving the stale table, and
+# "sf0.01" vs its absolute spelling can't train twice (round-10 ADVICE).
 _TRAIN_MEMO: dict = {}
 
 
+def _corpus_fingerprint(path: str) -> tuple:
+    """(size, mtime_ns) of every file under the documents parquet path."""
+    p = os.path.abspath(path)
+    if os.path.isdir(p):
+        sig = []
+        for root, _dirs, files in os.walk(p):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                sig.append((f, st.st_size, st.st_mtime_ns))
+        return (p, tuple(sig))
+    st = os.stat(p)
+    return (p, st.st_size, st.st_mtime_ns)
+
+
 def _trained_merges(spark, sf):
-    key = str(sf)
+    key = _corpus_fingerprint(os.path.join(str(sf), "documents.parquet"))
     rows = _TRAIN_MEMO.get(key)
     if rows is None:
         rows = BP.bpe_train(_t(spark, sf, "documents"), N_TRAIN_MERGES)
@@ -13587,6 +13604,68 @@ _X41_SQL_TMPL = _X35_SQL_CORE + """
 def x41_bpe_vocab(spark, sf):
     merges = BP.trained_merge_table(_trained_merges(spark, sf))
     return BP.bpe_vocab(_t(spark, sf, "documents"), merges)
+
+
+# x43's oracle STATES THE DEFINITION (the m18/j10 pattern): decoding a
+# BPE id sequence through the inverted vocab must reproduce the
+# whitespace-normalized case-folded source text EXACTLY — merges only
+# ever concatenate, so the token strings of a word concatenate back to
+# the word, and the SPACE_ID separator decodes to the single space the
+# normalization leaves between words. The oracle computes that closed
+# form (plus the id count from the spliced x35 token stats); the
+# engine takes the long way (encode to ids, then decode through ONLY
+# the id→token map) — the exact-value hash match proves the artifact
+# round-trips, which is what an integrity check certifies.
+_X43_SQL_TMPL = _X35_SQL_CORE + r"""
+    , nids AS (
+      SELECT w.doc_id,
+        CAST(SUM(t.n_tokens * w.wn) + SUM(w.wn) - 1 AS BIGINT) AS n_ids
+      FROM dw w JOIN tok t ON t.word = w.word
+      GROUP BY w.doc_id
+    )
+    SELECT d.doc_id, d.source,
+      CAST(CASE WHEN d.text IS NULL THEN 0
+           ELSE COALESCE(n.n_ids, 0) END AS BIGINT) AS n_ids,
+      CASE WHEN d.text IS NULL THEN NULL
+        -- array_to_string of an EMPTY list is NULL in DuckDB
+        -- (string_agg-over-nothing semantics); a zero-word document
+        -- decodes to '' in the engine, so pin the empty case
+        ELSE COALESCE(array_to_string(
+          list_filter(
+            string_split_regex(
+              translate(d.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                'abcdefghijklmnopqrstuvwxyz'),
+              '[ \t\n\f\r]+'),
+            w -> w <> ''),
+          ' '), '') END AS decoded,
+      CASE WHEN d.text IS NULL THEN NULL ELSE TRUE END AS lossless
+    FROM documents d
+    LEFT JOIN nids n ON n.doc_id = d.doc_id
+"""
+
+
+@q(
+    "x43_bpe_detokenize",
+    sql=_X43_SQL_TMPL.format(train=QUERIES["x42_bpe_train"].sql),
+    ref="LLM-ops: tokenizer ROUND-TRIP — decode the tokenized-corpus "
+    "artifact (per-doc id sequences from x35's encode, words separated "
+    "by the space codepoint) back to text through ONLY the inverted "
+    "vocab (id→token; operators/bpe.py decode_ids), and certify per-"
+    "doc losslessness against the whitespace-normalized case-folded "
+    "source — the artifact-integrity check a pipeline runs before "
+    "shipping a tokenized corpus. Closes the family: train (x42) -> "
+    "encode (x35) -> artifacts (x41) -> consumers (x36-x40) -> "
+    "round-trip (x43). The decoder never sees merge ranks",
+    scale="two chained row-local mapInPandas stages (encode, then "
+    "decode+verify) with KB closure state — ZERO exchanges end-to-end "
+    "beyond x42's vocab-sized training aggs; per-doc verdicts, so a "
+    "100 TB corpus checks in one map-only pass and the failure set "
+    "(lossless = false) is what reaches any downstream agg",
+)
+def x43_bpe_detokenize(spark, sf):
+    merges = BP.trained_merge_table(_trained_merges(spark, sf))
+    encoded = BP.bpe_encode_ids(_t(spark, sf, "documents"), merges)
+    return BP.bpe_decode_check(encoded, BP.id_to_token_map(merges))
 
 
 _X40_SQL_TMPL = """

@@ -75,3 +75,35 @@ def test_overlong_doc_gets_own_sequence(spark):
         for r in pack_sequences(df, capacity=100).collect()
     }
     assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_pack_counts_nan_group_key_packs_as_one_group(spark):
+    """Round-10 ADVICE: pack_counts is generic over group_col — a FLOAT
+    group column delivers missing keys to the kernel as NaN, and
+    NaN != NaN would fire the group-reset branch on EVERY row of the
+    missing group (sequence counter stuck at 0, capacity never
+    enforced). The kernel now normalizes missing keys to None before
+    the fold, so the NaN group packs like any other group."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.packing import (
+        pack_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None, 6), (1, None, 6), (2, None, 6), (3, 1.5, 6)],
+        "doc_id long, grp double, n int",
+    )
+    out = {
+        r.doc_id: (r.grp, r.seq_id)
+        for r in pack_counts(
+            df, capacity=10, group_col="grp", id_col="doc_id",
+            count_col="n",
+        ).collect()
+    }
+    assert len(out) == 4
+    # the NULL group is ONE group under the greedy rule: 6, then 6
+    # overflows (6+6>10) into seq 1, then seq 2 — the pre-fix kernel
+    # reset per row and left every NULL doc at seq 0
+    assert out[0] == (None, 0)
+    assert out[1] == (None, 1)
+    assert out[2] == (None, 2)
+    assert out[3] == (1.5, 0)
