@@ -243,6 +243,23 @@ def nibble_value(hex_col_name: str, pos: int) -> Column:
     )
 
 
+def sql_md5_int(hex_col_name: str, nibbles: int = 6) -> str:
+    """SQL fragment mapping an md5 hex column's leading ``nibbles`` chars
+    to a uniform BIGINT in [0, 16^nibbles) — the integer twin of
+    :func:`sql_md5_fraction` for deterministic modular draws (e.g.
+    split-point selection), where integer ``%`` keeps the arithmetic
+    exact in both engines instead of trusting float floor/mod.
+    Portable: ``instr`` over the hex alphabet, identical in Spark SQL
+    and DuckDB; embed the SAME string in engine (``F.expr``) and
+    oracle."""
+    terms = [
+        f"(instr('0123456789abcdef', substring({hex_col_name}, {i + 1}, 1))"
+        f" - 1) * {16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    ]
+    return f"CAST(({' + '.join(terms)}) AS BIGINT)"
+
+
 def sql_md5_fraction(hex_col_name: str, nibbles: int = 6) -> str:
     """SQL fragment mapping an md5 hex column's leading ``nibbles`` chars
     to a uniform double in [0, 1).

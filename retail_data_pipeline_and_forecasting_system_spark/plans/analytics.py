@@ -13668,6 +13668,233 @@ def x43_bpe_detokenize(spark, sf):
     return BP.bpe_decode_check(encoded, BP.id_to_token_map(merges))
 
 
+# x44: context-window chunking in TOKEN space with overlap stride — the
+# "return_overflowing_tokens" op (HF tokenizers): every doc yields
+# ceil-spaced windows of at most WINDOW tokens starting every STRIDE,
+# the last window being the first whose end reaches the doc's end.
+# x10 is the pre-tokenization CHARACTER-space chunker; this is its
+# true-token-budget twin over x35's counts.
+_X44_WINDOW, _X44_STRIDE = 128, 96
+
+_X44_SQL_TMPL = """
+    WITH RECURSIVE x35 AS ( {x35} ),
+    k AS (
+      -- IEEE double division then ceil: correctly rounded identically
+      -- in both engines for these magnitudes (n << 2^53)
+      SELECT doc_id, source, n_tokens,
+        1 + CAST(ceil(CAST(greatest(n_tokens - {w}, 0) AS DOUBLE)
+                      / {s}) AS BIGINT) AS n_windows
+      FROM x35 WHERE n_tokens > 0
+    )
+    SELECT doc_id, source,
+      CAST(t.w AS INT) AS window_id,
+      CAST(t.w * {s} AS BIGINT) AS win_start,
+      CAST(least({w}, n_tokens - t.w * {s}) AS BIGINT) AS win_len
+    FROM k, unnest(range(0, n_windows)) AS t(w)
+"""
+
+
+@q(
+    "x44_token_windows",
+    sql=_X44_SQL_TMPL.format(
+        x35=QUERIES["x35_bpe_encode"].sql, w=_X44_WINDOW, s=_X44_STRIDE
+    ),
+    ref="LLM-ops: overflow-stride context windows in TRUE token space "
+    "(window 128, stride 96 — HF return_overflowing_tokens semantics: "
+    "windows start every stride; the first window whose end reaches "
+    "the document's end is the last, so every token lands in at least "
+    "one window and long docs overlap by window-stride). Built on "
+    "x35's trained-tokenizer counts; x10 is the character-space "
+    "pre-tokenization twin. Zero-token docs yield zero windows",
+    scale="row-local sequence+explode over x35's zero-shuffle doc-"
+    "grain stats — no exchange anywhere; output is a predictable "
+    "n/stride multiple of the input so downstream sizing holds, and "
+    "window GENERATION never materializes token ids (windows carry "
+    "offsets; the id slices are cut where they're consumed)",
+)
+def x44_token_windows(spark, sf):
+    w, s = _X44_WINDOW, _X44_STRIDE
+    stats = QUERIES["x35_bpe_encode"].fn(spark, sf).filter(
+        F.col("n_tokens") > 0
+    )
+    k = stats.withColumn(
+        "n_windows",
+        F.lit(1)
+        + F.ceil(
+            F.greatest(F.col("n_tokens") - w, F.lit(0)).cast("double") / s
+        ).cast("bigint"),
+    )
+    return k.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("n_windows") - 1)
+        ).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("w").cast("int").alias("window_id"),
+        (F.col("w") * s).cast("bigint").alias("win_start"),
+        F.least(F.lit(w).cast("bigint"), F.col("n_tokens") - F.col("w") * s)
+        .cast("bigint")
+        .alias("win_len"),
+    )
+
+
+# x45: the block-diagonal attention layout for packed sequences — for
+# every (source, seq_id) pack from x36, each member doc's token span
+# (start offset, length) inside the packed sequence. This is the
+# companion artifact packing REQUIRES for correct training: without
+# per-doc spans, attention bleeds across document boundaries inside a
+# pack (the "attention mask / position-ids reset" table).
+_X45_SQL_TMPL = """
+    WITH RECURSIVE x36 AS ( {x36} )
+    SELECT source, CAST(seq_id AS INT) AS seq_id, doc_id,
+      CAST(SUM(n_tokens) OVER (
+        PARTITION BY source, seq_id ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) - n_tokens AS BIGINT) AS span_start,
+      CAST(n_tokens AS BIGINT) AS span_len
+    FROM x36
+"""
+
+
+@q(
+    "x45_pack_attention_spans",
+    sql=_X45_SQL_TMPL.format(x36=QUERIES["x36_bpe_sequence_pack"].sql),
+    ref="LLM-ops: per-document token spans inside each packed sequence "
+    "(block-diagonal attention / position-id reset table) — running "
+    "offset of every doc within its (source, seq_id) pack from x36, "
+    "in the packer's own doc_id order. The artifact a packed-corpus "
+    "loader ships so attention cannot bleed across document "
+    "boundaries inside a pack",
+    scale="ONE window exchange on (source, seq_id) — pack-sized "
+    "partitions by construction (a pack holds <= capacity tokens), so "
+    "the window never sees a hot key; everything upstream is x36's "
+    "bucketed fold and x35's zero-shuffle encode",
+)
+def x45_pack_attention_spans(spark, sf):
+    packed = QUERIES["x36_bpe_sequence_pack"].fn(spark, sf)
+    win = (
+        W.partitionBy("source", "seq_id")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return packed.select(
+        "source",
+        F.col("seq_id").cast("int").alias("seq_id"),
+        "doc_id",
+        (F.sum("n_tokens").over(win) - F.col("n_tokens"))
+        .cast("bigint")
+        .alias("span_start"),
+        F.col("n_tokens").cast("bigint").alias("span_len"),
+    )
+
+
+# x46: fill-in-middle (Bavarian et al. 2022 "Efficient Training of
+# Language Models to Fill in the Middle") — PSM reordering with
+# DETERMINISTIC split points (md5 modular draws, the smp4 pattern), so
+# the transform is reproducible at any parallelism and exactly
+# oracle-checkable. Docs shorter than 3 chars (or NULL) pass through
+# unchanged: no valid (prefix, middle, suffix) split exists.
+def _x46_sql() -> str:
+    from ..functions import sql_md5_int
+
+    h1 = sql_md5_int("__h1", 6)
+    h2 = sql_md5_int("__h2", 6)
+    return f"""
+    WITH h AS (
+      SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n,
+        md5(CAST(doc_id AS VARCHAR) || ':fim1') AS __h1,
+        md5(CAST(doc_id AS VARCHAR) || ':fim2') AS __h2
+      FROM documents
+    ), c1 AS (
+      SELECT doc_id, source, text, n, __h2,
+        CASE WHEN n >= 3 THEN 1 + {h1} % (n - 2) END AS p1
+      FROM h
+    ), c2 AS (
+      SELECT doc_id, source, text, n, p1,
+        CASE WHEN n >= 3 THEN p1 + 1 + {h2} % (n - p1 - 1) END AS p2
+      FROM c1
+    )
+    SELECT doc_id, source,
+      CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+      CASE WHEN p1 IS NULL THEN text
+        ELSE '<PRE>' || substring(text, 1, p1)
+          || '<SUF>' || substring(text, p2 + 1, n - p2)
+          || '<MID>' || substring(text, p1 + 1, p2 - p1)
+      END AS fim_text
+    FROM c2
+    """
+
+
+@q(
+    "x46_fim_transform",
+    sql=_x46_sql(),
+    ref="LLM-ops: fill-in-middle transform (Bavarian et al. 2022) — "
+    "split each document at two deterministic points (1 <= p1 < p2 "
+    "<= len-1, md5 modular draws keyed on doc_id) and reorder to "
+    "prefix-suffix-middle with sentinel markers, the data "
+    "augmentation code models train on for infilling. Deterministic "
+    "split = reproducible corpus at any parallelism; sub-3-char and "
+    "NULL docs pass through unchanged",
+    scale="pure row-local JVM expressions (md5 + integer mod + three "
+    "substrings) — zero shuffle, zero Python, whole-stage-codegen "
+    "end to end; the md5 draw replaces RNG state so re-running any "
+    "partition (speculative retry, AQE re-plan) yields byte-identical "
+    "output",
+)
+def x46_fim_transform(spark, sf):
+    from ..functions import sql_md5_int
+
+    docs = _t(spark, sf, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.length("text").cast("bigint").alias("n"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":fim1")))
+        .alias("__h1"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":fim2")))
+        .alias("__h2"),
+    )
+    c1 = h.withColumn(
+        "p1",
+        F.when(
+            F.col("n") >= 3,
+            F.lit(1) + F.expr(sql_md5_int("__h1")) % (F.col("n") - 2),
+        ),
+    )
+    c2 = c1.withColumn(
+        "p2",
+        F.when(
+            F.col("n") >= 3,
+            F.col("p1")
+            + 1
+            + F.expr(sql_md5_int("__h2")) % (F.col("n") - F.col("p1") - 1),
+        ),
+    )
+    return c2.select(
+        "doc_id",
+        "source",
+        F.col("p1").cast("bigint").alias("p1"),
+        F.col("p2").cast("bigint").alias("p2"),
+        F.when(F.col("p1").isNull(), F.col("text"))
+        .otherwise(
+            F.concat(
+                F.lit("<PRE>"),
+                F.expr("substring(text, 1, p1)"),
+                F.lit("<SUF>"),
+                F.expr("substring(text, p2 + 1, n - p2)"),
+                F.lit("<MID>"),
+                F.expr("substring(text, p1 + 1, p2 - p1)"),
+            )
+        )
+        .alias("fim_text"),
+    )
+
+
 _X40_SQL_TMPL = """
     WITH RECURSIVE x36 AS ( {x36} ),
     seqs AS (
