@@ -13846,9 +13846,15 @@ def _x46_sql() -> str:
     "output",
 )
 def x46_fim_transform(spark, sf):
+    return fim_transform(_t(spark, sf, "documents"))
+
+
+def fim_transform(docs: DataFrame) -> DataFrame:
+    """Frame-level FIM transform (see x46) — stateless row-local
+    expressions, so it runs UNCHANGED on a streaming DataFrame
+    (streaming parity test-pinned)."""
     from ..functions import sql_md5_int
 
-    docs = _t(spark, sf, "documents")
     h = docs.select(
         "doc_id",
         "source",

@@ -272,3 +272,45 @@ def test_x46_plan_row_local_codegen(spark, tmp_path):
     # formatted explain marks codegen membership per node, not with a
     # WholeStageCodegen wrapper line
     assert "[codegen id : 1]" in plan, plan
+
+
+def test_x46_runs_under_structured_streaming(spark, tmp_path):
+    """The FIM transform is stateless row-local expressions, so it
+    runs UNCHANGED on a streaming DataFrame — readStream over the same
+    docs yields exactly the batch result (deterministic md5 splits, no
+    RNG state to diverge per trigger)."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+        fim_transform,
+    )
+
+    rows = [(i, "s", f"document number {i} with some text") for i in range(30)]
+    rows += [(100, None, "ab"), (101, "t", None)]
+    in_dir = tmp_path / "in"
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(str(in_dir))
+
+    batch = {
+        r.doc_id: (r.p1, r.p2, r.fim_text)
+        for r in fim_transform(spark.read.parquet(str(in_dir))).collect()
+    }
+
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string"
+    ).parquet(str(in_dir))
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        fim_transform(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r.doc_id: (r.p1, r.p2, r.fim_text)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed == batch and len(batch) == 32
