@@ -9252,6 +9252,85 @@ def n13_nn_descent_graph(spark, sf):
     )
 
 
+def _n15_sql() -> str:
+    """Unrolled greedy-walk oracle over n13's spliced graph (the n13
+    unroll style: fixed steps, one candidate/argmax/merge CTE block per
+    step — windows are fine in plain CTEs where a recursive term would
+    forbid them)."""
+    g = QUERIES["n13_nn_descent_graph"].sql
+    blocks = [f"""
+    WITH g AS ( {g} ),
+    und AS (
+      SELECT src, dst FROM g UNION SELECT dst AS src, src AS dst FROM g
+    ),
+    vecs AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 20
+    ),
+    entry AS (SELECT min(id) AS eid FROM vecs),
+    s0 AS (
+      SELECT q.query_id, q.qv, e.eid AS cur_id,
+        {_sql_cosine('q.qv', 'v.vec')} AS cur_sim, 0 AS n_steps
+      FROM q, entry e JOIN vecs v ON v.id = e.eid
+    )"""]
+    for k in range(1, 5):
+        blocks.append(f""",
+    c{k} AS (
+      SELECT s.query_id, u.dst, {_sql_cosine('s.qv', 'v.vec')} AS sim
+      FROM s{k - 1} s JOIN und u ON u.src = s.cur_id
+      JOIN vecs v ON v.id = u.dst
+    ),
+    b{k} AS (
+      SELECT query_id, dst, sim FROM (
+        SELECT query_id, dst, sim,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, dst) AS rnk
+        FROM c{k}) WHERE rnk = 1
+    ),
+    s{k} AS (
+      SELECT s.query_id, s.qv,
+        CASE WHEN b.sim > s.cur_sim THEN b.dst ELSE s.cur_id END AS cur_id,
+        CASE WHEN b.sim > s.cur_sim THEN b.sim ELSE s.cur_sim END
+          AS cur_sim,
+        s.n_steps + CASE WHEN b.sim > s.cur_sim THEN 1 ELSE 0 END
+          AS n_steps
+      FROM s{k - 1} s LEFT JOIN b{k} b USING (query_id)
+    )""")
+    blocks.append("""
+    SELECT query_id, cur_id AS found_id, cur_sim AS found_sim,
+      CAST(n_steps AS INT) AS n_steps
+    FROM s4
+    """)
+    return "".join(blocks)
+
+
+@q(
+    "n15_graph_greedy_search",
+    sql=_n15_sql(),
+    ref="LLM-ops: graph-ANN SERVING — greedy best-first walk per query "
+    "over n13's NN-Descent kNN graph (the HNSW/NSG search phase, "
+    "Malkov & Yashunin 2018, beam width 1 on a flat graph): start at "
+    "the corpus's min-id entry point, move to the neighbor closest to "
+    "the query while that strictly improves, stop at a local optimum "
+    "or after 4 moves; searched undirected (back-links). n_steps < 4 "
+    "certifies convergence, not budget exhaustion (operators/"
+    "similarity.py graph_greedy_search). Completes the ANN family's "
+    "graph branch: build (n13) -> search (n15)",
+    scale="walk state is ONE query-sized row (ids + query vector + "
+    "sim) — each step broadcasts the state against the id-partitioned "
+    "graph and vector tables, so corpus vectors never re-shuffle and "
+    "cost per step is |Q| x degree, independent of corpus size; the "
+    "graph is built once and amortized over every query batch",
+)
+def n15_graph_greedy_search(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    graph = SIM.nn_descent(emb, k=4, iters=2, n_bits=8)
+    return SIM.graph_greedy_search(
+        emb.filter(F.col("vec_id") < 20), emb, graph, steps=4
+    )
+
+
 @q(
     "x32_training_shards",
     sql="""
@@ -14097,38 +14176,37 @@ del _n, _s
 
 
 _DRIVER_SAMPLE = [
-    # never-driver-verified (1): the round-10 registration — TRUE
-    # iterative BPE training (VERDICT r9 Next #1)
-    "x42_bpe_train",
-    # riders (7) for round-10 code changes: the x35 family now encodes
-    # with x42's TRAINED merge table (oracles re-spliced through the
-    # per-iteration trainer SQL — x36/x37/x39/x40 embed x35's text, so
-    # every one changed), and x15 rides the pack-kernel NULL-group
-    # sentinel fix (round-9 ADVICE medium)
-    "x35_bpe_encode", "x36_bpe_sequence_pack", "x37_bpe_mixture_weights",
-    "x39_bpe_compression", "x40_packing_efficiency", "x41_bpe_vocab",
-    "x15_sequence_pack",
+    # never-driver-verified (5): the round-11 registrations — the
+    # tokenizer round-trip (VERDICT r10 Next #4), three training-data
+    # breadth ops, and the graph-ANN search phase
+    "x43_bpe_detokenize", "x44_token_windows", "x45_pack_attention_spans",
+    "x46_fim_transform", "n15_graph_greedy_search",
+    # riders (8) for round-11 code changes: the whole trained-table
+    # family rides the _TRAIN_MEMO re-keying (abspath + corpus
+    # fingerprint — round-10 ADVICE), and x15/x36 additionally ride the
+    # pack_counts NaN-group normalization
+    "x42_bpe_train", "x35_bpe_encode", "x36_bpe_sequence_pack",
+    "x37_bpe_mixture_weights", "x39_bpe_compression",
+    "x40_packing_efficiency", "x41_bpe_vocab", "x15_sequence_pack",
     # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",
-    # refresh: the ENTIRE 24-entry r04-latest cohort — the oldest
+    # refresh: the ENTIRE 21-entry r05-latest cohort — the oldest
     # driver evidence in the registry; after this window no entry's
-    # latest driver row predates r05 (VERDICT r9 Next #2)
-    "na2_outlier_clip", "ops4_snapshot_diff", "pr1_copurchase_pagerank",
-    "pr2_copurchase_triangles", "pr3_hits_authorities", "skw2_salted_agg",
-    "smp3_mixture_weights", "smp4_weighted_sample",
-    "smp5_temperature_mixture", "smp6_balanced_classes",
-    "u6_union_schema_drift", "u7_bag_setops", "w8_running_distinct",
-    "x14_pii_mask", "x16_bm25", "x17_unigram_lm",
-    "x18_boilerplate_ngrams", "x19_bigram_lm", "x20_dup_rate_by_source",
-    "x21_contamination_by_source", "x22_vocab_coverage",
-    "x23_source_drift", "x8_edit_distance", "z1_zorder_key",
-    # refresh fill to 50: first 13 of the 34-entry r05-latest cohort,
-    # alphabetical (d6 onward queue for round 11; a2/a3 land here)
-    "a2_daily_summary", "a3_global_agg", "d6_embedding_neardup",
-    "e2_sessionize", "f7_explode_tokens", "f_map_pack", "f_scalar_pack",
-    "h2_gap_fill", "h3_ewma", "j1_join_inner_broadcast", "j2_join_left",
-    "j3_join_semi", "j4_join_anti",
+    # latest driver row predates r06 (VERDICT r10 Next #3)
+    "j5_join_multiway", "m9_seasonal_decompose", "n7_knn_join",
+    "n8_ann_multiprobe", "n9_knn_join_ivf", "ops5_compaction_plan",
+    "p1_filter_null", "p2_filter_compare", "p7_derived_date",
+    "p8_arith_column", "s1_scan_projection", "sq2_relational_division",
+    "t1_topk", "u1_union", "u2_intersect", "u3_except", "w1_running_sum",
+    "w2_rank_topn", "w9_rolling_median", "x24_gopher_gate",
+    "x26_ngram_repetition",
+    # refresh fill to 50: first 11 of the 44-entry r06-latest cohort,
+    # alphabetical (h4 reached; k1 onward queue for round 12)
+    "a10_profile", "a11_collect_agg", "a12_argmax", "a4_approx_distinct",
+    "d14_semantic_dedup", "d15_incremental_semantic", "d16_segment_dedup",
+    "d5_simhash_pairs", "e3_tumbling_window", "e5_retention_cohort",
+    "h4_downsample_ltob",
 ]
 
 

@@ -314,3 +314,74 @@ def test_x46_runs_under_structured_streaming(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert streamed == batch and len(batch) == 32
+
+
+# --------------------------------------------------------------- n15
+
+
+def test_n15_greedy_walk_hand_graph(spark):
+    """Hand-built graph and vectors: the walk must follow the strictly
+    improving chain 0 -> 2 -> 5 for a query at vec 5 (2 moves), stay
+    put when the entry is already a local optimum (0 moves), and break
+    equal-similarity ties to the LOWEST dst id."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        graph_greedy_search,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.8, 0.6]),          # off-path distractor
+            (2, [0.6, 0.8]),          # first hop toward the target
+            (5, [0.0, 1.0]),          # the target
+            (7, [0.0, 1.0]),          # duplicate of 5: tie at the end
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    graph = spark.createDataFrame(
+        [(0, 1), (0, 2), (2, 5), (5, 7)], "src long, dst long"
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.0, 1.0]), (200, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.query_id: (r.found_id, round(r.found_sim, 9), r.n_steps)
+        for r in graph_greedy_search(
+            queries, vecs, graph, steps=4
+        ).collect()
+    }
+    # query 100: entry 0 (sim 0) -> best neighbor 2 (0.8) -> 5 (1.0);
+    # 7 ties 5 at sim 1.0 but 5 stays (strict > only) — 2 moves
+    assert got[100] == (5, 1.0, 2)
+    # query 200: entry 0 IS the optimum (sim 1.0) — zero moves
+    assert got[200] == (0, 1.0, 0)
+
+
+def test_n15_tie_breaks_to_lowest_dst(spark):
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (
+        graph_greedy_search,
+    )
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    graph = spark.createDataFrame([(0, 4), (0, 3)], "src long, dst long")
+    queries = spark.createDataFrame(
+        [(9, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    rows = graph_greedy_search(queries, vecs, graph, steps=4).collect()
+    assert rows[0].found_id == 3 and rows[0].n_steps == 1
+
+
+def test_n15_registry_runs_and_converges(spark):
+    """On real testdata the walk must terminate with n_steps <= 4 and
+    found_sim at least the entry similarity for every query."""
+    rows = QUERIES["n15_graph_greedy_search"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and len(rows) == len({r.query_id for r in rows})
+    for r in rows:
+        assert 0 <= r.n_steps <= 4
+        assert r.found_sim is None or -1.0 - 1e-9 <= r.found_sim <= 1.0 + 1e-9
