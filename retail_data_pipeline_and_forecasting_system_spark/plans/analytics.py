@@ -14089,6 +14089,136 @@ def x37_bpe_mixture_weights(spark, sf):
     )
 
 
+# C4-style blocklist policy (Raffel et al. 2020 §2.2, the "List of
+# Dirty, Naughty, Obscene..." word filter): a doc is dropped when ANY
+# whole token matches the blocklist, or when it is too short to be a
+# real document. Whole-token match, not substring — "dup" must not
+# condemn "duplicate". The banned terms below stand in for the policy
+# list on the synthetic corpus ("dup" hits ~5% of docs; the other two
+# exercise the no-hit path end to end).
+BLOCKLIST_TERMS = ["dup", "lorem", "spam"]
+MIN_POLICY_TOKENS = 5
+
+_X47_SQL = f"""
+    SELECT doc_id, source,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      list_min(list_intersect(string_split(text, ' '),
+        [{', '.join(repr(t) for t in BLOCKLIST_TERMS)}])) AS banned_hit,
+      (list_min(list_intersect(string_split(text, ' '),
+        [{', '.join(repr(t) for t in BLOCKLIST_TERMS)}])) IS NULL
+       AND len(string_split(text, ' ')) >= {MIN_POLICY_TOKENS}) AS kept
+    FROM documents
+"""
+
+
+@q(
+    "x47_blocklist_policy",
+    sql=_X47_SQL,
+    ref="LLM-ops: C4-style blocklist document filter (Raffel et al. "
+    "2020 'Exploring the Limits of Transfer Learning', C4 cleaning "
+    "policy): drop a doc if any WHOLE token is on the banned-word list "
+    "or the doc is shorter than the minimum-length gate. Per-doc "
+    "verdict table with the deterministic (lexicographically smallest) "
+    "matching banned term, so a curation audit can see WHY each doc "
+    "was dropped — the policy sibling of x24's statistical gopher gate",
+    scale="pure row-local map: split + array_intersect against a "
+    "plan-literal list (no join, no broadcast variable, no shuffle); "
+    "at 100 TB this pipelines with the parquet scan and the projection "
+    "is pruned to (doc_id, source, text). A real 10k-term blocklist "
+    "swaps the literal array for a broadcast hash set inside the same "
+    "row-local expression; matching stays whole-token either way",
+)
+def x47_blocklist_policy(spark, sf):
+    toks = F.split(F.col("text"), " ")
+    banned = F.array_min(
+        F.array_intersect(toks, F.array(*[F.lit(t) for t in BLOCKLIST_TERMS]))
+    )
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        banned.alias("banned_hit"),
+        (banned.isNull() & (F.size(toks) >= MIN_POLICY_TOKENS)).alias("kept"),
+    )
+
+
+# k-anonymity (Sweeney 2002): an equivalence class is every distinct
+# combination of the quasi-identifiers; a class smaller than K re-
+# identifies its members. gen_k prices the standard fix — generalize
+# the most granular QI away (drop the balance band) — so the audit
+# reports both the violation AND whether one generalization step heals
+# it. Null-safe joins: a NULL QI value is itself an equivalence class.
+K_ANONYMITY = 10
+
+_X48_SQL = f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        CAST(count(*) AS BIGINT) AS k
+      FROM customer GROUP BY 1, 2, 3
+    ), gen AS (
+      SELECT c_nationkey, c_mktsegment, CAST(SUM(k) AS BIGINT) AS gen_k
+      FROM cls GROUP BY 1, 2
+    )
+    SELECT cls.c_nationkey, cls.c_mktsegment, cls.bal_band, cls.k,
+      gen.gen_k,
+      cls.k >= {K_ANONYMITY} AS anonymous,
+      gen.gen_k >= {K_ANONYMITY} AS generalize_ok
+    FROM cls JOIN gen
+      ON cls.c_nationkey IS NOT DISTINCT FROM gen.c_nationkey
+     AND cls.c_mktsegment IS NOT DISTINCT FROM gen.c_mktsegment
+"""
+
+
+@q(
+    "x48_k_anonymity",
+    sql=_X48_SQL,
+    ref="LLM-ops/privacy: k-anonymity audit over the customer quasi-"
+    "identifiers (nation, market segment, account-balance band) — the "
+    "privacy check a pipeline runs before customer-derived records "
+    "enter a training corpus (Sweeney 2002). Emits every equivalence "
+    "class with its size k, the class size after one generalization "
+    "step (balance band dropped), and both pass/fail verdicts — the "
+    "suppression-vs-generalization decision table. Complements x14's "
+    "per-value PII masking with the structural re-identification check",
+    scale="ONE map-side-combined QI agg over the fact table is the "
+    "only data-proportional shuffle; everything downstream is class-"
+    "sized (bounded by the QI-domain product, not rows). The "
+    "generalized sizes re-aggregate the CLASS table (never the facts) "
+    "and broadcast back — plan-asserted BroadcastHashJoin. Skewed QI "
+    "values are harmless: count aggs pre-combine per partition",
+)
+def x48_k_anonymity(spark, sf):
+    cls = (
+        _t(spark, sf, "customer")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    gen = cls.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("k").cast("bigint").alias("gen_k")
+    )
+    g = F.broadcast(gen).alias("g")
+    c = cls.alias("c")
+    return c.join(
+        g,
+        F.col("c.c_nationkey").eqNullSafe(F.col("g.c_nationkey"))
+        & F.col("c.c_mktsegment").eqNullSafe(F.col("g.c_mktsegment")),
+    ).select(
+        F.col("c.c_nationkey").alias("c_nationkey"),
+        F.col("c.c_mktsegment").alias("c_mktsegment"),
+        "c.bal_band",
+        "c.k",
+        "g.gen_k",
+        (F.col("c.k") >= K_ANONYMITY).alias("anonymous"),
+        (F.col("g.gen_k") >= K_ANONYMITY).alias("generalize_ok"),
+    )
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.
