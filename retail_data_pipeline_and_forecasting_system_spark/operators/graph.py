@@ -99,6 +99,54 @@ def dup_clusters(
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: (node, hops) with hops = exact distance to the
+    NEAREST seed, bounded at ``max_hops``. Unreached nodes are absent.
+
+    ``edges`` is a directed edge list (pass both directions for an
+    undirected graph); ``seeds`` has one ``node`` column. Level-
+    synchronous frontier expansion: each hop is one src-keyed equi-join
+    (frontier × edges) + a distinct + an anti-join against the visited
+    set — all shuffles are FRONTIER-proportional, never
+    graph-proportional, and the layering makes hop counts minimal by
+    construction (a node is claimed by the first wave that reaches it).
+    The driver carries only a per-level emptiness flag; per-level
+    ``localCheckpoint`` truncates the O(levels) lineage (the
+    connected_components pattern).
+
+    At 100 TB: frontier size is bounded by the graph's expansion, not
+    its total size; ``max_hops`` caps the worst case. The visited set
+    union grows once per level and is re-checkpointed with it.
+    """
+    frontier = seeds.select(F.col("node")).distinct().withColumn(
+        "hops", F.lit(0).cast("int")
+    )
+    visited = frontier.localCheckpoint()
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias(src_col)), src_col
+            )
+            .select(F.col(dst_col).alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def triangle_counts(
     pairs: DataFrame,
     a_col: str = "pa",

@@ -858,6 +858,79 @@ def reduce_dims_pca(
     return model, projected
 
 
+def rp_signs(out_dim: int, in_dim: int) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for a JL random projection.
+
+    Same fixed-LCG scheme as :func:`lcg_hyperplanes` (different seed so
+    the two matrices are unrelated): the SAME literal rows are embedded
+    in the Spark expression and the SQL oracle, so the projection is
+    rerun-identical everywhere with no RNG state. ±1 entries are the
+    Achlioptas (2003) database-friendly JL construction — dot products
+    become signed sums, exact in both engines.
+    """
+    out, state = [], 7
+    for _ in range(out_dim):
+        row = []
+        for _ in range(in_dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(1 if ((state >> 16) & 1) == 0 else -1)
+        out.append(row)
+    return out
+
+
+def rp_dot_sql(vec_col: str, row: list[int]) -> str:
+    """Spark-SQL text for one projection coordinate's sequential fold
+    (the DuckDB oracle mirrors it with list_reduce/list_transform —
+    identical left-to-right double adds, so values are bit-exact)."""
+    arr = "array(" + ",".join(str(int(c)) for c in row) + ")"
+    return (
+        f"aggregate(zip_with(`{vec_col}`, {arr}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def signed_random_projection(
+    embeddings: DataFrame,
+    out_dim: int,
+    in_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """JL signed random projection to ``out_dim`` wide double columns
+    ``y0..y{k-1}`` plus ``norm_ratio`` = |y|²/|x|² (the per-vector
+    distortion audit; NULL for the zero vector).
+
+    Each coordinate is dot(x, s_j)/sqrt(k) with s_j the deterministic
+    ±1 row from :func:`rp_signs` — a plan-literal, so the whole
+    operator is one row-local JVM projection over the scan: no shuffle,
+    no broadcast variable, no Python. sqrt(k) is embedded as a Python
+    repr literal so both engines parse the identical double.
+    """
+    signs = rp_signs(out_dim, in_dim)
+    import math
+
+    scale = repr(math.sqrt(out_dim))
+    ys = [
+        F.expr(f"({rp_dot_sql(vec_col, row)}) / {scale}").alias(f"y{j}")
+        for j, row in enumerate(signs)
+    ]
+    proj = embeddings.select(
+        id_col,
+        *ys,
+        dot(vec_col, vec_col).alias("__nx"),
+    )
+    normy = None
+    for j in range(out_dim):
+        term = F.col(f"y{j}") * F.col(f"y{j}")
+        normy = term if normy is None else normy + term
+    return proj.select(
+        id_col,
+        *[f"y{j}" for j in range(out_dim)],
+        (normy / F.nullif(F.col("__nx"), F.lit(0.0))).alias("norm_ratio"),
+    )
+
+
 def lcg_hyperplanes(n_bits: int, dim: int) -> list[list[int]]:
     """Deterministic pseudo-random hyperplanes as small signed integers.
 

@@ -14219,6 +14219,145 @@ def x48_k_anonymity(spark, sf):
     )
 
 
+def _n16_sql(out_dim: int = 16, in_dim: int = 64) -> str:
+    """Oracle for the JL signed random projection: the SAME ±1 literal
+    rows as the engine (rp_signs — fixed LCG, no RNG state), each
+    coordinate a list_reduce sequential fold, so doubles are
+    bit-identical to Spark's aggregate fold (the d6/_sql_dot
+    precedent)."""
+    import math
+
+    from ..operators.similarity import rp_signs
+
+    signs = rp_signs(out_dim, in_dim)
+    scale = repr(math.sqrt(out_dim))
+
+    def fold(row):
+        arr = "[" + ", ".join(str(int(c)) for c in row) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip(embedding, {arr}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            f"(x, y) -> x + y)"
+        )
+
+    y_cols = ",\n      ".join(
+        f"({fold(row)}) / {scale} AS y{j}" for j, row in enumerate(signs)
+    )
+    normy = " + ".join(f"y{j} * y{j}" for j in range(out_dim))
+    return f"""
+    WITH proj AS (
+      SELECT vec_id, embedding,
+      {y_cols}
+      FROM embeddings
+    )
+    SELECT vec_id, {', '.join(f'y{j}' for j in range(out_dim))},
+      ({normy}) / nullif({_sql_dot('embedding', 'embedding')}, 0.0)
+        AS norm_ratio
+    FROM proj
+    """
+
+
+@q(
+    "n16_random_projection",
+    sql=_n16_sql(16, 64),
+    ref="LLM-ops/ANN: Johnson-Lindenstrauss signed random projection "
+    "(Achlioptas 2003 ±1 construction) of the 64-d embeddings to 16 "
+    "wide double columns, plus the per-vector norm-distortion audit "
+    "|y|^2/|x|^2 — the dimensionality-reduction front end that shrinks "
+    "every downstream ANN shuffle 4x before any pair is scored. "
+    "Deterministic plan-literal sign matrix (fixed LCG, rp_signs), so "
+    "the projection is rerun-identical at any parallelism with no "
+    "fitted-model state (contrast reduce_dims_pca, which must train)",
+    scale="pure row-local JVM projection over the scan — no shuffle, "
+    "no broadcast, no Python; at 100 TB it pipelines with the parquet "
+    "read and cuts the bytes every downstream exchange moves by "
+    "in_dim/out_dim. The sign matrix lives in the PLAN (k*d small "
+    "ints), never in data",
+)
+def n16_random_projection(spark, sf):
+    return SIM.signed_random_projection(
+        _t(spark, sf, "embeddings"), out_dim=16, in_dim=64
+    )
+
+
+_PR6_SQL = """
+    WITH RECURSIVE lp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs
+    ), seeds AS (
+      SELECT DISTINCT src AS node FROM edges ORDER BY node LIMIT 3
+    ), walk AS (
+      SELECT node, 0 AS hops FROM seeds
+      UNION
+      SELECT e.dst AS node, w.hops + 1 AS hops
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hops < 4
+    )
+    SELECT node AS l_partkey, CAST(MIN(hops) AS INT) AS hops
+    FROM walk GROUP BY node
+"""
+
+
+@q(
+    "pr6_shortest_paths",
+    sql=_PR6_SQL,
+    ref="LLM-ops/graph: multi-source BFS shortest paths over the part "
+    "co-purchase graph — exact hop distance from the 3 lowest-id seed "
+    "parts to every part within 4 hops ('how far is each product from "
+    "the anchor assortment'). Completes the iterative-graph family: "
+    "d8 groups (components), pr1 ranks (PageRank), pr6 MEASURES "
+    "(distances). Oracle is a bounded-depth recursive CTE whose UNION "
+    "dedup + MIN(hops) restates the level-synchronous frontier walk",
+    scale="level-synchronous frontier expansion (operators/graph.py "
+    "bfs_hops): each hop is one src-keyed equi-join + distinct + "
+    "anti-join, ALL frontier-proportional — never graph-proportional; "
+    "per-level localCheckpoint bounds lineage (the n15 lesson); the "
+    "edge frame is persist_tracked so the co-purchase self-join is "
+    "paid once, not once per level; max_hops caps the worst case",
+)
+def pr6_shortest_paths(spark, sf):
+    from ..operators.graph import bfs_hops
+
+    lp = (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+        .join(
+            lp.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
+            ),
+            "o",
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    edges = _persist_tracked(
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(3)
+    )
+    return bfs_hops(edges, seeds, max_hops=4).select(
+        F.col("node").alias("l_partkey"), F.col("hops").cast("int").alias("hops")
+    )
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.

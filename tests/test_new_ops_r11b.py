@@ -207,3 +207,152 @@ def test_x48_plan_broadcast_gen_join(spark):
     assert "SortMergeJoin" not in plan
     # the only fact-proportional exchange is the QI agg's
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------- n16
+
+
+def _staged_embeddings(spark, tmp_path, rows, dim):
+    d = tmp_path / "sfe"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, f"vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_n16_basis_vectors_hand_math(spark, tmp_path):
+    """Projecting the i-th basis vector must yield exactly
+    s_j[i]/sqrt(k) in coordinate j (the sign matrix column), and the
+    zero vector must project to all-zeros with a NULL norm_ratio."""
+    import math
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.similarity import (  # noqa: E501
+        rp_signs,
+        signed_random_projection,
+    )
+
+    dim, k = 8, 4
+    signs = rp_signs(k, dim)
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(dim)], 0)
+            for i in range(dim)]
+    rows.append((100, [0.0] * dim, 0))
+    sf = _staged_embeddings(spark, tmp_path, rows, dim)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    got = {
+        r.vec_id: r
+        for r in signed_random_projection(emb, out_dim=k, in_dim=dim)
+        .collect()
+    }
+    root = math.sqrt(k)
+    for i in range(dim):
+        for j in range(k):
+            assert got[i][f"y{j}"] == signs[j][i] / root, (i, j)
+        assert abs(got[i].norm_ratio - 1.0) < 1e-12  # ±1 signs: |y|²=|x|²... per basis vector exactly k*(1/k)=1
+    z = got[100]
+    assert all(z[f"y{j}"] == 0.0 for j in range(k))
+    assert z.norm_ratio is None
+
+
+def test_n16_jl_distortion_bounds(spark):
+    """On the real sf0.001 embeddings the per-vector norm distortion
+    must be unbiased and bounded: mean within 10% of 1, every vector
+    within [0.2, 2.6] (k=16 from d=64 — the ratio is ~chi-square_k/k,
+    heavy-tailed at this k; the band is loose but the values are
+    DETERMINISTIC because the matrix is fixed, so drift means breakage)."""
+    rows = (
+        QUERIES["n16_random_projection"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .select("norm_ratio")
+        .collect()
+    )
+    ratios = [r.norm_ratio for r in rows if r.norm_ratio is not None]
+    assert len(ratios) == 500
+    mean = sum(ratios) / len(ratios)
+    assert abs(mean - 1.0) < 0.1, mean
+    assert all(0.2 < r < 2.6 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_n16_plan_row_local(spark):
+    plan = _plan(
+        QUERIES["n16_random_projection"].fn(spark, "/root/testdata/sf0.001")
+    )
+    assert "Exchange" not in plan, plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------- pr6
+
+
+def test_pr6_bfs_hand_graph(spark):
+    """Hand graph, distances checked by eye: a chain past the hop cap,
+    a two-seed tie resolved to the minimum, and an unreachable node.
+
+        seeds = {1, 2}
+        1-3, 3-4, 4-5, 5-6, 6-7, 7-8   (chain: 8 is 6 hops from 1)
+        2-4                            (shortcut: 4 is 1 hop from 2)
+        9-10                           (island: never reached)
+    """
+    from retail_data_pipeline_and_forecasting_system_spark.operators.graph import (  # noqa: E501
+        bfs_hops,
+    )
+
+    und = [(1, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8), (2, 4), (9, 10)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+    got = {
+        r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=4).collect()
+    }
+    assert got == {
+        1: 0, 2: 0,          # seeds
+        3: 1, 4: 1,          # 4 via seed 2, not 2 hops via 1-3
+        5: 2, 6: 3, 7: 4,    # chain layers
+        # 8 is 5 hops -> beyond max_hops; 9/10 unreachable
+    }
+
+
+def test_pr6_oracle_agreement_staged(spark, tmp_path):
+    """Cross-engine agreement on a staged lineitem whose co-purchase
+    graph has two components and a diameter beyond the hop cap."""
+    d = tmp_path / "sfl"
+    d.mkdir()
+    # orders as baskets: parts in the same order are linked
+    baskets = [
+        (1, [101, 102]), (2, [102, 103]), (3, [103, 104]),
+        (4, [104, 105]), (5, [105, 106]), (6, [106, 107]),
+        (7, [200, 201]),  # second component, unseeded
+    ]
+    rows = [
+        (ok, p, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01 00:00:00")
+        for ok, parts in baskets
+        for i, p in enumerate(parts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate")).coalesce(
+        1
+    ).write.parquet(str(d / "lineitem.parquet"))
+    sf = str(d)
+    got = sorted(
+        (r.l_partkey, r.hops)
+        for r in QUERIES["pr6_shortest_paths"].fn(spark, sf).collect()
+    )
+    want = sorted(
+        (int(a), int(b))
+        for a, b in _oracle(
+            QUERIES["pr6_shortest_paths"].sql, sf, table="lineitem"
+        ).itertuples(index=False)
+    )
+    assert got == want
+    # seeds are 101,102,103 -> 107 is 4 hops from 103; 200/201 absent
+    d_got = dict(got)
+    assert d_got[101] == 0 and d_got[102] == 0 and d_got[103] == 0
+    assert d_got[104] == 1 and d_got[105] == 2 and d_got[106] == 3
+    assert d_got[107] == 4
+    assert 200 not in d_got and 201 not in d_got
