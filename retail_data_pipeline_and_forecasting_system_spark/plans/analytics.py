@@ -14129,11 +14129,18 @@ _X47_SQL = f"""
     "row-local expression; matching stays whole-token either way",
 )
 def x47_blocklist_policy(spark, sf):
+    return blocklist_policy(_t(spark, sf, "documents"))
+
+
+def blocklist_policy(docs: DataFrame) -> DataFrame:
+    """Frame-level blocklist policy (see x47) — stateless row-local
+    expressions, so it runs UNCHANGED on a streaming DataFrame
+    (streaming parity test-pinned, the fim_transform pattern)."""
     toks = F.split(F.col("text"), " ")
     banned = F.array_min(
         F.array_intersect(toks, F.array(*[F.lit(t) for t in BLOCKLIST_TERMS]))
     )
-    return _t(spark, sf, "documents").select(
+    return docs.select(
         "doc_id",
         "source",
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -14277,6 +14284,231 @@ def _n16_sql(out_dim: int = 16, in_dim: int = 64) -> str:
 def n16_random_projection(spark, sf):
     return SIM.signed_random_projection(
         _t(spark, sf, "embeddings"), out_dim=16, in_dim=64
+    )
+
+
+# Rolling z-score anomaly detection: mean/std come from explicit
+# integer-cents window sums (EXACT bigint at both engines — the a1
+# fixed-point discipline), so the derived doubles are bit-identical
+# cross-engine with no stddev-implementation drift. The trailing frame
+# (14 preceding .. 1 preceding) excludes the current day, so an
+# anomalous day cannot inflate its own baseline.
+_H10_SQL = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY 1
+    ), win AS (
+      SELECT day, revenue_cents,
+        CAST(count(*) OVER w AS INT) AS n_win,
+        SUM(revenue_cents) OVER w AS s,
+        SUM(CAST(revenue_cents AS DECIMAL(19,0))
+            * CAST(revenue_cents AS DECIMAL(19,0))) OVER w AS ss
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, revenue_cents, n_win,
+      CASE WHEN n_win >= 2 THEN
+        (CAST(revenue_cents AS DOUBLE) - CAST(s AS DOUBLE) / n_win)
+        / nullif(sqrt((CAST(ss AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_win)
+            / (n_win - 1)), 0.0)
+      END AS z,
+      coalesce(abs(CASE WHEN n_win >= 2 THEN
+        (CAST(revenue_cents AS DOUBLE) - CAST(s AS DOUBLE) / n_win)
+        / nullif(sqrt((CAST(ss AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_win)
+            / (n_win - 1)), 0.0)
+      END) > 3.0, FALSE) AS is_anomaly
+    FROM win
+"""
+
+
+@q(
+    "h10_anomaly_zscore",
+    sql=_H10_SQL,
+    ref="Time-series: rolling z-score anomaly detection over daily "
+    "revenue — each day scored against the TRAILING 14-day window "
+    "(current day excluded so it cannot contaminate its own "
+    "baseline); |z| > 3 flags the anomaly. The alerting complement of "
+    "h3's EWMA smoother and m9's decomposition: this one answers "
+    "'which days should page someone'. Mean/std derive from exact "
+    "integer-cents window sums, so both engines compute bit-identical "
+    "doubles with no stddev-implementation dependence",
+    scale="the fact table collapses to one day-keyed map-side-combined "
+    "agg (~#days rows) BEFORE any window; the single ordered window "
+    "then runs over the day-sized series, not the data — at 100 TB "
+    "that is thousands of rows regardless of corpus size (partition "
+    "the window by year/store if a series ever outgrows one task). "
+    "Sumsq runs in DECIMAL(38,0) — BIGINT squares overflow at ~3e9 "
+    "daily cents (the 10x decade staging proved it); decimal stays "
+    "exact to ~1e19 in both engines",
+)
+def h10_anomaly_zscore(spark, sf):
+    from pyspark.sql import Window
+
+    cents = (dec("o_totalprice") * 100).cast("bigint")
+    daily = (
+        _t(spark, sf, "orders")
+        .select(F.to_date("o_orderdate").alias("day"), cents.alias("__c"))
+        .groupBy("day")
+        .agg(F.sum("__c").cast("bigint").alias("revenue_cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(-14, -1)
+    x = F.col("revenue_cents")
+    # sumsq in exact DECIMAL(38,0): BIGINT squares overflow once a
+    # day's cents pass ~3e9 (the 10x decade staging hit it) — the
+    # decimal path stays exact to ~1e19 daily cents in both engines
+    xd = x.cast("decimal(19,0)")
+    win = daily.select(
+        "day",
+        "revenue_cents",
+        F.count(F.lit(1)).over(w).cast("int").alias("n_win"),
+        F.sum(x).over(w).alias("s"),
+        F.sum(xd * xd).over(w).alias("ss"),
+    )
+    n = F.col("n_win")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    z = F.when(
+        n >= 2,
+        (x.cast("double") - sd / n)
+        / F.nullif(F.sqrt((ssd - sd * sd / n) / (n - 1)), F.lit(0.0)),
+    )
+    return win.select(
+        "day",
+        "revenue_cents",
+        "n_win",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+# Zipf-fit OLS sums fold the per-source rank/frequency points in RANK
+# order on both engines (sort_array + aggregate vs list(ORDER BY) +
+# list_reduce) — the d6/_sql_dot sequential-fold discipline — so the
+# regression is bit-exact cross-engine up to libm's ln(), and round(9)
+# sits ~6 orders of magnitude above any 1-ulp ln drift.
+_X49_SQL = """
+    WITH counts AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      ) GROUP BY 1, 2
+    ), ranked AS (
+      SELECT source, cnt, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY cnt DESC, token) AS rank
+      FROM counts
+    ), pts AS (
+      SELECT source,
+        list(struct_pack(
+          rank := rank,
+          lx := ln(CAST(rank AS DOUBLE)),
+          ly := ln(CAST(cnt AS DOUBLE))) ORDER BY rank) AS ps
+      FROM ranked GROUP BY source
+    ), sums AS (
+      SELECT source,
+        CAST(len(ps) AS BIGINT) AS n_vocab,
+        CAST(len(ps) AS DOUBLE) AS n,
+        list_reduce(list_transform(ps, p -> p.lx), (a, b) -> a + b) AS sx,
+        list_reduce(list_transform(ps, p -> p.ly), (a, b) -> a + b) AS sy,
+        list_reduce(list_transform(ps, p -> p.lx * p.ly),
+                    (a, b) -> a + b) AS sxy,
+        list_reduce(list_transform(ps, p -> p.lx * p.lx),
+                    (a, b) -> a + b) AS sxx,
+        list_reduce(list_transform(ps, p -> p.ly * p.ly),
+                    (a, b) -> a + b) AS syy
+      FROM pts
+    )
+    SELECT source, n_vocab,
+      round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0), 9)
+        AS slope,
+      round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)
+        * sx) / n, 9) AS intercept,
+      round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0), 9)
+        AS r2
+    FROM sums
+"""
+
+
+@q(
+    "x49_zipf_fit",
+    sql=_X49_SQL,
+    ref="LLM-ops: per-source Zipf's-law fit — OLS of ln(frequency) on "
+    "ln(rank) over the token rank-frequency table, emitting slope "
+    "(natural corpora sit near -1), intercept, and R² per source. The "
+    "statistical-shape companion to x22/x33 vocabulary coverage and "
+    "x23 source drift: a source whose slope or fit quality is far "
+    "from the corpus norm is machine-generated, templated, or "
+    "spam-like (rank-frequency diagnostics are a standard corpus-"
+    "quality screen)",
+    scale="ONE token-keyed two-phase agg Zipf-collapses the corpus to "
+    "vocab-sized (source, token, cnt) rows — the only data-"
+    "proportional shuffle; ranking windows and the OLS folds run over "
+    "per-source VOCABULARY rows (≤ a few million for real corpora, 31 "
+    "here). The regression folds in rank order via sort_array + "
+    "sequential aggregate, so results are deterministic at any "
+    "parallelism and bit-matched to the oracle",
+)
+def x49_zipf_fit(spark, sf):
+    from pyspark.sql import Window
+
+    tok = _t(spark, sf, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    rank_w = Window.partitionBy("source").orderBy(F.desc("cnt"), "token")
+    pts = counts.select(
+        "source",
+        F.struct(
+            F.row_number().over(rank_w).alias("rank"),
+            F.log(F.row_number().over(rank_w).cast("double")).alias("lx"),
+            F.log(F.col("cnt").cast("double")).alias("ly"),
+        ).alias("p"),
+    )
+    arr = pts.groupBy("source").agg(
+        F.sort_array(F.collect_list("p")).alias("ps")
+    )
+    zero = F.lit(0.0)
+    sums = arr.select(
+        "source",
+        F.size("ps").cast("bigint").alias("n_vocab"),
+        F.size("ps").cast("double").alias("n"),
+        F.aggregate(
+            F.transform("ps", lambda p: p.lx), zero, lambda a, b: a + b
+        ).alias("sx"),
+        F.aggregate(
+            F.transform("ps", lambda p: p.ly), zero, lambda a, b: a + b
+        ).alias("sy"),
+        F.aggregate(
+            F.transform("ps", lambda p: p.lx * p.ly), zero, lambda a, b: a + b
+        ).alias("sxy"),
+        F.aggregate(
+            F.transform("ps", lambda p: p.lx * p.lx), zero, lambda a, b: a + b
+        ).alias("sxx"),
+        F.aggregate(
+            F.transform("ps", lambda p: p.ly * p.ly), zero, lambda a, b: a + b
+        ).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, zero)
+    return sums.select(
+        "source",
+        "n_vocab",
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / n, 9).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / F.nullif((n * sxx - sx * sx) * (n * syy - sy * sy), zero),
+            9,
+        ).alias("r2"),
     )
 
 
@@ -14470,12 +14702,16 @@ _DRIVER_SAMPLE = [
     "t1_topk", "u1_union", "u2_intersect", "u3_except", "w1_running_sum",
     "w2_rank_topn", "w9_rolling_median", "x24_gopher_gate",
     "x26_ngram_repetition",
-    # refresh fill to 50: first 11 of the 44-entry r06-latest cohort,
-    # alphabetical (h4 reached; k1 onward queue for round 12)
+    # round-11 second-wave registrations (6) — every new entry gets a
+    # driver row in its registration round; these displaced the last
+    # six r06-cohort fills (d15, d16, d5, e3, e5, h4 — back to the
+    # round-12 queue, which therefore resumes at d15 alphabetically)
+    "x47_blocklist_policy", "x48_k_anonymity", "n16_random_projection",
+    "pr6_shortest_paths", "h10_anomaly_zscore", "x49_zipf_fit",
+    # refresh fill to 50: first 5 of the 44-entry r06-latest cohort,
+    # alphabetical (d14 reached; d15 onward queue for round 12)
     "a10_profile", "a11_collect_agg", "a12_argmax", "a4_approx_distinct",
-    "d14_semantic_dedup", "d15_incremental_semantic", "d16_segment_dedup",
-    "d5_simhash_pairs", "e3_tumbling_window", "e5_retention_cohort",
-    "h4_downsample_ltob",
+    "d14_semantic_dedup",
 ]
 
 

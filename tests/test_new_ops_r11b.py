@@ -123,6 +123,50 @@ def test_x47_plan_zero_exchanges(spark):
     assert "lang" not in plan.split("ReadSchema")[1].splitlines()[0]
 
 
+def test_x47_runs_under_structured_streaming(spark, tmp_path):
+    """The blocklist policy is stateless row-local expressions, so it
+    runs UNCHANGED on a streaming DataFrame — readStream over the same
+    docs yields exactly the batch verdicts (the fim_transform pattern:
+    a curation gate you can drop onto a live ingest)."""
+    from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (  # noqa: E501
+        blocklist_policy,
+    )
+
+    rows = [(i, "s", f"clean document number {i} body text") for i in range(20)]
+    rows += [(100, "s", "a dup inside this one here"), (101, "t", None),
+             (102, "u", "too short")]
+    in_dir = tmp_path / "in"
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(str(in_dir))
+
+    batch = {
+        r.doc_id: (r.n_tokens, r.banned_hit, r.kept)
+        for r in blocklist_policy(spark.read.parquet(str(in_dir))).collect()
+    }
+
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string"
+    ).parquet(str(in_dir))
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        blocklist_policy(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r.doc_id: (r.n_tokens, r.banned_hit, r.kept)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed == batch and len(batch) == 23
+    assert batch[100][1] == "dup" and not batch[100][2]
+
+
 # --------------------------------------------------------------- x48
 
 
@@ -279,6 +323,170 @@ def test_n16_plan_row_local(spark):
     )
     assert "Exchange" not in plan, plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------- h10
+
+
+def _staged_orders(spark, tmp_path, day_amounts):
+    """day_amounts: list of (date_str, [totalprice, ...])."""
+    d = tmp_path / "sfo"
+    d.mkdir()
+    rows = []
+    ok = 0
+    for day, amounts in day_amounts:
+        for amt in amounts:
+            rows.append((ok, 1, "O", amt, f"{day} 00:00:00", "1-URGENT"))
+            ok += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")).coalesce(
+        1
+    ).write.parquet(str(d / "orders.parquet"))
+    return str(d)
+
+
+def test_h10_python_differential(spark, tmp_path):
+    """z-scores match an independent pure-Python trailing-window
+    computation on a varied hand series; warm-up rows (n_win < 2) and
+    zero-variance windows score NULL."""
+    import datetime
+    import math
+
+    amounts = [100.0, 120.0, 80.0, 150.0, 90.0, 110.0, 105.0, 95.0,
+               500.0, 100.0, 115.0]
+    days = [
+        (f"1995-01-{i + 1:02d}", [amt]) for i, amt in enumerate(amounts)
+    ]
+    sf = _staged_orders(spark, tmp_path, days)
+    got = {
+        str(r.day): r
+        for r in QUERIES["h10_anomaly_zscore"].fn(spark, sf).collect()
+    }
+    cents = [int(round(a * 100)) for a in amounts]
+    for i in range(len(cents)):
+        win = cents[max(0, i - 14):i]
+        day = str(datetime.date(1995, 1, i + 1))
+        r = got[day]
+        assert r.revenue_cents == cents[i]
+        assert r.n_win == len(win)
+        if len(win) < 2:
+            assert r.z is None and not r.is_anomaly
+            continue
+        n = len(win)
+        mean = sum(win) / n
+        var = (sum(c * c for c in win) - sum(win) ** 2 / n) / (n - 1)
+        want = (cents[i] - mean) / math.sqrt(var)
+        assert abs(r.z - want) < 1e-9, (day, r.z, want)
+        assert r.is_anomaly == (abs(want) > 3.0)
+    # the 500.0 spike on day 9 must page; its neighbors must not
+    assert got["1995-01-09"].is_anomaly
+    assert not got["1995-01-10"].is_anomaly
+
+
+def test_h10_zero_variance_and_trailing_frame(spark, tmp_path):
+    """A constant baseline has zero variance -> z NULL, never a
+    divide-by-zero or a spurious flag; and the current day is NOT in
+    its own window (a constant run ending in a spike still scores the
+    spike against the pre-spike baseline)."""
+    days = [(f"1995-02-{i + 1:02d}", [200.0]) for i in range(10)]
+    days.append(("1995-02-11", [200.0, 200.0]))  # 400.00 spike day
+    sf = _staged_orders(spark, tmp_path, days)
+    got = {
+        str(r.day): r
+        for r in QUERIES["h10_anomaly_zscore"].fn(spark, sf).collect()
+    }
+    for i in range(2, 10):  # constant window -> zero variance -> NULL
+        r = got[f"1995-02-{i + 1:02d}"]
+        assert r.z is None and not r.is_anomaly
+    spike = got["1995-02-11"]
+    assert spike.revenue_cents == 40000 and spike.z is None  # var still 0
+    # oracle agreement on the same staged table
+    want = _oracle(QUERIES["h10_anomaly_zscore"].sql, sf, table="orders")
+    assert len(want) == 11
+    import pandas as pd
+
+    # pandas may surface the DATE as a Timestamp — key on the date part
+    w = {str(r.day)[:10]: r for r in want.itertuples(index=False)}
+    for k, r in got.items():
+        assert (r.z is None) == pd.isna(w[k].z), k
+        assert bool(r.is_anomaly) == bool(w[k].is_anomaly), k
+
+
+# --------------------------------------------------------------- x49
+
+
+def test_x49_perfect_zipf_corpus(spark, tmp_path):
+    """A corpus built to satisfy f = 12/rank exactly (counts 12,6,4,3)
+    must fit slope -1, intercept ln(12), r2 = 1 (up to fp rounding)."""
+    import math
+
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    sf = _staged_docs(spark, tmp_path, [(0, "s", text)])
+    r = QUERIES["x49_zipf_fit"].fn(spark, sf).collect()[0]
+    assert r.n_vocab == 4
+    assert abs(r.slope - (-1.0)) < 1e-9
+    assert abs(r.intercept - math.log(12.0)) < 1e-9
+    assert abs(r.r2 - 1.0) < 1e-9
+
+
+def test_x49_numpy_differential_real_corpus(spark):
+    """Slope/intercept/r2 match an independent numpy polyfit over the
+    same rank-frequency points on the real sf0.001 corpus."""
+    import numpy as np
+
+    got = {
+        r.source: r
+        for r in QUERIES["x49_zipf_fit"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    pts = con.execute(
+        """
+        SELECT source, token, count(*) AS cnt FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS token
+          FROM '/root/testdata/sf0.001/documents.parquet')
+        GROUP BY 1, 2
+        """
+    ).df()
+    for src, grp in pts.groupby("source"):
+        g = grp.sort_values(["cnt", "token"], ascending=[False, True])
+        lx = np.log(np.arange(1, len(g) + 1, dtype=float))
+        ly = np.log(g["cnt"].to_numpy(dtype=float))
+        slope, intercept = np.polyfit(lx, ly, 1)
+        r = got[src]
+        assert r.n_vocab == len(g)
+        assert abs(r.slope - slope) < 1e-6, src
+        assert abs(r.intercept - intercept) < 1e-6, src
+        r2 = np.corrcoef(lx, ly)[0, 1] ** 2
+        assert abs(r.r2 - r2) < 1e-6, src
+
+
+def test_x49_degenerate_single_token_source(spark, tmp_path):
+    """One-token vocabulary: the OLS denominator is zero -> NULL fit
+    columns in BOTH engines, never a crash."""
+    sf = _staged_docs(
+        spark, tmp_path, [(0, "s", "same same same"), (1, "t", "x y")]
+    )
+    got = {
+        r.source: r for r in QUERIES["x49_zipf_fit"].fn(spark, sf).collect()
+    }
+    assert got["s"].n_vocab == 1
+    assert got["s"].slope is None and got["s"].r2 is None
+    assert got["t"].n_vocab == 2 and got["t"].slope is not None
+    import pandas as pd
+
+    want = {
+        r.source: r
+        for r in _oracle(QUERIES["x49_zipf_fit"].sql, sf)
+        .itertuples(index=False)
+    }
+    assert pd.isna(want["s"].slope) and want["t"].n_vocab == 2
 
 
 # --------------------------------------------------------------- pr6
