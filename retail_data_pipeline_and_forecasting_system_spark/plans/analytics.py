@@ -14287,6 +14287,99 @@ def n16_random_projection(spark, sf):
     )
 
 
+# Benford expected first-digit probabilities log10(1 + 1/d), embedded
+# as the SAME repr literals in engine and oracle — no cross-engine
+# log() call to drift. First significant digit comes from the DECIMAL
+# string form (strip sign, leading zeros and the point), so no
+# float log10/pow roundtrip touches the digit extraction either.
+import math as _math
+
+_BENFORD_P = {d: repr(_math.log10(1 + 1 / d)) for d in range(1, 10)}
+
+_DQ7_SQL = f"""
+    WITH digits AS (
+      SELECT CAST(substring(nullif(regexp_replace(
+          CAST(abs(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+          '^[0.]*', ''), ''), 1, 1) AS INT) AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
+    ), counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM digits
+      GROUP BY digit
+    ), tot AS (
+      SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts
+    ), expected(digit, p) AS (
+      VALUES {', '.join(f'({d}, {p})' for d, p in _BENFORD_P.items())}
+    )
+    SELECT e.digit, coalesce(c.n_obs, 0) AS n_obs, t.n_total,
+      e.p AS expected_p,
+      round((CAST(coalesce(c.n_obs, 0) AS DOUBLE) - t.n_total * e.p)
+        * (CAST(coalesce(c.n_obs, 0) AS DOUBLE) - t.n_total * e.p)
+        / (t.n_total * e.p), 9) AS chi2_term
+    FROM expected e LEFT JOIN counts c ON c.digit = e.digit, tot t
+"""
+
+
+@q(
+    "dq7_benford_screen",
+    sql=_DQ7_SQL,
+    ref="Data quality: Benford's-law first-digit screen over order "
+    "totals — the classic fabricated-amounts audit (Benford 1938; "
+    "standard in fraud detection and synthetic-data QA). Emits all "
+    "nine digits with observed counts, expected Benford probability, "
+    "and the chi-square contribution, so the auditor sees WHICH digit "
+    "deviates, not just a p-value. (TPC-H-style uniform totals fail "
+    "Benford loudly — itself a useful synthetic-data tell.) Digit "
+    "extraction works on the DECIMAL string form: no log10/pow float "
+    "roundtrip, so engine and oracle agree exactly",
+    scale="one conditional map (string head of the decimal form) + "
+    "ONE map-side-combined 9-key agg over the fact table; everything "
+    "downstream is 9 rows joined to a literal table. Skew-immune: "
+    "digit keys pre-combine per partition; chi-square math runs on "
+    "exact integer counts and literal doubles",
+)
+def dq7_benford_screen(spark, sf):
+    # nullif('') before the INT cast: a sub-cent amount rounds to
+    # DECIMAL 0.00, strips to the empty string, and ANSI mode refuses
+    # CAST('' AS INT) — NULL digits drop out of the 1..9 join instead
+    digit = F.substring(
+        F.nullif(
+            F.regexp_replace(
+                F.abs(dec("o_totalprice")).cast("string"), "^[0.]*", ""
+            ),
+            F.lit(""),
+        ),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") != 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    tot = counts.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
+    expected = spark.createDataFrame(
+        [(d, float(p)) for d, p in _BENFORD_P.items()], "digit int, p double"
+    )
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+    exp_n = F.col("n_total") * F.col("p")
+    return (
+        expected.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+            "n_total",
+            F.col("p").alias("expected_p"),
+            F.round((n_obs - exp_n) * (n_obs - exp_n) / exp_n, 9).alias(
+                "chi2_term"
+            ),
+        )
+    )
+
+
 # Rolling z-score anomaly detection: mean/std come from explicit
 # integer-cents window sums (EXACT bigint at both engines — the a1
 # fixed-point discipline), so the derived doubles are bit-identical
@@ -14346,15 +14439,29 @@ _H10_SQL = """
     "exact to ~1e19 in both engines",
 )
 def h10_anomaly_zscore(spark, sf):
-    from pyspark.sql import Window
+    return zscore_flags(daily_revenue_cents(_t(spark, sf, "orders")))
 
+
+def daily_revenue_cents(orders: DataFrame) -> DataFrame:
+    """(day, revenue_cents) in exact integer cents — the algebraic
+    day-keyed state the streaming anomaly service maintains
+    incrementally (bigint sums merge associatively, so any epoch
+    slicing of the input yields the identical table)."""
     cents = (dec("o_totalprice") * 100).cast("bigint")
-    daily = (
-        _t(spark, sf, "orders")
-        .select(F.to_date("o_orderdate").alias("day"), cents.alias("__c"))
+    return (
+        orders.select(F.to_date("o_orderdate").alias("day"), cents.alias("__c"))
         .groupBy("day")
         .agg(F.sum("__c").cast("bigint").alias("revenue_cents"))
     )
+
+
+def zscore_flags(daily: DataFrame) -> DataFrame:
+    """Trailing-window z-scores over a (day, revenue_cents) series —
+    the scoring half of h10, reused verbatim by the streaming service
+    on its maintained day table (day-sized input, so the recompute per
+    epoch is trivially cheap)."""
+    from pyspark.sql import Window
+
     w = Window.orderBy("day").rowsBetween(-14, -1)
     x = F.col("revenue_cents")
     # sumsq in exact DECIMAL(38,0): BIGINT squares overflow once a

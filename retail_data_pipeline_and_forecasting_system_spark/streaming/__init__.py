@@ -41,3 +41,8 @@ from .rollup_stream import (  # noqa: F401
     rollup_state_sink,
     run_rollup_ingest,
 )
+from .anomaly_stream import (  # noqa: F401
+    anomaly_state_sink,
+    read_anomaly_scores,
+    run_anomaly_ingest,
+)

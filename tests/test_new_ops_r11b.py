@@ -328,9 +328,9 @@ def test_n16_plan_row_local(spark):
 # --------------------------------------------------------------- h10
 
 
-def _staged_orders(spark, tmp_path, day_amounts):
+def _staged_orders(spark, tmp_path, day_amounts, sub="sfo"):
     """day_amounts: list of (date_str, [totalprice, ...])."""
-    d = tmp_path / "sfo"
+    d = tmp_path / sub
     d.mkdir()
     rows = []
     ok = 0
@@ -413,6 +413,76 @@ def test_h10_zero_variance_and_trailing_frame(spark, tmp_path):
     for k, r in got.items():
         assert (r.z is None) == pd.isna(w[k].z), k
         assert bool(r.is_anomaly) == bool(w[k].is_anomaly), k
+
+
+# --------------------------------------------------------------- dq7
+
+
+def test_dq7_digit_extraction_and_chi2(spark, tmp_path):
+    """First-significant-digit extraction on hostile money values
+    (sub-unit amounts, negatives, zero/NULL exclusion) and the
+    chi-square terms against an independent Python computation."""
+    import math
+
+    amounts = [123.45, 0.05, -987.0, 0.0012, 900.0, 1.0, 0.0, None,
+               55.5, 19.99]
+    days = [("1995-03-01", [a for a in amounts if a is not None])]
+    # stage directly (orders staging helper drops the None)
+    sf = _staged_orders(spark, tmp_path, days)
+    rows = {
+        r.digit: r for r in QUERIES["dq7_benford_screen"].fn(spark, sf).collect()
+    }
+    assert set(rows) == set(range(1, 10))  # all nine digits always emitted
+    # digits of the non-zero amounts: 1, 5, 9, 1(0.0012->12? no: 0.00
+    # rounds the DECIMAL(18,2) to 0.00 and is excluded), 9, 1, 5, 1
+    # NOTE: 0.0012 as DECIMAL(18,2) is 0.00 -> filtered out by <> 0?
+    # It is NOT zero as a double, but its decimal cast is 0.00, whose
+    # stripped string is '' -> NULL digit. Verify observed behavior
+    # matches the oracle rather than assuming:
+    import duckdb
+
+    want = _oracle(QUERIES["dq7_benford_screen"].sql, sf, table="orders")
+    w = {int(r.digit): r for r in want.itertuples(index=False)}
+    for d in range(1, 10):
+        assert rows[d].n_obs == w[d].n_obs, d
+        assert rows[d].n_total == w[d].n_total, d
+        assert abs(rows[d].chi2_term - w[d].chi2_term) < 1e-12, d
+    # independent Python check of the chi-square arithmetic
+    n_total = rows[1].n_total
+    obs = {d: rows[d].n_obs for d in range(1, 10)}
+    assert sum(obs.values()) <= n_total + 1  # NULL-digit rows drop out
+    for d in range(1, 10):
+        p = math.log10(1 + 1 / d)
+        expect = (obs[d] - n_total * p) ** 2 / (n_total * p)
+        assert abs(rows[d].chi2_term - round(expect, 9)) < 1e-9, d
+    # hand-checkable digits: 123.45->1, 0.05->5, -987.00->9, 900->9,
+    # 1.00->1, 55.50->5, 19.99->1
+    assert obs[1] == 3 and obs[5] == 2 and obs[9] == 2
+
+
+def test_dq7_benford_conforming_sample(spark, tmp_path):
+    """A sample built to match Benford proportions exactly at n=1000
+    scores a tiny chi-square; a uniform-digit sample scores a large
+    one (the synthetic-data tell the entry documents)."""
+    import math
+
+    conforming = []
+    for d in range(1, 10):
+        k = round(1000 * math.log10(1 + 1 / d))
+        conforming += [float(f"{d}00")] * k
+    sf = _staged_orders(spark, tmp_path, [("1995-04-01", conforming)])
+    chi2 = sum(
+        r.chi2_term
+        for r in QUERIES["dq7_benford_screen"].fn(spark, sf).collect()
+    )
+    assert chi2 < 0.1, chi2  # rounding of the 1000p counts only
+    uniform = [float(f"{d}00") for d in range(1, 10)] * 112
+    sf2 = _staged_orders(spark, tmp_path, [("1995-04-02", uniform)], sub="sfo2")
+    chi2u = sum(
+        r.chi2_term
+        for r in QUERIES["dq7_benford_screen"].fn(spark, sf2).collect()
+    )
+    assert chi2u > 100, chi2u  # uniform digits are wildly non-Benford
 
 
 # --------------------------------------------------------------- x49
