@@ -14809,16 +14809,16 @@ _DRIVER_SAMPLE = [
     "t1_topk", "u1_union", "u2_intersect", "u3_except", "w1_running_sum",
     "w2_rank_topn", "w9_rolling_median", "x24_gopher_gate",
     "x26_ngram_repetition",
-    # round-11 second-wave registrations (6) — every new entry gets a
+    # round-11 second-wave registrations (7) — every new entry gets a
     # driver row in its registration round; these displaced the last
-    # six r06-cohort fills (d15, d16, d5, e3, e5, h4 — back to the
-    # round-12 queue, which therefore resumes at d15 alphabetically)
+    # seven r06-cohort fills (d14, d15, d16, d5, e3, e5, h4 — back to
+    # the round-12 queue, which therefore resumes at d14 alphabetically)
     "x47_blocklist_policy", "x48_k_anonymity", "n16_random_projection",
     "pr6_shortest_paths", "h10_anomaly_zscore", "x49_zipf_fit",
-    # refresh fill to 50: first 5 of the 44-entry r06-latest cohort,
-    # alphabetical (d14 reached; d15 onward queue for round 12)
+    "dq7_benford_screen",
+    # refresh fill to 50: first 4 of the 44-entry r06-latest cohort,
+    # alphabetical (a4 reached; d14 onward queue for round 12)
     "a10_profile", "a11_collect_agg", "a12_argmax", "a4_approx_distinct",
-    "d14_semantic_dedup",
 ]
 
 
