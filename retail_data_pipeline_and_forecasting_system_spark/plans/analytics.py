@@ -14287,6 +14287,335 @@ def n16_random_projection(spark, sf):
     )
 
 
+_EV7_SQL = f"""
+    WITH emb AS (
+      SELECT vec_id AS id, embedding AS vec,
+        CAST(list_sum(list_transform(range(0, 8),
+          i -> CASE WHEN embedding[i + 1] > 0
+               THEN 1 << i ELSE 0 END)) AS INT) AS bkt
+      FROM embeddings
+    ), scored AS (
+      SELECT q.id AS query_id, c.id AS cand_id,
+        bit_count(xor(CAST(q.bkt AS BIGINT), CAST(c.bkt AS BIGINT)))
+          AS hamming,
+        {_sql_cosine('c.vec', 'q.vec')} AS cs
+      FROM emb q JOIN emb c ON c.id <> q.id
+      WHERE q.id < 20
+    ), exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cs DESC, cand_id) AS rnk
+        FROM scored) WHERE rnk <= 5
+    ), cands AS (
+      SELECT p.p, s.query_id, s.cand_id, s.cs
+      FROM scored s JOIN (VALUES (0), (1), (2)) p(p)
+        ON s.hamming <= p.p
+    ), approx AS (
+      SELECT p, query_id, cand_id FROM (
+        SELECT p, query_id, cand_id,
+          row_number() OVER (PARTITION BY p, query_id
+                             ORDER BY cs DESC, cand_id) AS rnk
+        FROM cands) WHERE rnk <= 5
+    ), hits AS (
+      SELECT a.p, CAST(count(*) AS BIGINT) AS n_hit
+      FROM approx a JOIN exact e
+        ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+      GROUP BY a.p
+    ), sel AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS n_cand FROM cands GROUP BY p
+    ), nq AS (
+      SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+        CAST(count(*) AS BIGINT) AS n_scored
+      FROM scored
+    )
+    SELECT s.p AS probe, nq.n_queries,
+      round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+        / (nq.n_queries * 5), 6) AS mean_recall,
+      round(CAST(s.n_cand AS DOUBLE) / nq.n_scored, 9) AS cand_frac
+    FROM sel s LEFT JOIN hits h ON h.p = s.p, nq
+"""
+
+
+@q(
+    "ev7_probe_recall_sweep",
+    sql=_EV7_SQL,
+    ref="LLM-ops EVALUATION family: the recall/cost TUNING TABLE for "
+    "multiprobe sign-LSH — recall@5 and candidate fraction at probe "
+    "widths (Hamming radius) 0, 1, 2 in ONE plan, against the same "
+    "exact brute-force baseline ev1 uses. This is the table an ANN "
+    "deployment reads to pick its operating point: each added probe "
+    "buys recall and pays candidates, and the sweep shows the curve "
+    "instead of one sample (ev1 = the p=0 row, monitored; ev7 = the "
+    "tuning decision)",
+    scale="ONE scored pass (20 queries broadcast against the corpus) "
+    "is shared by the baseline and every probe width — the sweep adds "
+    "zero extra scoring, only per-width windows over Hamming-filtered "
+    "subsets (each a 1/2^bits-ish fraction). At 100 TB: sample the "
+    "query set, block the scoring with IVF cells (the n7 pattern); "
+    "the sweep math downstream is |Q|-sized",
+)
+def ev7_probe_recall_sweep(spark, sf):
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine, sign_lsh_bucket
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        sign_lsh_bucket("embedding", n_bits=8).alias("bkt"),
+    )
+    q_side = emb.filter(F.col("id") < 20).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("bkt").alias("qbkt"),
+    )
+    scored = _persist_tracked(
+        emb.join(F.broadcast(q_side), F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("cand_id"),
+            F.bit_count(
+                F.col("qbkt").cast("bigint").bitwiseXOR(
+                    F.col("bkt").cast("bigint")
+                )
+            ).alias("hamming"),
+            cosine("vec", "qvec").alias("cs"),
+        )
+    )
+    rank_all = Window.partitionBy("query_id").orderBy(
+        F.desc("cs"), "cand_id"
+    )
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(rank_all))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "cand_id")
+    )
+    probes = spark.createDataFrame([(0,), (1,), (2,)], "p int")
+    cands = scored.crossJoin(F.broadcast(probes)).filter(
+        F.col("hamming") <= F.col("p")
+    )
+    rank_p = Window.partitionBy("p", "query_id").orderBy(
+        F.desc("cs"), "cand_id"
+    )
+    approx = (
+        cands.withColumn("rnk", F.row_number().over(rank_p))
+        .filter(F.col("rnk") <= 5)
+        .select("p", "query_id", "cand_id")
+    )
+    hits = approx.join(exact, ["query_id", "cand_id"]).groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    sel = cands.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    nq = scored.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+    )
+    return (
+        sel.join(F.broadcast(hits), "p", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("p").alias("probe"),
+            "n_queries",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / (F.col("n_queries") * 5),
+                6,
+            ).alias("mean_recall"),
+            F.round(
+                F.col("n_cand").cast("double") / F.col("n_scored"), 9
+            ).alias("cand_frac"),
+        )
+    )
+
+
+_N17_DIM = 64
+
+_N17_SQL = f"""
+    WITH flat AS (
+      SELECT vec_id, unnest(embedding) AS val,
+        generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ), stats AS (
+      SELECT dim, MIN(CAST(val AS DOUBLE)) AS mn,
+        MAX(CAST(val AS DOUBLE)) AS mx
+      FROM flat GROUP BY dim
+    )
+    SELECT f.vec_id, CAST(f.dim AS INT) AS dim,
+      (CAST(f.val AS DOUBLE) - s.mn) / nullif(s.mx - s.mn, 0.0) AS x_norm
+    FROM flat f JOIN stats s ON s.dim = f.dim
+"""
+
+
+@q(
+    "n17_minmax_normalize",
+    sql=_N17_SQL,
+    ref="LLM-ops/features: exact per-dimension min-max normalization "
+    "of the embedding column to [0,1] — the feature-scaling front end "
+    "quantizers want (PQ codebooks and IVF cells train better on "
+    "comparable dim ranges). min/max are order-independent aggregates, "
+    "so unlike mean/std scaling the result is EXACT and reproducible "
+    "at any parallelism with no float-summation drift; a constant "
+    "dimension normalizes to NULL (nullif span), not a div-by-zero. "
+    "Emitted long (vec_id, dim, x_norm) for the oracle compare; "
+    "production keeps the array form (same arithmetic, row-local)",
+    scale="ONE corpus pass with 128 min/max agg buffers (element_at "
+    "per dim — no posexplode shuffle of the corpus; map-side "
+    "combined), then the 1-row stats broadcast back for a row-local "
+    "rescale. The output explode is presentation only — at 100 TB "
+    "keep the array column and skip it",
+)
+def n17_minmax_normalize(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    stats = emb.agg(
+        *[
+            F.min(F.element_at("embedding", i + 1).cast("double")).alias(
+                f"mn{i}"
+            )
+            for i in range(_N17_DIM)
+        ],
+        *[
+            F.max(F.element_at("embedding", i + 1).cast("double")).alias(
+                f"mx{i}"
+            )
+            for i in range(_N17_DIM)
+        ],
+    ).select(
+        F.array(*[F.col(f"mn{i}") for i in range(_N17_DIM)]).alias("mns"),
+        F.array(*[F.col(f"mx{i}") for i in range(_N17_DIM)]).alias("mxs"),
+    )
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, (v, i) -> "
+                    "(CAST(v AS DOUBLE) - element_at(mns, i + 1)) "
+                    "/ nullif(element_at(mxs, i + 1) - element_at(mns, i + 1),"
+                    " 0.0))"
+                )
+            ).alias("__i", "x_norm"),
+        )
+        .select(
+            "vec_id",
+            (F.col("__i") + 1).cast("int").alias("dim"),
+            "x_norm",
+        )
+    )
+
+
+# CUSUM via the prefix-sum identity: the textbook recursion
+# S_t = max(0, S_{t-1} + d_t) equals C_t - min(0, min_{i<=t} C_i) for
+# C_t the plain cumulative sum of the drifts d — which turns the
+# sequential recursion into two window functions (cumsum + running
+# min), keeping the whole detector in exact BIGINT window aggs instead
+# of a per-row fold. mu (the in-control level), the allowance k and
+# the decision threshold h derive from the series itself with integer
+# arithmetic, so both engines compute identical state bit for bit.
+_H11_SQL = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY 1
+    ), params AS (
+      SELECT CAST(FLOOR(CAST(SUM(revenue_cents) AS DOUBLE) / count(*))
+          AS BIGINT) AS mu,
+        CAST(FLOOR(CAST(SUM(revenue_cents) AS DOUBLE) / count(*) / 20.0)
+          AS BIGINT) AS k
+      FROM daily
+    ), c AS (
+      SELECT day, revenue_cents, mu, k,
+        CAST(SUM(revenue_cents - mu - k) OVER w AS BIGINT) AS c_pos,
+        CAST(SUM(mu - k - revenue_cents) OVER w AS BIGINT) AS c_neg
+      FROM daily, params
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT day, revenue_cents, mu, k,
+        c_pos - least(CAST(0 AS BIGINT), MIN(c_pos) OVER w) AS s_pos,
+        c_neg - least(CAST(0 AS BIGINT), MIN(c_neg) OVER w) AS s_neg
+      FROM c
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, revenue_cents, s_pos, s_neg,
+      s_pos > 5 * k AS shift_up, s_neg > 5 * k AS shift_down
+    FROM s
+"""
+
+
+@q(
+    "h11_cusum_changepoint",
+    sql=_H11_SQL,
+    ref="Time-series: CUSUM level-shift (changepoint) detection over "
+    "daily revenue (Page 1954) — the complement of h10's outlier "
+    "flags: h10 pages on a single bad day, h11 pages when the MEAN "
+    "moves and stays moved (a price change, a lost data source). "
+    "Tabular CUSUM with allowance k = mu/20 and decision interval "
+    "h = 5k, both derived from the series in integer arithmetic; the "
+    "sequential recursion is computed by the prefix-sum/running-min "
+    "identity, so the whole detector is exact BIGINT window math",
+    scale="same posture as h10: the fact table collapses to the "
+    "day-keyed map-side-combined agg first; both windows then run "
+    "over the day-sized series (thousands of rows at any corpus "
+    "size). The identity matters at scale: a max(0, ...) RECURSION "
+    "would force a sequential fold, while cumsum + running min are "
+    "plain window aggs any engine executes in one ordered pass",
+)
+def h11_cusum_changepoint(spark, sf):
+    from pyspark.sql import Window
+
+    daily = daily_revenue_cents(_t(spark, sf, "orders"))
+    params = daily.agg(
+        F.floor(
+            F.sum("revenue_cents").cast("double") / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("mu"),
+        F.floor(
+            F.sum("revenue_cents").cast("double")
+            / F.count(F.lit(1))
+            / 20.0
+        )
+        .cast("bigint")
+        .alias("k"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    x, mu, k = F.col("revenue_cents"), F.col("mu"), F.col("k")
+    c = daily.crossJoin(F.broadcast(params)).select(
+        "day",
+        "revenue_cents",
+        "mu",
+        "k",
+        F.sum(x - mu - k).over(w).alias("c_pos"),
+        F.sum(mu - k - x).over(w).alias("c_neg"),
+    )
+    zero = F.lit(0).cast("bigint")
+    s = c.select(
+        "day",
+        "revenue_cents",
+        "k",
+        (F.col("c_pos") - F.least(zero, F.min("c_pos").over(w))).alias(
+            "s_pos"
+        ),
+        (F.col("c_neg") - F.least(zero, F.min("c_neg").over(w))).alias(
+            "s_neg"
+        ),
+    )
+    return s.select(
+        "day",
+        "revenue_cents",
+        "s_pos",
+        "s_neg",
+        (F.col("s_pos") > 5 * F.col("k")).alias("shift_up"),
+        (F.col("s_neg") > 5 * F.col("k")).alias("shift_down"),
+    )
+
+
 # Benford expected first-digit probabilities log10(1 + 1/d), embedded
 # as the SAME repr literals in engine and oracle — no cross-engine
 # log() call to drift. First significant digit comes from the DECIMAL
@@ -14809,16 +15138,17 @@ _DRIVER_SAMPLE = [
     "t1_topk", "u1_union", "u2_intersect", "u3_except", "w1_running_sum",
     "w2_rank_topn", "w9_rolling_median", "x24_gopher_gate",
     "x26_ngram_repetition",
-    # round-11 second-wave registrations (7) — every new entry gets a
-    # driver row in its registration round; these displaced the last
-    # seven r06-cohort fills (d14, d15, d16, d5, e3, e5, h4 — back to
-    # the round-12 queue, which therefore resumes at d14 alphabetically)
+    # round-11 second/third-wave registrations (10) — every new entry
+    # gets a driver row in its registration round; these displaced the
+    # last ten r06-cohort fills (a11, a12, a4, d14, d15, d16, d5, e3,
+    # e5, h4 — back to the round-12 queue, which resumes at a11)
     "x47_blocklist_policy", "x48_k_anonymity", "n16_random_projection",
     "pr6_shortest_paths", "h10_anomaly_zscore", "x49_zipf_fit",
-    "dq7_benford_screen",
-    # refresh fill to 50: first 4 of the 44-entry r06-latest cohort,
-    # alphabetical (a4 reached; d14 onward queue for round 12)
-    "a10_profile", "a11_collect_agg", "a12_argmax", "a4_approx_distinct",
+    "dq7_benford_screen", "h11_cusum_changepoint", "n17_minmax_normalize",
+    "ev7_probe_recall_sweep",
+    # refresh fill to 50: first 1 of the 44-entry r06-latest cohort,
+    # alphabetical (a10 reached; a11 onward queue for round 12)
+    "a10_profile",
 ]
 
 

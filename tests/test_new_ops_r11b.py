@@ -559,6 +559,163 @@ def test_x49_degenerate_single_token_source(spark, tmp_path):
     assert pd.isna(want["s"].slope) and want["t"].n_vocab == 2
 
 
+# --------------------------------------------------------------- h11
+
+
+def test_h11_identity_vs_textbook_recursion(spark, tmp_path):
+    """The prefix-sum/running-min closed form must equal the textbook
+    CUSUM recursion S_t = max(0, S_{t-1} + d_t) computed independently
+    in Python, on a series with a real level shift."""
+    amounts = [100.0] * 10 + [200.0] * 8 + [100.0] * 5
+    days = [
+        (f"1995-0{1 + i // 28}-{(i % 28) + 1:02d}", [amt])
+        for i, amt in enumerate(amounts)
+    ]
+    sf = _staged_orders(spark, tmp_path, days)
+    rows = sorted(
+        QUERIES["h11_cusum_changepoint"].fn(spark, sf).collect(),
+        key=lambda r: str(r.day),
+    )
+    cents = [int(a * 100) for a in amounts]
+    mu = int(sum(cents) / len(cents))  # floor of the double mean
+    k = int(sum(cents) / len(cents) / 20.0)
+    sp = sn = 0
+    for r, x in zip(rows, cents):
+        sp = max(0, sp + (x - mu - k))
+        sn = max(0, sn + (mu - k - x))
+        assert r.s_pos == sp and r.s_neg == sn, str(r.day)
+        assert r.shift_up == (sp > 5 * k)
+        assert r.shift_down == (sn > 5 * k)
+    # the injected up-shift must actually fire inside the shifted
+    # segment (days 11-18). The downshift side ALSO fires during the
+    # low-baseline run — correct behavior: mu is the global mean, so
+    # the 100/day segments sit below it and accumulate negative drift
+    ups = [str(r.day) for r in rows if r.shift_up]
+    assert ups and min(ups) >= "1995-01-11", ups
+
+
+def test_h11_oracle_agreement_hand_series(spark, tmp_path):
+    import pandas as pd
+
+    amounts = [50.0, 60.0, 55.0, 300.0, 310.0, 320.0, 40.0]
+    days = [(f"1995-05-{i + 1:02d}", [a]) for i, a in enumerate(amounts)]
+    sf = _staged_orders(spark, tmp_path, days)
+    got = sorted(
+        (str(r.day), r.s_pos, r.s_neg, r.shift_up, r.shift_down)
+        for r in QUERIES["h11_cusum_changepoint"].fn(spark, sf).collect()
+    )
+    want = sorted(
+        (str(r.day)[:10], int(r.s_pos), int(r.s_neg), bool(r.shift_up),
+         bool(r.shift_down))
+        for r in _oracle(QUERIES["h11_cusum_changepoint"].sql, sf,
+                         table="orders").itertuples(index=False)
+    )
+    assert got == want
+
+
+# --------------------------------------------------------------- n17
+
+
+def test_n17_hand_vectors_exact_scaling(spark, tmp_path):
+    """Known per-dim ranges scale exactly to [0,1]; a constant
+    dimension yields NULL (zero span), extremes hit exactly 0 and 1."""
+    rows = [
+        (0, [0.0, -2.0, 5.0, 7.0], 0),
+        (1, [10.0, 2.0, 5.0, 8.0], 0),
+        (2, [5.0, 0.0, 5.0, 9.0], 0),
+    ]
+    d = tmp_path / "sfe2"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    # 4-dim variant: call the oracle SQL against the staged table but
+    # the registry fn is pinned to 64 dims — exercise the fn's math by
+    # restating it through the SQL on this table instead
+    want = _oracle(
+        QUERIES["n17_minmax_normalize"].sql, str(d), table="embeddings"
+    )
+    w = {
+        (int(r.vec_id), int(r.dim)): r.x_norm
+        for r in want.itertuples(index=False)
+    }
+    assert w[(0, 1)] == 0.0 and w[(1, 1)] == 1.0 and w[(2, 1)] == 0.5
+    assert w[(0, 2)] == 0.0 and w[(1, 2)] == 1.0 and w[(2, 2)] == 0.5
+    import math
+
+    assert all(math.isnan(w[(i, 3)]) for i in range(3))  # constant dim
+    assert w[(0, 4)] == 0.0 and w[(2, 4)] == 1.0
+
+
+def test_n17_engine_oracle_agreement_real(spark):
+    """Engine (element_at aggs + row-local transform) and oracle
+    (unnest + join) agree exactly on the real 64-d embeddings —
+    min/max are order-independent so no float drift is tolerated."""
+    got = (
+        QUERIES["n17_minmax_normalize"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _oracle_sf("/root/testdata/sf0.001",
+                   QUERIES["n17_minmax_normalize"].sql)
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    assert got.shape == want.shape == (500 * 64, 3)
+    import numpy as np
+    import pandas as pd
+
+    ga, wa = got.x_norm.to_numpy(), want.x_norm.to_numpy()
+    both_nan = pd.isna(ga) & pd.isna(wa)
+    assert (both_nan | (ga == wa)).all()
+    # bounds: every non-null value in [0,1]
+    vals = ga[~pd.isna(ga)]
+    assert vals.min() >= 0.0 and vals.max() <= 1.0
+
+
+def _oracle_sf(sf, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    return con.execute(sql).df()
+
+
+# --------------------------------------------------------------- ev7
+
+
+def test_ev7_consistency_with_ev1_and_monotonicity(spark):
+    """The p=0 row restates ev1's single-probe configuration, so its
+    mean recall must equal the mean of ev1's per-query recalls; and
+    the sweep must be monotone (more probes -> recall and candidate
+    fraction both non-decreasing), ending at sane bounds."""
+    sweep = {
+        r.probe: r
+        for r in QUERIES["ev7_probe_recall_sweep"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(sweep) == {0, 1, 2}
+    ev1 = QUERIES["ev1_ann_recall"].fn(spark, "/root/testdata/sf0.001")
+    per_q = [r.recall for r in ev1.collect()]
+    mean_ev1 = round(sum(per_q) / len(per_q), 4)
+    assert abs(sweep[0].mean_recall - mean_ev1) < 1e-3, (
+        sweep[0].mean_recall,
+        mean_ev1,
+    )
+    assert (
+        sweep[0].mean_recall <= sweep[1].mean_recall <= sweep[2].mean_recall
+    )
+    assert sweep[0].cand_frac < sweep[1].cand_frac < sweep[2].cand_frac
+    assert 0.0 < sweep[2].cand_frac < 1.0
+    assert all(r.n_queries == 20 for r in sweep.values())
+
+
 # --------------------------------------------------------------- pr6
 
 
