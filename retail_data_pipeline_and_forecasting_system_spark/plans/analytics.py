@@ -14287,6 +14287,99 @@ def n16_random_projection(spark, sf):
     )
 
 
+_X50_SQL = """
+    WITH ranked AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY len(string_split(text, ' ')), doc_id) AS src_rank
+      FROM documents
+    ), src AS (
+      SELECT source,
+        CAST(ROW_NUMBER() OVER (ORDER BY source NULLS FIRST) - 1
+          AS BIGINT) AS src_idx,
+        CAST(count(*) OVER () AS BIGINT) AS n_sources
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT r.doc_id, r.source, r.n_tokens,
+      CAST(r.src_rank AS BIGINT) AS src_rank,
+      CAST((r.src_rank - 1) * s.n_sources + s.src_idx AS BIGINT)
+        AS global_pos
+    FROM ranked r JOIN src s ON s.source IS NOT DISTINCT FROM r.source
+"""
+
+
+@q(
+    "x50_curriculum_order",
+    sql=_X50_SQL,
+    ref="LLM-ops: length-based curriculum ordering (Bengio et al. "
+    "2009: easy-to-hard) with round-robin source interleaving — every "
+    "doc gets a strict global training position, short docs first "
+    "within each source, sources alternating so no batch is "
+    "single-source. The point is HOW: global_pos = (src_rank-1) * "
+    "n_sources + src_idx is a closed-form interleave, so the total "
+    "order exists WITHOUT any global sort — the trainer just sorts "
+    "its (already shard-local) slice by the key",
+    scale="ONE source-keyed window exchange is the only data-"
+    "proportional shuffle (rank within source); the source index "
+    "table is #sources rows and broadcasts. Positions are sparse "
+    "(sources differ in size) but strictly ordered — exactly what an "
+    "ORDER BY key needs, and why no corpus-wide TotalOrderPartitioner "
+    "pass exists in the plan. At 100 TB compose with x32: shard by "
+    "hash, order within shard by global_pos",
+)
+def x50_curriculum_order(spark, sf):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.size(F.split("text", " ")), "doc_id"
+            )
+        )
+        .cast("bigint")
+        .alias("src_rank"),
+    )
+    # NULLS FIRST made explicit: Spark's ascending default, but DuckDB
+    # defaults to NULLS LAST — a NULL source must index identically
+    src = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.row_number().over(
+                    Window.orderBy(F.asc_nulls_first("source"))
+                )
+                - 1
+            )
+            .cast("bigint")
+            .alias("src_idx"),
+        )
+    )
+    n_src = src.agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"))
+    s = F.broadcast(src.crossJoin(F.broadcast(n_src))).alias("s")
+    r = ranked.alias("r")
+    return r.join(
+        s, F.col("r.source").eqNullSafe(F.col("s.source"))
+    ).select(
+        "r.doc_id",
+        F.col("r.source").alias("source"),
+        "r.n_tokens",
+        "r.src_rank",
+        (
+            (F.col("r.src_rank") - 1) * F.col("s.n_sources")
+            + F.col("s.src_idx")
+        ).alias("global_pos"),
+    )
+
+
 _EV7_SQL = f"""
     WITH emb AS (
       SELECT vec_id AS id, embedding AS vec,
@@ -15145,10 +15238,10 @@ _DRIVER_SAMPLE = [
     "x47_blocklist_policy", "x48_k_anonymity", "n16_random_projection",
     "pr6_shortest_paths", "h10_anomaly_zscore", "x49_zipf_fit",
     "dq7_benford_screen", "h11_cusum_changepoint", "n17_minmax_normalize",
-    "ev7_probe_recall_sweep",
-    # refresh fill to 50: first 1 of the 44-entry r06-latest cohort,
-    # alphabetical (a10 reached; a11 onward queue for round 12)
-    "a10_profile",
+    "ev7_probe_recall_sweep", "x50_curriculum_order",
+    # no room left for r06-cohort fills this round — the 11 round-11
+    # registrations took the whole fill budget; the r06 refresh queue
+    # (a10 onward, alphabetical) carries to round 12 intact
 ]
 
 

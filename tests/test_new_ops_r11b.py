@@ -716,6 +716,70 @@ def test_ev7_consistency_with_ev1_and_monotonicity(spark):
     assert all(r.n_queries == 20 for r in sweep.values())
 
 
+# --------------------------------------------------------------- x50
+
+
+def test_x50_interleave_properties(spark, tmp_path):
+    """The closed-form interleave must produce a STRICT total order,
+    easy-to-hard within each source, round-robin across sources at
+    equal rank — checked on a hand corpus with unequal source sizes,
+    ties, an empty-string doc and a NULL source."""
+    sf = _staged_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "a", "one two three"),
+            (1, "a", "one"),
+            (2, "a", "one two"),
+            (3, "b", "x y z w"),
+            (4, "b", "x"),
+            (5, None, ""),
+            (6, "b", "x y"),  # tie on length with doc 2 across sources
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["x50_curriculum_order"].fn(spark, sf).collect()
+    }
+    pos = [r.global_pos for r in rows.values()]
+    assert len(set(pos)) == len(pos)  # strict total order
+    # within-source: shorter docs come first
+    for src in ("a", "b"):
+        ordered = sorted(
+            (r for r in rows.values() if r.source == src),
+            key=lambda r: r.global_pos,
+        )
+        assert [r.n_tokens for r in ordered] == sorted(
+            r.n_tokens for r in ordered
+        )
+    # round-robin: rank-1 docs of every source precede every rank-2 doc
+    r1 = max(r.global_pos for r in rows.values() if r.src_rank == 1)
+    r2 = min(r.global_pos for r in rows.values() if r.src_rank == 2)
+    assert r1 < r2
+    # NULL source is its own stream, not dropped (null-safe join)
+    assert rows[5].src_rank == 1 and rows[5].n_tokens == 1
+    # cross-engine agreement on the same staged corpus
+    want = sorted(
+        (int(r.doc_id), int(r.global_pos))
+        for r in _oracle(QUERIES["x50_curriculum_order"].sql, sf)
+        .itertuples(index=False)
+    )
+    got = sorted((d, int(r.global_pos)) for d, r in rows.items())
+    assert got == want
+
+
+def test_x50_plan_no_global_sort(spark):
+    """The total order must come from the closed form, not a global
+    sort: no corpus-wide Sort/Exchange rangepartitioning in the plan
+    beyond the per-source window's hash exchange."""
+    plan = _plan(
+        QUERIES["x50_curriculum_order"].fn(spark, "/root/testdata/sf0.001")
+    )
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 # --------------------------------------------------------------- pr6
 
 
