@@ -14287,6 +14287,195 @@ def n16_random_projection(spark, sf):
     )
 
 
+# T5 span corruption, deterministic: one 3-token span per 20-token
+# window (~15% noise density, the T5 default), span start drawn from
+# an md5 nibble of (doc_id, window) — the same derandomization the
+# x46 FIM transform uses, so corruption is reproducible at any
+# parallelism and restatable in SQL. Windows shorter than 6 tokens are
+# left intact (a span would dominate them). Sentinels <Xw> are unique
+# per window by construction.
+_X51_NIBBLE = (
+    "(instr('0123456789abcdef', substring(md5(concat(CAST(doc_id AS "
+    "{vc}), ':x51:', CAST(w AS {vc}))), 1, 1)) - 1)"
+)
+
+_X51_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks,
+        CAST(len(string_split(text, ' ')) AS INT) AS n
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, source, n,
+        list_transform(range(CAST(ceil(n / 20.0) AS INT)),
+          w -> struct_pack(
+            w := w,
+            lenw := least(20, n - w*20),
+            s := CASE WHEN least(20, n - w*20) >= 6 THEN
+              CAST({_X51_NIBBLE.format(vc='VARCHAR')} AS BIGINT)
+                % (least(20, n - w*20) - 2)
+              ELSE NULL END,
+            win := toks[w*20+1 : w*20 + least(20, n - w*20)]
+        )) AS ws
+      FROM base
+    )
+    SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens,
+      CAST(3 * len(list_filter(ws, p -> p.s IS NOT NULL)) AS BIGINT)
+        AS n_corrupted,
+      array_to_string(flatten(list_transform(ws, p ->
+        CASE WHEN p.s IS NULL THEN p.win
+        ELSE flatten([p.win[1:p.s],
+                      ['<X' || CAST(p.w AS VARCHAR) || '>'],
+                      p.win[p.s+4:p.lenw]])
+        END)), ' ') AS input_text,
+      nullif(coalesce(array_to_string(flatten(list_transform(ws, p ->
+        CASE WHEN p.s IS NULL THEN CAST([] AS VARCHAR[])
+        ELSE flatten([['<X' || CAST(p.w AS VARCHAR) || '>'],
+                      p.win[p.s+1:p.s+3]])
+        END)), ' '), ''), '') AS targets
+    FROM parts
+"""
+
+
+@q(
+    "x51_span_corruption",
+    sql=_X51_SQL,
+    ref="LLM-ops: T5-style span corruption (Raffel et al. 2020 §3.1.4"
+    " — the denoising pretraining objective): replace one 3-token span "
+    "per 20-token window with a unique sentinel <Xw>, emit the "
+    "corrupted input and the sentinel-delimited targets (~15% noise "
+    "density, T5's default). Completes the objective-transform family "
+    "— x36 packs for causal LM, x46 reorders for fill-in-middle, x51 "
+    "corrupts for denoising — all deterministic via the same "
+    "md5-nibble derandomization, so the corpus transform is "
+    "reproducible at any parallelism. targets is NULL when no window "
+    "was long enough to corrupt",
+    scale="pure row-local higher-order-function plan (sequence → "
+    "transform → flatten → array_join, all JVM): zero exchanges, "
+    "pipelines with the scan. Window arithmetic is per-doc; no state, "
+    "no RNG, no Python",
+)
+def x51_span_corruption(spark, sf):
+    nib = _X51_NIBBLE.format(vc="STRING")
+    ws = (
+        "transform(sequence(0, CAST(ceil(n / 20.0) AS INT) - 1), "
+        "w -> named_struct("
+        "'w', w, "
+        "'lenw', least(20, n - w*20), "
+        "'s', CASE WHEN least(20, n - w*20) >= 6 THEN "
+        f"CAST({nib} AS BIGINT) % (least(20, n - w*20) - 2) "
+        "ELSE NULL END, "
+        "'win', slice(toks, w*20+1, least(20, n - w*20))))"
+    )
+    base = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).cast("int").alias("n"),
+    )
+    parts = base.select(
+        "doc_id", "source", "n", F.expr(ws).alias("ws")
+    )
+    input_expr = (
+        "array_join(flatten(transform(ws, p -> "
+        "CASE WHEN p.s IS NULL THEN p.win "
+        "ELSE concat(slice(p.win, 1, CAST(p.s AS INT)), "
+        "array(concat('<X', CAST(p.w AS STRING), '>')), "
+        "slice(p.win, CAST(p.s AS INT) + 4, "
+        "p.lenw - CAST(p.s AS INT) - 3)) END)), ' ')"
+    )
+    targets_expr = (
+        "nullif(coalesce(array_join(flatten(transform(ws, p -> "
+        "CASE WHEN p.s IS NULL THEN CAST(array() AS ARRAY<STRING>) "
+        "ELSE concat(array(concat('<X', CAST(p.w AS STRING), '>')), "
+        "slice(p.win, CAST(p.s AS INT) + 1, 3)) END)), ' '), ''), '')"
+    )
+    return parts.select(
+        "doc_id",
+        "source",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(3 * size(filter(ws, p -> p.s IS NOT NULL)) AS BIGINT)"
+        ).alias("n_corrupted"),
+        F.expr(input_expr).alias("input_text"),
+        F.expr(targets_expr).alias("targets"),
+    )
+
+
+_X52_SQL_TMPL = """
+    WITH RECURSIVE x35 AS ( {x35} ),
+    words AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+          AS BIGINT) AS n_words
+      FROM documents
+    )
+    SELECT w.lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(SUM(w.n_words) AS BIGINT) AS n_words,
+      CAST(SUM(x.n_tokens) AS BIGINT) AS n_bpe_tokens,
+      round(CAST(SUM(x.n_tokens) AS DOUBLE)
+        / nullif(CAST(SUM(w.n_words) AS DOUBLE), 0.0), 9) AS fertility,
+      round(CAST(SUM(x.n_merged) AS DOUBLE)
+        / nullif(CAST(SUM(x.n_tokens) AS DOUBLE), 0.0), 9)
+        AS merged_frac
+    FROM x35 x JOIN words w USING (doc_id)
+    GROUP BY w.lang
+"""
+
+
+@q(
+    "x52_tokenizer_fertility",
+    sql=None,  # spliced below once x35's SQL is registered
+    ref="LLM-ops: tokenizer FERTILITY by language — BPE tokens per "
+    "whitespace word (plus the merged-token share) from x42's trained "
+    "tokenizer, grouped by the documents' lang column. Fertility is "
+    "the standard tokenizer-equity metric (Rust et al. 2021 'How Good "
+    "is Your Tokenizer?'): a language whose fertility is far above "
+    "the corpus norm pays more compute per word and gets shorter "
+    "effective context — the number a multilingual pipeline reviews "
+    "before freezing a vocab. Closes the tokenizer family's "
+    "measurement edge: x39 scores compression per SOURCE, x52 scores "
+    "equity per LANGUAGE",
+    scale="x35's zero-shuffle encode (merge table in the closure) + "
+    "one doc-grain equi-join on doc_id (co-partitioned with the "
+    "encode output) + a lang-keyed map-side-combined agg — "
+    "language-cardinality output. Nothing data-proportional beyond "
+    "the one join exchange",
+)
+def x52_tokenizer_fertility(spark, sf):
+    enc = QUERIES["x35_bpe_encode"].fn(spark, sf).select(
+        "doc_id", "n_tokens", "n_merged"
+    )
+    words = _t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast(
+            "bigint"
+        ).alias("n_words"),
+    )
+    j = enc.join(words, "doc_id")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / F.nullif(F.sum("n_words").cast("double"), F.lit(0.0)),
+            9,
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_merged").cast("double")
+            / F.nullif(F.sum("n_tokens").cast("double"), F.lit(0.0)),
+            9,
+        ).alias("merged_frac"),
+    )
+
+
+QUERIES["x52_tokenizer_fertility"].sql = _X52_SQL_TMPL.format(
+    x35=QUERIES["x35_bpe_encode"].sql
+)
+
+
 _X50_SQL = """
     WITH ranked AS (
       SELECT doc_id, source,
@@ -15211,13 +15400,14 @@ _DRIVER_SAMPLE = [
     # breadth ops, and the graph-ANN search phase
     "x43_bpe_detokenize", "x44_token_windows", "x45_pack_attention_spans",
     "x46_fim_transform", "n15_graph_greedy_search",
-    # riders (8) for round-11 code changes: the whole trained-table
-    # family rides the _TRAIN_MEMO re-keying (abspath + corpus
-    # fingerprint — round-10 ADVICE), and x15/x36 additionally ride the
-    # pack_counts NaN-group normalization
+    # riders (6) for round-11 code changes: the trained-table family
+    # rides the _TRAIN_MEMO re-keying (abspath + corpus fingerprint —
+    # round-10 ADVICE), and x15/x36 additionally ride the pack_counts
+    # NaN-group normalization. x39/x40 (r10-green, same memo path as
+    # the six below) ceded their slots to the x51/x52 registrations
     "x42_bpe_train", "x35_bpe_encode", "x36_bpe_sequence_pack",
-    "x37_bpe_mixture_weights", "x39_bpe_compression",
-    "x40_packing_efficiency", "x41_bpe_vocab", "x15_sequence_pack",
+    "x37_bpe_mixture_weights", "x41_bpe_vocab", "x15_sequence_pack",
+    "x51_span_corruption", "x52_tokenizer_fertility",
     # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",

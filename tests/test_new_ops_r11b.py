@@ -716,6 +716,152 @@ def test_ev7_consistency_with_ev1_and_monotonicity(spark):
     assert all(r.n_queries == 20 for r in sweep.values())
 
 
+# --------------------------------------------------------------- x51
+
+
+def _x51_python(doc_id, text):
+    """Independent pure-Python replica of the deterministic span
+    corruption (md5 nibble start, 3-token span per 20-token window)."""
+    import hashlib
+
+    if text is None:
+        return None, None, None, None
+    toks = text.split(" ")
+    n = len(toks)
+    inp, tgt, n_corr = [], [], 0
+    n_windows = -(-n // 20)
+    for w in range(n_windows):
+        win = toks[w * 20: w * 20 + 20]
+        lenw = len(win)
+        if lenw >= 6:
+            nib = int(
+                hashlib.md5(f"{doc_id}:x51:{w}".encode()).hexdigest()[0], 16
+            )
+            s = nib % (lenw - 2)
+            inp += win[:s] + [f"<X{w}>"] + win[s + 3:]
+            tgt += [f"<X{w}>"] + win[s: s + 3]
+            n_corr += 3
+        else:
+            inp += win
+    return n, n_corr, " ".join(inp), (" ".join(tgt) if tgt else None)
+
+
+def test_x51_python_differential_and_edges(spark, tmp_path):
+    """Engine output equals the independent Python replica on hand
+    docs spanning window boundaries, short docs, empty and NULL."""
+    docs = [
+        (0, "s", " ".join(f"t{i}" for i in range(38))),  # 2 windows
+        (1, "s", " ".join(f"u{i}" for i in range(20))),  # exactly 1
+        (2, "s", "a b c d e"),                           # 5 < 6: intact
+        (3, "s", "a b c d e f"),                         # 6: corrupted
+        (4, "s", ""),
+        (5, "s", None),
+        (6, "s", " ".join(f"v{i}" for i in range(21))),  # 20+1 tail
+    ]
+    sf = _staged_docs(spark, tmp_path, docs)
+    got = {
+        r.doc_id: r
+        for r in QUERIES["x51_span_corruption"].fn(spark, sf).collect()
+    }
+    for doc_id, _, text in docs:
+        n, n_corr, inp, tgt = _x51_python(doc_id, text)
+        r = got[doc_id]
+        if text is None:
+            assert r.n_tokens is None and r.input_text is None
+            continue
+        assert r.n_tokens == n and r.n_corrupted == n_corr, doc_id
+        assert r.input_text == inp, (doc_id, r.input_text, inp)
+        assert r.targets == tgt, (doc_id, r.targets, tgt)
+    # doc 2 untouched, doc 3 corrupted
+    assert got[2].input_text == "a b c d e" and got[2].targets is None
+    assert got[3].n_corrupted == 3 and "<X0>" in got[3].input_text
+
+
+def test_x51_reconstruction_identity_real_corpus(spark):
+    """Substituting each sentinel's target span back into the input
+    must reproduce the original text byte-for-byte on EVERY real doc —
+    the invariant that makes the objective trainable."""
+    import re
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    out = QUERIES["x51_span_corruption"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 500
+    n_corrupted_docs = 0
+    for r in out:
+        if r.targets is None:
+            assert "<X" not in (r.input_text or "")
+            assert (r.input_text or None) == (docs[r.doc_id] or None) or (
+                r.input_text == docs[r.doc_id]
+            )
+            continue
+        n_corrupted_docs += 1
+        spans = {}
+        parts = re.split(r"(<X\d+>)", r.targets)
+        cur = None
+        for p in parts:
+            if re.fullmatch(r"<X\d+>", p):
+                cur = p
+                spans[cur] = []
+            elif cur is not None and p.strip():
+                spans[cur].append(p.strip())
+        rebuilt = r.input_text
+        for sent, words in spans.items():
+            rebuilt = rebuilt.replace(sent, " ".join(words), 1)
+        assert rebuilt == docs[r.doc_id], r.doc_id
+        # density: 3 per 20-token window, only long windows corrupted
+        assert 0 < r.n_corrupted <= 3 * (-(-r.n_tokens // 20))
+    assert n_corrupted_docs > 400  # the corpus is mostly long docs
+
+
+def test_x51_plan_row_local(spark):
+    plan = _plan(
+        QUERIES["x51_span_corruption"].fn(spark, "/root/testdata/sf0.001")
+    )
+    assert "Exchange" not in plan, plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------- x52
+
+
+def test_x52_consistency_with_x35(spark):
+    """Per-language sums must restate x35's per-doc stats exactly;
+    fertility and merged share live in sane ranges on the real
+    corpus (a whitespace word encodes to >= 1 BPE token)."""
+    fert = {
+        r.lang: r
+        for r in QUERIES["x52_tokenizer_fertility"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    enc = QUERIES["x35_bpe_encode"].fn(spark, "/root/testdata/sf0.001")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {}
+    dl = {r.doc_id: r.lang for r in docs.collect()}
+    for r in enc.collect():
+        lang = dl[r.doc_id]
+        a = want.setdefault(lang, [0, 0, 0])
+        a[0] += 1
+        a[1] += r.n_tokens
+        a[2] += r.n_merged
+    assert set(fert) == set(want)
+    for lang, (n_docs, n_tok, n_merged) in want.items():
+        r = fert[lang]
+        assert r.n_docs == n_docs and r.n_bpe_tokens == n_tok, lang
+        assert r.fertility >= 1.0 - 1e-9, lang  # >= 1 token per word
+        assert 0.0 <= r.merged_frac <= 1.0
+        assert abs(
+            r.merged_frac - round(n_merged / n_tok, 9)
+        ) < 1e-12, lang
+
+
 # --------------------------------------------------------------- x50
 
 
