@@ -15230,6 +15230,117 @@ def x49_zipf_fit(spark, sf):
     )
 
 
+def _pr7_sql(n_iter: int = 3, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank oracle: restart vector v on the
+    3 lowest-id seed parts (pr6's anchor set), r0 = v, teleport
+    (1-d)*v per iteration."""
+    parts = [
+        """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM deg),
+    seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
+    ns AS (SELECT count(*) AS s FROM seeds),
+    v AS (
+      SELECT n.node,
+        CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.s ELSE 0.0 END AS v
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node, ns
+    ),
+    r0 AS (SELECT node, v AS rank FROM v)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT e.dst, SUM(r.rank / d.deg) AS c
+      FROM edges e JOIN deg d ON d.src = e.src
+      JOIN r{i - 1} r ON r.node = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT v.node, {1.0 - damping} * v.v
+        + {damping} * COALESCE(c{i}.c, 0.0) AS rank
+      FROM v LEFT JOIN c{i} ON c{i}.dst = v.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS l_partkey, round(rank, 12) AS rank
+    FROM r{n_iter} WHERE rank > 0.0"""
+    )
+    return "".join(parts)
+
+
+@q(
+    "pr7_personalized_pagerank",
+    sql=_pr7_sql(3, 0.85),
+    ref="LLM-ops/graph: PERSONALIZED PageRank over the part "
+    "co-purchase graph — the random walk restarts at pr6's anchor set "
+    "(the 3 lowest-id parts), so rank measures relevance TO those "
+    "seeds, not global centrality (Page et al. 1999 §6): the "
+    "related-products primitive behind 'customers who bought X'. "
+    "Completes the graph family's measurement triad: pr1 ranks "
+    "globally, pr6 measures hop distance, pr7 measures walk "
+    "relevance — same seeds, three lenses",
+    scale="identical cost profile to pr1 (one src-keyed join + one "
+    "dst-keyed agg per unrolled iteration; persist/bucket the edge "
+    "frame); the restart vector is node-sized and broadcasts. "
+    "Unreached nodes carry exactly zero mass and are filtered, so "
+    "output is seed-neighborhood-sized, not graph-sized",
+)
+def pr7_personalized_pagerank(spark, sf):
+    from ..operators.graph import personalized_pagerank
+
+    lp = (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+        .join(
+            lp.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
+            ),
+            "o",
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    edges = _persist_tracked(
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+    )
+    # Collect the 3 anchor ids once (model-sized driver state, the k1
+    # pattern): leaving seeds as a limit(3)-over-distinct PLAN made
+    # every unrolled iteration re-run the full distinct+TakeOrdered
+    # through the restart vector — measured 14.3 -> ~5 s at sf0.1
+    seed_ids = [
+        r.node
+        for r in edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(3)
+        .collect()
+    ]
+    seeds = spark.createDataFrame([(i,) for i in seed_ids], "node long")
+    return personalized_pagerank(edges, seeds, n_iter=3, damping=0.85).select(
+        F.col("node").alias("l_partkey"), "rank"
+    )
+
+
 _PR6_SQL = """
     WITH RECURSIVE lp AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -15400,14 +15511,15 @@ _DRIVER_SAMPLE = [
     # breadth ops, and the graph-ANN search phase
     "x43_bpe_detokenize", "x44_token_windows", "x45_pack_attention_spans",
     "x46_fim_transform", "n15_graph_greedy_search",
-    # riders (6) for round-11 code changes: the trained-table family
+    # riders (5) for round-11 code changes: the trained-table family
     # rides the _TRAIN_MEMO re-keying (abspath + corpus fingerprint —
     # round-10 ADVICE), and x15/x36 additionally ride the pack_counts
-    # NaN-group normalization. x39/x40 (r10-green, same memo path as
-    # the six below) ceded their slots to the x51/x52 registrations
+    # NaN-group normalization. x37/x39/x40 (r10-green, same memo path
+    # as the five below) ceded their slots to x51/x52/pr7
     "x42_bpe_train", "x35_bpe_encode", "x36_bpe_sequence_pack",
-    "x37_bpe_mixture_weights", "x41_bpe_vocab", "x15_sequence_pack",
+    "x41_bpe_vocab", "x15_sequence_pack",
     "x51_span_corruption", "x52_tokenizer_fertility",
+    "pr7_personalized_pagerank",
     # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",

@@ -559,6 +559,68 @@ def test_x49_degenerate_single_token_source(spark, tmp_path):
     assert pd.isna(want["s"].slope) and want["t"].n_vocab == 2
 
 
+# --------------------------------------------------------------- pr7
+
+
+def test_pr7_python_differential_hand_graph(spark):
+    """Personalized ranks match an independent Python power iteration
+    on a hand graph; unreached nodes are absent (exactly zero mass),
+    and seeds out-rank distant nodes."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.graph import (  # noqa: E501
+        personalized_pagerank,
+    )
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]  # chain + island
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            edges, seeds, n_iter=3, damping=0.85
+        ).collect()
+    }
+    # independent replica
+    adj = {}
+    for a, b in und + [(b, a) for a, b in und]:
+        adj.setdefault(a, []).append(b)
+    nodes = sorted(adj)
+    v = {n: (0.5 if n in (1, 2) else 0.0) for n in nodes}
+    r = dict(v)
+    for _ in range(3):
+        c = {n: 0.0 for n in nodes}
+        for a, outs in adj.items():
+            for b in outs:
+                c[b] += r[a] / len(outs)
+        r = {n: 0.15 * v[n] + 0.85 * c[n] for n in nodes}
+    want = {n: round(x, 12) for n, x in r.items() if x > 0.0}
+    assert got == want
+    assert 8 not in got and 9 not in got  # island: exactly zero mass
+    assert got[1] > got[5] and got[2] > got[5]  # seeds beat the tail
+
+
+def test_pr7_registry_differs_from_global(spark):
+    """On the real graph, personalization must matter: the seed parts
+    rank at the top of pr7 but not of pr1, and pr7's support is a
+    subset of pr1's (only seed-reachable nodes carry mass)."""
+    sf = "/root/testdata/sf0.001"
+    ppr = {
+        r.l_partkey: r.rank
+        for r in QUERIES["pr7_personalized_pagerank"].fn(spark, sf).collect()
+    }
+    gpr = {
+        r.l_partkey: r.pagerank
+        for r in QUERIES["pr1_copurchase_pagerank"].fn(spark, sf).collect()
+    }
+    assert set(ppr) <= set(gpr)
+    seeds = sorted(gpr)[:3]
+    top5_ppr = sorted(ppr, key=ppr.get, reverse=True)[:5]
+    assert set(seeds) <= set(top5_ppr)
+    top5_gpr = sorted(gpr, key=gpr.get, reverse=True)[:5]
+    assert top5_ppr != top5_gpr  # personalization changed the ranking
+
+
 # --------------------------------------------------------------- h11
 
 
