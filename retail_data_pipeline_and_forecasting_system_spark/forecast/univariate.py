@@ -320,3 +320,109 @@ def holt_winters_forecast(
     return bucketed_fold(
         slim, group_col, kernel, out_schema, num_buckets=num_buckets
     )
+
+
+def croston_kernel(
+    qtys: list[int], gaps: list[int]
+) -> tuple[float, float, float] | None:
+    """Croston's method (Croston 1972) with alpha = 0.5, plus the
+    Syntetos-Boylan bias correction (SBA, factor 1 - alpha/2 = 0.75).
+
+    ``qtys`` are the demand sizes at the n demand events in time
+    order; ``gaps[i]`` is the whole-day interval between event i-1 and
+    event i (``gaps[0]`` unused). Initialization: z = first size; p =
+    first interval (so n >= 2 is required); updates from event 2 on:
+    z' = 0.5*q + 0.5*z, p' = 0.5*g + 0.5*p. All coefficients dyadic,
+    all inputs integers -> every intermediate is an exact binary
+    fraction, bit-identical to the SQL oracle's recursion (the
+    h3/m21 exactness discipline).
+
+    Returns (z, p, forecast = z/p) or None when n < 2.
+    """
+    n = len(qtys)
+    if n < 2:
+        return None
+    z = float(qtys[0])
+    p = float(gaps[1])
+    for i in range(1, n):
+        z = 0.5 * float(qtys[i]) + 0.5 * z
+        if i >= 2:
+            p = 0.5 * float(gaps[i]) + 0.5 * p
+    return z, p, z / p
+
+
+def croston_forecast(
+    events: "DataFrame",
+    key_col: str = "l_partkey",
+    date_col: str = "d",
+    qty_col: str = "qty",
+    num_buckets: int = 64,
+) -> "DataFrame":
+    """Per-key Croston intermittent-demand forecast over (key, date,
+    qty) demand events — the retail forecasting shape Prophet-style
+    continuous models mishandle (mostly-zero daily series).
+
+    One hash-bucketed ``applyInPandas`` pass (the a5/x15 scaffold):
+    only (key, date, qty) scalars cross into Python, state per key is
+    three floats. Output: key, n_events, z (smoothed size), p
+    (smoothed interval), croston = z/p demand per day, sba = 0.75 *
+    croston. Keys with fewer than two demand events are absent (no
+    interval information exists).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.bucketed import bucketed_fold
+
+    key_field = events.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("z", T.DoubleType()),
+            T.StructField("p", T.DoubleType()),
+            T.StructField("croston", T.DoubleType()),
+            T.StructField("sba", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out: dict[str, list] = {
+            key_col: [], "n_events": [], "z": [], "p": [],
+            "croston": [], "sba": [],
+        }
+        for g, grp in pdf.groupby(key_col, dropna=False, sort=True):
+            if isinstance(g, float) and pd.isna(g):
+                g = None
+            grp = grp.sort_values(date_col)
+            dates = list(grp[date_col].values)
+            qtys = [int(v) for v in grp[qty_col].values]
+            gaps = [0] + [
+                int((pd.Timestamp(b) - pd.Timestamp(a)).days)
+                for a, b in zip(dates, dates[1:])
+            ]
+            fit = croston_kernel(qtys, gaps)
+            if fit is None:
+                continue
+            z, p, fc = fit
+            out[key_col].append(g)
+            out["n_events"].append(len(qtys))
+            out["z"].append(z)
+            out["p"].append(p)
+            out["croston"].append(fc)
+            out["sba"].append(0.75 * fc)
+        res = pd.DataFrame(out)
+        return res if len(res) else pd.DataFrame(
+            {
+                key_col: [],
+                "n_events": pd.array([], dtype="int64"),
+                "z": pd.array([], dtype="float64"),
+                "p": pd.array([], dtype="float64"),
+                "croston": pd.array([], dtype="float64"),
+                "sba": pd.array([], dtype="float64"),
+            }
+        )
+
+    return bucketed_fold(
+        events, key_col, kernel, out_schema, num_buckets=num_buckets
+    )

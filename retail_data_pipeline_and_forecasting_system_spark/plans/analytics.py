@@ -14401,6 +14401,75 @@ def x51_span_corruption(spark, sf):
     )
 
 
+_M23_SQL = """
+    WITH RECURSIVE ev AS (
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ), seq AS (
+      SELECT l_partkey, qty,
+        ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY d) AS i,
+        CAST(d - lag(d) OVER (PARTITION BY l_partkey ORDER BY d)
+          AS INT) AS gap,
+        count(*) OVER (PARTITION BY l_partkey) AS n
+      FROM ev
+    ), walk AS (
+      SELECT s2.l_partkey, s2.n, CAST(2 AS BIGINT) AS i,
+        -- CAST to DOUBLE: DuckDB types 0.5 * BIGINT as DECIMAL, and
+        -- the recursive column would inherit that scale-limited type
+        0.5 * CAST(s2.qty AS DOUBLE) + 0.5 * CAST(s1.qty AS DOUBLE) AS z,
+        CAST(s2.gap AS DOUBLE) AS p
+      FROM seq s2 JOIN seq s1
+        ON s1.l_partkey = s2.l_partkey AND s1.i = 1
+      WHERE s2.i = 2
+      UNION ALL
+      SELECT w.l_partkey, w.n, w.i + 1,
+        0.5 * CAST(s.qty AS DOUBLE) + 0.5 * w.z,
+        0.5 * CAST(s.gap AS DOUBLE) + 0.5 * w.p
+      FROM walk w JOIN seq s
+        ON s.l_partkey = w.l_partkey AND s.i = w.i + 1
+    )
+    SELECT l_partkey, CAST(n AS BIGINT) AS n_events, z, p,
+      z / p AS croston, 0.75 * (z / p) AS sba
+    FROM walk WHERE i = n
+"""
+
+
+@q(
+    "m23_croston_intermittent",
+    sql=_M23_SQL,
+    ref="Forecast: Croston's method for INTERMITTENT demand (Croston "
+    "1972) + the Syntetos-Boylan bias correction — the retail shape "
+    "continuous models mishandle: a product that sells 3 units every "
+    "couple of weeks has a mostly-zero daily series, and SES/Prophet "
+    "on it forecasts noise. Croston smooths demand SIZES and "
+    "inter-demand INTERVALS separately (alpha = 0.5, dyadic -> every "
+    "intermediate exact, the h3/m21 discipline) and forecasts "
+    "z/p units per day; sba = 0.75*z/p corrects Croston's known "
+    "positive bias. Completes the forecast family's demand-pattern "
+    "axis: m2/m21 for continuous series, m23 for sparse ones",
+    scale="per-part demand events collapse at one map-side-combined "
+    "(part, day) agg; the fold is one hash-bucketed applyInPandas "
+    "over (key, date, qty) scalars (the a5/x15 scaffold — parallel "
+    "across parts, sequential only within a part's own events). "
+    "Output is parts-with->=2-events sized",
+)
+def m23_croston_intermittent(spark, sf):
+    from ..forecast.univariate import croston_forecast
+
+    events = (
+        _t(spark, sf, "lineitem")
+        .select(
+            "l_partkey",
+            F.to_date("l_shipdate").alias("d"),
+            F.col("l_quantity").cast("bigint").alias("__q"),
+        )
+        .groupBy("l_partkey", "d")
+        .agg(F.sum("__q").cast("bigint").alias("qty"))
+    )
+    return croston_forecast(events, key_col="l_partkey")
+
+
 _X52_SQL_TMPL = """
     WITH RECURSIVE x35 AS ( {x35} ),
     words AS (
@@ -15511,15 +15580,17 @@ _DRIVER_SAMPLE = [
     # breadth ops, and the graph-ANN search phase
     "x43_bpe_detokenize", "x44_token_windows", "x45_pack_attention_spans",
     "x46_fim_transform", "n15_graph_greedy_search",
-    # riders (5) for round-11 code changes: the trained-table family
+    # riders (4) for round-11 code changes: the trained-table family
     # rides the _TRAIN_MEMO re-keying (abspath + corpus fingerprint —
     # round-10 ADVICE), and x15/x36 additionally ride the pack_counts
-    # NaN-group normalization. x37/x39/x40 (r10-green, same memo path
-    # as the five below) ceded their slots to x51/x52/pr7
-    "x42_bpe_train", "x35_bpe_encode", "x36_bpe_sequence_pack",
+    # NaN-group normalization. x37/x39/x40/x35 (r10-green, same memo
+    # path) ceded their slots to the x51/x52/pr7/m23 registrations —
+    # x35 stays exercised end-to-end through x52, whose engine fn
+    # calls x35's and whose oracle splices x35's SQL
+    "x42_bpe_train", "x36_bpe_sequence_pack",
     "x41_bpe_vocab", "x15_sequence_pack",
     "x51_span_corruption", "x52_tokenizer_fertility",
-    "pr7_personalized_pagerank",
+    "pr7_personalized_pagerank", "m23_croston_intermittent",
     # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",

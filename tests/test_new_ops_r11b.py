@@ -559,6 +559,101 @@ def test_x49_degenerate_single_token_source(spark, tmp_path):
     assert pd.isna(want["s"].slope) and want["t"].n_vocab == 2
 
 
+# --------------------------------------------------------------- m23
+
+
+def _staged_lineitem_demand(spark, tmp_path, events, sub="sfd"):
+    """events: list of (partkey, date_str, qty) — one lineitem row
+    each (same-day rows for a part aggregate into one demand event)."""
+    d = tmp_path / sub
+    d.mkdir()
+    rows = [
+        (i + 1, pk, 1, 1, float(q), 1.0, 0.0, 0.0, "N", "O",
+         f"{ds} 00:00:00")
+        for i, (pk, ds, q) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate")).coalesce(
+        1
+    ).write.parquet(str(d / "lineitem.parquet"))
+    return str(d)
+
+
+def test_m23_hand_series_exact_halves(spark, tmp_path):
+    """Events at days 0/7/21 with sizes 4/8/2: z folds to exactly 4.0,
+    p to 10.5, croston to 4/10.5 — dyadic arithmetic, asserted equal
+    not approximately. Same-day lines aggregate first; a single-event
+    part is absent (no interval exists)."""
+    events = [
+        (1, "1995-01-01", 4), (1, "1995-01-08", 5), (1, "1995-01-08", 3),
+        (1, "1995-01-22", 2),
+        (2, "1995-03-01", 9),                      # single event: absent
+    ]
+    sf = _staged_lineitem_demand(spark, tmp_path, events)
+    got = {
+        r.l_partkey: r
+        for r in QUERIES["m23_croston_intermittent"].fn(spark, sf).collect()
+    }
+    assert set(got) == {1}
+    r = got[1]
+    assert r.n_events == 3
+    assert r.z == 4.0            # 0.5*2 + 0.5*(0.5*8 + 0.5*4)
+    assert r.p == 10.5           # 0.5*14 + 0.5*7
+    assert r.croston == 4.0 / 10.5
+    assert r.sba == 0.75 * (4.0 / 10.5)
+    # oracle agreement on the same staged table
+    want = _oracle(
+        QUERIES["m23_croston_intermittent"].sql, sf, table="lineitem"
+    )
+    assert len(want) == 1
+    w = want.iloc[0]
+    assert (w.z, w.p, w.croston, w.sba) == (r.z, r.p, r.croston, r.sba)
+
+
+def test_m23_python_differential_real(spark):
+    """Every part's (z, p) matches an independent Python fold over the
+    real sf0.001 demand events — bit-exact, no tolerance."""
+    import duckdb
+
+    con = duckdb.connect()
+    ev = con.execute(
+        """
+        SELECT l_partkey, CAST(l_shipdate AS DATE) d,
+          SUM(CAST(l_quantity AS BIGINT)) q
+        FROM '/root/testdata/sf0.001/lineitem.parquet'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = {}
+    for pk, d, q in ev:
+        series.setdefault(pk, []).append((d, int(q)))
+    want = {}
+    for pk, evs in series.items():
+        if len(evs) < 2:
+            continue
+        qty = [q for _, q in evs]
+        dates = [d for d, _ in evs]
+        gaps = [0] + [(b - a).days for a, b in zip(dates, dates[1:])]
+        z, p = float(qty[0]), float(gaps[1])
+        for i in range(1, len(qty)):
+            z = 0.5 * qty[i] + 0.5 * z
+            if i >= 2:
+                p = 0.5 * gaps[i] + 0.5 * p
+        want[pk] = (len(qty), z, p)
+    got = {
+        r.l_partkey: (r.n_events, r.z, r.p)
+        for r in QUERIES["m23_croston_intermittent"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want and len(got) > 100
+
+
 # --------------------------------------------------------------- pr7
 
 
