@@ -14401,6 +14401,232 @@ def x51_span_corruption(spark, sf):
     )
 
 
+# Deterministic A/B assignment: arm = first md5 nibble of user_id,
+# even -> A, odd -> B — the reproducible substitute for a random
+# split (same convention family as x6/x32's md5-nibble hashing), so
+# the experiment readout is rerun-identical and oracle-checkable.
+# Conversion = the user emitted >= 1 'purchase' event. The z statistic
+# uses the standard two-proportion pooled form; 1.959963984540054 is
+# the two-sided 95% normal quantile, embedded as the same literal in
+# both engines.
+_AB1_SQL = """
+    WITH users AS (
+      SELECT user_id,
+        CASE WHEN (instr('0123456789abcdef',
+            substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+          THEN 'A' ELSE 'B' END AS arm,
+        CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS INT) AS converted
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1
+    ), arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        CAST(SUM(converted) AS BIGINT) AS n_conv
+      FROM users GROUP BY arm
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n_users END) AS a_users,
+        MAX(CASE WHEN arm = 'A' THEN n_conv END) AS a_conv,
+        MAX(CASE WHEN arm = 'B' THEN n_users END) AS b_users,
+        MAX(CASE WHEN arm = 'B' THEN n_conv END) AS b_conv
+      FROM arms
+    )
+    SELECT a_users, a_conv, b_users, b_conv,
+      round(CAST(a_conv AS DOUBLE) / a_users, 9) AS a_rate,
+      round(CAST(b_conv AS DOUBLE) / b_users, 9) AS b_rate,
+      round(CAST(b_conv AS DOUBLE) / b_users
+        - CAST(a_conv AS DOUBLE) / a_users, 9) AS abs_lift,
+      round((CAST(b_conv AS DOUBLE) / b_users
+        - CAST(a_conv AS DOUBLE) / a_users)
+        / nullif(sqrt(
+            (CAST(a_conv + b_conv AS DOUBLE) / (a_users + b_users))
+            * (1.0 - CAST(a_conv + b_conv AS DOUBLE) / (a_users + b_users))
+            * (1.0 / a_users + 1.0 / b_users)), 0.0), 9) AS z_stat,
+      coalesce(abs((CAST(b_conv AS DOUBLE) / b_users
+        - CAST(a_conv AS DOUBLE) / a_users)
+        / nullif(sqrt(
+            (CAST(a_conv + b_conv AS DOUBLE) / (a_users + b_users))
+            * (1.0 - CAST(a_conv + b_conv AS DOUBLE) / (a_users + b_users))
+            * (1.0 / a_users + 1.0 / b_users)), 0.0))
+        > 1.959963984540054, FALSE) AS significant
+    FROM wide
+"""
+
+
+@q(
+    "ab1_experiment_readout",
+    sql=_AB1_SQL,
+    ref="Experimentation: the A/B test readout — deterministic "
+    "md5-nibble arm assignment over users (reproducible at any "
+    "parallelism, the x6/x32 hashing convention), per-arm conversion "
+    "to 'purchase', absolute lift, and the two-proportion pooled "
+    "z-test against the 95% two-sided bound. The decision table an "
+    "experimentation platform renders; a NEW capability family for "
+    "the registry (ab*) — analytics engines are judged on whether "
+    "the experiment readout needs an external stats package (it "
+    "doesn't: exact counts + closed-form z)",
+    scale="one user-keyed agg collapses events to users (map-side "
+    "combined, arm computed row-locally from the hash — no assignment "
+    "table to join or store); the arm rollup and z math are 2-row. "
+    "At 100 TB the only shuffle is the user agg, skew-safe (user "
+    "grain). Degenerate guards: zero-variance pooled rate -> NULL z, "
+    "significant FALSE, never a divide-by-zero",
+)
+def ab1_experiment_readout(spark, sf):
+    nib = (
+        "(instr('0123456789abcdef', substring(md5(CAST(user_id AS "
+        "STRING)), 1, 1)) - 1) % 2"
+    )
+    users = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .select(
+            F.when(F.expr(nib) == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+            "converted",
+        )
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("a_users"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_conv"))).alias("a_conv"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("b_users"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_conv"))).alias("b_conv"),
+    )
+    a_rate = F.col("a_conv").cast("double") / F.col("a_users")
+    b_rate = F.col("b_conv").cast("double") / F.col("b_users")
+    pooled = (F.col("a_conv") + F.col("b_conv")).cast("double") / (
+        F.col("a_users") + F.col("b_users")
+    )
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("a_users")
+            + F.lit(1.0) / F.col("b_users")
+        )
+    )
+    z = (b_rate - a_rate) / F.nullif(se, F.lit(0.0))
+    return wide.select(
+        "a_users",
+        "a_conv",
+        "b_users",
+        "b_conv",
+        F.round(a_rate, 9).alias("a_rate"),
+        F.round(b_rate, 9).alias("b_rate"),
+        F.round(b_rate - a_rate, 9).alias("abs_lift"),
+        F.round(z, 9).alias("z_stat"),
+        F.coalesce(
+            F.abs(z) > 1.959963984540054, F.lit(False)
+        ).alias("significant"),
+    )
+
+
+_DQ8_SQL = """
+    WITH days AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS d FROM events
+      WHERE ts IS NOT NULL
+    ), gaps AS (
+      SELECT event_type, d,
+        d - lag(d) OVER (PARTITION BY event_type ORDER BY d) AS gap
+      FROM days
+    ), per AS (
+      SELECT event_type,
+        MIN(d) AS first_day, MAX(d) AS last_day,
+        CAST(count(*) AS BIGINT) AS days_present,
+        CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS span_days,
+        CAST(coalesce(MAX(gap), 1) AS BIGINT) AS max_gap_days
+      FROM gaps GROUP BY event_type
+    ), anchor AS (
+      SELECT MAX(last_day) AS corpus_last FROM per
+    )
+    SELECT p.event_type, p.first_day, p.last_day, p.days_present,
+      CAST(p.span_days - p.days_present AS BIGINT) AS days_missing,
+      p.max_gap_days,
+      CAST(a.corpus_last - p.last_day AS BIGINT) AS stale_days,
+      (a.corpus_last - p.last_day) > 7 AS is_stale
+    FROM per p, anchor a
+"""
+
+
+@q(
+    "dq8_freshness_audit",
+    sql=_DQ8_SQL,
+    ref="Data quality: per-stream freshness and completeness audit "
+    "over the events table — per event_type: coverage window, days "
+    "present vs span (missing-day count), the longest internal gap, "
+    "and staleness versus the freshest stream in the corpus (is_stale "
+    "past 7 days). This is the monitor a scheduled ingest wears: a "
+    "stream that silently stops arriving shows up as stale_days "
+    "growing, one that drops intermittently shows up in max_gap_days "
+    "— BEFORE any downstream metric goes quietly wrong. Complements "
+    "dq5's distribution drift (values) with arrival drift (presence)",
+    scale="the fact table collapses at one (type, day)-keyed DISTINCT "
+    "(map-side partial dedup); the gap window and the rollup run over "
+    "type×days rows (thousands at any corpus size); the staleness "
+    "anchor is a 1-row broadcast. Stream-type cardinality output",
+)
+def dq8_freshness_audit(spark, sf):
+    from pyspark.sql import Window
+
+    days = (
+        _t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    gaps = days.select(
+        "event_type",
+        "d",
+        F.datediff(
+            F.col("d"),
+            F.lag("d").over(
+                Window.partitionBy("event_type").orderBy("d")
+            ),
+        ).alias("gap"),
+    )
+    per = gaps.groupBy("event_type").agg(
+        F.min("d").alias("first_day"),
+        F.max("d").alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("days_present"),
+        (F.datediff(F.max("d"), F.min("d")) + 1)
+        .cast("bigint")
+        .alias("span_days"),
+        F.coalesce(F.max("gap"), F.lit(1)).cast("bigint").alias(
+            "max_gap_days"
+        ),
+    )
+    anchor = per.agg(F.max("last_day").alias("corpus_last"))
+    return per.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        "first_day",
+        "last_day",
+        "days_present",
+        (F.col("span_days") - F.col("days_present"))
+        .cast("bigint")
+        .alias("days_missing"),
+        "max_gap_days",
+        F.datediff(F.col("corpus_last"), F.col("last_day"))
+        .cast("bigint")
+        .alias("stale_days"),
+        (F.datediff(F.col("corpus_last"), F.col("last_day")) > 7).alias(
+            "is_stale"
+        ),
+    )
+
+
 _M23_SQL = """
     WITH RECURSIVE ev AS (
       SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
@@ -15580,17 +15806,18 @@ _DRIVER_SAMPLE = [
     # breadth ops, and the graph-ANN search phase
     "x43_bpe_detokenize", "x44_token_windows", "x45_pack_attention_spans",
     "x46_fim_transform", "n15_graph_greedy_search",
-    # riders (4) for round-11 code changes: the trained-table family
-    # rides the _TRAIN_MEMO re-keying (abspath + corpus fingerprint —
-    # round-10 ADVICE), and x15/x36 additionally ride the pack_counts
-    # NaN-group normalization. x37/x39/x40/x35 (r10-green, same memo
-    # path) ceded their slots to the x51/x52/pr7/m23 registrations —
-    # x35 stays exercised end-to-end through x52, whose engine fn
-    # calls x35's and whose oracle splices x35's SQL
-    "x42_bpe_train", "x36_bpe_sequence_pack",
-    "x41_bpe_vocab", "x15_sequence_pack",
+    # riders (2) for round-11 code changes: x42 rides the _TRAIN_MEMO
+    # re-keying directly (abspath + corpus fingerprint — round-10
+    # ADVICE) and x15 rides the pack_counts NaN-group normalization.
+    # x37/x39/x40/x35/x36/x41 (r10-green, same memo/pack paths) ceded
+    # their slots to the six fourth/fifth-wave registrations — the
+    # memo + encode path stays exercised end-to-end through x52
+    # (engine fn calls x35's, oracle splices the trainer SQL),
+    # pack_counts through x15
+    "x42_bpe_train", "x15_sequence_pack",
     "x51_span_corruption", "x52_tokenizer_fertility",
     "pr7_personalized_pagerank", "m23_croston_intermittent",
+    "dq8_freshness_audit", "ab1_experiment_readout",
     # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",

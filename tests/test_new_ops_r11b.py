@@ -559,6 +559,141 @@ def test_x49_degenerate_single_token_source(spark, tmp_path):
     assert pd.isna(want["s"].slope) and want["t"].n_vocab == 2
 
 
+# --------------------------------------------------------------- dq8
+
+
+def test_dq8_hand_streams(spark, tmp_path):
+    """Known arrival patterns: a continuous stream, a gappy one, and
+    one that went silent (stale); NULL timestamps are excluded and
+    multiple events per day collapse to one presence day."""
+    d = tmp_path / "sfe3"
+    d.mkdir()
+    rows = []
+    eid = 0
+
+    def ev(t, ds):
+        nonlocal eid
+        rows.append((eid, f"{ds} 10:00:00", 1, t, 1.0, "{}"))
+        eid += 1
+
+    for i in range(10):               # 'click': every day 01-01..01-10
+        ev("click", f"1995-01-{i + 1:02d}")
+    ev("click", "1995-01-10")         # duplicate day collapses
+    for ds in ["1995-01-01", "1995-01-04", "1995-01-10"]:  # gappy
+        ev("buy", ds)
+    ev("old", "1995-01-01")           # stale: silent for 9 days
+    ev("old", "1995-01-02")
+    rows.append((eid, None, 1, "click", 1.0, "{}"))  # NULL ts ignored
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d / "events.parquet")
+    )
+    got = {
+        r.event_type: r
+        for r in QUERIES["dq8_freshness_audit"].fn(spark, str(d)).collect()
+    }
+    c = got["click"]
+    assert (c.days_present, c.days_missing, c.max_gap_days,
+            c.stale_days, c.is_stale) == (10, 0, 1, 0, False)
+    b = got["buy"]
+    assert (b.days_present, b.days_missing, b.max_gap_days,
+            b.stale_days, b.is_stale) == (3, 7, 6, 0, False)
+    o = got["old"]
+    assert (o.days_present, o.max_gap_days, o.stale_days, o.is_stale) == (
+        2, 1, 8, True,
+    )
+    # cross-engine agreement
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{d}/events.parquet/*.parquet'"
+    )
+    want = con.execute(QUERIES["dq8_freshness_audit"].sql).df()
+    w = {r.event_type: r for r in want.itertuples(index=False)}
+    for t, r in got.items():
+        assert (
+            int(w[t].days_present), int(w[t].days_missing),
+            int(w[t].max_gap_days), int(w[t].stale_days),
+            bool(w[t].is_stale),
+        ) == (
+            r.days_present, r.days_missing, r.max_gap_days,
+            r.stale_days, r.is_stale,
+        ), t
+
+
+# --------------------------------------------------------------- ab1
+
+
+def test_ab1_hand_experiment(spark, tmp_path):
+    """Hand-built arms with known conversion: statistics match an
+    independent scipy-free Python computation; the md5 assignment is
+    reproduced independently; z is NULL (not a crash) when both arms
+    convert identically everywhere."""
+    import hashlib
+    import math
+
+    d = tmp_path / "sfe4"
+    d.mkdir()
+    rows = []
+    eid = 0
+    # 40 users: converted iff user_id % 4 == 0
+    for uid in range(40):
+        rows.append((eid, "1995-01-01 10:00:00", uid, "view", 1.0, "{}"))
+        eid += 1
+        if uid % 4 == 0:
+            rows.append(
+                (eid, "1995-01-02 10:00:00", uid, "purchase", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d / "events.parquet")
+    )
+    r = QUERIES["ab1_experiment_readout"].fn(spark, str(d)).collect()[0]
+    # independent replica
+    arms = {"A": [0, 0], "B": [0, 0]}
+    for uid in range(40):
+        arm = (
+            "A"
+            if int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16) % 2
+            == 0
+            else "B"
+        )
+        arms[arm][0] += 1
+        arms[arm][1] += 1 if uid % 4 == 0 else 0
+    (au, ac), (bu, bc) = arms["A"], arms["B"]
+    assert (r.a_users, r.a_conv, r.b_users, r.b_conv) == (au, ac, bu, bc)
+    pooled = (ac + bc) / (au + bu)
+    se = math.sqrt(pooled * (1 - pooled) * (1 / au + 1 / bu))
+    z = (bc / bu - ac / au) / se
+    assert abs(r.z_stat - round(z, 9)) < 1e-12
+    assert r.significant == (abs(z) > 1.959963984540054)
+    # degenerate: everyone converts -> pooled=1 -> se=0 -> NULL z
+    rows2 = [
+        (i, "1995-01-01 10:00:00", i, "purchase", 1.0, "{}")
+        for i in range(10)
+    ]
+    d2 = tmp_path / "sfe5"
+    d2.mkdir()
+    spark.createDataFrame(
+        rows2,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d2 / "events.parquet")
+    )
+    r2 = QUERIES["ab1_experiment_readout"].fn(spark, str(d2)).collect()[0]
+    assert r2.z_stat is None and r2.significant is False
+
+
 # --------------------------------------------------------------- m23
 
 
