@@ -14534,6 +14534,197 @@ def ab1_experiment_readout(spark, sf):
     )
 
 
+# SRM: with a 50/50 split, chi-square against equal expectation
+# collapses to (a-b)^2/n; 3.841458820694124 is the chi2(1) 95%
+# critical value, embedded as the same literal in both engines.
+_AB2_SQL = """
+    WITH users AS (
+      SELECT user_id,
+        CASE WHEN (instr('0123456789abcdef',
+            substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+          THEN 'A' ELSE 'B' END AS arm
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1
+    ), arms AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+          AS a_users,
+        CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+          AS b_users
+      FROM users
+    )
+    SELECT a_users, b_users,
+      round(CAST((a_users - b_users) * (a_users - b_users) AS DOUBLE)
+        / nullif(CAST(a_users + b_users AS DOUBLE), 0.0), 9) AS chi2,
+      coalesce(CAST((a_users - b_users) * (a_users - b_users) AS DOUBLE)
+        / nullif(CAST(a_users + b_users AS DOUBLE), 0.0)
+        > 3.841458820694124, FALSE) AS srm_detected
+    FROM arms
+"""
+
+
+@q(
+    "ab2_srm_check",
+    sql=_AB2_SQL,
+    ref="Experimentation: Sample Ratio Mismatch check — the validity "
+    "gate every experiment platform runs BEFORE reading ab1's lift "
+    "(Fabijan et al. 2019 'Diagnosing Sample Ratio Mismatch'): if "
+    "the realized A/B split deviates from the designed 50/50 beyond "
+    "chi-square chance (critical value 3.841, chi2(1) at 95%), the "
+    "assignment or logging is broken and the readout is invalid. "
+    "With equal expectation the statistic collapses to (a-b)^2/n — "
+    "exact integer numerator, closed form",
+    scale="same one-shuffle shape as ab1 (user-grain dedup agg, arm "
+    "from the row-local hash); everything downstream is a 1-row "
+    "scalar. The check is free relative to the experiment it guards",
+)
+def ab2_srm_check(spark, sf):
+    nib = (
+        "(instr('0123456789abcdef', substring(md5(CAST(user_id AS "
+        "STRING)), 1, 1)) - 1) % 2"
+    )
+    users = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .select(
+            F.when(F.expr(nib) == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("arm")
+        )
+    )
+    arms = users.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a_users"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("b_users"),
+    )
+    diff2 = (
+        (F.col("a_users") - F.col("b_users"))
+        * (F.col("a_users") - F.col("b_users"))
+    ).cast("double")
+    n = (F.col("a_users") + F.col("b_users")).cast("double")
+    chi2 = diff2 / F.nullif(n, F.lit(0.0))
+    return arms.select(
+        "a_users",
+        "b_users",
+        F.round(chi2, 9).alias("chi2"),
+        F.coalesce(chi2 > 3.841458820694124, F.lit(False)).alias(
+            "srm_detected"
+        ),
+    )
+
+
+# CUPED (Deng et al. 2013): Y_adj = Y - theta * (X - mean(X)) with
+# theta = cov(X, Y) / var(X), X = each user's PRE-period activity
+# count and Y = post-period purchase count. Both are exact BIGINT
+# per-user counts, so the covariance/variance sums are exact integers
+# and theta and the variance-reduction ratio are bit-identical
+# doubles in both engines. The pre/post boundary is the literal
+# midpoint date.
+_AB3_SQL = """
+    WITH peruser AS (
+      SELECT user_id,
+        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+          END) AS BIGINT) AS x,
+        CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+          AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM peruser
+    )
+    SELECT n, sx AS sum_x, sy AS sum_y,
+      round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+        / nullif(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n, 0.0),
+        9) AS theta,
+      round(1.0 - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+          * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+          / nullif((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+          * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n), 0.0),
+        9) AS var_ratio
+    FROM s
+"""
+
+
+@q(
+    "ab3_cuped",
+    sql=_AB3_SQL,
+    ref="Experimentation: CUPED variance reduction (Deng et al. 2013 "
+    "'Improving the Sensitivity of Online Controlled Experiments') — "
+    "theta = cov(X,Y)/var(X) for X the user's pre-period activity "
+    "count and Y the post-period purchase count, plus the variance "
+    "ratio 1 - rho^2 the adjustment achieves (the factor by which "
+    "the experiment's metric variance shrinks, i.e. how much less "
+    "traffic the same significance needs). X and Y are exact integer "
+    "counts, so every covariance sum is exact and theta is "
+    "bit-identical cross-engine — no float-summation drift",
+    scale="ONE user-keyed agg (map-side combined) collapses events to "
+    "per-user (x, y) ints; the moment sums are a second 1-row agg of "
+    "bigint products (x,y are per-user counts — products fit BIGINT "
+    "until a user has ~3e9 events). Everything else is scalar math",
+)
+def ab3_cuped(spark, sf):
+    peruser = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    s = peruser.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n")
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ) / n
+    varx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ) / n
+    vary = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ) / n
+    return s.select(
+        "n",
+        F.col("sx").alias("sum_x"),
+        F.col("sy").alias("sum_y"),
+        F.round(cov / F.nullif(varx, F.lit(0.0)), 9).alias("theta"),
+        F.round(
+            F.lit(1.0) - cov * cov / F.nullif(varx * vary, F.lit(0.0)), 9
+        ).alias("var_ratio"),
+    )
+
+
 _DQ8_SQL = """
     WITH days AS (
       SELECT DISTINCT event_type, CAST(ts AS DATE) AS d FROM events
@@ -15806,18 +15997,19 @@ _DRIVER_SAMPLE = [
     # breadth ops, and the graph-ANN search phase
     "x43_bpe_detokenize", "x44_token_windows", "x45_pack_attention_spans",
     "x46_fim_transform", "n15_graph_greedy_search",
-    # riders (2) for round-11 code changes: x42 rides the _TRAIN_MEMO
-    # re-keying directly (abspath + corpus fingerprint — round-10
-    # ADVICE) and x15 rides the pack_counts NaN-group normalization.
-    # x37/x39/x40/x35/x36/x41 (r10-green, same memo/pack paths) ceded
-    # their slots to the six fourth/fifth-wave registrations — the
-    # memo + encode path stays exercised end-to-end through x52
-    # (engine fn calls x35's, oracle splices the trainer SQL),
-    # pack_counts through x15
-    "x42_bpe_train", "x15_sequence_pack",
+    # round-11 registrations outgrew the 50-slot window (24 new
+    # entries this round), so every rider slot ceded to registrations:
+    # the _TRAIN_MEMO re-keying (round-10 ADVICE) stays driver-
+    # exercised end-to-end through x52, whose engine fn calls x35's
+    # encode (training via the memo) and whose oracle splices the full
+    # trainer SQL; the pack_counts NaN-group normalization is
+    # defensive-only (unreachable from current callers per the ADVICE
+    # item) and is pinned by tests/test_packing.py locally. The whole
+    # r10-green trained-table family re-queues for round 12
     "x51_span_corruption", "x52_tokenizer_fertility",
     "pr7_personalized_pagerank", "m23_croston_intermittent",
     "dq8_freshness_audit", "ab1_experiment_readout",
+    "ab2_srm_check", "ab3_cuped",
     # headline bench queries, re-pinned every round (5)
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf", "q10_returned_items",

@@ -694,6 +694,82 @@ def test_ab1_hand_experiment(spark, tmp_path):
     assert r2.z_stat is None and r2.significant is False
 
 
+def test_ab2_srm_detection(spark, tmp_path):
+    """A deliberately broken split (one arm's users dropped by a
+    'logging bug') must trip SRM; a fair split must not. chi2 matches
+    the (a-b)^2/n closed form exactly."""
+    import hashlib
+
+    def stage(uids, sub):
+        d = tmp_path / sub
+        d.mkdir()
+        rows = [
+            (i, "1995-01-01 10:00:00", uid, "view", 1.0, "{}")
+            for i, uid in enumerate(uids)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+            str(d / "events.parquet")
+        )
+        return str(d)
+
+    def arm(uid):
+        return (
+            "A"
+            if int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16) % 2
+            == 0
+            else "B"
+        )
+
+    fair = list(range(400))
+    r = QUERIES["ab2_srm_check"].fn(spark, stage(fair, "fair")).collect()[0]
+    a = sum(1 for u in fair if arm(u) == "A")
+    b = len(fair) - a
+    assert (r.a_users, r.b_users) == (a, b)
+    assert r.chi2 == round((a - b) ** 2 / (a + b), 9)
+    assert not r.srm_detected
+    # drop 60% of B-arm users -> SRM must fire
+    broken = [u for u in fair if arm(u) == "A"] + [
+        u for u in fair if arm(u) == "B"
+    ][: b // 3]
+    r2 = QUERIES["ab2_srm_check"].fn(
+        spark, stage(broken, "broken")
+    ).collect()[0]
+    assert r2.srm_detected and r2.chi2 > 3.841458820694124
+
+
+def test_ab3_cuped_python_differential(spark):
+    """theta and the variance ratio match an independent numpy
+    computation over the real per-user (pre-activity, post-purchase)
+    counts, and the ratio equals 1 - corr(X,Y)^2."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    xy = con.execute(
+        """
+        SELECT user_id,
+          SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) x,
+          SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+            AND event_type = 'purchase' THEN 1 ELSE 0 END) y
+        FROM '/root/testdata/sf0.001/events.parquet'
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+        """
+    ).df()
+    x = xy.x.to_numpy(dtype=float)
+    y = xy.y.to_numpy(dtype=float)
+    theta = np.cov(x, y, ddof=0)[0, 1] / np.var(x)
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    r = QUERIES["ab3_cuped"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n == len(xy)
+    assert abs(r.theta - theta) < 1e-6
+    assert abs(r.var_ratio - (1 - rho2)) < 1e-6
+    assert 0.0 <= r.var_ratio <= 1.0
+
+
 # --------------------------------------------------------------- m23
 
 
