@@ -694,6 +694,55 @@ def test_ab1_hand_experiment(spark, tmp_path):
     assert r2.z_stat is None and r2.significant is False
 
 
+def test_smp8_waterfill_properties(spark, tmp_path):
+    """Hand corpus with wildly unequal sources: small sources cap at
+    exactly max_epochs, the big source absorbs the remainder, the
+    allocations sum to the budget exactly, and the result matches an
+    independent Python greedy waterfill. Degenerate case: budget
+    above the total cap -> every source capped."""
+    docs, did = [], 0
+    sizes = {"a": 10, "b": 30, "c": 100, "d": 500}
+    for s, n in sizes.items():
+        for _ in range(n):
+            docs.append((did, s, "w"))  # 1 token per doc
+            did += 1
+    sf = _staged_docs(spark, tmp_path, docs)
+    got = {
+        r.source: r
+        for r in QUERIES["smp8_unimax_allocation"].fn(spark, sf).collect()
+    }
+    total = sum(sizes.values())
+    budget = 2 * total
+    # independent greedy waterfill
+    caps = {s: 4 * n for s, n in sizes.items()}
+    remaining, active = float(budget), dict(caps)
+    alloc = {}
+    while active:
+        fair = remaining / len(active)
+        capped = {s: c for s, c in active.items() if c <= fair}
+        if not capped:
+            alloc.update({s: fair for s in active})
+            break
+        for s, c in capped.items():
+            alloc[s] = float(c)
+            remaining -= c
+            del active[s]
+    for s in sizes:
+        assert abs(got[s].alloc_tokens - round(alloc[s], 6)) < 1e-9, s
+        assert got[s].cap_tokens == caps[s]
+    assert abs(sum(r.alloc_tokens for r in got.values()) - budget) < 1e-6
+    assert got["a"].epochs == 4.0 and got["b"].epochs == 4.0
+    assert got["d"].epochs < 4.0
+    # engine == oracle on the same staged corpus
+    want = _oracle(QUERIES["smp8_unimax_allocation"].sql, sf)
+    w = {r.source: r for r in want.itertuples(index=False)}
+    for s in sizes:
+        assert (w[s].alloc_tokens, w[s].epochs) == (
+            got[s].alloc_tokens,
+            got[s].epochs,
+        ), s
+
+
 def test_ab2_srm_detection(spark, tmp_path):
     """A deliberately broken split (one arm's users dropped by a
     'logging bug') must trip SRM; a fair split must not. chi2 matches
