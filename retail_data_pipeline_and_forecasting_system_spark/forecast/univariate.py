@@ -348,6 +348,11 @@ def croston_kernel(
         z = 0.5 * float(qtys[i]) + 0.5 * z
         if i >= 2:
             p = 0.5 * float(gaps[i]) + 0.5 * p
+    if p == 0.0:
+        # all intervals zero (duplicate event dates fed directly to
+        # the kernel): the interval estimate is undefined — report
+        # no fit rather than dividing by zero (review finding)
+        return None
     return z, p, z / p
 
 
@@ -394,7 +399,15 @@ def croston_forecast(
         for g, grp in pdf.groupby(key_col, dropna=False, sort=True):
             if isinstance(g, float) and pd.isna(g):
                 g = None
-            grp = grp.sort_values(date_col)
+            # collapse same-day rows into one demand event (summed
+            # size): without this, duplicate dates give a zero first
+            # interval and z/p divides by zero (review finding) —
+            # callers need not pre-aggregate
+            grp = (
+                grp.groupby(date_col, as_index=False)[qty_col]
+                .sum()
+                .sort_values(date_col)
+            )
             dates = list(grp[date_col].values)
             qtys = [int(v) for v in grp[qty_col].values]
             gaps = [0] + [

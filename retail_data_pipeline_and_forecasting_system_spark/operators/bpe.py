@@ -399,9 +399,16 @@ def id_to_token_map(
 def decode_ids(ids, id2tok: dict[int, str]) -> str:
     """Pure-Python detokenize: codepoint ids via ``chr``, merged ids
     via the inverted vocab. The single definition the Spark engine and
-    the tests restate."""
+    the tests restate.
+
+    A merged id ABSENT from the map decodes to U+FFFD (the Unicode
+    replacement character) instead of raising: an integrity checker's
+    job is to FLAG a corrupt artifact (the replacement char can never
+    equal source text, so the doc verdict goes false), not to crash
+    the job on it (review finding)."""
     return "".join(
-        chr(i) if i < MERGED_ID_BASE else id2tok[i] for i in ids
+        chr(i) if i < MERGED_ID_BASE else id2tok.get(i, "�")
+        for i in ids
     )
 
 

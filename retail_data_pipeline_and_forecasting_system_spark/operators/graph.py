@@ -120,13 +120,26 @@ def personalized_pagerank(
     exactly zero by construction, so absence == zero, not missing
     data).
 
+    Node set = sources ∪ destinations ∪ seeds, so sink nodes (no
+    out-edges) and seeds outside the edge list still receive teleport
+    and incoming mass — for a DIRECTED graph, mass that walks into a
+    sink is dropped rather than redistributed (the simple PPR
+    variant; add dangling-mass redistribution if that matters for
+    your graph). On undirected edge lists (both directions present,
+    the pr7 caller) every node has out-edges and no mass is lost.
+
     At 100 TB: identical cost profile to pagerank (one src join + one
     dst agg per unrolled iteration over a persisted edge frame); the
     seed vector is node-sized and broadcasts.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("node"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(seeds.select("node"))
+        .distinct()
+    )
     sd = seeds.select("node").distinct()
     ns = sd.agg(F.count(F.lit(1)).alias("__s"))
     v = (

@@ -5150,19 +5150,11 @@ def _pr_sql(n_iter: int = 3, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
-@q(
-    "pr1_copurchase_pagerank",
-    sql=_pr_sql(3, 0.85),
-    ref="LLM-ops/graph: fixed-iteration PageRank over the part "
-    "co-purchase graph (lineitem self-join on orderkey) — the iterative "
-    "join-agg family beyond d8's connected components; ranks products "
-    "by basket centrality (the reference's top-selling report "
-    "generalized from counts to graph influence)",
-    scale="each unrolled iteration = one src-join + one dst-agg shuffle "
-    "over edges; persist/bucket the edge frame so its scan and "
-    "src-partitioning are paid once; no driver-side state at all",
-)
-def pr1_copurchase_pagerank(spark, sf):
+def _copurchase_edges(spark, sf) -> DataFrame:
+    """The undirected part co-purchase edge list (both directions, one
+    row per ordered pair) — shared by pr1/pr6/pr7, which were three
+    verbatim copies of this construction (review finding). Callers
+    that iterate over the frame persist it themselves."""
     lp = (
         _t(spark, sf, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -5180,11 +5172,27 @@ def pr1_copurchase_pagerank(spark, sf):
         .select("pa", "pb")
         .distinct()
     )
-    edges = pairs.select(
+    return pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).union(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+
+
+@q(
+    "pr1_copurchase_pagerank",
+    sql=_pr_sql(3, 0.85),
+    ref="LLM-ops/graph: fixed-iteration PageRank over the part "
+    "co-purchase graph (lineitem self-join on orderkey) — the iterative "
+    "join-agg family beyond d8's connected components; ranks products "
+    "by basket centrality (the reference's top-selling report "
+    "generalized from counts to graph influence)",
+    scale="each unrolled iteration = one src-join + one dst-agg shuffle "
+    "over edges; persist/bucket the edge frame so its scan and "
+    "src-partitioning are paid once; no driver-side state at all",
+)
+def pr1_copurchase_pagerank(spark, sf):
     from ..operators.graph import pagerank
 
+    edges = _copurchase_edges(spark, sf)
     return pagerank(edges, n_iter=3, damping=0.85).select(
         F.col("node").alias("l_partkey"), F.col("rank").alias("pagerank")
     )
@@ -13363,17 +13371,30 @@ _TRAIN_MEMO: dict = {}
 
 
 def _corpus_fingerprint(path: str) -> tuple:
-    """(size, mtime_ns) of every file under the documents parquet path."""
+    """(size, mtime_ns) of every file under the documents parquet
+    path, with the walk order canonicalized (dirnames sorted in place
+    and paths keyed relative, so equal corpora in multi-subdir
+    layouts always hash equal). Non-POSIX paths (s3a://, hdfs://)
+    that os.stat cannot see fall back to the path-only key — the
+    pre-round-11 behavior: memoized per path string, no rewrite
+    detection (document the sf dir as immutable there)."""
     p = os.path.abspath(path)
-    if os.path.isdir(p):
-        sig = []
-        for root, _dirs, files in os.walk(p):
-            for f in sorted(files):
-                st = os.stat(os.path.join(root, f))
-                sig.append((f, st.st_size, st.st_mtime_ns))
-        return (p, tuple(sig))
-    st = os.stat(p)
-    return (p, st.st_size, st.st_mtime_ns)
+    try:
+        if os.path.isdir(p):
+            sig = []
+            for root, dirs, files in os.walk(p):
+                dirs.sort()
+                rel = os.path.relpath(root, p)
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    sig.append(
+                        (os.path.join(rel, f), st.st_size, st.st_mtime_ns)
+                    )
+            return (p, tuple(sig))
+        st = os.stat(p)
+        return (p, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (path,)
 
 
 def _trained_merges(spark, sf):
@@ -15121,7 +15142,8 @@ _X50_SQL = """
       SELECT doc_id, source,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         ROW_NUMBER() OVER (PARTITION BY source
-          ORDER BY len(string_split(text, ' ')), doc_id) AS src_rank
+          ORDER BY len(string_split(text, ' ')) NULLS FIRST, doc_id)
+          AS src_rank
       FROM documents
     ), src AS (
       SELECT source,
@@ -15168,8 +15190,11 @@ def x50_curriculum_order(spark, sf):
         n_tok.alias("n_tokens"),
         F.row_number()
         .over(
+            # NULLS FIRST explicit on the length key too: a NULL text
+            # doc must rank identically in both engines (same
+            # divergence as the source index below — review finding)
             Window.partitionBy("source").orderBy(
-                F.size(F.split("text", " ")), "doc_id"
+                F.asc_nulls_first(F.size(F.split("text", " "))), "doc_id"
             )
         )
         .cast("bigint")
@@ -15941,28 +15966,7 @@ def _pr7_sql(n_iter: int = 3, damping: float = 0.85) -> str:
 def pr7_personalized_pagerank(spark, sf):
     from ..operators.graph import personalized_pagerank
 
-    lp = (
-        _t(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pairs = (
-        lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-        .join(
-            lp.select(
-                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
-            ),
-            "o",
-        )
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
-    edges = _persist_tracked(
-        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
-            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-        )
-    )
+    edges = _persist_tracked(_copurchase_edges(spark, sf))
     # Collect the 3 anchor ids once (model-sized driver state, the k1
     # pattern): leaving seeds as a limit(3)-over-distinct PLAN made
     # every unrolled iteration re-run the full distinct+TakeOrdered
@@ -16026,28 +16030,7 @@ _PR6_SQL = """
 def pr6_shortest_paths(spark, sf):
     from ..operators.graph import bfs_hops
 
-    lp = (
-        _t(spark, sf, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pairs = (
-        lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-        .join(
-            lp.select(
-                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
-            ),
-            "o",
-        )
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
-    edges = _persist_tracked(
-        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
-            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-        )
-    )
+    edges = _persist_tracked(_copurchase_edges(spark, sf))
     seeds = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -148,7 +148,8 @@ def main() -> None:
             (k, l, r) for k, l, r, _ in drv
         ], "distributed and driver-side trainers diverged"
 
-        per_iter = (best20 - best1) / (N - 1)
+        # N=1 leaves no marginal iterations to price (--merges 1)
+        per_iter = (best20 - best1) / (N - 1) if N > 1 else float("nan")
         results[scale] = (
             n_vocab, n_occ, best20, best1, per_iter, shuf,
             t_collect, t_driver,
