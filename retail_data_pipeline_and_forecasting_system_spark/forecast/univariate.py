@@ -402,7 +402,11 @@ def croston_forecast(
             # collapse same-day rows into one demand event (summed
             # size): without this, duplicate dates give a zero first
             # interval and z/p divides by zero (review finding) —
-            # callers need not pre-aggregate
+            # callers need not pre-aggregate. NULL/NaN qty rows are
+            # dropped FIRST (a null observation is no demand event),
+            # so the int() conversion below can't crash on a raw
+            # un-aggregated feed (round-11 ADVICE).
+            grp = grp[grp[qty_col].notna()]
             grp = (
                 grp.groupby(date_col, as_index=False)[qty_col]
                 .sum()

@@ -5192,7 +5192,10 @@ def _copurchase_edges(spark, sf) -> DataFrame:
 def pr1_copurchase_pagerank(spark, sf):
     from ..operators.graph import pagerank
 
-    edges = _copurchase_edges(spark, sf)
+    # persist_tracked as pr6/pr7 do: the lineitem self-join + distinct
+    # is paid once, not once per unrolled iteration (round-11 ADVICE —
+    # the scale note above already promised exactly this).
+    edges = _persist_tracked(_copurchase_edges(spark, sf))
     return pagerank(edges, n_iter=3, damping=0.85).select(
         F.col("node").alias("l_partkey"), F.col("rank").alias("pagerank")
     )
@@ -13377,24 +13380,28 @@ def _corpus_fingerprint(path: str) -> tuple:
     layouts always hash equal). Non-POSIX paths (s3a://, hdfs://)
     that os.stat cannot see fall back to the path-only key — the
     pre-round-11 behavior: memoized per path string, no rewrite
-    detection (document the sf dir as immutable there)."""
+    detection (document the sf dir as immutable there). The fallback
+    is scoped to the INITIAL existence probe only: once the path is
+    visible, a mid-walk stat failure (a file deleted under us during
+    a concurrent corpus rewrite) propagates loudly instead of quietly
+    degrading to the rewrite-blind key (round-11 ADVICE)."""
     p = os.path.abspath(path)
     try:
-        if os.path.isdir(p):
-            sig = []
-            for root, dirs, files in os.walk(p):
-                dirs.sort()
-                rel = os.path.relpath(root, p)
-                for f in sorted(files):
-                    st = os.stat(os.path.join(root, f))
-                    sig.append(
-                        (os.path.join(rel, f), st.st_size, st.st_mtime_ns)
-                    )
-            return (p, tuple(sig))
-        st = os.stat(p)
-        return (p, st.st_size, st.st_mtime_ns)
+        is_dir = os.path.isdir(p)
+        if not is_dir:
+            st = os.stat(p)
     except OSError:
         return (path,)
+    if not is_dir:
+        return (p, st.st_size, st.st_mtime_ns)
+    sig = []
+    for root, dirs, files in os.walk(p):
+        dirs.sort()
+        rel = os.path.relpath(root, p)
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            sig.append((os.path.join(rel, f), st.st_size, st.st_mtime_ns))
+    return (p, tuple(sig))
 
 
 def _trained_merges(spark, sf):
@@ -15415,18 +15422,24 @@ _N17_SQL = f"""
     "keep the array column and skip it",
 )
 def n17_minmax_normalize(spark, sf):
+    # try_element_at (not element_at) throughout: a ragged/short
+    # embedding row contributes NULL to the missing dims' min/max
+    # (ignored, matching the oracle's unnest which simply emits fewer
+    # dims) instead of throwing INVALID_ARRAY_INDEX under ANSI mode
+    # (round-11 ADVICE). Rows longer than _N17_DIM get NULL x_norm
+    # beyond the declared dim rather than a crash.
     emb = _t(spark, sf, "embeddings")
     stats = emb.agg(
         *[
-            F.min(F.element_at("embedding", i + 1).cast("double")).alias(
-                f"mn{i}"
-            )
+            F.min(
+                F.try_element_at("embedding", F.lit(i + 1)).cast("double")
+            ).alias(f"mn{i}")
             for i in range(_N17_DIM)
         ],
         *[
-            F.max(F.element_at("embedding", i + 1).cast("double")).alias(
-                f"mx{i}"
-            )
+            F.max(
+                F.try_element_at("embedding", F.lit(i + 1)).cast("double")
+            ).alias(f"mx{i}")
             for i in range(_N17_DIM)
         ],
     ).select(
@@ -15440,9 +15453,9 @@ def n17_minmax_normalize(spark, sf):
             F.posexplode(
                 F.expr(
                     "transform(embedding, (v, i) -> "
-                    "(CAST(v AS DOUBLE) - element_at(mns, i + 1)) "
-                    "/ nullif(element_at(mxs, i + 1) - element_at(mns, i + 1),"
-                    " 0.0))"
+                    "(CAST(v AS DOUBLE) - try_element_at(mns, i + 1)) "
+                    "/ nullif(try_element_at(mxs, i + 1)"
+                    " - try_element_at(mns, i + 1), 0.0))"
                 )
             ).alias("__i", "x_norm"),
         )
