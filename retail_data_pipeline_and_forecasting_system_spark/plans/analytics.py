@@ -16055,6 +16055,94 @@ def pr6_shortest_paths(spark, sf):
     )
 
 
+_X53_SEED = 42
+_X53_N_SHARDS = 16
+
+# Shared verbatim fragments (engine F.expr == oracle text, the
+# sql_md5_* discipline): the seeded shuffle key is pure row content —
+# md5('<seed>:<doc_id>') — so the permutation is restart-stable and
+# reproducible from nothing but the seed, unlike rand() (different per
+# retry) or zipWithIndex (different per partitioning). The shard is
+# x32's first-md5-nibble assignment, UNSEEDED on purpose: re-shuffling
+# with a new seed permutes order within shards but never moves a doc
+# across shards, so a re-export touches no shard boundaries.
+_X53_KEY = (
+    f"md5(concat('{_X53_SEED}:', CAST(doc_id AS STRING)))"
+)
+_X53_SHARD = (
+    "CAST(instr('0123456789abcdef',"
+    " substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 AS INT)"
+    f" % {_X53_N_SHARDS}"
+)
+
+_X53_SQL = f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+        {_X53_KEY.replace('AS STRING', 'AS VARCHAR')} AS shuffle_key,
+        {_X53_SHARD.replace('AS STRING', 'AS VARCHAR')} AS shard
+      FROM documents
+    )
+    SELECT doc_id, source, shard, shuffle_key,
+      CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        ORDER BY shuffle_key, doc_id) AS BIGINT) AS shard_pos,
+      CAST((ROW_NUMBER() OVER (PARTITION BY shard
+        ORDER BY shuffle_key, doc_id) - 1) * {_X53_N_SHARDS} + shard
+        AS BIGINT) AS global_pos
+    FROM keyed
+"""
+
+
+@q(
+    "x53_global_shuffle",
+    sql=_X53_SQL,
+    ref="LLM-ops: seeded deterministic global corpus shuffle — the "
+    "default training-order guarantee a 100 TB export ships with "
+    "(VERDICT r11 Missing #3). Every doc gets a strict global "
+    "position from md5(seed:doc_id): restart-stable (pure content "
+    "key — a retried task, a re-run job and a different cluster all "
+    "produce the SAME permutation, which rand()/zipWithIndex cannot "
+    "promise), seed-sensitive (new seed = new permutation), and "
+    "composable with x32's shards (the shard key is the same "
+    "unseeded md5 nibble, so re-seeding reorders WITHIN shards but "
+    "never moves a doc across shard files). global_pos = "
+    "(shard_pos-1)*n_shards + shard is the x50 closed-form "
+    "round-robin interleave — exactly how data-parallel ranks "
+    "consume shards — so the total order exists with NO global sort",
+    scale="the shuffle key is row-local (one md5 per row, no "
+    "exchange to compute it); the ONLY data-proportional exchange is "
+    "the shard-keyed window rank, and in production even that "
+    "disappears: the writer repartitions by shard and "
+    "sortWithinPartitions(shuffle_key) — one hash exchange + a local "
+    "sort per shard file. Shard count scales with the corpus (16 "
+    "here; ~100k at 100 TB keeps each shard file-sized, and the "
+    "window partitions stay bounded with it). No range partitioning "
+    "anywhere (plan-asserted) — the closed form replaces the "
+    "TotalOrderPartitioner pass",
+)
+def x53_global_shuffle(spark, sf):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.expr(_X53_KEY).alias("shuffle_key"),
+        F.expr(_X53_SHARD).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    pos = F.row_number().over(w).cast("bigint")
+    return keyed.select(
+        "doc_id",
+        "source",
+        "shard",
+        "shuffle_key",
+        pos.alias("shard_pos"),
+        ((pos - 1) * _X53_N_SHARDS + F.col("shard"))
+        .cast("bigint")
+        .alias("global_pos"),
+    )
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.

@@ -126,3 +126,104 @@ def test_croston_null_qty_rows_dropped(spark):
         return (r.n_events, r.z, r.p, r.croston, r.sba)
 
     assert fit(with_nulls) == fit(base)
+
+
+# ------------------------------------------------- x53_global_shuffle
+
+
+def test_x53_python_differential(spark, tmp_path):
+    """The engine's order equals an independent pure-Python md5
+    computation of the same seeded key — the oracle never consulted."""
+    import hashlib
+
+    rows = [(i, f"src{i % 3}", f"doc text {i}") for i in range(200)]
+    d = tmp_path / "sfx53"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    got = {
+        r.doc_id: (r.shard, r.shuffle_key, r.shard_pos, r.global_pos)
+        for r in QUERIES["x53_global_shuffle"].fn(spark, str(d)).collect()
+    }
+
+    def key(i):
+        return hashlib.md5(f"42:{i}".encode()).hexdigest()
+
+    def shard(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) % 16
+
+    by_shard: dict[int, list] = {}
+    for i, _, _ in rows:
+        by_shard.setdefault(shard(i), []).append(i)
+    want = {}
+    for s, ids in by_shard.items():
+        for pos, i in enumerate(sorted(ids, key=lambda i: (key(i), i)), 1):
+            want[i] = (s, key(i), pos, (pos - 1) * 16 + s)
+    assert got == want
+
+
+def test_x53_restart_stable_and_seed_sensitive(spark):
+    """Two runs produce the identical permutation (restart stability —
+    the property rand()/zipWithIndex cannot give); the order is a real
+    shuffle, not doc_id order."""
+    sf = "/root/testdata/sf0.001"
+    a = sorted(
+        (r.global_pos, r.doc_id)
+        for r in QUERIES["x53_global_shuffle"].fn(spark, sf).collect()
+    )
+    b = sorted(
+        (r.global_pos, r.doc_id)
+        for r in QUERIES["x53_global_shuffle"].fn(spark, sf).collect()
+    )
+    assert a == b
+    # genuinely permuted: global_pos order must not be doc_id order
+    order = [doc for _, doc in a]
+    assert order != sorted(order)
+    # seed-sensitive construction: the same docs under seed 43 sort
+    # into a different permutation than the registered seed-42 key
+    import hashlib
+
+    k42 = sorted(order, key=lambda i: hashlib.md5(f"42:{i}".encode()).hexdigest())
+    k43 = sorted(order, key=lambda i: hashlib.md5(f"43:{i}".encode()).hexdigest())
+    assert k42 != k43
+
+
+def test_x53_total_order_and_x32_composition(spark):
+    """global_pos is a strict total order (all distinct); the shard
+    column is exactly x32's assignment, so re-seeding never moves a
+    doc across shard files; round-robin interleave: consecutive
+    positions within a shard differ by n_shards."""
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["x53_global_shuffle"].fn(spark, sf).collect()
+    pos = [r.global_pos for r in rows]
+    assert len(set(pos)) == len(pos)
+    for r in rows:
+        assert r.global_pos == (r.shard_pos - 1) * 16 + r.shard
+        assert r.global_pos % 16 == r.shard
+    # shard == x32's md5-nibble assignment for every doc
+    import hashlib
+
+    for r in rows:
+        assert r.shard == int(
+            hashlib.md5(str(r.doc_id).encode()).hexdigest()[0], 16
+        ) % 16
+    # shards stay balanced (uniform hash): no shard more than 2x mean
+    from collections import Counter
+
+    c = Counter(r.shard for r in rows)
+    mean = len(rows) / 16
+    assert max(c.values()) < 2 * mean
+
+
+def test_x53_plan_no_global_sort(spark):
+    """The total order comes from the closed-form interleave, not a
+    global sort: no range partitioning in the plan — the only
+    exchange is the shard-keyed window hash exchange."""
+    plan = _plan(
+        QUERIES["x53_global_shuffle"].fn(spark, "/root/testdata/sf0.001")
+    )
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.lower().count("exchange") <= 2  # one hash exchange (+AQE)
+    assert "BatchEvalPython" not in plan
