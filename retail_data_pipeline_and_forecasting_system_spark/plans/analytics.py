@@ -15685,25 +15685,28 @@ _H10_SQL = """
       SELECT day, revenue_cents,
         CAST(count(*) OVER w AS INT) AS n_win,
         SUM(revenue_cents) OVER w AS s,
-        SUM(CAST(revenue_cents AS DECIMAL(19,0))
-            * CAST(revenue_cents AS DECIMAL(19,0))) OVER w AS ss
+        SUM(CAST(revenue_cents AS HUGEINT)
+            * CAST(revenue_cents AS HUGEINT)) OVER w AS ss
       FROM daily
       WINDOW w AS (ORDER BY day ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    ), st AS (
+      SELECT day, revenue_cents, n_win,
+        CAST(n_win AS HUGEINT) * CAST(revenue_cents AS HUGEINT)
+          - CAST(s AS HUGEINT) AS num,
+        CAST(n_win AS HUGEINT) * ss
+          - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS dvar
+      FROM win
     )
     SELECT day, revenue_cents, n_win,
       CASE WHEN n_win >= 2 THEN
-        (CAST(revenue_cents AS DOUBLE) - CAST(s AS DOUBLE) / n_win)
-        / nullif(sqrt((CAST(ss AS DOUBLE)
-            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_win)
-            / (n_win - 1)), 0.0)
+        round(CAST(num AS DOUBLE)
+          / nullif(sqrt(CAST(n_win AS DOUBLE) * CAST(dvar AS DOUBLE)
+                        / (n_win - 1)), 0.0), 9)
       END AS z,
-      coalesce(abs(CASE WHEN n_win >= 2 THEN
-        (CAST(revenue_cents AS DOUBLE) - CAST(s AS DOUBLE) / n_win)
-        / nullif(sqrt((CAST(ss AS DOUBLE)
-            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_win)
-            / (n_win - 1)), 0.0)
-      END) > 3.0, FALSE) AS is_anomaly
-    FROM win
+      coalesce(n_win >= 2 AND dvar > 0 AND
+        CAST(n_win - 1 AS HUGEINT) * (num * num)
+          > 9 * CAST(n_win AS HUGEINT) * dvar, FALSE) AS is_anomaly
+    FROM st
 """
 
 
@@ -15715,9 +15718,13 @@ _H10_SQL = """
     "(current day excluded so it cannot contaminate its own "
     "baseline); |z| > 3 flags the anomaly. The alerting complement of "
     "h3's EWMA smoother and m9's decomposition: this one answers "
-    "'which days should page someone'. Mean/std derive from exact "
-    "integer-cents window sums, so both engines compute bit-identical "
-    "doubles with no stddev-implementation dependence",
+    "'which days should page someone'. The flag |z| > 3 is decided "
+    "ENTIRELY in exact integer arithmetic ((n-1)*num^2 > 9*n*dvar "
+    "over the cancellation-free num = n*x - s, dvar = n*ss - s^2), "
+    "and z is the cancellation-free form rounded to 9 — the textbook "
+    "ss - s^2/n form lost ~2 digits to cancellation at sf0.1 cents "
+    "magnitudes, amplifying each engine's decimal->double conversion "
+    "ulp into a last-digit mismatch (round-12 sf0.1 sweep finding)",
     scale="the fact table collapses to one day-keyed map-side-combined "
     "agg (~#days rows) BEFORE any window; the single ordered window "
     "then runs over the day-sized series, not the data — at 100 TB "
@@ -15765,19 +15772,48 @@ def zscore_flags(daily: DataFrame) -> DataFrame:
         F.sum(xd * xd).over(w).alias("ss"),
     )
     n = F.col("n_win")
-    sd = F.col("s").cast("double")
-    ssd = F.col("ss").cast("double")
+    # Cancellation-free exact integers (round-12 sf0.1 sweep finding:
+    # the textbook ss - s^2/n form subtracts two ~1e19 doubles whose
+    # difference is ~1e17 — two digits of cancellation that amplified
+    # each engine's decimal->double conversion ulp into a last-digit
+    # z mismatch at sf0.1 cents magnitudes):
+    #   num  = n*x - s    (BIGINT, exact; z's numerator scaled by n)
+    #   dvar = n*ss - s^2 (DECIMAL(38,0), exact; = n*(n-1)*variance)
+    # z = num / sqrt(n*dvar/(n-1)) rounded to 9 (the x49 discipline —
+    # one conversion each, no cancellation, drift bounded at ~1 ulp),
+    # and the page/no-page verdict never touches a float at all:
+    # |z| > 3  <=>  (n-1)*num^2 > 9*n*dvar, decided in exact decimal.
+    num = n.cast("bigint") * x - F.col("s")
+    sd19 = F.col("s").cast("decimal(19,0)")
+    dvar = n.cast("decimal(19,0)") * F.col("ss") - sd19 * sd19
     z = F.when(
         n >= 2,
-        (x.cast("double") - sd / n)
-        / F.nullif(F.sqrt((ssd - sd * sd / n) / (n - 1)), F.lit(0.0)),
+        F.round(
+            num.cast("double")
+            / F.nullif(
+                F.sqrt(n.cast("double") * dvar.cast("double") / (n - 1)),
+                F.lit(0.0),
+            ),
+            9,
+        ),
+    )
+    numd = num.cast("decimal(19,0)")
+    flag = (
+        (n >= 2)
+        & (dvar > 0)
+        & (
+            (n - 1).cast("decimal(19,0)") * (numd * numd)
+            > F.lit(9).cast("decimal(19,0)")
+            * n.cast("decimal(19,0)")
+            * dvar
+        )
     )
     return win.select(
         "day",
         "revenue_cents",
         "n_win",
         z.alias("z"),
-        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+        F.coalesce(flag, F.lit(False)).alias("is_anomaly"),
     )
 
 

@@ -227,3 +227,73 @@ def test_x53_plan_no_global_sort(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.lower().count("exchange") <= 2  # one hash exchange (+AQE)
     assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------- h10 sf0.1-magnitude regression
+
+
+def test_h10_large_cents_cross_engine_exact(spark, tmp_path):
+    """Regression pin for the round-12 sf0.1 sweep finding: at ~1e9
+    daily cents the textbook ss - s^2/n variance form lost ~2 digits
+    to cancellation, amplifying decimal->double conversion ulps into a
+    last-digit z mismatch between engines. The cancellation-free
+    num/dvar form + round(9) + integer-exact flag must agree exactly
+    at exactly these magnitudes."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(123)
+    # ~25 days of sf0.1-sized daily revenue (1.4e9..2.0e9 cents) with
+    # jitter that makes the variance small relative to ss — the
+    # cancellation regime that exposed the bug
+    days = [
+        (
+            f"1995-03-{i + 1:02d}",
+            [round(rng.uniform(14_000_000.00, 20_000_000.00), 2)],
+        )
+        for i in range(25)
+    ]
+    d = tmp_path / "sfh10"
+    d.mkdir()
+    rows = []
+    for k, (day, amounts) in enumerate(days):
+        for amt in amounts:
+            rows.append((k, 1, "O", amt, f"{day} 00:00:00", "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")).coalesce(
+        1
+    ).write.parquet(str(d / "orders.parquet"))
+
+    got = (
+        QUERIES["h10_anomaly_zscore"]
+        .fn(spark, str(d))
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{d}/orders.parquet/*.parquet'"
+    )
+    want = (
+        con.execute(QUERIES["h10_anomaly_zscore"].sql)
+        .df()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    assert len(got) == len(want) == 25
+    for i in range(25):
+        g, w = got.iloc[i], want.iloc[i]
+        assert g.revenue_cents == w.revenue_cents
+        assert bool(g.is_anomaly) == bool(w.is_anomaly), i
+        if pd.isna(g.z) or pd.isna(w.z):
+            assert pd.isna(g.z) and pd.isna(w.z), i
+        else:
+            assert g.z == w.z, (i, g.z, w.z)  # exact, not approximate
