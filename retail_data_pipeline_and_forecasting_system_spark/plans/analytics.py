@@ -16266,50 +16266,44 @@ del _n, _s
 
 
 _DRIVER_SAMPLE = [
-    # never-driver-verified (5): the round-11 registrations — the
-    # tokenizer round-trip (VERDICT r10 Next #4), three training-data
-    # breadth ops, and the graph-ANN search phase
-    "x43_bpe_detokenize", "x44_token_windows", "x45_pack_attention_spans",
-    "x46_fim_transform", "n15_graph_greedy_search",
-    # round-11 registrations outgrew the 50-slot window (24 new
-    # entries this round), so every rider slot ceded to registrations:
-    # the _TRAIN_MEMO re-keying (round-10 ADVICE) stays driver-
-    # exercised end-to-end through x52, whose engine fn calls x35's
-    # encode (training via the memo) and whose oracle splices the full
-    # trainer SQL; the pack_counts NaN-group normalization is
-    # defensive-only (unreachable from current callers per the ADVICE
-    # item) and is pinned by tests/test_packing.py locally. The whole
-    # r10-green trained-table family re-queues for round 12
-    "x51_span_corruption", "x52_tokenizer_fertility",
-    "pr7_personalized_pagerank", "m23_croston_intermittent",
-    "dq8_freshness_audit", "ab1_experiment_readout",
-    "ab2_srm_check", "ab3_cuped", "smp8_unimax_allocation",
-    # headline bench queries, re-pinned every round (4 this round:
-    # q10 ceded its slot to the 25th registration; it stays timed by
-    # bench.py every round and its last value check is r10-green)
+    # ROUND-12 window. Composition per the r11 verdict's Next #1:
+    # the ENTIRE 44-entry r06-latest cohort (the oldest driver
+    # evidence in the registry — after this window no entry's latest
+    # driver row predates r07), then the round-12 registration, the
+    # one changed-values rider, and the headline re-pins.
+    #
+    # never-driver-verified (1): the round-12 registration
+    "x53_global_shuffle",
+    # changed-VALUES rider (1): h10's z is now the cancellation-free
+    # form rounded to 9 and its flag integer-exact (the sf0.1 sweep
+    # fix) — its r11 driver row no longer reflects current output.
+    # The other round-12 code touches are value-identical on driver
+    # data and carry equivalent evidence instead: n17 (try_element_at;
+    # unchanged oracle re-passed at sf0.01 AND sf0.1 this round), pr1
+    # (persist only), croston/m23 (defensive null guard; unchanged
+    # oracle re-passed at sf0.01), _corpus_fingerprint (error-path
+    # only; pinned in tests/test_new_ops_r12.py)
+    "h10_anomaly_zscore",
+    # headline bench queries, re-pinned every round
     "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
     "x5_tfidf",
-    # refresh: the ENTIRE 21-entry r05-latest cohort — the oldest
-    # driver evidence in the registry; after this window no entry's
-    # latest driver row predates r06 (VERDICT r10 Next #3)
-    "j5_join_multiway", "m9_seasonal_decompose", "n7_knn_join",
-    "n8_ann_multiprobe", "n9_knn_join_ivf", "ops5_compaction_plan",
-    "p1_filter_null", "p2_filter_compare", "p7_derived_date",
-    "p8_arith_column", "s1_scan_projection", "sq2_relational_division",
-    "t1_topk", "u1_union", "u2_intersect", "u3_except", "w1_running_sum",
-    "w2_rank_topn", "w9_rolling_median", "x24_gopher_gate",
-    "x26_ngram_repetition",
-    # round-11 second/third-wave registrations (10) — every new entry
-    # gets a driver row in its registration round; these displaced the
-    # last ten r06-cohort fills (a11, a12, a4, d14, d15, d16, d5, e3,
-    # e5, h4 — back to the round-12 queue, which resumes at a11)
-    "x47_blocklist_policy", "x48_k_anonymity", "n16_random_projection",
-    "pr6_shortest_paths", "h10_anomaly_zscore", "x49_zipf_fit",
-    "dq7_benford_screen", "h11_cusum_changepoint", "n17_minmax_normalize",
-    "ev7_probe_recall_sweep", "x50_curriculum_order",
-    # no room left for r06-cohort fills this round — the 11 round-11
-    # registrations took the whole fill budget; the r06 refresh queue
-    # (a10 onward, alphabetical) carries to round 12 intact
+    # the full 44-entry r06-latest cohort (alphabetical), queued since
+    # round 11 ceded its fill budget to the 25 registrations
+    "a10_profile", "a11_collect_agg", "a12_argmax", "a4_approx_distinct",
+    "d14_semantic_dedup", "d15_incremental_semantic", "d16_segment_dedup",
+    "d5_simhash_pairs", "e3_tumbling_window", "e5_retention_cohort",
+    "h4_downsample_ltob", "k1_kmeans_cells", "m10_real_image_decode",
+    "m1_multimodal_decode", "m2_forecast_linear", "m3_media_resize",
+    "m4_frame_sample", "m5_media_features", "n10_knn_join_multiprobe",
+    "n3_ann_ivf", "ops1_merge_upsert", "ops2_scd2_intervals",
+    "q11_important_stock", "q12_priority_lines",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_qty_revenue", "q18_big_orders",
+    "q19_disjunctive_join", "q20_excess_suppliers", "q21_waiting_supplier",
+    "q22_idle_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "x28_perplexity_buckets", "x6_train_split",
 ]
 
 
