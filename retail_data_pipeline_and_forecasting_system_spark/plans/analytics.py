@@ -16179,6 +16179,103 @@ def x53_global_shuffle(spark, sf):
     )
 
 
+# The 7 foreign-key relationships of the TPC-H-ish corpus — the
+# referential graph dq9 audits. (child, fk, parent, pk); shared by the
+# engine and the oracle template so the two can't drift.
+_DQ9_RELS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _dq9_one_sql(child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{child}.{fk}->{parent}.{pk}' AS relationship,
+      a.n_rows, a.n_keys, a.null_rows,
+      b.orphan_keys, b.orphan_rows,
+      b.orphan_rows = 0 AS ok
+    FROM
+      (SELECT CAST(count({fk}) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT {fk}) AS BIGINT) AS n_keys,
+              CAST(count(*) - count({fk}) AS BIGINT) AS null_rows
+       FROM {child}) a,
+      (SELECT CAST(count(*) AS BIGINT) AS orphan_keys,
+              CAST(coalesce(SUM(cnt), 0) AS BIGINT) AS orphan_rows
+       FROM (SELECT {fk} AS k, CAST(count(*) AS BIGINT) AS cnt
+             FROM {child} WHERE {fk} IS NOT NULL GROUP BY 1) c
+       LEFT JOIN {parent} p ON c.k = p.{pk}
+       WHERE p.{pk} IS NULL) b
+    """
+
+
+_DQ9_SQL = " UNION ALL ".join(_dq9_one_sql(*r) for r in _DQ9_RELS)
+
+
+@q(
+    "dq9_referential_integrity",
+    sql=_DQ9_SQL,
+    ref="Data quality: referential-integrity audit over the corpus's "
+    "full foreign-key graph — per relationship, the non-null child "
+    "row/key counts, NULL-key rows (reported, not orphans), and the "
+    "orphaned key/row counts with a pass verdict. The structural "
+    "complement of dq1's value expectations and dq8's arrival "
+    "monitoring: THIS is the check that catches a partial dimension "
+    "load or a fact stream racing ahead of its dims before every "
+    "downstream join silently drops rows (inner) or fabricates NULL "
+    "groups (outer)",
+    scale="each relationship is one map-side-combined key agg over "
+    "the child (distinct keys, not rows, cross the wire) + one "
+    "key equi-join against the parent's KEY PROJECTION — broadcast "
+    "for dim-sized parents, key-partitioned for orders at 100 TB; "
+    "the 7 checks are independent plan branches (no barrier between "
+    "them) and the output is #relationships rows. The exact "
+    "countDistinct adds one dedup exchange per child — swap to "
+    "approx_count_distinct if the audit only gates on orphans",
+)
+def dq9_referential_integrity(spark, sf):
+    out = None
+    for child, fk, parent, pk in _DQ9_RELS:
+        c = _t(spark, sf, child)
+        p = _t(spark, sf, parent).select(F.col(pk).alias("__pk"))
+        base = c.agg(
+            F.count(fk).cast("bigint").alias("n_rows"),
+            F.countDistinct(fk).cast("bigint").alias("n_keys"),
+            (F.count(F.lit(1)) - F.count(fk)).cast("bigint").alias(
+                "null_rows"
+            ),
+        )
+        keyed = (
+            c.filter(F.col(fk).isNotNull())
+            .groupBy(F.col(fk).alias("__k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+        )
+        orphan = (
+            keyed.join(p, keyed["__k"] == p["__pk"], "left_anti")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("orphan_keys"),
+                F.coalesce(F.sum("__cnt"), F.lit(0))
+                .cast("bigint")
+                .alias("orphan_rows"),
+            )
+        )
+        row = base.crossJoin(orphan).select(
+            F.lit(f"{child}.{fk}->{parent}.{pk}").alias("relationship"),
+            "n_rows",
+            "n_keys",
+            "null_rows",
+            "orphan_keys",
+            "orphan_rows",
+            (F.col("orphan_rows") == 0).alias("ok"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.

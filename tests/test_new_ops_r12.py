@@ -297,3 +297,100 @@ def test_h10_large_cents_cross_engine_exact(spark, tmp_path):
             assert pd.isna(g.z) and pd.isna(w.z), i
         else:
             assert g.z == w.z, (i, g.z, w.z)  # exact, not approximate
+
+
+# ------------------------------------------- dq9_referential_integrity
+
+
+def _staged_rel_corpus(spark, tmp_path):
+    """A tiny corpus with DELIBERATE referential breaks: two lineitem
+    rows point at order 999 (absent), one lineitem l_partkey is NULL,
+    one order points at customer 777 (absent)."""
+    d = tmp_path / "sfdq9"
+    d.mkdir()
+
+    def w(name, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / f"{name}.parquet")
+        )
+
+    w("region", [(0, "R0")], "r_regionkey long, r_name string")
+    w("nation", [(0, "N0", 0)],
+      "n_nationkey long, n_name string, n_regionkey long")
+    w("customer", [(1, "C1", 0, 10.0, "A")],
+      "c_custkey long, c_name string, c_nationkey long, "
+      "c_acctbal double, c_mktsegment string")
+    w("supplier", [(1, "S1", 0, 5.0)],
+      "s_suppkey long, s_name string, s_nationkey long, s_acctbal double")
+    w("part", [(1, "P1", "B", "T", 1, 9.99)],
+      "p_partkey long, p_name string, p_brand string, p_type string, "
+      "p_size int, p_retailprice double")
+    w("orders",
+      [(10, 1, "O", 1.0, "1995-01-01 00:00:00", "1-URGENT"),
+       (11, 777, "O", 2.0, "1995-01-02 00:00:00", "1-URGENT")],
+      "o_orderkey long, o_custkey long, o_orderstatus string, "
+      "o_totalprice double, o_orderdate string, o_orderpriority string")
+    w("lineitem",
+      [(10, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+       (999, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+       (999, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+       (10, None, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01")],
+      "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber "
+      "int, l_quantity double, l_extendedprice double, l_discount "
+      "double, l_tax double, l_returnflag string, l_linestatus string, "
+      "l_shipdate string")
+    return str(d)
+
+
+def test_dq9_broken_fks_exact_counts(spark, tmp_path):
+    """Orphaned keys/rows, NULL fks, and verdicts are exact on a
+    hand-broken corpus — and the oracle agrees on the same files."""
+    import duckdb
+
+    sf = _staged_rel_corpus(spark, tmp_path)
+    got = {
+        r.relationship: r
+        for r in QUERIES["dq9_referential_integrity"].fn(spark, sf).collect()
+    }
+    assert len(got) == 7
+    lo = got["lineitem.l_orderkey->orders.o_orderkey"]
+    # 4 non-null orderkey rows over 2 distinct keys; key 999 (2 rows) orphaned
+    assert (lo.n_rows, lo.n_keys, lo.null_rows) == (4, 2, 0)
+    assert (lo.orphan_keys, lo.orphan_rows, lo.ok) == (1, 2, False)
+    lp = got["lineitem.l_partkey->part.p_partkey"]
+    assert (lp.n_rows, lp.n_keys, lp.null_rows) == (3, 1, 1)  # 1 NULL fk
+    assert (lp.orphan_keys, lp.orphan_rows, lp.ok) == (0, 0, True)
+    oc = got["orders.o_custkey->customer.c_custkey"]
+    assert (oc.orphan_keys, oc.orphan_rows, oc.ok) == (1, 1, False)
+    # clean relationships pass
+    assert got["nation.n_regionkey->region.r_regionkey"].ok
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet/*.parquet'"
+        )
+    want = {
+        r.relationship: r
+        for r in con.execute(QUERIES["dq9_referential_integrity"].sql)
+        .df().itertuples(index=False)
+    }
+    for k, g in got.items():
+        w = want[k]
+        assert (g.n_rows, g.n_keys, g.null_rows, g.orphan_keys,
+                g.orphan_rows, bool(g.ok)) == (
+            w.n_rows, w.n_keys, w.null_rows, w.orphan_keys,
+            w.orphan_rows, bool(w.ok)), k
+
+
+def test_dq9_plan_broadcast_dims_no_python(spark):
+    """Dim-sized parents broadcast into the anti joins; nothing drops
+    to per-row Python; no cartesian beyond the 1-row x 1-row combines."""
+    plan = _plan(
+        QUERIES["dq9_referential_integrity"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
