@@ -322,6 +322,105 @@ def holt_winters_forecast(
     )
 
 
+def theta_kernel(
+    ys: list[float], horizon: int = 14
+) -> list[tuple[int, float]] | None:
+    """Theta method (Assimakopoulos & Nikolopoulos 2000), theta =
+    (0, 2) combination, via the Hyndman & Billah 2003 equivalence:
+    forecast = SES level + drift (b/2)((1-alpha)/alpha + h), with
+    DYADIC alpha = 0.5 so the drift term is (b/2)(h + 1).
+
+    Exactness contract (the h3/m21 discipline): the OLS slope's
+    integer sums (t, t^2) are closed-form exact integers converted to
+    double ONCE; the y sums are LEFT folds in observation order; the
+    SES recursion l' = 0.5*y + 0.5*l is exact halvings; every
+    expression is one fixed association restated verbatim by the
+    DuckDB oracle's recursive CTE — forecasts match bit-for-bit.
+
+    Returns ``[(h, forecast)]`` for h = 1..horizon, or None when the
+    series is shorter than 3 observations (no meaningful slope).
+    """
+    n = len(ys)
+    if n < 3:
+        return None
+    sy = ys[0]
+    for v in ys[1:]:
+        sy = sy + v
+    sty = 1.0 * ys[0]
+    for i in range(1, n):
+        sty = sty + float(i + 1) * ys[i]
+    st = n * (n + 1) // 2
+    stt = n * (n + 1) * (2 * n + 1) // 6
+    den = n * stt - st * st  # = n^2(n+1)(n-1)/12 > 0 for n >= 2
+    b = (float(n) * sty - float(st) * sy) / float(den)
+    level = ys[0]
+    for y in ys[1:]:
+        level = 0.5 * y + 0.5 * level
+    return [
+        (h, level + 0.5 * b * (float(h) + 1.0))
+        for h in range(1, horizon + 1)
+    ]
+
+
+def theta_forecast(
+    daily: "DataFrame",
+    group_col: str = "g",
+    order_col: str = "d",
+    value_col: str = "y",
+    horizon: int = 14,
+    num_buckets: int = 64,
+) -> "DataFrame":
+    """Distributed Theta-method forecast over per-group ordered
+    series — the holt_winters_forecast scaffold (hash-bucketed
+    ``applyInPandas``: sequential within a group, parallel across
+    groups) with :func:`theta_kernel` as the fold. Groups shorter
+    than 3 observations are dropped."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T_
+
+    from ..operators.bucketed import bucketed_fold
+
+    slim = daily.select(
+        F.col(group_col), F.col(order_col), F.col(value_col)
+    )
+    out_schema = T_.StructType(
+        [
+            T_.StructField(
+                group_col, slim.schema[group_col].dataType, True
+            ),
+            T_.StructField("h", T_.IntegerType(), False),
+            T_.StructField("forecast", T_.DoubleType(), False),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out: dict[str, list] = {group_col: [], "h": [], "forecast": []}
+        for g, grp in pdf.groupby(group_col, dropna=False, sort=True):
+            if isinstance(g, float) and pd.isna(g):
+                g = None  # see holt_winters_forecast (round-9 review)
+            ys = [
+                float(v)
+                for v in grp.sort_values(order_col)[value_col].values
+            ]
+            fc = theta_kernel(ys, horizon=horizon)
+            if fc is None:
+                continue
+            for h, v in fc:
+                out[group_col].append(g)
+                out["h"].append(h)
+                out["forecast"].append(v)
+        res = pd.DataFrame(out)
+        return res.astype({"h": "int32"}) if len(res) else pd.DataFrame(
+            {group_col: [], "h": pd.array([], dtype="int32"),
+             "forecast": pd.array([], dtype="float64")}
+        )
+
+    return bucketed_fold(
+        slim, group_col, kernel, out_schema, num_buckets=num_buckets
+    )
+
+
 def croston_kernel(
     qtys: list[int], gaps: list[int]
 ) -> tuple[float, float, float] | None:

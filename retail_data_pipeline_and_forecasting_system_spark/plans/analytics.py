@@ -13287,6 +13287,75 @@ def m21_holt_winters(spark, sf):
     )
 
 
+@q(
+    "m24_theta_method",
+    sql="""
+    WITH RECURSIVE daily AS (
+      SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS d,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1, 2
+    ), series AS (
+      SELECT g, list(y ORDER BY d) AS xs FROM daily GROUP BY g
+    ), base AS (
+      SELECT g, xs, len(xs) AS n FROM series WHERE len(xs) >= 3
+    ), isums AS (
+      SELECT g, xs, n,
+        n * (n + 1) // 2 AS st,
+        n * (n + 1) * (2 * n + 1) // 6 AS stt
+      FROM base
+    ), slope AS (
+      SELECT g, xs, n,
+        (CAST(n AS DOUBLE)
+           * list_reduce(list_transform(range(1, n + 1),
+               i -> CAST(i AS DOUBLE) * xs[i]), (a, b) -> a + b)
+         - CAST(st AS DOUBLE) * list_reduce(xs, (a, b) -> a + b))
+        / CAST(n * stt - st * st AS DOUBLE) AS b
+      FROM isums
+    ), step AS (
+      SELECT g, xs, n, b, CAST(1 AS BIGINT) AS t, xs[1] AS l FROM slope
+      UNION ALL
+      SELECT g, xs, n, b, t + 1 AS t, 0.5 * xs[t + 1] + 0.5 * l
+      FROM step WHERE t < n
+    ), fitted AS (
+      SELECT g, n, b, l FROM step WHERE t = n
+    )
+    SELECT g AS o_orderpriority, CAST(h AS INT) AS h,
+      l + 0.5 * b * (CAST(h AS DOUBLE) + 1.0) AS forecast
+    FROM fitted, (SELECT unnest(range(1, 15)) AS h) hs
+    """,
+    ref="M-family: the Theta method (Assimakopoulos & Nikolopoulos "
+    "2000) — the M3-competition benchmark forecaster — via the "
+    "Hyndman & Billah 2003 equivalence: theta(0,2) combination = SES "
+    "level + drift (b/2)((1-alpha)/alpha + h), with dyadic alpha=0.5 "
+    "so forecast = l_n + (b/2)(h+1). Completes the univariate family "
+    "spectrum: m2 pure trend, m21 trend+seasonality, m23 intermittent, "
+    "m24 the damped-trend middle ground that wins on noisy aggregate "
+    "series. EXACT cross-engine (the h3/m21 discipline): integer t-"
+    "sums in closed form converted to double once, ordered y-folds, "
+    "dyadic SES recursion restated by the oracle's recursive CTE "
+    "(forecast/univariate.py theta_kernel)",
+    scale="identical shape to m21: the recursion runs on the per-group "
+    "DAILY rollup (the one fact-table agg any daily metric pays) via "
+    "the hash-bucketed applyInPandas fold — sequential within a "
+    "group, parallel across groups, state = (level, slope sums) per "
+    "group, rows into Python are 2 scalars wide",
+)
+def m24_theta_method(spark, sf):
+    from ..forecast.univariate import theta_forecast
+
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("g"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("y"))
+    )
+    return theta_forecast(daily).withColumnRenamed(
+        "g", "o_orderpriority"
+    )
+
+
 # ---- x42: TRUE iterative BPE merge-table training -------------------
 # x27 ranks ONE pair-count pass by frequency — the single-pass proxy.
 # Real BPE training RECOUNTS pairs after each merge (a merge rewrites

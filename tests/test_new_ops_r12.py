@@ -394,3 +394,66 @@ def test_dq9_plan_broadcast_dims_no_python(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------- m24_theta_method
+
+
+def test_m24_theta_kernel_hand_series():
+    """Hand-checkable series: y = 2t exactly (pure trend) gives slope
+    b = 2 and the theta(0,2) forecast l_n + (b/2)(h+1); a constant
+    series gives b = 0 and forecast = the constant; n < 3 is None."""
+    from retail_data_pipeline_and_forecasting_system_spark.forecast.univariate import (  # noqa: E501
+        theta_kernel,
+    )
+
+    ys = [2.0, 4.0, 6.0, 8.0]  # y = 2t
+    fc = theta_kernel(ys, horizon=3)
+    # SES level with alpha=.5: l = .5*8 + .5*(.5*6 + .5*(.5*4 + .5*2))
+    level = 0.5 * 8.0 + 0.5 * (0.5 * 6.0 + 0.5 * (0.5 * 4.0 + 0.5 * 2.0))
+    assert level == 6.25
+    assert fc == [(h, level + 1.0 * (h + 1.0)) for h in (1, 2, 3)]
+
+    const = theta_kernel([5.0, 5.0, 5.0, 5.0], horizon=2)
+    assert const == [(1, 5.0), (2, 5.0)]
+
+    assert theta_kernel([1.0, 2.0]) is None
+
+
+def test_m24_numpy_differential_real(spark):
+    """The registry entry's slope equals an independent numpy polyfit
+    and the SES level an independent numpy recursion, per group, on
+    the real corpus — oracle never consulted."""
+    import numpy as np
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.o_orderpriority, r.h): r.forecast
+        for r in QUERIES["m24_theta_method"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'"
+    )
+    daily = con.execute(
+        "SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS d, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y "
+        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    n_checked = 0
+    for g, grp in daily.groupby("g"):
+        ys = grp.sort_values("d").y.to_numpy()
+        if len(ys) < 3:
+            assert (g, 1) not in got
+            continue
+        t = np.arange(1, len(ys) + 1)
+        b = np.polyfit(t, ys, 1)[0]
+        level = ys[0]
+        for y in ys[1:]:
+            level = 0.5 * y + 0.5 * level
+        for h in (1, 7, 14):
+            want = level + 0.5 * b * (h + 1.0)
+            assert abs(got[(g, h)] - want) < 1e-6 * max(1.0, abs(want))
+            n_checked += 1
+    assert n_checked >= 3
