@@ -416,3 +416,56 @@ def hits_bipartite(
         "auth",
         (F.col("auth").cast("double") / F.col("__t")).alias("auth_share"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration SYNCHRONOUS label propagation (Raghavan et al.
+    2007) — community detection by local majority vote.
+
+    Labels initialize to the node id; each round every vertex adopts
+    the most frequent label among its in-neighbors, ties broken by the
+    SMALLEST label (the determinism the asynchronous textbook variant
+    lacks — synchronous sweep + total tie order makes the whole run a
+    pure function of the edge list, exactly restatable as unrolled SQL
+    CTEs for the oracle). The iteration count is FIXED; pass an
+    undirected graph as both edge directions (the co-purchase frame
+    already is).
+
+    At 100 TB: each iteration is one src-keyed join (labels onto
+    edges) + one (dst, label)-keyed count agg + one dst-keyed
+    row_number window — all frontier-free and edge-proportional, never
+    all-pairs; labels are node-sized and co-shuffle cheaply. Per-round
+    ``localCheckpoint`` truncates the O(iters) lineage (the n15/pr6
+    lesson).
+
+    Returns (node, community) — the label fixed point after n_iter
+    synchronous rounds.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    labels = (
+        e.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("__c"), F.asc("label")
+    )
+    for _ in range(n_iter):
+        counts = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            counts.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))

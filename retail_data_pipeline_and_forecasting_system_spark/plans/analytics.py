@@ -16160,6 +16160,78 @@ def pr6_shortest_paths(spark, sf):
     )
 
 
+def _pr8_sql(n_iter: int = 3) -> str:
+    """Unrolled synchronous-LPA oracle: l0 -> l1 -> ... -> l{n}."""
+    parts = [
+        """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+          ROW_NUMBER() OVER (PARTITION BY node
+            ORDER BY c DESC, label) AS rnk
+        FROM (
+          SELECT e.dst AS node, l.label, count(*) AS c
+          FROM edges e JOIN l{i - 1} l ON l.node = e.src
+          GROUP BY 1, 2
+        )
+      ) WHERE rnk = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS l_partkey, CAST(label AS BIGINT) AS community
+    FROM l{n_iter}"""
+    )
+    return "".join(parts)
+
+
+@q(
+    "pr8_label_propagation",
+    sql=_pr8_sql(3),
+    ref="LLM-ops/graph: community detection by SYNCHRONOUS label "
+    "propagation (Raghavan et al. 2007) over the part co-purchase "
+    "graph — labels init to node id, each of 3 fixed rounds every "
+    "part adopts the most frequent label among its neighbors, ties "
+    "to the smallest label (total order => the run is a pure "
+    "function of the edge list, unlike the textbook asynchronous "
+    "sweep). Completes the graph family's fourth lens: d8 groups "
+    "(connectivity), pr1/pr7 rank (centrality/relevance), pr6 "
+    "measures (distance), pr8 CLUSTERS (community structure) — the "
+    "assortment-segmentation primitive (operators/graph.py "
+    "label_propagation)",
+    scale="each round is one src-keyed equi-join (node-sized labels "
+    "onto edges) + one (dst,label) map-side-combined count + one "
+    "dst-keyed row_number window — edge-proportional, never "
+    "all-pairs; the edge frame is persist_tracked so the co-purchase "
+    "self-join is paid once; per-round localCheckpoint bounds "
+    "lineage (the n15/pr6 lesson applied from day one)",
+)
+def pr8_label_propagation(spark, sf):
+    from ..operators.graph import label_propagation
+
+    edges = _persist_tracked(_copurchase_edges(spark, sf))
+    return label_propagation(edges, n_iter=3).select(
+        F.col("node").alias("l_partkey"),
+        F.col("community").cast("bigint").alias("community"),
+    )
+
+
 _X53_SEED = 42
 _X53_N_SHARDS = 16
 

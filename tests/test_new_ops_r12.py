@@ -457,3 +457,80 @@ def test_m24_numpy_differential_real(spark):
             assert abs(got[(g, h)] - want) < 1e-6 * max(1.0, abs(want))
             n_checked += 1
     assert n_checked >= 3
+
+
+# -------------------------------------------- pr8_label_propagation
+
+
+def _lpa_python(edges, n_iter=3):
+    """Independent synchronous LPA: majority neighbor label, ties to
+    the smallest label. edges = set of directed pairs (both ways)."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)
+    for s, d in edges:
+        nbrs[d].append(s)
+    labels = {v: v for v in nbrs}
+    for _ in range(n_iter):
+        new = {}
+        for v, ns in nbrs.items():
+            c = Counter(labels[u] for u in ns)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    return labels
+
+
+def test_pr8_hand_graph_two_communities(spark):
+    """Two triangles joined by one bridge edge: each triangle must
+    converge to its own minimum label; the exact per-round labels
+    match an independent Python synchronous-LPA implementation."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.graph import (  # noqa: E501
+        label_propagation,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    both = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    e = spark.createDataFrame(both, "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(e, n_iter=3).collect()
+    }
+    want = _lpa_python(both, n_iter=3)
+    assert got == want
+    # the two triangle cores separate into distinct communities
+    assert got[1] == got[2] and got[10] == got[11] == got[12]
+    assert got[1] != got[11]
+
+
+def test_pr8_python_differential_random_graph(spark):
+    """Synchronous-LPA fixed point on a seeded random graph equals the
+    independent Python implementation exactly (all 3 rounds)."""
+    import random
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.graph import (  # noqa: E501
+        label_propagation,
+    )
+
+    rng = random.Random(99)
+    und = set()
+    while len(und) < 60:
+        a, b = rng.randrange(30), rng.randrange(30)
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    both = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    e = spark.createDataFrame(both, "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(e, n_iter=3).collect()
+    }
+    assert got == _lpa_python(both, n_iter=3)
+
+
+def test_pr8_registry_no_python_rows(spark):
+    """The registry entry stays JVM-side (no per-row Python) and rides
+    the persisted edge frame."""
+    df = QUERIES["pr8_label_propagation"].fn(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert df.count() > 0
