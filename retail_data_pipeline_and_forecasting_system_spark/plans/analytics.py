@@ -15536,6 +15536,126 @@ def n17_minmax_normalize(spark, sf):
     )
 
 
+# Centroid DIRECTION as the vec_id-ordered element-wise fold of the
+# class's embeddings (the m22 syy discipline: identical operation
+# sequence => bit-identical doubles — no unordered SUM, no decimal
+# quantization). cosine is scale-invariant, so scoring against the
+# class SUM equals scoring against the mean with zero divisions.
+# The first n18 draft summed per-dim DECIMAL(28,10) casts (the k1
+# centroid pattern) and hit a REAL cross-engine trap: float32 values
+# are dyadic, so some (e.g. -0.27392578125) terminate at exactly 11
+# decimal digits ending in 5 — a rounding TIE that Spark quantizes
+# HALF_UP and DuckDB HALF_EVEN. The ordered fold removes the
+# quantization rather than picking a side.
+_N18_SQL = f"""
+    WITH cent AS (
+      SELECT label,
+        list_reduce(
+          list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id),
+          (acc, v) -> list_transform(list_zip(acc, v),
+            p -> p[1] + p[2])
+        ) AS csum
+      FROM embeddings WHERE embedding IS NOT NULL GROUP BY label
+    ), scored AS (
+      SELECT e.vec_id, e.label,
+        {_sql_cosine('e.embedding', 'c.csum')} AS proto_score
+      FROM embeddings e JOIN cent c ON c.label = e.label
+    ), ranked AS (
+      SELECT vec_id, label, proto_score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY label
+          ORDER BY proto_score DESC NULLS LAST, vec_id) AS BIGINT) AS rnk,
+        CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_class
+      FROM scored
+    )
+    SELECT vec_id, label, proto_score, rnk, n_class,
+      NOT (rnk * 5 <= n_class) AS keep
+    FROM ranked
+"""
+
+
+@q(
+    "n18_prototype_pruning",
+    sql=_N18_SQL,
+    ref="LLM-ops/curation: prototypicality-based data PRUNING "
+    "(Sorscher et al. NeurIPS 2022 'Beyond neural scaling laws') — "
+    "score every vector by cosine to its class centroid and drop the "
+    "20% MOST prototypical per class (in the abundant-data regime, "
+    "easy/redundant examples teach the least; keeping the hard tail "
+    "beats random subsampling). The embedding-space complement of "
+    "d14: SemDeDup removes near-COPIES, n18 removes the "
+    "over-represented CORE. Exactness: the centroid direction is the "
+    "vec_id-ordered element-wise FOLD of the class's vectors (the "
+    "m22 discipline — cosine's scale invariance makes the class SUM "
+    "equal the mean, so no division, no unordered SUM, and none of "
+    "the DECIMAL quantization whose half-up/half-even tie on dyadic "
+    "float32 values this op's first draft exposed); scores are "
+    "sequential-fold cosines (the d6/_sql_dot discipline), and the "
+    "prune verdict is pure integer arithmetic (rnk*5 <= n_class — "
+    "no float threshold to drift)",
+    scale="the ordered fold buys ORACLE-grade bit-exactness at the "
+    "cost of a class-sized collect per label — fine to ~1e6 vectors "
+    "per class; at 100 TB swap the centroid stage for the plain "
+    "per-dim SUM (order-free, same direction to ~1e-12, rank-stable "
+    "in practice) or d14's k-means cell centroids, and keep the "
+    "row-local scoring + per-label rank window unchanged (partition "
+    "the window by IVF cell exactly as d14 shards cells)",
+)
+def n18_prototype_pruning(spark, sf):
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf, "embeddings")
+    # vec_id-ordered element-wise fold; the zero init (derived from
+    # the first vector's length, so the op is dim-agnostic) makes
+    # step 1 of the fold 0.0 + cast(v) == cast(v), exactly DuckDB's
+    # no-init list_reduce starting state (the m22 convention)
+    lists = (
+        emb.filter(F.col("embedding").isNotNull())
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("vec_id"), F.col("embedding").alias("e"))
+                )
+            ).alias("__l")
+        )
+    )
+    cent = lists.select(
+        "label",
+        F.aggregate(
+            F.transform(F.col("__l"), lambda s: s["e"]),
+            F.transform(
+                F.element_at(F.col("__l"), 1)["e"], lambda v: F.lit(0.0)
+            ),
+            lambda acc, v: F.zip_with(
+                acc, v, lambda a, b: a + b.cast("double")
+            ),
+        ).alias("csum"),
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        SIM.cosine(F.col("embedding"), F.col("csum")).alias("proto_score"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc_nulls_last("proto_score"), "vec_id"
+    )
+    wn = Window.partitionBy("label")
+    return scored.select(
+        "vec_id",
+        "label",
+        "proto_score",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n_class"),
+    ).select(
+        "vec_id",
+        "label",
+        "proto_score",
+        "rnk",
+        "n_class",
+        (~(F.col("rnk") * 5 <= F.col("n_class"))).alias("keep"),
+    )
+
+
 # CUSUM via the prefix-sum identity: the textbook recursion
 # S_t = max(0, S_{t-1} + d_t) equals C_t - min(0, min_{i<=t} C_i) for
 # C_t the plain cumulative sum of the drifts d — which turns the

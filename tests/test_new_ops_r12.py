@@ -534,3 +534,96 @@ def test_pr8_registry_no_python_rows(spark):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
     assert df.count() > 0
+
+
+# ------------------------------------------- n18_prototype_pruning
+
+
+def test_n18_hand_vectors_rank_and_verdict(spark, tmp_path):
+    """A class built around a dominant direction: the vector aligned
+    with the class sum ranks 1 (most prototypical) and is pruned at
+    20%; the outlier ranks last and is kept. Scores match numpy cosine
+    against the class sum."""
+    import numpy as np
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.8, 0.2, 0.0, 0.0], 0),
+        (3, [0.7, 0.3, 0.0, 0.0], 0),
+        (4, [-1.0, 0.5, 0.0, 0.0], 0),  # the outlier
+    ]
+    d = tmp_path / "sfn18"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    got = {
+        r.vec_id: r
+        for r in QUERIES["n18_prototype_pruning"].fn(spark, str(d)).collect()
+    }
+    vecs = {i: np.array(v, dtype=np.float32).astype(float)
+            for i, v, _ in rows}
+    csum = sum(vecs.values())
+    scores = {
+        i: float(v @ csum / (np.linalg.norm(v) * np.linalg.norm(csum)))
+        for i, v in vecs.items()
+    }
+    order = sorted(scores, key=lambda i: (-scores[i], i))
+    for rnk, i in enumerate(order, 1):
+        assert got[i].rnk == rnk
+        assert abs(got[i].proto_score - scores[i]) < 1e-12
+        assert got[i].n_class == 5
+    # n=5 -> exactly floor(5/5)=1 pruned: the rank-1 prototype
+    assert not got[order[0]].keep
+    assert all(got[i].keep for i in order[1:])
+    assert got[4].rnk == 5  # the outlier is the hardest example, kept
+
+
+def test_n18_prune_fraction_and_numpy_differential(spark):
+    """On the real corpus: exactly floor(n/5) pruned per class, and
+    every score equals an independent numpy cosine against the
+    vec_id-ordered fold sum."""
+    import numpy as np
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["n18_prototype_pruning"].fn(spark, sf).collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    emb = {
+        r[0]: (np.array(r[1], dtype=np.float32).astype(float), r[2])
+        for r in con.execute(
+            "SELECT vec_id, embedding, label FROM embeddings"
+        ).fetchall()
+    }
+    for lab, rs in by_label.items():
+        n = len(rs)
+        assert sum(not r.keep for r in rs) == n // 5
+        ids = sorted(i for i, (_, l) in emb.items() if l == lab)
+        csum = np.zeros(64)
+        for i in ids:  # vec_id order, matching the fold
+            csum = csum + emb[i][0]
+        for r in rs:
+            v = emb[r.vec_id][0]
+            want = float(
+                v @ csum / (np.linalg.norm(v) * np.linalg.norm(csum))
+            )
+            assert abs(r.proto_score - want) < 1e-9
+
+
+def test_n18_plan_broadcast_centroids_no_python(spark):
+    """The label-sized centroid table broadcasts; the corpus is
+    scanned, scored row-local, and exchanged only for the per-label
+    rank window; no per-row Python."""
+    plan = _plan(
+        QUERIES["n18_prototype_pruning"].fn(spark, "/root/testdata/sf0.001")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
