@@ -16630,8 +16630,9 @@ _DRIVER_SAMPLE = [
     # driver row predates r07), then the round-12 registration, the
     # one changed-values rider, and the headline re-pins.
     #
-    # never-driver-verified (1): the round-12 registration
-    "x53_global_shuffle",
+    # never-driver-verified (5): the round-12 registrations
+    "x53_global_shuffle", "dq9_referential_integrity", "m24_theta_method",
+    "pr8_label_propagation", "n18_prototype_pruning",
     # changed-VALUES rider (1): h10's z is now the cancellation-free
     # form rounded to 9 and its flag integer-exact (the sf0.1 sweep
     # fix) — its r11 driver row no longer reflects current output.
@@ -16640,11 +16641,12 @@ _DRIVER_SAMPLE = [
     # unchanged oracle re-passed at sf0.01 AND sf0.1 this round), pr1
     # (persist only), croston/m23 (defensive null guard; unchanged
     # oracle re-passed at sf0.01), _corpus_fingerprint (error-path
-    # only; pinned in tests/test_new_ops_r12.py)
+    # only; pinned in tests/test_new_ops_r12.py).
+    # The headline re-pins (a1/a5/q1/x5) cede their slots to the
+    # round-12 registrations per the r11 verdict's fill order (cohort
+    # first, then registrations, then riders): all four are r11-green,
+    # stay timed by bench.py every round, and re-queue for r13
     "h10_anomaly_zscore",
-    # headline bench queries, re-pinned every round
-    "a1_orders_rollup", "a5_inventory_depletion", "q1_pricing_summary",
-    "x5_tfidf",
     # the full 44-entry r06-latest cohort (alphabetical), queued since
     # round 11 ceded its fill budget to the 25 registrations
     "a10_profile", "a11_collect_agg", "a12_argmax", "a4_approx_distinct",

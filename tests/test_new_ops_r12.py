@@ -627,3 +627,129 @@ def test_n18_plan_broadcast_centroids_no_python(spark):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------ round-12 edge parity
+
+
+def _driver_compare_r12(mine, want):
+    mine = mine[sorted(mine.columns)].sort_values(
+        sorted(mine.columns)
+    ).reset_index(drop=True)
+    want = want[sorted(want.columns)].sort_values(
+        sorted(want.columns)
+    ).reset_index(drop=True)
+    assert mine.shape == want.shape
+    assert (mine.astype(str).values == want.astype(str).values).all(), (
+        f"\nmine:\n{mine}\nwant:\n{want}"
+    )
+
+
+def test_r12_edge_empty_tables_parity(spark, tmp_path):
+    """Empty inputs: x53 and m24 on an empty corpus, pr8 on an empty
+    lineitem — engine and oracle agree on the (empty / header-only)
+    result instead of one side erroring."""
+    import duckdb
+
+    d = tmp_path / "sfempty"
+    d.mkdir()
+    spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber "
+        "int, l_quantity double, l_extendedprice double, l_discount "
+        "double, l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+
+    con = duckdb.connect()
+    for t in ("documents", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+        )
+    for name in ("x53_global_shuffle", "m24_theta_method",
+                 "pr8_label_propagation", "h10_anomaly_zscore"):
+        mine = QUERIES[name].fn(spark, str(d)).toPandas()
+        want = con.execute(QUERIES[name].sql).df()
+        assert len(mine) == len(want) == 0, name
+
+
+def test_r12_edge_n18_zero_vector_and_singleton_class(spark, tmp_path):
+    """A zero vector scores NULL (never a divide-by-zero crash) and
+    ranks last; a single-member class scores exactly 1.0 and is kept
+    (floor(1/5) = 0 pruned). Engine matches oracle on both."""
+    import duckdb
+
+    rows = [
+        (0, [0.0, 0.0, 0.0], 7),      # zero vector
+        (1, [1.0, 0.0, 0.0], 7),
+        (2, [0.5, 0.5, 0.0], 7),
+        (9, [0.3, 0.4, 0.0], 8),      # singleton class
+    ]
+    d = tmp_path / "sfz"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    got = {
+        r.vec_id: r
+        for r in QUERIES["n18_prototype_pruning"].fn(spark, str(d)).collect()
+    }
+    assert got[0].proto_score is None and got[0].rnk == 3  # nulls last
+    # cosine(v, v) is 1.0 up to float rounding (dot/sqrt·sqrt)
+    assert abs(got[9].proto_score - 1.0) < 1e-12
+    assert got[9].rnk == 1 and got[9].keep
+    assert all(got[i].keep for i in (0, 1, 2))  # floor(3/5) = 0 pruned
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{d}/embeddings.parquet/*.parquet'"
+    )
+    _driver_compare_r12(
+        QUERIES["n18_prototype_pruning"].fn(spark, str(d)).toPandas(),
+        con.execute(QUERIES["n18_prototype_pruning"].sql).df(),
+    )
+
+
+def test_r12_edge_dq9_empty_child_and_parent(spark, tmp_path):
+    """An EMPTY child table audits clean (0 rows, 0 orphans, ok); an
+    empty PARENT makes every child key an orphan. Cross-engine parity
+    on the full 7-row output."""
+    import duckdb
+
+    sf = _staged_rel_corpus(spark, tmp_path)
+    # overwrite customer with an empty table: orders.o_custkey all orphan
+    import shutil
+
+    shutil.rmtree(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [],
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(f"{sf}/customer.parquet")
+
+    got = {
+        r.relationship: r
+        for r in QUERIES["dq9_referential_integrity"].fn(spark, sf).collect()
+    }
+    oc = got["orders.o_custkey->customer.c_custkey"]
+    assert (oc.orphan_keys, oc.orphan_rows, oc.ok) == (2, 2, False)
+    cn = got["customer.c_nationkey->nation.n_nationkey"]
+    assert (cn.n_rows, cn.n_keys, cn.orphan_keys, cn.ok) == (0, 0, 0, True)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet/*.parquet'"
+        )
+    _driver_compare_r12(
+        QUERIES["dq9_referential_integrity"].fn(spark, sf).toPandas(),
+        con.execute(QUERIES["dq9_referential_integrity"].sql).df(),
+    )
