@@ -12738,6 +12738,153 @@ def e14_rfm_segmentation(spark, sf):
     )
 
 
+# Strict time-ordered funnel: a step counts only when its event
+# happens strictly AFTER the user's previous-step anchor (first
+# qualifying event), so a purchase before the first click never
+# inflates step 3 — the semantics e12 (latency) and e13 (paths)
+# don't pin. Same-instant events do NOT advance (strict >), a total
+# rule both engines share.
+_E15_SQL = """
+    WITH ue AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), v AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+      FROM ue GROUP BY 1
+    ), c AS (
+      SELECT ue.user_id,
+        MIN(CASE WHEN ue.event_type = 'click' AND ue.ts > v.v_ts
+            THEN ue.ts END) AS c_ts
+      FROM ue JOIN v ON v.user_id = ue.user_id GROUP BY 1
+    ), p AS (
+      SELECT ue.user_id,
+        MIN(CASE WHEN ue.event_type = 'purchase' AND ue.ts > c.c_ts
+            THEN ue.ts END) AS p_ts
+      FROM ue JOIN c ON c.user_id = ue.user_id GROUP BY 1
+    ), counts AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n_users,
+        CAST(count(v.v_ts) AS BIGINT) AS n1,
+        CAST(count(c.c_ts) AS BIGINT) AS n2,
+        CAST(count(p.p_ts) AS BIGINT) AS n3
+      FROM v JOIN c ON c.user_id = v.user_id
+             JOIN p ON p.user_id = v.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS event, n1 AS n_reached,
+        round(CAST(n1 AS DOUBLE) / nullif(n_users, 0), 9) AS frac_users,
+        round(CAST(n1 AS DOUBLE) / nullif(n1, 0), 9) AS frac_prev
+      FROM counts
+      UNION ALL
+      SELECT 2, 'click', n2,
+        round(CAST(n2 AS DOUBLE) / nullif(n_users, 0), 9),
+        round(CAST(n2 AS DOUBLE) / nullif(n1, 0), 9)
+      FROM counts
+      UNION ALL
+      SELECT 3, 'purchase', n3,
+        round(CAST(n3 AS DOUBLE) / nullif(n_users, 0), 9),
+        round(CAST(n3 AS DOUBLE) / nullif(n2, 0), 9)
+      FROM counts
+    )
+"""
+
+
+@q(
+    "e15_funnel_steps",
+    sql=_E15_SQL,
+    ref="Event analytics: the ordered conversion FUNNEL — "
+    "view -> click -> purchase with STRICT time ordering (each step's "
+    "anchor is the user's first qualifying event strictly after the "
+    "previous anchor), per-step users reached, fraction of all users, "
+    "and step-over-step conversion. Completes the events family's "
+    "funnel triad: e12 measures the latency, e13 shows the paths, "
+    "e15 gives the headline drop-off table every product dashboard "
+    "leads with. Exact integer counts; a purchase BEFORE the first "
+    "click does not count (hand-tested)",
+    scale="one user-keyed exchange does everything: the three chained "
+    "min-anchor aggs share the user partitioning (Catalyst reuses the "
+    "exchange), rows into the agg are (user, ts, type) scalars, and "
+    "the output is 3 rows at any corpus size. Skew-safe at user grain",
+)
+def e15_funnel_steps(spark, sf):
+    ue = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_type")
+    )
+    v = ue.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("v_ts")
+    )
+    c = (
+        ue.join(v, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("v_ts")),
+                    F.col("ts"),
+                )
+            ).alias("c_ts")
+        )
+    )
+    p = (
+        ue.join(c, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).alias("p_ts")
+        )
+    )
+    counts = (
+        v.join(c, "user_id")
+        .join(p, "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.count("v_ts").cast("bigint").alias("n1"),
+            F.count("c_ts").cast("bigint").alias("n2"),
+            F.count("p_ts").cast("bigint").alias("n3"),
+        )
+    )
+    rows = []
+    for step, ev, n_col, prev_col in [
+        (1, "view", "n1", "n1"),
+        (2, "click", "n2", "n1"),
+        (3, "purchase", "n3", "n2"),
+    ]:
+        rows.append(
+            counts.select(
+                F.lit(step).alias("step"),
+                F.lit(ev).alias("event"),
+                F.col(n_col).alias("n_reached"),
+                F.round(
+                    F.col(n_col).cast("double")
+                    / F.nullif(F.col("n_users"), F.lit(0)),
+                    9,
+                ).alias("frac_users"),
+                F.round(
+                    F.col(n_col).cast("double")
+                    / F.nullif(
+                        F.col(prev_col if step > 1 else "n1"), F.lit(0)
+                    ),
+                    9,
+                ).alias("frac_prev"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 @q(
     "j10_interval_overlap_join",
     sql="""
@@ -14976,6 +15123,125 @@ def ab3_cuped(spark, sf):
     )
 
 
+# Power analysis literals, embedded identically in both engines:
+# 1.959963984540054 = two-sided 95% normal quantile (the ab1 bound),
+# 0.8416212335729143 = one-sided 80%-power quantile.
+_AB4_SQL = """
+    WITH users AS (
+      SELECT user_id,
+        CASE WHEN (instr('0123456789abcdef',
+            substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+          THEN 'A' ELSE 'B' END AS arm,
+        CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS INT) AS converted
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n_users END) AS a_users,
+        MAX(CASE WHEN arm = 'A' THEN n_conv END) AS a_conv,
+        MAX(CASE WHEN arm = 'B' THEN n_users END) AS b_users,
+        MAX(CASE WHEN arm = 'B' THEN n_conv END) AS b_conv
+      FROM (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+          CAST(SUM(converted) AS BIGINT) AS n_conv
+        FROM users GROUP BY arm
+      )
+    ), m AS (
+      SELECT a_users, b_users,
+        CAST(a_conv AS DOUBLE) / a_users AS baseline_rate,
+        CAST(b_conv AS DOUBLE) / b_users
+          - CAST(a_conv AS DOUBLE) / a_users AS observed_lift,
+        (1.959963984540054 + 0.8416212335729143)
+          * sqrt((CAST(a_conv AS DOUBLE) / a_users)
+                 * (1.0 - CAST(a_conv AS DOUBLE) / a_users)
+                 * (1.0 / a_users + 1.0 / b_users)) AS mde_abs
+      FROM wide
+    )
+    SELECT a_users, b_users,
+      round(baseline_rate, 9) AS baseline_rate,
+      round(mde_abs, 9) AS mde_abs,
+      round(mde_abs / nullif(baseline_rate, 0.0), 9) AS mde_rel,
+      round(observed_lift, 9) AS observed_lift,
+      coalesce(abs(observed_lift) >= mde_abs, FALSE) AS is_powered
+    FROM m
+"""
+
+
+@q(
+    "ab4_power_mde",
+    sql=_AB4_SQL,
+    ref="Experimentation: power analysis / minimum detectable effect "
+    "— at the REALIZED arm sizes and the control arm's baseline "
+    "conversion, the smallest absolute lift the running experiment "
+    "can detect at 80% power against the two-sided 95% bound: "
+    "MDE = (z_alpha/2 + z_beta) * sqrt(p(1-p)(1/n_a + 1/n_b)). The "
+    "question a platform answers BEFORE reading ab1's verdict — an "
+    "insignificant result on an underpowered test is a shrug, not a "
+    "negative; is_powered says whether the observed lift even "
+    "clears the detectability floor. Closed form over exact integer "
+    "counts; quantiles embedded as shared repr literals (the ab1 "
+    "convention)",
+    scale="identical shape to ab1: ONE user-keyed map-side-combined "
+    "agg (arm computed row-locally from the md5 nibble — no "
+    "assignment table), then 2-row arithmetic. The only shuffle is "
+    "the user agg, skew-safe at user grain; zero-baseline degenerates "
+    "to NULL mde_rel, never a divide-by-zero",
+)
+def ab4_power_mde(spark, sf):
+    nib = (
+        "(instr('0123456789abcdef', substring(md5(CAST(user_id AS "
+        "STRING)), 1, 1)) - 1) % 2"
+    )
+    users = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .select(
+            F.when(F.expr(nib) == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+            "converted",
+        )
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("a_users"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_conv"))).alias("a_conv"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("b_users"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_conv"))).alias("b_conv"),
+    )
+    p = F.col("a_conv").cast("double") / F.col("a_users")
+    lift = (
+        F.col("b_conv").cast("double") / F.col("b_users")
+        - F.col("a_conv").cast("double") / F.col("a_users")
+    )
+    mde = (F.lit(1.959963984540054) + F.lit(0.8416212335729143)) * F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (F.lit(1.0) / F.col("a_users") + F.lit(1.0) / F.col("b_users"))
+    )
+    return wide.select(
+        "a_users",
+        "b_users",
+        F.round(p, 9).alias("baseline_rate"),
+        F.round(mde, 9).alias("mde_abs"),
+        F.round(mde / F.nullif(p, F.lit(0.0)), 9).alias("mde_rel"),
+        F.round(lift, 9).alias("observed_lift"),
+        F.coalesce(F.abs(lift) >= mde, F.lit(False)).alias("is_powered"),
+    )
+
+
 _DQ8_SQL = """
     WITH days AS (
       SELECT DISTINCT event_type, CAST(ts AS DATE) AS d FROM events
@@ -15454,6 +15720,99 @@ def ev7_probe_recall_sweep(spark, sf):
     )
 
 
+# KL(realized ‖ target) of the post-sampling token mixture: smp4's
+# sampler CLAIMS to equalize token share across sources — ev8 is the
+# evaluation that measures how close the realized sample actually
+# lands (finite corpora and the 0.5x acceptance cap leave residual
+# skew). smp4's registered SQL is spliced verbatim as the kept set
+# (the ev3-over-x25 pattern); 0·ln(0) = 0 by convention for an
+# empty source; ln() drift is cross-engine ~1 ulp, 6 orders below
+# the round(9) emit (the x49 argument).
+_EV8_SQL_TMPL = """
+    WITH kept AS ({smp4}), tok AS (
+      SELECT d.source,
+        CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tok
+      FROM documents d JOIN kept k ON k.doc_id = d.doc_id
+      GROUP BY 1
+    ), alpha AS (
+      SELECT DISTINCT source FROM documents
+    ), tot AS (
+      SELECT CAST(SUM(n_tok) AS BIGINT) AS t,
+        (SELECT count(*) FROM alpha) AS n_src
+      FROM tok
+    )
+    SELECT a.source,
+      round(1.0 / t.n_src, 9) AS target_share,
+      round(CAST(coalesce(k.n_tok, 0) AS DOUBLE) / t.t, 9)
+        AS realized_share,
+      CASE WHEN coalesce(k.n_tok, 0) = 0 THEN 0.0
+        ELSE round((CAST(k.n_tok AS DOUBLE) / t.t)
+          * ln((CAST(k.n_tok AS DOUBLE) / t.t) / (1.0 / t.n_src)), 9)
+      END AS kl_term
+    FROM alpha a LEFT JOIN tok k ON k.source = a.source, tot t
+"""
+
+
+@q(
+    "ev8_mixture_divergence",
+    sql="",  # spliced below from smp4's registered SQL
+    ref="Evaluation family: KL divergence of the REALIZED post-"
+    "sampling token mixture from the equal-share target smp4's "
+    "rebalancing sampler aims at — per source, target share, "
+    "realized share, and the KL contribution (0·ln 0 = 0 for an "
+    "emptied source). The measurement that closes the mixture loop: "
+    "smp3 computes the weights, smp4 applies them, ev8 audits what "
+    "actually shipped — the number a data-mixture review reads "
+    "before a 100 TB export is blessed",
+    scale="smp4's sampler is row-local (md5 draw); ev8 adds one "
+    "doc-keyed join (kept set onto documents, co-partitioned) and "
+    "one source-keyed map-side-combined token agg — output is "
+    "#sources rows at any corpus size",
+)
+def ev8_mixture_divergence(spark, sf):
+    kept = QUERIES["smp4_weighted_sample"].fn(spark, sf).select("doc_id")
+    docs = _t(spark, sf, "documents")
+    tok = (
+        docs.join(kept, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " ")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_tok")
+        )
+    )
+    alpha = docs.select("source").distinct()
+    tot = tok.agg(F.sum("n_tok").cast("bigint").alias("t")).crossJoin(
+        F.broadcast(alpha.agg(F.count(F.lit(1)).alias("n_src")))
+    )
+    j = alpha.join(tok, "source", "left").crossJoin(F.broadcast(tot))
+    realized = F.coalesce(F.col("n_tok"), F.lit(0)).cast("double") / F.col(
+        "t"
+    )
+    target = F.lit(1.0) / F.col("n_src")
+    return j.select(
+        "source",
+        F.round(target, 9).alias("target_share"),
+        F.round(realized, 9).alias("realized_share"),
+        F.when(F.coalesce(F.col("n_tok"), F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("n_tok").cast("double") / F.col("t"))
+                * F.log(
+                    (F.col("n_tok").cast("double") / F.col("t")) / target
+                ),
+                9,
+            )
+        )
+        .alias("kl_term"),
+    )
+
+
+QUERIES["ev8_mixture_divergence"].sql = _EV8_SQL_TMPL.format(
+    smp4=QUERIES["smp4_weighted_sample"].sql
+)
+
+
 _N17_DIM = 64
 
 _N17_SQL = f"""
@@ -15763,6 +16122,140 @@ def h11_cusum_changepoint(spark, sf):
         (F.col("s_pos") > 5 * F.col("k")).alias("shift_up"),
         (F.col("s_neg") > 5 * F.col("k")).alias("shift_down"),
     )
+
+
+# Trend/seasonal STRENGTH (Hyndman's tsfeatures / feasts definitions):
+#   F_trend    = max(0, 1 - Var(R) / Var(T + R))
+#   F_seasonal = max(0, 1 - Var(R) / Var(S + R))
+# over m9's decomposition components. Variance sums are d-ORDERED
+# folds (the m22 syy discipline — component values are doubles, so an
+# unordered SUM's association would drift cross-engine), the variance
+# expression is one fixed tree, and the result rounds to 9. The m9
+# SQL is spliced verbatim (the ev3-over-x25 pattern) so the component
+# definitions cannot drift from the registered decomposition.
+_H12_SQL_TMPL = """
+    WITH comp AS ({m9}), pts AS (
+      SELECT list(struct_pack(
+          r := resid,
+          sr := seasonal + resid,
+          tr := trend + resid) ORDER BY d) AS ps
+      FROM comp WHERE resid IS NOT NULL
+    ), sums AS (
+      SELECT CAST(len(ps) AS BIGINT) AS n,
+        list_reduce(list_transform(ps, s -> s.r), (a, b) -> a + b) AS s_r,
+        list_reduce(list_transform(ps, s -> s.r * s.r),
+                    (a, b) -> a + b) AS ss_r,
+        list_reduce(list_transform(ps, s -> s.sr), (a, b) -> a + b) AS s_sr,
+        list_reduce(list_transform(ps, s -> s.sr * s.sr),
+                    (a, b) -> a + b) AS ss_sr,
+        list_reduce(list_transform(ps, s -> s.tr), (a, b) -> a + b) AS s_tr,
+        list_reduce(list_transform(ps, s -> s.tr * s.tr),
+                    (a, b) -> a + b) AS ss_tr
+      FROM pts
+    ), vars AS (
+      SELECT n,
+        (ss_r - s_r * s_r / n) / nullif(CAST(n - 1 AS DOUBLE), 0.0)
+          AS v_r,
+        (ss_sr - s_sr * s_sr / n) / nullif(CAST(n - 1 AS DOUBLE), 0.0)
+          AS v_sr,
+        (ss_tr - s_tr * s_tr / n) / nullif(CAST(n - 1 AS DOUBLE), 0.0)
+          AS v_tr
+      FROM sums
+    )
+    SELECT n AS n_days,
+      CASE WHEN v_r / nullif(v_tr, 0.0) IS NULL THEN NULL
+        ELSE round(greatest(0.0, 1.0 - v_r / nullif(v_tr, 0.0)), 9)
+      END AS trend_strength,
+      CASE WHEN v_r / nullif(v_sr, 0.0) IS NULL THEN NULL
+        ELSE round(greatest(0.0, 1.0 - v_r / nullif(v_sr, 0.0)), 9)
+      END AS seasonal_strength
+    FROM vars
+"""
+
+
+@q(
+    "h12_seasonal_strength",
+    sql="",  # spliced below from m9's registered SQL
+    ref="Time-series: trend/seasonal STRENGTH of the daily revenue "
+    "series (Hyndman's tsfeatures: F = max(0, 1 - Var(R)/Var(C+R)) "
+    "for component C) over m9's classical decomposition — the one "
+    "number that says whether m21's seasonal model or m24's plain "
+    "trend is the right forecaster for this series, closing the "
+    "loop between the decomposition diagnostic and the forecaster "
+    "choice. Oracle splices m9's registered SQL verbatim; variance "
+    "sums are d-ordered folds, bit-identical cross-engine",
+    scale="runs entirely on m9's day-sized decomposition output "
+    "(the fact table collapsed long before); the fold list is "
+    "#days-sized driver-free state inside one 1-row agg. Output is "
+    "one row at any corpus size",
+)
+def h12_seasonal_strength(spark, sf):
+    comp = (
+        QUERIES["m9_seasonal_decompose"]
+        .fn(spark, sf)
+        .filter(F.col("resid").isNotNull())
+    )
+    pts = comp.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("d"),
+                    F.col("resid").alias("r"),
+                    (F.col("seasonal") + F.col("resid")).alias("sr"),
+                    (F.col("trend") + F.col("resid")).alias("tr"),
+                )
+            )
+        ).alias("ps")
+    )
+
+    def _fold(field, square):
+        return F.aggregate(
+            F.col("ps"),
+            F.lit(0.0),
+            (lambda a, s: a + s[field] * s[field])
+            if square
+            else (lambda a, s: a + s[field]),
+        )
+
+    n = F.size("ps").cast("bigint")
+    sums = pts.select(
+        n.alias("n"),
+        _fold("r", False).alias("s_r"),
+        _fold("r", True).alias("ss_r"),
+        _fold("sr", False).alias("s_sr"),
+        _fold("sr", True).alias("ss_sr"),
+        _fold("tr", False).alias("s_tr"),
+        _fold("tr", True).alias("ss_tr"),
+    )
+
+    def _var(s, ss):
+        return (F.col(ss) - F.col(s) * F.col(s) / F.col("n")) / F.nullif(
+            (F.col("n") - 1).cast("double"), F.lit(0.0)
+        )
+
+    vars_ = sums.select(
+        "n",
+        _var("s_r", "ss_r").alias("v_r"),
+        _var("s_sr", "ss_sr").alias("v_sr"),
+        _var("s_tr", "ss_tr").alias("v_tr"),
+    )
+
+    def _strength(den):
+        ratio = F.col("v_r") / F.nullif(F.col(den), F.lit(0.0))
+        return F.when(
+            ratio.isNull(), F.lit(None).cast("double")
+        ).otherwise(F.round(F.greatest(F.lit(0.0), F.lit(1.0) - ratio), 9))
+
+    return vars_.select(
+        F.col("n").alias("n_days"),
+        _strength("v_tr").alias("trend_strength"),
+        _strength("v_sr").alias("seasonal_strength"),
+    )
+
+
+QUERIES["h12_seasonal_strength"].sql = _H12_SQL_TMPL.format(
+    m9=QUERIES["m9_seasonal_decompose"].sql
+)
 
 
 # Benford expected first-digit probabilities log10(1 + 1/d), embedded
@@ -16645,7 +17138,13 @@ _DRIVER_SAMPLE = [
     # The headline re-pins (a1/a5/q1/x5) cede their slots to the
     # round-12 registrations per the r11 verdict's fill order (cohort
     # first, then registrations, then riders): all four are r11-green,
-    # stay timed by bench.py every round, and re-queue for r13
+    # stay timed by bench.py every round, and re-queue for r13.
+    # ROUND-13 queue (registered post-seal in round 12, after the r12
+    # window was fixed — the n11/x30/x31 round-6 precedent): the
+    # wave-2 registrations ab4_power_mde, e15_funnel_steps,
+    # h12_seasonal_strength, ev8_mixture_divergence (each already
+    # oracle-verified at sf0.001/0.01/0.1 this round, tools/
+    # verify_driver_contract.py) + the headline re-pins above
     "h10_anomaly_zscore",
     # the full 44-entry r06-latest cohort (alphabetical), queued since
     # round 11 ceded its fill budget to the 25 registrations

@@ -753,3 +753,192 @@ def test_r12_edge_dq9_empty_child_and_parent(spark, tmp_path):
         QUERIES["dq9_referential_integrity"].fn(spark, sf).toPandas(),
         con.execute(QUERIES["dq9_referential_integrity"].sql).df(),
     )
+
+
+# ----------------------------------------- wave 2: ab4/e15/h12/ev8
+
+
+def test_ab4_python_differential_and_power_semantics(spark, tmp_path):
+    """MDE matches an independent Python computation with the same
+    quantile literals; a huge synthetic lift is powered, the tiny
+    real one is not."""
+    import hashlib
+    import math
+
+    # hand experiment: 40 users, arm by md5 nibble parity, purchase
+    # iff user_id % 3 == 0 (unrelated to arm)
+    rows = []
+    eid = 0
+    for u in range(40):
+        rows.append((eid, "2024-01-05 00:00:00", u, "view", 1.0, "{}"))
+        eid += 1
+        if u % 3 == 0:
+            rows.append(
+                (eid, "2024-01-06 00:00:00", u, "purchase", 1.0, "{}")
+            )
+            eid += 1
+    d = tmp_path / "sfab4"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d / "events.parquet")
+    )
+    r = QUERIES["ab4_power_mde"].fn(spark, str(d)).collect()[0]
+
+    arms: dict = {"A": [0, 0], "B": [0, 0]}
+    for u in range(40):
+        arm = "A" if int(
+            hashlib.md5(str(u).encode()).hexdigest()[0], 16
+        ) % 2 == 0 else "B"
+        arms[arm][0] += 1
+        arms[arm][1] += 1 if u % 3 == 0 else 0
+    (na, ca), (nb, cb) = arms["A"], arms["B"]
+    p = ca / na
+    mde = (1.959963984540054 + 0.8416212335729143) * math.sqrt(
+        p * (1 - p) * (1 / na + 1 / nb)
+    )
+    assert (r.a_users, r.b_users) == (na, nb)
+    assert abs(r.baseline_rate - p) < 1e-9
+    assert abs(r.mde_abs - mde) < 1e-9
+    assert abs(r.observed_lift - (cb / nb - ca / na)) < 1e-9
+    assert bool(r.is_powered) == (abs(cb / nb - ca / na) >= mde)
+
+
+def test_e15_strict_ordering_hand_log(spark, tmp_path):
+    """A purchase BEFORE the first click never counts as step 3; a
+    click before the first view never counts as step 2; same-instant
+    events do not advance (strict >)."""
+    logs = [
+        # u1: clean view -> click -> purchase (counts all 3 steps)
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:01:00", "click"),
+        (1, "2024-01-01 10:02:00", "purchase"),
+        # u2: purchase BEFORE the click -> steps 1,2 only
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 10:00:30", "purchase"),
+        (2, "2024-01-01 10:01:00", "click"),
+        # u3: click before any view -> step 1 only (view exists later)
+        (3, "2024-01-01 09:00:00", "click"),
+        (3, "2024-01-01 10:00:00", "view"),
+        # u4: click AT the view instant -> does not advance
+        (4, "2024-01-01 10:00:00", "view"),
+        (4, "2024-01-01 10:00:00", "click"),
+        # u5: no view at all -> enters no step
+        (5, "2024-01-01 10:00:00", "click"),
+    ]
+    rows = [
+        (i, ts, u, et, 1.0, "{}") for i, (u, ts, et) in enumerate(logs)
+    ]
+    d = tmp_path / "sfe15"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d / "events.parquet")
+    )
+    got = {
+        r.step: r
+        for r in QUERIES["e15_funnel_steps"].fn(spark, str(d)).collect()
+    }
+    assert got[1].n_reached == 4  # u1, u2, u3, u4 saw a view
+    assert got[2].n_reached == 2  # u1, u2 clicked strictly after it
+    assert got[3].n_reached == 1  # only u1 purchased after the click
+    assert got[1].frac_users == round(4 / 5, 9)
+    assert got[2].frac_prev == round(2 / 4, 9)
+    assert got[3].frac_prev == round(1 / 2, 9)
+
+
+def test_h12_numpy_differential_and_seasonal_series(spark, tmp_path):
+    """Strengths equal an independent numpy computation from m9's own
+    output; a hand series with a strong weekly pattern scores
+    seasonal_strength near 1."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    comp = (
+        QUERIES["m9_seasonal_decompose"]
+        .fn(spark, sf)
+        .filter(F.col("resid").isNotNull())
+        .toPandas()
+        .sort_values("d")
+    )
+    r = comp.resid.to_numpy()
+    sr = (comp.seasonal + comp.resid).to_numpy()
+    tr = (comp.trend + comp.resid).to_numpy()
+    want_t = max(0.0, 1 - np.var(r, ddof=1) / np.var(tr, ddof=1))
+    want_s = max(0.0, 1 - np.var(r, ddof=1) / np.var(sr, ddof=1))
+    got = QUERIES["h12_seasonal_strength"].fn(spark, sf).collect()[0]
+    assert got.n_days == len(comp)
+    assert abs(got.trend_strength - want_t) < 1e-6
+    assert abs(got.seasonal_strength - want_s) < 1e-6
+
+    # strong weekly pattern: amplitude >> noise
+    rows = []
+    import datetime as dt
+
+    day0 = dt.datetime(1995, 1, 1)
+    for i in range(35):
+        amp = 1000.0 + 500.0 * (i % 7) + (7.0 if i % 3 == 0 else 0.0)
+        rows.append((i, 1, "O", amp, str(day0 + dt.timedelta(days=i)),
+                     "1-URGENT"))
+    d = tmp_path / "sfh12"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn(
+        "o_orderdate", F.to_timestamp("o_orderdate")
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    strong = QUERIES["h12_seasonal_strength"].fn(spark, str(d)).collect()[0]
+    assert strong.seasonal_strength > 0.99
+
+
+def test_ev8_python_differential(spark):
+    """Shares and KL terms equal an independent pure-Python replay of
+    smp4's md5 sampler — oracle never consulted; realized shares sum
+    to ~1 and every empty-source term is exactly 0."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    docs = con.execute(
+        "SELECT doc_id, source, len(string_split(text, ' ')) AS n "
+        "FROM documents"
+    ).fetchall()
+    per_src: dict = {}
+    for _, s, n in docs:
+        per_src[s] = per_src.get(s, 0) + n
+    total = sum(per_src.values())
+    n_src = len(per_src)
+    kept_tok: dict = {s: 0 for s in per_src}
+    for i, s, n in docs:
+        w = total / (n_src * per_src[s])
+        h = hashlib.md5(str(i).encode()).hexdigest()[:6]
+        u = int(h, 16) / 16**6
+        if u < min(1.0, 0.5 * w):
+            kept_tok[s] += n
+    t = sum(kept_tok.values())
+    got = {
+        r.source: r
+        for r in QUERIES["ev8_mixture_divergence"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(per_src)
+    for s, r in got.items():
+        q = kept_tok[s] / t
+        assert abs(r.target_share - 1.0 / n_src) < 1e-9
+        assert abs(r.realized_share - q) < 1e-9
+        want = 0.0 if kept_tok[s] == 0 else q * math.log(q * n_src)
+        assert abs(r.kl_term - want) < 1e-9
+    assert abs(sum(r.realized_share for r in got.values()) - 1.0) < 1e-6
