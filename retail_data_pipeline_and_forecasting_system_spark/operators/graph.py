@@ -453,8 +453,12 @@ def label_propagation(
         e.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))
     )
+    # NULLS LAST pinned on the tie-break (the x50 lesson): Spark's
+    # bare asc is NULLS FIRST while DuckDB defaults NULLS LAST — a
+    # NULL label (NULL node ids in a hostile edge list) must lose
+    # ties identically in both engines
     w = Window.partitionBy("node").orderBy(
-        F.desc("__c"), F.asc("label")
+        F.desc("__c"), F.asc_nulls_last("label")
     )
     for _ in range(n_iter):
         counts = (

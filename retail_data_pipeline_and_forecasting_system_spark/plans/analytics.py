@@ -16162,11 +16162,13 @@ _H12_SQL_TMPL = """
           AS v_tr
       FROM sums
     )
-    SELECT n AS n_days,
-      CASE WHEN v_r / nullif(v_tr, 0.0) IS NULL THEN NULL
+    SELECT CAST(coalesce(n, 0) AS BIGINT) AS n_days,
+      CASE WHEN coalesce(n, 0) < 2
+             OR v_r / nullif(v_tr, 0.0) IS NULL THEN NULL
         ELSE round(greatest(0.0, 1.0 - v_r / nullif(v_tr, 0.0)), 9)
       END AS trend_strength,
-      CASE WHEN v_r / nullif(v_sr, 0.0) IS NULL THEN NULL
+      CASE WHEN coalesce(n, 0) < 2
+             OR v_r / nullif(v_sr, 0.0) IS NULL THEN NULL
         ELSE round(greatest(0.0, 1.0 - v_r / nullif(v_sr, 0.0)), 9)
       END AS seasonal_strength
     FROM vars
@@ -16229,9 +16231,15 @@ def h12_seasonal_strength(spark, sf):
     )
 
     def _var(s, ss):
-        return (F.col(ss) - F.col(s) * F.col(s) / F.col("n")) / F.nullif(
-            (F.col("n") - 1).cast("double"), F.lit(0.0)
-        )
+        # n as a nullif'd double: ANSI Spark raises on any integral
+        # zero divisor, so an empty component list must divide by
+        # NULL (-> NULL variance), matching the oracle's NULL sums
+        return (
+            F.col(ss)
+            - F.col(s)
+            * F.col(s)
+            / F.nullif(F.col("n").cast("double"), F.lit(0.0))
+        ) / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
 
     vars_ = sums.select(
         "n",
@@ -16242,8 +16250,11 @@ def h12_seasonal_strength(spark, sf):
 
     def _strength(den):
         ratio = F.col("v_r") / F.nullif(F.col(den), F.lit(0.0))
+        # n < 2 guard: with an empty component list the double folds
+        # yield 0/0 = NaN on the engine side where the oracle's
+        # list() aggregate yields NULL — both must emit NULL
         return F.when(
-            ratio.isNull(), F.lit(None).cast("double")
+            (F.col("n") < 2) | ratio.isNull(), F.lit(None).cast("double")
         ).otherwise(F.round(F.greatest(F.lit(0.0), F.lit(1.0) - ratio), 9))
 
     return vars_.select(
@@ -16797,7 +16808,7 @@ def _pr8_sql(n_iter: int = 3) -> str:
       SELECT node, label FROM (
         SELECT node, label,
           ROW_NUMBER() OVER (PARTITION BY node
-            ORDER BY c DESC, label) AS rnk
+            ORDER BY c DESC, label NULLS LAST) AS rnk
         FROM (
           SELECT e.dst AS node, l.label, count(*) AS c
           FROM edges e JOIN l{i - 1} l ON l.node = e.src
@@ -16874,10 +16885,11 @@ _X53_SQL = f"""
     )
     SELECT doc_id, source, shard, shuffle_key,
       CAST(ROW_NUMBER() OVER (PARTITION BY shard
-        ORDER BY shuffle_key, doc_id) AS BIGINT) AS shard_pos,
+        ORDER BY shuffle_key NULLS LAST, doc_id NULLS LAST) AS BIGINT)
+        AS shard_pos,
       CAST((ROW_NUMBER() OVER (PARTITION BY shard
-        ORDER BY shuffle_key, doc_id) - 1) * {_X53_N_SHARDS} + shard
-        AS BIGINT) AS global_pos
+        ORDER BY shuffle_key NULLS LAST, doc_id NULLS LAST) - 1)
+        * {_X53_N_SHARDS} + shard AS BIGINT) AS global_pos
     FROM keyed
 """
 
@@ -16919,7 +16931,12 @@ def x53_global_shuffle(spark, sf):
         F.expr(_X53_KEY).alias("shuffle_key"),
         F.expr(_X53_SHARD).alias("shard"),
     )
-    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    # NULLS LAST pinned (the x50 lesson): Spark asc defaults NULLS
+    # FIRST, DuckDB NULLS LAST — a NULL doc_id row (NULL key, NULL
+    # shard) must rank identically in both engines
+    w = Window.partitionBy("shard").orderBy(
+        F.asc_nulls_last("shuffle_key"), F.asc_nulls_last("doc_id")
+    )
     pos = F.row_number().over(w).cast("bigint")
     return keyed.select(
         "doc_id",

@@ -942,3 +942,54 @@ def test_ev8_python_differential(spark):
         want = 0.0 if kept_tok[s] == 0 else q * math.log(q * n_src)
         assert abs(r.kl_term - want) < 1e-9
     assert abs(sum(r.realized_share for r in got.values()) - 1.0) < 1e-6
+
+
+def test_r12_review_h12_short_series_null_not_nan(spark, tmp_path):
+    """Post-seal review regression: a series too short for m9's 7-day
+    trend (all resid NULL) must emit (0, NULL, NULL) in BOTH engines —
+    the engine's empty double folds produce 0/0 = NaN without the
+    n < 2 guard while the oracle's list() aggregate yields NULL."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (i, 1, "O", 100.0 + i, f"1995-01-0{i + 1} 00:00:00", "1-URGENT")
+        for i in range(3)
+    ]
+    d = tmp_path / "sfh12s"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")).coalesce(
+        1
+    ).write.parquet(str(d / "orders.parquet"))
+    got = QUERIES["h12_seasonal_strength"].fn(spark, str(d)).collect()[0]
+    assert got.n_days == 0
+    assert got.trend_strength is None and got.seasonal_strength is None
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{d}/orders.parquet/*.parquet'"
+    )
+    w = con.execute(QUERIES["h12_seasonal_strength"].sql).df().iloc[0]
+    assert w.n_days == 0
+    assert pd.isna(w.trend_strength) and pd.isna(w.seasonal_strength)
+
+
+def test_r12_review_pr8_null_node_tie_order(spark):
+    """Post-seal review regression: a NULL node id in a hostile edge
+    list must lose label ties identically in both engines (NULLS LAST
+    pinned on the tie-break; Spark's bare asc is NULLS FIRST)."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.graph import (  # noqa: E501
+        label_propagation,
+    )
+
+    # node 5's neighbors: one edge from NULL, one from 3 — counts tie
+    # 1:1, so the SMALLEST NON-NULL label (3) must win, with the NULL
+    # label losing the tie in both engines
+    both = [(3, 5), (None, 5), (5, 3)]
+    e = spark.createDataFrame(both, "src long, dst long")
+    got = {r.node: r.community for r in label_propagation(e, n_iter=1).collect()}
+    assert got[5] == 3
