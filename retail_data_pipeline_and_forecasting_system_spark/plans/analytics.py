@@ -6287,6 +6287,68 @@ def skw2_salted_agg(spark, sf):
     )
 
 
+_SKW3_SALTS = 8
+
+
+@q(
+    "skw3_salted_join",
+    sql="""
+    WITH s AS (
+      SELECT event_type, MAX(value) AS vmax
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(SUM(CASE WHEN e.value = s.vmax THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_at_max
+    FROM events e JOIN s ON s.event_type = e.event_type
+    WHERE e.event_type IS NOT NULL
+    GROUP BY 1
+    """,
+    ref="salted JOIN proven result-identical — the skew toolkit's "
+    "second half (skw2 salts the AGG; skw3 salts the JOIN): the "
+    "5-value event_type key concentrates the whole fact table on 5 "
+    "reducers in a plain shuffle join, so the engine joins on "
+    "(event_type, salt) with the fact side salted row-locally "
+    "(pmod(xxhash64(event_id), 8)) and the 5-row stats side "
+    "replicated 8x — while the oracle states the PLAIN join + agg; "
+    "the hash-match proves salting lossless. The salt never leaves "
+    "the plan; every downstream aggregate is salt-oblivious",
+    scale="the hot-key big-big join cure when the small side ISN'T "
+    "broadcastable (here it is — this entry deliberately forces the "
+    "shuffle path with a merge hint to exercise the mechanism): "
+    "replication factor x salts on the dim side vs a straggler wall "
+    "on the fact side; AQE's skew-join split handles sort-merge "
+    "skew only AFTER a stage materializes — row-local salting "
+    "prevents it at plan time",
+)
+def skw3_salted_join(spark, sf):
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    stats = ev.groupBy("event_type").agg(F.max("value").alias("vmax"))
+    salted_stats = stats.crossJoin(
+        spark.range(_SKW3_SALTS).select(
+            F.col("id").cast("int").alias("__salt")
+        )
+    )
+    left = ev.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64("event_id"), F.lit(_SKW3_SALTS)).cast("int"),
+    )
+    j = left.join(
+        salted_stats.hint("merge"), ["event_type", "__salt"]
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("value") == F.col("vmax"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_at_max"),
+    )
+
+
 # -------------------------- keep-best canonical selection (d13)
 
 
@@ -17042,6 +17104,111 @@ def dq9_referential_integrity(spark, sf):
             "orphan_keys",
             "orphan_rows",
             (F.col("orphan_rows") == 0).alias("ok"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# The declared primary keys of every corpus table — dq10's audit
+# surface, the uniqueness twin of dq9's _DQ9_RELS. (table, [key cols]);
+# lineitem's key is composite.
+_DQ10_KEYS = [
+    ("region", ["r_regionkey"]),
+    ("nation", ["n_nationkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+def _dq10_one_sql(table: str, keys: list) -> str:
+    kl = ", ".join(keys)
+    any_null = " OR ".join(f"{k} IS NULL" for k in keys)
+    return f"""
+    SELECT '{table}({kl})' AS entity,
+      a.n_rows, a.null_rows,
+      coalesce(b.n_keys, 0) AS n_keys,
+      coalesce(b.dup_keys, 0) AS dup_keys,
+      coalesce(b.dup_rows, 0) AS dup_rows,
+      coalesce(b.dup_rows, 0) = 0 AS is_unique
+    FROM
+      (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CASE WHEN {any_null} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS null_rows
+       FROM {table}) a,
+      (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS dup_keys,
+              CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                AS dup_rows
+       FROM (SELECT {kl}, CAST(count(*) AS BIGINT) AS c
+             FROM {table} WHERE NOT ({any_null}) GROUP BY {kl})) b
+    """
+
+
+_DQ10_SQL = " UNION ALL ".join(_dq10_one_sql(*t) for t in _DQ10_KEYS)
+
+
+@q(
+    "dq10_key_uniqueness",
+    sql=_DQ10_SQL,
+    ref="Data quality: primary-key uniqueness audit over every corpus "
+    "table (composite key for lineitem) — per entity, the row count, "
+    "NULL-key rows, distinct keys, duplicated keys and the rows they "
+    "carry, with a pass verdict. dq9's constraint twin: dq9 checks "
+    "the edges of the schema graph (FKs), dq10 checks its nodes "
+    "(PKs) — together they are the structural contract a warehouse "
+    "asserts before anything downstream trusts a join or a MERGE",
+    scale="one map-side-combined key agg per table (keys, not rows, "
+    "cross the wire; the Zipf-collapse argument — a healthy PK agg "
+    "is all count-1 groups, combiner-friendly); the audits are "
+    "independent plan branches and the output is #tables rows. The "
+    "same shape at 100 TB; pair with dq9 in the same pass to share "
+    "the scans",
+)
+def dq10_key_uniqueness(spark, sf):
+    out = None
+    for table, keys in _DQ10_KEYS:
+        t = _t(spark, sf, table)
+        any_null = None
+        for k in keys:
+            c = F.col(k).isNull()
+            any_null = c if any_null is None else (any_null | c)
+        base = t.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(any_null, 1).otherwise(0))
+            .cast("bigint")
+            .alias("null_rows"),
+        )
+        keyed = (
+            t.filter(~any_null)
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        dups = keyed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_keys"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_rows"),
+        )
+        row = base.crossJoin(dups).select(
+            F.lit(f"{table}({', '.join(keys)})").alias("entity"),
+            "n_rows",
+            "null_rows",
+            F.coalesce(F.col("n_keys"), F.lit(0)).alias("n_keys"),
+            F.coalesce(F.col("dup_keys"), F.lit(0)).alias("dup_keys"),
+            F.coalesce(F.col("dup_rows"), F.lit(0)).alias("dup_rows"),
+            (F.coalesce(F.col("dup_rows"), F.lit(0)) == 0).alias(
+                "is_unique"
+            ),
         )
         out = row if out is None else out.unionByName(row)
     return out

@@ -993,3 +993,135 @@ def test_r12_review_pr8_null_node_tie_order(spark):
     e = spark.createDataFrame(both, "src long, dst long")
     got = {r.node: r.community for r in label_propagation(e, n_iter=1).collect()}
     assert got[5] == 3
+
+
+# ------------------------------------------- wave 3: dq10 + skw3
+
+
+def test_dq10_duplicates_and_null_keys_exact(spark, tmp_path):
+    """Staged duplicate single-column and composite keys plus NULL-key
+    rows produce exact counts; the oracle agrees on the same files."""
+    import duckdb
+
+    sf = _staged_rel_corpus(spark, tmp_path)
+    # add the remaining tables dq10 audits but the rel corpus lacks
+    for name, rows, schema in [
+        ("events", [(1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+                    (1, "2024-01-01 00:01:00", 2, "view", 1.0, "{}"),
+                    (None, "2024-01-01 00:02:00", 3, "view", 1.0, "{}")],
+         "event_id long, ts string, user_id long, event_type string, "
+         "value double, props string"),
+        ("documents", [(7, "src0", "a b"), (8, "src0", "c d")],
+         "doc_id long, source string, text string"),
+        ("embeddings", [(1, [0.1, 0.2], 0)],
+         "vec_id long, embedding array<float>, label int"),
+    ]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{sf}/{name}.parquet"
+        )
+    got = {
+        r.entity: r
+        for r in QUERIES["dq10_key_uniqueness"].fn(spark, sf).collect()
+    }
+    assert len(got) == 10
+    ev = got["events(event_id)"]
+    # event_id 1 duplicated (2 rows), one NULL key row
+    assert (ev.n_rows, ev.null_rows, ev.n_keys) == (3, 1, 1)
+    assert (ev.dup_keys, ev.dup_rows, ev.is_unique) == (1, 2, False)
+    li = got["lineitem(l_orderkey, l_linenumber)"]
+    # the rel corpus has (999,1),(999,2),(10,1)... and (10,2) with a
+    # NULL l_partkey — but the PK cols are all non-null and unique
+    assert (li.null_rows, li.dup_rows, li.is_unique) == (0, 0, True)
+    assert got["orders(o_orderkey)"].is_unique
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet/*.parquet'"
+        )
+    _driver_compare_r12(
+        QUERIES["dq10_key_uniqueness"].fn(spark, sf).toPandas(),
+        con.execute(QUERIES["dq10_key_uniqueness"].sql).df(),
+    )
+
+
+def test_dq10_composite_dup_detected(spark, tmp_path):
+    """A duplicated COMPOSITE (l_orderkey, l_linenumber) pair is
+    flagged even when each column is individually non-unique-safe."""
+    d = tmp_path / "sfdq10c"
+    d.mkdir()
+    rows = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+        (1, 1, 1, 1, 2.0, 2.0, 0.0, 0.0, "N", "O", "1995-01-02"),  # dup
+        (1, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber "
+        "int, l_quantity double, l_extendedprice double, l_discount "
+        "double, l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    # stage the other 9 tables empty-ish so the union runs
+    fillers = {
+        "region": "r_regionkey long, r_name string",
+        "nation": "n_nationkey long, n_name string, n_regionkey long",
+        "customer": "c_custkey long, c_name string, c_nationkey long, "
+                    "c_acctbal double, c_mktsegment string",
+        "supplier": "s_suppkey long, s_name string, s_nationkey long, "
+                    "s_acctbal double",
+        "part": "p_partkey long, p_name string, p_brand string, "
+                "p_type string, p_size int, p_retailprice double",
+        "orders": "o_orderkey long, o_custkey long, o_orderstatus "
+                  "string, o_totalprice double, o_orderdate string, "
+                  "o_orderpriority string",
+        "events": "event_id long, ts string, user_id long, event_type "
+                  "string, value double, props string",
+        "documents": "doc_id long, source string, text string",
+        "embeddings": "vec_id long, embedding array<float>, label int",
+    }
+    for name, schema in fillers.items():
+        spark.createDataFrame([], schema).coalesce(1).write.parquet(
+            str(d / f"{name}.parquet")
+        )
+    got = {
+        r.entity: r
+        for r in QUERIES["dq10_key_uniqueness"].fn(spark, str(d)).collect()
+    }
+    li = got["lineitem(l_orderkey, l_linenumber)"]
+    assert (li.n_rows, li.n_keys) == (4, 3)
+    assert (li.dup_keys, li.dup_rows, li.is_unique) == (1, 2, False)
+
+
+def test_skw3_salted_equals_plain_join(spark):
+    """The salted-join readout equals the PLAIN unsalted join + agg
+    computed in-test, and the plan shows the salt in the join keys on
+    a non-broadcast join — losslessness of the salting mechanism."""
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: (r.n_events, r.n_at_max)
+        for r in QUERIES["skw3_salted_join"].fn(spark, sf).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .filter(F.col("event_type").isNotNull())
+    )
+    stats = ev.groupBy("event_type").agg(F.max("value").alias("vmax"))
+    plain = (
+        ev.join(stats, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("value") == F.col("vmax"), 1).otherwise(0)
+            ).cast("bigint").alias("m"),
+        )
+    )
+    want = {r.event_type: (r.n, r.m) for r in plain.collect()}
+    assert got == want
+
+    plan = _plan(QUERIES["skw3_salted_join"].fn(spark, sf))
+    assert "__salt" in plan            # the salt is IN the join keys
+    assert "SortMergeJoin" in plan     # the forced non-broadcast path
+    assert "BatchEvalPython" not in plan
