@@ -17325,8 +17325,9 @@ _DRIVER_SAMPLE = [
     # stay timed by bench.py every round, and re-queue for r13.
     # ROUND-13 queue (registered post-seal in round 12, after the r12
     # window was fixed — the n11/x30/x31 round-6 precedent): the
-    # wave-2 registrations ab4_power_mde, e15_funnel_steps,
-    # h12_seasonal_strength, ev8_mixture_divergence (each already
+    # wave-2/3 registrations ab4_power_mde, e15_funnel_steps,
+    # h12_seasonal_strength, ev8_mixture_divergence,
+    # dq10_key_uniqueness, skw3_salted_join (each already
     # oracle-verified at sf0.001/0.01/0.1 this round, tools/
     # verify_driver_contract.py) + the headline re-pins above
     "h10_anomaly_zscore",
