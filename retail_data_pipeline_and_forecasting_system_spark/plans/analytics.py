@@ -5977,9 +5977,12 @@ def smp6_balanced_classes(spark, sf):
     "occurrences the top-100 terms absorb (the Zipf-head measurement "
     "behind tokenizer/vocab sizing and stopword policy; complements "
     "x3 token counts and x18 boilerplate mining)",
-    scale="one token hash-agg over the corpus (map-side partials), then "
-    "ranking runs over the VOCABULARY (thousands of rows), never the "
-    "corpus — exact integer sums, one final division",
+    scale="one token hash-agg over the corpus (map-side partials); the "
+    "top-100 head comes from distributed TakeOrdered (per-partition "
+    "heaps merged on the driver, never a single-partition rank window) "
+    "— raw space-split vocabularies on web text run to BILLIONS of "
+    "distinct tokens, so the head selection must stay partition-"
+    "parallel; exact integer sums, one final division",
 )
 def x22_vocab_coverage(spark, sf):
     d = _t(spark, sf, "documents")
@@ -5988,11 +5991,14 @@ def x22_vocab_coverage(spark, sf):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    ranked = tc.withColumn(
-        "rnk", F.row_number().over(W.orderBy(F.desc("n"), "tok"))
-    )
-    top = ranked.filter(F.col("rnk") <= 100).agg(
-        F.sum("n").alias("top100_tokens")
+    # Distributed top-k: orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition top-100 heaps, driver merge) — identical rows and
+    # tie order to the oracle's rnk<=100 filter because (n DESC, tok)
+    # is a total order, but no single-partition WindowExec.
+    top = (
+        tc.orderBy(F.desc("n"), "tok")
+        .limit(100)
+        .agg(F.sum("n").alias("top100_tokens"))
     )
     tot = tc.agg(
         F.count(F.lit(1)).alias("vocab_size"),

@@ -785,3 +785,90 @@ def test_png_metadata_chain_is_shuffle_free(spark):
     plan = _plan(spark, "m20_png_metadata")
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_x22_topk_is_take_ordered(spark):
+    """x22: the top-100 vocabulary head must come from distributed
+    TakeOrdered (per-partition heaps), never a single-partition rank
+    window — raw space-split vocabularies run to billions of distinct
+    tokens on web-scale text (r12 verdict, What's wrong #1)."""
+    plan = _plan(spark, "x22_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+# Every W.orderBy(...) WITHOUT a partitionBy draws its whole input into
+# one partition. That is only acceptable when the windowed frame is
+# grain-bounded — sized by a calendar, a bucket alphabet, a source list,
+# or an upstream top-k — never by the corpus. This allow-list enumerates
+# every such site with its justification; adding a new unpartitioned
+# window without updating it fails the sweep below, so the x22 class of
+# note-vs-plan drift (scale note says "small", plan says "everything")
+# cannot recur silently.
+_UNPARTITIONED_WINDOW_ALLOWLIST = {
+    "plans/analytics.py": {
+        "w6_rolling_7day": "day-grain revenue series (calendar-bounded)",
+        "w8_running_distinct": "day-grain first-seen series",
+        "m9_seasonal_decompose": "day-grain series (calendar-bounded)",
+        "smp7_quota_allocation": "source-grain remainder ranks "
+        "(#sources rows, model-sized)",
+        "h8_peak_concurrency": "week-bucket sweep (calendar-bounded)",
+        "score_map": "e14 CDF maps over a metric's VALUE ALPHABET "
+        "(distinct values of day-counts / order-counts / floored spend; "
+        "written 'bucket coarser' escape hatch in its scale note)",
+        "smp8_unimax_allocation": "source-grain waterfill cumsum "
+        "(#sources rows)",
+        "x50_curriculum_order": "source-grain interleave spine "
+        "(#sources rows)",
+        "h11_cusum_changepoint": "day-grain cumsum (calendar-bounded)",
+        "zscore_flags": "h10 day-grain trailing stats "
+        "(calendar-bounded)",
+    },
+    "operators/textstats.py": {
+        "bpe_pair_counts": "rank runs AFTER orderBy().limit(top_n) — the "
+        "windowed frame is the already-top-k result, model-sized",
+    },
+}
+
+
+def test_unpartitioned_windows_are_grain_bounded():
+    """Source sweep: every W.orderBy/Window.orderBy without partitionBy
+    must appear in the justified allow-list above (r12 verdict Next #4)."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(
+        __import__(
+            "retail_data_pipeline_and_forecasting_system_spark"
+        ).__file__
+    ).parent
+    pat = re.compile(r"\b(?:W|Window)\.orderBy\(")
+    defpat = re.compile(r"^\s*def\s+(\w+)")
+    found: dict[str, set] = {}
+    for py in pkg.rglob("*.py"):
+        rel = str(py.relative_to(pkg))
+        lines = py.read_text().splitlines()
+        owner = None
+        for line in lines:
+            m = defpat.match(line)
+            if m:
+                owner = m.group(1)
+            if pat.search(line):
+                found.setdefault(rel, set()).add(owner)
+    allowed = {
+        f: set(names) for f, names in _UNPARTITIONED_WINDOW_ALLOWLIST.items()
+    }
+    unexpected = {
+        f: names - allowed.get(f, set()) for f, names in found.items()
+    }
+    unexpected = {f: n for f, n in unexpected.items() if n}
+    assert not unexpected, (
+        "unpartitioned window(s) outside the justified allow-list — "
+        f"either partition them or justify them here: {unexpected}"
+    )
+    stale = {
+        f: allowed[f] - found.get(f, set())
+        for f in allowed
+        if allowed[f] - found.get(f, set())
+    }
+    assert not stale, f"allow-list entries no longer in source: {stale}"
