@@ -432,16 +432,23 @@ def label_propagation(
     SMALLEST label (the determinism the asynchronous textbook variant
     lacks — synchronous sweep + total tie order makes the whole run a
     pure function of the edge list, exactly restatable as unrolled SQL
-    CTEs for the oracle). The iteration count is FIXED; pass an
-    undirected graph as both edge directions (the co-purchase frame
-    already is).
+    CTEs for the oracle). The iteration count is FIXED. Community
+    semantics want an undirected graph (pass both edge directions —
+    the co-purchase frame already does); on a DIRECTED edge list the
+    node set still covers src ∪ dst: the initial labels come from both
+    endpoints, and each round LEFT-joins the majority vote back onto
+    the full node set so a node with no labeled in-neighbor carries
+    its previous label forward instead of vanishing (round-12 ADVICE —
+    the old inner-join form silently dropped source-only and sink-only
+    nodes). On undirected inputs the carry-forward never fires, so
+    outputs are bit-identical to the previous form.
 
     At 100 TB: each iteration is one src-keyed join (labels onto
     edges) + one (dst, label)-keyed count agg + one dst-keyed
-    row_number window — all frontier-free and edge-proportional, never
-    all-pairs; labels are node-sized and co-shuffle cheaply. Per-round
-    ``localCheckpoint`` truncates the O(iters) lineage (the n15/pr6
-    lesson).
+    row_number window + one node-keyed carry-forward left join — all
+    frontier-free and edge-proportional, never all-pairs; labels are
+    node-sized and co-shuffle cheaply. Per-round ``localCheckpoint``
+    truncates the O(iters) lineage (the n15/pr6 lesson).
 
     Returns (node, community) — the label fixed point after n_iter
     synchronous rounds.
@@ -449,10 +456,12 @@ def label_propagation(
     from pyspark.sql import Window
 
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    labels = (
-        e.select(F.col("src").alias("node")).distinct()
-        .select("node", F.col("node").alias("label"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
     )
+    labels = nodes.select("node", F.col("node").alias("label"))
     # NULLS LAST pinned on the tie-break (the x50 lesson): Spark's
     # bare asc is NULLS FIRST while DuckDB defaults NULLS LAST — a
     # NULL label (NULL node ids in a hostile edge list) must lose
@@ -466,10 +475,16 @@ def label_propagation(
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        labels = (
+        winners = (
             counts.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") == 1)
-            .select("node", "label")
+            .select("node", F.col("label").alias("__new"))
+        )
+        labels = (
+            labels.join(winners, "node", "left")
+            .select(
+                "node", F.coalesce("__new", "label").alias("label")
+            )
             .localCheckpoint()
         )
     return labels.select("node", F.col("label").alias("community"))

@@ -13668,7 +13668,14 @@ def _corpus_fingerprint(path: str) -> tuple:
     is scoped to the INITIAL existence probe only: once the path is
     visible, a mid-walk stat failure (a file deleted under us during
     a concurrent corpus rewrite) propagates loudly instead of quietly
-    degrading to the rewrite-blind key (round-11 ADVICE)."""
+    degrading to the rewrite-blind key (round-11 ADVICE). Directory-
+    level enumeration failures propagate the same way: os.walk's
+    default onerror=None would silently skip a subdirectory deleted
+    mid-walk, yielding a partial signature, so we re-raise
+    (round-12 ADVICE)."""
+
+    def _raise(err: OSError) -> None:
+        raise err
     p = os.path.abspath(path)
     try:
         is_dir = os.path.isdir(p)
@@ -13679,7 +13686,7 @@ def _corpus_fingerprint(path: str) -> tuple:
     if not is_dir:
         return (p, st.st_size, st.st_mtime_ns)
     sig = []
-    for root, dirs, files in os.walk(p):
+    for root, dirs, files in os.walk(p, onerror=_raise):
         dirs.sort()
         rel = os.path.relpath(root, p)
         for f in sorted(files):
@@ -16438,8 +16445,11 @@ def dq7_benford_screen(spark, sf):
 # anomalous day cannot inflate its own baseline.
 _H10_SQL = """
     WITH daily AS (
+      -- DECIMAL(28,2) here (not the house 18,2): the *100 cents
+      -- conversion would overflow DECIMAL(18) short of the BIGINT
+      -- range the column contract promises (round-12 ADVICE rider)
       SELECT CAST(o_orderdate AS DATE) AS day,
-        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100
              AS BIGINT)) AS BIGINT) AS revenue_cents
       FROM orders GROUP BY 1
     ), win AS (
@@ -16521,15 +16531,17 @@ def zscore_flags(daily: DataFrame) -> DataFrame:
 
     w = Window.orderBy("day").rowsBetween(-14, -1)
     x = F.col("revenue_cents")
-    # sumsq in exact DECIMAL(38,0): BIGINT squares overflow once a
-    # day's cents pass ~3e9 (the 10x decade staging hit it) — the
-    # decimal path stays exact to ~1e19 daily cents in both engines
+    # sum and sumsq in exact DECIMAL: BIGINT squares overflow once a
+    # day's cents pass ~3e9 (the 10x decade staging hit it), and the
+    # BIGINT window SUM overflows at ~6.6e17 daily cents × 14 days
+    # (round-12 ADVICE) — the all-decimal path matches the oracle's
+    # HUGEINT headroom instead of ANSI-throwing short of it
     xd = x.cast("decimal(19,0)")
     win = daily.select(
         "day",
         "revenue_cents",
         F.count(F.lit(1)).over(w).cast("int").alias("n_win"),
-        F.sum(x).over(w).alias("s"),
+        F.sum(xd).over(w).alias("s"),
         F.sum(xd * xd).over(w).alias("ss"),
     )
     n = F.col("n_win")
@@ -16538,13 +16550,21 @@ def zscore_flags(daily: DataFrame) -> DataFrame:
     # difference is ~1e17 — two digits of cancellation that amplified
     # each engine's decimal->double conversion ulp into a last-digit
     # z mismatch at sf0.1 cents magnitudes):
-    #   num  = n*x - s    (BIGINT, exact; z's numerator scaled by n)
+    #   num  = n*x - s    (DECIMAL, exact; z's numerator scaled by n —
+    #          BIGINT would ANSI-throw once daily cents pass ~6e17,
+    #          short of dvar's headroom; round-12 ADVICE. The oracle's
+    #          HUGEINT (int128, ~1.7e38) and decimal(38,0) share the
+    #          same exactness envelope.)
     #   dvar = n*ss - s^2 (DECIMAL(38,0), exact; = n*(n-1)*variance)
     # z = num / sqrt(n*dvar/(n-1)) rounded to 9 (the x49 discipline —
     # one conversion each, no cancellation, drift bounded at ~1 ulp),
     # and the page/no-page verdict never touches a float at all:
-    # |z| > 3  <=>  (n-1)*num^2 > 9*n*dvar, decided in exact decimal.
-    num = n.cast("bigint") * x - F.col("s")
+    # |z| > 3  <=>  (n-1)*num^2 > 9*n*dvar, decided in exact decimal
+    # (num^2 caps THAT path's exactness at |num| < ~1e19, i.e. ~7e17
+    # daily cents at the 14-day window — still ~5 orders above any
+    # real revenue stream, and it fails loudly (ANSI overflow), never
+    # silently).
+    num = n.cast("decimal(19,0)") * xd - F.col("s")
     sd19 = F.col("s").cast("decimal(19,0)")
     dvar = n.cast("decimal(19,0)") * F.col("ss") - sd19 * sd19
     z = F.when(

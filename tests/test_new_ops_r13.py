@@ -1,0 +1,169 @@
+"""Round-13 regressions for the round-12 ADVICE items: corpus
+fingerprint directory-enumeration error propagation, label-propagation
+node-set coverage on directed edge lists, h10 zscore decimal headroom —
+plus the round-13 registrations' hand tests further down."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+    QUERIES,
+    _corpus_fingerprint,
+)
+
+
+def _plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ----------------------------------------------- ADVICE regressions
+
+
+def test_corpus_fingerprint_dir_enumeration_error_propagates(
+    tmp_path, monkeypatch
+):
+    """os.walk's default onerror=None silently SKIPS a subdirectory
+    whose scandir fails (deleted under a concurrent corpus rewrite),
+    which would degrade the signature to a partial one and serve a
+    stale memoized BPE table. Directory-level enumeration failures
+    must propagate exactly like mid-walk stat failures (round-12
+    ADVICE)."""
+    corpus = tmp_path / "documents.parquet"
+    sub = corpus / "batch_date=2024-01-01"
+    sub.mkdir(parents=True)
+    (corpus / "part-0.parquet").write_bytes(b"x" * 10)
+    (sub / "part-1.parquet").write_bytes(b"y" * 20)
+
+    # healthy walk covers BOTH directories' files
+    sig = _corpus_fingerprint(str(corpus))
+    assert len(sig) == 2 and len(sig[1]) == 2
+
+    real_scandir = os.scandir
+
+    def flaky_scandir(p="."):
+        if str(p).endswith("batch_date=2024-01-01"):
+            raise OSError("scandir raced a concurrent rmtree")
+        return real_scandir(p)
+
+    monkeypatch.setattr(os, "scandir", flaky_scandir)
+    with pytest.raises(OSError):
+        _corpus_fingerprint(str(corpus))
+
+
+def test_label_propagation_covers_directed_node_set(spark):
+    """On a DIRECTED edge list, source-only and sink-only nodes must
+    appear in the output instead of silently vanishing (round-12
+    ADVICE): labels initialize from src ∪ dst, and a node with no
+    labeled in-neighbor carries its previous label forward."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # 1 -> 2 <- 3 (directed): 1 and 3 are source-only, 2 is sink-only
+    e = spark.createDataFrame([(1, 2), (3, 2)], ["src", "dst"])
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(e, n_iter=2).collect()
+    }
+    # all three nodes present; 2 adopts the smallest in-neighbor label;
+    # 1 and 3 (no in-edges) keep their own labels every round
+    assert out == {1: 1, 2: 1, 3: 3}
+
+
+def test_label_propagation_unchanged_on_undirected(spark):
+    """The carry-forward never fires on an undirected edge list, so
+    the fixed form is bit-identical to the previous inner-join form:
+    a 4-cycle unioned with its reverse lands on the synchronous-LPA
+    2-coloring oscillation state after an odd round count (each node
+    adopts the smaller of its two neighbors' labels every round)."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.graph import (
+        label_propagation,
+    )
+
+    fwd = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    e = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], ["src", "dst"]
+    )
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(e, n_iter=3).collect()
+    }
+    assert out == {1: 2, 2: 1, 3: 2, 4: 1}
+
+
+def test_h10_num_survives_bigint_overflow_magnitudes(spark, tmp_path):
+    """Round-12 ADVICE: num = n*x - s computed in BIGINT ANSI-throws
+    once n*x passes ~9.2e18 (daily cents ~6.6e17 at the 14-day
+    window) — short of the decimal headroom dvar already has. num now
+    computes in DECIMAL; at ~7e17 daily cents the query must run and
+    agree with the HUGEINT oracle exactly."""
+    import duckdb
+    import pandas as pd
+    import random
+
+    rng = random.Random(7)
+    d = tmp_path / "sfh10big"
+    d.mkdir()
+    # 20 days around 7e17 daily cents: old BIGINT num had
+    # n(14) * x(7e17) ~ 9.8e18 > int64 max. Each DAY is 100 orders of
+    # ~7e13 whole dollars — per-order cents stay below 2^53 so the
+    # double->decimal cents conversion is exact in BOTH engines
+    # (DuckDB converts double->decimal via a double multiply by
+    # 10^scale, which rounds above 2^53 cents; Spark goes via the
+    # shortest string — they diverge above ~9e13 dollars/order), and
+    # the big daily totals accumulate in exact integer cents.
+    rows = [
+        (
+            i * 100 + j,
+            1,
+            "O",
+            float(
+                rng.randrange(69_000_000_000_000, 71_000_000_000_000)
+            ),
+            f"1995-03-{i + 1:02d} 00:00:00",
+            "1-URGENT",
+        )
+        for i in range(20)
+        for j in range(100)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")).coalesce(
+        1
+    ).write.parquet(str(d / "orders.parquet"))
+
+    got = (
+        QUERIES["h10_anomaly_zscore"]
+        .fn(spark, str(d))
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{d}/orders.parquet/*.parquet'"
+    )
+    want = (
+        con.execute(QUERIES["h10_anomaly_zscore"].sql)
+        .df()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 20
+    for i in range(20):
+        g, w = got.iloc[i], want.iloc[i]
+        assert g.revenue_cents == w.revenue_cents
+        assert bool(g.is_anomaly) == bool(w.is_anomaly), i
+        if pd.isna(g.z) or pd.isna(w.z):
+            assert pd.isna(g.z) and pd.isna(w.z), i
+        else:
+            assert g.z == w.z, (i, g.z, w.z)
