@@ -17240,6 +17240,175 @@ def dq10_key_uniqueness(spark, sf):
     return out
 
 
+def _x55_hex8(col_expr: str, start: int) -> str:
+    """DuckDB fragment: 8 hex nibbles of ``col_expr`` starting at
+    1-based ``start`` folded to a BIGINT (< 2^32, overflow-free) via
+    the house positional-nibble arithmetic (the x32/_HLL_NIB trick —
+    DuckDB has no conv())."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substring({col_expr}, "
+        f"{start + i}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+# Per-row content hash covers the export payload (doc_id + text),
+# NULL-coalesced so a hostile NULL row still contributes a stable,
+# distinct term instead of nulling the whole shard digest out of the sum.
+_X55_U64_MOD = "18446744073709551616"  # 2^64
+
+_X55_SQL = f"""
+    WITH d AS (
+      SELECT
+        coalesce(CAST(instr('0123456789abcdef',
+            substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT)
+            % 16, -1) AS shard,
+        doc_id,
+        CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        md5(concat(coalesce(CAST(doc_id AS VARCHAR), ''), ':',
+            coalesce(text, ''))) AS h
+      FROM documents
+    ), rh AS (
+      SELECT shard, doc_id, n_bytes, n_tokens,
+        CAST({_x55_hex8('h', 1)} AS HUGEINT) * 4294967296
+          + {_x55_hex8('h', 9)} AS h64
+      FROM d
+    ), per AS (
+      SELECT shard,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(min(doc_id) AS BIGINT) AS min_doc,
+        CAST(max(doc_id) AS BIGINT) AS max_doc,
+        CAST(CAST(SUM(h64) % CAST({_X55_U64_MOD} AS HUGEINT)
+             AS DECIMAL(20,0)) AS VARCHAR) AS content_sum64
+      FROM rh GROUP BY shard
+    ), root AS (
+      SELECT md5(string_agg(CAST(shard AS VARCHAR) || ':' ||
+             CAST(content_sum64 AS VARCHAR), '|' ORDER BY shard))
+        AS merkle_root
+      FROM per
+    )
+    SELECT shard, n_docs, n_bytes, n_tokens, min_doc, max_doc,
+      content_sum64, merkle_root
+    FROM per, root
+"""
+
+
+@q(
+    "x55_export_manifest",
+    sql=_X55_SQL,
+    ref="LLM-ops: export manifest / ingest-integrity artifact "
+    "(VERDICT r12 Next #5) — the receipt a 100 TB corpus export "
+    "hands to the training job: per shard (x32's md5-nibble layout; "
+    "NULL-id rows quarantine to shard -1), the doc count, payload "
+    "byte and token totals, doc-id span, and an order-independent "
+    "64-bit multiset content digest (sum of per-row "
+    "md5(doc_id:text) u64 prefixes mod 2^64 — commutative, so a "
+    "retried task or a different partitioning produces the SAME "
+    "digest; within-shard ORDER is x53's separately-checkable "
+    "contract, the manifest certifies CONTENT). A corpus-level "
+    "Merkle-style root (md5 over the shard digests in shard order) "
+    "lets the ingester verify the whole export with one string "
+    "compare, then bisect to the damaged shard via the per-shard "
+    "rows. Complements dq9/dq10, which audit inputs — this audits "
+    "the OUTPUT handoff",
+    scale="row-local hashing (one md5 per row, no exchange to compute "
+    "it) + ONE 17-group map-side-combined agg: the commutative sum "
+    "digest is exactly what makes the manifest 100 TB-safe — no "
+    "ordered fold, no collect of row hashes, partial aggregation "
+    "does all the work; the Merkle root folds the SHARD-grain frame "
+    "(16 rows; ~100k at 100 TB — still driver-trivial) in shard "
+    "order. In production the same agg runs per exported FILE "
+    "(shard, file) for file-grain bisection at no extra shuffle",
+)
+def x55_export_manifest(spark, sf):
+    d = _t(spark, sf, "documents")
+    h = F.md5(
+        F.concat(
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
+            F.lit(":"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
+    shard = F.coalesce(
+        F.expr(
+            "instr('0123456789abcdef',"
+            " substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1"
+        ).cast("int")
+        % 16,
+        F.lit(-1),
+    )
+    rows = d.select(
+        shard.alias("shard"),
+        "doc_id",
+        F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("bigint")
+        .alias("n_bytes"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        h.alias("h"),
+    ).select(
+        "shard",
+        "doc_id",
+        "n_bytes",
+        "n_tokens",
+        (
+            F.conv(F.substring("h", 1, 8), 16, 10)
+            .cast("bigint")
+            .cast("decimal(20,0)")
+            * 4294967296
+            + F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint")
+        ).alias("h64"),
+    )
+    per = rows.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+        # digest emitted as a STRING: it is an opaque token (pandas
+        # would coerce a 20-digit decimal/hugeint to float and lose it)
+        F.pmod(
+            F.sum("h64"), F.lit(_X55_U64_MOD).cast("decimal(38,0)")
+        )
+        .cast("decimal(20,0)")
+        .cast("string")
+        .alias("content_sum64"),
+    )
+    root = per.agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("shard"),
+                                F.col("content_sum64").alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: F.concat_ws(
+                        ":", x.shard.cast("string"), x.s
+                    ),
+                ),
+                "|",
+            )
+        ).alias("merkle_root")
+    )
+    return per.crossJoin(F.broadcast(root)).select(
+        "shard",
+        "n_docs",
+        "n_bytes",
+        "n_tokens",
+        "min_doc",
+        "max_doc",
+        "content_sum64",
+        "merkle_root",
+    )
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.
@@ -17327,53 +17496,52 @@ del _n, _s
 
 
 _DRIVER_SAMPLE = [
-    # ROUND-12 window. Composition per the r11 verdict's Next #1:
-    # the ENTIRE 44-entry r06-latest cohort (the oldest driver
-    # evidence in the registry — after this window no entry's latest
-    # driver row predates r07), then the round-12 registration, the
-    # one changed-values rider, and the headline re-pins.
+    # ROUND-13 window. Composition per the r12 verdict's Next #1:
+    # the 6 never-driver-checked wave-2/3 registrations first, then
+    # the round-13 registration, then the r07-evidence cohort (the
+    # registry's oldest driver evidence, 6 rounds stale at r13).
     #
-    # never-driver-verified (5): the round-12 registrations
-    "x53_global_shuffle", "dq9_referential_integrity", "m24_theta_method",
-    "pr8_label_propagation", "n18_prototype_pruning",
-    # changed-VALUES rider (1): h10's z is now the cancellation-free
-    # form rounded to 9 and its flag integer-exact (the sf0.1 sweep
-    # fix) — its r11 driver row no longer reflects current output.
-    # The other round-12 code touches are value-identical on driver
-    # data and carry equivalent evidence instead: n17 (try_element_at;
-    # unchanged oracle re-passed at sf0.01 AND sf0.1 this round), pr1
-    # (persist only), croston/m23 (defensive null guard; unchanged
-    # oracle re-passed at sf0.01), _corpus_fingerprint (error-path
-    # only; pinned in tests/test_new_ops_r12.py).
-    # The headline re-pins (a1/a5/q1/x5) cede their slots to the
-    # round-12 registrations per the r11 verdict's fill order (cohort
-    # first, then registrations, then riders): all four are r11-green,
-    # stay timed by bench.py every round, and re-queue for r13.
-    # ROUND-13 queue (registered post-seal in round 12, after the r12
-    # window was fixed — the n11/x30/x31 round-6 precedent): the
-    # wave-2/3 registrations ab4_power_mde, e15_funnel_steps,
-    # h12_seasonal_strength, ev8_mixture_divergence,
-    # dq10_key_uniqueness, skw3_salted_join (each already
-    # oracle-verified at sf0.001/0.01/0.1 this round, tools/
-    # verify_driver_contract.py) + the headline re-pins above
-    "h10_anomaly_zscore",
-    # the full 44-entry r06-latest cohort (alphabetical), queued since
-    # round 11 ceded its fill budget to the 25 registrations
-    "a10_profile", "a11_collect_agg", "a12_argmax", "a4_approx_distinct",
-    "d14_semantic_dedup", "d15_incremental_semantic", "d16_segment_dedup",
-    "d5_simhash_pairs", "e3_tumbling_window", "e5_retention_cohort",
-    "h4_downsample_ltob", "k1_kmeans_cells", "m10_real_image_decode",
-    "m1_multimodal_decode", "m2_forecast_linear", "m3_media_resize",
-    "m4_frame_sample", "m5_media_features", "n10_knn_join_multiprobe",
-    "n3_ann_ivf", "ops1_merge_upsert", "ops2_scd2_intervals",
-    "q11_important_stock", "q12_priority_lines",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_count", "q17_small_qty_revenue", "q18_big_orders",
-    "q19_disjunctive_join", "q20_excess_suppliers", "q21_waiting_supplier",
-    "q22_idle_customers", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "x28_perplexity_buckets", "x6_train_split",
+    # never-driver-verified (6): registered in round 12 after the r12
+    # window sealed (the n11/x30/x31 precedent); each already
+    # oracle-green at sf0.001/0.01/0.1 locally AND judge-verified in
+    # the r12 session
+    "ab4_power_mde", "e15_funnel_steps", "h12_seasonal_strength",
+    "ev8_mixture_divergence", "dq10_key_uniqueness", "skw3_salted_join",
+    # round-13 registration (oracle-green at all three SFs,
+    # tools/verify_driver_contract.py, this round)
+    "x55_export_manifest",
+    # NO changed-values riders this round: the r12-ADVICE code touches
+    # are value-identical on driver data and carry equivalent fresh
+    # evidence — x22 (TakeOrdered top-k replaces the rank window; same
+    # rows and tie order, oracle re-passed at sf0.001/0.01/0.1 +
+    # plan-asserted), h10 (num/s widened to decimal; oracle re-passed
+    # at all three SFs + the ~7e17-cents regression test), pr8/LPA
+    # (src∪dst carry-forward fires only on directed inputs; pr8's
+    # co-purchase frame is undirected, oracle re-passed at sf0.01).
+    # The headline re-pins (a1/a5/q1/x5) again cede their slots to the
+    # cohort per the verdict fill order; all are r10/r11-green and
+    # stay timed by bench.py every round.
+    # ROUND-14 queue: the 2 r07-cohort entries the 50-slot window
+    # cannot fit (6+1+45 = 52): x31_duplicate_spans and
+    # x7_corpus_curation — deferred BECAUSE they carry the strongest
+    # non-driver evidence of the cohort (both judge-verified in the
+    # r12 session, x31 at sf0.1; x7 is bench-timed and plan-audited
+    # every round).
+    # the r07-evidence cohort (alphabetical), 43 of 45:
+    "a13_bloom_membership", "a14_count_min", "a6_histogram",
+    "a7_stats_pack", "a8_percentiles", "a9_having", "c1_cross_join",
+    "d10_containment_pairs", "d11_incremental_dedup", "d1_dedup_exact",
+    "d2_jaccard_pairs", "d3_minhash_lsh", "d4_simhash",
+    "d7_char_jaccard", "d9_hyperplane_lsh", "e1_json_extract",
+    "e4_sliding_window", "e6_inter_event_gaps", "e7_variant_extract",
+    "f_array_pack", "f_conditional_pack", "f_date_pack",
+    "f_string_pack", "g1_rollup", "g2_pivot", "g3_asof_join",
+    "g4_cube", "h1_hypertable_rollup", "m11_real_audio_decode",
+    "m12_real_frame_sample", "n11_knn_join_ivfpq", "n1_ann_bruteforce",
+    "n2_ann_lsh_bucket", "n4_ann_pq", "n5_ann_ivfpq", "n6_ann_rerank",
+    "w3_lag_delta", "w4_window_pack", "x1_language_scores",
+    "x2_quality_scores", "x30_dsir_selection", "x3_token_counts",
+    "x4_fingerprints",
 ]
 
 

@@ -167,3 +167,124 @@ def test_h10_num_survives_bigint_overflow_magnitudes(spark, tmp_path):
             assert pd.isna(g.z) and pd.isna(w.z), i
         else:
             assert g.z == w.z, (i, g.z, w.z)
+
+
+# ------------------------------------------- x55_export_manifest
+
+
+def _x55(spark, sf):
+    return (
+        QUERIES["x55_export_manifest"]
+        .fn(spark, sf)
+        .toPandas()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+
+
+def test_x55_partitioning_invariant(spark, tmp_path):
+    """The content digest is a commutative sum, so ANY physical layout
+    of the same corpus — 1 partition or 13, any row order — must
+    produce the identical manifest (the restart-stability the export
+    receipt exists to certify)."""
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d1 = tmp_path / "one"
+    d13 = tmp_path / "thirteen"
+    d1.mkdir()
+    d13.mkdir()
+    src.coalesce(1).write.parquet(str(d1 / "documents.parquet"))
+    src.repartition(13).write.parquet(str(d13 / "documents.parquet"))
+    a = _x55(spark, str(d1))
+    b = _x55(spark, str(d13))
+    assert a.equals(b)
+
+
+def test_x55_detects_single_doc_change(spark, tmp_path):
+    """Bisection property: flipping ONE character in ONE document
+    changes exactly that doc's shard digest (and therefore the Merkle
+    root) while every count and every other shard digest is unchanged
+    — the manifest pinpoints the damaged shard."""
+    src = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    clean = tmp_path / "clean"
+    dirty = tmp_path / "dirty"
+    clean.mkdir()
+    dirty.mkdir()
+    src.write.parquet(str(clean / "documents.parquet"))
+    victim = src.orderBy("doc_id").select("doc_id").first()["doc_id"]
+    src.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == victim,
+            F.concat(F.substring("text", 2, 1 << 30),
+                     F.substring("text", 1, 1)),
+        ).otherwise(F.col("text")),
+    ).write.parquet(str(dirty / "documents.parquet"))
+
+    a = _x55(spark, str(clean))
+    b = _x55(spark, str(dirty))
+    # same layout, same sizes (rotation preserves length), same counts
+    for col in ("shard", "n_docs", "n_bytes", "n_tokens",
+                "min_doc", "max_doc"):
+        assert a[col].tolist() == b[col].tolist(), col
+    changed = a["content_sum64"] != b["content_sum64"]
+    assert changed.sum() == 1
+    assert (a["merkle_root"] != b["merkle_root"]).all()
+
+
+def test_x55_null_rows_quarantine_cross_engine(spark, tmp_path):
+    """Hostile input parity: NULL doc_id rows land in shard -1 and
+    NULL text hashes as '' in BOTH engines — the manifest never drops
+    or nulls-out a row it is supposed to receipt."""
+    import duckdb
+
+    d = tmp_path / "hostile"
+    d.mkdir()
+    spark.createDataFrame(
+        [
+            (1, "alpha beta", "web"),
+            (None, "orphan row", "web"),
+            (2, None, "web"),
+            (None, None, "web"),
+        ],
+        "doc_id long, text string, source string",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    got = _x55(spark, str(d))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    want = (
+        con.execute(QUERIES["x55_export_manifest"].sql)
+        .df()
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+    assert int(got[got["shard"] == -1]["n_docs"].iloc[0]) == 2
+    assert got["n_docs"].sum() == 4
+    assert got.shape == want.shape
+    for c in got.columns:
+        assert (
+            got[c].astype(str).tolist() == want[c].astype(str).tolist()
+        ), c
+
+
+def test_x55_plan_one_data_exchange_no_sort(spark):
+    """The only data-proportional exchange is the 17-group shard agg;
+    the Merkle fold and broadcast-back touch shard-grain rows. No
+    SortExec anywhere — the canonical shard order comes from
+    array_sort over the collected shard-grain structs, never a
+    corpus sort."""
+    from tests.test_plan_shapes import _explain
+
+    plan = _explain(
+        QUERIES["x55_export_manifest"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert plan.count("HashAggregate") >= 2  # map-side partials
+    assert "\n" in plan and "Sort " not in plan
+    assert "BroadcastExchange" in plan  # root rides back broadcast
