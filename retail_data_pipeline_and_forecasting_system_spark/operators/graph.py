@@ -488,3 +488,63 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling (Seidman 1983) — ``n_iter`` synchronous
+    rounds of "drop every node with degree < k among surviving nodes",
+    then one final degree recompute over the survivors.
+
+    Exact k-core needs peeling to a fixpoint; like the other iterative
+    graph entries (LPA, PageRank, HITS) the iteration count here is
+    FIXED so the whole run is a pure function of the edge list,
+    restatable as unrolled SQL CTEs for the oracle. The output reports
+    each survivor's degree WITHIN the final survivor set plus
+    ``in_core`` (degree still >= k) — on a converged input every row
+    has in_core = true; rows with in_core = false are exactly the
+    nodes one more peel would remove, so the caller can see whether
+    the bound sufficed. Pass an undirected graph as both edge
+    directions (the co-purchase frame already is).
+
+    At 100 TB: each round is two alive-set semi-joins onto the edge
+    list + one src-keyed count agg — edge-proportional, never
+    all-pairs; the alive set is node-sized. Per-round
+    ``localCheckpoint`` truncates the O(iters) lineage (the n15/pr6
+    lesson).
+    """
+    e0 = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    alive = (
+        e0.select(F.col("src").alias("node"))
+        .union(e0.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    for _ in range(n_iter):
+        e = e0.join(
+            alive.withColumnRenamed("node", "src"), "src"
+        ).join(alive.withColumnRenamed("node", "dst"), "dst")
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        alive = (
+            deg.filter(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint()
+        )
+    final = e0.join(
+        alive.withColumnRenamed("node", "src"), "src"
+    ).join(alive.withColumnRenamed("node", "dst"), "dst")
+    return (
+        final.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(
+            "node", "core_degree", (F.col("core_degree") >= k).alias("in_core")
+        )
+    )

@@ -17409,6 +17409,346 @@ def x55_export_manifest(spark, sf):
     )
 
 
+@q(
+    "e16_markov_transitions",
+    sql="""
+    WITH ordered AS (
+      SELECT event_type,
+        row_number() OVER w AS rn,
+        lag(event_type) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), pairs AS (
+      SELECT CASE WHEN rn = 1 THEN '__START__'
+                  ELSE coalesce(prev, '__NULL__') END AS prev_type,
+        coalesce(event_type, '__NULL__') AS next_type
+      FROM ordered
+    ), counts AS (
+      SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_trans,
+      round(CAST(n_trans AS DOUBLE)
+            / SUM(n_trans) OVER (PARTITION BY prev_type), 9) AS p_trans
+    FROM counts
+    """,
+    ref="event analytics: first-order Markov transition matrix over "
+    "per-user event streams — P(next_type | prev_type) with an "
+    "explicit __START__ state (each user's first event, so entry "
+    "distribution and chain transitions live in one table). The "
+    "AGGREGATE complement of e13's top conversion paths (e13 "
+    "enumerates specific pre-purchase sequences; this is the full "
+    "stochastic matrix behind journey simulation, next-step "
+    "prediction baselines, and funnel leak detection). A NULL "
+    "event_type is a real state (__NULL__), distinct from "
+    "chain-start — lag() alone cannot tell them apart, so rn = 1 "
+    "disambiguates",
+    scale="ONE user-keyed exchange (rn and lag share the window "
+    "spec), then one (prev, next)-keyed map-side-combined agg that "
+    "collapses to the type-alphabet-squared grain; the probability "
+    "normalization window runs on THAT matrix-sized frame "
+    "(|types|^2 rows), never the stream",
+)
+def e16_markov_transitions(spark, sf):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
+    ordered = _t(spark, sf, "events").select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    pairs = ordered.select(
+        F.when(F.col("rn") == 1, F.lit("__START__"))
+        .otherwise(F.coalesce("prev", F.lit("__NULL__")))
+        .alias("prev_type"),
+        F.coalesce("event_type", F.lit("__NULL__")).alias("next_type"),
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(wp), 9
+        ).alias("p_trans"),
+    )
+
+
+_DQ11_SPLIT = "2024-01-16"
+_DQ11_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _dq11_sql() -> str:
+    pre = f"ts < TIMESTAMP '{_DQ11_SPLIT}'"
+    post = f"ts >= TIMESTAMP '{_DQ11_SPLIT}'"
+    per_col = ", ".join(
+        f"CAST(SUM(CASE WHEN {pre} AND {c} IS NOT NULL THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS pre_{c}, "
+        f"CAST(SUM(CASE WHEN {post} AND {c} IS NOT NULL THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS post_{c}"
+        for c in _DQ11_COLS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, pre_rows, post_rows, "
+        f"pre_{c} AS pre_filled, post_{c} AS post_filled FROM b"
+        for c in _DQ11_COLS
+    )
+    return f"""
+    WITH b AS (
+      SELECT
+        CAST(SUM(CASE WHEN {pre} THEN 1 ELSE 0 END) AS BIGINT)
+          AS pre_rows,
+        CAST(SUM(CASE WHEN {post} THEN 1 ELSE 0 END) AS BIGINT)
+          AS post_rows,
+        {per_col}
+      FROM events
+    ), u AS ( {rows} )
+    SELECT column_name, pre_rows, post_rows, pre_filled, post_filled,
+      round(CAST(pre_filled AS DOUBLE) / nullif(pre_rows, 0), 9)
+        AS pre_fill,
+      round(CAST(post_filled AS DOUBLE) / nullif(post_rows, 0), 9)
+        AS post_fill,
+      round(CAST(post_filled AS DOUBLE) / nullif(post_rows, 0)
+            - CAST(pre_filled AS DOUBLE) / nullif(pre_rows, 0), 9)
+        AS drift,
+      coalesce(abs(CAST(post_filled AS DOUBLE) / nullif(post_rows, 0)
+            - CAST(pre_filled AS DOUBLE) / nullif(pre_rows, 0))
+            > 0.05, FALSE) AS flagged
+    FROM u
+    """
+
+
+@q(
+    "dq11_fill_rate_drift",
+    sql=_dq11_sql(),
+    ref="Data quality: per-column fill-rate (non-null share) drift "
+    "between the first and second half of the month (same 2024-01-16 "
+    "split as dq5) — the schema-health alarm dq5's value-distribution "
+    "KS test does not cover: an upstream producer that starts "
+    "emitting NULL props (a dropped field, a serializer change) "
+    "shifts no value distribution but craters the fill rate. Rows "
+    "with NULL ts belong to neither half by construction (they are "
+    "dq1/dq2's quarantine problem, not a drift signal); flagged at "
+    "|drift| > 5pp",
+    scale="ONE full scan computing every per-column, per-half count "
+    "in a single map-side-combined agg (2 + 2x#columns counters), "
+    "then the stack/unpivot and rate arithmetic run on the ONE "
+    "aggregate row — #columns output rows regardless of corpus size",
+)
+def dq11_fill_rate_drift(spark, sf):
+    split = F.lit(_DQ11_SPLIT).cast("timestamp")
+    pre = F.col("ts") < split
+    post = F.col("ts") >= split
+    aggs = [
+        F.sum(F.when(pre, 1).otherwise(0)).cast("bigint").alias("pre_rows"),
+        F.sum(F.when(post, 1).otherwise(0))
+        .cast("bigint")
+        .alias("post_rows"),
+    ]
+    for c in _DQ11_COLS:
+        aggs.append(
+            F.sum(F.when(pre & F.col(c).isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"pre_{c}")
+        )
+        aggs.append(
+            F.sum(F.when(post & F.col(c).isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"post_{c}")
+        )
+    one = _t(spark, sf, "events").agg(*aggs)
+    stack = (
+        f"stack({len(_DQ11_COLS)}, "
+        + ", ".join(f"'{c}', pre_{c}, post_{c}" for c in _DQ11_COLS)
+        + ") AS (column_name, pre_filled, post_filled)"
+    )
+    pre_raw = F.col("pre_filled").cast("double") / F.nullif(
+        F.col("pre_rows"), F.lit(0)
+    )
+    post_raw = F.col("post_filled").cast("double") / F.nullif(
+        F.col("post_rows"), F.lit(0)
+    )
+    return one.select(
+        "pre_rows", "post_rows", F.expr(stack)
+    ).select(
+        "column_name",
+        "pre_rows",
+        "post_rows",
+        "pre_filled",
+        "post_filled",
+        F.round(pre_raw, 9).alias("pre_fill"),
+        F.round(post_raw, 9).alias("post_fill"),
+        F.round(post_raw - pre_raw, 9).alias("drift"),
+        F.coalesce(
+            F.abs(post_raw - pre_raw) > 0.05, F.lit(False)
+        ).alias("flagged"),
+    )
+
+
+# Conservative, dialect-neutral PII patterns: character classes,
+# bounded quantifiers and \b only — identical leftmost-greedy semantics
+# in Java regex (Spark) and RE2 (DuckDB), probed cross-engine in
+# tests/test_new_ops_r13.py.
+_X56_PII = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("idnum", r"\b\d{9,}\b"),
+]
+
+
+def _x56_sql() -> str:
+    per = ", ".join(
+        f"coalesce(len(regexp_extract_all(text, '{p}')), 0) AS c_{n}"
+        for n, p in _X56_PII
+    )
+    sums = ", ".join(
+        f"CAST(SUM(c_{n}) AS BIGINT) AS n_{n}" for n, _ in _X56_PII
+    )
+    any_hit = " + ".join(f"c_{n}" for n, _ in _X56_PII)
+    return f"""
+    WITH d AS (
+      SELECT source, {per}
+      FROM documents
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN {any_hit} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_with_pii,
+      {sums},
+      round(CAST(SUM(CASE WHEN {any_hit} > 0 THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*), 9) AS pii_rate
+    FROM d GROUP BY source
+    """
+
+
+@q(
+    "x56_pii_scrub",
+    sql=_x56_sql(),
+    ref="LLM-ops: PII detection audit — per source, how many documents "
+    "contain email / IPv4 / long-id-number patterns and the total hit "
+    "counts per class (the measurement half of the scrub-before-"
+    "training pass every public-web corpus pipeline runs; the "
+    "REDACTION half is the same regexp_replace over the same "
+    "patterns, one column over). Patterns are deliberately dialect-"
+    "neutral (char classes + bounded quantifiers + word boundaries) "
+    "so Java regex and RE2 agree match-for-match",
+    scale="pure map-side: three regexp counts per row inside the "
+    "scan projection (JVM-side, codegen'd — no Python), then ONE "
+    "source-keyed map-side-combined agg; output is #sources rows. "
+    "At 100 TB this is the cheapest possible shape — the regex cost "
+    "is embarrassingly parallel and nothing but per-source counters "
+    "crosses the wire",
+)
+def x56_pii_scrub(spark, sf):
+    d = _t(spark, sf, "documents")
+    cnt_cols = [
+        F.coalesce(
+            F.regexp_count("text", F.lit(p)), F.lit(0)
+        ).alias(f"c_{n}")
+        for n, p in _X56_PII
+    ]
+    scored = d.select("source", *cnt_cols)
+    any_hit = None
+    for n, _ in _X56_PII:
+        c = F.col(f"c_{n}")
+        any_hit = c if any_hit is None else (any_hit + c)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(any_hit > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_pii"),
+        *[
+            F.sum(f"c_{n}").cast("bigint").alias(f"n_{n}")
+            for n, _ in _X56_PII
+        ],
+        F.round(
+            F.sum(F.when(any_hit > 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("pii_rate"),
+    )
+
+
+def _pr9_sql(k: int = 2, n_iter: int = 3) -> str:
+    """Unrolled k-core peeling oracle over the co-purchase graph:
+    a0 -> d1/a1 -> ... -> a{n} -> final degree recompute."""
+    parts = [
+        """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs
+    ),
+    a0 AS (SELECT DISTINCT src AS node FROM edges)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    d{i} AS (
+      SELECT e.src AS node, count(*) AS deg
+      FROM edges e
+      JOIN a{i - 1} x ON e.src = x.node
+      JOIN a{i - 1} y ON e.dst = y.node
+      GROUP BY 1
+    ),
+    a{i} AS (SELECT node FROM d{i} WHERE deg >= {k})"""
+        )
+    parts.append(
+        f""",
+    fin AS (
+      SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_degree
+      FROM edges e
+      JOIN a{n_iter} x ON e.src = x.node
+      JOIN a{n_iter} y ON e.dst = y.node
+      GROUP BY 1
+    )
+    SELECT node AS l_partkey, core_degree,
+      core_degree >= {k} AS in_core
+    FROM fin"""
+    )
+    return "".join(parts)
+
+
+@q(
+    "pr9_k_core",
+    sql=_pr9_sql(2, 3),
+    ref="LLM-ops/graph: bounded k-core decomposition (Seidman 1983) "
+    "over the part co-purchase graph — 3 synchronous peels of "
+    "degree-<2 nodes, then a final degree recompute over the "
+    "survivors with an in_core verdict per node (false = exactly the "
+    "nodes one more peel would drop, so the caller sees whether the "
+    "bound converged). The density complement of the pr family: "
+    "PageRank ranks influence, triangles count local closure, k-core "
+    "finds the cohesive SUBGRAPH — the dense basket nucleus "
+    "recommender and fraud pipelines mine (operators/graph.py "
+    "k_core)",
+    scale="each peel is two alive-set semi-joins onto the edge list "
+    "+ one src-keyed count agg — edge-proportional, never all-pairs; "
+    "the alive set is node-sized and shrinks monotonically; "
+    "per-round localCheckpoint truncates the O(iters) lineage (the "
+    "n15/pr6 lesson)",
+)
+def pr9_k_core(spark, sf):
+    from ..operators.graph import k_core
+
+    edges = _persist_tracked(_copurchase_edges(spark, sf))
+    return k_core(edges, k=2, n_iter=3).select(
+        F.col("node").alias("l_partkey"), "core_degree", "in_core"
+    )
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.
@@ -17526,7 +17866,11 @@ _DRIVER_SAMPLE = [
     # x7_corpus_curation — deferred BECAUSE they carry the strongest
     # non-driver evidence of the cohort (both judge-verified in the
     # r12 session, x31 at sf0.1; x7 is bench-timed and plan-audited
-    # every round).
+    # every round) — plus the round-13 wave-2 registrations
+    # e16_markov_transitions, dq11_fill_rate_drift, x56_pii_scrub,
+    # pr9_k_core (registered after this window was fixed; each
+    # oracle-green at sf0.001/0.01/0.1 this round with hand tests and
+    # decade cells).
     # the r07-evidence cohort (alphabetical), 43 of 45:
     "a13_bloom_membership", "a14_count_min", "a6_histogram",
     "a7_stats_pack", "a8_percentiles", "a9_having", "c1_cross_join",

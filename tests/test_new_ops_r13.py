@@ -288,3 +288,179 @@ def test_x55_plan_one_data_exchange_no_sort(spark):
     assert plan.count("HashAggregate") >= 2  # map-side partials
     assert "\n" in plan and "Sort " not in plan
     assert "BroadcastExchange" in plan  # root rides back broadcast
+
+
+# --------------------------------------- wave-2 r13 registrations
+
+
+def test_e16_start_state_vs_null_type(spark, tmp_path):
+    """__START__ (chain head) and __NULL__ (a genuine NULL event_type)
+    are distinct states: lag() alone returns NULL for both, so rn = 1
+    must disambiguate. Hand-verified chain: u1 = [view, NULL,
+    purchase], u2 = [NULL]."""
+    import duckdb
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    rows = [
+        (1, "2024-01-01 00:00:01", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:00:02", 1, None, 1.0, "{}"),
+        (3, "2024-01-01 00:00:03", 1, "purchase", 1.0, "{}"),
+        (4, "2024-01-01 00:00:01", 2, None, 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d / "events.parquet")
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_trans"], r["p_trans"])
+        for r in QUERIES["e16_markov_transitions"]
+        .fn(spark, str(d))
+        .collect()
+    }
+    assert got == {
+        ("__START__", "view"): (1, 0.5),
+        ("__START__", "__NULL__"): (1, 0.5),
+        ("view", "__NULL__"): (1, 1.0),
+        ("__NULL__", "purchase"): (1, 1.0),
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{d}/events.parquet/*.parquet'"
+    )
+    want = con.execute(
+        QUERIES["e16_markov_transitions"].sql
+    ).fetchall()
+    assert {(r[0], r[1]): (r[2], r[3]) for r in want} == got
+
+
+def test_e16_probabilities_sum_to_one(spark):
+    """Every prev_type row of the transition matrix is a probability
+    distribution (up to the round(9) grain)."""
+    rows = (
+        QUERIES["e16_markov_transitions"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .groupBy("prev_type")
+        .agg(F.sum("p_trans").alias("s"))
+        .collect()
+    )
+    assert rows and all(abs(r["s"] - 1.0) < 1e-6 for r in rows)
+
+
+def test_dq11_detects_fill_drift(spark, tmp_path):
+    """A producer that stops emitting props mid-month must flag the
+    props column (and only it); NULL-ts rows belong to neither half."""
+    import duckdb
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    rows = []
+    for i in range(100):
+        pre = i < 50
+        ts = "2024-01-05 00:00:00" if pre else "2024-01-25 00:00:00"
+        props = "{}" if pre or i % 10 == 0 else None
+        rows.append((i, ts, i, "view", 1.0, props))
+    rows.append((999, None, 999, "view", 1.0, "{}"))  # NULL ts
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d / "events.parquet")
+    )
+    got = (
+        QUERIES["dq11_fill_rate_drift"]
+        .fn(spark, str(d))
+        .toPandas()
+        .set_index("column_name")
+    )
+    assert int(got.loc["props", "pre_rows"]) == 50  # NULL ts excluded
+    assert bool(got.loc["props", "flagged"])
+    assert got.loc["props", "drift"] == -0.9
+    for c in ("event_id", "ts", "user_id", "event_type", "value"):
+        assert not bool(got.loc[c, "flagged"]), c
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{d}/events.parquet/*.parquet'"
+    )
+    want = (
+        con.execute(QUERIES["dq11_fill_rate_drift"].sql)
+        .df()
+        .set_index("column_name")
+    )
+    for c in got.index:
+        for col in got.columns:
+            assert str(got.loc[c, col]) == str(want.loc[c, col]), (c, col)
+
+
+def test_x56_finds_seeded_pii_cross_engine(spark, tmp_path):
+    """Seed documents with known email/IPv4/id-number payloads and
+    verify counts — and Java-regex vs RE2 agreement — match-for-match."""
+    import duckdb
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    rows = [
+        (1, "reach me at alice.smith+spam@example-mail.co.uk thanks",
+         "web"),
+        (2, "server at 192.168.0.17 and 10.0.0.1; ssn-ish 123456789",
+         "web"),
+        (3, "clean text, no identifiers here", "web"),
+        (4, None, "web"),
+        (5, "a@b.io a@b.io 999999999999", "forum"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = (
+        QUERIES["x56_pii_scrub"]
+        .fn(spark, str(d))
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    web = got[got["source"] == "web"].iloc[0]
+    assert (
+        int(web.n_email), int(web.n_ipv4), int(web.n_idnum),
+        int(web.docs_with_pii), int(web.n_docs),
+    ) == (1, 2, 1, 2, 4)
+    forum = got[got["source"] == "forum"].iloc[0]
+    assert (int(forum.n_email), int(forum.n_idnum)) == (2, 1)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    want = (
+        con.execute(QUERIES["x56_pii_scrub"].sql)
+        .df()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in got.columns:
+        assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+
+
+def test_pr9_peeling_hand_graph(spark):
+    """Hand graph: a 4-clique (every node degree 3) + a pendant chain
+    5-6 hanging off node 1. Peel k=2: the chain strips in two rounds
+    (6 first, then 5), the clique survives with core_degree 3 — and
+    node 1's degree drops from 5 to 3 after the chain goes."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.graph import (
+        k_core,
+    )
+
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5), (5, 6)]
+    e = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    out = {
+        r["node"]: (r["core_degree"], r["in_core"])
+        for r in k_core(e, k=2, n_iter=3).collect()
+    }
+    assert out == {1: (3, True), 2: (3, True), 3: (3, True), 4: (3, True)}
