@@ -167,6 +167,14 @@ FLAGSHIPS = [
     "ev8_mixture_divergence",
     "dq10_key_uniqueness",
     "skw3_salted_join",
+    # round-13 registrations
+    "x55_export_manifest",
+    "e16_markov_transitions",
+    "dq11_fill_rate_drift",
+    "x56_pii_scrub",
+    "pr9_k_core",
+    # round-13 rank-window fix (TakeOrderedAndProject head)
+    "x22_vocab_coverage",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
