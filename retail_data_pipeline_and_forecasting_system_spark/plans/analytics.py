@@ -17749,6 +17749,341 @@ def pr9_k_core(spark, sf):
     )
 
 
+_OPS7_SUBJECTS_SQL = """
+    ranked AS (
+      SELECT user_id, event_type,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), subjects AS (
+      SELECT user_id FROM ranked
+      WHERE rn = 1 AND event_type = 'error' AND user_id IS NOT NULL
+    )"""
+
+
+@q(
+    "ops7_erasure_scope",
+    sql=f"""
+    WITH {_OPS7_SUBJECTS_SQL}
+    SELECT '__subjects__' AS table_name,
+      CAST(count(*) AS BIGINT) AS n_subjects,
+      CAST(count(*) AS BIGINT) AS n_rows
+    FROM subjects
+    UNION ALL
+    SELECT 'customer',
+      CAST(count(DISTINCT c_custkey) AS BIGINT),
+      CAST(count(*) AS BIGINT)
+    FROM customer JOIN subjects ON c_custkey = user_id
+    UNION ALL
+    SELECT 'orders',
+      CAST(count(DISTINCT o_custkey) AS BIGINT),
+      CAST(count(*) AS BIGINT)
+    FROM orders JOIN subjects ON o_custkey = user_id
+    UNION ALL
+    SELECT 'lineitem',
+      CAST(count(DISTINCT o_custkey) AS BIGINT),
+      CAST(count(*) AS BIGINT)
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN subjects ON o_custkey = user_id
+    UNION ALL
+    SELECT 'events',
+      CAST(count(DISTINCT user_id) AS BIGINT),
+      CAST(count(*) AS BIGINT)
+    FROM events JOIN subjects USING (user_id)
+    """,
+    ref="ops: right-to-be-forgotten BLAST-RADIUS audit — for the same "
+    "tombstone set ops3 deletes from the customer dimension (users "
+    "whose most recent event is a terminal error), walk the FK graph "
+    "and report how many rows each table would erase (customer "
+    "direct, orders via o_custkey, lineitem TWO hops via the "
+    "subject's orders, events via user_id) plus the per-table subject "
+    "coverage. The pre-delete report every GDPR/CCPA erasure job "
+    "files BEFORE running the ops3-style MERGE DELETEs — and the "
+    "post-delete check is the same query reading zero",
+    scale="the subject set is one user-keyed window over events "
+    "(rn = 1 head only); each table count is one key equi-join "
+    "against the subject KEY projection — broadcast when the subject "
+    "list is dim-sized, key-partitioned otherwise; lineitem's 2-hop "
+    "goes through the orders KEY pair (o_orderkey, o_custkey), never "
+    "the payload. Output is #tables rows",
+)
+def ops7_erasure_scope(spark, sf):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc_nulls_last("ts"), F.desc_nulls_last("event_id")
+    )
+    ev = _t(spark, sf, "events")
+    subjects = _persist_tracked(
+        ev.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rn")
+        )
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("event_type") == "error")
+            & F.col("user_id").isNotNull()
+        )
+        .select("user_id")
+    )
+
+    def row(name, n_subjects, n_rows):
+        return F.lit(name).alias("table_name"), n_subjects.cast(
+            "bigint"
+        ).alias("n_subjects"), n_rows.cast("bigint").alias("n_rows")
+
+    base = subjects.agg(
+        *row("__subjects__", F.count(F.lit(1)), F.count(F.lit(1)))
+    )
+    cust = (
+        _t(spark, sf, "customer")
+        .join(subjects, F.col("c_custkey") == F.col("user_id"))
+        .agg(*row("customer", F.countDistinct("c_custkey"), F.count(F.lit(1))))
+    )
+    orders = _t(spark, sf, "orders")
+    ords = orders.join(
+        subjects, orders.o_custkey == F.col("user_id")
+    )
+    ord_row = ords.agg(
+        *row("orders", F.countDistinct("o_custkey"), F.count(F.lit(1)))
+    )
+    li = (
+        _t(spark, sf, "lineitem")
+        .join(
+            ords.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(*row("lineitem", F.countDistinct("o_custkey"), F.count(F.lit(1))))
+    )
+    evr = ev.join(subjects, "user_id").agg(
+        *row("events", F.countDistinct("user_id"), F.count(F.lit(1)))
+    )
+    return (
+        base.unionByName(cust)
+        .unionByName(ord_row)
+        .unionByName(li)
+        .unionByName(evr)
+    )
+
+
+# (table, [key columns]) — the same PK map dq10 audits; dq12 digests it.
+_DQ12_KEYS = [
+    ("region", ["r_regionkey"]),
+    ("nation", ["n_nationkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+def _dq12_one_sql(table: str, keys: list) -> str:
+    keystr = " || ':' || ".join(
+        f"coalesce(CAST({k} AS VARCHAR), '')" for k in keys
+    )
+    return f"""
+    SELECT '{table}' AS table_name,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(CAST(coalesce(SUM(
+          CAST({_x55_hex8(f'md5({keystr})', 1)} AS HUGEINT) * 4294967296
+          + {_x55_hex8(f'md5({keystr})', 9)}
+        ), 0) % CAST({_X55_U64_MOD} AS HUGEINT) AS DECIMAL(20,0))
+        AS VARCHAR) AS key_digest
+    FROM {table}
+    """
+
+
+@q(
+    "dq12_replica_checksum",
+    sql=" UNION ALL ".join(
+        _dq12_one_sql(t, ks) for t, ks in _DQ12_KEYS
+    ),
+    ref="Data quality: replica-reconciliation checksums — per table, "
+    "the row count plus an order-independent 64-bit multiset digest "
+    "of the primary key set (x55's commutative md5-u64 sum, applied "
+    "to the relational schema): two clusters, a source and its "
+    "migration target, or yesterday's snapshot and today's compare "
+    "tables with ONE string equality per table, no row shipping. "
+    "Completes the quality family's audit ladder: dq10 proves keys "
+    "unique WITHIN a copy, dq12 proves two copies hold the SAME key "
+    "set; a digest mismatch sends you to dq9/dq10 on each side to "
+    "find which rows",
+    scale="one scan + one map-side-combined global agg per table "
+    "(the commutative sum needs no order, no window, no collect — "
+    "partial aggregation does all the work; only per-task partial "
+    "sums cross the wire); the ten audits are independent plan "
+    "branches and the output is #tables rows",
+)
+def dq12_replica_checksum(spark, sf):
+    out = None
+    for table, keys in _DQ12_KEYS:
+        t = _t(spark, sf, table)
+        keystr = (
+            F.coalesce(F.col(keys[0]).cast("string"), F.lit(""))
+            if len(keys) == 1
+            else F.concat_ws(
+                ":",
+                *[
+                    F.coalesce(F.col(k).cast("string"), F.lit(""))
+                    for k in keys
+                ],
+            )
+        )
+        if len(keys) > 1:
+            # concat_ws drops NULL args, so the coalesce above feeds it
+            # '' instead — keeping the ':' separators positional
+            pass
+        h = F.md5(keystr)
+        h64 = (
+            F.conv(F.substring(h, 1, 8), 16, 10)
+            .cast("bigint")
+            .cast("decimal(20,0)")
+            * 4294967296
+            + F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+        )
+        row = t.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.pmod(
+                F.coalesce(F.sum(h64), F.lit(0).cast("decimal(38,0)")),
+                F.lit(_X55_U64_MOD).cast("decimal(38,0)"),
+            )
+            .cast("decimal(20,0)")
+            .cast("string")
+            .alias("key_digest"),
+        ).select(
+            F.lit(table).alias("table_name"), "n_rows", "key_digest"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@q(
+    "e17_bot_flagging",
+    sql="""
+    WITH gaps AS (
+      SELECT user_id,
+        epoch_us(ts) - lag(epoch_us(ts))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ), g AS (
+      SELECT user_id, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+        CAST(coalesce(SUM(gap_us), 0) AS BIGINT) AS total_gap_us
+      FROM gaps GROUP BY user_id
+    ), base AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(count(ts) - count(DISTINCT ts) AS BIGINT) AS n_dup_ts
+      FROM events GROUP BY user_id
+    ), tc AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), top AS (
+      SELECT user_id,
+        coalesce(event_type, '__NULL__') AS top_type, c AS top_cnt
+      FROM (
+        SELECT user_id, event_type, c, row_number() OVER (
+          PARTITION BY user_id
+          ORDER BY c DESC, event_type ASC NULLS LAST) AS rnk
+        FROM tc) WHERE rnk = 1
+    )
+    SELECT b.user_id, b.n_events, g.n_gaps, g.total_gap_us,
+      b.n_dup_ts, t.top_type,
+      round(CAST(t.top_cnt AS DOUBLE) / b.n_events, 9) AS top_share,
+      (b.n_events >= 20 AND (
+         g.total_gap_us < 60000000 * g.n_gaps
+         OR 10 * t.top_cnt > 9 * b.n_events
+         OR 5 * b.n_dup_ts > b.n_events)) AS is_bot
+    FROM base b JOIN g USING (user_id) JOIN top t USING (user_id)
+    """,
+    ref="event analytics: bot/abuse flagging before user-generated "
+    "data enters a training corpus — per user, three behavioral "
+    "signals (mean inter-event gap via e6's exact integer "
+    "lag-epochs — reported as the exact integer total, since a "
+    "mean at 1e10 us magnitudes is ulp-unstable cross-engine, "
+    "duplicate-timestamp burst count, dominant-action "
+    "share via the e16-style type counts) and a composite verdict: "
+    ">= 20 events AND (machine-fast cadence: mean gap < 60 s, OR "
+    "> 90% one action, OR > 20% duplicate timestamps). All three "
+    "threshold tests run in EXACT integer cross-multiplication "
+    "(total_gap < 60e6 * n_gaps, 10*top > 9*n, 5*dup > n) — the h10 "
+    "flag discipline: the doubles in the output are for humans, the "
+    "verdict never touches one",
+    scale="three user-keyed aggregations (one windowed lag for gaps, "
+    "two hash aggs) + user-keyed joins — every shuffle is on the one "
+    "natural key and collapses to user grain; the type-count rank "
+    "window is (user x type)-grain. Output is #users rows",
+)
+def e17_bot_flagging(spark, sf):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
+    # exact integer microseconds (unix_micros, the e6 discipline) — a
+    # double-seconds epoch loses sub-µs ulps at 2024 magnitudes
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    g = gaps.groupBy("user_id").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.coalesce(F.sum("gap_us"), F.lit(0))
+        .cast("bigint")
+        .alias("total_gap_us"),
+    )
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.count("ts") - F.countDistinct("ts"))
+        .cast("bigint")
+        .alias("n_dup_ts"),
+    )
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("c"), F.asc_nulls_last("event_type")
+    )
+    top = (
+        tc.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "user_id",
+            F.coalesce("event_type", F.lit("__NULL__")).alias("top_type"),
+            F.col("c").alias("top_cnt"),
+        )
+    )
+    return (
+        base.join(g, "user_id")
+        .join(top, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "n_gaps",
+            "total_gap_us",
+            "n_dup_ts",
+            "top_type",
+            F.round(
+                F.col("top_cnt").cast("double") / F.col("n_events"), 9
+            ).alias("top_share"),
+            (
+                (F.col("n_events") >= 20)
+                & (
+                    (
+                        F.col("total_gap_us")
+                        < F.lit(60_000_000) * F.col("n_gaps")
+                    )
+                    | (10 * F.col("top_cnt") > 9 * F.col("n_events"))
+                    | (5 * F.col("n_dup_ts") > F.col("n_events"))
+                )
+            ).alias("is_bot"),
+        )
+    )
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.
@@ -17868,9 +18203,10 @@ _DRIVER_SAMPLE = [
     # r12 session, x31 at sf0.1; x7 is bench-timed and plan-audited
     # every round) — plus the round-13 wave-2 registrations
     # e16_markov_transitions, dq11_fill_rate_drift, x56_pii_scrub,
-    # pr9_k_core (registered after this window was fixed; each
-    # oracle-green at sf0.001/0.01/0.1 this round with hand tests and
-    # decade cells).
+    # pr9_k_core, then the wave-3 registrations ops7_erasure_scope,
+    # dq12_replica_checksum, e17_bot_flagging (all registered after
+    # this window was fixed; each oracle-green at sf0.001/0.01/0.1
+    # this round with hand tests and decade cells).
     # the r07-evidence cohort (alphabetical), 43 of 45:
     "a13_bloom_membership", "a14_count_min", "a6_histogram",
     "a7_stats_pack", "a8_percentiles", "a9_having", "c1_cross_join",

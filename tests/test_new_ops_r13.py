@@ -464,3 +464,176 @@ def test_pr9_peeling_hand_graph(spark):
         for r in k_core(e, k=2, n_iter=3).collect()
     }
     assert out == {1: (3, True), 2: (3, True), 3: (3, True), 4: (3, True)}
+
+
+# --------------------------------------- wave-3 r13 registrations
+
+
+def test_ops7_two_hop_blast_radius(spark, tmp_path):
+    """Hand fixture: user 1's last event is 'error' (subject), user
+    2's is 'view' (not a subject). Subject 1 owns 2 orders with 3
+    lineitems total — the lineitem count must come through the 2-hop
+    join, and the NULL-user error row must not mint a subject."""
+    import duckdb
+
+    d = tmp_path / "ers"
+    d.mkdir()
+    ev = [
+        (1, "2024-01-01 00:00:01", 1, "view", 1.0, "{}"),
+        (2, "2024-01-02 00:00:00", 1, "error", 1.0, "{}"),
+        (3, "2024-01-01 00:00:01", 2, "error", 1.0, "{}"),
+        (4, "2024-01-02 00:00:00", 2, "view", 1.0, "{}"),
+        (5, "2024-01-02 00:00:00", None, "error", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d / "events.parquet")
+    )
+    spark.createDataFrame(
+        [(1, "alice", 0.0), (2, "bob", 0.0)],
+        "c_custkey long, c_name string, c_acctbal double",
+    ).coalesce(1).write.parquet(str(d / "customer.parquet"))
+    spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)],
+        "o_orderkey long, o_custkey long",
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (12, 1)],
+        "l_orderkey long, l_linenumber int",
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+
+    got = {
+        r["table_name"]: (r["n_subjects"], r["n_rows"])
+        for r in QUERIES["ops7_erasure_scope"].fn(spark, str(d)).collect()
+    }
+    assert got == {
+        "__subjects__": (1, 1),
+        "customer": (1, 1),
+        "orders": (1, 2),
+        "lineitem": (1, 3),
+        "events": (1, 2),
+    }
+    con = duckdb.connect()
+    for t in ("events", "customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{d}/{t}.parquet/*.parquet'"
+        )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            QUERIES["ops7_erasure_scope"].sql
+        ).fetchall()
+    }
+    assert want == got
+
+
+def test_dq12_digest_layout_invariant_and_sensitive(spark, tmp_path):
+    """Replica semantics: a repartitioned/reordered copy of the same
+    tables digests IDENTICALLY; dropping one row changes exactly that
+    table's digest and row count."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    a = tmp_path / "replica_a"
+    b = tmp_path / "replica_b"
+    c = tmp_path / "replica_c"
+    for dst in (a, b, c):
+        dst.mkdir()
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        df.coalesce(1).write.parquet(str(a / f"{t}.parquet"))
+        df.repartition(7).write.parquet(str(b / f"{t}.parquet"))
+        if t == "orders":
+            victim = df.select(F.min("o_orderkey")).first()[0]
+            df.filter(F.col("o_orderkey") != victim).write.parquet(
+                str(c / f"{t}.parquet")
+            )
+        else:
+            df.write.parquet(str(c / f"{t}.parquet"))
+
+    def run(p):
+        return (
+            QUERIES["dq12_replica_checksum"]
+            .fn(spark, str(p))
+            .toPandas()
+            .sort_values("table_name")
+            .reset_index(drop=True)
+        )
+
+    ra, rb, rc = run(a), run(b), run(c)
+    assert ra.equals(rb)
+    diff = ra["key_digest"] != rc["key_digest"]
+    assert ra.loc[diff, "table_name"].tolist() == ["orders"]
+    assert (
+        int(ra.loc[diff, "n_rows"].iloc[0])
+        == int(rc.loc[diff, "n_rows"].iloc[0]) + 1
+    )
+
+
+def test_e17_flags_three_bot_signatures(spark, tmp_path):
+    """One user per signal: u1 fires at 1 s cadence (machine-fast), u2
+    sends 25 events on 5 timestamps (dup bursts), u3 is 96% one action,
+    u4 is a slow human browser — plus cross-engine agreement."""
+    import duckdb
+
+    rows = []
+    eid = 0
+    for i in range(25):  # u1: 1s cadence
+        rows.append((eid, f"2024-01-01 00:00:{i:02d}", 1, "view", 1.0, "{}"))
+        eid += 1
+    for i in range(25):  # u2: 5 distinct ts, 5 events each
+        rows.append(
+            (eid, f"2024-01-01 0{i % 5}:00:00", 2, "view", 1.0, "{}")
+        )
+        eid += 1
+    for i in range(25):  # u3: 24/25 'click', hourly (slow)
+        t = "click" if i else "view"
+        rows.append((eid, f"2024-01-0{1 + i // 12} {i % 12:02d}:30:00",
+                     3, t, 1.0, "{}"))
+        eid += 1
+    for i in range(25):  # u4: hourly, mixed types
+        t = ["view", "click", "purchase", "signup", "error"][i % 5]
+        rows.append((eid, f"2024-01-0{1 + i // 12} {i % 12:02d}:45:00",
+                     4, t, 1.0, "{}"))
+        eid += 1
+    d = tmp_path / "bots"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d / "events.parquet")
+    )
+    got = (
+        QUERIES["e17_bot_flagging"]
+        .fn(spark, str(d))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    flags = dict(zip(got["user_id"], got["is_bot"]))
+    assert flags == {1: True, 2: True, 3: True, 4: False}
+    assert int(got[got.user_id == 2]["n_dup_ts"].iloc[0]) == 20
+    assert got[got.user_id == 3]["top_type"].iloc[0] == "click"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{d}/events.parquet/*.parquet'"
+    )
+    want = (
+        con.execute(QUERIES["e17_bot_flagging"].sql)
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for c in got.columns:
+        assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c

@@ -173,6 +173,9 @@ FLAGSHIPS = [
     "dq11_fill_rate_drift",
     "x56_pii_scrub",
     "pr9_k_core",
+    "ops7_erasure_scope",
+    "dq12_replica_checksum",
+    "e17_bot_flagging",
     # round-13 rank-window fix (TakeOrderedAndProject head)
     "x22_vocab_coverage",
 ]
