@@ -17325,89 +17325,12 @@ _X55_SQL = f"""
     "(shard, file) for file-grain bisection at no extra shuffle",
 )
 def x55_export_manifest(spark, sf):
-    d = _t(spark, sf, "documents")
-    h = F.md5(
-        F.concat(
-            F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
-            F.lit(":"),
-            F.coalesce(F.col("text"), F.lit("")),
-        )
-    )
-    shard = F.coalesce(
-        F.expr(
-            "instr('0123456789abcdef',"
-            " substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1"
-        ).cast("int")
-        % 16,
-        F.lit(-1),
-    )
-    rows = d.select(
-        shard.alias("shard"),
-        "doc_id",
-        F.octet_length(F.coalesce(F.col("text"), F.lit("")))
-        .cast("bigint")
-        .alias("n_bytes"),
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-        h.alias("h"),
-    ).select(
-        "shard",
-        "doc_id",
-        "n_bytes",
-        "n_tokens",
-        (
-            F.conv(F.substring("h", 1, 8), 16, 10)
-            .cast("bigint")
-            .cast("decimal(20,0)")
-            * 4294967296
-            + F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint")
-        ).alias("h64"),
-    )
-    per = rows.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
-        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        F.min("doc_id").cast("bigint").alias("min_doc"),
-        F.max("doc_id").cast("bigint").alias("max_doc"),
-        # digest emitted as a STRING: it is an opaque token (pandas
-        # would coerce a 20-digit decimal/hugeint to float and lose it)
-        F.pmod(
-            F.sum("h64"), F.lit(_X55_U64_MOD).cast("decimal(38,0)")
-        )
-        .cast("decimal(20,0)")
-        .cast("string")
-        .alias("content_sum64"),
-    )
-    root = per.agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("shard"),
-                                F.col("content_sum64").alias("s"),
-                            )
-                        )
-                    ),
-                    lambda x: F.concat_ws(
-                        ":", x.shard.cast("string"), x.s
-                    ),
-                ),
-                "|",
-            )
-        ).alias("merkle_root")
-    )
-    return per.crossJoin(F.broadcast(root)).select(
-        "shard",
-        "n_docs",
-        "n_bytes",
-        "n_tokens",
-        "min_doc",
-        "max_doc",
-        "content_sum64",
-        "merkle_root",
-    )
+    # shared with streaming/manifest_stream.py: every state column is
+    # algebraic (operators/manifest.py), so the incremental service
+    # maintains THIS exact output per epoch
+    from ..operators.manifest import finalize_manifest, manifest_state
 
+    return finalize_manifest(manifest_state(_t(spark, sf, "documents")))
 
 @q(
     "e16_markov_transitions",

@@ -46,3 +46,8 @@ from .anomaly_stream import (  # noqa: F401
     read_anomaly_scores,
     run_anomaly_ingest,
 )
+from .manifest_stream import (  # noqa: F401
+    manifest_state_sink,
+    read_manifest,
+    run_manifest_ingest,
+)
