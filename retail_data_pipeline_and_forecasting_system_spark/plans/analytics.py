@@ -18007,6 +18007,116 @@ def e17_bot_flagging(spark, sf):
     )
 
 
+#: x57's planning constants: the run's token budget and the max
+#: useful epochs per source before repetition stops helping
+#: (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+#: Models": ~4 epochs of repeated data ≈ fresh data, rapidly
+#: diminishing after).
+_X57_BUDGET = 1_000_000_000.0
+_X57_MAX_EPOCHS = 4.0
+
+
+@q(
+    "x57_token_budget",
+    sql=f"""
+    WITH per_src AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        AS tokens_available
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(tokens_available) AS BIGINT) AS total_tokens
+      FROM per_src
+    ), sh AS (
+      SELECT source, tokens_available,
+        pow(CAST(tokens_available AS DOUBLE) / total_tokens, 0.3)
+          AS powed
+      FROM per_src, tot
+    ), z AS (
+      SELECT CAST(list_reduce(list(powed ORDER BY source),
+        (x, y) -> x + y) AS DOUBLE) AS norm
+      FROM sh
+    )
+    SELECT source, tokens_available,
+      round(powed / norm, 9) AS weight,
+      round({_X57_BUDGET} * (powed / norm), 3) AS target_tokens,
+      round({_X57_BUDGET} * (powed / norm) / tokens_available, 6)
+        AS epochs,
+      ({_X57_BUDGET} * (powed / norm))
+        > {_X57_MAX_EPOCHS} * tokens_available AS over_cap,
+      round(least({_X57_BUDGET} * (powed / norm),
+                  {_X57_MAX_EPOCHS} * tokens_available), 3)
+        AS effective_tokens
+    FROM sh, z
+    """,
+    ref="LLM-ops: token-budget planning — given the run's token budget "
+    "(1B here) and smp5's temperature mixture (alpha=0.3), how many "
+    "tokens each source must contribute, how many EPOCHS of that "
+    "source that means, and where the mix is data-constrained: "
+    "over_cap flags sources whose target exceeds the ~4-epoch "
+    "useful-repetition ceiling (Muennighoff et al. 2023), and "
+    "effective_tokens caps the plan there. The planning table every "
+    "pretraining run files before launch — smp5 says WHAT mix, this "
+    "says WHETHER the corpus can fund it",
+    scale="one token-count agg over the corpus (map-side combined) "
+    "collapses everything to source grain; the normalization is a "
+    "source-ORDERED fold (the x49/d6 sequential-fold discipline — "
+    "bit-identical cross-engine where a hash-order SUM of doubles is "
+    "not) over #sources rows. Output is #sources rows",
+)
+def x57_token_budget(spark, sf):
+    per = (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("tokens_available")
+        )
+    )
+    tot = per.agg(
+        F.sum("tokens_available").cast("bigint").alias("total_tokens")
+    )
+    sh = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens_available",
+        F.pow(
+            F.col("tokens_available").cast("double")
+            / F.col("total_tokens"),
+            0.3,
+        ).alias("powed"),
+    )
+    # source-ORDERED fold for the normalizer (bit-exact cross-engine)
+    z = sh.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("source"), F.col("powed")))
+                ),
+                lambda s: s.powed,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("norm")
+    )
+    target = F.lit(_X57_BUDGET) * (F.col("powed") / F.col("norm"))
+    cap = F.lit(_X57_MAX_EPOCHS) * F.col("tokens_available")
+    return sh.crossJoin(F.broadcast(z)).select(
+        "source",
+        "tokens_available",
+        F.round(F.col("powed") / F.col("norm"), 9).alias("weight"),
+        F.round(target, 3).alias("target_tokens"),
+        # round(6), not the house round(9): epochs on a tiny source
+        # under a 1e9 budget reach 1e6+, and 9 decimals there is 16
+        # significant digits — past the double<->decimal agreement
+        # envelope (the e17 mean_gap lesson)
+        F.round(
+            target / F.col("tokens_available"), 6
+        ).alias("epochs"),
+        (target > cap).alias("over_cap"),
+        F.round(F.least(target, cap), 3).alias("effective_tokens"),
+    )
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.
@@ -18127,9 +18237,12 @@ _DRIVER_SAMPLE = [
     # every round) — plus the round-13 wave-2 registrations
     # e16_markov_transitions, dq11_fill_rate_drift, x56_pii_scrub,
     # pr9_k_core, then the wave-3 registrations ops7_erasure_scope,
-    # dq12_replica_checksum, e17_bot_flagging (all registered after
-    # this window was fixed; each oracle-green at sf0.001/0.01/0.1
-    # this round with hand tests and decade cells).
+    # dq12_replica_checksum, e17_bot_flagging, and the wave-4
+    # x57_token_budget (all registered after this window was fixed;
+    # each oracle-green at sf0.001/0.01/0.1 this round with hand
+    # tests and decade cells). The streaming manifest service
+    # (manifest_stream.py) rides x55's driver row: stream==batch is
+    # pinned by tests/test_manifest_stream.py.
     # the r07-evidence cohort (alphabetical), 43 of 45:
     "a13_bloom_membership", "a14_count_min", "a6_histogram",
     "a7_stats_pack", "a8_percentiles", "a9_having", "c1_cross_join",

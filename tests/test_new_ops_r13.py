@@ -637,3 +637,67 @@ def test_e17_flags_three_bot_signatures(spark, tmp_path):
     )
     for c in got.columns:
         assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+
+
+# --------------------------------------- wave-4 r13 registrations
+
+
+def test_x57_budget_math_hand_fixture(spark, tmp_path):
+    """Two sources, 300 vs 2,700 tokens (tiny vs big): the temperature
+    mix upsamples the small one; with a 1B budget BOTH blow the
+    4-epoch ceiling, and effective_tokens caps at 4x available."""
+    import duckdb
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    rows = [(i, " ".join(["tok"] * 3), "small") for i in range(100)] + [
+        (1000 + i, " ".join(["tok"] * 27), "big") for i in range(100)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = (
+        QUERIES["x57_token_budget"]
+        .fn(spark, str(d))
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    big, small = got.iloc[0], got.iloc[1]
+    assert int(small.tokens_available) == 300
+    assert int(big.tokens_available) == 2700
+    # alpha=0.3 upsampling: small's weight > its natural 10% share
+    assert small.weight > 0.1
+    assert abs(small.weight + big.weight - 1.0) < 1e-9
+    assert bool(small.over_cap) and bool(big.over_cap)
+    assert small.effective_tokens == 4.0 * 300
+    assert big.effective_tokens == 4.0 * 2700
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    want = (
+        con.execute(QUERIES["x57_token_budget"].sql)
+        .df()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in got.columns:
+        assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+
+
+def test_x57_weights_match_smp5(spark):
+    """x57's weight column is smp5's temp_weight (same alpha=0.3,
+    same ordered-fold normalizer) at round(9) vs round(6) grain."""
+    sf = "/root/testdata/sf0.001"
+    x57 = {
+        r["source"]: r["weight"]
+        for r in QUERIES["x57_token_budget"].fn(spark, sf).collect()
+    }
+    smp5 = {
+        r["source"]: r["temp_weight"]
+        for r in QUERIES["smp5_temperature_mixture"].fn(spark, sf).collect()
+    }
+    assert set(x57) == set(smp5)
+    assert all(abs(x57[s] - smp5[s]) < 5e-7 for s in x57)

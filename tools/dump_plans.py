@@ -176,6 +176,7 @@ FLAGSHIPS = [
     "ops7_erasure_scope",
     "dq12_replica_checksum",
     "e17_bot_flagging",
+    "x57_token_budget",
     # round-13 rank-window fix (TakeOrderedAndProject head)
     "x22_vocab_coverage",
 ]
