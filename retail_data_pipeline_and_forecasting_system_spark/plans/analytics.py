@@ -17845,6 +17845,8 @@ def dq12_replica_checksum(spark, sf):
     out = None
     for table, keys in _DQ12_KEYS:
         t = _t(spark, sf, table)
+        # concat_ws silently DROPS null args (losing a separator), so
+        # every key coalesces to '' first — keeping ':' positional
         keystr = (
             F.coalesce(F.col(keys[0]).cast("string"), F.lit(""))
             if len(keys) == 1
@@ -17856,10 +17858,6 @@ def dq12_replica_checksum(spark, sf):
                 ],
             )
         )
-        if len(keys) > 1:
-            # concat_ws drops NULL args, so the coalesce above feeds it
-            # '' instead — keeping the ':' separators positional
-            pass
         h = F.md5(keystr)
         h64 = (
             F.conv(F.substring(h, 1, 8), 16, 10)
