@@ -872,3 +872,49 @@ def test_unpartitioned_windows_are_grain_bounded():
         if allowed[f] - found.get(f, set())
     }
     assert not stale, f"allow-list entries no longer in source: {stale}"
+
+
+def test_x56_pii_scrub_is_map_side_plus_one_exchange(spark):
+    """x56: regex counts run in the scan projection (JVM codegen);
+    the ONLY exchange is the source-keyed agg — no Python, no sort."""
+    plan = _plan(spark, "x56_pii_scrub")
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange
+    assert "BatchEvalPython" not in plan
+    assert "Sort " not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+
+
+def test_dq12_checksums_no_sort_no_window(spark):
+    """dq12: ten independent global aggs — the commutative digest
+    needs no order, so no Sort/Window may appear anywhere."""
+    plan = _plan(spark, "dq12_replica_checksum")
+    assert "Sort " not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 20  # partial+final x 10
+
+
+def test_e16_transitions_one_stream_exchange(spark):
+    """e16: the user-keyed window is the only stream-proportional
+    exchange; the probability window is partitioned (matrix-grain)."""
+    plan = _plan(spark, "e16_markov_transitions")
+    assert "hashpartitioning(user_id" in plan
+    assert "hashpartitioning(prev_type" in plan  # partitioned, bounded
+
+
+def test_e17_bot_flagging_user_keyed_only(spark):
+    """e17: every exchange is user-keyed (or the user x type agg that
+    collapses to it) — no global window, no sort."""
+    plan = _plan(spark, "e17_bot_flagging")
+    import re
+
+    parts = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert parts and all(p in ("user_id", "event_type") for p in parts)
+
+
+def test_x57_token_budget_no_corpus_window(spark):
+    """x57: everything after the token agg runs on the source-grain
+    frame; the normalizer is an ordered FOLD over a collected
+    model-sized array, never a Window."""
+    plan = _plan(spark, "x57_token_budget")
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan  # totals/normalizer ride back
