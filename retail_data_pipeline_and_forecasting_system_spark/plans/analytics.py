@@ -18115,6 +18115,212 @@ def x57_token_budget(spark, sf):
     )
 
 
+#: x58's replacement tokens, applied in x56 pattern order (email,
+#: ipv4, idnum). Order is part of the contract: the tokens contain no
+#: digits or '@', so later patterns cannot re-match earlier
+#: replacements in either engine.
+_X58_TOKENS = {"email": "<EMAIL>", "ipv4": "<IP>", "idnum": "<ID>"}
+
+
+def _x58_sql() -> str:
+    red = "coalesce(text, '')"
+    for n, p in _X56_PII:
+        red = f"regexp_replace({red}, '{p}', '{_X58_TOKENS[n]}', 'g')"
+    h = "md5(concat(coalesce(CAST(doc_id AS VARCHAR), ''), ':', red))"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, coalesce(text, '') AS text0,
+        {red} AS red
+      FROM documents
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN red <> text0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_redacted,
+      CAST(SUM(strlen(red)) - SUM(strlen(text0)) AS BIGINT)
+        AS bytes_delta,
+      CAST(CAST(coalesce(SUM(
+          CAST({_x55_hex8(h, 1)} AS HUGEINT) * 4294967296
+          + {_x55_hex8(h, 9)}
+        ), 0) % CAST({_X55_U64_MOD} AS HUGEINT) AS DECIMAL(20,0))
+        AS VARCHAR) AS redacted_digest
+    FROM d GROUP BY source
+    """
+
+
+@q(
+    "x58_pii_redact",
+    sql=_x58_sql(),
+    ref="LLM-ops: PII redaction — the scrub half of x56's audit: "
+    "chained regexp_replace of email/IPv4/id-number spans with typed "
+    "placeholder tokens (<EMAIL>/<IP>/<ID>), reported per source as "
+    "docs-touched and byte delta, plus an x55-style order-independent "
+    "u64 digest of the REDACTED (doc_id:text) multiset — the receipt "
+    "that pins the post-scrub corpus content exactly, so the "
+    "downstream export can prove it trained on the scrubbed bytes. "
+    "Replacement order is contractual (email, ipv4, idnum); the "
+    "tokens contain no redigestible characters, so the chain is "
+    "confluent in both engines",
+    scale="pure map-side (three JVM-codegen regex rewrites + one md5 "
+    "per row inside the scan projection) + ONE source-keyed "
+    "map-side-combined agg; at 100 TB the rewrite rides the export "
+    "scan for free and only per-source counters cross the wire. The "
+    "row-level redacted text itself is the same expression one "
+    "column over — materialize it with x12 when exporting",
+)
+def x58_pii_redact(spark, sf):
+    d = _t(spark, sf, "documents")
+    text0 = F.coalesce(F.col("text"), F.lit(""))
+    red = text0
+    for n, p in _X56_PII:
+        red = F.regexp_replace(red, p, _X58_TOKENS[n])
+    h = F.md5(
+        F.concat(
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
+            F.lit(":"),
+            red,
+        )
+    )
+    h64 = (
+        F.conv(F.substring(h, 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("decimal(20,0)")
+        * 4294967296
+        + F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    )
+    rows = d.select(
+        "source",
+        text0.alias("text0"),
+        red.alias("red"),
+        h64.alias("h64"),
+    )
+    return rows.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("red") != F.col("text0"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_redacted"),
+        (
+            F.sum(F.octet_length("red")) - F.sum(F.octet_length("text0"))
+        )
+        .cast("bigint")
+        .alias("bytes_delta"),
+        F.pmod(
+            F.coalesce(F.sum("h64"), F.lit(0).cast("decimal(38,0)")),
+            F.lit(_X55_U64_MOD).cast("decimal(38,0)"),
+        )
+        .cast("decimal(20,0)")
+        .cast("string")
+        .alias("redacted_digest"),
+    )
+
+
+@q(
+    "h13_kaplan_meier",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ), mx AS (
+      SELECT max(last_ts) AS corpus_end FROM per_user
+    ), lab AS (
+      SELECT user_id,
+        date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+          AS t,
+        (date_diff('day', CAST(last_ts AS DATE),
+                   CAST(corpus_end AS DATE)) > 3) AS churned
+      FROM per_user, mx
+    ), agg AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_ending,
+        CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM lab GROUP BY t
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users FROM lab
+    ), risk AS (
+      SELECT t, d, n_ending,
+        n_users - coalesce(SUM(n_ending) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS n_risk
+      FROM agg, tot
+    )
+    SELECT CAST(t AS INT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+      d AS n_events,
+      round(exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+                OVER (ORDER BY t)), 9) AS survival
+    FROM risk
+    """,
+    ref="Time-series/survival: Kaplan-Meier estimator over user "
+    "lifetimes (duration = days between a user's first and last "
+    "event; users still active within 3 days of corpus end are "
+    "CENSORED, not churned — the distinction naive churn rates get "
+    "wrong). S(t) = prod over event days of (1 - d/n_risk), the "
+    "product-limit form computed as exp of the running ln-sum; "
+    "survival analysis is the retention counterpart of e5's cohort "
+    "table and h-family's alerting — 'how long does a user LIVE', "
+    "with censoring handled correctly",
+    scale="one user-keyed agg collapses the stream to per-user "
+    "(first, last) rows (map-side combined); everything after runs "
+    "on the DURATION alphabet (<= #days rows — the two unpartitioned "
+    "windows are calendar-bounded by construction, see the "
+    "plan-shape allow-list); ln/exp drift is bounded at ~1 ulp and "
+    "round(9) sits orders above it (the x49 discipline)",
+)
+def h13_kaplan_meier(spark, sf):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    mx = per_user.agg(F.max("last_ts").alias("corpus_end"))
+    lab = per_user.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("t"),
+        (
+            F.datediff(F.to_date("corpus_end"), F.to_date("last_ts")) > 3
+        ).alias("churned"),
+    )
+    agg = lab.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    tot = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = agg.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("n_ending").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return risk.select(
+        F.col("t").cast("int").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.lit(1.0)
+                        - F.col("d").cast("double") / F.col("n_risk")
+                    )
+                ).over(w_cum)
+            ),
+            9,
+        ).alias("survival"),
+    )
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.
@@ -18235,8 +18441,9 @@ _DRIVER_SAMPLE = [
     # every round) — plus the round-13 wave-2 registrations
     # e16_markov_transitions, dq11_fill_rate_drift, x56_pii_scrub,
     # pr9_k_core, then the wave-3 registrations ops7_erasure_scope,
-    # dq12_replica_checksum, e17_bot_flagging, and the wave-4
-    # x57_token_budget (all registered after this window was fixed;
+    # dq12_replica_checksum, e17_bot_flagging, the wave-4
+    # x57_token_budget, and the wave-5 x58_pii_redact +
+    # h13_kaplan_meier (all registered after this window was fixed;
     # each oracle-green at sf0.001/0.01/0.1 this round with hand
     # tests and decade cells). The streaming manifest service
     # (manifest_stream.py) rides x55's driver row: stream==batch is

@@ -701,3 +701,156 @@ def test_x57_weights_match_smp5(spark):
     }
     assert set(x57) == set(smp5)
     assert all(abs(x57[s] - smp5[s]) < 5e-7 for s in x57)
+
+
+# --------------------------------------- wave-5 r13 registrations
+
+
+def test_x58_redaction_hand_fixture_cross_engine(spark, tmp_path):
+    """Seeded PII redacts to the typed tokens; the digest pins the
+    redacted bytes; the chain is confluent (tokens never re-match)."""
+    import duckdb
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    rows = [
+        (1, "mail a@b.io twice a@b.io", "web"),
+        (2, "ip 10.0.0.1 and id 123456789", "web"),
+        (3, "clean", "web"),
+        (4, None, "web"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = (
+        QUERIES["x58_pii_redact"].fn(spark, str(d)).toPandas().iloc[0]
+    )
+    assert int(got.n_docs) == 4 and int(got.docs_redacted) == 2
+    # 'a@b.io'(6) -> '<EMAIL>'(7) x2 = +2; '10.0.0.1'(8) -> '<IP>'(4)
+    # = -4; '123456789'(9) -> '<ID>'(4) = -5 ==> net -7
+    assert int(got.bytes_delta) == 2 - 4 - 5
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(QUERIES["x58_pii_redact"].sql).df().iloc[0]
+    assert str(got.redacted_digest) == str(want.redacted_digest)
+    assert int(got.bytes_delta) == int(want.bytes_delta)
+
+
+def test_x58_digest_differs_from_x55_only_when_redacting(spark, tmp_path):
+    """On a PII-free corpus the redacted digest equals x55's clean
+    content digest (same (doc_id:text) multiset) — redaction is a
+    no-op exactly when the audit says there is nothing to scrub."""
+    sf = "/root/testdata/sf0.001"
+    pii = (
+        QUERIES["x56_pii_scrub"]
+        .fn(spark, sf)
+        .agg(F.sum("docs_with_pii"))
+        .first()[0]
+    )
+    x58 = {
+        r["source"]: r["redacted_digest"]
+        for r in QUERIES["x58_pii_redact"].fn(spark, sf).collect()
+    }
+    # source-level clean digest via the manifest machinery
+    from retail_data_pipeline_and_forecasting_system_spark.operators.manifest import (
+        manifest_rows,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    clean = {
+        r["source"]: r["dig"]
+        for r in manifest_rows(docs.select("doc_id", "text", "source"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.pmod(
+                F.sum("h64"),
+                F.lit(
+                    "18446744073709551616"
+                ).cast("decimal(38,0)"),
+            )
+            .cast("decimal(20,0)")
+            .cast("string")
+            .alias("dig")
+        )
+        .collect()
+    }
+    if pii == 0:
+        assert x58 == clean
+    else:  # pragma: no cover - synthetic corpus has no PII today
+        assert x58 != clean
+
+
+def test_h13_kaplan_meier_hand_fixture(spark, tmp_path):
+    """Textbook check: 4 users — durations 1 (churned), 2 (churned),
+    2 (censored), 4 (censored at corpus end). S(1) = 3/4; S(2) =
+    3/4 * (1 - 1/3) = 1/2; S(4) = 1/2 (no event at 4)."""
+    import duckdb
+
+    rows = []
+    eid = 0
+
+    def span(uid, d0, d1):
+        nonlocal eid
+        rows.append((eid, f"2024-01-{d0:02d} 00:00:00", uid, "view",
+                     1.0, "{}"))
+        eid += 1
+        rows.append((eid, f"2024-01-{d1:02d} 00:00:00", uid, "view",
+                     1.0, "{}"))
+        eid += 1
+
+    span(1, 1, 2)    # t=1, last 2024-01-02 -> churned (end - last > 3)
+    span(2, 1, 3)    # t=2, churned
+    span(3, 18, 20)  # t=2, last within 3 days of end -> censored
+    span(4, 16, 20)  # t=4, censored (defines corpus end)
+    d = tmp_path / "ev"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d / "events.parquet")
+    )
+    got = {
+        r["t_days"]: (r["n_risk"], r["n_events"], r["survival"])
+        for r in QUERIES["h13_kaplan_meier"].fn(spark, str(d)).collect()
+    }
+    assert got == {
+        1: (4, 1, 0.75),
+        2: (3, 1, 0.5),
+        4: (1, 0, 0.5),
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{d}/events.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(QUERIES["h13_kaplan_meier"].sql).fetchall()
+    }
+    assert want == got
+
+
+def test_h13_survival_monotone_and_bounded(spark):
+    """On real data: S is non-increasing in t, within [0, 1], and the
+    risk sets telescope (n_risk strictly decreasing)."""
+    rows = sorted(
+        (
+            (r["t_days"], r["n_risk"], r["survival"])
+            for r in QUERIES["h13_kaplan_meier"]
+            .fn(spark, "/root/testdata/sf0.01")
+            .collect()
+        )
+    )
+    assert rows
+    s_prev, n_prev = 1.0 + 1e-12, None
+    for t, n, s in rows:
+        assert 0.0 <= s <= s_prev + 1e-12
+        if n_prev is not None:
+            assert n < n_prev
+        s_prev, n_prev = s, n

@@ -823,6 +823,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
         "h11_cusum_changepoint": "day-grain cumsum (calendar-bounded)",
         "zscore_flags": "h10 day-grain trailing stats "
         "(calendar-bounded)",
+        "h13_kaplan_meier": "risk-set cumsum + survival ln-sum both "
+        "run over the user-DURATION alphabet (<= #days rows, "
+        "calendar-bounded)",
     },
     "operators/textstats.py": {
         "bpe_pair_counts": "rank runs AFTER orderBy().limit(top_n) — the "

@@ -177,6 +177,8 @@ FLAGSHIPS = [
     "dq12_replica_checksum",
     "e17_bot_flagging",
     "x57_token_budget",
+    "x58_pii_redact",
+    "h13_kaplan_meier",
     # round-13 rank-window fix (TakeOrderedAndProject head)
     "x22_vocab_coverage",
 ]
