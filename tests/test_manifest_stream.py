@@ -87,3 +87,41 @@ def test_manifest_epoch_guard(spark, tmp_path):
 
     with pytest.raises(ValueError, match="behind"):
         sink(a, 0)  # a new lineage pointed at an old table
+
+
+def test_manifest_ingest_restart_resumes_checkpoint(spark, tmp_path):
+    """Stop-and-resume: drain two files, then drop a third and re-run
+    with the SAME checkpoint — the resumed stream must apply only the
+    new file and land on the full-corpus batch manifest."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    drop = tmp_path / "in"
+    drop.mkdir()
+    import glob
+    import shutil
+
+    def add_slice(i):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(tmp_path / f"slice{i}")
+        )
+        f = glob.glob(str(tmp_path / f"slice{i}" / "*.parquet"))[0]
+        shutil.copy(f, drop / f"part-{i}.parquet")
+
+    table = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    add_slice(0)
+    add_slice(1)
+    run_manifest_ingest(spark, str(drop), table, ckpt,
+                        max_files_per_trigger=1)
+    v_first = current_version(table)
+    assert v_first == 2
+
+    add_slice(2)  # new arrival after the first drain
+    run_manifest_ingest(spark, str(drop), table, ckpt,
+                        max_files_per_trigger=1)
+    assert current_version(table) == 3  # ONE new epoch, not a replay
+
+    got = read_manifest(spark, table)
+    want = QUERIES["x55_export_manifest"].fn(spark, SF)
+    assert _rows(got) == _rows(want)
