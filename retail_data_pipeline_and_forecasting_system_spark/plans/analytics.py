@@ -18321,6 +18321,116 @@ def h13_kaplan_meier(spark, sf):
     )
 
 
+@q(
+    "h14_gap_fill",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY 1
+    ), bounds AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM daily
+    ), cal AS (
+      SELECT CAST(unnest(generate_series(lo, hi,
+        INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT c.day,
+      CAST(coalesce(d.revenue_cents, 0) AS BIGINT) AS revenue_cents,
+      (d.day IS NULL) AS is_gap
+    FROM cal c LEFT JOIN daily d USING (day)
+    """,
+    ref="Time-series: calendar densification (gap filling) — the dense "
+    "day spine every window/rolling computation silently assumes: "
+    "generate the min..max day sequence, left-join the sparse daily "
+    "rollup, zero-fill and FLAG the gaps. Without it, h10's 14-ROW "
+    "trailing frame spans more than 14 DAYS across a gap and w6-style "
+    "rolling averages overstate quiet periods; with it, row frames "
+    "and range frames agree. The flag column doubles as dq8-adjacent "
+    "evidence (a gap in a feed that should tick daily is an incident)",
+    scale="the fact table collapses to the day-grain rollup first "
+    "(one map-side-combined agg — the only data-proportional step); "
+    "the spine is sequence() on a 2-row bound frame exploded to "
+    "#days rows and the join is day-keyed at calendar size. At "
+    "100 TB this is exactly as cheap as the rollup it decorates",
+)
+def h14_gap_fill(spark, sf):
+    daily = daily_revenue_cents(_t(spark, sf, "orders"))
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    d = daily.select(
+        F.col("day").alias("d_day"), "revenue_cents"
+    )
+    return cal.join(d, cal.day == d.d_day, "left").select(
+        "day",
+        F.coalesce("revenue_cents", F.lit(0))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.col("d_day").isNull().alias("is_gap"),
+    )
+
+
+@q(
+    "g6_semi_additive",
+    sql="""
+    WITH ranked AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+        o_custkey,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS cents,
+        row_number() OVER (
+          PARTITION BY date_trunc('month', CAST(o_orderdate AS DATE)),
+                       o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT CAST(month AS DATE) AS month,
+      CAST(count(*) AS BIGINT) AS n_customers,
+      CAST(SUM(cents) AS BIGINT) AS eop_balance_cents
+    FROM ranked WHERE rn = 1 GROUP BY month
+    """,
+    ref="BI staple: semi-additive measure — a balance-like quantity "
+    "sums across CUSTOMERS but not across TIME, so the monthly "
+    "report takes each customer's LAST value in the month (the "
+    "(ts, key) tie order making 'last' deterministic) and sums those. "
+    "The shape every inventory/account-balance snapshot query needs "
+    "and plain GROUP BY gets wrong (summing all of a customer's "
+    "orders double-counts within the month); exact integer cents "
+    "(the a1 fixed-point discipline)",
+    scale="one (month, customer)-keyed window (rn = 1 head — "
+    "partition-parallel, bounded partitions) feeding one month-grain "
+    "agg; both shuffles are on the natural keys and the output is "
+    "#months rows. The window partitions by the HIGH-cardinality "
+    "composite, never the calendar alone, so no hot partition",
+)
+def g6_semi_additive(spark, sf):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    w = Window.partitionBy(month, F.col("o_custkey")).orderBy(
+        F.desc_nulls_last("o_orderdate"), F.desc_nulls_last("o_orderkey")
+    )
+    ranked = o.select(
+        month.alias("month"),
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("eop_balance_cents"),
+        )
+    )
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.
@@ -18442,8 +18552,9 @@ _DRIVER_SAMPLE = [
     # e16_markov_transitions, dq11_fill_rate_drift, x56_pii_scrub,
     # pr9_k_core, then the wave-3 registrations ops7_erasure_scope,
     # dq12_replica_checksum, e17_bot_flagging, the wave-4
-    # x57_token_budget, and the wave-5 x58_pii_redact +
-    # h13_kaplan_meier (all registered after this window was fixed;
+    # x57_token_budget, the wave-5 x58_pii_redact + h13_kaplan_meier,
+    # and the wave-6 h14_gap_fill + g6_semi_additive (all registered
+    # after this window was fixed;
     # each oracle-green at sf0.001/0.01/0.1 this round with hand
     # tests and decade cells). The streaming manifest service
     # (manifest_stream.py) rides x55's driver row: stream==batch is

@@ -854,3 +854,91 @@ def test_h13_survival_monotone_and_bounded(spark):
         if n_prev is not None:
             assert n < n_prev
         s_prev, n_prev = s, n
+
+
+# --------------------------------------- wave-6 r13 registrations
+
+
+def test_h14_fills_and_flags_gaps(spark, tmp_path):
+    """Orders on days 1, 2, 5 of one month: the spine must emit days
+    3 and 4 as zero-revenue flagged gaps and nothing beyond the
+    min/max bounds — cross-engine equal."""
+    import duckdb
+
+    d = tmp_path / "o"
+    d.mkdir()
+    rows = [
+        (1, 1, "O", 10.0, "1995-03-01 00:00:00", "1-URGENT"),
+        (2, 1, "O", 20.0, "1995-03-02 00:00:00", "1-URGENT"),
+        (3, 1, "O", 30.0, "1995-03-05 00:00:00", "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")).coalesce(
+        1
+    ).write.parquet(str(d / "orders.parquet"))
+    got = {
+        str(r["day"]): (r["revenue_cents"], r["is_gap"])
+        for r in QUERIES["h14_gap_fill"].fn(spark, str(d)).collect()
+    }
+    assert got == {
+        "1995-03-01": (1000, False),
+        "1995-03-02": (2000, False),
+        "1995-03-03": (0, True),
+        "1995-03-04": (0, True),
+        "1995-03-05": (3000, False),
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{d}/orders.parquet/*.parquet'"
+    )
+    want = {
+        str(r[0]): (r[1], r[2])
+        for r in con.execute(QUERIES["h14_gap_fill"].sql).fetchall()
+    }
+    assert want == got
+
+
+def test_g6_takes_last_value_per_customer_month(spark, tmp_path):
+    """Customer 1 orders 10 then 99 in March (same-day tie broken by
+    orderkey), customer 2 orders 50 once; April has one order. March
+    balance = 99 + 50, never 10 + 99 + 50 (the double-count plain
+    GROUP BY would give) — cross-engine equal."""
+    import duckdb
+
+    d = tmp_path / "o"
+    d.mkdir()
+    rows = [
+        (1, 1, "O", 10.0, "1995-03-03 00:00:00", "1-URGENT"),
+        (2, 1, "O", 99.0, "1995-03-03 00:00:00", "1-URGENT"),
+        (3, 2, "O", 50.0, "1995-03-10 00:00:00", "1-URGENT"),
+        (4, 1, "O", 7.0, "1995-04-01 00:00:00", "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")).coalesce(
+        1
+    ).write.parquet(str(d / "orders.parquet"))
+    got = {
+        str(r["month"]): (r["n_customers"], r["eop_balance_cents"])
+        for r in QUERIES["g6_semi_additive"].fn(spark, str(d)).collect()
+    }
+    assert got == {
+        "1995-03-01": (2, 9900 + 5000),
+        "1995-04-01": (1, 700),
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{d}/orders.parquet/*.parquet'"
+    )
+    want = {
+        str(r[0]): (r[1], r[2])
+        for r in con.execute(QUERIES["g6_semi_additive"].sql).fetchall()
+    }
+    assert want == got

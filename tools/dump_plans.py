@@ -179,6 +179,8 @@ FLAGSHIPS = [
     "x57_token_budget",
     "x58_pii_redact",
     "h13_kaplan_meier",
+    "h14_gap_fill",
+    "g6_semi_additive",
     # round-13 rank-window fix (TakeOrderedAndProject head)
     "x22_vocab_coverage",
 ]
