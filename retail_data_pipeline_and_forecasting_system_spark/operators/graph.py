@@ -505,12 +505,16 @@ def k_core(
     graph entries (LPA, PageRank, HITS) the iteration count here is
     FIXED so the whole run is a pure function of the edge list,
     restatable as unrolled SQL CTEs for the oracle. The output reports
-    each survivor's degree WITHIN the final survivor set plus
-    ``in_core`` (degree still >= k) — on a converged input every row
-    has in_core = true; rows with in_core = false are exactly the
-    nodes one more peel would remove, so the caller can see whether
-    the bound sufficed. Pass an undirected graph as both edge
-    directions (the co-purchase frame already is).
+    EVERY survivor of the last peel: its degree WITHIN the final
+    survivor set plus ``in_core`` (degree still >= k) — on a converged
+    input every row has in_core = true; rows with in_core = false are
+    exactly the nodes one more peel would remove, so the caller can
+    see whether the bound sufficed. A survivor whose neighbors were
+    all removed in the last peel is emitted with core_degree = 0,
+    in_core = false (the final degree is LEFT-joined onto the alive
+    set, so no node silently disappears — round-13 ADVICE). Pass an
+    undirected graph as both edge directions (the co-purchase frame
+    already is).
 
     At 100 TB: each round is two alive-set semi-joins onto the edge
     list + one src-keyed count agg — edge-proportional, never
@@ -541,10 +545,10 @@ def k_core(
     final = e0.join(
         alive.withColumnRenamed("node", "src"), "src"
     ).join(alive.withColumnRenamed("node", "dst"), "dst")
-    return (
-        final.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
-        .select(
-            "node", "core_degree", (F.col("core_degree") >= k).alias("in_core")
-        )
+    deg = final.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+    cd = F.coalesce(F.col("core_degree"), F.lit(0).cast("bigint"))
+    return alive.join(deg, "node", "left").select(
+        "node", cd.alias("core_degree"), (cd >= k).alias("in_core")
     )

@@ -42,10 +42,16 @@ def manifest_rows(
             F.coalesce(F.col(text_col), F.lit("")),
         )
     )
+    # Column API, not an F.expr SQL string: interpolating id_col into
+    # SQL breaks (or injects) on names needing backticks (round-13
+    # ADVICE). instr over the hex charset is the same md5-nibble value.
     shard = F.coalesce(
-        F.expr(
-            "instr('0123456789abcdef',"
-            f" substring(md5(CAST({id_col} AS STRING)), 1, 1)) - 1"
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 1),
+            )
+            - 1
         ).cast("int")
         % n_shards,
         F.lit(-1),

@@ -17630,12 +17630,19 @@ def _pr9_sql(k: int = 2, n_iter: int = 3) -> str:
         )
     parts.append(
         f""",
+    -- final degree LEFT-joined onto the alive set: a survivor whose
+    -- neighbors all fell in the last peel is emitted with degree 0,
+    -- in_core false, not silently dropped (round-13 ADVICE)
     fin AS (
-      SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_degree
-      FROM edges e
-      JOIN a{n_iter} x ON e.src = x.node
-      JOIN a{n_iter} y ON e.dst = y.node
-      GROUP BY 1
+      SELECT a.node,
+        CAST(coalesce(d.core_degree, 0) AS BIGINT) AS core_degree
+      FROM a{n_iter} a LEFT JOIN (
+        SELECT e.src AS node, count(*) AS core_degree
+        FROM edges e
+        JOIN a{n_iter} x ON e.src = x.node
+        JOIN a{n_iter} y ON e.dst = y.node
+        GROUP BY 1
+      ) d ON a.node = d.node
     )
     SELECT node AS l_partkey, core_degree,
       core_degree >= {k} AS in_core
@@ -18246,8 +18253,17 @@ def x58_pii_redact(spark, sf):
     )
     SELECT CAST(t AS INT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
       d AS n_events,
-      round(exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
-                OVER (ORDER BY t)), 9) AS survival
+      -- d = n_risk (the whole remaining risk set churns on day t) is
+      -- the ln(0) edge: survival is EXACTLY 0 from that day onward.
+      -- DuckDB's ln(0) raises, Spark's F.log(0) returns NULL and the
+      -- window SUM would silently drop the term (round-13 ADVICE) —
+      -- both engines take the explicit-zero branch instead.
+      round(CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t) = 1 THEN 0.0
+            ELSE exp(SUM(CASE WHEN d < n_risk
+                          THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                          ELSE 0.0 END)
+                     OVER (ORDER BY t)) END, 9) AS survival
     FROM risk
     """,
     ref="Time-series/survival: Kaplan-Meier estimator over user "
@@ -18303,18 +18319,26 @@ def h13_kaplan_meier(spark, sf):
     w_cum = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # d = n_risk (everyone still at risk churns on day t) would feed
+    # F.log(0) -> NULL, and the window SUM silently DROPS null terms,
+    # freezing survival at its previous value (round-13 ADVICE). The
+    # product-limit factor is exactly 0 there, so survival is forced
+    # to 0.0 from the first such day onward via a cumulative flag; the
+    # oracle mirrors the CASE (DuckDB's ln(0) raises instead).
+    extinct = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    ln_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
     return risk.select(
         F.col("t").cast("int").alias("t_days"),
         F.col("n_risk").cast("bigint").alias("n_risk"),
         F.col("d").alias("n_events"),
         F.round(
-            F.exp(
-                F.sum(
-                    F.log(
-                        F.lit(1.0)
-                        - F.col("d").cast("double") / F.col("n_risk")
-                    )
-                ).over(w_cum)
+            F.when(extinct == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum(ln_term).over(w_cum))
             ),
             9,
         ).alias("survival"),
@@ -18325,8 +18349,11 @@ def h13_kaplan_meier(spark, sf):
     "h14_gap_fill",
     sql="""
     WITH daily AS (
+      -- DECIMAL(28,2) (not the house 18,2): the *100 cents staging
+      -- would overflow DECIMAL(18) short of the BIGINT range the
+      -- column contract promises — the h10 lesson (round-13 ADVICE)
       SELECT CAST(o_orderdate AS DATE) AS day,
-        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100
              AS BIGINT)) AS BIGINT) AS revenue_cents
       FROM orders GROUP BY 1
     ), bounds AS (
@@ -18379,9 +18406,10 @@ def h14_gap_fill(spark, sf):
     "g6_semi_additive",
     sql="""
     WITH ranked AS (
+      -- DECIMAL(28,2) staging for the same h10/h14 overflow headroom
       SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
         o_custkey,
-        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)
           AS cents,
         row_number() OVER (
           PARTITION BY date_trunc('month', CAST(o_orderdate AS DATE)),

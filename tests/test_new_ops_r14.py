@@ -1,0 +1,206 @@
+"""Round-14 regressions for the round-13 ADVICE items: h13's
+d == n_risk extinction edge (F.log(0) -> NULL silently dropped by the
+window SUM), k_core's zero-degree last-peel survivors, the manifest
+shard expression on hostile column names, and the h14/g6 oracle
+DECIMAL(28,2) staging headroom."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_data_pipeline_and_forecasting_system_spark.plans.analytics import (
+    QUERIES,
+)
+
+_EV_SCHEMA = (
+    "event_id long, ts string, user_id long, event_type string, "
+    "value double, props string"
+)
+_ORD_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate string, o_orderpriority string"
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    d = tmp_path / "ev"
+    d.mkdir()
+    spark.createDataFrame(rows, _EV_SCHEMA).withColumn(
+        "ts", F.to_timestamp("ts")
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    return d
+
+
+def _write_orders(spark, tmp_path, rows):
+    d = tmp_path / "o"
+    d.mkdir()
+    spark.createDataFrame(rows, _ORD_SCHEMA).withColumn(
+        "o_orderdate", F.to_timestamp("o_orderdate")
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    return d
+
+
+# ----------------------------------------------- ADVICE regressions
+
+
+def test_h13_full_churn_extinction_cross_engine(spark, tmp_path):
+    """Round-13 ADVICE (medium): when EVERY user still at risk ends on
+    day t and all are churned (d = n_risk), the product-limit factor is
+    exactly 0 — the old F.log(0) returned NULL, the window SUM dropped
+    the term, and survival silently froze at its previous value.
+    Fixture: users 1+3 end at t=1 (user 3 censored, defining corpus
+    end), user 2 alone remains and churns at t=4 — so at t=4
+    d = n_risk = 1 and survival must be 0.0, in BOTH engines."""
+    import duckdb
+
+    rows = [
+        # user 1: 01-01 .. 01-02, t=1, churned (end 01-20 - last > 3)
+        (0, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (1, "2024-01-02 00:00:00", 1, "view", 1.0, "{}"),
+        # user 2: 01-01 .. 01-05, t=4, churned — the LAST at-risk user
+        (2, "2024-01-01 00:00:00", 2, "view", 1.0, "{}"),
+        (3, "2024-01-05 00:00:00", 2, "view", 1.0, "{}"),
+        # user 3: 01-19 .. 01-20, t=1, censored (defines corpus end)
+        (4, "2024-01-19 00:00:00", 3, "view", 1.0, "{}"),
+        (5, "2024-01-20 00:00:00", 3, "view", 1.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r["t_days"]: (r["n_risk"], r["n_events"], r["survival"])
+        for r in QUERIES["h13_kaplan_meier"].fn(spark, str(d)).collect()
+    }
+    assert got == {
+        1: (3, 1, round(2.0 / 3.0, 9)),
+        4: (1, 1, 0.0),  # extinction day: survival EXACTLY 0, not 2/3
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{d}/events.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(QUERIES["h13_kaplan_meier"].sql).fetchall()
+    }
+    assert want == got
+
+
+def test_k_core_zero_degree_survivor_emitted(spark):
+    """Round-13 ADVICE: a node that survives the last peel but whose
+    neighbors ALL fell in that peel has zero edges in the final
+    recompute — it must be emitted with core_degree = 0,
+    in_core = false, not silently dropped. Graph: hub X with two
+    degree-1 leaves (X survives peel 1 with degree 2; both leaves are
+    removed) plus a triangle p-q-r that stays in the 2-core."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.graph import (
+        k_core,
+    )
+
+    pairs = [(10, 1), (10, 2), (20, 21), (21, 22), (22, 20)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: (r["core_degree"], r["in_core"])
+        for r in k_core(edges, k=2, n_iter=1).collect()
+    }
+    assert got == {
+        10: (0, False),  # the zero-degree survivor, previously dropped
+        20: (2, True),
+        21: (2, True),
+        22: (2, True),
+    }
+
+
+def test_manifest_hostile_id_column_name(spark):
+    """Round-13 ADVICE: the shard expression interpolated id_col into
+    an F.expr SQL string — a column name needing backticks broke the
+    parse. Now column-API: a renamed `doc id` column must shard
+    identically to the plain doc_id run."""
+    from retail_data_pipeline_and_forecasting_system_spark.operators.manifest import (
+        manifest_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)] + [(None, "orphan")],
+        "doc_id long, text string",
+    )
+    plain = {
+        r["doc_id"]: r["shard"]
+        for r in manifest_rows(docs).select("doc_id", "shard").collect()
+    }
+    hostile = {
+        r["doc_id"]: r["shard"]
+        for r in manifest_rows(
+            docs.withColumnRenamed("doc_id", "doc id"), id_col="doc id"
+        )
+        .select(F.col("doc_id"), "shard")
+        .collect()
+    }
+    assert hostile == plain
+    assert plain[None] == -1  # NULL-id quarantine unchanged
+
+
+def test_h14_g6_big_cents_magnitudes_cross_engine(spark, tmp_path):
+    """h14/g6 oracle staging widened to DECIMAL(28,2) (round-13
+    ADVICE, the h10 lesson — DuckDB's DECIMAL(18,2) * 100 multiply
+    overflows at 1e14 dollars). Cross-engine exact at the proven
+    ~7e13-dollar zone (below 2^53 cents, where double->decimal agrees
+    engine-to-engine) with a gap day and a two-customer month."""
+    import duckdb
+
+    rows = [
+        # March: cust 1 orders on day 1 and day 2 (last = day 2),
+        # cust 2 on day 2; day 3 absent; day 4 closes the spine.
+        (1, 1, "O", 69_000_000_000_000.0, "1995-03-01 00:00:00", "1-U"),
+        (2, 1, "O", 70_000_000_000_000.0, "1995-03-02 00:00:00", "1-U"),
+        (3, 2, "O", 71_000_000_000_000.0, "1995-03-02 00:00:00", "1-U"),
+        (4, 2, "O", 68_000_000_000_000.0, "1995-03-04 00:00:00", "1-U"),
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{d}/orders.parquet/*.parquet'"
+    )
+    got14 = {
+        str(r["day"]): (r["revenue_cents"], r["is_gap"])
+        for r in QUERIES["h14_gap_fill"].fn(spark, str(d)).collect()
+    }
+    assert got14["1995-03-02"] == (141_000_000_000_000_00, False)
+    assert got14["1995-03-03"] == (0, True)
+    want14 = {
+        str(r[0]): (r[1], r[2])
+        for r in con.execute(QUERIES["h14_gap_fill"].sql).fetchall()
+    }
+    assert want14 == got14
+
+    got6 = {
+        str(r["month"]): (r["n_customers"], r["eop_balance_cents"])
+        for r in QUERIES["g6_semi_additive"].fn(spark, str(d)).collect()
+    }
+    # last-per-customer: cust 1 -> day-2 order (7e13), cust 2 -> day 4
+    assert got6 == {"1995-03-01": (2, 138_000_000_000_000_00)}
+    want6 = {
+        str(r[0]): (r[1], r[2])
+        for r in con.execute(QUERIES["g6_semi_additive"].sql).fetchall()
+    }
+    assert want6 == got6
+
+    # DuckDB-only headroom pin: a 2e16-dollar order is inside the
+    # BIGINT-cents contract but PAST DECIMAL(18,2) — the old staging
+    # raised a conversion error here; DECIMAL(28,2) must stage it.
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW orders AS SELECT 1 AS o_orderkey, 1 AS o_custkey,"
+        " 'O' AS o_orderstatus, 2e16 AS o_totalprice,"
+        " TIMESTAMP '1995-03-01 00:00:00' AS o_orderdate,"
+        " '1-U' AS o_orderpriority"
+    )
+    assert con2.execute(QUERIES["h14_gap_fill"].sql).fetchall() == [
+        (__import__("datetime").date(1995, 3, 1), 2 * 10**18, False)
+    ]
+    assert con2.execute(QUERIES["g6_semi_additive"].sql).fetchall() == [
+        (__import__("datetime").date(1995, 3, 1), 1, 2 * 10**18)
+    ]
