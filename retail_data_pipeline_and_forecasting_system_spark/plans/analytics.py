@@ -18459,6 +18459,137 @@ def g6_semi_additive(spark, sf):
     )
 
 
+def _x59_sql(
+    num_hashes: int = 8,
+    bands: int = 4,
+    thr: str = "0.35",
+    max_df: int = _JACCARD_MAX_DF,
+) -> str:
+    """Three-tier split-overlap oracle: exact (md5 content key),
+    near-dup (the _sql_minhash sliced-md5 band scheme verified at
+    exact Jaccard), n-gram (>= 1 shared rare shingle) — each pair set
+    restricted to train x eval sides before counting."""
+    rows = num_hashes // bands
+    mh_cols = ", ".join(
+        f"min(substring(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8))"
+        f" AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return (
+        _SQL_SHINGLES
+        + f"""
+  , lab AS (
+    SELECT doc_id,
+      CAST(instr('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+           AS INT) AS nib
+    FROM documents
+  ), tr AS (SELECT doc_id, nib FROM lab WHERE nib < 12
+  ), ev AS (
+    SELECT doc_id,
+      CASE WHEN nib < 14 THEN 'val' ELSE 'test' END AS eval_set
+    FROM lab WHERE nib >= 12
+  ), ck AS (
+    SELECT doc_id, md5(text) AS k FROM documents WHERE text IS NOT NULL
+  ), ex_pairs AS (
+    SELECT a.doc_id AS train_id, b.doc_id AS eval_id
+    FROM ck a
+    JOIN tr t ON t.doc_id = a.doc_id
+    JOIN ck b ON b.k = a.k
+    JOIN ev e ON e.doc_id = b.doc_id
+  ), sig AS (
+    SELECT doc_id, {mh_cols} FROM shingles GROUP BY doc_id
+  ), buckets AS ({band_rows}
+  ), cand AS (
+    SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+    FROM buckets a
+    JOIN tr t ON t.doc_id = a.doc_id
+    JOIN buckets b ON b.band = a.band AND b.bucket = a.bucket
+    JOIN ev e ON e.doc_id = b.doc_id
+  ), sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+  ), inter AS (
+    SELECT c.train_id, c.eval_id, count(*) AS n_common
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.train_id
+    JOIN shingles sb ON sb.doc_id = c.eval_id AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+  ), near_pairs AS (
+    SELECT i.train_id, i.eval_id FROM inter i
+    JOIN sizes na ON na.doc_id = i.train_id
+    JOIN sizes nb ON nb.doc_id = i.eval_id
+    WHERE CAST(n_common AS DOUBLE)
+          / (na.n_shingles + nb.n_shingles - n_common) >= {thr}
+  ), rare AS (
+    SELECT shingle FROM shingles GROUP BY shingle
+    HAVING count(*) <= {max_df}
+  ), rsh AS (
+    SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)
+  ), ng_pairs AS (
+    SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+    FROM rsh a
+    JOIN tr t ON t.doc_id = a.doc_id
+    JOIN rsh b ON b.shingle = a.shingle
+    JOIN ev e ON e.doc_id = b.doc_id
+  ), tiers AS (
+    SELECT 'exact' AS tier, train_id, eval_id FROM ex_pairs
+    UNION ALL SELECT 'near_dup', train_id, eval_id FROM near_pairs
+    UNION ALL SELECT 'ngram', train_id, eval_id FROM ng_pairs
+  )
+  SELECT t.nib AS train_shard, e.eval_set, ti.tier,
+    CAST(count(DISTINCT ti.train_id) AS BIGINT) AS n_train_docs,
+    CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(min(ti.train_id) AS BIGINT) AS example_train_id,
+    CAST(min(ti.eval_id) AS BIGINT) AS example_eval_id
+  FROM tiers ti
+  JOIN tr t ON t.doc_id = ti.train_id
+  JOIN ev e ON e.doc_id = ti.eval_id
+  GROUP BY 1, 2, 3
+"""
+    )
+
+
+@q(
+    "x59_split_overlap",
+    sql=_x59_sql(),
+    ref="LLM-ops: train/eval split-integrity audit — the example-level "
+    "leakage table every LLM data release publishes: per (train-shard, "
+    "eval-set) cell, overlap at THREE severity tiers — exact (d1's "
+    "md5 content key), near_dup (d3's MinHash bands verified at exact "
+    "Jaccard >= 0.35), ngram (x13-style collision at PAIR grain: >= 1 "
+    "shared rare 3-word shingle, df <= 50) — with distinct leaked "
+    "train docs, distinct pairs, and a concrete (min train id, min "
+    "eval id) example pair per cell. Tiers are inclusive by design; "
+    "shards and splits are the x6/x32 content-hash nibble, so every "
+    "cell is restart-stable and a flagged shard re-audits "
+    "independently (operators/splitaudit.py)",
+    scale="sides restrict BEFORE every pair join (train x train pairs "
+    "never form — at 100 TB the eval side is a tiny held-out set, so "
+    "each join's probe side is small); exact is one content-key "
+    "equi-join, near-dup rides d3's persisted band buckets "
+    "(sub-quadratic candidates + row-local verify), ngram rides the "
+    "df-capped inverted index (<= max_df^2 fanout per shingle); the "
+    "final agg is at (shard, eval_set, tier) grain — <= 72 rows out",
+)
+def x59_split_overlap(spark, sf):
+    from ..operators.splitaudit import split_overlap_audit
+
+    return split_overlap_audit(
+        _t(spark, sf, "documents"),
+        num_hashes=8,
+        bands=4,
+        near_threshold=0.35,
+        k=3,
+        max_df=_JACCARD_MAX_DF,
+    )
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.
@@ -18546,62 +18677,53 @@ del _n, _s
 
 
 _DRIVER_SAMPLE = [
-    # ROUND-13 window. Composition per the r12 verdict's Next #1:
-    # the 6 never-driver-checked wave-2/3 registrations first, then
-    # the round-13 registration, then the r07-evidence cohort (the
-    # registry's oldest driver evidence, 6 rounds stale at r13).
+    # ROUND-14 window. Composition per the r13 verdict's Next #1:
+    # the 12 never-driver-checked r13 registrations first (all
+    # registered after the r13 window was fixed; judge-verified at
+    # sf0.01 in the r13 session, oracle-green at three SFs locally),
+    # then the deferred r07 pair, then the round-14 registration,
+    # then the r08-evidence cohort (the registry's oldest bulk
+    # evidence, 6 rounds stale at r14).
     #
-    # never-driver-verified (6): registered in round 12 after the r12
-    # window sealed (the n11/x30/x31 precedent); each already
-    # oracle-green at sf0.001/0.01/0.1 locally AND judge-verified in
-    # the r12 session
-    "ab4_power_mde", "e15_funnel_steps", "h12_seasonal_strength",
-    "ev8_mixture_divergence", "dq10_key_uniqueness", "skw3_salted_join",
-    # round-13 registration (oracle-green at all three SFs,
-    # tools/verify_driver_contract.py, this round)
-    "x55_export_manifest",
-    # NO changed-values riders this round: the r12-ADVICE code touches
-    # are value-identical on driver data and carry equivalent fresh
-    # evidence — x22 (TakeOrdered top-k replaces the rank window; same
-    # rows and tie order, oracle re-passed at sf0.001/0.01/0.1 +
-    # plan-asserted), h10 (num/s widened to decimal; oracle re-passed
-    # at all three SFs + the ~7e17-cents regression test), pr8/LPA
-    # (src∪dst carry-forward fires only on directed inputs; pr8's
-    # co-purchase frame is undirected, oracle re-passed at sf0.01).
-    # The headline re-pins (a1/a5/q1/x5) again cede their slots to the
-    # cohort per the verdict fill order; all are r10/r11-green and
-    # stay timed by bench.py every round.
-    # ROUND-14 queue: the 2 r07-cohort entries the 50-slot window
-    # cannot fit (6+1+45 = 52): x31_duplicate_spans and
-    # x7_corpus_curation — deferred BECAUSE they carry the strongest
-    # non-driver evidence of the cohort (both judge-verified in the
-    # r12 session, x31 at sf0.1; x7 is bench-timed and plan-audited
-    # every round) — plus the round-13 wave-2 registrations
-    # e16_markov_transitions, dq11_fill_rate_drift, x56_pii_scrub,
-    # pr9_k_core, then the wave-3 registrations ops7_erasure_scope,
-    # dq12_replica_checksum, e17_bot_flagging, the wave-4
-    # x57_token_budget, the wave-5 x58_pii_redact + h13_kaplan_meier,
-    # and the wave-6 h14_gap_fill + g6_semi_additive (all registered
-    # after this window was fixed;
-    # each oracle-green at sf0.001/0.01/0.1 this round with hand
-    # tests and decade cells). The streaming manifest service
-    # (manifest_stream.py) rides x55's driver row: stream==batch is
-    # pinned by tests/test_manifest_stream.py.
-    # the r07-evidence cohort (alphabetical), 43 of 45:
-    "a13_bloom_membership", "a14_count_min", "a6_histogram",
-    "a7_stats_pack", "a8_percentiles", "a9_having", "c1_cross_join",
-    "d10_containment_pairs", "d11_incremental_dedup", "d1_dedup_exact",
-    "d2_jaccard_pairs", "d3_minhash_lsh", "d4_simhash",
-    "d7_char_jaccard", "d9_hyperplane_lsh", "e1_json_extract",
-    "e4_sliding_window", "e6_inter_event_gaps", "e7_variant_extract",
-    "f_array_pack", "f_conditional_pack", "f_date_pack",
-    "f_string_pack", "g1_rollup", "g2_pivot", "g3_asof_join",
-    "g4_cube", "h1_hypertable_rollup", "m11_real_audio_decode",
-    "m12_real_frame_sample", "n11_knn_join_ivfpq", "n1_ann_bruteforce",
-    "n2_ann_lsh_bucket", "n4_ann_pq", "n5_ann_ivfpq", "n6_ann_rerank",
-    "w3_lag_delta", "w4_window_pack", "x1_language_scores",
-    "x2_quality_scores", "x30_dsir_selection", "x3_token_counts",
-    "x4_fingerprints",
+    # never-driver-verified (12) — four carry round-14 ADVICE-fix
+    # code changes and NEED a fresh row anyway (pr9: zero-degree
+    # survivors now emitted; h13: d == n_risk extinction guard;
+    # h14/g6: oracle staging widened to DECIMAL(28,2)):
+    "dq11_fill_rate_drift", "dq12_replica_checksum",
+    "e16_markov_transitions", "e17_bot_flagging", "g6_semi_additive",
+    "h13_kaplan_meier", "h14_gap_fill", "ops7_erasure_scope",
+    "pr9_k_core", "x56_pii_scrub", "x57_token_budget",
+    "x58_pii_redact",
+    # the r07-evidence pair deferred from the r13 window (judge-
+    # verified at sf0.1 in the r13 session) — closes the r07 tier:
+    "x31_duplicate_spans", "x7_corpus_curation",
+    # round-14 registration (oracle-green at sf0.001/0.01/0.1 via
+    # tools/verify_driver_contract.py this round):
+    "x59_split_overlap",
+    # x55_export_manifest is NOT re-windowed despite the manifest
+    # shard-expression rewrite (F.expr -> column API): values are
+    # identical by construction, re-proven by the r13 oracle suite +
+    # the hostile-column-name regression (tests/test_new_ops_r14.py).
+    # ROUND-15 queue: the 9 r08-cohort entries the 50-slot window
+    # cannot fit (12+2+1+44 = 59): smp2_per_group_sample,
+    # smp7_quota_allocation, sq1_above_segment_avg, u4_intersect_all,
+    # w10_longest_streak, x32_training_shards, x33_vocab_coverage,
+    # x34_ngram_novelty, x38_char_entropy — each pre-flighted green
+    # at sf0.01 this round (SURVEY round-14 notes).
+    # the r08-evidence cohort (alphabetical), 35 of 44:
+    "a19_exact_mode", "d17_edit_distance_dedup",
+    "d18_cross_source_overlap", "dq3_column_profile",
+    "dq4_robust_outliers", "dq5_ks_drift", "e12_time_to_convert",
+    "e9_attribution", "ev1_ann_recall", "ev2_partition_purity",
+    "ev4_ann_ndcg", "ev5_dedup_recall", "g5_unpivot",
+    "gs1_grouping_sets", "h5_time_weighted_avg", "h6_counter_increase",
+    "h7_ohlc_bars", "h8_peak_concurrency", "j6_range_join",
+    "j7_funnel", "m13_audio_frame_features", "m14_image_content_dedup",
+    "m15_real_resize", "m16_visual_features", "m6_multivariate_ols",
+    "m7_forecast_backtest", "n12_hard_negatives",
+    "n13_nn_descent_graph", "n14_filtered_ann", "na1_null_impute",
+    "ops3_delete_propagation", "ops6_incremental_agg",
+    "pr4_item_similarity", "skw1_hot_keys", "smp1_stratified_sample",
 ]
 
 

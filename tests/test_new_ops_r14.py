@@ -142,6 +142,81 @@ def test_manifest_hostile_id_column_name(spark):
     assert plain[None] == -1  # NULL-id quarantine unchanged
 
 
+# --------------------------------------- x59_split_overlap (round 14)
+
+
+def test_x59_three_tiers_hand_fixture_cross_engine(spark, tmp_path):
+    """Seeded leakage at each severity tier (ids chosen by md5 nibble:
+    4/14/6/7/9/11 train, 0/1 val, 3/5 test):
+
+    - docs 4, 14 (train, both shard 10) EXACT-dup val docs 0, 1 ->
+      the (10, val) cell carries all three tiers with 2 train docs
+      and 4 pairs;
+    - doc 6 (train, shard 1) near-dups test doc 3 (jaccard 5/7, band
+      collision) -> near_dup + ngram, never exact;
+    - doc 7 (train, shard 8) shares exactly ONE shingle with test doc
+      5 (jaccard 1/3 < 0.35) -> ngram ONLY;
+    - doc 9 (train) overlaps nothing; doc 11 has NULL text; a NULL
+      doc_id row with DUPLICATED content is excluded entirely (no
+      nibble -> no split); val x val exact dups (0 vs 1) and train x
+      train dups (4 vs 14) must NOT appear as pairs."""
+    import duckdb
+
+    rows = [
+        (4, "alpha beta gamma delta"),
+        (14, "alpha beta gamma delta"),
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (6, "one two three four five six seven nine"),
+        (3, "one two three four five six seven eight"),
+        (7, "red green blue purple"),
+        (5, "red green blue orange"),
+        (9, "quux corge grault flarp"),
+        (11, None),
+        (None, "alpha beta gamma delta"),
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["x59_split_overlap"].fn(spark, str(d)).collect()
+    )
+    assert got == [
+        (1, "test", "near_dup", 1, 1, 6, 3),
+        (1, "test", "ngram", 1, 1, 6, 3),
+        (8, "test", "ngram", 1, 1, 7, 5),
+        (10, "val", "exact", 2, 4, 4, 0),
+        (10, "val", "near_dup", 2, 4, 4, 0),
+        (10, "val", "ngram", 2, 4, 4, 0),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(QUERIES["x59_split_overlap"].sql).fetchall()
+    )
+    assert want == got
+
+
+def test_x59_sides_restrict_before_pair_joins(spark):
+    """Plan shape: the three tier joins must not form train x train or
+    eval x eval pairs — every scan feeding a pair join carries the
+    nibble filter, and no CartesianProduct/BroadcastNestedLoop appears
+    anywhere in the audit plan."""
+    df = QUERIES["x59_split_overlap"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_h14_g6_big_cents_magnitudes_cross_engine(spark, tmp_path):
     """h14/g6 oracle staging widened to DECIMAL(28,2) (round-13
     ADVICE, the h10 lesson — DuckDB's DECIMAL(18,2) * 100 multiply

@@ -183,6 +183,8 @@ FLAGSHIPS = [
     "g6_semi_additive",
     # round-13 rank-window fix (TakeOrderedAndProject head)
     "x22_vocab_coverage",
+    # round-14 registration
+    "x59_split_overlap",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
