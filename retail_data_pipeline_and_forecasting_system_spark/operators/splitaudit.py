@@ -56,7 +56,7 @@ def split_nibble(c: Column) -> Column:
     ).cast("int")
 
 
-def split_overlap_audit(
+def tier_pairs(
     docs: DataFrame,
     num_hashes: int = 8,
     bands: int = 4,
@@ -65,11 +65,10 @@ def split_overlap_audit(
     max_df: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> DataFrame:
-    """Per (train_shard, eval_set, tier): distinct leaked-into train
-    docs, distinct (train, eval) pairs, and the (min train id, min
-    eval id) example pair. Output columns: train_shard, eval_set,
-    tier, n_train_docs, n_pairs, example_train_id, example_eval_id."""
+) -> dict[str, DataFrame]:
+    """The three cross-split pair frames the audit AND the scrub share:
+    ``{'exact' | 'near_dup' | 'ngram': (train_id, eval_id)}`` — each
+    side-restricted before its pair join (see module docstring)."""
     from pyspark import StorageLevel
 
     from ..caching import track
@@ -133,15 +132,46 @@ def split_overlap_audit(
     )
     ng = sa.join(sb, "shingle").select("train_id", "eval_id").distinct()
 
+    return {"exact": ex, "near_dup": near, "ngram": ng}
+
+
+def split_overlap_audit(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    near_threshold: float = 0.35,
+    k: int = 3,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per (train_shard, eval_set, tier): distinct leaked-into train
+    docs, distinct (train, eval) pairs, and the (min train id, min
+    eval id) example pair. Output columns: train_shard, eval_set,
+    tier, n_train_docs, n_pairs, example_train_id, example_eval_id."""
+    pairs = tier_pairs(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        near_threshold=near_threshold,
+        k=k,
+        max_df=max_df,
+        id_col=id_col,
+        text_col=text_col,
+    )
     tiers = (
-        ex.select(F.lit("exact").alias("tier"), "train_id", "eval_id")
+        pairs["exact"].select(
+            F.lit("exact").alias("tier"), "train_id", "eval_id"
+        )
         .unionByName(
-            near.select(
+            pairs["near_dup"].select(
                 F.lit("near_dup").alias("tier"), "train_id", "eval_id"
             )
         )
         .unionByName(
-            ng.select(F.lit("ngram").alias("tier"), "train_id", "eval_id")
+            pairs["ngram"].select(
+                F.lit("ngram").alias("tier"), "train_id", "eval_id"
+            )
         )
     )
     # shard and eval_set recomputed map-side from the pair ids — the
@@ -160,4 +190,87 @@ def split_overlap_audit(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.min("train_id").cast("bigint").alias("example_train_id"),
         F.min("eval_id").cast("bigint").alias("example_eval_id"),
+    )
+
+
+def leakage_scrub_manifest(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    near_threshold: float = 0.35,
+    k: int = 3,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The remediation half of the audit (the x56 -> x58 pattern):
+    apply the standard decontamination policy to the train split —
+    DROP exact and verified near-dup leaks, FLAG-but-KEEP n-gram-only
+    hits (an isolated shared shingle is too noisy a signal to delete
+    on) — and emit the per-shard post-scrub manifest: doc counts per
+    verdict, surviving token mass, and an x55-style order-independent
+    u64 digest of the KEPT (doc_id:text) multiset, so the release can
+    pin exactly which training bytes survived decontamination with
+    one string compare per shard.
+
+    Output: (train_shard, n_docs, n_dropped, n_flagged_kept, n_kept,
+    kept_tokens, kept_digest). Scale: the pair frames are shared with
+    the audit (same bounds); the manifest side is one row-local hash
+    per train doc + two id-keyed left joins against id-sized verdict
+    sets + ONE 12-group map-side-combined agg — the x55 shape with a
+    leakage verdict attached."""
+    from .manifest import U64_MOD, manifest_rows
+
+    pairs = tier_pairs(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        near_threshold=near_threshold,
+        k=k,
+        max_df=max_df,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    drop_ids = (
+        pairs["exact"]
+        .select("train_id")
+        .unionByName(pairs["near_dup"].select("train_id"))
+        .distinct()
+        .select(F.col("train_id").alias(id_col), F.lit(True).alias("__drop"))
+    )
+    flag_ids = (
+        pairs["ngram"]
+        .select("train_id")
+        .distinct()
+        .select(F.col("train_id").alias(id_col), F.lit(True).alias("__flag"))
+    )
+    # manifest_rows' shard IS the split nibble (x32 layout), so the
+    # train restriction is a shard-range filter; NULL-id rows sit in
+    # shard -1 and stay out of the scrub, matching the audit
+    rows = manifest_rows(docs, id_col=id_col, text_col=text_col)
+    train = rows.filter((F.col("shard") >= 0) & (F.col("shard") < 12))
+    j = train.join(drop_ids, id_col, "left").join(flag_ids, id_col, "left")
+    dropped = F.coalesce(F.col("__drop"), F.lit(False))
+    kept = ~dropped
+    flagged_kept = F.coalesce(F.col("__flag"), F.lit(False)) & kept
+    return j.groupBy(F.col("shard").alias("train_shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(dropped.cast("int")).cast("bigint").alias("n_dropped"),
+        F.sum(flagged_kept.cast("int"))
+        .cast("bigint")
+        .alias("n_flagged_kept"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.pmod(
+            F.coalesce(
+                F.sum(F.when(kept, F.col("h64"))),
+                F.lit(0).cast("decimal(38,0)"),
+            ),
+            F.lit(U64_MOD).cast("decimal(38,0)"),
+        )
+        .cast("decimal(20,0)")
+        .cast("string")
+        .alias("kept_digest"),
     )

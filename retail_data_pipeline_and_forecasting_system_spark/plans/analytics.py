@@ -18459,16 +18459,18 @@ def g6_semi_additive(spark, sf):
     )
 
 
-def _x59_sql(
+def _x59_pair_ctes(
     num_hashes: int = 8,
     bands: int = 4,
     thr: str = "0.35",
     max_df: int = _JACCARD_MAX_DF,
 ) -> str:
-    """Three-tier split-overlap oracle: exact (md5 content key),
-    near-dup (the _sql_minhash sliced-md5 band scheme verified at
-    exact Jaccard), n-gram (>= 1 shared rare shingle) — each pair set
-    restricted to train x eval sides before counting."""
+    """Shared three-tier cross-split pair CTEs (through ``tiers``):
+    exact (md5 content key), near-dup (the _sql_minhash sliced-md5
+    band scheme verified at exact Jaccard), n-gram (>= 1 shared rare
+    shingle) — each pair set restricted to train x eval sides before
+    counting. The x59 audit and the x60 scrub append different final
+    SELECTs."""
     rows = num_hashes // bands
     mh_cols = ", ".join(
         f"min(substring(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8))"
@@ -18542,6 +18544,14 @@ def _x59_sql(
     UNION ALL SELECT 'near_dup', train_id, eval_id FROM near_pairs
     UNION ALL SELECT 'ngram', train_id, eval_id FROM ng_pairs
   )
+"""
+    )
+
+
+def _x59_sql() -> str:
+    return (
+        _x59_pair_ctes()
+        + """
   SELECT t.nib AS train_shard, e.eval_set, ti.tier,
     CAST(count(DISTINCT ti.train_id) AS BIGINT) AS n_train_docs,
     CAST(count(*) AS BIGINT) AS n_pairs,
@@ -18551,6 +18561,52 @@ def _x59_sql(
   JOIN tr t ON t.doc_id = ti.train_id
   JOIN ev e ON e.doc_id = ti.eval_id
   GROUP BY 1, 2, 3
+"""
+    )
+
+
+def _x60_sql() -> str:
+    """Scrub-manifest oracle: drop exact+near leaks, flag-keep
+    ngram-only hits, x55's u64 multiset digest over the KEPT rows."""
+    return (
+        _x59_pair_ctes()
+        + f"""
+  , drop_ids AS (
+    SELECT DISTINCT train_id FROM tiers
+    WHERE tier IN ('exact', 'near_dup')
+  ), flag_ids AS (
+    SELECT DISTINCT train_id FROM tiers WHERE tier = 'ngram'
+  ), trd AS (
+    SELECT t.nib AS train_shard,
+      CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      md5(concat(coalesce(CAST(d.doc_id AS VARCHAR), ''), ':',
+          coalesce(d.text, ''))) AS h,
+      (dr.train_id IS NOT NULL) AS dropped,
+      (fl.train_id IS NOT NULL) AS flagged
+    FROM documents d
+    JOIN tr t ON t.doc_id = d.doc_id
+    LEFT JOIN drop_ids dr ON dr.train_id = d.doc_id
+    LEFT JOIN flag_ids fl ON fl.train_id = d.doc_id
+  ), trh AS (
+    SELECT train_shard, n_tokens, dropped, flagged,
+      CAST({_x55_hex8('h', 1)} AS HUGEINT) * 4294967296
+        + {_x55_hex8('h', 9)} AS h64
+    FROM trd
+  )
+  SELECT train_shard,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_dropped,
+    CAST(SUM(CASE WHEN flagged AND NOT dropped THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_flagged_kept,
+    CAST(SUM(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_kept,
+    CAST(SUM(CASE WHEN NOT dropped THEN n_tokens END) AS BIGINT)
+      AS kept_tokens,
+    CAST(CAST(coalesce(SUM(CASE WHEN NOT dropped THEN h64 END), 0)
+         % CAST({_X55_U64_MOD} AS HUGEINT) AS DECIMAL(20,0))
+         AS VARCHAR) AS kept_digest
+  FROM trh GROUP BY 1
 """
     )
 
@@ -18581,6 +18637,41 @@ def x59_split_overlap(spark, sf):
     from ..operators.splitaudit import split_overlap_audit
 
     return split_overlap_audit(
+        _t(spark, sf, "documents"),
+        num_hashes=8,
+        bands=4,
+        near_threshold=0.35,
+        k=3,
+        max_df=_JACCARD_MAX_DF,
+    )
+
+
+@q(
+    "x60_leakage_scrub",
+    sql=_x60_sql(),
+    ref="LLM-ops: decontamination scrub manifest — the remediation "
+    "half of x59's audit (the x56 -> x58 pattern): apply the standard "
+    "policy to the train split (DROP exact and verified near-dup "
+    "leaks; FLAG-but-KEEP ngram-only hits — one shared shingle is too "
+    "noisy to delete on) and emit the per-shard post-scrub receipt: "
+    "verdict counts, surviving token mass, and an x55-style "
+    "order-independent u64 digest of the KEPT (doc_id:text) multiset "
+    "— the artifact that pins exactly which training bytes survived "
+    "decontamination, so the export (x55) and the scrub can be "
+    "reconciled with one string compare per shard "
+    "(operators/splitaudit.py leakage_scrub_manifest)",
+    scale="the pair frames are shared with x59 (same side-restricted, "
+    "df-capped, band-bucketed bounds); the manifest side adds one "
+    "row-local md5 per train doc, two id-keyed LEFT joins against "
+    "id-sized verdict sets (AQE-coalesced; at 100 TB the verdict "
+    "sets are leakage-sized, far below corpus-sized), and ONE "
+    "12-group map-side-combined agg — the commutative digest sum "
+    "means no ordered fold and partial aggregation does all the work",
+)
+def x60_leakage_scrub(spark, sf):
+    from ..operators.splitaudit import leakage_scrub_manifest
+
+    return leakage_scrub_manifest(
         _t(spark, sf, "documents"),
         num_hashes=8,
         bands=4,
@@ -18709,7 +18800,10 @@ _DRIVER_SAMPLE = [
     # smp7_quota_allocation, sq1_above_segment_avg, u4_intersect_all,
     # w10_longest_streak, x32_training_shards, x33_vocab_coverage,
     # x34_ngram_novelty, x38_char_entropy — each pre-flighted green
-    # at sf0.01 this round (SURVEY round-14 notes).
+    # at sf0.01 this round (SURVEY round-14 notes) — plus the
+    # round-14 registrations made AFTER this window was fixed
+    # (x60_leakage_scrub and later waves; each oracle-green at
+    # sf0.001/0.01/0.1 on registration, per the house queue rule).
     # the r08-evidence cohort (alphabetical), 35 of 44:
     "a19_exact_mode", "d17_edit_distance_dedup",
     "d18_cross_source_overlap", "dq3_column_profile",

@@ -204,6 +204,65 @@ def test_x59_three_tiers_hand_fixture_cross_engine(spark, tmp_path):
     assert want == got
 
 
+def test_x60_scrub_policy_hand_fixture_cross_engine(spark, tmp_path):
+    """Same seeded corpus as the x59 fixture. Policy: 4, 14 (exact-dup
+    of val docs) and 6 (verified near-dup of a test doc) are DROPPED;
+    7 (ngram-only hit) is FLAGGED but KEPT; 9 (clean) and 11 (NULL
+    text) are untouched. Shards that lose everything emit kept=0 with
+    the digest '0'; the kept digest is the exact u64 md5(doc_id:text)
+    multiset sum."""
+    import duckdb
+    import hashlib
+
+    rows = [
+        (4, "alpha beta gamma delta"),
+        (14, "alpha beta gamma delta"),
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (6, "one two three four five six seven nine"),
+        (3, "one two three four five six seven eight"),
+        (7, "red green blue purple"),
+        (5, "red green blue orange"),
+        (9, "quux corge grault flarp"),
+        (11, None),
+        (None, "alpha beta gamma delta"),
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+
+    def dig(*payloads):
+        s = 0
+        for p in payloads:
+            h = hashlib.md5(p.encode()).hexdigest()
+            s += int(h[:8], 16) * 2**32 + int(h[8:16], 16)
+        return str(s % 2**64)
+
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["x60_leakage_scrub"].fn(spark, str(d)).collect()
+    )
+    assert got == [
+        (1, 1, 1, 0, 0, None, "0"),          # doc 6 dropped (near-dup)
+        (4, 1, 0, 0, 1, 4, dig("9:quux corge grault flarp")),
+        (6, 1, 0, 0, 1, None, dig("11:")),   # NULL text kept, no tokens
+        (8, 1, 0, 1, 1, 4, dig("7:red green blue purple")),
+        (10, 2, 2, 0, 0, None, "0"),         # exact dups both dropped
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(QUERIES["x60_leakage_scrub"].sql).fetchall()
+    )
+    assert want == got
+
+
 def test_x59_sides_restrict_before_pair_joins(spark):
     """Plan shape: the three tier joins must not form train x train or
     eval x eval pairs — every scan feeding a pair join carries the

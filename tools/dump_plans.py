@@ -183,8 +183,9 @@ FLAGSHIPS = [
     "g6_semi_additive",
     # round-13 rank-window fix (TakeOrderedAndProject head)
     "x22_vocab_coverage",
-    # round-14 registration
+    # round-14 registrations
     "x59_split_overlap",
+    "x60_leakage_scrub",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
