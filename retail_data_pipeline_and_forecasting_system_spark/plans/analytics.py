@@ -18681,6 +18681,147 @@ def x60_leakage_scrub(spark, sf):
     )
 
 
+@q(
+    "dq13_split_balance",
+    sql="""
+    WITH base AS (
+      SELECT CASE WHEN nib < 12 THEN 'train'
+                  WHEN nib < 14 THEN 'val' ELSE 'test' END AS split,
+        src AS source, n_toks
+      FROM (
+        SELECT CAST(instr('0123456789abcdef',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+               AS INT) AS nib,
+          coalesce(source, '<null>') AS src,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents) z
+    ), ss AS (
+      SELECT split, source, CAST(count(*) AS BIGINT) AS c_ss,
+        CAST(SUM(n_toks) AS BIGINT) AS t_ss
+      FROM base GROUP BY 1, 2
+    ), splits AS (
+      SELECT split, CAST(SUM(c_ss) AS BIGINT) AS n_s,
+        CAST(SUM(t_ss) AS BIGINT) AS t_s
+      FROM ss GROUP BY 1
+    ), srcs AS (
+      SELECT source, CAST(SUM(c_ss) AS BIGINT) AS c_src FROM ss GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot,
+        CAST(SUM(t_s) AS BIGINT) AS t_tot
+      FROM splits
+    ), g AS (
+      -- exact-integer |share difference| numerators over the common
+      -- denominator n_s * n_tot: the double appears ONCE, at the final
+      -- division (the e17/x57 ulp lesson — never sum doubles)
+      SELECT sp.split, sp.n_s, sp.t_s, t.n_tot, t.t_tot,
+        abs(CAST(coalesce(x.c_ss, 0) AS HUGEINT) * t.n_tot
+            - CAST(sc.c_src AS HUGEINT) * sp.n_s) AS num
+      FROM splits sp
+      CROSS JOIN srcs sc
+      CROSS JOIN tot t
+      LEFT JOIN ss x ON x.split = sp.split AND x.source = sc.source
+    )
+    SELECT split, n_s AS n_docs, t_s AS n_tokens,
+      round(CAST(n_s AS DOUBLE) / CAST(n_tot AS DOUBLE), 9) AS doc_share,
+      round(CAST(t_s AS DOUBLE) / CAST(t_tot AS DOUBLE), 9)
+        AS token_share,
+      round(0.5 * CAST(SUM(num) AS DOUBLE)
+            / (CAST(n_s AS DOUBLE) * CAST(n_tot AS DOUBLE)), 9)
+        AS source_tv
+    FROM g GROUP BY split, n_s, t_s, n_tot, t_tot
+    """,
+    ref="LLM-ops/data quality: split-balance audit — is the held-out "
+    "set REPRESENTATIVE? Per x6 split: doc and token share, plus the "
+    "total-variation distance between the split's source mix and the "
+    "corpus-wide source mix (0.5 * L1 over per-source shares). A "
+    "content-hash split should be near-uniform across sources; a "
+    "skewed cell means eval metrics will misweight a domain. "
+    "Complements x59 (leakage) and dq11 (fill-rate drift): this one "
+    "audits the SPLIT DESIGN itself. NULL doc_id follows x6's "
+    "convention (no nibble -> 'test'); NULL source buckets as "
+    "'<null>' in both engines",
+    scale="one scan collapses to the (split, source) grid (tiny "
+    "alphabet) with map-side combine; every later frame is grid- or "
+    "split-sized. TV is computed from EXACT integer cross products "
+    "(|c_ss * N - c_src * n_s|, decimal/HUGEINT) with ONE double "
+    "division at the end + round(9) — no double summation, so the "
+    "answer is order- and partitioning-independent at any scale",
+)
+def dq13_split_balance(spark, sf):
+    d = _t(spark, sf, "documents")
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ).cast("int")
+    base = d.select(
+        F.when(nib < 12, "train")
+        .when(nib < 14, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+    )
+    ss = _persist_tracked(
+        base.groupBy("split", "source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_ss"),
+            F.sum("n_toks").cast("bigint").alias("t_ss"),
+        )
+    )
+    splits = ss.groupBy("split").agg(
+        F.sum("c_ss").cast("bigint").alias("n_s"),
+        F.sum("t_ss").cast("bigint").alias("t_s"),
+    )
+    srcs = ss.groupBy("source").agg(
+        F.sum("c_ss").cast("bigint").alias("c_src")
+    )
+    tot = splits.agg(
+        F.sum("n_s").cast("bigint").alias("n_tot"),
+        F.sum("t_s").cast("bigint").alias("t_tot"),
+    )
+    # exact-integer share-difference numerators (decimal, mirroring the
+    # oracle's HUGEINT); the only doubles are the three final divisions
+    g = (
+        splits.crossJoin(F.broadcast(srcs))
+        .crossJoin(F.broadcast(tot))
+        .join(ss, ["split", "source"], "left")
+        .select(
+            "split",
+            "n_s",
+            "t_s",
+            "n_tot",
+            "t_tot",
+            F.abs(
+                F.coalesce(F.col("c_ss"), F.lit(0)).cast("decimal(19,0)")
+                * F.col("n_tot").cast("decimal(19,0)")
+                - F.col("c_src").cast("decimal(19,0)")
+                * F.col("n_s").cast("decimal(19,0)")
+            ).alias("num"),
+        )
+    )
+    return g.groupBy("split", "n_s", "t_s", "n_tot", "t_tot").agg(
+        F.sum("num").alias("__l1num")
+    ).select(
+        "split",
+        F.col("n_s").alias("n_docs"),
+        F.col("t_s").alias("n_tokens"),
+        F.round(
+            F.col("n_s").cast("double") / F.col("n_tot").cast("double"), 9
+        ).alias("doc_share"),
+        F.round(
+            F.col("t_s").cast("double") / F.col("t_tot").cast("double"), 9
+        ).alias("token_share"),
+        F.round(
+            F.lit(0.5)
+            * F.col("__l1num").cast("double")
+            / (F.col("n_s").cast("double") * F.col("n_tot").cast("double")),
+            9,
+        ).alias("source_tv"),
+    )
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.

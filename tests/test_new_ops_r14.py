@@ -276,6 +276,59 @@ def test_x59_sides_restrict_before_pair_joins(spark):
     assert "BroadcastNestedLoop" not in plan
 
 
+# -------------------------------------- dq13_split_balance (round 14)
+
+
+def test_dq13_shares_and_tv_hand_fixture_cross_engine(spark, tmp_path):
+    """10-doc corpus with hand-computable mixes (nibble splits: 4, 6,
+    7, 9, 11 train / 0, 1 val / 3, 5 test; a NULL doc_id follows x6's
+    convention into 'test'; a NULL source buckets as '<null>'; doc 9
+    has NULL text so train tokens must skip it). Source mix: corpus =
+    a:5, b:4, <null>:1 over N=10; TV(train) = 0.5*(0.1+0+0.1) = 0.1,
+    TV(val) = 0.1, TV(test) = 0.5*(1/6 + 1/15 + 1/10) = 1/6."""
+    import duckdb
+
+    rows = [
+        (4, "a", "w w"),
+        (6, "a", "w w w"),
+        (7, "b", "w w w w"),
+        (9, "b", None),
+        (11, None, "x"),
+        (0, "a", "w w"),
+        (1, "b", "w w w"),
+        (3, "a", "w"),
+        (5, "a", "w w"),
+        (None, "b", "w w w"),
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = {
+        r["split"]: (
+            r["n_docs"], r["n_tokens"], r["doc_share"],
+            r["token_share"], r["source_tv"],
+        )
+        for r in QUERIES["dq13_split_balance"].fn(spark, str(d)).collect()
+    }
+    assert got == {
+        "train": (5, 10, 0.5, 0.476190476, 0.1),
+        "val": (2, 5, 0.2, 0.238095238, 0.1),
+        "test": (3, 6, 0.3, 0.285714286, 0.166666667),
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(QUERIES["dq13_split_balance"].sql).fetchall()
+    }
+    assert want == got
+
+
 def test_h14_g6_big_cents_magnitudes_cross_engine(spark, tmp_path):
     """h14/g6 oracle staging widened to DECIMAL(28,2) (round-13
     ADVICE, the h10 lesson — DuckDB's DECIMAL(18,2) * 100 multiply

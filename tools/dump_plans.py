@@ -186,6 +186,7 @@ FLAGSHIPS = [
     # round-14 registrations
     "x59_split_overlap",
     "x60_leakage_scrub",
+    "dq13_split_balance",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
