@@ -51,3 +51,9 @@ from .manifest_stream import (  # noqa: F401
     read_manifest,
     run_manifest_ingest,
 )
+from .scrub_stream import (  # noqa: F401
+    freeze_eval_index,
+    read_scrub,
+    run_scrub_ingest,
+    scrub_state_sink,
+)
