@@ -18822,6 +18822,162 @@ def dq13_split_balance(spark, sf):
     )
 
 
+@q(
+    "a20_weighted_quantile",
+    sql="""
+    WITH per AS (
+      SELECT length, CAST(length * n AS BIGINT) AS w FROM (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS length,
+          count(*) AS n
+        FROM documents WHERE text IS NOT NULL GROUP BY 1) z
+    ), cum AS (
+      SELECT length,
+        SUM(w) OVER (ORDER BY length
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+      FROM per
+    ), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM per),
+    marks AS (SELECT unnest([50, 90, 99]) AS pct)
+    SELECT CAST(m.pct AS INT) AS pct,
+      CAST(min(c.length) AS BIGINT) AS length,
+      t.total_w AS total_tokens
+    FROM cum c, tot t, marks m
+    WHERE CAST(c.cum_w AS BIGINT) * 100 >= m.pct * t.total_w
+    GROUP BY m.pct, t.total_w
+    """,
+    ref="LLM-ops: WEIGHTED quantiles — the token-mass doc-length "
+    "percentiles a packing budget is actually sized from: 'the length "
+    "below which p% of TOKENS sit' (a long doc carries its length in "
+    "weight, so p50-by-tokens is far above p50-by-docs on a skewed "
+    "corpus — the distinction a8/a16/a18's unweighted quantiles "
+    "cannot express). The percentile pick is decided ENTIRELY in "
+    "integer arithmetic (cum_w * 100 >= pct * total) — no double "
+    "appears anywhere, so the answer is exact at any scale",
+    scale="the corpus collapses to the doc-length VALUE ALPHABET "
+    "first (one map-side-combined agg; <= max-tokens-per-doc rows, "
+    "corpus-independent); the cumsum window runs on that alphabet "
+    "(allow-listed grain bound), and the percentile filter+min is "
+    "alphabet-sized. Bucket lengths coarser (e.g. div 64) if an "
+    "adversarial corpus ever makes the alphabet itself large",
+)
+def a20_weighted_quantile(spark, sf):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    per = (
+        d.filter(F.col("text").isNotNull())
+        .select(F.size(F.split("text", " ")).cast("bigint").alias("length"))
+        .groupBy("length")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "length", (F.col("length") * F.col("n")).cast("bigint").alias("w")
+        )
+    )
+    per = _persist_tracked(per)
+    wcum = Window.orderBy("length").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select("length", F.sum("w").over(wcum).alias("cum_w"))
+    tot = per.agg(F.sum("w").cast("bigint").alias("total_w"))
+    grid = cum.crossJoin(F.broadcast(tot)).select(
+        "length",
+        "cum_w",
+        "total_w",
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("pct"),
+    )
+    return (
+        grid.filter(
+            F.col("cum_w").cast("bigint") * 100
+            >= F.col("pct") * F.col("total_w")
+        )
+        .groupBy(F.col("pct").cast("int").alias("pct"), "total_w")
+        .agg(F.min("length").cast("bigint").alias("length"))
+        .select("pct", "length", F.col("total_w").alias("total_tokens"))
+    )
+
+
+@q(
+    "g7_percent_of_parent",
+    sql="""
+    WITH nat AS (
+      SELECT r.r_name, n.n_name,
+        CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(28,2)) * 100
+             AS BIGINT)) AS BIGINT) AS nation_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ), reg AS (
+      SELECT r_name, CAST(SUM(nation_cents) AS BIGINT) AS region_cents
+      FROM nat GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(region_cents) AS BIGINT) AS total_cents FROM reg
+    )
+    SELECT n.r_name, n.n_name, n.nation_cents, g.region_cents,
+      round(CAST(n.nation_cents AS DOUBLE)
+            / CAST(g.region_cents AS DOUBLE), 9) AS share_in_region,
+      round(CAST(n.nation_cents AS DOUBLE)
+            / CAST(t.total_cents AS DOUBLE), 9) AS share_of_total
+    FROM nat n JOIN reg g USING (r_name) CROSS JOIN tot t
+    """,
+    ref="BI staple: percent-of-parent in the geography hierarchy — "
+    "each nation's revenue as a share of its REGION and of the total "
+    "(the ratio-to-report shape at every rollup level; complements g1 "
+    "which gives the level totals and w5 which is the flat "
+    "share-of-total). Exact integer cents all the way (the a1 "
+    "fixed-point discipline, DECIMAL(28,2) staging per the h10 "
+    "lesson); the only doubles are the two final divisions + round(9)",
+    scale="one fact-side agg to nation grain (25 rows) after the "
+    "customer key join (key-partitioned; nation/region broadcast); "
+    "parent totals are grain-sized rollups of the nation frame and "
+    "join back on r_name — no window over fact rows, no unpartitioned "
+    "anything; output is nation-count rows at any corpus size",
+)
+def g7_percent_of_parent(spark, sf):
+    o = _t(spark, sf, "orders").select(
+        "o_custkey", (dec("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf, "region").select("r_regionkey", "r_name")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("cents").cast("bigint").alias("nation_cents"))
+    )
+    nat = _persist_tracked(nat)
+    reg = nat.groupBy("r_name").agg(
+        F.sum("nation_cents").cast("bigint").alias("region_cents")
+    )
+    tot = reg.agg(
+        F.sum("region_cents").cast("bigint").alias("total_cents")
+    )
+    return (
+        nat.join(reg, "r_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r_name",
+            "n_name",
+            "nation_cents",
+            "region_cents",
+            F.round(
+                F.col("nation_cents").cast("double")
+                / F.col("region_cents").cast("double"),
+                9,
+            ).alias("share_in_region"),
+            F.round(
+                F.col("nation_cents").cast("double")
+                / F.col("total_cents").cast("double"),
+                9,
+            ).alias("share_of_total"),
+        )
+    )
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.

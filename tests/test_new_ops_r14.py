@@ -329,6 +329,127 @@ def test_dq13_shares_and_tv_hand_fixture_cross_engine(spark, tmp_path):
     assert want == got
 
 
+def test_dq13_empty_split_absent_in_both_engines(spark, tmp_path):
+    """A corpus whose ids all hash into train/val (no test nibble)
+    must emit NO 'test' row — in both engines — rather than a
+    zero-count or NULL-share row."""
+    import duckdb
+
+    # ids 4, 6 -> train; 0, 1 -> val (md5-nibble map); no test ids
+    rows = [(4, "a", "w w"), (6, "a", "w"), (0, "b", "w"), (1, "b", "w w")]
+    d = tmp_path / "docs"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["dq13_split_balance"].fn(spark, str(d)).collect()
+    )
+    assert {r[0] for r in got} == {"train", "val"}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(QUERIES["dq13_split_balance"].sql).fetchall()
+    )
+    assert want == got
+
+
+# ---------------------------------- a20 / g7 (round-14 wave 3)
+
+
+def test_a20_token_weighted_vs_doc_median_hand_fixture(spark, tmp_path):
+    """Docs of lengths 1, 2, 2, 3, 4 (token weights 1, 4, 3, 4; total
+    12; cum 1, 5, 8, 12). Token-weighted p50 = 3 — ABOVE the doc-count
+    median of 2, the skew the weighted quantile exists to expose; p90
+    and p99 land on 4. NULL-text docs are excluded. Cross-engine
+    exact (the decision is all-integer)."""
+    import duckdb
+
+    rows = [
+        (1, "w"),
+        (2, "w w"),
+        (3, "w w"),
+        (4, "w w w"),
+        (5, "w w w w"),
+        (6, None),
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["a20_weighted_quantile"].fn(spark, str(d)).collect()
+    )
+    assert got == [(50, 3, 12), (90, 4, 12), (99, 4, 12)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(QUERIES["a20_weighted_quantile"].sql).fetchall()
+    )
+    assert want == got
+
+
+def test_g7_parent_shares_hand_fixture_cross_engine(spark, tmp_path):
+    """Two regions, three nations: region A = n1 (10.00) + n2 (30.00),
+    region B = n3 (20.00). share_in_region: 0.25 / 0.75 / 1.0;
+    share_of_total: 1/6, 1/2, 1/3 — exact cents, round(9) doubles
+    only at the edge."""
+    import duckdb
+
+    d = tmp_path / "t"
+    d.mkdir()
+    spark.createDataFrame(
+        [(0, "RA"), (1, "RB")], "r_regionkey long, r_name string"
+    ).coalesce(1).write.parquet(str(d / "region.parquet"))
+    spark.createDataFrame(
+        [(10, "N1", 0), (11, "N2", 0), (12, "N3", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    ).coalesce(1).write.parquet(str(d / "nation.parquet"))
+    spark.createDataFrame(
+        [(100, 10), (101, 11), (102, 12)],
+        "c_custkey long, c_nationkey long",
+    ).coalesce(1).write.parquet(str(d / "customer.parquet"))
+    spark.createDataFrame(
+        [
+            (1, 100, 4.0), (2, 100, 6.0),   # N1: 10.00
+            (3, 101, 30.0),                 # N2: 30.00
+            (4, 102, 15.0), (5, 102, 5.0),  # N3: 20.00
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["g7_percent_of_parent"].fn(spark, str(d)).collect()
+    )
+    assert got == [
+        ("RA", "N1", 1000, 4000, 0.25, 0.166666667),
+        ("RA", "N2", 3000, 4000, 0.75, 0.5),
+        ("RB", "N3", 2000, 2000, 1.0, 0.333333333),
+    ]
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "orders"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{d}/{t}.parquet/*.parquet'"
+        )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(QUERIES["g7_percent_of_parent"].sql).fetchall()
+    )
+    assert want == got
+
+
 def test_h14_g6_big_cents_magnitudes_cross_engine(spark, tmp_path):
     """h14/g6 oracle staging widened to DECIMAL(28,2) (round-13
     ADVICE, the h10 lesson — DuckDB's DECIMAL(18,2) * 100 multiply

@@ -826,6 +826,10 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
         "h13_kaplan_meier": "risk-set cumsum + survival ln-sum both "
         "run over the user-DURATION alphabet (<= #days rows, "
         "calendar-bounded)",
+        "a20_weighted_quantile": "token-mass cumsum over the "
+        "doc-length VALUE ALPHABET (<= max-tokens-per-doc rows, "
+        "corpus-independent; 'bucket coarser' escape hatch in its "
+        "scale note)",
     },
     "operators/textstats.py": {
         "bpe_pair_counts": "rank runs AFTER orderBy().limit(top_n) — the "

@@ -187,6 +187,8 @@ FLAGSHIPS = [
     "x59_split_overlap",
     "x60_leakage_scrub",
     "dq13_split_balance",
+    "a20_weighted_quantile",
+    "g7_percent_of_parent",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
