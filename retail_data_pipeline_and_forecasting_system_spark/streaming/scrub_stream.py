@@ -54,10 +54,6 @@ from ..operators.manifest import U64_MOD, manifest_rows
 from ..operators.splitaudit import split_nibble
 from ..sources.versioned import current_version, read_version, write_version
 
-_STATE_COLS = [
-    "n_docs", "n_dropped", "n_flagged_kept", "n_kept", "kept_tokens",
-]
-
 
 def freeze_eval_index(
     docs: DataFrame,
