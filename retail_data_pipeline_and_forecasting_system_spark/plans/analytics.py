@@ -18978,6 +18978,193 @@ def g7_percent_of_parent(spark, sf):
     )
 
 
+def _ev9_sql(budgets=(2, 4, 8), n_queries: int = 20, k: int = 5) -> str:
+    cs_cols = ",\n        ".join(
+        f"{_sql_cosine(f'(cv[1:{d}])', f'(qv[1:{d}])')} AS cs_{d}"
+        for d in budgets
+    )
+    approx_ctes = ", ".join(
+        f"""a{d} AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cs_{d} DESC, cand_id) AS rnk
+        FROM scored) WHERE rnk <= {k}
+    ), h{d} AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hits
+      FROM exact JOIN a{d} USING (query_id, cand_id)
+    )"""
+        for d in budgets
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT {d} AS dim_budget, t.n_exact, h{d}.n_hits,
+      round(CAST(h{d}.n_hits AS DOUBLE) / t.n_exact, 6) AS recall_at_k
+    FROM h{d}, tot t"""
+        for d in budgets
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {n_queries}
+    ), c AS (
+      SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+    ), scored AS (
+      SELECT query_id, cand_id,
+        {_sql_cosine('cv', 'qv')} AS cs_full,
+        {cs_cols}
+      FROM c JOIN q ON cand_id <> query_id
+    ), exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cs_full DESC, cand_id) AS rnk
+        FROM scored) WHERE rnk <= {k}
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact
+    ), {approx_ctes}
+    SELECT CAST(dim_budget AS INT) AS dim_budget, n_exact, n_hits,
+      recall_at_k
+    FROM ({rows})
+    """
+
+
+@q(
+    "ev9_truncation_recall",
+    sql=_ev9_sql(),
+    ref="LLM-ops EVALUATION family: matryoshka/adaptive-retrieval "
+    "quality — recall@5 of TRUNCATED-dimension cosine search (first "
+    "d dims, d in 2/4/8) against the full-dimension exact top-k, the "
+    "table that tells a serving stack how many dims it can drop "
+    "before retrieval degrades (Kusupati et al. 2022, MRL). One "
+    "scored pass computes every budget's cosine alongside the full "
+    "one (same sequential-fold dot, rule 2), so the comparison is "
+    "apples-to-apples; the d = 8 row is a built-in sanity anchor "
+    "(full dim -> recall 1.0). Aggregated over the query set in "
+    "exact integers (total hits / total exact slots, ONE double "
+    "division + round(6))",
+    scale="ev1's evaluation law: queries broadcast, |Q| x |C| scored "
+    "once with all budgets fused into the same projection (no extra "
+    "pass per budget); per-budget rank windows partition by query_id; "
+    "run on a SAMPLED query set in production — the exact baseline "
+    "is the deliberate cost of ground truth",
+)
+def ev9_truncation_recall(spark, sf):
+    from pyspark.sql import Window
+
+    budgets, n_q, k = (2, 4, 8), 20, 5
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            SIM.cosine("cv", "qv").alias("cs_full"),
+            *[
+                SIM.cosine(
+                    F.slice("cv", 1, d), F.slice("qv", 1, d)
+                ).alias(f"cs_{d}")
+                for d in budgets
+            ],
+        )
+    )
+    scored = _persist_tracked(scored)
+
+    def topk(col: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.desc(col), "cand_id")
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "cand_id")
+        )
+
+    exact = _persist_tracked(topk("cs_full"))
+    tot = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    parts = None
+    for d in budgets:
+        ap = topk(f"cs_{d}").select(
+            F.col("query_id").alias("aq"), F.col("cand_id").alias("ac")
+        )
+        hits = (
+            exact.join(
+                ap,
+                (F.col("query_id") == F.col("aq"))
+                & (F.col("cand_id") == F.col("ac")),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(d).cast("int").alias("dim_budget"),
+                "n_exact",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_exact"), 6
+                ).alias("recall_at_k"),
+            )
+        )
+        parts = hits if parts is None else parts.unionByName(hits)
+    return parts
+
+
+@q(
+    "g8_ytd_revenue",
+    sql="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+               AS DATE) AS month,
+        CAST(date_part('year', CAST(o_orderdate AS DATE)) AS INT) AS yr,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT month, revenue_cents,
+      CAST(SUM(revenue_cents) OVER (PARTITION BY yr ORDER BY month
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS ytd_cents
+    FROM monthly
+    """,
+    ref="BI staple: year-to-date running revenue — the cumulative "
+    "measure that RESETS at each year boundary (w1's running sum has "
+    "no reset; h11's cumsum never resets), exact integer cents with "
+    "DECIMAL(28,2) oracle staging. The month-grain + year-partitioned "
+    "window pair is the canonical fiscal-report shape",
+    scale="the fact table collapses to the month rollup first (one "
+    "map-side-combined agg, <= #months rows); the YTD window "
+    "partitions by YEAR over that month-grain frame — bounded "
+    "12-row partitions, never a corpus-sized or unpartitioned sort",
+)
+def g8_ytd_revenue(spark, sf):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    monthly = (
+        o.select(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("month", "yr")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("yr").orderBy("month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return monthly.select(
+        "month",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("bigint").alias("ytd_cents"),
+    )
+
+
+
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied
 # post-registration so each note sits next to its name for grepping.

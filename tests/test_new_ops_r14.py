@@ -450,6 +450,87 @@ def test_g7_parent_shares_hand_fixture_cross_engine(spark, tmp_path):
     assert want == got
 
 
+# ---------------------------------- ev9 / g8 (round-14 wave 4)
+
+
+def test_ev9_full_dim_anchor_and_seeded_cross_engine(spark, tmp_path):
+    """Random integer-valued 4-dim embeddings (first component pinned
+    nonzero so no truncated prefix is the zero vector): the Spark
+    result must equal the DuckDB oracle cell-for-cell, and the d=8
+    budget (>= true dim, slice clamps in both engines) must be the
+    built-in sanity anchor — recall exactly 1.0."""
+    import duckdb
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (i, [float(rng.randint(1, 3))]
+            + [float(rng.randint(-3, 3)) for _ in range(3)])
+        for i in range(30)
+    ]
+    d = tmp_path / "e"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["ev9_truncation_recall"]
+        .fn(spark, str(d))
+        .collect()
+    )
+    anchor = [r for r in got if r[0] == 8]
+    assert anchor and anchor[0][3] == 1.0  # full-dim recall is exact 1
+    assert all(r[1] == 100 for r in got)  # 20 queries x top-5 slots
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{d}/embeddings.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            QUERIES["ev9_truncation_recall"].sql
+        ).fetchall()
+    )
+    assert want == got
+
+
+def test_g8_ytd_resets_at_year_boundary(spark, tmp_path):
+    """Orders in 1994-11/12 and 1995-01/03: YTD accumulates within a
+    year (1000 -> 3000) and RESETS at the boundary (500, then 1200
+    across the month gap) — cross-engine equal."""
+    import duckdb
+
+    rows = [
+        (1, 1, "O", 10.0, "1994-11-05 00:00:00", "1-U"),
+        (2, 1, "O", 20.0, "1994-12-09 00:00:00", "1-U"),
+        (3, 1, "O", 5.0, "1995-01-02 00:00:00", "1-U"),
+        (4, 1, "O", 7.0, "1995-03-20 00:00:00", "1-U"),
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    got = {
+        str(r["month"]): (r["revenue_cents"], r["ytd_cents"])
+        for r in QUERIES["g8_ytd_revenue"].fn(spark, str(d)).collect()
+    }
+    assert got == {
+        "1994-11-01": (1000, 1000),
+        "1994-12-01": (2000, 3000),
+        "1995-01-01": (500, 500),
+        "1995-03-01": (700, 1200),
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{d}/orders.parquet/*.parquet'"
+    )
+    want = {
+        str(r[0]): (r[1], r[2])
+        for r in con.execute(QUERIES["g8_ytd_revenue"].sql).fetchall()
+    }
+    assert want == got
+
+
 def test_h14_g6_big_cents_magnitudes_cross_engine(spark, tmp_path):
     """h14/g6 oracle staging widened to DECIMAL(28,2) (round-13
     ADVICE, the h10 lesson — DuckDB's DECIMAL(18,2) * 100 multiply

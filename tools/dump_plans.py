@@ -189,6 +189,8 @@ FLAGSHIPS = [
     "dq13_split_balance",
     "a20_weighted_quantile",
     "g7_percent_of_parent",
+    "ev9_truncation_recall",
+    "g8_ytd_revenue",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
