@@ -19164,6 +19164,326 @@ def g8_ytd_revenue(spark, sf):
     )
 
 
+@q(
+    "ops8_zone_map",
+    sql="""
+    WITH f AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+               AS DATE) AS month,
+        CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+          AS cents,
+        CAST(o_orderdate AS DATE) AS day
+      FROM orders
+    ), z AS (
+      SELECT month,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(min(cents) AS BIGINT) AS min_cents,
+        CAST(max(cents) AS BIGINT) AS max_cents,
+        min(day) AS min_day, max(day) AS max_day,
+        CAST(sum(CASE WHEN day >= DATE '1997-06-01' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_match_date,
+        CAST(sum(CASE WHEN cents BETWEEN 45000000 AND 45010000
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_match_price
+      FROM f GROUP BY month
+    )
+    SELECT month, n_rows, min_cents, max_cents, min_day, max_day,
+      (max_day < DATE '1997-06-01') AS skip_date, n_match_date,
+      (max_cents < 45000000 OR min_cents > 45010000) AS skip_price,
+      n_match_price,
+      (NOT (max_cents < 45000000 OR min_cents > 45010000)
+       AND n_match_price = 0) AS false_scan_price
+    FROM z
+    """,
+    ref="lakehouse metadata: zone-map / data-skipping manifest + "
+    "pruning audit — per month partition of orders, the min/max/count "
+    "column stats a Delta/Iceberg manifest carries, PLUS the skip "
+    "verdicts two fixed predicates would take against those stats: "
+    "o_orderdate >= 1997-06-01 (partition-aligned — zone maps prune "
+    "it perfectly, skip_date <=> n_match_date = 0) and o_totalprice "
+    "BETWEEN $450,000.00 and $450,100.00 (an unclustered narrow "
+    "band — a partition whose [min,max] BRACKETS the band with no "
+    "row inside it is a zone-map false positive; false_scan_price "
+    "counts exactly those, the rate that tells you whether the "
+    "table needs re-clustering on that column, e.g. z1's z-order "
+    "key. A >=-only predicate can never false-positive against a "
+    "max stat — the band form is what makes the audit non-trivial). "
+    "All integer cents / dates / counts — no doubles anywhere",
+    scale="THE 100 TB scan-saver: stats are one map-side-combined agg "
+    "to #partitions rows (metadata-sized; a real lakehouse reads them "
+    "from the manifest without touching data), and the audit tells "
+    "you which predicates the layout actually prunes — at 1000 "
+    "executors the skip_date column is the difference between a "
+    "full-table scan and reading one month",
+)
+def ops8_zone_map(spark, sf):
+    cutoff, lo, hi = "1997-06-01", 45000000, 45010000
+    f = _t(spark, sf, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("month"),
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    )
+    z = f.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        F.sum(
+            F.when(F.col("day") >= F.lit(cutoff).cast("date"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_match_date"),
+        F.sum(
+            F.when(F.col("cents").between(lo, hi), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_match_price"),
+    )
+    skip_price = (F.col("max_cents") < lo) | (F.col("min_cents") > hi)
+    return z.select(
+        "month",
+        "n_rows",
+        "min_cents",
+        "max_cents",
+        "min_day",
+        "max_day",
+        (F.col("max_day") < F.lit(cutoff).cast("date")).alias("skip_date"),
+        "n_match_date",
+        skip_price.alias("skip_price"),
+        "n_match_price",
+        (~skip_price & (F.col("n_match_price") == 0)).alias(
+            "false_scan_price"
+        ),
+    )
+
+
+#: shared KN probability expression — identical string in BOTH engines so
+#: the double arithmetic is the same IEEE operation tree bit-for-bit.
+_KN_LP = (
+    "ln((c2 - 0.75) / c1"
+    " + ((0.75 * n1f) / c1) * (CAST(n1b AS DOUBLE) / tt))"
+)
+
+
+@q(
+    "x61_kneser_ney_lm",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, t.token, t.pos FROM (
+        SELECT doc_id,
+          unnest(string_split(text, ' ')) AS token,
+          generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ) t(doc_id, token, pos)
+    ), bi AS (
+      SELECT doc_id, pos, w1, w2 FROM (
+        SELECT doc_id, pos, token AS w1,
+          lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+      ) WHERE w2 IS NOT NULL
+    ), bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY w1, w2
+    ), uc AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY w1
+    ), fw AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS n1f FROM bc GROUP BY w1
+    ), bw AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bc GROUP BY w2
+    ), tb AS (
+      SELECT CAST(count(*) AS BIGINT) AS tt FROM bc
+    ), probs AS (
+      SELECT w1, w2, {_KN_LP} AS lp
+      FROM bc JOIN uc USING (w1) JOIN fw USING (w1) JOIN bw USING (w2), tb
+    ), j AS (
+      SELECT doc_id, pos, lp FROM bi JOIN probs USING (w1, w2)
+    ), g AS (
+      SELECT doc_id, list(lp ORDER BY pos) AS arr,
+        CAST(count(*) AS BIGINT) AS n_bigrams
+      FROM j GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+      round(list_reduce(arr, (x, y) -> x + y) / n_bigrams, 6)
+        AS kn_logprob
+    FROM g
+    """,
+    ref="LLM-ops: interpolated Kneser-Ney bigram LM mean log-prob — "
+    "the industry-standard smoothing upgrade of x19's add-one "
+    "(Kneser & Ney 1995; Chen & Goodman 1999 eq. 16): p(w2|w1) = "
+    "max(c(w1w2)-D,0)/c(w1.) + D*N1+(w1.)/c(w1.) * N1+(.w2)/T with "
+    "D = 0.75 — the continuation probability N1+(.w2)/T scores a "
+    "word by how many CONTEXTS it follows, not raw frequency (the "
+    "'San Francisco' effect: frequent-but-bound words stop leaking "
+    "mass). Every count is an exact integer; the one double "
+    "expression is the shared _KN_LP string evaluated identically in "
+    "both engines, and the per-doc mean is the x19 position-sorted "
+    "fold (deterministic summation order)",
+    scale="x19's law: bigrams from one doc-keyed window (single "
+    "shuffle), four hash-aggs for the model counts (all bounded by "
+    "bigram-TYPE cardinality, << corpus), probs broadcast back to "
+    "the bigram stream; per-doc fold is row-local after one doc_id "
+    "shuffle. The model tables are the only state — at 100 TB they "
+    "stay millions of rows while the corpus stays streamed",
+)
+def x61_kneser_ney_lm(spark, sf):
+    from ..functions import explode_tokens
+
+    t = explode_tokens(_t(spark, sf, "documents"))
+    wnd = W.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        t.select(
+            "doc_id",
+            "pos",
+            F.col("token").alias("w1"),
+            F.lead("token", 1).over(wnd).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    bi = _persist_tracked(bi)
+    bc = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    bc = _persist_tracked(bc)
+    uc = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    fw = bc.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("n1f"))
+    bw = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    tb = bc.agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+    probs = (
+        bc.join(uc, "w1")
+        .join(fw, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(tb))
+        .select("w1", "w2", F.expr(_KN_LP).alias("lp"))
+    )
+    g = (
+        bi.join(F.broadcast(probs), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pos"), F.col("lp")))
+            ).alias("__arr"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        )
+    )
+    return g.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.aggregate(
+                F.col("__arr"), F.lit(0.0), lambda a, x: a + x["lp"]
+            )
+            / F.col("n_bigrams"),
+            6,
+        ).alias("kn_logprob"),
+    )
+
+
+@q(
+    "h15_m4_downsample",
+    sql="""
+    WITH e AS (
+      SELECT event_type,
+        CAST(date_trunc('day', ts) AS DATE) AS bucket,
+        ts, value, event_id
+      FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket
+          ORDER BY ts, event_id) AS rf,
+        row_number() OVER (PARTITION BY event_type, bucket
+          ORDER BY ts DESC, event_id DESC) AS rl,
+        row_number() OVER (PARTITION BY event_type, bucket
+          ORDER BY value, ts, event_id) AS rn,
+        row_number() OVER (PARTITION BY event_type, bucket
+          ORDER BY value DESC, ts DESC, event_id DESC) AS rx
+      FROM e
+    )
+    SELECT event_type, bucket, 'first' AS role,
+      epoch_us(ts) AS ts_us, value, event_id FROM r WHERE rf = 1
+    UNION ALL
+    SELECT event_type, bucket, 'last' AS role,
+      epoch_us(ts) AS ts_us, value, event_id FROM r WHERE rl = 1
+    UNION ALL
+    SELECT event_type, bucket, 'min' AS role,
+      epoch_us(ts) AS ts_us, value, event_id FROM r WHERE rn = 1
+    UNION ALL
+    SELECT event_type, bucket, 'max' AS role,
+      epoch_us(ts) AS ts_us, value, event_id FROM r WHERE rx = 1
+    """,
+    ref="time-series viz downsampling: M4 aggregation (Jugel et al., "
+    "VLDB 2014) — per (series, pixel-bucket) keep the FOUR points a "
+    "line plot actually renders: first, last, value-min, value-max; "
+    "the width-bounded downsample that is pixel-perfect for line "
+    "charts, complementing h4's LTOB (which optimizes area, not "
+    "pixel fidelity). Ties broken deterministically by (ts, "
+    "event_id) / (value, ts, event_id); a point serving several "
+    "roles appears once per role (the UNION form). Values pass "
+    "through untouched — no arithmetic, so cross-engine exact; the "
+    "timestamp is emitted as epoch-micros BIGINT (h5's convention)",
+    scale="one groupBy (event_type, day) computing four argmin/argmax "
+    "STRUCT aggregates with map-side combine — partial aggregation "
+    "sees every partition shrink to <= 4 candidate structs per "
+    "(series, bucket) before the shuffle, so shuffle volume is "
+    "output-sized (4 rows per series-day), not corpus-sized; the "
+    "explode to role rows is map-side after the agg",
+)
+def h15_m4_downsample(spark, sf):
+    e = (
+        _t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("bucket"),
+            "ts",
+            "value",
+            "event_id",
+        )
+    )
+    g = e.groupBy("event_type", "bucket").agg(
+        F.min(F.struct("ts", "event_id", "value")).alias("s_first"),
+        F.max(F.struct("ts", "event_id", "value")).alias("s_last"),
+        F.min(F.struct("value", "ts", "event_id")).alias("s_min"),
+        F.max(F.struct("value", "ts", "event_id")).alias("s_max"),
+    )
+    roles = F.array(
+        F.struct(
+            F.lit("first").alias("role"),
+            F.col("s_first.ts").alias("ts"),
+            F.col("s_first.value").alias("value"),
+            F.col("s_first.event_id").alias("event_id"),
+        ),
+        F.struct(
+            F.lit("last").alias("role"),
+            F.col("s_last.ts").alias("ts"),
+            F.col("s_last.value").alias("value"),
+            F.col("s_last.event_id").alias("event_id"),
+        ),
+        F.struct(
+            F.lit("min").alias("role"),
+            F.col("s_min.ts").alias("ts"),
+            F.col("s_min.value").alias("value"),
+            F.col("s_min.event_id").alias("event_id"),
+        ),
+        F.struct(
+            F.lit("max").alias("role"),
+            F.col("s_max.ts").alias("ts"),
+            F.col("s_max.value").alias("value"),
+            F.col("s_max.event_id").alias("event_id"),
+        ),
+    )
+    return g.select(
+        "event_type", "bucket", F.explode(roles).alias("r")
+    ).select(
+        "event_type",
+        "bucket",
+        F.col("r.role").alias("role"),
+        F.unix_micros(F.col("r.ts")).alias("ts_us"),
+        F.col("r.value").alias("value"),
+        F.col("r.event_id").alias("event_id"),
+    )
+
+
 
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied

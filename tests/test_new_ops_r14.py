@@ -593,3 +593,235 @@ def test_h14_g6_big_cents_magnitudes_cross_engine(spark, tmp_path):
     assert con2.execute(QUERIES["g6_semi_additive"].sql).fetchall() == [
         (__import__("datetime").date(1995, 3, 1), 1, 2 * 10**18)
     ]
+
+
+# ------------------------- ops8 / x61 / h15 (round-14 wave 5)
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = tmp_path / "docs"
+    d.mkdir()
+    spark.createDataFrame(rows, _DOC_SCHEMA).coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    return d
+
+
+def _duck_views(tmp_path_dir, *tables):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{tmp_path_dir}/{t}.parquet/*.parquet'"
+        )
+    return con
+
+
+def test_ops8_zone_map_skip_and_false_scan_states(spark, tmp_path):
+    """Three months exercising every audit verdict: 1995-01 is
+    skippable by BOTH predicates (all rows before the date cutoff and
+    below the price band); 1995-02 BRACKETS the price band with no row
+    inside — the zone-map false positive a >=-only predicate can never
+    produce (skip_price false, n_match_price 0, false_scan TRUE);
+    1997-07 sits past the date cutoff with one row INSIDE the band.
+    Cross-engine equal cell-for-cell."""
+    from datetime import date
+
+    rows = [
+        (1, 1, "O", 100.0, "1995-01-05 00:00:00", "1-U"),
+        (2, 1, "O", 200.0, "1995-01-20 00:00:00", "1-U"),
+        # brackets [450000.00, 450100.00] without entering it
+        (3, 1, "O", 400000.0, "1995-02-03 00:00:00", "1-U"),
+        (4, 1, "O", 500000.0, "1995-02-25 00:00:00", "1-U"),
+        # inside the band, after the date cutoff
+        (5, 1, "O", 450050.0, "1997-07-04 00:00:00", "1-U"),
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    got = {
+        str(r["month"]): tuple(r)[1:]
+        for r in QUERIES["ops8_zone_map"].fn(spark, str(d)).collect()
+    }
+    want = {
+        "1995-01-01": (
+            2, 10000, 20000, date(1995, 1, 5), date(1995, 1, 20),
+            True, 0, True, 0, False,
+        ),
+        "1995-02-01": (
+            2, 40000000, 50000000, date(1995, 2, 3), date(1995, 2, 25),
+            True, 0, False, 0, True,  # the false-scan row
+        ),
+        "1997-07-01": (
+            1, 45005000, 45005000, date(1997, 7, 4), date(1997, 7, 4),
+            False, 1, False, 1, False,
+        ),
+    }
+    assert got == want
+    con = _duck_views(d, "orders")
+    oracle = {
+        str(r[0]): tuple(r)[1:]
+        for r in con.execute(QUERIES["ops8_zone_map"].sql).fetchall()
+    }
+    assert oracle == want
+
+
+def _kn_python(texts):
+    """Independent pure-Python interpolated Kneser-Ney (D = 0.75) over
+    single-space tokenization — the same formula written from the
+    Chen & Goodman equation, NOT from the engine expression."""
+    import math
+    from collections import Counter, defaultdict
+
+    bigrams = {}
+    for doc_id, text in texts:
+        if text is None:
+            continue
+        toks = text.split(" ")
+        bigrams[doc_id] = list(zip(toks, toks[1:]))
+    bc = Counter(b for bs in bigrams.values() for b in bs)
+    c1 = defaultdict(int)
+    for (w1, _w2), n in bc.items():
+        c1[w1] += n
+    n1f = defaultdict(int)
+    n1b = defaultdict(int)
+    for w1, w2 in bc:
+        n1f[w1] += 1
+        n1b[w2] += 1
+    tt = len(bc)
+    out = {}
+    for doc_id, bs in bigrams.items():
+        if not bs:
+            continue
+        acc = 0.0
+        for w1, w2 in bs:  # position order, like the engine fold
+            acc += math.log(
+                (bc[(w1, w2)] - 0.75) / c1[w1]
+                + ((0.75 * n1f[w1]) / c1[w1]) * (n1b[w2] / tt)
+            )
+        out[doc_id] = (len(bs), round(acc / len(bs), 6))
+    return out
+
+
+def test_x61_kneser_ney_san_francisco_effect_triple_differential(
+    spark, tmp_path
+):
+    """The fixture encodes the effect KN exists for: 'francisco' is
+    FREQUENT but only ever follows 'san' (continuation count 1), while
+    'b' is rarer but follows three different words. A unigram or
+    add-one model scores p(.|new-context -> francisco) high; KN's
+    continuation term must score the diverse 'b' higher. Spark ==
+    DuckDB == independent Python on every doc; single-token and NULL
+    docs are absent from the output."""
+    texts = [
+        (0, "san francisco san francisco san francisco"),
+        (1, "a b c b d b a e"),
+        (2, "san francisco a b"),
+        (3, "francisco"),  # no bigrams -> absent
+        (4, None),  # NULL text -> absent
+    ]
+    rows = [
+        (i, t, "en", "web", len(t) if t else 0) for i, t in texts
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_logprob"])
+        for r in QUERIES["x61_kneser_ney_lm"].fn(spark, str(d)).collect()
+    }
+    want = _kn_python(texts)
+    assert set(got) == {0, 1, 2}
+    assert got == want
+    con = _duck_views(d, "documents")
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(QUERIES["x61_kneser_ney_lm"].sql).fetchall()
+    }
+    assert oracle == want
+    # the Kneser-Ney point itself: the continuation probability of the
+    # context-diverse 'b' (follows a, c, d -> N1+(.b) = 3) must beat
+    # the frequent-but-bound 'francisco' (only ever follows san ->
+    # N1+(.francisco) = 1), even though francisco OCCURS more often
+    n1b = __import__("collections").Counter()
+    for _i, t in texts:
+        if t:
+            ws = t.split(" ")
+            n1b.update(set(zip(ws, ws[1:])))
+    back = __import__("collections").Counter(w2 for (_w1, w2) in n1b)
+    assert back["b"] == 3 and back["francisco"] == 1
+
+
+def test_x61_seeded_collision_dense_triple_differential(spark, tmp_path):
+    """Seeded 40-doc corpus over a 5-word vocabulary (maximally
+    collision-dense bigram table, every count > 1) with NULL and
+    single-token docs interleaved: Spark == DuckDB == independent
+    Python, exactly."""
+    import random
+
+    rng = random.Random(61)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = []
+    for i in range(40):
+        if i % 13 == 7:
+            texts.append((i, None))
+        elif i % 11 == 5:
+            texts.append((i, rng.choice(vocab)))
+        else:
+            n = rng.randint(2, 12)
+            texts.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(n)))
+            )
+    rows = [(i, t, "en", "web", len(t) if t else 0) for i, t in texts]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_logprob"])
+        for r in QUERIES["x61_kneser_ney_lm"].fn(spark, str(d)).collect()
+    }
+    want = _kn_python(texts)
+    assert got == want
+    con = _duck_views(d, "documents")
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(QUERIES["x61_kneser_ney_lm"].sql).fetchall()
+    }
+    assert oracle == want
+
+
+def test_h15_m4_roles_and_tie_breaks_cross_engine(spark, tmp_path):
+    """Day 1: distinct values — first/min coincide on e0, max is the
+    middle point e1, last is e2 (a point serving two roles appears
+    once per role). Day 2: a VALUE TIE — min goes to the earlier
+    (ts, event_id), max to the later, per the deterministic DESC tie
+    break. NULL-value events are excluded entirely."""
+    rows = [
+        (0, "2024-01-01 01:00:00", 1, "view", 5.0, "{}"),
+        (1, "2024-01-01 02:00:00", 1, "view", 9.0, "{}"),
+        (2, "2024-01-01 03:00:00", 1, "view", 7.0, "{}"),
+        (3, "2024-01-02 01:00:00", 1, "view", 4.0, "{}"),
+        (4, "2024-01-02 02:00:00", 1, "view", 4.0, "{}"),
+        (5, "2024-01-02 03:00:00", 1, "view", None, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        (str(r["bucket"]), r["role"]): (r["event_id"], r["value"], r["ts_us"])
+        for r in QUERIES["h15_m4_downsample"].fn(spark, str(d)).collect()
+    }
+    us = lambda h: (1704067200 + (h - 0) * 3600) * 10**6  # 2024-01-01 UTC
+    want = {
+        ("2024-01-01", "first"): (0, 5.0, us(1)),
+        ("2024-01-01", "min"): (0, 5.0, us(1)),
+        ("2024-01-01", "max"): (1, 9.0, us(2)),
+        ("2024-01-01", "last"): (2, 7.0, us(3)),
+        ("2024-01-02", "first"): (3, 4.0, us(25)),
+        ("2024-01-02", "min"): (3, 4.0, us(25)),
+        ("2024-01-02", "max"): (4, 4.0, us(26)),
+        ("2024-01-02", "last"): (4, 4.0, us(26)),
+    }
+    assert got == want
+    con = _duck_views(d, "events")
+    oracle = {
+        (str(r[1]), r[2]): (r[5], r[4], r[3])
+        for r in con.execute(QUERIES["h15_m4_downsample"].sql).fetchall()
+    }
+    assert oracle == want

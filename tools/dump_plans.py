@@ -191,6 +191,9 @@ FLAGSHIPS = [
     "g7_percent_of_parent",
     "ev9_truncation_recall",
     "g8_ytd_revenue",
+    "ops8_zone_map",
+    "x61_kneser_ney_lm",
+    "h15_m4_downsample",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
