@@ -19216,47 +19216,11 @@ def g8_ytd_revenue(spark, sf):
     "full-table scan and reading one month",
 )
 def ops8_zone_map(spark, sf):
-    cutoff, lo, hi = "1997-06-01", 45000000, 45010000
-    f = _t(spark, sf, "orders").select(
-        F.date_trunc("month", F.col("o_orderdate"))
-        .cast("date")
-        .alias("month"),
-        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
-        F.col("o_orderdate").cast("date").alias("day"),
-    )
-    z = f.groupBy("month").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.min("cents").cast("bigint").alias("min_cents"),
-        F.max("cents").cast("bigint").alias("max_cents"),
-        F.min("day").alias("min_day"),
-        F.max("day").alias("max_day"),
-        F.sum(
-            F.when(F.col("day") >= F.lit(cutoff).cast("date"), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_match_date"),
-        F.sum(
-            F.when(F.col("cents").between(lo, hi), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_match_price"),
-    )
-    skip_price = (F.col("max_cents") < lo) | (F.col("min_cents") > hi)
-    return z.select(
-        "month",
-        "n_rows",
-        "min_cents",
-        "max_cents",
-        "min_day",
-        "max_day",
-        (F.col("max_day") < F.lit(cutoff).cast("date")).alias("skip_date"),
-        "n_match_date",
-        skip_price.alias("skip_price"),
-        "n_match_price",
-        (~skip_price & (F.col("n_match_price") == 0)).alias(
-            "false_scan_price"
-        ),
-    )
+    # state + verdicts shared with streaming/zonemap_stream.py — the
+    # batch pass IS zone_state in one epoch
+    from ..operators.zonemap import finalize_zone_map, zone_state
+
+    return finalize_zone_map(zone_state(_t(spark, sf, "orders")))
 
 
 #: shared KN probability expression — identical string in BOTH engines so

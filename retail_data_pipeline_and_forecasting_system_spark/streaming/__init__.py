@@ -57,3 +57,8 @@ from .scrub_stream import (  # noqa: F401
     run_scrub_ingest,
     scrub_state_sink,
 )
+from .zonemap_stream import (  # noqa: F401
+    read_zone_map,
+    run_zonemap_ingest,
+    zone_state_sink,
+)
