@@ -19448,6 +19448,289 @@ def h15_m4_downsample(spark, sf):
     )
 
 
+@q(
+    "g9_moving_annual_total",
+    sql="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+               AS DATE) AS month,
+        CAST(date_part('year', CAST(o_orderdate AS DATE)) * 12
+           + date_part('month', CAST(o_orderdate AS DATE)) AS INT)
+          AS midx,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT month, revenue_cents,
+      CAST(SUM(revenue_cents) OVER (ORDER BY midx
+        RANGE BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS mat_cents,
+      CAST(COUNT(*) OVER (ORDER BY midx
+        RANGE BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS n_months
+    FROM monthly
+    """,
+    ref="BI staple: Moving Annual Total — the trailing-12-month "
+    "revenue that smooths seasonality out of a trend line (the "
+    "rolling counterpart of g8's resetting YTD). The RANGE frame "
+    "runs over a linearized month INDEX (yr*12+mo), so calendar GAPS "
+    "are handled correctly: a missing month contributes nothing AND "
+    "pushes old months out of the window by value distance, where a "
+    "ROWS frame would silently stretch the window past 12 calendar "
+    "months. n_months flags partial windows at series start. Exact "
+    "integer cents, DECIMAL(28,2) oracle staging (h10 lesson)",
+    scale="the fact table collapses to the month rollup first (one "
+    "map-side-combined agg, <= #months rows); the MAT window is "
+    "unpartitioned but runs over that month-grain frame — "
+    "calendar-bounded (~1200 rows per century), allow-listed with "
+    "this written grain bound; partition by year-of-window if a "
+    "calendar ever outgrows one task",
+)
+def g9_moving_annual_total(spark, sf):
+    o = _t(spark, sf, "orders")
+    monthly = (
+        o.select(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("int")
+            .alias("midx"),
+            (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("month", "midx")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+    w = W.orderBy("midx").rangeBetween(-11, 0)
+    return monthly.select(
+        "month",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("bigint").alias("mat_cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_months"),
+    )
+
+
+@q(
+    "g10_sply_growth",
+    sql="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+               AS DATE) AS month,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT c.month, c.revenue_cents,
+      CAST(p.revenue_cents AS BIGINT) AS sply_cents,
+      round(CAST(c.revenue_cents - p.revenue_cents AS DOUBLE)
+            / p.revenue_cents * 100, 6) AS yoy_pct
+    FROM monthly c
+    LEFT JOIN monthly p ON p.month = c.month - INTERVAL 12 MONTH
+    """,
+    ref="BI staple: Same-Period-Last-Year comparison — each month's "
+    "revenue against the SAME month one year back (the seasonality-"
+    "fair baseline; comparing December to November is the classic "
+    "reporting mistake), with YoY growth percent. Expressed as a "
+    "calendar self-JOIN on month = month - 12 months, NOT a lag-12 "
+    "window: a lag over month ROWS silently compares against the "
+    "wrong month when any month is missing from the data. First-year "
+    "months have NULL baseline and NULL growth (no fake zeros). "
+    "Cents exact; the growth ratio is ONE double division + round(6)",
+    scale="month-grain collapse first (map-side combine), then a "
+    "grain-sized self-join (<= #months rows on both sides, "
+    "broadcast-trivial); nothing downstream of the rollup is "
+    "data-proportional",
+)
+def g10_sply_growth(spark, sf):
+    o = _t(spark, sf, "orders")
+    monthly = (
+        o.select(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month"),
+            (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("month")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+    cur = monthly
+    prev = monthly.select(
+        F.col("month").alias("p_month"),
+        F.col("revenue_cents").alias("sply_cents"),
+    )
+    return (
+        cur.join(
+            prev,
+            F.add_months(F.col("month"), -12) == F.col("p_month"),
+            "left",
+        )
+        .select(
+            "month",
+            "revenue_cents",
+            F.col("sply_cents").cast("bigint").alias("sply_cents"),
+            F.round(
+                (F.col("revenue_cents") - F.col("sply_cents")).cast(
+                    "double"
+                )
+                / F.col("sply_cents")
+                * 100,
+                6,
+            ).alias("yoy_pct"),
+        )
+    )
+
+
+#: x62 boundary nibble: first hex nibble of md5(token), identical
+#: positional arithmetic in both engines.
+_X62_P = 4  # boundary if nibble < 4 -> expected chunk ~4 tokens
+
+
+@q(
+    "x62_cdc_chunking",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, t.token, t.pos FROM (
+        SELECT doc_id, source,
+          unnest(string_split(text, ' ')) AS token,
+          generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents WHERE text IS NOT NULL
+      ) t(doc_id, source, token, pos)
+    ), b AS (
+      SELECT doc_id, source, token, pos,
+        CASE WHEN instr('0123456789abcdef',
+          substring(md5(token), 1, 1)) - 1 < {_X62_P}
+        THEN 1 ELSE 0 END AS is_b
+      FROM toks
+    ), ch AS (
+      SELECT doc_id, source, token, pos,
+        CAST(coalesce(sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS chunk_id
+      FROM b
+    ), inst AS (
+      SELECT doc_id, source, chunk_id,
+        md5(string_agg(token, ' ' ORDER BY pos)) AS h,
+        CAST(length(string_agg(token, ' ' ORDER BY pos)) AS BIGINT)
+          AS n_chars
+      FROM ch GROUP BY doc_id, source, chunk_id
+    ), ranked AS (
+      SELECT source, n_chars,
+        (row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id)
+          = 1) AS canon
+      FROM inst
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_instances,
+      CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_canonical,
+      CAST(sum(CASE WHEN canon THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_dup_instances,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      CAST(sum(CASE WHEN canon THEN 0 ELSE n_chars END) AS BIGINT)
+        AS saved_chars,
+      round(CAST(sum(CASE WHEN canon THEN 0 ELSE n_chars END)
+        AS DOUBLE) / sum(n_chars), 6) AS saved_share
+    FROM ranked GROUP BY source
+    """,
+    ref="storage-level dedup: content-defined chunking (the rsync / "
+    "LBFS / restic primitive — Muthitacharoen et al., SOSP 2001): "
+    "split each document at TOKEN positions whose md5 nibble falls "
+    "under the boundary mask (boundaries depend only on CONTENT, so "
+    "an insertion reshapes one chunk instead of shifting every "
+    "fixed-size block — the property that makes CDC dedup robust "
+    "where fixed-width chunking degrades to ~0%), hash each chunk, "
+    "and report per source the chunk-store effect: instances vs "
+    "canonical-first copies and the share of chars a dedup store "
+    "would NOT write again. Complements d-family document dedup "
+    "(whole/near-doc) with the sub-document storage view x31 opens "
+    "(spans) but at CONTENT-defined rather than fixed-L boundaries",
+    scale="token explode is the only corpus-sized stream (one doc_id "
+    "shuffle for the boundary cumsum + chunk rebuild — same law as "
+    "x19/x31); chunk instances are ~corpus/4 rows keyed by content "
+    "hash, so the canonical rank partitions by h (dup-cluster-"
+    "bounded, never global); the per-source report is one map-side-"
+    "combined agg. Chunk text rebuild is per-(doc, chunk) local — "
+    "no cross-doc data movement beyond the h-keyed rank",
+)
+def x62_cdc_chunking(spark, sf):
+    from ..functions import tokens
+
+    docs = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens("text")).alias("pos", "token"),
+    )
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("token")), 1, 1),
+        )
+        - 1
+    )
+    b = t.withColumn(
+        "is_b", F.when(nib < _X62_P, 1).otherwise(0)
+    )
+    wprev = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ch = b.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum("is_b").over(wprev), F.lit(0)).cast("bigint"),
+    )
+    inst = (
+        ch.groupBy("doc_id", "source", "chunk_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pos"), F.col("token")))
+            ).alias("__arr")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "chunk_id",
+            F.array_join(
+                F.transform(F.col("__arr"), lambda s: s["token"]), " "
+            ).alias("txt"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "chunk_id",
+            F.md5("txt").alias("h"),
+            F.length("txt").cast("bigint").alias("n_chars"),
+        )
+    )
+    wc = W.partitionBy("h").orderBy("doc_id", "chunk_id")
+    ranked = inst.select(
+        "source",
+        "n_chars",
+        (F.row_number().over(wc) == 1).alias("canon"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_instances"),
+        F.sum(F.when(F.col("canon"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_canonical"),
+        F.sum(F.when(F.col("canon"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_dup_instances"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.when(F.col("canon"), 0).otherwise(F.col("n_chars")))
+        .cast("bigint")
+        .alias("saved_chars"),
+        F.round(
+            F.sum(
+                F.when(F.col("canon"), 0).otherwise(F.col("n_chars"))
+            ).cast("double")
+            / F.sum("n_chars"),
+            6,
+        ).alias("saved_share"),
+    )
+
+
 
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied

@@ -825,3 +825,177 @@ def test_h15_m4_roles_and_tie_breaks_cross_engine(spark, tmp_path):
         for r in con.execute(QUERIES["h15_m4_downsample"].sql).fetchall()
     }
     assert oracle == want
+
+
+# ------------------------- g9 / g10 / x62 (round-14 wave 6)
+
+
+def test_g9_mat_range_frame_handles_calendar_gaps(spark, tmp_path):
+    """Orders in 1994-01, 1994-03, 1995-02 (gaps!): at 1995-02 the
+    trailing-12-month window must include 1994-03 but NOT 1994-01
+    (13 months back) — a ROWS-11 frame would wrongly include it.
+    n_months exposes the partial windows. Cross-engine equal."""
+    rows = [
+        (1, 1, "O", 10.0, "1994-01-15 00:00:00", "1-U"),
+        (2, 1, "O", 20.0, "1994-03-10 00:00:00", "1-U"),
+        (3, 1, "O", 5.0, "1995-02-20 00:00:00", "1-U"),
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    got = {
+        str(r["month"]): (r["revenue_cents"], r["mat_cents"], r["n_months"])
+        for r in QUERIES["g9_moving_annual_total"].fn(spark, str(d)).collect()
+    }
+    want = {
+        "1994-01-01": (1000, 1000, 1),
+        "1994-03-01": (2000, 3000, 2),
+        "1995-02-01": (500, 2500, 2),  # 1994-01 aged out by VALUE distance
+    }
+    assert got == want
+    con = _duck_views(d, "orders")
+    oracle = {
+        str(r[0]): (r[1], r[2], r[3])
+        for r in con.execute(
+            QUERIES["g9_moving_annual_total"].sql
+        ).fetchall()
+    }
+    assert oracle == want
+
+
+def test_g10_sply_join_not_lag_and_null_baseline(spark, tmp_path):
+    """1995-05 compares against 1994-05 (yoy +50%); 1995-06 has NO
+    1994-06 baseline and must report NULL, not the previous row (the
+    lag-12 trap this op exists to avoid); first-year months are NULL.
+    Cross-engine equal."""
+    rows = [
+        (1, 1, "O", 10.0, "1994-05-02 00:00:00", "1-U"),
+        (2, 1, "O", 15.0, "1995-05-09 00:00:00", "1-U"),
+        (3, 1, "O", 7.0, "1995-06-20 00:00:00", "1-U"),
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    got = {
+        str(r["month"]): (r["revenue_cents"], r["sply_cents"], r["yoy_pct"])
+        for r in QUERIES["g10_sply_growth"].fn(spark, str(d)).collect()
+    }
+    want = {
+        "1994-05-01": (1000, None, None),
+        "1995-05-01": (1500, 1000, 50.0),
+        "1995-06-01": (700, None, None),  # missing baseline != lag row
+    }
+    assert got == want
+    con = _duck_views(d, "orders")
+    oracle = {
+        str(r[0]): (r[1], r[2], r[3])
+        for r in con.execute(QUERIES["g10_sply_growth"].sql).fetchall()
+    }
+    assert oracle == want
+
+
+def _cdc_python(rows, p=4):
+    """Independent pure-Python content-defined chunker (hashlib md5),
+    written from the boundary rule, not from the engine plan: token i
+    ends its chunk when its first md5 nibble < p; chunk hash is md5 of
+    the space-joined chunk; canonical = first (doc_id, chunk_id) per
+    hash; per-source storage report."""
+    import hashlib
+    from collections import defaultdict
+
+    insts = []
+    for doc_id, text, source in rows:
+        if text is None:
+            continue
+        cur, cid = [], 0
+        for tok in text.split(" "):
+            cur.append(tok)
+            if int(hashlib.md5(tok.encode()).hexdigest()[0], 16) < p:
+                txt = " ".join(cur)
+                insts.append((doc_id, cid, source, txt))
+                cur, cid = [], cid + 1
+        if cur:
+            insts.append((doc_id, cid, source, " ".join(cur)))
+    first = {}
+    for doc_id, cid, _s, txt in sorted(insts):
+        h = hashlib.md5(txt.encode()).hexdigest()
+        first.setdefault(h, (doc_id, cid))
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, canon, dup, chars, saved
+    for doc_id, cid, source, txt in insts:
+        h = hashlib.md5(txt.encode()).hexdigest()
+        canon = first[h] == (doc_id, cid)
+        a = agg[source]
+        a[0] += 1
+        a[1] += canon
+        a[2] += not canon
+        a[3] += len(txt)
+        a[4] += 0 if canon else len(txt)
+    return {
+        s: (a[0], a[1], a[2], a[3], a[4], round(a[4] / a[3], 6))
+        for s, a in agg.items()
+    }
+
+
+def test_x62_cdc_shift_robustness_triple_differential(spark, tmp_path):
+    """The CDC property itself: doc 1 repeats doc 0's text with a
+    token INSERTED at the front — fixed-width chunking would dedup
+    ~nothing, content-defined boundaries must re-align after the
+    first boundary and dedup the tail (saved_chars > 0 in doc 1's
+    source). Spark == DuckDB == independent Python."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [
+        (0, base, "src_a"),
+        (1, "inserted " + base, "src_b"),
+        (2, base, "src_c"),  # exact repeat: everything but canon dedups
+        (3, None, "src_a"),  # NULL text drops
+    ]
+    doc_rows = [
+        (i, t, "en", s, len(t) if t else 0) for i, t, s in rows
+    ]
+    d = _write_docs(spark, tmp_path, doc_rows)
+    got = {
+        r["source"]: tuple(r)[1:]
+        for r in QUERIES["x62_cdc_chunking"].fn(spark, str(d)).collect()
+    }
+    want = _cdc_python(rows)
+    assert got == want
+    # the tail of the shifted doc deduplicated against doc 0
+    assert want["src_b"][4] > 0
+    # the exact repeat deduplicated entirely
+    assert want["src_c"][2] == want["src_c"][0]
+    con = _duck_views(d, "documents")
+    oracle = {
+        r[0]: tuple(r)[1:]
+        for r in con.execute(QUERIES["x62_cdc_chunking"].sql).fetchall()
+    }
+    assert oracle == want
+
+
+def test_x62_seeded_corpus_triple_differential(spark, tmp_path):
+    """Seeded 30-doc corpus over an 8-word vocabulary (dense chunk
+    collisions, many boundary tokens) with NULL docs interleaved:
+    Spark == DuckDB == independent Python exactly."""
+    import random
+
+    rng = random.Random(62)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    rows = []
+    for i in range(30):
+        if i % 9 == 4:
+            rows.append((i, None, f"s{i % 3}"))
+        else:
+            n = rng.randint(1, 15)
+            rows.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(n)),
+                 f"s{i % 3}")
+            )
+    doc_rows = [(i, t, "en", s, len(t) if t else 0) for i, t, s in rows]
+    d = _write_docs(spark, tmp_path, doc_rows)
+    got = {
+        r["source"]: tuple(r)[1:]
+        for r in QUERIES["x62_cdc_chunking"].fn(spark, str(d)).collect()
+    }
+    want = _cdc_python(rows)
+    assert got == want
+    con = _duck_views(d, "documents")
+    oracle = {
+        r[0]: tuple(r)[1:]
+        for r in con.execute(QUERIES["x62_cdc_chunking"].sql).fetchall()
+    }
+    assert oracle == want

@@ -830,6 +830,10 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
         "doc-length VALUE ALPHABET (<= max-tokens-per-doc rows, "
         "corpus-independent; 'bucket coarser' escape hatch in its "
         "scale note)",
+        "g9_moving_annual_total": "MAT RANGE window over the "
+        "month-grain rollup (calendar-bounded, ~1200 rows/century; "
+        "'partition by year-of-window' escape hatch in its scale "
+        "note)",
     },
     "operators/textstats.py": {
         "bpe_pair_counts": "rank runs AFTER orderBy().limit(top_n) — the "

@@ -194,6 +194,9 @@ FLAGSHIPS = [
     "ops8_zone_map",
     "x61_kneser_ney_lm",
     "h15_m4_downsample",
+    "g9_moving_annual_total",
+    "g10_sply_growth",
+    "x62_cdc_chunking",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
