@@ -19393,59 +19393,11 @@ def x61_kneser_ney_lm(spark, sf):
     "explode to role rows is map-side after the agg",
 )
 def h15_m4_downsample(spark, sf):
-    e = (
-        _t(spark, sf, "events")
-        .filter(F.col("value").isNotNull())
-        .select(
-            "event_type",
-            F.date_trunc("day", F.col("ts")).cast("date").alias("bucket"),
-            "ts",
-            "value",
-            "event_id",
-        )
-    )
-    g = e.groupBy("event_type", "bucket").agg(
-        F.min(F.struct("ts", "event_id", "value")).alias("s_first"),
-        F.max(F.struct("ts", "event_id", "value")).alias("s_last"),
-        F.min(F.struct("value", "ts", "event_id")).alias("s_min"),
-        F.max(F.struct("value", "ts", "event_id")).alias("s_max"),
-    )
-    roles = F.array(
-        F.struct(
-            F.lit("first").alias("role"),
-            F.col("s_first.ts").alias("ts"),
-            F.col("s_first.value").alias("value"),
-            F.col("s_first.event_id").alias("event_id"),
-        ),
-        F.struct(
-            F.lit("last").alias("role"),
-            F.col("s_last.ts").alias("ts"),
-            F.col("s_last.value").alias("value"),
-            F.col("s_last.event_id").alias("event_id"),
-        ),
-        F.struct(
-            F.lit("min").alias("role"),
-            F.col("s_min.ts").alias("ts"),
-            F.col("s_min.value").alias("value"),
-            F.col("s_min.event_id").alias("event_id"),
-        ),
-        F.struct(
-            F.lit("max").alias("role"),
-            F.col("s_max.ts").alias("ts"),
-            F.col("s_max.value").alias("value"),
-            F.col("s_max.event_id").alias("event_id"),
-        ),
-    )
-    return g.select(
-        "event_type", "bucket", F.explode(roles).alias("r")
-    ).select(
-        "event_type",
-        "bucket",
-        F.col("r.role").alias("role"),
-        F.unix_micros(F.col("r.ts")).alias("ts_us"),
-        F.col("r.value").alias("value"),
-        F.col("r.event_id").alias("event_id"),
-    )
+    # state + role explode shared with streaming/m4_stream.py — the
+    # batch pass IS m4_state in one epoch
+    from ..operators.m4 import finalize_m4, m4_state
+
+    return finalize_m4(m4_state(_t(spark, sf, "events")))
 
 
 @q(
@@ -19728,6 +19680,91 @@ def x62_cdc_chunking(spark, sf):
             / F.sum("n_chars"),
             6,
         ).alias("saved_share"),
+    )
+
+
+@q(
+    "dq14_key_density",
+    sql="""
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderkey IS NOT NULL
+    ), mm AS (
+      SELECT min(k) AS mn, max(k) AS mx FROM keys
+    ), spine AS (
+      SELECT unnest(generate_series(mn // 1024, mx // 1024)) AS b,
+        mn, mx
+      FROM mm
+    ), p AS (
+      SELECT k // 1024 AS b, CAST(count(*) AS BIGINT) AS n_present
+      FROM keys GROUP BY 1
+    )
+    SELECT CAST(s.b * 1024 AS BIGINT) AS bucket_lo,
+      CAST(least((s.b + 1) * 1024 - 1, s.mx)
+         - greatest(s.b * 1024, s.mn) + 1 AS BIGINT) AS width,
+      CAST(coalesce(p.n_present, 0) AS BIGINT) AS n_present,
+      CAST(least((s.b + 1) * 1024 - 1, s.mx)
+         - greatest(s.b * 1024, s.mn) + 1
+         - coalesce(p.n_present, 0) AS BIGINT) AS n_missing,
+      round(CAST(coalesce(p.n_present, 0) AS DOUBLE)
+        / (least((s.b + 1) * 1024 - 1, s.mx)
+           - greatest(s.b * 1024, s.mn) + 1), 6) AS density
+    FROM spine s LEFT JOIN p ON s.b = p.b
+    """,
+    ref="DQ: key-space density audit (gaps-and-islands at manifest "
+    "grain) — per 1024-wide bucket of the o_orderkey space, present "
+    "vs missing key counts against the bucket's span clipped to the "
+    "corpus [min, max]. The bucket SPINE is generated, not derived "
+    "from present keys, so a WHOLLY-missing bucket (a lost shard / "
+    "dropped ingest batch — the failure this op exists to catch) "
+    "surfaces as density 0 instead of silently not appearing. "
+    "TPC-H's sparse orderkey layout gives real structure: every "
+    "bucket sits at ~25% density by construction. All integer "
+    "counts; density is one double division + round(6)",
+    scale="keys shuffle ONCE on bucket id (map-side-combined "
+    "distinct), the spine is span-bounded metadata (span/1024 rows — "
+    "~6M rows for a 6e12 key space, trivially distributed via "
+    "explode(sequence())), and the join is bucket-keyed. No global "
+    "sort, no corpus-sized window — the gaps-and-islands LAG "
+    "formulation would need exactly that, which is why this is the "
+    "bucket form",
+)
+def dq14_key_density(spark, sf):
+    B = 1024
+    keys = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    mm = keys.agg(
+        F.min("k").alias("mn"), F.max("k").alias("mx")
+    )
+    spine = mm.select(
+        F.explode(
+            F.sequence(
+                F.expr(f"mn div {B}"), F.expr(f"mx div {B}")
+            )
+        ).alias("b"),
+        "mn",
+        "mx",
+    )
+    p = keys.groupBy(F.expr(f"k div {B}").alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_present")
+    )
+    j = spine.join(p, "b", "left")
+    width = (
+        F.least((F.col("b") + 1) * B - 1, F.col("mx"))
+        - F.greatest(F.col("b") * B, F.col("mn"))
+        + 1
+    )
+    n_present = F.coalesce(F.col("n_present"), F.lit(0))
+    return j.select(
+        (F.col("b") * B).cast("bigint").alias("bucket_lo"),
+        width.cast("bigint").alias("width"),
+        n_present.cast("bigint").alias("n_present"),
+        (width - n_present).cast("bigint").alias("n_missing"),
+        F.round(n_present.cast("double") / width, 6).alias("density"),
     )
 
 

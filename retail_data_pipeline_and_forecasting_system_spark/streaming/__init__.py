@@ -62,3 +62,8 @@ from .zonemap_stream import (  # noqa: F401
     run_zonemap_ingest,
     zone_state_sink,
 )
+from .m4_stream import (  # noqa: F401
+    m4_state_sink,
+    read_m4,
+    run_m4_ingest,
+)

@@ -999,3 +999,38 @@ def test_x62_seeded_corpus_triple_differential(spark, tmp_path):
         for r in con.execute(QUERIES["x62_cdc_chunking"].sql).fetchall()
     }
     assert oracle == want
+
+
+# ----------------------------------- dq14 (round-14 wave 7)
+
+
+def test_dq14_wholly_missing_bucket_surfaces(spark, tmp_path):
+    """Keys 1000, 1010 (bucket 0), 3000 (bucket 2) — bucket 1 has NO
+    keys at all (the lost-shard case) and must still appear with
+    density 0 because the spine is GENERATED, not derived from
+    present keys; edge buckets clip their width to the corpus
+    [min, max]. Cross-engine equal."""
+    rows = [
+        (1000, 1, "O", 10.0, "1995-01-05 00:00:00", "1-U"),
+        (1010, 1, "O", 10.0, "1995-01-06 00:00:00", "1-U"),
+        (3000, 1, "O", 10.0, "1995-01-07 00:00:00", "1-U"),
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    got = {
+        r["bucket_lo"]: (
+            r["width"], r["n_present"], r["n_missing"], r["density"]
+        )
+        for r in QUERIES["dq14_key_density"].fn(spark, str(d)).collect()
+    }
+    want = {
+        0: (24, 2, 22, round(2 / 24, 6)),      # clipped to [1000, 1023]
+        1024: (1024, 0, 1024, 0.0),            # the lost shard
+        2048: (953, 1, 952, round(1 / 953, 6)),  # clipped to [2048, 3000]
+    }
+    assert got == want
+    con = _duck_views(d, "orders")
+    oracle = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(QUERIES["dq14_key_density"].sql).fetchall()
+    }
+    assert oracle == want

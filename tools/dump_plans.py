@@ -197,6 +197,7 @@ FLAGSHIPS = [
     "g9_moving_annual_total",
     "g10_sply_growth",
     "x62_cdc_chunking",
+    "dq14_key_density",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
