@@ -19768,6 +19768,252 @@ def dq14_key_density(spark, sf):
     )
 
 
+#: Poisson(1) inverse-CDF thresholds scaled to 2^32 (floor(cdf_k *
+#: 2^32) for k = 0..8): a uniform 32-bit hash u gets bootstrap weight
+#: = #thresholds <= u. Integer constants, so both engines draw the
+#: IDENTICAL weight for every (row, replica) pair.
+_AB5_T = [
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291, 4294609777, 4294923276, 4294962463,
+]
+_AB5_B = 64  # replicas; nearest-rank 2.5%/97.5% -> sorted ranks 2 / 63
+
+
+def _ab5_sql() -> str:
+    wt = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _AB5_T
+    )
+    return f"""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+        CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+          AS cents
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ), hashed AS (
+      SELECT cents, g,
+        md5(concat(CAST(k AS VARCHAR), ':', CAST(g AS VARCHAR))) AS h
+      FROM o CROSS JOIN (
+        SELECT unnest(generate_series(0, {_AB5_B // 4 - 1})) AS g)
+    ), reps AS (
+      SELECT g * 4 + j AS b, cents,
+        {_x55_hex8('h', 1)} * (CASE WHEN j = 0 THEN 1 ELSE 0 END)
+        + {_x55_hex8('h', 9)} * (CASE WHEN j = 1 THEN 1 ELSE 0 END)
+        + {_x55_hex8('h', 17)} * (CASE WHEN j = 2 THEN 1 ELSE 0 END)
+        + {_x55_hex8('h', 25)} * (CASE WHEN j = 3 THEN 1 ELSE 0 END)
+          AS u
+      FROM hashed CROSS JOIN (
+        SELECT unnest(generate_series(0, 3)) AS j)
+    ), w AS (
+      SELECT b, cents, {wt} AS wt FROM reps
+    ), m AS (
+      SELECT b,
+        round(CAST(sum(wt * cents) AS DOUBLE) / sum(wt), 6) AS mean_b
+      FROM w GROUP BY b HAVING sum(wt) > 0
+    ), arr AS (
+      SELECT list(mean_b ORDER BY mean_b) AS a,
+        CAST(count(*) AS BIGINT) AS n_reps
+      FROM m
+    ), base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS mean_cents
+      FROM o
+    )
+    SELECT n_orders, mean_cents, n_reps,
+      a[2] AS ci_lo_cents, a[{_AB5_B - 1}] AS ci_hi_cents
+    FROM base, arr
+    """
+
+
+@q(
+    "ab5_bootstrap_ci",
+    sql=_ab5_sql(),
+    ref="experimentation at scale: hash-seeded POISSON BOOTSTRAP CI "
+    "for the mean order value (Chamandy et al. 2012, 'Estimating "
+    "uncertainty for massive data streams' — the Google/Meta "
+    "pattern: per (row, replica), weight ~ Poisson(1) drawn from a "
+    "HASH of (key, replica), so the resample is deterministic, "
+    "reproducible, and needs no stored random state). Weights come "
+    "from integer threshold compares of the first 8 md5 nibbles "
+    "against the Poisson inverse-CDF scaled to 2^32 — both engines "
+    "draw bit-identical weights. 64 replicas; CI = nearest-rank "
+    "2.5/97.5 percentiles of the replica means (sorted ranks 2/63); "
+    "replica means are exact-integer weighted sums with ONE double "
+    "division each, rounded BEFORE ranking so ordering is identical",
+    scale="the method's entire point: replicas are a map-side "
+    "B-fold weighted agg (explode x64 then ONE hash-agg to 64 "
+    "groups, map-side combined to 64 partials per partition) — no "
+    "resampled data copies, no shuffle beyond 64-group partials; "
+    "the rank step sorts 64 numbers. B scales the constant factor, "
+    "never the shuffle row count",
+)
+def ab5_bootstrap_ci(spark, sf):
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (dec("o_totalprice", 2).cast("decimal(28,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    o = _persist_tracked(o)
+    # 128 md5 bits = FOUR 32-bit uniforms: one hash serves replicas
+    # 4g..4g+3 (4x less hashing than hash-per-replica; the explode
+    # AFTER the md5 projection is a Generate boundary, so the hash is
+    # computed once per (row, g), not once per slice reference)
+    hashed = o.select(
+        "cents",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_AB5_B // 4 - 1))
+        ).alias("g"),
+        F.col("k"),
+    ).select(
+        "cents",
+        "g",
+        F.md5(
+            F.concat(
+                F.col("k").cast("string"),
+                F.lit(":"),
+                F.col("g").cast("string"),
+            )
+        ).alias("h"),
+    )
+    reps = hashed.select(
+        "cents",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("g") * 4 + j).alias("b"),
+                        F.conv(
+                            F.substring("h", 1 + 8 * j, 8), 16, 10
+                        )
+                        .cast("bigint")
+                        .alias("u"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("r"),
+    ).select("r.b", "cents", "r.u")
+    wt = None
+    for t in _AB5_T:
+        term = F.when(F.col("u") >= t, 1).otherwise(0)
+        wt = term if wt is None else wt + term
+    w = reps.select("b", "cents", wt.alias("wt"))
+    m = (
+        w.groupBy("b")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents")).alias("ws"),
+            F.sum("wt").alias("wn"),
+        )
+        .filter(F.col("wn") > 0)
+        .select(
+            F.round(
+                F.col("ws").cast("double") / F.col("wn"), 6
+            ).alias("mean_b")
+        )
+    )
+    arr = m.agg(
+        F.sort_array(F.collect_list("mean_b")).alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+    )
+    base = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum("cents").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_cents"),
+    )
+    return base.crossJoin(F.broadcast(arr)).select(
+        "n_orders",
+        "mean_cents",
+        "n_reps",
+        F.element_at("a", 2).alias("ci_lo_cents"),
+        F.element_at("a", _AB5_B - 1).alias("ci_hi_cents"),
+    )
+
+
+@q(
+    "g11_abc_analysis",
+    sql="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+        CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(28,2)) * 100
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), c AS (
+      SELECT p_brand, l_partkey, revenue_cents,
+        CAST(SUM(revenue_cents) OVER (PARTITION BY p_brand
+          ORDER BY revenue_cents DESC, l_partkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum_cents,
+        CAST(SUM(revenue_cents) OVER (PARTITION BY p_brand)
+          AS BIGINT) AS tot_cents
+      FROM rev
+    )
+    SELECT p_brand, l_partkey, revenue_cents,
+      round(CAST(cum_cents AS DOUBLE) / tot_cents, 6) AS cum_share,
+      CASE
+        WHEN CAST(cum_cents AS DOUBLE) / tot_cents <= 0.8 THEN 'A'
+        WHEN CAST(cum_cents AS DOUBLE) / tot_cents <= 0.95 THEN 'B'
+        ELSE 'C'
+      END AS abc_class
+    FROM c
+    """,
+    ref="BI staple: ABC / Pareto analysis WITHIN brand — rank each "
+    "brand's parts by revenue, classify by cumulative share (A: the "
+    "parts making the first 80% of brand revenue, B: to 95%, C: the "
+    "tail) — the inventory-prioritization cut every ops team runs. "
+    "Classification happens on the UNROUNDED cumulative share in "
+    "both engines (identical double division of exact cents), so a "
+    "boundary value cannot class-flip between engine and oracle; "
+    "cum_share is rounded for OUTPUT only. Ties broken by partkey",
+    scale="revenue collapses per (brand, part) first (map-side "
+    "combine); both windows partition by BRAND — dimension-grain "
+    "partitions (parts/brand, never fact-sized). If a single brand's "
+    "catalog outgrows one task, sub-partition by category and "
+    "ABC-classify per (brand, category) — the escape hatch the BI "
+    "semantics already allow",
+)
+def g11_abc_analysis(spark, sf):
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey",
+        (dec("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    pt = _t(spark, sf, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+    wc = (
+        W.partitionBy("p_brand")
+        .orderBy(F.desc("revenue_cents"), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("p_brand")
+    c = rev.select(
+        "p_brand",
+        "l_partkey",
+        "revenue_cents",
+        F.sum("revenue_cents").over(wc).cast("bigint").alias("cum_cents"),
+        F.sum("revenue_cents").over(wt).cast("bigint").alias("tot_cents"),
+    )
+    share = F.col("cum_cents").cast("double") / F.col("tot_cents")
+    return c.select(
+        "p_brand",
+        "l_partkey",
+        "revenue_cents",
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
 
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied

@@ -1034,3 +1034,122 @@ def test_dq14_wholly_missing_bucket_surfaces(spark, tmp_path):
         for r in con.execute(QUERIES["dq14_key_density"].sql).fetchall()
     }
     assert oracle == want
+
+
+# ----------------------------- ab5 / g11 (round-14 wave 8)
+
+
+def _bootstrap_python(orders, B=64):
+    """Independent pure-Python Poisson-bootstrap CI (hashlib md5 +
+    the scaled inverse-CDF thresholds), written from the method, not
+    the engine plan."""
+    import hashlib
+
+    T = [
+        1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+        4292415291, 4294609777, 4294923276, 4294962463,
+    ]
+    cents = {k: round(v * 100) for k, v in orders}
+    means = []
+    for b in range(B):
+        g, j = divmod(b, 4)  # one md5 serves four replicas
+        ws = wn = 0
+        for k, c in cents.items():
+            h = hashlib.md5(f"{k}:{g}".encode()).hexdigest()
+            u = int(h[8 * j : 8 * j + 8], 16)
+            wt = sum(1 for t in T if u >= t)
+            ws += wt * c
+            wn += wt
+        if wn > 0:
+            means.append(round(ws / wn, 6))
+    means.sort()
+    n = len(cents)
+    return (
+        n,
+        round(sum(cents.values()) / n, 6),
+        len(means),
+        means[1],
+        means[B - 2],
+    )
+
+
+def test_ab5_bootstrap_triple_differential(spark, tmp_path):
+    """50 seeded orders: Spark == DuckDB == independent Python on the
+    whole row (n, mean, replica count, both CI bounds) — the weights
+    are integer-threshold draws so every engine resamples the exact
+    same multisets."""
+    import random
+
+    rng = random.Random(5)
+    orders = [(k, round(rng.uniform(10, 500), 2)) for k in range(50)]
+    rows = [
+        (k, 1, "O", v, "1995-01-05 00:00:00", "1-U") for k, v in orders
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    got = tuple(
+        QUERIES["ab5_bootstrap_ci"].fn(spark, str(d)).collect()[0]
+    )
+    want = _bootstrap_python(orders)
+    assert got == want
+    assert got[3] <= got[1] <= got[4]  # CI brackets the point estimate
+    con = _duck_views(d, "orders")
+    oracle = tuple(
+        con.execute(QUERIES["ab5_bootstrap_ci"].sql).fetchall()[0]
+    )
+    assert oracle == want
+
+
+def test_g11_abc_boundary_exact_classes(spark, tmp_path):
+    """One brand with revenue split exactly 80/15/5: cumulative
+    shares land EXACTLY on the 0.8 and 0.95 boundaries — classed A
+    and B (<=, not <) in both engines because classification runs on
+    the unrounded share; a second brand pins the revenue-tie ->
+    partkey order."""
+    import duckdb
+
+    # lineitem: l_orderkey, l_partkey, l_suppkey, l_quantity,
+    # l_extendedprice, l_discount, l_returnflag, l_shipdate...
+    li_rows = [
+        (1, 101, 1, 1.0, 80.0),
+        (2, 102, 1, 1.0, 15.0),
+        (3, 103, 1, 1.0, 5.0),
+        (4, 201, 1, 1.0, 7.0),
+        (5, 202, 1, 1.0, 7.0),
+    ]
+    p_rows = [
+        (101, "Brand#11"), (102, "Brand#11"), (103, "Brand#11"),
+        (201, "Brand#22"), (202, "Brand#22"),
+    ]
+    d = tmp_path / "t"
+    d.mkdir()
+    spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_quantity double, l_extendedprice double",
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    spark.createDataFrame(
+        p_rows, "p_partkey long, p_brand string"
+    ).coalesce(1).write.parquet(str(d / "part.parquet"))
+    got = {
+        r["l_partkey"]: (r["revenue_cents"], r["cum_share"], r["abc_class"])
+        for r in QUERIES["g11_abc_analysis"].fn(spark, str(d)).collect()
+    }
+    want = {
+        101: (8000, 0.8, "A"),    # exactly 0.8 -> A, not B
+        102: (1500, 0.95, "B"),   # exactly 0.95 -> B, not C
+        103: (500, 1.0, "C"),
+        201: (700, 0.5, "A"),     # tie: lower partkey ranks first
+        202: (700, 1.0, "C"),
+    }
+    assert got == want
+    con = duckdb.connect()
+    for t in ["lineitem", "part"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{d}/{t}.parquet/*.parquet'"
+        )
+    oracle = {
+        r[1]: (r[2], r[3], r[4])
+        for r in con.execute(QUERIES["g11_abc_analysis"].sql).fetchall()
+    }
+    assert oracle == want

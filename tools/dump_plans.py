@@ -198,6 +198,8 @@ FLAGSHIPS = [
     "g10_sply_growth",
     "x62_cdc_chunking",
     "dq14_key_density",
+    "ab5_bootstrap_ci",
+    "g11_abc_analysis",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
