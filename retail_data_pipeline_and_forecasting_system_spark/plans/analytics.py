@@ -20014,6 +20014,213 @@ def g11_abc_analysis(spark, sf):
     )
 
 
+@q(
+    "m25_mase",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderpriority AS p, CAST(o_orderdate AS DATE) AS d,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100
+             AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ), sn AS (
+      SELECT c.p, abs(c.y - s.y) AS e7
+      FROM daily c JOIN daily s
+        ON s.p = c.p AND s.d = c.d - INTERVAL 7 DAY
+    ), nv AS (
+      SELECT c.p, abs(c.y - n.y) AS e1
+      FROM daily c JOIN daily n
+        ON n.p = c.p AND n.d = c.d - INTERVAL 1 DAY
+    ), a7 AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS n7,
+        CAST(sum(e7) AS DECIMAL(38,0)) AS s7
+      FROM sn GROUP BY p
+    ), a1 AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS m1,
+        CAST(sum(e1) AS DECIMAL(38,0)) AS s1
+      FROM nv GROUP BY p
+    )
+    SELECT a7.p, n7, m1,
+      CAST(s7 AS BIGINT) AS sum_e7_cents,
+      CAST(s1 AS BIGINT) AS sum_e1_cents,
+      round(CAST(s7 * m1 AS DOUBLE)
+            / nullif(CAST(s1 AS DOUBLE) * n7, 0.0), 6) AS mase
+    FROM a7 JOIN a1 ON a7.p = a1.p
+    """,
+    ref="forecast evaluation: MASE (Mean Absolute Scaled Error, "
+    "Hyndman & Koehler 2006 — the M-competition standard that m7/m8's "
+    "raw MAE lacks: scale-free, so accuracy is comparable ACROSS "
+    "series of different magnitudes). Per priority series: "
+    "seasonal-naive(7) forecast error vs the one-day-naive in-sample "
+    "error; MASE < 1 means the model beats naive. Both error sets "
+    "come from CALENDAR self-joins (d - 7 days / d - 1 day), not row "
+    "lags — a missing day must drop the pair, not silently compare "
+    "against the wrong day (the g10 lesson). Error sums are exact "
+    "integer cents; the ratio is computed from cross-multiplied "
+    "exact sums with ONE rounded double division",
+    scale="day-grain rollup first (map-side combine, <= #days x "
+    "#priorities rows); both error joins and the final aggs are "
+    "grain-sized. Cross-products s7*m1 stay under 2^53 through "
+    "decade scale (~1e14 cents x 1e3 days); recompute at DECIMAL "
+    "and divide late if a corpus ever pushes past that (rule-5 note)",
+)
+def m25_mase(spark, sf):
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum((dec("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    daily = _persist_tracked(daily)
+
+    def err_join(lag_days: int, alias: str) -> DataFrame:
+        prev = daily.select(
+            F.col("p").alias("pp"),
+            F.col("d").alias("pd"),
+            F.col("y").alias("py"),
+        )
+        return (
+            daily.join(
+                prev,
+                (F.col("p") == F.col("pp"))
+                & (F.date_add(F.col("pd"), lag_days) == F.col("d")),
+            )
+            .select(
+                "p",
+                F.abs(F.col("y") - F.col("py")).alias(alias),
+            )
+        )
+
+    a7 = (
+        err_join(7, "e7")
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n7"),
+            F.sum("e7").cast("decimal(38,0)").alias("s7"),
+        )
+    )
+    a1 = (
+        err_join(1, "e1")
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m1"),
+            F.sum("e1").cast("decimal(38,0)").alias("s1"),
+        )
+    )
+    return a7.join(a1, "p").select(
+        "p",
+        "n7",
+        "m1",
+        F.col("s7").cast("bigint").alias("sum_e7_cents"),
+        F.col("s1").cast("bigint").alias("sum_e1_cents"),
+        F.round(
+            (F.col("s7") * F.col("m1")).cast("double")
+            / F.nullif(
+                F.col("s1").cast("double") * F.col("n7"), F.lit(0.0)
+            ),
+            6,
+        ).alias("mase"),
+    )
+
+
+@q(
+    "pr10_assortativity",
+    sql="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY 1),
+    xy AS (
+      SELECT ds.deg AS x, dd.deg AS y
+      FROM edges e
+      JOIN deg ds ON ds.node = e.src
+      JOIN deg dd ON dd.node = e.dst
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DECIMAL(38,0)) AS m,
+        CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+        CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+        CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+        CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+        CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+      FROM xy
+    )
+    SELECT CAST(m AS BIGINT) AS n_edges_directed,
+      round(CAST(m * sxy - sx * sy AS DOUBLE)
+        / nullif(sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 0.0), 6)
+        AS assortativity
+    FROM s
+    """,
+    ref="graph science: degree assortativity (Newman 2002) of the "
+    "part co-purchase graph — the Pearson correlation of endpoint "
+    "degrees over directed edges: positive = hubs link hubs "
+    "(resilient core), negative = hub-and-spoke (hub removal "
+    "shatters it) — the one-number structural diagnostic the "
+    "pr-family's per-node scores don't give. Every moment (m, sx, "
+    "sy, sxy, sxx, syy) is an exact integer in DECIMAL(38,0); "
+    "doubles appear only in the final num/denom conversion, and a "
+    "degree-regular graph (zero variance) reports NULL via nullif "
+    "in both engines, never a divide-by-zero artifact",
+    scale="rides the shared persisted co-purchase edge frame "
+    "(pr1/pr6/pr7/pr9); degrees are one hash-agg, the two "
+    "degree-attach joins are node-keyed, and the moment agg is "
+    "map-side combined to ONE row. Rule-5 bound: m*sxx must stay "
+    "under 2^53 for the exact-decimal-to-double cast (~1e15 at "
+    "billion-edge scale — switch the final division to DECIMAL "
+    "arithmetic past that)",
+)
+def pr10_assortativity(spark, sf):
+    edges = _persist_tracked(_copurchase_edges(spark, sf))
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    ds = deg.select(F.col("src").alias("ns"), F.col("deg").alias("x"))
+    dd = deg.select(F.col("src").alias("nd"), F.col("deg").alias("y"))
+    xy = (
+        edges.join(ds, edges.src == ds.ns)
+        .join(dd, edges.dst == dd.nd)
+        .select("x", "y")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    da = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    db = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("m").cast("bigint").alias("n_edges_directed"),
+        F.round(
+            num / F.nullif(F.sqrt(da) * F.sqrt(db), F.lit(0.0)), 6
+        ).alias("assortativity"),
+    )
+
+
 
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied

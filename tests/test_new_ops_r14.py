@@ -1153,3 +1153,69 @@ def test_g11_abc_boundary_exact_classes(spark, tmp_path):
         for r in con.execute(QUERIES["g11_abc_analysis"].sql).fetchall()
     }
     assert oracle == want
+
+
+# ----------------------------- m25 / pr10 (round-14 wave 9)
+
+
+def test_m25_mase_calendar_joins_drop_missing_days(spark, tmp_path):
+    """Daily revenue 100t cents on Jan 1-9 plus Jan 11 (Jan 10
+    MISSING): the naive pair for Jan 11 must DROP (its d-1 does not
+    exist — a row lag would silently compare against Jan 9), while
+    its seasonal pair (Jan 4) exists. Hand-computed MASE
+    = (2000*8)/(800*3). Cross-engine equal."""
+    rows = []
+    for t in range(1, 10):
+        rows.append(
+            (t, 1, "O", float(t), f"1995-01-0{t} 00:00:00", "1-U")
+        )
+    rows.append((10, 1, "O", 10.0, "1995-01-11 00:00:00", "1-U"))
+    d = _write_orders(spark, tmp_path, rows)
+    got = [
+        tuple(r) for r in QUERIES["m25_mase"].fn(spark, str(d)).collect()
+    ]
+    want = [("1-U", 3, 8, 2000, 800, round(16000 / 2400, 6))]
+    assert got == want
+    con = _duck_views(d, "orders")
+    assert con.execute(QUERIES["m25_mase"].sql).fetchall() == want
+
+
+def test_pr10_star_is_minus_one_regular_is_null(spark, tmp_path):
+    """Star co-purchase graph (part 0 in every basket with one leaf)
+    is perfectly disassortative: assortativity EXACTLY -1.0. A
+    triangle (one basket of three parts) is degree-regular: zero
+    variance -> NULL via nullif, never a divide-by-zero artifact.
+    Cross-engine equal."""
+    import duckdb
+
+    def write_li(sub, li_rows):
+        dd = tmp_path / sub
+        dd.mkdir()
+        spark.createDataFrame(
+            li_rows, "l_orderkey long, l_partkey long"
+        ).coalesce(1).write.parquet(str(dd / "lineitem.parquet"))
+        return dd
+
+    star = write_li("star", [(1, 0), (1, 1), (2, 0), (2, 2), (3, 0), (3, 3)])
+    got = QUERIES["pr10_assortativity"].fn(spark, str(star)).collect()[0]
+    assert (got["n_edges_directed"], got["assortativity"]) == (6, -1.0)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{star}/lineitem.parquet/*.parquet'"
+    )
+    assert con.execute(QUERIES["pr10_assortativity"].sql).fetchall() == [
+        (6, -1.0)
+    ]
+
+    tri = write_li("tri", [(1, 1), (1, 2), (1, 3)])
+    got = QUERIES["pr10_assortativity"].fn(spark, str(tri)).collect()[0]
+    assert (got["n_edges_directed"], got["assortativity"]) == (6, None)
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{tri}/lineitem.parquet/*.parquet'"
+    )
+    assert con2.execute(QUERIES["pr10_assortativity"].sql).fetchall() == [
+        (6, None)
+    ]

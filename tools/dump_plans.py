@@ -200,6 +200,8 @@ FLAGSHIPS = [
     "dq14_key_density",
     "ab5_bootstrap_ci",
     "g11_abc_analysis",
+    "m25_mase",
+    "pr10_assortativity",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
