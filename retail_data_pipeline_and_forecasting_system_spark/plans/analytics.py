@@ -20221,6 +20221,83 @@ def pr10_assortativity(spark, sf):
     )
 
 
+@q(
+    "sky1_pareto_frontier",
+    sql="""
+    WITH p AS (
+      SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS size,
+        CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS price_cents
+      FROM part
+      WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+    ), f AS (
+      SELECT p_brand, p_partkey, price_cents, size,
+        max(size) OVER (PARTITION BY p_brand ORDER BY price_cents
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS mx_cheaper,
+        max(size) OVER (PARTITION BY p_brand, price_cents)
+          AS mx_same_price
+      FROM p
+    )
+    SELECT p_brand, p_partkey, price_cents, size
+    FROM f
+    WHERE NOT (coalesce(mx_cheaper >= size, FALSE)
+               OR mx_same_price > size)
+    """,
+    ref="skyline / dominance query (Borzsony, Kossmann & Stocker, "
+    "ICDE 2001) — a classic operator FAMILY the registry lacked: per "
+    "brand, the Pareto frontier of (price minimized, size maximized): "
+    "a part survives iff NO other part is at most as expensive AND at "
+    "least as large with one strict. NOT the quadratic "
+    "self-anti-join: for 2D the frontier is two window maxima — the "
+    "strictly-cheaper cummax (a RANGE frame on integer cents, so "
+    "price TIES are excluded exactly) and the same-price group max "
+    "(equal price + equal size are mutually non-dominating and BOTH "
+    "survive). Exact integer cents and sizes end to end — no doubles",
+    scale="the classic skyline algorithms are sequential scans; this "
+    "form is two brand-partitioned windows over the parts DIMENSION "
+    "(never fact-sized) — embarrassingly parallel across brands. "
+    "For a k-D skyline fall back to a block-nested filter per brand "
+    "partition; for 2D this window form is exact and optimal",
+)
+def sky1_pareto_frontier(spark, sf):
+    p = (
+        _t(spark, sf, "part")
+        .filter(
+            F.col("p_size").isNotNull()
+            & F.col("p_retailprice").isNotNull()
+        )
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.col("p_size").cast("bigint").alias("size"),
+            (dec("p_retailprice") * 100).cast("bigint").alias(
+                "price_cents"
+            ),
+        )
+    )
+    w_cheaper = (
+        W.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_same = W.partitionBy("p_brand", "price_cents")
+    f = p.select(
+        "p_brand",
+        "p_partkey",
+        "price_cents",
+        "size",
+        F.max("size").over(w_cheaper).alias("mx_cheaper"),
+        F.max("size").over(w_same).alias("mx_same_price"),
+    )
+    dominated = F.coalesce(
+        F.col("mx_cheaper") >= F.col("size"), F.lit(False)
+    ) | (F.col("mx_same_price") > F.col("size"))
+    return f.filter(~dominated).select(
+        "p_brand", "p_partkey", "price_cents", "size"
+    )
+
+
 
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied

@@ -1219,3 +1219,112 @@ def test_pr10_star_is_minus_one_regular_is_null(spark, tmp_path):
     assert con2.execute(QUERIES["pr10_assortativity"].sql).fetchall() == [
         (6, None)
     ]
+
+
+# ----------------------------- sky1 (round-14 wave 10)
+
+
+def _skyline_python(parts):
+    """Brute-force dominance from the DEFINITION (quadratic), written
+    independently of the window formulation: keep p iff no q with
+    price <= and size >= and one strict."""
+    out = []
+    for brand, key, price, size in parts:
+        dominated = any(
+            b == brand
+            and qp <= price
+            and qs >= size
+            and (qp < price or qs > size)
+            for b, _qk, qp, qs in parts
+        )
+        if not dominated:
+            out.append((brand, key, price, size))
+    return sorted(out)
+
+
+def test_sky1_hand_fixture_ties_and_duplicates(spark, tmp_path):
+    """Equal price + equal size are mutually non-dominating (BOTH
+    survive); a same-price smaller part falls to the group max; an
+    equally-sized more-expensive part falls to the strictly-cheaper
+    cummax; the cheapest part always survives (NULL cummax)."""
+    import duckdb
+
+    # (key, brand, size, price)
+    p_rows = [
+        (1, "B1", 5, 1.0),    # frontier
+        (2, "B1", 5, 1.0),    # duplicate point: BOTH kept
+        (3, "B1", 3, 1.0),    # same price, smaller -> dominated
+        (4, "B1", 7, 2.0),    # frontier (larger than all cheaper)
+        (5, "B1", 5, 2.0),    # dominated by (1.0, 5)
+        (6, "B1", 7, 3.0),    # dominated by (2.0, 7): same size, dearer
+        (7, "B1", 1, 0.5),    # cheapest: frontier despite tiny size
+        (8, "B2", 1, 9.0),    # other brand: alone -> frontier
+    ]
+    d = tmp_path / "t"
+    d.mkdir()
+    spark.createDataFrame(
+        [(k, b, s, pr) for k, b, s, pr in p_rows],
+        "p_partkey long, p_brand string, p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(str(d / "part.parquet"))
+    got = sorted(
+        (r["p_brand"], r["p_partkey"], r["price_cents"], r["size"])
+        for r in QUERIES["sky1_pareto_frontier"].fn(spark, str(d)).collect()
+    )
+    want = _skyline_python(
+        [(b, k, round(pr * 100), s) for k, b, s, pr in p_rows]
+    )
+    assert got == want
+    assert [k for _b, k, _p, _s in got] == [1, 2, 4, 7, 8]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        f"'{d}/part.parquet/*.parquet'"
+    )
+    oracle = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(
+            QUERIES["sky1_pareto_frontier"].sql
+        ).fetchall()
+    )
+    assert oracle == want
+
+
+def test_sky1_seeded_triple_differential_vs_bruteforce(spark, tmp_path):
+    """Seeded 120-part catalog over 3 brands with heavy price/size
+    collisions: the window formulation must equal the quadratic
+    dominance DEFINITION (independent Python) and the DuckDB oracle
+    exactly."""
+    import duckdb
+    import random
+
+    rng = random.Random(71)
+    p_rows = [
+        (k, f"B{k % 3}", rng.randint(1, 8), float(rng.randint(1, 12)))
+        for k in range(120)
+    ]
+    d = tmp_path / "t"
+    d.mkdir()
+    spark.createDataFrame(
+        p_rows,
+        "p_partkey long, p_brand string, p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(str(d / "part.parquet"))
+    got = sorted(
+        (r["p_brand"], r["p_partkey"], r["price_cents"], r["size"])
+        for r in QUERIES["sky1_pareto_frontier"].fn(spark, str(d)).collect()
+    )
+    want = _skyline_python(
+        [(b, k, round(pr * 100), s) for k, b, s, pr in p_rows]
+    )
+    assert got == want
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        f"'{d}/part.parquet/*.parquet'"
+    )
+    oracle = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(
+            QUERIES["sky1_pareto_frontier"].sql
+        ).fetchall()
+    )
+    assert oracle == want

@@ -202,6 +202,7 @@ FLAGSHIPS = [
     "g11_abc_analysis",
     "m25_mase",
     "pr10_assortativity",
+    "sky1_pareto_frontier",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
