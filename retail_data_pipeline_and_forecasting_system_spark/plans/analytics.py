@@ -20298,6 +20298,94 @@ def sky1_pareto_frontier(spark, sf):
     )
 
 
+#: e18 symbol map + pattern (shared by both engines' expressions).
+_E18_PAT = "v[vc]*p"  # browse(-click)*-buy
+
+
+@q(
+    "e18_match_recognize",
+    sql=f"""
+    WITH sym AS (
+      SELECT user_id, ts, event_id,
+        CASE event_type
+          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+          WHEN 'error' THEN 'e' ELSE 'x' END AS s
+      FROM events WHERE user_id IS NOT NULL
+    ), seqs AS (
+      SELECT user_id,
+        string_agg(s, '' ORDER BY ts, event_id) AS seq
+      FROM sym GROUP BY user_id
+    )
+    SELECT user_id, seq,
+      CAST(length(seq) AS BIGINT) AS seq_len,
+      CAST(len(regexp_extract_all(seq, '{_E18_PAT}'))
+        AS BIGINT) AS n_matches
+    FROM seqs
+    """,
+    ref="sequence pattern matching (SQL:2016 MATCH_RECOGNIZE-lite / "
+    "Flink CEP's core): each user's event history becomes a symbol "
+    "string in (ts, event_id) order and a regex counts non-"
+    "overlapping 'browse(-click)*-buy' episodes (v[vc]*p) — the "
+    "row-pattern operator family the e-family's fixed funnels "
+    "(e15/j7) can't express: regex quantifiers over ROW SEQUENCES. "
+    "Leftmost greedy non-overlapping match semantics are identical "
+    "in Java regex (Spark), RE2 (DuckDB) and Python re for this "
+    "backtracking-free pattern — the triple-differential test pins "
+    "it; the symbol string itself is emitted so the compare covers "
+    "the sequence reconstruction, not just the counts",
+    scale="one user-keyed shuffle; per-user state is the user's own "
+    "event string (session-bounded, the e13 class — cap the symbol "
+    "string per user/day at real scale, noted escape hatch); the "
+    "regex runs ONCE per user JVM-side in whole-stage codegen, "
+    "never per event",
+)
+def e18_match_recognize(spark, sf):
+    e = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "view", "v")
+            .when(F.col("event_type") == "click", "c")
+            .when(F.col("event_type") == "purchase", "p")
+            .when(F.col("event_type") == "signup", "s")
+            .when(F.col("event_type") == "error", "e")
+            .otherwise("x")
+            .alias("s"),
+        )
+    )
+    seqs = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"), F.col("event_id"), F.col("s")
+                            )
+                        )
+                    ),
+                    lambda r: r["s"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        "seq",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(seq, '{_E18_PAT}', 0)) "
+            "AS BIGINT)"
+        ).alias("n_matches"),
+    )
+
+
 
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied

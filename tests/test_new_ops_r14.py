@@ -1328,3 +1328,92 @@ def test_sky1_seeded_triple_differential_vs_bruteforce(spark, tmp_path):
         ).fetchall()
     )
     assert oracle == want
+
+
+# ----------------------------- e18 (round-14 wave 11)
+
+
+def test_e18_match_recognize_greedy_nonoverlap_triple(spark, tmp_path):
+    """User 1's sequence 'vvcpvpe' contains two NON-overlapping
+    greedy matches (vvcp, vp); user 2's 'cpv' has none (no leading
+    v...p episode); user 3 interleaves an error inside the episode —
+    'vep' must NOT match (e breaks [vc]*). Spark == DuckDB ==
+    Python re.findall on the same strings."""
+    import re
+
+    rows = [
+        # user 1: v v c p v p e
+        (0, "2024-01-01 01:00:00", 1, "view", 1.0, "{}"),
+        (1, "2024-01-01 02:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 03:00:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 04:00:00", 1, "purchase", 1.0, "{}"),
+        (4, "2024-01-01 05:00:00", 1, "view", 1.0, "{}"),
+        (5, "2024-01-01 06:00:00", 1, "purchase", 1.0, "{}"),
+        (6, "2024-01-01 07:00:00", 1, "error", 1.0, "{}"),
+        # user 2: c p v
+        (7, "2024-01-01 01:00:00", 2, "click", 1.0, "{}"),
+        (8, "2024-01-01 02:00:00", 2, "purchase", 1.0, "{}"),
+        (9, "2024-01-01 03:00:00", 2, "view", 1.0, "{}"),
+        # user 3: v e p
+        (10, "2024-01-01 01:00:00", 3, "view", 1.0, "{}"),
+        (11, "2024-01-01 02:00:00", 3, "error", 1.0, "{}"),
+        (12, "2024-01-01 03:00:00", 3, "purchase", 1.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r["user_id"]: (r["seq"], r["seq_len"], r["n_matches"])
+        for r in QUERIES["e18_match_recognize"].fn(spark, str(d)).collect()
+    }
+    want = {
+        1: ("vvcpvpe", 7, 2),
+        2: ("cpv", 3, 0),
+        3: ("vep", 3, 0),
+    }
+    assert got == want
+    for u, (seq, _l, n) in want.items():
+        assert len(re.findall("v[vc]*p", seq)) == n
+    con = _duck_views(d, "events")
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            QUERIES["e18_match_recognize"].sql
+        ).fetchall()
+    }
+    assert oracle == want
+
+
+def test_e18_seeded_sequences_triple_differential(spark, tmp_path):
+    """Seeded 200-event stream over 12 users: every reconstructed
+    symbol string and match count equals Python re over the
+    independently rebuilt sequences."""
+    import random
+    import re
+
+    rng = random.Random(18)
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = [
+        (
+            i,
+            f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00",
+            rng.randint(1, 12),
+            rng.choice(types),
+            1.0,
+            "{}",
+        )
+        for i in range(200)
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        r["user_id"]: (r["seq"], r["n_matches"])
+        for r in QUERIES["e18_match_recognize"].fn(spark, str(d)).collect()
+    }
+    sym = {"view": "v", "click": "c", "purchase": "p",
+           "signup": "s", "error": "e"}
+    seqs = {}
+    for eid, _ts, uid, et, _v, _p in sorted(rows):
+        seqs.setdefault(uid, []).append(sym[et])
+    want = {
+        u: ("".join(s), len(re.findall("v[vc]*p", "".join(s))))
+        for u, s in seqs.items()
+    }
+    assert got == want

@@ -203,6 +203,7 @@ FLAGSHIPS = [
     "m25_mase",
     "pr10_assortativity",
     "sky1_pareto_frontier",
+    "e18_match_recognize",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
