@@ -20386,6 +20386,103 @@ def e18_match_recognize(spark, sf):
     )
 
 
+@q(
+    "ops9_overlap_depth",
+    sql="""
+    WITH f AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+               AS DATE) AS month,
+        CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+          AS cents
+      FROM orders
+    ), z AS (
+      SELECT month, CAST(min(cents) AS BIGINT) AS lo,
+        CAST(max(cents) AS BIGINT) AS hi
+      FROM f GROUP BY month
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+        CAST(min(lo) AS BIGINT) AS gmin,
+        CAST(max(hi) AS BIGINT) AS gmax,
+        CAST(sum(hi - lo + 1) AS BIGINT) AS sum_widths
+      FROM z
+    ), ev AS (
+      SELECT lo AS pos, 1 AS delta FROM z
+      UNION ALL SELECT hi + 1 AS pos, -1 AS delta FROM z
+    ), sweep AS (
+      SELECT pos,
+        sum(delta) OVER (ORDER BY pos, delta
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+      FROM ev
+    )
+    SELECT g.n_partitions, g.gmin, g.gmax, g.sum_widths,
+      round(CAST(g.sum_widths AS DOUBLE)
+            / (g.gmax - g.gmin + 1), 6) AS avg_depth,
+      CAST((SELECT max(depth) FROM sweep) AS BIGINT) AS max_depth
+    FROM g
+    """,
+    ref="lakehouse layout diagnostics: CLUSTERING DEPTH of the "
+    "month-partitioned price zone maps (the Delta OPTIMIZE / "
+    "ClickHouse parts-overlap metric): avg_depth = how many "
+    "partitions a uniformly-random price value hits on average "
+    "(sum of range widths / global span — 1.0 means perfectly "
+    "clustered, ~n means every partition covers everything), and "
+    "max_depth = the worst-case single-point read amplification via "
+    "the classic +1/-1 endpoint sweep. This is the NUMBER behind "
+    "ops8's per-partition false-scan audit: depth >> 1 quantifies "
+    "how badly the table needs z1's z-order re-cluster. Integer "
+    "cents everywhere; one double division. Sweep tie-break: at "
+    "equal position, deltas sort ascending (-1 first), so a "
+    "partition ending at pos and one starting at pos never "
+    "double-count",
+    scale="zone stats are the ops8 map-side agg (metadata-sized); "
+    "the sweep window is unpartitioned but runs over 2 x #partitions "
+    "ENDPOINT rows (manifest-grain, ~thousands at 100 TB) — "
+    "allow-listed with this written grain bound",
+)
+def ops9_overlap_depth(spark, sf):
+    from ..operators.zonemap import zone_state
+
+    z = zone_state(_t(spark, sf, "orders")).select(
+        "month",
+        F.col("min_cents").alias("lo"),
+        F.col("max_cents").alias("hi"),
+    )
+    z = _persist_tracked(z)
+    g = z.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+        F.min("lo").cast("bigint").alias("gmin"),
+        F.max("hi").cast("bigint").alias("gmax"),
+        F.sum(F.col("hi") - F.col("lo") + 1)
+        .cast("bigint")
+        .alias("sum_widths"),
+    )
+    ev = z.select(
+        F.col("lo").alias("pos"), F.lit(1).alias("delta")
+    ).unionByName(
+        z.select(
+            (F.col("hi") + 1).alias("pos"), F.lit(-1).alias("delta")
+        )
+    )
+    wsweep = W.orderBy("pos", "delta").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    mx = ev.select(F.sum("delta").over(wsweep).alias("depth")).agg(
+        F.max("depth").cast("bigint").alias("max_depth")
+    )
+    return g.crossJoin(F.broadcast(mx)).select(
+        "n_partitions",
+        "gmin",
+        "gmax",
+        "sum_widths",
+        F.round(
+            F.col("sum_widths").cast("double")
+            / (F.col("gmax") - F.col("gmin") + 1),
+            6,
+        ).alias("avg_depth"),
+        "max_depth",
+    )
+
+
 
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied

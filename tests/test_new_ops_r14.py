@@ -1417,3 +1417,33 @@ def test_e18_seeded_sequences_triple_differential(spark, tmp_path):
         for u, s in seqs.items()
     }
     assert got == want
+
+
+# ----------------------------- ops9 (round-14 wave 12)
+
+
+def test_ops9_overlap_depth_sweep_and_tie_break(spark, tmp_path):
+    """Four month partitions by price range: [100,200], [150,300]
+    (overlap -> depth 2), [301,400] (starts EXACTLY one past the
+    previous end: the -1-before-+1 tie-break keeps depth at 2, not
+    3), [1000,1000] (disjoint point). avg_depth = 353/901.
+    Cross-engine equal."""
+    rows = [
+        (1, 1, "O", 1.00, "1995-01-05 00:00:00", "1-U"),
+        (2, 1, "O", 2.00, "1995-01-20 00:00:00", "1-U"),
+        (3, 1, "O", 1.50, "1995-02-03 00:00:00", "1-U"),
+        (4, 1, "O", 3.00, "1995-02-25 00:00:00", "1-U"),
+        (5, 1, "O", 3.01, "1995-03-04 00:00:00", "1-U"),
+        (6, 1, "O", 4.00, "1995-03-19 00:00:00", "1-U"),
+        (7, 1, "O", 10.00, "1995-04-02 00:00:00", "1-U"),
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    got = tuple(
+        QUERIES["ops9_overlap_depth"].fn(spark, str(d)).collect()[0]
+    )
+    want = (4, 100, 1000, 353, round(353 / 901, 6), 2)
+    assert got == want
+    con = _duck_views(d, "orders")
+    assert con.execute(
+        QUERIES["ops9_overlap_depth"].sql
+    ).fetchall() == [want]

@@ -834,6 +834,8 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
         "month-grain rollup (calendar-bounded, ~1200 rows/century; "
         "'partition by year-of-window' escape hatch in its scale "
         "note)",
+        "ops9_overlap_depth": "partition-endpoint sweep cumsum "
+        "(2 x #partitions rows, manifest-sized)",
     },
     "operators/textstats.py": {
         "bpe_pair_counts": "rank runs AFTER orderBy().limit(top_n) — the "

@@ -204,6 +204,7 @@ FLAGSHIPS = [
     "pr10_assortativity",
     "sky1_pareto_frontier",
     "e18_match_recognize",
+    "ops9_overlap_depth",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
