@@ -20483,6 +20483,56 @@ def ops9_overlap_depth(spark, sf):
     )
 
 
+@q(
+    "h16_heartbeat_coverage",
+    sql="""
+    WITH h AS (
+      SELECT event_type,
+        CAST(date_trunc('week', ts) AS DATE) AS week,
+        date_trunc('hour', ts) AS hr
+      FROM events
+    )
+    SELECT event_type, week,
+      CAST(count(DISTINCT hr) AS BIGINT) AS n_active_hours,
+      round(CAST(count(DISTINCT hr) AS DOUBLE) / 168, 6) AS coverage,
+      (count(DISTINCT hr) < 84) AS breach
+    FROM h GROUP BY event_type, week
+    """,
+    ref="operational monitoring: heartbeat / dead-man-switch "
+    "coverage — per (series, ISO week), how many of the 168 hours "
+    "saw at least one event; breach flags weeks under 50% coverage. "
+    "The ABSENCE-of-data audit that threshold alerts (h10/h11) and "
+    "gap stats (e6) don't give: a silently-dead pipeline emits "
+    "nothing to z-score. Weeks at the corpus edges are partial and "
+    "score honestly low — the ops-correct reading (the service WAS "
+    "dark those hours). Integer hour counts; one double division. "
+    "Both engines truncate weeks to ISO Monday",
+    scale="distinct-hour counting is a (series, week, hour) "
+    "pre-collapse then a (series, week) count — both map-side-"
+    "combined hash aggs, ~(series x 168) rows per week of history; "
+    "never fact-sized past the first collapse",
+)
+def h16_heartbeat_coverage(spark, sf):
+    h = _t(spark, sf, "events").select(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+    )
+    return (
+        h.groupBy("event_type", "week")
+        .agg(F.countDistinct("hr").cast("bigint").alias("n_active_hours"))
+        .select(
+            "event_type",
+            "week",
+            "n_active_hours",
+            F.round(
+                F.col("n_active_hours").cast("double") / 168, 6
+            ).alias("coverage"),
+            (F.col("n_active_hours") < 84).alias("breach"),
+        )
+    )
+
+
 
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied

@@ -1447,3 +1447,56 @@ def test_ops9_overlap_depth_sweep_and_tie_break(spark, tmp_path):
     assert con.execute(
         QUERIES["ops9_overlap_depth"].sql
     ).fetchall() == [want]
+
+
+# ----------------------------- h16 (round-14 wave 12b)
+
+
+def test_h16_heartbeat_distinct_hours_and_breach(spark, tmp_path):
+    """'view' is up 90 distinct hours in the week of Mon 2024-01-01
+    (three events in one hour count ONCE) -> no breach; 'error'
+    appears in 2 hours -> breach; hours split across the Sunday->
+    Monday boundary land in different ISO weeks. Cross-engine."""
+    rows = []
+    eid = 0
+    # view: 90 distinct hours starting Mon 2024-01-01 00:xx
+    for hch in range(90):
+        day, hr = divmod(hch, 24)
+        rows.append(
+            (eid, f"2024-01-0{day + 1} {hr:02d}:05:00", 1, "view",
+             1.0, "{}")
+        )
+        eid += 1
+    # same-hour duplicates: must not inflate the count
+    rows.append((eid, "2024-01-01 00:40:00", 2, "view", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, "2024-01-01 00:59:59", 3, "view", 1.0, "{}"))
+    eid += 1
+    # error: two hours, one of them on Sunday 2024-01-07 (same ISO
+    # week), one on Monday 2024-01-08 (NEXT ISO week)
+    rows.append((eid, "2024-01-07 23:10:00", 4, "error", 1.0, "{}"))
+    eid += 1
+    rows.append((eid, "2024-01-08 00:10:00", 5, "error", 1.0, "{}"))
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        (r["event_type"], str(r["week"])): (
+            r["n_active_hours"], r["coverage"], r["breach"]
+        )
+        for r in QUERIES["h16_heartbeat_coverage"].fn(
+            spark, str(d)
+        ).collect()
+    }
+    want = {
+        ("view", "2024-01-01"): (90, round(90 / 168, 6), False),
+        ("error", "2024-01-01"): (1, round(1 / 168, 6), True),
+        ("error", "2024-01-08"): (1, round(1 / 168, 6), True),
+    }
+    assert got == want
+    con = _duck_views(d, "events")
+    oracle = {
+        (r[0], str(r[1])): (r[2], r[3], r[4])
+        for r in con.execute(
+            QUERIES["h16_heartbeat_coverage"].sql
+        ).fetchall()
+    }
+    assert oracle == want

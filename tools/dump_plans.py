@@ -205,6 +205,7 @@ FLAGSHIPS = [
     "sky1_pareto_frontier",
     "e18_match_recognize",
     "ops9_overlap_depth",
+    "h16_heartbeat_coverage",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
