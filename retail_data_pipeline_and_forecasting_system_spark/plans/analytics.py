@@ -19692,11 +19692,18 @@ def x62_cdc_chunking(spark, sf):
     ), mm AS (
       SELECT min(k) AS mn, max(k) AS mx FROM keys
     ), spine AS (
-      SELECT unnest(generate_series(mn // 1024, mx // 1024)) AS b,
+      -- FLOOR division via the positive-mod trick: DuckDB's integer
+      -- // TRUNCATES toward zero (verified: -5 // 1024 = 0), which
+      -- would mis-bucket corrupt negative keys; (k - pmod) is
+      -- exactly divisible, so // cannot differ from floor on it
+      SELECT unnest(generate_series(
+        (mn - ((mn % 1024) + 1024) % 1024) // 1024,
+        (mx - ((mx % 1024) + 1024) % 1024) // 1024)) AS b,
         mn, mx
       FROM mm
     ), p AS (
-      SELECT k // 1024 AS b, CAST(count(*) AS BIGINT) AS n_present
+      SELECT (k - ((k % 1024) + 1024) % 1024) // 1024 AS b,
+        CAST(count(*) AS BIGINT) AS n_present
       FROM keys GROUP BY 1
     )
     SELECT CAST(s.b * 1024 AS BIGINT) AS bucket_lo,
@@ -19740,16 +19747,24 @@ def dq14_key_density(spark, sf):
     mm = keys.agg(
         F.min("k").alias("mn"), F.max("k").alias("mx")
     )
+    # FLOOR division, not Spark's bare `div` (which truncates toward
+    # zero and would disagree with DuckDB's flooring `//` on corrupt
+    # NEGATIVE keys — the very rows a DQ audit must bucket
+    # correctly): floor(k / B) == (k - pmod(k, B)) div B, exact
+    # integer arithmetic at any magnitude and sign (the subtraction
+    # makes the dividend exactly divisible, so `div`'s truncation
+    # cannot differ from floor).
+    def fdiv(name: str):
+        return F.expr(
+            f"CAST((({name}) - pmod({name}, {B})) div {B} AS BIGINT)"
+        )
+
     spine = mm.select(
-        F.explode(
-            F.sequence(
-                F.expr(f"mn div {B}"), F.expr(f"mx div {B}")
-            )
-        ).alias("b"),
+        F.explode(F.sequence(fdiv("mn"), fdiv("mx"))).alias("b"),
         "mn",
         "mx",
     )
-    p = keys.groupBy(F.expr(f"k div {B}").alias("b")).agg(
+    p = keys.groupBy(fdiv("k").alias("b")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_present")
     )
     j = spine.join(p, "b", "left")

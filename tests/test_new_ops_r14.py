@@ -1500,3 +1500,34 @@ def test_h16_heartbeat_distinct_hours_and_breach(spark, tmp_path):
         ).fetchall()
     }
     assert oracle == want
+
+
+def test_dq14_negative_corrupt_key_floors_not_truncates(spark, tmp_path):
+    """A corrupt NEGATIVE key (-5) must land in bucket -1 (floor
+    division) in BOTH engines — Spark's bare `div` truncates toward
+    zero and would have bucketed it with the 0..1023 rows, shifting
+    every count; the pmod-floor form agrees with DuckDB's `//`."""
+    rows = [
+        (-5, 1, "O", 10.0, "1995-01-04 00:00:00", "1-U"),
+        (1000, 1, "O", 10.0, "1995-01-05 00:00:00", "1-U"),
+        (1010, 1, "O", 10.0, "1995-01-06 00:00:00", "1-U"),
+        (3000, 1, "O", 10.0, "1995-01-07 00:00:00", "1-U"),
+    ]
+    d = _write_orders(spark, tmp_path, rows)
+    got = {
+        r["bucket_lo"]: (r["width"], r["n_present"], r["n_missing"])
+        for r in QUERIES["dq14_key_density"].fn(spark, str(d)).collect()
+    }
+    want = {
+        -1024: (5, 1, 4),       # clipped to [-5, -1]
+        0: (1024, 2, 1022),
+        1024: (1024, 0, 1024),
+        2048: (953, 1, 952),
+    }
+    assert got == want
+    con = _duck_views(d, "orders")
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(QUERIES["dq14_key_density"].sql).fetchall()
+    }
+    assert oracle == want
