@@ -19859,7 +19859,11 @@ def _ab5_sql() -> str:
     "groups, map-side combined to 64 partials per partition) — no "
     "resampled data copies, no shuffle beyond 64-group partials; "
     "the rank step sorts 64 numbers. B scales the constant factor, "
-    "never the shuffle row count",
+    "never the shuffle row count. Rule-5 bound: sum(wt*cents) per "
+    "replica must stay under 2^53 for the exact int-to-double cast "
+    "(~9x total corpus cents; at 100 TB run the bootstrap on the "
+    "metric's GROUP rollup — per-arm totals — which is also the "
+    "operationally correct unit)",
 )
 def ab5_bootstrap_ci(spark, sf):
     o = (
