@@ -20552,6 +20552,227 @@ def h16_heartbeat_coverage(spark, sf):
     )
 
 
+@q(
+    "d19_prefix_filter_join",
+    sql=_SQL_SHINGLES
+    + """
+  , rsh AS (SELECT DISTINCT doc_id, shingle FROM shingles)
+  , keyed AS (
+    -- exact-dup collapse FIRST (the d13 canonicalization pattern):
+    -- identical shingle SETS share a set_key; only one REPRESENTATIVE
+    -- per set enters the pairwise machinery
+    SELECT doc_id,
+      md5(string_agg(shingle, '|' ORDER BY shingle)) AS set_key,
+      CAST(count(*) AS BIGINT) AS n
+    FROM rsh GROUP BY doc_id
+  ), reps AS (
+    SELECT set_key, min(doc_id) AS rep, min(n) AS n
+    FROM keyed GROUP BY set_key
+  ), rrsh AS (
+    SELECT r.rep, s.shingle
+    FROM rsh s JOIN keyed k ON k.doc_id = s.doc_id
+    JOIN reps r ON r.set_key = k.set_key AND r.rep = s.doc_id
+  ), df AS (
+    SELECT shingle, CAST(count(*) AS BIGINT) AS df
+    FROM rrsh GROUP BY shingle
+  ), ranked AS (
+    SELECT r.rep, r.shingle, p.n,
+      row_number() OVER (PARTITION BY r.rep
+        ORDER BY d.df, r.shingle) AS rk
+    FROM rrsh r JOIN df d USING (shingle)
+    JOIN reps p ON p.rep = r.rep
+  ), prefix AS (
+    -- prefix length n - ceil(0.6 n) + 1, all-integer:
+    -- ceil(3n/5) = (3n + 4) // 5 (positive n, so // == floor)
+    SELECT rep, shingle FROM ranked
+    WHERE rk <= n - ((3 * n + 4) // 5) + 1
+  ), cand AS (
+    SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+    FROM prefix a JOIN prefix b USING (shingle)
+    WHERE a.rep < b.rep
+  ), inter AS (
+    SELECT c.rep_a, c.rep_b, CAST(count(*) AS BIGINT) AS n_common
+    FROM cand c
+    JOIN rrsh sa ON sa.rep = c.rep_a
+    JOIN rrsh sb ON sb.rep = c.rep_b AND sb.shingle = sa.shingle
+    GROUP BY c.rep_a, c.rep_b
+  ), survivors AS (
+    SELECT rep_a, rep_b, n_common,
+      round(CAST(n_common AS DOUBLE)
+        / (pa.n + pb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN reps pa ON pa.rep = rep_a
+    JOIN reps pb ON pb.rep = rep_b
+    WHERE CAST(n_common AS DOUBLE) / (pa.n + pb.n - n_common) >= 0.6
+  ), ka AS (SELECT doc_id, set_key FROM keyed)
+  -- expand representative pairs to ALL member doc pairs...
+  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+    greatest(ma.doc_id, mb.doc_id) AS doc_b, s.n_common, s.jaccard
+  FROM survivors s
+  JOIN reps ra ON ra.rep = s.rep_a
+  JOIN reps rb ON rb.rep = s.rep_b
+  JOIN ka ma ON ma.set_key = ra.set_key
+  JOIN ka mb ON mb.set_key = rb.set_key
+  UNION ALL
+  -- ...plus the within-group pairs (identical sets: J exactly 1.0)
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    k.n AS n_common, 1.0 AS jaccard
+  FROM keyed a JOIN keyed b
+    ON a.set_key = b.set_key AND a.doc_id < b.doc_id
+  JOIN reps k ON k.set_key = a.set_key
+""",
+    ref="similarity-join family: PREFIX FILTERING (Chaudhuri et al. "
+    "SSJoin, ICDE 2006; Bayardo et al. AllPairs, WWW 2007) — the "
+    "GUARANTEED-COMPLETE exact Jaccard >= 0.6 join: two sets with "
+    "J >= t MUST share a token among each one's first "
+    "n - ceil(t*n) + 1 tokens in the global rarest-first order, so "
+    "candidates come from a prefix-token equi-join with ZERO false "
+    "negatives — unlike d3's probabilistic MinHash bands (which can "
+    "miss pairs) and unlike d2's df cap (which redefines the "
+    "similarity). Exact-duplicate shingle sets collapse to ONE "
+    "representative before the pairwise machinery (the d13 "
+    "canonicalization pattern) and expand back afterward — "
+    "within-group pairs are J = 1.0 by identity, never recomputed. "
+    "Prefix lengths are all-integer (ceil(3n/5) = (3n+4) div 5), "
+    "the global order is (df, shingle) — deterministic in both "
+    "engines; the completeness guarantee is pinned by a brute-force "
+    "differential over a seeded corpus",
+    scale="two fanout controls, both semantics-preserving: (1) the "
+    "algorithm's own — prefixes hold each set's RAREST shingles, so "
+    "boilerplate shingles never become join keys (the hot-key "
+    "problem d2 needed a semantics-changing cap for); (2) exact-dup "
+    "collapse — a 10-way-duplicated corpus (the decade staging, and "
+    "real crawl corpora) runs its pairwise joins on UNIQUE sets "
+    "only, turning the within-cluster quadratic into a group-keyed "
+    "expansion of the (inherently quadratic-sized) output. Shuffles "
+    "are all keyed: set_key, shingle (rare keys only), rep pair",
+)
+def d19_prefix_filter_join(spark, sf):
+    from ..functions import word_shingles
+
+    t_num, t_den = 3, 5  # Jaccard threshold 0.6 as an exact rational
+    rsh = word_shingles(
+        _t(spark, sf, "documents"), k=3, distinct=True
+    )
+    rsh = _persist_tracked(rsh)
+    keyed = rsh.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("shingle")), "|")
+        ).alias("set_key"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    keyed = _persist_tracked(keyed)
+    reps = keyed.groupBy("set_key").agg(
+        F.min("doc_id").alias("rep"), F.min("n").alias("n")
+    )
+    reps = _persist_tracked(reps)
+    rrsh = rsh.join(
+        reps.select(F.col("rep").alias("doc_id")), "doc_id"
+    ).select(F.col("doc_id").alias("rep"), "shingle")
+    rrsh = _persist_tracked(rrsh)
+    df = rrsh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    ranked = (
+        rrsh.join(df, "shingle")
+        .join(reps.select("rep", "n"), "rep")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("rep").orderBy("df", "shingle")
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n")
+        - F.expr(f"({t_num} * n + {t_den - 1}) div {t_den}")
+        + 1
+    ).select("rep", "shingle")
+    pa = prefix.select(F.col("rep").alias("rep_a"), "shingle")
+    pb = prefix.select(F.col("rep").alias("rep_b"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b")
+        .distinct()
+    )
+    sa = rrsh.select(F.col("rep").alias("rep_a"), "shingle")
+    sb = rrsh.select(
+        F.col("rep").alias("b2"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cand.join(sa, "rep_a")
+        .join(
+            sb,
+            (F.col("rep_b") == F.col("b2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("rep_a", "rep_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    na = reps.select(F.col("rep").alias("rep_a"), F.col("n").alias("na"))
+    nb = reps.select(F.col("rep").alias("rep_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    survivors = (
+        inter.join(na, "rep_a")
+        .join(nb, "rep_b")
+        .filter(jac >= t_num / t_den)
+        .select(
+            "rep_a", "rep_b", "n_common", F.round(jac, 6).alias("jaccard")
+        )
+    )
+    rep_key = reps.select("rep", "set_key")
+    ma = keyed.select(F.col("doc_id").alias("da"), "set_key")
+    mb = keyed.select(
+        F.col("doc_id").alias("db"), F.col("set_key").alias("kb")
+    )
+    cross = (
+        survivors.join(
+            rep_key.select(
+                F.col("rep").alias("rep_a"), F.col("set_key")
+            ),
+            "rep_a",
+        )
+        .join(ma, "set_key")
+        .drop("set_key")
+        .join(
+            rep_key.select(
+                F.col("rep").alias("rep_b"),
+                F.col("set_key").alias("kb"),
+            ),
+            "rep_b",
+        )
+        .join(mb, "kb")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    within = (
+        keyed.alias("x")
+        .join(
+            keyed.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("set_key").alias("sk2"),
+            ),
+            (F.col("set_key") == F.col("sk2"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.col("n").alias("n_common"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied

@@ -1531,3 +1531,99 @@ def test_dq14_negative_corrupt_key_floors_not_truncates(spark, tmp_path):
         for r in con.execute(QUERIES["dq14_key_density"].sql).fetchall()
     }
     assert oracle == want
+
+
+# ----------------------------- d19 (round-14 wave 13)
+
+
+def _bruteforce_jaccard(texts, k=3, t=0.6):
+    """All-pairs exact Jaccard over distinct k-word shingles — the
+    quadratic ground truth the prefix filter must reproduce with
+    ZERO false negatives."""
+    sets = {}
+    for i, txt in texts:
+        if txt is None:
+            continue
+        w = txt.split(" ")
+        s = {" ".join(w[j : j + k]) for j in range(len(w) - k + 1)}
+        if s:
+            sets[i] = s
+    out = []
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            c = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u and c / u >= t:
+                out.append((a, b, c, round(c / u, 6)))
+    return sorted(out)
+
+
+def test_d19_boundary_and_exact_dup_hand_fixture(spark, tmp_path):
+    """J exactly 0.6 (the >= boundary: 3 common / 5 union) is kept;
+    an exact dup scores 1.0; a 1/7-overlap pair is excluded even if
+    the prefix join proposes it. Cross-engine equal."""
+    texts = [
+        (0, "a b c d e f"),
+        (1, "a b c d e g"),   # J(0,1) = 3/5 = 0.6 exactly
+        (2, "a b c x y z"),   # J(0,2) = 1/7 -> excluded
+        (3, "a b c d e f"),   # exact dup of 0
+        (4, None),
+    ]
+    rows = [(i, t, "en", "w", len(t) if t else 0) for i, t in texts]
+    d = _write_docs(spark, tmp_path, rows)
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["d19_prefix_filter_join"].fn(spark, str(d)).collect()
+    )
+    want = _bruteforce_jaccard(texts)
+    assert got == want
+    assert (0, 1, 3, 0.6) in want and (0, 3, 4, 1.0) in want
+    assert all(p[:2] != (0, 2) for p in want)
+    con = _duck_views(d, "documents")
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            QUERIES["d19_prefix_filter_join"].sql
+        ).fetchall()
+    )
+    assert oracle == want
+
+
+def test_d19_completeness_guarantee_seeded_differential(spark, tmp_path):
+    """The prefix filter's whole claim: over a 40-doc seeded corpus
+    with DENSE shingle collisions (5-word vocabulary), the candidate
+    prefix join must surface EVERY pair the quadratic brute force
+    finds at J >= 0.6 — no LSH-style misses — and nothing below the
+    threshold. Spark == DuckDB == brute-force Python."""
+    import random
+
+    rng = random.Random(19)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = []
+    for i in range(40):
+        if i % 11 == 6:
+            texts.append((i, None))
+        else:
+            n = rng.randint(3, 10)
+            texts.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(n)))
+            )
+    rows = [(i, t, "en", "w", len(t) if t else 0) for i, t in texts]
+    d = _write_docs(spark, tmp_path, rows)
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["d19_prefix_filter_join"].fn(spark, str(d)).collect()
+    )
+    want = _bruteforce_jaccard(texts)
+    assert got == want
+    assert len(want) > 0  # the fixture actually exercises pairs
+    con = _duck_views(d, "documents")
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            QUERIES["d19_prefix_filter_join"].sql
+        ).fetchall()
+    )
+    assert oracle == want

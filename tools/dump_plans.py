@@ -206,6 +206,7 @@ FLAGSHIPS = [
     "e18_match_recognize",
     "ops9_overlap_depth",
     "h16_heartbeat_coverage",
+    "d19_prefix_filter_join",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
