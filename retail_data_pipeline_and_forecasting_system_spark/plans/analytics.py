@@ -20773,6 +20773,193 @@ def d19_prefix_filter_join(spark, sf):
     return cross.unionByName(within)
 
 
+def _ev10_sql() -> str:
+    l2 = _l2_list_sql
+    return (
+        _kmeans_af_ctes(4, 2)
+        + f""",
+    pd AS (
+      SELECT e.vec_id, c.cid, {l2("e.embedding", "c.cvec")} AS dval,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY {l2("e.embedding", "c.cvec")} ASC, c.cid ASC) AS rn
+      FROM e CROSS JOIN c2 c
+    ), ab AS (
+      -- the dist structs carry SQUARED L2 (the assignment only needs
+      -- ordering); silhouette is defined on the metric, so take the
+      -- root — sqrt is IEEE-correctly-rounded in both engines
+      SELECT a.vec_id, a.cid, sqrt(a.dval) AS a_dist,
+        sqrt(b.dval) AS b_dist
+      FROM pd a JOIN pd b ON b.vec_id = a.vec_id AND b.rn = 2
+      WHERE a.rn = 1
+    ), s AS (
+      SELECT cid, vec_id,
+        round((b_dist - a_dist)
+          / nullif(greatest(a_dist, b_dist), 0.0), 9) AS sil
+      FROM ab
+    )
+    SELECT CAST(cid AS INT) AS cent_id,
+      CAST(count(*) AS BIGINT) AS n_members,
+      round(CAST(SUM(CAST(sil AS DECIMAL(20,9))) AS DOUBLE)
+            / count(sil), 6) AS mean_silhouette
+    FROM s GROUP BY cid
+    """
+    )
+
+
+@q(
+    "ev10_silhouette",
+    sql=_ev10_sql(),
+    ref="evaluation family: simplified (centroid-based) SILHOUETTE "
+    "per k-means cell (Rousseeuw 1987; the medoid-free form "
+    "Hruschka et al. use at scale) — s_i = (b - a)/max(a, b) with "
+    "a = distance to the assigned centroid and b = distance to the "
+    "SECOND-nearest; the label-free clustering-quality number ev2's "
+    "purity (which needs ground-truth labels) cannot give. Rides "
+    "k1's exact-oracle Lloyd fit, so the centroids are "
+    "bit-identical in both engines; per-point silhouettes round(9) "
+    "then SUM as DECIMAL(20,9) — an ORDER-INDEPENDENT mean (the "
+    "e17/x57 ulp lesson applied at design time: no double "
+    "summation anywhere), one double division at the end. A point "
+    "sitting exactly on two centroids (max = 0) yields NULL via "
+    "nullif and is excluded from the mean's denominator, identically",
+    scale="assignment + two-nearest are MAP-ONLY (the k x dim "
+    "literal-matrix dist structs — zero shuffle, no k-times row "
+    "explosion); the only exchange is the k-row cell agg, and the "
+    "decimal mean makes the result identical at any parallelism",
+)
+def ev10_silhouette(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    cents = SIM.kmeans_lloyd(emb, k=4, n_iter=2, exact_mean=True)
+    ranked = F.slice(
+        F.array_sort(
+            SIM.centroid_dist_structs(
+                "embedding", SIM._collect_centroids(cents)
+            )
+        ),
+        1,
+        2,
+    )
+    # the dist structs carry SQUARED L2 (ordering-only); silhouette
+    # is defined on the metric, so take the root (IEEE-exact)
+    rows = emb.select("vec_id", ranked.alias("r")).select(
+        "vec_id",
+        F.col("r")[0].getField("cent_id").alias("cid"),
+        F.sqrt(F.col("r")[0].getField("dist")).alias("a_dist"),
+        F.sqrt(F.col("r")[1].getField("dist")).alias("b_dist"),
+    )
+    sil = F.round(
+        (F.col("b_dist") - F.col("a_dist"))
+        / F.nullif(
+            F.greatest("a_dist", "b_dist"), F.lit(0.0)
+        ),
+        9,
+    )
+    return (
+        rows.select("cid", sil.alias("sil"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(
+                F.sum(F.col("sil").cast("decimal(20,9)")).cast("double")
+                / F.count("sil"),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .select(
+            F.col("cid").cast("int").alias("cent_id"),
+            "n_members",
+            "mean_silhouette",
+        )
+    )
+
+
+@q(
+    "w11_rank_pack",
+    sql="""
+    WITH c AS (
+      SELECT c_custkey, CAST(c_nationkey AS INT) AS nation,
+        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS acctbal_cents
+      FROM customer
+    ), r AS (
+      SELECT c_custkey, nation, acctbal_cents,
+        CAST(rank() OVER (PARTITION BY nation
+          ORDER BY acctbal_cents) AS BIGINT) AS rk,
+        CAST(count(*) OVER (PARTITION BY nation
+          ORDER BY acctbal_cents
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cnt_le,
+        CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS n,
+        CAST(ntile(4) OVER (PARTITION BY nation
+          ORDER BY acctbal_cents, c_custkey) AS INT) AS quartile
+      FROM c
+    )
+    SELECT c_custkey, nation, acctbal_cents,
+      CAST(CASE WHEN n = 1 THEN 0
+        ELSE ((rk - 1) * 2000000 + (n - 1)) // (2 * (n - 1)) END
+        AS BIGINT) AS pr_ppm,
+      CAST((cnt_le * 2000000 + n) // (2 * n) AS BIGINT) AS cd_ppm,
+      quartile
+    FROM r
+    """,
+    ref="window-function coverage: the RELATIVE-rank trio the "
+    "w-family lacked — percent_rank ((rank-1)/(n-1)), cume_dist "
+    "(rows-at-or-below / n, via a RANGE-frame count so PEERS are "
+    "included) and ntile(4), per nation over customer balances in "
+    "exact cents. The ratios are emitted as BIGINT MILLIONTHS "
+    "rounded half-up in pure integer arithmetic "
+    "((2p*10^6 + q) div 2q) — round(double, 6) is engine-dependent "
+    "exactly at decimal midpoints (caught live at sf0.1: cume_dist "
+    "41/640 = .0640625 rounds up on Spark's decimal-string path and "
+    "down on DuckDB's binary path — rule 1's trap in window "
+    "clothing). percent_rank/cume_dist order by BALANCE ALONE "
+    "(tie-aware by definition); ntile splits peer groups, so its "
+    "ordering adds the custkey tie-break — the distinction is "
+    "pinned in the hand fixture. Single-row partitions: pr = 0",
+    scale="one nation-keyed exchange shared by the windows "
+    "(dimension-grain partitions, never fact-sized); all "
+    "derivations are per-row integer arithmetic after the window "
+    "counts",
+)
+def w11_rank_pack(spark, sf):
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("nation"),
+        (dec("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+    )
+    w_ties = W.partitionBy("nation").orderBy("acctbal_cents")
+    w_range = (
+        W.partitionBy("nation")
+        .orderBy("acctbal_cents")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("nation")
+    w_total = W.partitionBy("nation").orderBy("acctbal_cents", "c_custkey")
+    r = c.select(
+        "c_custkey",
+        "nation",
+        "acctbal_cents",
+        F.rank().over(w_ties).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(w_range).cast("bigint").alias("cnt_le"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.ntile(4).over(w_total).cast("int").alias("quartile"),
+    )
+    return r.select(
+        "c_custkey",
+        "nation",
+        "acctbal_cents",
+        F.expr(
+            "CAST(CASE WHEN n = 1 THEN 0 ELSE"
+            " ((rk - 1) * 2000000 + (n - 1)) div (2 * (n - 1)) END"
+            " AS BIGINT)"
+        ).alias("pr_ppm"),
+        F.expr(
+            "CAST((cnt_le * 2000000 + n) div (2 * n) AS BIGINT)"
+        ).alias("cd_ppm"),
+        "quartile",
+    )
+
+
 
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied

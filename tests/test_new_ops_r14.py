@@ -1627,3 +1627,93 @@ def test_d19_completeness_guarantee_seeded_differential(spark, tmp_path):
         ).fetchall()
     )
     assert oracle == want
+
+
+# ----------------------------- ev10 / w11 (round-14 wave 14)
+
+
+def test_ev10_silhouette_hand_geometry(spark, tmp_path):
+    """Four 2-point clusters on a line (centroids 1/11/21/31 after
+    one Lloyd step, stable in step two): edge clusters mix a 10/11
+    and an 8/9 silhouette (mean 0.898990 after round6), interior
+    clusters are 8/9 on both sides (0.888889). Hand-derived from the
+    simplified-silhouette formula; cross-engine equal."""
+    import duckdb
+
+    xs = [0.0, 10.0, 20.0, 30.0, 2.0, 12.0, 22.0, 32.0]
+    rows = [(i, [x, 0.0], 0) for i, x in enumerate(xs)]
+    d = tmp_path / "e"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    got = {
+        r["cent_id"]: (r["n_members"], r["mean_silhouette"])
+        for r in QUERIES["ev10_silhouette"].fn(spark, str(d)).collect()
+    }
+    want = {
+        0: (2, 0.89899),    # (10/11 + 8/9) / 2 -> round6
+        1: (2, 0.888889),   # 8/9 both sides
+        2: (2, 0.888889),
+        3: (2, 0.89899),
+    }
+    assert got == want
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{d}/embeddings.parquet/*.parquet'"
+    )
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(QUERIES["ev10_silhouette"].sql).fetchall()
+    }
+    assert oracle == want
+
+
+def _write_customers(spark, tmp_path, rows):
+    d = tmp_path / "c"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(d / "customer.parquet"))
+    return d
+
+
+def test_w11_tie_aware_ranks_and_integer_midpoint(spark, tmp_path):
+    """Nation 1: balances 100/200/200/300 — the tied 200s SHARE
+    pr/cd (tie-aware by definition) but STRADDLE the ntile 2|3
+    boundary (ntile splits peers); nation 2 is a single row (pr 0,
+    cd 1e6). Nation 3 has 128 rows, so its first row's cume_dist is
+    1/128 = 7812.5 ppm — an EXACT decimal midpoint: the integer
+    half-up path must yield 7813 in BOTH engines (round(double, 6)
+    gave 7813 on Spark and 7812 on DuckDB — the live sf0.1 trap)."""
+    rows = [
+        (1, "a", 1, 1.00, "B"),
+        (2, "b", 1, 2.00, "B"),
+        (3, "c", 1, 2.00, "B"),
+        (4, "d", 1, 3.00, "B"),
+        (5, "e", 2, 9.00, "B"),
+    ] + [
+        (100 + i, f"n3_{i}", 3, float(i + 1), "B") for i in range(128)
+    ]
+    d = _write_customers(spark, tmp_path, rows)
+    got = {
+        r["c_custkey"]: (
+            r["pr_ppm"], r["cd_ppm"], r["quartile"]
+        )
+        for r in QUERIES["w11_rank_pack"].fn(spark, str(d)).collect()
+    }
+    assert got[1] == (0, 250000, 1)
+    assert got[2] == (333333, 750000, 2)   # tied pr/cd ...
+    assert got[3] == (333333, 750000, 3)   # ... but split quartiles
+    assert got[4] == (1000000, 1000000, 4)
+    assert got[5] == (0, 1000000, 1)       # single-row nation
+    assert got[100] == (0, 7813, 1)        # the midpoint, half-up
+    con = _duck_views(d, "customer")
+    oracle = {
+        r[0]: (r[3], r[4], r[5])
+        for r in con.execute(QUERIES["w11_rank_pack"].sql).fetchall()
+    }
+    assert oracle == got

@@ -207,6 +207,8 @@ FLAGSHIPS = [
     "ops9_overlap_depth",
     "h16_heartbeat_coverage",
     "d19_prefix_filter_join",
+    "ev10_silhouette",
+    "w11_rank_pack",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
