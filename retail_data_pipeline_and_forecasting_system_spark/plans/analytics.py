@@ -20960,6 +20960,107 @@ def w11_rank_pack(spark, sf):
     )
 
 
+@q(
+    "e19_dau_mau_stickiness",
+    sql="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+        CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL
+    ), span AS (
+      SELECT min(day) AS mn, max(day) AS mx FROM ud
+    ), contrib AS (
+      SELECT u.user_id, u.day + CAST(o.off AS INTEGER) AS obs_day,
+        CAST(o.off AS INTEGER) AS off
+      FROM ud u CROSS JOIN (
+        SELECT unnest(generate_series(0, 27)) AS off) o
+    ), agg AS (
+      SELECT c.obs_day,
+        CAST(count(DISTINCT CASE WHEN c.off = 0
+          THEN c.user_id END) AS BIGINT) AS dau,
+        CAST(count(DISTINCT CASE WHEN c.off <= 6
+          THEN c.user_id END) AS BIGINT) AS wau,
+        CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
+      FROM contrib c, span s
+      WHERE c.obs_day BETWEEN s.mn AND s.mx
+      GROUP BY c.obs_day
+    )
+    SELECT obs_day AS day, dau, wau, mau,
+      CAST((dau * 2000000 + mau) // (2 * mau) AS BIGINT)
+        AS stickiness_ppm
+    FROM agg
+    """,
+    ref="product analytics staple: DAU / WAU / MAU per day with "
+    "DAU/MAU stickiness — the engagement dashboard every consumer "
+    "product runs, which the e-family's retention cohorts (e5) and "
+    "running distincts (w8) don't give: each day needs the distinct "
+    "users of its TRAILING 7- and 28-day windows. Exact (no HLL): "
+    "each (user, active-day) pair contributes to the 28 observation "
+    "days it is visible from (offset explode), and one conditional "
+    "count-distinct per observation day reads DAU (offset 0), WAU "
+    "(offset <= 6) and MAU off the same fanout. Stickiness is "
+    "integer half-up millionths (the w11 trick — no double "
+    "rounding anywhere). Days before the corpus start or past its "
+    "end are clipped to the observed span; early days honestly "
+    "report partial windows",
+    scale="the fanout is a FIXED 28x of the (user, day) DISTINCT "
+    "pairs (already collapsed from raw events map-side) — linear, "
+    "keyed by observation day, no sliding-window state and no "
+    "per-day rescan; the count-distincts are one obs_day-keyed "
+    "exchange. At 100 TB swap the exact distinct for a15's "
+    "mergeable HLL per (user-bucket) if the 28x pair stream ever "
+    "dominates — noted, not needed while pairs << events",
+)
+def e19_dau_mau_stickiness(spark, sf):
+    ud = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    ud = _persist_tracked(ud)
+    span = ud.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    contrib = ud.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("off"),
+    ).select(
+        "user_id",
+        "off",
+        F.date_add(F.col("day"), F.col("off")).alias("obs_day"),
+    )
+    agg = (
+        contrib.crossJoin(F.broadcast(span))
+        .filter(F.col("obs_day").between(F.col("mn"), F.col("mx")))
+        .groupBy("obs_day")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("off") == 0, F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("dau"),
+            F.count_distinct(
+                F.when(F.col("off") <= 6, F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("wau"),
+            F.count_distinct(F.col("user_id")).cast("bigint").alias("mau"),
+        )
+    )
+    return agg.select(
+        F.col("obs_day").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        F.expr(
+            "CAST((dau * 2000000 + mau) div (2 * mau) AS BIGINT)"
+        ).alias("stickiness_ppm"),
+    )
+
+
 
 # 100 TB plan notes for the round-1/2 vintage entries, registered before
 # the scale= field existed. Same contract as the inline notes; applied

@@ -1717,3 +1717,48 @@ def test_w11_tie_aware_ranks_and_integer_midpoint(spark, tmp_path):
         for r in con.execute(QUERIES["w11_rank_pack"].sql).fetchall()
     }
     assert oracle == got
+
+
+# ----------------------------- e19 (round-14 wave 15)
+
+
+def test_e19_trailing_windows_and_stickiness(spark, tmp_path):
+    """User 1 active Jan 1 only; user 2 active Jan 1 and Jan 8; user
+    3 active Jan 30. On Jan 8: DAU = {2}, WAU = {2} (Jan 1 fell out
+    of the 7-day window the day before), MAU = {1, 2}. On Jan 30:
+    user 2's Jan 8 visit is still inside the 28-day window (days
+    3..30), user 1's Jan 1 is not -> MAU = {2, 3}. Same-day
+    duplicate events count once. Stickiness = DAU/MAU in half-up
+    ppm. Cross-engine equal."""
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (1, "2024-01-01 11:00:00", 1, "view", 1.0, "{}"),  # same-day dup
+        (2, "2024-01-01 12:00:00", 2, "view", 1.0, "{}"),
+        (3, "2024-01-08 09:00:00", 2, "view", 1.0, "{}"),
+        (4, "2024-01-30 09:00:00", 3, "view", 1.0, "{}"),
+        (5, "2024-01-05 09:00:00", None, "view", 1.0, "{}"),  # NULL user
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        str(r["day"]): (r["dau"], r["wau"], r["mau"], r["stickiness_ppm"])
+        for r in QUERIES["e19_dau_mau_stickiness"].fn(
+            spark, str(d)
+        ).collect()
+    }
+    # spot-check the load-bearing days
+    assert got["2024-01-01"] == (2, 2, 2, 1000000)
+    assert got["2024-01-07"] == (0, 2, 2, 0)   # last WAU day for Jan 1
+    assert got["2024-01-08"] == (1, 1, 2, 500000)
+    assert got["2024-01-28"] == (0, 0, 2, 0)   # Jan 1 + Jan 8 both in
+    assert got["2024-01-29"] == (0, 0, 1, 0)   # Jan 1 aged out of MAU
+    assert got["2024-01-30"] == (1, 1, 2, 500000)
+    # span is clipped to observed days: nothing past Jan 30
+    assert max(got) == "2024-01-30" and min(got) == "2024-01-01"
+    con = _duck_views(d, "events")
+    oracle = {
+        str(r[0]): (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            QUERIES["e19_dau_mau_stickiness"].sql
+        ).fetchall()
+    }
+    assert oracle == got

@@ -209,6 +209,7 @@ FLAGSHIPS = [
     "d19_prefix_filter_join",
     "ev10_silhouette",
     "w11_rank_pack",
+    "e19_dau_mau_stickiness",
 ]
 
 HEADER = """# PLANS — physical plans of the flagship queries
