@@ -80,7 +80,9 @@ def jaccard_pairs(
     rare shingles, so the capped Jaccard is near-dup-faithful.
     ``max_df=None`` disables the cap. Output: (doc_a, doc_b, jaccard).
     """
-    sh = word_shingles(df, k=k, id_col=id_col, text_col=text_col)
+    sh = word_shingles(df, k=k, id_col=id_col, text_col=text_col,
+                       distinct=False)
+    sh = _shingle_partitioned_distinct(sh)
     sh = _rare_shingles(sh, max_df)
     return _jaccard_from_shingles(sh, threshold, id_col)
 
@@ -102,8 +104,9 @@ def jaccard_pairs_from_words(
     from it), removing a full corpus re-scan + re-split.
     """
     sh = word_shingles_from_words(
-        words, k=k, id_col=id_col, words_col=words_col
+        words, k=k, id_col=id_col, words_col=words_col, distinct=False
     )
+    sh = _shingle_partitioned_distinct(sh)
     sh = _rare_shingles(sh, max_df)
     return _jaccard_from_shingles(sh, threshold, id_col)
 
@@ -127,9 +130,30 @@ def char_jaccard_pairs(
     rare-shingle sets on both the intersection and the sizes, a
     consistent (and near-dup-faithful) definition — true near-dups share
     plenty of rare shingles."""
-    sh = char_shingles(df, k=k, id_col=id_col, text_col=text_col)
+    sh = char_shingles(df, k=k, id_col=id_col, text_col=text_col,
+                       distinct=False)
+    sh = _shingle_partitioned_distinct(sh)
     sh = _rare_shingles(sh, max_df)
     return _jaccard_from_shingles(sh, threshold, id_col)
+
+
+def _shingle_partitioned_distinct(sh: DataFrame) -> DataFrame:
+    """Establish the shingle pipeline's ONE exchange up front (guide
+    §2.4 "two operations keyed the same way can share one exchange").
+
+    Hash-partitioning the exploded (id, shingle) rows on ``shingle``
+    satisfies every downstream clustering requirement in the pair
+    pipeline — the (id, shingle) distinct (subset key), the document-
+    frequency cap's per-shingle aggregate, its join back, and BOTH
+    sides of the inverted-index pair self-join — so what used to be a
+    distinct exchange + a df-count exchange + two pair-join exchanges
+    of the persisted frame collapses into this single repartition (the
+    cached frame's partitioning is preserved by InMemoryTableScan and
+    recognized by the planner). No explicit partition count: the
+    session's shuffle sizing / AQE stays in charge, so the shape is the
+    same at any scale. Rows are unchanged — placement only.
+    """
+    return sh.repartition("shingle").distinct()
 
 
 def _rare_shingles(sh: DataFrame, max_df: int | None) -> DataFrame:
@@ -268,11 +292,20 @@ def minhash_lsh_pairs(
         # per doc, independent of document length — so MEMORY_AND_DISK is
         # bounded; tracked in ..caching so the next registry query
         # releases it (callers can also spark.catalog.clearCache()).
+        # Persist it ALREADY hash-partitioned on the self-join key
+        # (band, bucket): the cached partitioning satisfies both join
+        # sides' clustering, so the candidate join re-exchanges NOTHING
+        # — one repartition at build replaces two exchanges of the same
+        # rows per consumer (guide §2.4). No explicit partition count:
+        # shuffle sizing / AQE stays scale-adaptive.
         from pyspark import StorageLevel
 
         from ..caching import track
 
-        buckets = track(buckets.persist(StorageLevel.MEMORY_AND_DISK))
+        buckets = track(
+            buckets.repartition("band", "bucket")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
 
     ca = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     cb = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")

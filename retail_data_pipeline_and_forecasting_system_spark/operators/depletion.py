@@ -68,7 +68,7 @@ def greedy_inventory_depletion(
     qty_col: str = "qty",
     stock_col: str = "stock",
     order_cols: tuple[str, ...] = ("timestamp", "transaction_id", "line_pos"),
-    num_buckets: int = 128,
+    num_buckets: int | None = None,
     reset_col: str | None = None,
 ) -> DataFrame:
     """Apply greedy depletion to demand ``lines`` against initial ``products``
@@ -83,7 +83,12 @@ def greedy_inventory_depletion(
         hash-bucketed so each Arrow batch carries MANY product timelines —
         per-group pandas/Arrow overhead is amortized (one group per product
         would pay ~0.2 ms × millions of products), while state stays strictly
-        per-product inside the kernel. Size it ≈ a few × total cores.
+        per-product inside the kernel. Size it ≈ a few × total cores; the
+        default (None) derives 2 × defaultParallelism from the session —
+        scale-adaptive instead of a constant tuned for one machine (r14:
+        the old fixed 128 cost ~8%% extra Arrow/pandas per-group overhead
+        at 32 cores vs 64 buckets, same-JVM A/B at sf0.1). Bucket count
+        never changes results — only group-to-task placement.
     reset_col : optional column name; when set, stock resets to the initial
         value at every distinct value of this column (the reference's
         RELOAD_INVENTORY_DAILY mode, src/data_processor.py:53-59: pass the
@@ -175,6 +180,8 @@ def greedy_inventory_depletion(
     # sequentially and independently — identical to one-group-per-product.
     from .bucketed import bucketed_fold
 
+    if num_buckets is None:
+        num_buckets = 2 * lines.sparkSession.sparkContext.defaultParallelism
     return bucketed_fold(
         stocked, "product_id", deplete, out_schema, num_buckets=num_buckets
     )

