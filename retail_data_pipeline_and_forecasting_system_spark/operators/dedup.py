@@ -612,7 +612,9 @@ def containment_pairs(
     intersection is computed once and fanned out into the two directed
     rows row-locally.
     """
-    sh = word_shingles(df, k=k, id_col=id_col, text_col=text_col)
+    sh = word_shingles(df, k=k, id_col=id_col, text_col=text_col,
+                       distinct=False)
+    sh = _shingle_partitioned_distinct(sh)  # one exchange feeds all (r14)
     sh = _rare_shingles(sh, max_df)
     # triple-consumed (sizes + both join sides) — persist like
     # _jaccard_from_shingles does, for the same measured reason;

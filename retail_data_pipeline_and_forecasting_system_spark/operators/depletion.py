@@ -157,18 +157,20 @@ def greedy_inventory_depletion(
 
         out = np.zeros(len(pdf), dtype="int64")
         if len(pdf):
-            key_frame = pdf[key_cols].astype(object)
-            # segment boundaries of the sorted key columns
+            # segment boundaries of the sorted key columns — compared on
+            # each column's NATIVE dtype (r14: the previous object-dtype
+            # cast forced a per-row Python == over every row; native
+            # numpy comparison is vectorized and identical for the key
+            # types used here — ints, dates, strings)
             change = np.zeros(len(pdf), dtype=bool)
             change[0] = True
             for c in key_cols:
-                vals = key_frame[c].to_numpy()
+                vals = pdf[c].to_numpy()
                 change[1:] |= vals[1:] != vals[:-1]
             bounds = np.nonzero(change)[0].tolist() + [len(pdf)]
-            qty_raw = pdf[qty_col]
-            qty_np = np.where(
-                pd.isna(qty_raw), -1, qty_raw.fillna(-1)
-            ).astype("int64")  # null -> -1 -> cancel
+            qty_np = (
+                pdf[qty_col].fillna(-1).to_numpy("int64")
+            )  # null -> -1 -> cancel
             stock_all = pdf["__stock"].to_numpy()
             for lo, hi in zip(bounds[:-1], bounds[1:]):
                 out[lo:hi] = _greedy_segment(int(stock_all[lo]), qty_np[lo:hi])
