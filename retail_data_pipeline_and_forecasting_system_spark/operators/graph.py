@@ -35,10 +35,27 @@ def connected_components(
 ) -> DataFrame:
     """(a, b) edges → (doc_id, component) with component = min doc id
     reachable. Deterministic for any input order."""
-    edges = (
+    # r14: the edge frame is iteration-invariant but each round ends in a
+    # count() ACTION (the convergence check), so an unpersisted frame
+    # re-evaluates its whole upstream (for d8: the entire jaccard pair
+    # pipeline) once per iteration. Persist it — and persist it
+    # V-partitioned, because every iteration's first join is on v, so
+    # the per-round edge exchange vanishes too (guide §2.4/§5.4; same
+    # measured pattern as the src-partitioned co-purchase frame).
+    # Tracked in ..caching: the next registry query releases it.
+    from pyspark import StorageLevel
+
+    from ..caching import track
+
+    # (repartition BEFORE distinct: hashpartitioning(v) satisfies the
+    # (u, v) distinct's clustering — subset key — so the dedup and the
+    # layout share the single exchange)
+    edges = track(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .repartition("v")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         edges.select(F.col("u").alias("doc_id"))

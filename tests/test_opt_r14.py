@@ -142,6 +142,47 @@ def test_e2_max_equals_count_distinct_on_hostile_sessions(spark, tmp_path):
     assert got == {1: (2, 4), 2: (1, 1), 3: (4, 4)}
 
 
+def test_copurchase_edges_persist_src_partitioned(spark, sf_dir):
+    """The shared co-purchase edge frame hands itself over
+    SRC-partitioned so every iterative consumer's per-round src-join
+    re-exchanges nothing (measured pr1 6.59 -> 3.33 s at sf0.01)."""
+    plan = _plan(spark, "pr1_copurchase_pagerank", sf_dir)
+    assert re.search(r"hashpartitioning\(src", plan)
+
+
+def test_connected_components_edges_cached_v_partitioned(spark):
+    """connected_components persists its edge frame (each round's
+    convergence count() is an ACTION — unpersisted, the whole upstream
+    pair pipeline re-ran per iteration) and persists it V-partitioned
+    (each round's first join is on v). Measured d8 7.30 -> 3.22 s at
+    sf0.01, identical rows. The loop runs eagerly (checkpoint + count),
+    so the cache is invisible in the RETURNED frame's plan — pin it via
+    the caching registry's tracked frame instead."""
+    from retail_data_pipeline_and_forecasting_system_spark import caching
+    from retail_data_pipeline_and_forecasting_system_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    before = list(caching._LIVE)
+    out = connected_components(pairs)
+    tracked = [df for df in caching._LIVE if df not in before]
+    assert tracked, "edge frame no longer registered for scoped release"
+    edge_plans = [
+        df._jdf.queryExecution().executedPlan().toString()
+        for df in tracked
+    ]
+    assert any(
+        re.search(r"hashpartitioning\(v#", p) for p in edge_plans
+    ), "edge cache lost its v-partitioned layout"
+    assert any(df.storageLevel.useMemory for df in tracked)
+    # and the result is still the exact component labelling
+    got = {(r["doc_id"], r["component"]) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
 def test_depletion_bucket_default_tracks_parallelism(spark, sf_dir):
     """num_buckets=None derives 2 x defaultParallelism — scale-adaptive
     instead of a machine-tuned constant. Pinned via the plan's pmod."""
