@@ -175,6 +175,17 @@ def main() -> None:
                 # codegen into rep 1)
                 "reps": 5,
                 "warm_pass": True,
+                # r15 (additions only — the meter is unchanged): record
+                # the EFFECTIVE parallelism so the scaling contract is
+                # checkable from the output. $SPARK_GRAFT_CPUS has been
+                # honored since r01 (session.py builds local[$CPUS]), but
+                # nothing in this line proved it; sub-second sf0.1
+                # queries on a 1-row-group-per-table corpus are overhead-
+                # bound, so flat low/high-core ratios are physics, not a
+                # dead env var (see s2_parallel_digest for the one query
+                # whose post-fan compute demonstrably scales with cores).
+                "cpus": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
             }
         )
     )

@@ -42,15 +42,19 @@ def connected_components(
     # V-partitioned, because every iteration's first join is on v, so
     # the per-round edge exchange vanishes too (guide §2.4/§5.4; same
     # measured pattern as the src-partitioned co-purchase frame).
-    # Tracked in ..caching: the next registry query releases it.
+    # r15 (r14 ADVICE): released BEFORE returning, not via the caching
+    # registry — the loop consumes edges eagerly (checkpoint + count per
+    # round) and the returned labels frame is a localCheckpoint with no
+    # edge lineage, so the cache is dead weight the moment the loop
+    # exits; registry release only fired at the NEXT registry query,
+    # which library callers (dup_clusters used directly) never trigger —
+    # they accumulated one live cache per invocation.
     from pyspark import StorageLevel
-
-    from ..caching import track
 
     # (repartition BEFORE distinct: hashpartitioning(v) satisfies the
     # (u, v) distinct's clustering — subset key — so the dedup and the
     # layout share the single exchange)
-    edges = track(
+    edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .repartition("v")
@@ -94,6 +98,11 @@ def connected_components(
         labels = updated.drop("__changed")
         if n_changed == 0:
             break
+    # labels is materialized (localCheckpoint) with no lineage into
+    # edges — safe to free the cache right here instead of leaking it
+    # until some registry query's scoped release (which direct library
+    # callers never reach)
+    edges.unpersist()
     return labels
 
 

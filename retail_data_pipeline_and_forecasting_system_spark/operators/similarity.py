@@ -1570,6 +1570,15 @@ def nn_descent(
             dim_ok.isNull(), sign_lsh_bucket(vec_col, n_bits, offset=n_bits)
         ).alias("bkt2"),
     )
+    # r15: emb is read by BOTH sides of every round's scoring join plus
+    # the seed self-join — ~2·iters + 5 corpus re-scans (and sign-LSH
+    # recomputes) without a cache boundary. Same tracked one-shot
+    # caching stance as the round frames below.
+    from pyspark import StorageLevel as _SL
+
+    from ..caching import track as _track
+
+    emb = _track(emb.persist(_SL.MEMORY_AND_DISK))
 
     def topk(scored: DataFrame) -> DataFrame:
         w = Window.partitionBy("src").orderBy(F.desc("cs"), "dst")
@@ -1606,7 +1615,24 @@ def nn_descent(
     # round's frame as-is — re-scoring it would pay one whole extra
     # edges-x-vectors join pair and window for bit-identical values
     # (round-7 review finding)
-    g_scored = topk(score(seed))
+    # r15 (r14 verdict item 6): persist each round's graph. Round N's
+    # frame is referenced ~4x by round N+1 (the undirected union feeds
+    # both sides of the neighbor-of-neighbor self-join plus the
+    # candidate union), and the loop is a LAZY unroll — without a cache
+    # boundary the shared subtree re-evaluates once per reference, i.e.
+    # combinatorially in ``iters``. The cache is k·n edge rows per
+    # round (tiny, independent of vector width); it populates on first
+    # use at the caller's action, so no action is added here. Tracked
+    # in ..caching for the registry's scoped release; direct library
+    # callers running many graphs per session should release via
+    # caching.drop_stale() or clearCache.
+    from pyspark import StorageLevel
+
+    from ..caching import track
+
+    g_scored = track(
+        topk(score(seed)).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     for _ in range(iters):
         g = g_scored.select("src", "dst")
         und = g.union(
@@ -1621,7 +1647,9 @@ def nn_descent(
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
-        g_scored = topk(score(cand))
+        g_scored = track(
+            topk(score(cand)).persist(StorageLevel.MEMORY_AND_DISK)
+        )
     return g_scored.select(
         "src", "dst", F.col("cs").alias("cos_sim"),
         F.col("rnk").cast("int").alias("rnk"),

@@ -64,6 +64,17 @@ def get_session(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
     )
+    # Cluster-tuning escape hatch (r15): semicolon-separated k=v pairs,
+    # e.g. SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd".
+    # Empty by default — local behavior and the bench meter are
+    # unchanged unless the operator explicitly opts in; production
+    # values belong in deploy config, not hard-coded here (the brief's
+    # "keep scale-dependent settings parameterised" rule). Also how the
+    # r15 codec paired-draw A/B injects its variant per JVM.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -150,34 +150,50 @@ def test_copurchase_edges_persist_src_partitioned(spark, sf_dir):
     assert re.search(r"hashpartitioning\(src", plan)
 
 
-def test_connected_components_edges_cached_v_partitioned(spark):
+def test_connected_components_edges_cached_v_partitioned(spark, monkeypatch):
     """connected_components persists its edge frame (each round's
     convergence count() is an ACTION — unpersisted, the whole upstream
-    pair pipeline re-ran per iteration) and persists it V-partitioned
-    (each round's first join is on v). Measured d8 7.30 -> 3.22 s at
-    sf0.01, identical rows. The loop runs eagerly (checkpoint + count),
-    so the cache is invisible in the RETURNED frame's plan — pin it via
-    the caching registry's tracked frame instead."""
+    pair pipeline re-ran per iteration), persists it V-partitioned
+    (each round's first join is on v; measured d8 7.30 -> 3.22 s at
+    sf0.01), and — r15, per the r14 ADVICE — releases the cache BEFORE
+    returning: labels is a localCheckpoint with no edge lineage, so
+    direct library callers (dup_clusters outside the registry) no
+    longer accumulate one live cache per invocation."""
     from retail_data_pipeline_and_forecasting_system_spark import caching
     from retail_data_pipeline_and_forecasting_system_spark.operators.graph import (
         connected_components,
     )
 
+    # patch the CONCRETE DataFrame class (pyspark 4's classic.DataFrame
+    # overrides the abstract base's persist, so patching the base from
+    # `pyspark.sql import DataFrame` never intercepts)
+    cls = type(spark.range(1))
+    persisted = []
+    orig = cls.persist
+
+    def capture(self, *a, **k):
+        out = orig(self, *a, **k)
+        persisted.append(out)
+        return out
+
+    monkeypatch.setattr(cls, "persist", capture)
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
     )
-    before = list(caching._LIVE)
+    live_before = list(caching._LIVE)
     out = connected_components(pairs)
-    tracked = [df for df in caching._LIVE if df not in before]
-    assert tracked, "edge frame no longer registered for scoped release"
+    assert persisted, "edge frame is no longer persisted for the loop"
     edge_plans = [
         df._jdf.queryExecution().executedPlan().toString()
-        for df in tracked
+        for df in persisted
     ]
     assert any(
         re.search(r"hashpartitioning\(v#", p) for p in edge_plans
     ), "edge cache lost its v-partitioned layout"
-    assert any(df.storageLevel.useMemory for df in tracked)
+    # released on return (not leaked to a registry release that library
+    # callers never trigger); nothing newly registered in the registry
+    assert all(not df.storageLevel.useMemory for df in persisted)
+    assert list(caching._LIVE) == live_before
     # and the result is still the exact component labelling
     got = {(r["doc_id"], r["component"]) for r in out.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
