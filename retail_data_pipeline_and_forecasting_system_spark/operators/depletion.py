@@ -39,12 +39,39 @@ Scale notes
 
 from __future__ import annotations
 
+import weakref
 from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: session -> {products-plan semanticHash -> row count}. The bucketed
+#: fold's default bucket count is bounded by the dim's cardinality
+#: (r14 verdict item 5: 2 x parallelism is over-provisioned when
+#: distinct keys < buckets — retail's 36 products drew 64 buckets).
+#: The count is a PLAN-TUNING statistic, not a result: bucket count
+#: only changes group-to-task placement, never output rows, so a stale
+#: memo can never affect correctness — the same stance as the fan
+#: gate's memoized layout probe. Keyed weakly by session; the one tiny
+#: count job per distinct dim plan amortizes across invocations (the
+#: retail bench re-reads the same products CSV every rep — same
+#: analyzed plan, same hash, one job per session).
+_DIM_COUNT_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _dim_count(products: DataFrame) -> int:
+    spark = products.sparkSession
+    per = _DIM_COUNT_MEMO.get(spark)
+    if per is None:
+        per = _DIM_COUNT_MEMO.setdefault(spark, {})
+    key = products.semanticHash()
+    n = per.get(key)
+    if n is None:
+        n = products.count()
+        per[key] = n
+    return n
 
 
 def _fulfilled_qty(
@@ -84,11 +111,15 @@ def greedy_inventory_depletion(
         per-group pandas/Arrow overhead is amortized (one group per product
         would pay ~0.2 ms × millions of products), while state stays strictly
         per-product inside the kernel. Size it ≈ a few × total cores; the
-        default (None) derives 2 × defaultParallelism from the session —
-        scale-adaptive instead of a constant tuned for one machine (r14:
-        the old fixed 128 cost ~8%% extra Arrow/pandas per-group overhead
-        at 32 cores vs 64 buckets, same-JVM A/B at sf0.1). Bucket count
-        never changes results — only group-to-task placement.
+        default (None) derives min(2 × defaultParallelism, |products|)
+        from the session — scale-adaptive instead of a constant tuned
+        for one machine (r14: the old fixed 128 cost ~8%% extra
+        Arrow/pandas per-group overhead at 32 cores vs 64 buckets,
+        same-JVM A/B at sf0.1), and bounded by the dim cardinality (r15:
+        buckets beyond the distinct-key count buy no parallelism, only
+        overhead — retail's 36-product catalog measured 2.61 -> 2.30 s
+        under 64 -> 36 buckets). Bucket count never changes results —
+        only group-to-task placement.
     reset_col : optional column name; when set, stock resets to the initial
         value at every distinct value of this column (the reference's
         RELOAD_INVENTORY_DAILY mode, src/data_processor.py:53-59: pass the
@@ -183,7 +214,16 @@ def greedy_inventory_depletion(
     from .bucketed import bucketed_fold
 
     if num_buckets is None:
-        num_buckets = 2 * lines.sparkSession.sparkContext.defaultParallelism
+        # scale-adaptive default, BOUNDED by the dim's cardinality (r15,
+        # r14 verdict item 5): parallelism can never exceed the number
+        # of distinct products, so buckets beyond that only add
+        # per-group Arrow/pandas and task overhead — measured at 32
+        # cores on the 36-product retail catalog: 2.61 s (64 buckets)
+        # -> 2.30 s (36) best-of-5 same-JVM; a5 (20 k products, cap
+        # never binds) flat. The count is memoized per (session, plan)
+        # — see _DIM_COUNT_MEMO; placement-only, results unchanged.
+        par = lines.sparkSession.sparkContext.defaultParallelism
+        num_buckets = max(1, min(2 * par, _dim_count(products)))
     return bucketed_fold(
         stocked, "product_id", deplete, out_schema, num_buckets=num_buckets
     )

@@ -83,14 +83,37 @@ def curation_signals_from_words(
 ) -> DataFrame:
     """:func:`curation_signals` starting from a PRE-SPLIT token array.
 
-    Same output — explode(words) yields exactly the tokens that
-    explode_tokens produces from the raw text (split of an empty string
-    is [''], one empty token, in both paths). Lets x7 persist ONE
-    (id, words) frame and feed this aggregation AND the dup branch's
-    shingle index from it: one corpus scan instead of two.
+    Same output — and, since r15, computed ROW-LOCALLY from the array:
+    ``size(words)``, ``size(array_distinct(words))`` and a
+    ``size(filter(words, stopword-membership))`` per language replace
+    the explode + two-exchange distinct-aggregate (count + countDistinct
+    + 4 conditional sums per doc). Every expression counts exactly what
+    the aggregate counted (split of an empty string is [''], one empty
+    token, so no doc ever vanishes the way explode-of-empty would;
+    tokens are never NULL; ``array_distinct`` over non-null tokens =
+    ``countDistinct``), so the outputs are value-identical — pinned by a
+    differential test against the exploded aggregate. The signal branch
+    becomes a zero-shuffle projection fused into the words scan: at any
+    scale this removes one corpus-grain (doc, token) exchange and one
+    doc-keyed exchange (guide §2.4 "remove shuffles outright").
+
+    Lets x7 persist ONE (id, words) frame and feed this projection AND
+    the dup branch's shingle index from it: one corpus scan, no signal
+    shuffle.
     """
-    toks = words.select(id_col, F.explode(words_col).alias("token"))
-    return _curation_from_tokens(toks, id_col)
+    w = F.col(words_col)
+    scored = words.select(
+        id_col,
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_uniq"),
+        *[
+            F.size(F.filter(w, lambda t: t.isin(sw)))
+            .cast("bigint")
+            .alias(f"{lang}_hits")
+            for lang, sw in sorted(STOPWORDS.items())
+        ],
+    )
+    return _verdict_select(scored, id_col)
 
 
 def _curation_from_tokens(toks: DataFrame, id_col: str) -> DataFrame:
@@ -105,6 +128,14 @@ def _curation_from_tokens(toks: DataFrame, id_col: str) -> DataFrame:
             )
         )
     scored = toks.groupBy(id_col).agg(*aggs)
+    return _verdict_select(scored, id_col)
+
+
+def _verdict_select(scored: DataFrame, id_col: str) -> DataFrame:
+    """The shared lang-argmax + ratio projection over a per-doc
+    (n_tokens, n_uniq, <lang>_hits...) frame — identical expressions
+    whether the counts came from the exploded aggregate or the r15
+    row-local array path."""
     langs = sorted(STOPWORDS)
     ratios = {
         lang: F.col(f"{lang}_hits") / F.col("n_tokens") for lang in langs

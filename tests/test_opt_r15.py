@@ -165,6 +165,83 @@ def test_s2_digest_matches_hashlib_and_fans(spark, sf_dir):
     assert re.search(r"hashpartitioning\(l_orderkey", buf.getvalue())
 
 
+def test_curation_signals_row_local_matches_exploded_agg(spark):
+    """r15: curation_signals_from_words computes its per-doc counts
+    row-locally from the token array. Differential against the exploded
+    aggregate it replaced (the _curation_from_tokens path, still used
+    by the raw-text entry point) on hostile docs: empty text (one empty
+    token), all-stopword docs, ties between languages, heavy repeats."""
+    from retail_data_pipeline_and_forecasting_system_spark.functions import (
+        tokens,
+    )
+    from retail_data_pipeline_and_forecasting_system_spark.operators import (
+        textstats as TX,
+    )
+
+    rows = [
+        (1, ""),  # split("") -> [''] — one empty token, doc must survive
+        (2, "the the the the"),  # all stopwords, repetition
+        (3, "le la de et un the a of and to"),  # en/fr tie fodder
+        (4, "zzz yyy xxx www"),  # no stopword hits -> und
+        (5, "der die das und la le el en in is"),  # three-way mix
+        (6, "a a a b b c"),  # uniq ratio fractions
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    words = df.select("doc_id", tokens("text").alias("words"))
+    got = sorted(
+        map(repr, TX.curation_signals_from_words(words).collect())
+    )
+    toks = words.select("doc_id", F.explode("words").alias("token"))
+    want = sorted(
+        map(repr, TX._curation_from_tokens(toks, "doc_id").collect())
+    )
+    assert got == want
+    # dtype parity too (n_tokens must stay bigint for the oracle
+    # compare; nullability flags legitimately differ — count() is
+    # non-nullable, size().cast() is nullable — and the driver compares
+    # names+types, proven by x7 passing the gate at both SFs)
+    assert [
+        (f.name, f.dataType)
+        for f in TX.curation_signals_from_words(words).schema
+    ] == [
+        (f.name, f.dataType)
+        for f in TX._curation_from_tokens(toks, "doc_id").schema
+    ]
+
+
+def test_depletion_buckets_bounded_by_dim_cardinality(spark):
+    """r15 (r14 verdict item 5): the default bucket count is capped at
+    the products dim's row count — a 5-product catalog gets 5 buckets,
+    not 2 x cores — and the memoized dim count never re-runs the count
+    job for the same plan. Results are placement-invariant (pinned by
+    the depletion differential suite)."""
+    import re as _re
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.depletion import (
+        _DIM_COUNT_MEMO,
+        greedy_inventory_depletion,
+    )
+
+    products = spark.createDataFrame(
+        [(i, 100) for i in range(5)], "product_id bigint, stock bigint"
+    )
+    lines = spark.createDataFrame(
+        [(i % 5, 1, f"t{j}", j, 0) for j, i in enumerate(range(20))],
+        "product_id bigint, qty bigint, transaction_id string, "
+        "timestamp bigint, line_pos bigint",
+    )
+    out = greedy_inventory_depletion(lines, products)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    m = _re.search(r"pmod\(hash\(product_id#\d+L?, 42\), (\d+)\)", plan)
+    assert m, "bucketed pmod missing from plan"
+    assert int(m.group(1)) == 5, f"expected 5 buckets, got {m.group(1)}"
+    # memo populated for this session + plan
+    per = _DIM_COUNT_MEMO.get(spark)
+    assert per and products.semanticHash() in per
+    # and the fold still computes (greedy semantics pinned elsewhere)
+    assert out.count() == 20
+
+
 def test_nn_descent_rounds_are_cache_bounded(spark):
     """r15 (r14 verdict item 6): every round's graph (and the emb
     projection) persists, so round N+1's ~4 references to round N read

@@ -87,6 +87,11 @@ def test_aqe_splits_skewed_join_partitions(spark):
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
         "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        # the skew geometry below (hot/median ratio vs factor 2) was
+        # calibrated for 8 reduce partitions; pin it so the fixture
+        # session's partition count (4 since r15) can't flatten the
+        # ratio under the detection threshold
+        "spark.sql.shuffle.partitions": "8",
     }
     old = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
