@@ -97,6 +97,7 @@ def greedy_inventory_depletion(
     order_cols: tuple[str, ...] = ("timestamp", "transaction_id", "line_pos"),
     num_buckets: int | None = None,
     reset_col: str | None = None,
+    result_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Apply greedy depletion to demand ``lines`` against initial ``products``
     stock.
@@ -124,10 +125,21 @@ def greedy_inventory_depletion(
         value at every distinct value of this column (the reference's
         RELOAD_INVENTORY_DAILY mode, src/data_processor.py:53-59: pass the
         batch-date column). The fold key becomes (product, reset value).
+    result_cols : optional subset of (input columns + "quantity") to
+        return (r15, guide §4: "pass only the columns the function
+        needs" — in BOTH directions). ``applyInPandas`` must ship every
+        input column to Python (the fold's sort keys and state live
+        there), but the RETURN trip is ours to narrow: a caller that
+        only consumes a projection (a5 drops l_shipdate/qty; the retail
+        pipeline drops product_name strings, arrival_seq, batch_date...)
+        declares it here and the Arrow batches back to the JVM carry
+        just those columns. Row set and values are identical — this is
+        a projection pushed inside the kernel.
 
     Returns the input rows plus a ``quantity`` column (fulfilled qty, 0 when
-    cancelled). Null-qty lines must be filtered by the caller (reference
-    filters them before depletion, src/data_processor.py:278).
+    cancelled), projected to ``result_cols`` when given. Null-qty lines
+    must be filtered by the caller (reference filters them before
+    depletion, src/data_processor.py:278).
     """
     # Attach the per-product opening stock. products is a dim table (36 rows
     # in the reference; dims are small by definition) -> broadcast join, no
@@ -138,10 +150,20 @@ def greedy_inventory_depletion(
         how="inner",
     )
 
-    out_schema = T.StructType(
-        [f for f in stocked.schema.fields if f.name != "__stock"]
-        + [T.StructField("quantity", T.IntegerType(), True)]
-    )
+    full_fields = [
+        f for f in stocked.schema.fields if f.name != "__stock"
+    ] + [T.StructField("quantity", T.IntegerType(), True)]
+    if result_cols is not None:
+        wanted = set(result_cols)
+        missing = wanted - {f.name for f in full_fields}
+        if missing:
+            raise ValueError(
+                f"result_cols not in input+quantity: {sorted(missing)}"
+            )
+        # keep the caller's requested order
+        by_name = {f.name: f for f in full_fields}
+        full_fields = [by_name[c] for c in result_cols]
+    out_schema = T.StructType(full_fields)
     out_cols = [f.name for f in out_schema.fields]
     key_cols = ["product_id"] + ([reset_col] if reset_col else [])
     sort_cols = [*key_cols, *order_cols]

@@ -791,8 +791,14 @@ def a5_inventory_depletion(spark, sf):
         F.col("p_partkey").alias("product_id"),
         (F.col("p_size") * 20).alias("stock"),
     )
+    # r15: the kernel's return trip carries only the four consumed
+    # columns — l_shipdate (a date) and the raw qty stay in Python
+    # (guide §4; values identical, projection pushed inside the kernel)
     out = greedy_inventory_depletion(
-        li, stock, order_cols=("l_shipdate", "l_orderkey", "l_linenumber")
+        li,
+        stock,
+        order_cols=("l_shipdate", "l_orderkey", "l_linenumber"),
+        result_cols=("l_orderkey", "product_id", "l_linenumber", "quantity"),
     )
     return out.select(
         "l_orderkey", F.col("product_id").alias("l_partkey"), "l_linenumber", "quantity"

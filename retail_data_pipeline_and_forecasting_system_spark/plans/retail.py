@@ -80,6 +80,7 @@ def process_lines(
     products: DataFrame,
     process_order: str = "arrival",
     reload_inventory_daily: bool = False,
+    result_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Null-filter, deplete inventory, and price every line.
 
@@ -90,6 +91,13 @@ def process_lines(
     ``reload_inventory_daily`` mirrors the reference's
     RELOAD_INVENTORY_DAILY flag (src/data_processor.py:53-59): stock resets
     to the initial value at each business day instead of carrying over.
+
+    ``result_cols`` (r15) narrows the depletion kernel's RETURN columns
+    (must include ``product_id`` and ``quantity``; see
+    ``greedy_inventory_depletion``): the fold ships every input column
+    into Python regardless, but the Arrow trip back only needs what the
+    caller consumes. Default None keeps the full row — the public
+    contract for every existing caller.
     """
     order_cols = ORDER_COLS[process_order]
     demand = lines.withColumn("batch_date", F.to_date("timestamp")).filter(
@@ -100,6 +108,7 @@ def process_lines(
         products,
         order_cols=order_cols,
         reset_col="batch_date" if reload_inventory_daily else None,
+        result_cols=result_cols,
     )
     priced = filled.join(
         F.broadcast(products.select("product_id", "sales_price")),
@@ -236,11 +245,24 @@ def run_retail_pipeline(
     session don't accrete cache.
     """
     lines = explode_transactions(raw_transactions)
+    # r15: the four output builders consume exactly these five columns
+    # of the depletion output (order_line_items/orders/daily/products_
+    # updated + processing_metrics); narrowing the kernel's return trip
+    # drops product_name strings, arrival_seq, batch_date, line_pos and
+    # the raw qty from the Python->JVM Arrow batches (guide §4 — only
+    # the needed columns cross the boundary).
     processed = process_lines(
         lines,
         products,
         process_order=process_order,
         reload_inventory_daily=reload_inventory_daily,
+        result_cols=(
+            "transaction_id",
+            "customer_id",
+            "timestamp",
+            "product_id",
+            "quantity",
+        ),
     )
     # The depletion output feeds three downstream aggregates; persist it so
     # the Arrow kernel runs once, not three times.

@@ -242,6 +242,46 @@ def test_depletion_buckets_bounded_by_dim_cardinality(spark):
     assert out.count() == 20
 
 
+def test_depletion_result_cols_narrowing_is_a_projection(spark):
+    """r15 (guide §4): result_cols only narrows the kernel's RETURN
+    columns — values identical to projecting the full output; unknown
+    columns rejected loudly."""
+    import pytest as _pytest
+
+    from retail_data_pipeline_and_forecasting_system_spark.operators.depletion import (
+        greedy_inventory_depletion,
+    )
+
+    products = spark.createDataFrame(
+        [(1, 5), (2, 3)], "product_id bigint, stock bigint"
+    )
+    lines = spark.createDataFrame(
+        [
+            (1, 3, "t1", 1, 0),
+            (1, 3, "t2", 2, 0),  # cancelled (3 > remaining 2)
+            (1, 2, "t3", 3, 0),
+            (2, None, "t4", 4, 0),  # null qty -> cancel
+            (2, 3, "t5", 5, 0),
+        ],
+        "product_id bigint, qty int, transaction_id string, "
+        "timestamp bigint, line_pos bigint",
+    )
+    wide = greedy_inventory_depletion(lines, products)
+    narrow = greedy_inventory_depletion(
+        lines,
+        products,
+        result_cols=("transaction_id", "product_id", "quantity"),
+    )
+    assert narrow.columns == ["transaction_id", "product_id", "quantity"]
+    assert sorted(
+        map(repr, wide.select("transaction_id", "product_id", "quantity").collect())
+    ) == sorted(map(repr, narrow.collect()))
+    with _pytest.raises(ValueError, match="result_cols"):
+        greedy_inventory_depletion(
+            lines, products, result_cols=("nope", "quantity")
+        )
+
+
 def test_nn_descent_rounds_are_cache_bounded(spark):
     """r15 (r14 verdict item 6): every round's graph (and the emb
     projection) persists, so round N+1's ~4 references to round N read
